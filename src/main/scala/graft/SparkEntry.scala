@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All engine queries are registered as [[graft.api.QDef]]s in per-module
+  * registries; this object only flattens them into the driver's shape. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def allDefs: Seq[QDef] =
+    RollupQueries.defs ++ TpchQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the 5m basic rollup — the engine's core operation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_rollup_basic_5m")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // read parquet ts as TimestampType (UTC) so epoch-millis math matches
+      // the DuckDB oracle's naive-UTC interpretation
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) which vanilla Spark rejects
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

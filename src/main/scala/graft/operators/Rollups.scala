@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.core.{Granularity, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The rollup aggregation operators — the heart of the engine.
+  *
+  * Each rollup kind carries mergeable state with an explicit partial/final
+  * split (reference: blueflood-core/.../types/Rollup.java:21-88, the five
+  * concrete kinds under types: BasicRollup, BluefloodCounterRollup,
+  * BluefloodTimerRollup, BluefloodGaugeRollup, BluefloodSetRollup). On
+  * Spark these are ordinary
+  * hash aggregations: Catalyst already plans partial (map-side) + final
+  * aggregation for every built-in used here, so the reference's hand-written
+  * merge functions (count-weighted mean, grand-mean variance combine, rate
+  * recompute) come for free inside `avg`/`var_pop`/... ; the explicit
+  * cross-TIER merges (5m → 20m → ...) are expressed with the same algebra as
+  * the reference's `buildRollupFromRollups` so a cascade never re-reads raw.
+  *
+  * All group-bys shuffle on (tenant_id, metric_name, bucket) — at 100 TB the
+  * input would be date-partitioned parquet; the bucket key keeps every
+  * window's state independent, so partial aggregation bounds shuffle volume
+  * by cardinality(locator × bucket), not row count.
+  */
+object Rollups {
+
+  private val keyCols: Seq[Column] = Seq(col("tenant_id"), col("metric_name"))
+
+  private def grouped(points: DataFrame, g: Granularity): Seq[Column] =
+    keyCols :+ Tables.bucketMs(col("ts_ms"), g).as("bucket_ms")
+
+  /** BasicRollup from raw samples: count/avg/var/min/max/sum per
+    * (locator, epoch-aligned window)
+    * (reference: types/BasicRollup.java:101-106 via BaseRollup.java:131-177;
+    * variance is population variance — Variance.java:74 divides M2 by count —
+    * hence `var_pop`, not `var_samp`). */
+  def basicFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value")).as("sum_v"),
+        avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        var_pop(col("value")).as("var_v"))
+
+  /** BasicRollup merge: combine finer-tier rollups into coarser buckets
+    * without touching raw data (reference: BasicRollup.java:108-112;
+    * count-weighted mean Average.java:113-120; grand-mean variance combine
+    * Variance.java:90-145 — algebraically
+    * var = [Σ nᵢσᵢ² + Σ nᵢμᵢ² − (Σ sᵢ)²/N] / N). */
+  def basicMerge(finerRollups: DataFrame, g: Granularity): DataFrame = {
+    val n = sum(col("num_points"))
+    finerRollups
+      .groupBy(keyCols :+ Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"): _*)
+      .agg(
+        sum(col("num_points")).as("num_points"),
+        sum(col("sum_v")).as("sum_v"),
+        (sum(col("sum_v")) / n).as("avg_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        ((sum(col("num_points") * col("var_v")) +
+          sum(col("num_points") * col("avg_v") * col("avg_v")) -
+          (sum(col("sum_v")) * sum(col("sum_v")) / n)) / n).as("var_v"))
+  }
+
+  /** Counter rollup: summed count plus per-second rate over the observed
+    * span (reference: types/BluefloodCounterRollup.java:87-100; safe-div
+    * guard mirrors utils/Util.safeDiv). */
+  def counterFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(
+        count(col("value")).as("sample_count"),
+        sum(col("value")).as("count_sum"),
+        min(col("ts_ms")).as("min_ts"),
+        max(col("ts_ms")).as("max_ts"))
+      .withColumn("rate",
+        when(col("max_ts") > col("min_ts"),
+          col("count_sum") / ((col("max_ts") - col("min_ts")) / lit(1000.0)))
+          .otherwise(lit(0.0)))
+      .drop("min_ts", "max_ts")
+
+  /** Gauge rollup: basic stats + the latest (max-timestamp) point
+    * (reference: types/BluefloodGaugeRollup.java:64-96). `max_by` is the
+    * native Catalyst form of "value at max ts". */
+  def gaugeFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(
+        count(col("value")).as("num_points"),
+        avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max(col("ts_ms")).as("latest_ts"),
+        max_by(col("value"), col("ts_ms")).as("latest_v"))
+
+  /** Set rollup: exact distinct count per window (reference:
+    * types/BluefloodSetRollup.java:30-70 keeps a Set of value hashes; count
+    * is its size — distinct-over-values is the same cardinality for numeric
+    * inputs). For 100 TB-scale use [[setApproxFromRaw]]. */
+  def setFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(countDistinct(col("value")).as("distinct_count"))
+
+  /** HLL variant of the set rollup — the scale path: O(1) state per window
+    * instead of an unbounded hash set. */
+  def setApproxFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(approx_count_distinct(col("value")).as("distinct_count"))
+
+  /** Timer tier-1: pre-aggregated timer state per 5m window, including the
+    * percentile means (reference: types/BluefloodTimerRollup.java state;
+    * ingest conversion PreaggregateConversions.java:93-117). Spark's
+    * `percentile` is the exact interpolated percentile. */
+  def timerFromRaw(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value")).as("sum_v"),
+        avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+
+  /** Timer merge to a coarser tier: counts/sums added, mean count-weighted,
+    * rate over the coarser span, and — deliberately — percentile means
+    * merged by UNWEIGHTED average, replicating the reference's lossy-by-design
+    * semantics (BluefloodTimerRollup.java:242-254). */
+  def timerMerge(finerRollups: DataFrame, g: Granularity): DataFrame =
+    finerRollups
+      .groupBy(keyCols :+ Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"): _*)
+      .agg(
+        sum(col("num_points")).as("num_points"),
+        sum(col("sum_v")).as("sum_v"),
+        (sum(col("sum_v")) / sum(col("num_points"))).as("avg_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        avg(col("p50")).as("p50"),
+        avg(col("p95")).as("p95"))
+      .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+
+  /** Rollups-on-read repair: fill windows missing from the stored rollup
+    * tier by recomputing them from the finer/raw tier, then union
+    * (reference: outputs/handlers/RollupHandler.java:241-297 repairMetrics +
+    * 381-409 createRepairPoints; union at 250-287). The anti-join discovers
+    * uncovered windows relationally — Spark parallelism replaces the
+    * reference's repair thread pools. Always recompute-from-source, never
+    * read-modify-write (SURVEY §7.4 #3). */
+  def repairBasic(stored: DataFrame, raw: DataFrame, g: Granularity): DataFrame = {
+    val computed = basicFromRaw(raw, g)
+    val missing = computed.join(
+      stored.select(col("tenant_id"), col("metric_name"), col("bucket_ms")),
+      Seq("tenant_id", "metric_name", "bucket_ms"), "left_anti")
+    stored.unionByName(missing)
+  }
+
+  /** Stat projection (`select=` query param): keep only requested stats
+    * (reference: PlotRequestParser.java:26-59 defaults, 127-145 parsing). */
+  def statProjection(rollups: DataFrame, stats: Seq[String]): DataFrame = {
+    val keep = Seq("tenant_id", "metric_name", "bucket_ms") ++ stats
+    rollups.select(keep.map(col): _*)
+  }
+}
