@@ -1,0 +1,294 @@
+package graft.api
+
+import graft.core.{Granularity, OracleViews, Tables}
+import graft.operators.Rollups
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The specialized rollup kinds (counter / gauge / set / timer), the
+  * query-time machinery (rollups-on-read repair, units join, rollup-type
+  * routing), and the full single/multi-metric query lifecycle. */
+object RollupQueries2 {
+
+  private def sumDec(c: Column): Column = sum(c.cast(DecimalType(28, 2))).cast("double")
+  private val sumDecSql = "CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)"
+
+  private def bucketSql(g: Granularity) = s"(ts_ms // ${g.millis}) * ${g.millis}"
+
+  /** Counter rollup (reference: types/BluefloodCounterRollup.java:87-100):
+    * summed count + per-second rate over the observed span; zero-guarded
+    * division mirrors utils/Util.safeDiv. */
+  private val counter20m = QDef(
+    "q_rollup_counter_20m",
+    s"""WITH ${OracleViews.metricsCte},
+       |agg AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_20)} AS bucket_ms,
+       |         COUNT(value) AS sample_count,
+       |         $sumDecSql AS count_sum,
+       |         MIN(ts_ms) AS min_ts, MAX(ts_ms) AS max_ts
+       |  FROM metrics GROUP BY 1, 2, 3
+       |)
+       |SELECT tenant_id, metric_name, bucket_ms, sample_count, count_sum,
+       |       CASE WHEN max_ts > min_ts
+       |            THEN count_sum / ((max_ts - min_ts) / 1000.0)
+       |            ELSE 0.0 END AS rate
+       |FROM agg
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
+      .agg(
+        count(col("value")).as("sample_count"),
+        sumDec(col("value")).as("count_sum"),
+        min(col("ts_ms")).as("min_ts"),
+        max(col("ts_ms")).as("max_ts"))
+      .withColumn("rate",
+        when(col("max_ts") > col("min_ts"),
+          col("count_sum") / ((col("max_ts") - col("min_ts")) / lit(1000.0)))
+          .otherwise(lit(0.0)))
+      .drop("min_ts", "max_ts")
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Gauge rollup (reference: types/BluefloodGaugeRollup.java:64-96): basic
+    * stats + the latest (max-timestamp) value. `max_by` ≡ DuckDB arg_max. */
+  private val gauge60m = QDef(
+    "q_rollup_gauge_60m",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_60)} AS bucket_ms,
+       |       COUNT(value) AS num_points,
+       |       MIN(value) AS min_v, MAX(value) AS max_v,
+       |       MAX(ts_ms) AS latest_ts,
+       |       arg_max(value, ts_ms) AS latest_v
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_60).as("bucket_ms"))
+      .agg(
+        count(col("value")).as("num_points"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max(col("ts_ms")).as("latest_ts"),
+        max_by(col("value"), col("ts_ms")).as("latest_v"))
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Set rollup (reference: types/BluefloodSetRollup.java:30-70): exact
+    * distinct cardinality per (locator, day window). The library also
+    * exposes an HLL variant ([[Rollups.setApproxFromRaw]]) as the 100 TB
+    * path — an unbounded exact hash set is the reference's design, kept for
+    * parity, not for scale. */
+  private val set1440m = QDef(
+    "q_rollup_set_1440m",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_1440)} AS bucket_ms,
+       |       COUNT(DISTINCT value) AS distinct_count
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_1440).as("bucket_ms"))
+      .agg(countDistinct(col("value")).as("distinct_count"))
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Timer rollup with the two-tier merge (reference:
+    * types/BluefloodTimerRollup.java:211-256): 5m tier computes exact
+    * interpolated percentiles; the 60m merge adds counts/sums, recomputes
+    * rate over the coarser span, and averages the percentile means
+    * UNWEIGHTED — the reference's lossy-by-design semantics
+    * (BluefloodTimerRollup.java:242-254), replicated rather than improved.
+    * Percentiles are snapped to DECIMAL(18,6) on both sides so engine-level
+    * ulp differences in interpolation cannot surface; the unweighted mean
+    * then runs over exact decimals. */
+  private val timerMerge60m = QDef(
+    "q_rollup_timer_60m",
+    s"""WITH ${OracleViews.metricsCte},
+       |t5 AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_5)} AS bucket_ms,
+       |         COUNT(value) AS num_points,
+       |         SUM(CAST(value AS DECIMAL(28,2))) AS sum_dec,
+       |         MIN(value) AS min_v, MAX(value) AS max_v,
+       |         CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50_dec,
+       |         CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS p95_dec
+       |  FROM metrics GROUP BY 1, 2, 3
+       |)
+       |SELECT tenant_id, metric_name,
+       |       (bucket_ms // ${Granularity.MIN_60.millis}) * ${Granularity.MIN_60.millis} AS bucket_ms,
+       |       CAST(SUM(num_points) AS BIGINT) AS num_points,
+       |       CAST(SUM(sum_dec) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(sum_dec) AS DOUBLE) / SUM(num_points) AS avg_v,
+       |       MIN(min_v) AS min_v, MAX(max_v) AS max_v,
+       |       CAST(SUM(p50_dec) AS DOUBLE) / COUNT(p50_dec) AS p50,
+       |       CAST(SUM(p95_dec) AS DOUBLE) / COUNT(p95_dec) AS p95,
+       |       SUM(num_points) / ${Granularity.MIN_60.millis / 1000.0} AS rate
+       |FROM t5 GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val t5 = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value").cast(DecimalType(28, 2))).as("sum_dec"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        percentile(col("value"), lit(0.5)).cast(DecimalType(18, 6)).as("p50_dec"),
+        percentile(col("value"), lit(0.95)).cast(DecimalType(18, 6)).as("p95_dec"))
+    t5.groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("bucket_ms"), Granularity.MIN_60).as("bucket_ms"))
+      .agg(
+        sum(col("num_points")).as("num_points"),
+        sum(col("sum_dec")).cast("double").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        (sum(col("p50_dec")).cast("double") / count(col("p50_dec"))).as("p50"),
+        (sum(col("p95_dec")).cast("double") / count(col("p95_dec"))).as("p95"),
+        (sum(col("num_points")) / lit(Granularity.MIN_60.millis / 1000.0)).as("rate"))
+      .withColumn("avg_v", col("sum_v") / col("num_points"))
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Rollups-on-read repair (reference: RollupHandler.java:241-297 + union
+    * at 250-287): a "stored" rollup tier covering only part of the range is
+    * completed on the fly — uncovered windows are recomputed from raw via
+    * anti-join, then unioned. The oracle aggregates the whole range
+    * directly: matching proves the repair plan fills exactly the gaps. */
+  private val rollupsOnRead = QDef(
+    "q_rollups_on_read",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_5)} AS bucket_ms,
+       |       COUNT(value) AS num_points,
+       |       $sumDecSql AS sum_v,
+       |       MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val raw = Tables.metrics(s, dir)
+    def roll(points: DataFrame): DataFrame =
+      points.groupBy(col("tenant_id"), col("metric_name"),
+          Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
+        .agg(
+          count(col("value")).as("num_points"),
+          sumDec(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+    // Simulated stored tier: only windows before Jan 15 were rolled up.
+    val splitMs = 1705276800000L
+    val stored = roll(raw.filter(col("ts_ms") < splitMs))
+    val computed = roll(raw)
+    val missing = computed.join(
+      stored.select(col("tenant_id"), col("metric_name"), col("bucket_ms")),
+      Seq("tenant_id", "metric_name", "bucket_ms"), "left_anti")
+    stored.unionByName(missing)
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Units join (reference: RollupHandler.java:146-180 — async ES lookup
+    * merged by locator; here a broadcast hash join against the catalog
+    * dimension, the scale-correct shape for a small dim at 100 TB). */
+  private val unitsJoin = QDef(
+    "q_units_join",
+    s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte},
+       |agg AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_1440)} AS bucket_ms,
+       |         COUNT(value) AS num_points, $sumDecSql AS sum_v
+       |  FROM metrics GROUP BY 1, 2, 3
+       |)
+       |SELECT a.tenant_id, a.metric_name, a.bucket_ms, a.num_points, a.sum_v, c.unit
+       |FROM agg a LEFT JOIN catalog c
+       |  ON a.tenant_id = c.tenant_id AND a.metric_name = c.metric_name
+       |ORDER BY a.tenant_id, a.metric_name, a.bucket_ms""".stripMargin) { (s, dir) =>
+    val agg = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_1440).as("bucket_ms"))
+      .agg(count(col("value")).as("num_points"), sumDec(col("value")).as("sum_v"))
+    agg.join(broadcast(Tables.catalog(s, dir).select("tenant_id", "metric_name", "unit")),
+        Seq("tenant_id", "metric_name"), "left")
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v", "unit")
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Rollup-type routing (reference: MetricsRWDelegator.java:79-113 + union
+    * at 104-116): each locator routes to its kind's scan by catalog
+    * rollup_type; results union with a `kind` discriminator. */
+  private val typeRouting = QDef(
+    "q_type_routing",
+    s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte},
+       |joined AS (
+       |  SELECT m.*, c.rollup_type FROM metrics m
+       |  JOIN catalog c ON m.tenant_id = c.tenant_id AND m.metric_name = c.metric_name
+       |),
+       |basic AS (
+       |  SELECT 'basic' AS kind, tenant_id, metric_name,
+       |         ${bucketSql(Granularity.MIN_60)} AS bucket_ms,
+       |         COUNT(value) AS num_points, $sumDecSql AS sum_v
+       |  FROM joined WHERE rollup_type = 'basic' GROUP BY 2, 3, 4
+       |),
+       |ctr AS (
+       |  SELECT 'counter' AS kind, tenant_id, metric_name,
+       |         ${bucketSql(Granularity.MIN_60)} AS bucket_ms,
+       |         COUNT(value) AS num_points, $sumDecSql AS sum_v
+       |  FROM joined WHERE rollup_type = 'counter' GROUP BY 2, 3, 4
+       |)
+       |SELECT * FROM basic UNION ALL SELECT * FROM ctr
+       |ORDER BY kind, tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val cat = broadcast(Tables.catalog(s, dir)
+      .select("tenant_id", "metric_name", "rollup_type"))
+    val joined = Tables.metrics(s, dir).join(cat, Seq("tenant_id", "metric_name"))
+    def agg(kind: String): DataFrame =
+      joined.filter(col("rollup_type") === kind)
+        .groupBy(col("tenant_id"), col("metric_name"),
+          Tables.bucketMs(col("ts_ms"), Granularity.MIN_60).as("bucket_ms"))
+        .agg(count(col("value")).as("num_points"), sumDec(col("value")).as("sum_v"))
+        .select(lit(kind).as("kind"), col("tenant_id"), col("metric_name"),
+          col("bucket_ms"), col("num_points"), col("sum_v"))
+    agg("basic").unionByName(agg("counter"))
+      .orderBy("kind", "tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** The full §3.1 query lifecycle for a batched multi-metric read:
+    * points-mode resolution selection (GEOMETRIC with retention skipping,
+    * pinned "now" = dataset end ⇒ picks 240m for 200 points over 20 days —
+    * reference Granularity.java:298-339), range snap (RollupHandler.java:
+    * 164-167), per-type default stat projection (PlotRequestParser.java:
+    * 26-33: average, numPoints, sum), units join, time-ordered output. */
+  private val pointsQuery = {
+    val from = 1704240000000L // 2024-01-03 00:00 UTC (240m-aligned)
+    val to = 1705968000000L   // 2024-01-23 00:00 UTC
+    val nowPinned = 1706659200000L // 2024-01-31: retention clock
+    val g = Granularity.granularityFromPointsInInterval(from, to, 200, nowMillis = nowPinned)
+    require(g == Granularity.MIN_240, s"expected MIN_240, selection gave $g")
+    QDef(
+      "q_points_query",
+      s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte},
+         |agg AS (
+         |  SELECT tenant_id, metric_name, ${bucketSql(g)} AS bucket_ms,
+         |         COUNT(value) AS num_points, $sumDecSql AS sum_v
+         |  FROM metrics
+         |  WHERE tenant_id = 'purchase' AND ts_ms >= $from AND ts_ms < $to
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT a.metric_name, a.bucket_ms, a.num_points, a.sum_v,
+         |       a.sum_v / a.num_points AS average, c.unit
+         |FROM agg a LEFT JOIN catalog c
+         |  ON a.tenant_id = c.tenant_id AND a.metric_name = c.metric_name
+         |ORDER BY a.metric_name, a.bucket_ms""".stripMargin) { (s, dir) =>
+      val pts = Tables.metrics(s, dir)
+        .filter(col("tenant_id") === "purchase" &&
+          col("ts_ms") >= from && col("ts_ms") < to)
+        .groupBy(col("tenant_id"), col("metric_name"),
+          Tables.bucketMs(col("ts_ms"), g).as("bucket_ms"))
+        .agg(count(col("value")).as("num_points"), sumDec(col("value")).as("sum_v"))
+        .withColumn("average", col("sum_v") / col("num_points"))
+      pts.join(broadcast(Tables.catalog(s, dir).select("tenant_id", "metric_name", "unit")),
+          Seq("tenant_id", "metric_name"), "left")
+        .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
+        .orderBy("metric_name", "bucket_ms")
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(
+    counter20m, gauge60m, set1440m, timerMerge60m,
+    rollupsOnRead, unitsJoin, typeRouting, pointsQuery)
+}
