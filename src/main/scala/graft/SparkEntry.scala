@@ -11,7 +11,7 @@ object SparkEntry {
 
   def allDefs: Seq[QDef] =
     RollupQueries.defs ++ RollupQueries2.defs ++ DiscoveryQueries.defs ++
-      TpchQueries.defs
+      PipelineQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5m basic rollup — the engine's core operation. */

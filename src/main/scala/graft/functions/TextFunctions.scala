@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale corpus pipelines: all pure
+  * `org.apache.spark.sql.functions` compositions (codegen'd, no UDFs), so
+  * they stay inside whole-stage codegen and scale linearly over a 100 TB
+  * documents table. */
+object TextFunctions {
+
+  /** Lowercased, punctuation-stripped, whitespace-normalized text. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace word tokens of the normalized text. */
+  def words(text: Column): Column = split(normalized(text), " ")
+
+  /** Word k-shingles as space-joined strings (the MinHash/Jaccard unit).
+    * `sequence`+`transform` keeps this one codegen'd expression. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, single
+    * punctuation marks — a deterministic proxy for tokenizer budgeting. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Per-language stopword marker sets for the n-gram language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4", "he2", "you3", "wo3"))
+
+  /** Count of tokens that appear in a marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(markers.map(lit(_)): _*)))
+
+  /** Language-ID by marker-hit argmax; ties resolve in [[langMarkers]]
+    * order, zero hits ⇒ 'und'. Expressed as nested when/greatest so the
+    * DuckDB oracle can state the identical CASE chain. */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, m) => l -> markerHits(text, m) }
+    val top = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und"): Column) { case ((l, h), els) =>
+      when(h > 0 && h === top, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality facets: word count, mean word length, punctuation
+    * ratio, stopword ratio — and a composite score. All integer-derived
+    * double divisions, so oracle-exact. */
+  def nWords(text: Column): Column = size(words(text))
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(normalized(text), " ", "")).cast("double") / nWords(text)
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") / length(text)
+  def stopwordRatio(text: Column): Column =
+    markerHits(text, langMarkers.toMap.apply("en")).cast("double") / nWords(text)
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation and a sane stopword rate. Same algebra in the oracle. */
+  def qualityScore(text: Column): Column =
+    least(nWords(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.3 +
+      least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.2
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * word set — catches shuffled/reordered copies that exact-text dedup
+    * misses. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** 31-bit base hash of each shingle (xxhash64 masked): keeps the affine
+    * MinHash family a*x+b inside a 63-bit product, so ANSI-mode arithmetic
+    * never overflows. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(wordShingles(text, k), s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
+
+  /** MinHash signature: h_i(x) = a_i*x + b_i over the 31-bit base hashes,
+    * a_i,b_i < 2^31 from a fixed seed — reproducible, overflow-free.
+    *
+    * Built as ONE nested-lambda expression (outer transform over the hash
+    * index, coefficients looked up in literal arrays) rather than
+    * `numHashes` separate expressions: N sibling expressions each
+    * re-inlining the bases subtree made Catalyst optimization time explode
+    * combinatorially. */
+  def minhashFromBases(bases: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+    val aArr = array(coeffs.map(c => lit(c._1)): _*)
+    val bArr = array(coeffs.map(c => lit(c._2)): _*)
+    // zip_with binds (a_i, b_i) as lambda variables: the coefficient arrays
+    // are evaluated once per row, and the inner loop is pure arithmetic —
+    // HOFs evaluate interpreted (CodegenFallback), so a per-element
+    // element_at(<literal array>) would rebuild the 128-element array on
+    // every single multiplication.
+    zip_with(aArr, bArr, (a, b) => array_min(transform(bases, x => x * a + b)))
+  }
+
+  def minhashSignature(text: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
+    minhashFromBases(shingleHashes(text, k), numHashes, seed)
+
+  /** LSH band keys: the signature chopped into `bands` groups of `rowsPer`
+    * values, each hashed to one long — docs sharing any band key are
+    * near-dup candidates. One nested-lambda expression (see
+    * [[minhashFromBases]] for why). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)),
+        x => x.cast("string")))))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the point of each design):
+  *  - exact dedup is one hash shuffle on the dedup key;
+  *  - MinHash/SimHash candidate generation is an equi-join on band keys —
+  *    co-partitioned shuffle, no cartesian anywhere; candidate pairs are
+  *    then verified with the exact measure, so LSH parameters only affect
+  *    recall/cost, never correctness of survivors;
+  *  - at 100 TB you'd salt oversized LSH buckets and cap bucket width; the
+  *    band-key join shape stays the same.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on a key (text or fingerprint): keeper =
+    * min doc_id, n_copies per group. One hash aggregation. */
+  def exactGroups(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(key.as("dedup_key"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop-duplicates form: keep the minimum doc_id per key. */
+  def dedupKeepFirst(docs: DataFrame, key: Column): DataFrame =
+    docs.withColumn("dedup_key", key)
+      .groupBy(col("dedup_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
+  /** Distinct word-k-shingles per doc as rows — the relational shingle
+    * shape: one split per document (explode), then window `lead` to stitch
+    * k consecutive words. Everything stays in codegen; the only shuffle is
+    * the per-doc window sort, which later aggregations reuse. */
+  def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (1 until k).map(j => lead(col("w0"), j).over(w).as(s"w$j"))
+    val wide = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
+      .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ parts: _*)
+    wide
+      .filter(col(s"w${k - 1}").isNotNull) // complete k-shingles only
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(j => col(s"w$j")): _*).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
+    * shingle→minhash→band→bucket-join→exact-verify; returns
+    * (doc_id_1, doc_id_2, jaccard) with jaccard ≥ threshold.
+    *
+    * With numHashes=128, bands=32 (r=4), recall at j=0.8 is
+    * 1-(1-0.8⁴)³² ≈ 1-5e-8 — candidate generation is effectively lossless
+    * at the threshold, and false candidates die in the exact verify. */
+  def minhashNearDups(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPer = numHashes / bands
+    // RELATIONAL minhash: explode shingles once, then 128 codegen'd `min`
+    // aggregates (h*a_i+b_i) with map-side partial aggregation. Deliberately
+    // NOT nested higher-order functions: HOFs evaluate interpreted
+    // (CodegenFallback) and re-evaluate their argument expressions per
+    // lambda invocation, which turns a sig→bands→hash composition into
+    // per-doc quadratic re-computation of the shingle pipeline. Flat
+    // aggregates keep the whole thing in Tungsten codegen and scale with
+    // shuffle partial-merge like any other aggregation.
+    val rnd = new scala.util.Random(42L)
+    val coeffs = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+    val shingled = shingleRows(docs, k)
+      .withColumn("h", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
+    // h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1 (Mersenne prime): a proper
+    // universal family. Without the modular reduction the affine map is
+    // monotonic, every h_i selects the same argmin shingle, and the 128
+    // "independent" hashes collapse to one.
+    val p = 2147483647L
+    val sigAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val sig = shingled.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandKeyCols = (0 until bands).map { bnd =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPer).map(r => col(s"m${bnd * rowsPer + r}").cast("string")): _*))
+    }
+    val bandsDf = sig.select(col("doc_id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
+    val candidates = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    val sh = shingled.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_id_1")
+        .withColumnRenamed("shingles", "sh1"), "doc_id_1")
+      .join(sh.withColumnRenamed("doc_id", "doc_id_2")
+        .withColumnRenamed("shingles", "sh2"), "doc_id_2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard over all pairs — the small-corpus baseline the
+    * LSH path approximates. Pair generation via shingle-explode equi-join
+    * (each shared shingle is a vote), so intersection counts come from a
+    * co-partitioned join, not a cartesian; union sizes from per-doc counts. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+        .withColumnRenamed("n_sh", "n1"), "doc_id_1")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+        .withColumnRenamed("n_sh", "n2"), "doc_id_2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: weighted majority vote of each word-hash
+    * bit (weight = term frequency). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"bit_$b")
+    }
+    val assembled = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", assembled)
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ maxDist via the
+    * pigeonhole band trick: split 64 bits into maxDist+1 bands; any pair
+    * within distance must agree exactly on ≥1 band — equi-join per band,
+    * then exact hamming filter (`bit_count(xor)`). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

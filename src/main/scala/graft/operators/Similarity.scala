@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteTopK]] — exact cosine top-k; the query side is broadcast, so
+  *    the scan side streams once with no shuffle until the per-query
+  *    top-k aggregation. Correctness baseline at any scale where
+  *    |queries| is broadcastable.
+  *  - [[lshTopK]] — random-hyperplane LSH: both sides bucketed by sign
+  *    bands; the join touches only same-band candidates, trading recall for
+  *    a large constant-factor scan reduction. The 100 TB path (an IVF
+  *    variant would replace the hash with k-means cells; same join shape).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector (queries ⊂ corpus, given as a
+    * DataFrame of (query_id, query_vec)). Ranking uses the decimal-snapped
+    * cosine with doc-id tie-break, so results are totally ordered. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSnapped(col("query_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Sign of dot(v, hyperplane_j) for nBits seeded random hyperplanes,
+    * packed into band keys of `bandBits` bits each. */
+  private def hyperplaneBands(v: Column, dim: Int, nBits: Int, bandBits: Int,
+      seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits: Seq[Column] = planes.map { p =>
+      val planeCol = array(p.map(x => lit(x)): _*)
+      when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val nBands = nBits / bandBits
+    array((0 until nBands).map { b =>
+      (0 until bandBits).map(i => bits(b * bandBits + i) * lit(1L << i)).reduce(_ + _)
+    }: _*)
+  }
+
+  /** LSH-bucketed ANN: candidates share ≥1 sign-band; exact cosine + top-k
+    * on candidates only. Recall < 1 by design; verify against
+    * [[bruteTopK]] on a sample. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nBits: Int = 24, bandBits: Int = 3, seed: Long = 7L): DataFrame = {
+    val cB = corpus.withColumn("bands",
+      hyperplaneBands(col("embedding"), dim, nBits, bandBits, seed))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val qB = queries.withColumn("bands",
+      hyperplaneBands(col("query_vec"), dim, nBits, bandBits, seed))
+      .select(col("query_id"), col("query_vec"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val cands = cB.join(qB, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "query_vec", "vec_id", "embedding")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .withColumn("cos", cosineSnapped(col("query_vec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold; brute
+    * variant via broadcast-nested-loop on vec_id ordering. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_id_1"), col("embedding").as("e1"))
+    val b = corpus.select(col("vec_id").as("vec_id_2"), col("embedding").as("e2"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cos", cosineSnapped(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
+      .select("vec_id_1", "vec_id_2", "cos")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.{Granularity, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's core invariant on real data: rolling up rollups equals
+  * rolling up raw (BasicRollup.buildRollupFromRollups ≡
+  * buildRollupFromRawSamples — SURVEY §5 property opportunity). */
+class RollupSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+
+  test("basicMerge(5m→60m) ≡ basicFromRaw(60m) on real points") {
+    val pts = Tables.metrics(spark, dir)
+    val direct = Rollups.basicFromRaw(pts, Granularity.MIN_60)
+    val merged = Rollups.basicMerge(
+      Rollups.basicFromRaw(pts, Granularity.MIN_5), Granularity.MIN_60)
+    val d = collectSorted(direct)
+    val m = collectSorted(merged)
+    assert(d.length === m.length)
+    d.zip(m).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getString(1) === b.getString(1))
+      assert(a.getLong(2) === b.getLong(2))
+      assert(a.getLong(3) === b.getLong(3)) // num_points
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-6) // sum
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9) // avg
+      assert(a.getDouble(6) === b.getDouble(6)) // min
+      assert(a.getDouble(7) === b.getDouble(7)) // max
+      assert(math.abs(a.getDouble(8) - b.getDouble(8)) < 1e-6) // var
+    }
+  }
+
+  test("repairBasic fills exactly the missing windows") {
+    val pts = Tables.metrics(spark, dir)
+    val full = Rollups.basicFromRaw(pts, Granularity.MIN_5)
+    val stored = full.filter(col("bucket_ms") < 1704500000000L)
+    val repaired = Rollups.repairBasic(stored, pts, Granularity.MIN_5)
+    assert(repaired.count() === full.count())
+    assert(repaired.select("tenant_id", "metric_name", "bucket_ms").distinct().count()
+      === full.count())
+  }
+
+  test("gauge latest picks max-ts value") {
+    val pts = Tables.metrics(spark, dir)
+    val g = Rollups.gaugeFromRaw(pts, Granularity.MIN_1440)
+    // cross-check one group against a manual computation
+    val row = g.orderBy("tenant_id", "metric_name", "bucket_ms").limit(1).collect()(0)
+    val manual = pts
+      .filter(col("tenant_id") === row.getString(0) &&
+        col("metric_name") === row.getString(1) &&
+        col("ts_ms") >= row.getLong(2) && col("ts_ms") < row.getLong(2) + 86400000L)
+      .orderBy(col("ts_ms").desc).limit(1).collect()(0)
+    assert(row.getAs[Double]("latest_v") === manual.getAs[Double]("value"))
+  }
+
+  test("set exact vs approx distinct within HLL error") {
+    val pts = Tables.metrics(spark, dir)
+    val exact = Rollups.setFromRaw(pts, Granularity.MIN_1440)
+      .agg(sum("distinct_count")).collect()(0).getLong(0)
+    val approx = Rollups.setApproxFromRaw(pts, Granularity.MIN_1440)
+      .agg(sum("distinct_count")).collect()(0).getLong(0)
+    assert(math.abs(exact - approx).toDouble / exact < 0.15)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.core.Granularity
+import graft.operators.Rollups
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end streaming ingest: JSON lines → validation → full-res store →
+  * per-batch 5m re-roll, including a LATE point arriving in a later batch
+  * (the reference's delayed-metric re-roll scenario, SURVEY §2.9). The
+  * store must equal a batch rollup of all valid input — the recompute-
+  * from-source discipline makes late data converge to exactly that. */
+class IngestStreamSpec extends AnyFunSuite with SparkSuite {
+
+  private def json(tenant: String, name: String, ts: Long, v: Double): String =
+    s"""{"tenant_id":"$tenant","metric_name":"$name","ts_ms":$ts,"value":$v,"ttl_seconds":86400,"unit":"ms"}"""
+
+  test("stream ingest with late data converges to the batch rollup") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_store").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val base = 1704067200000L
+
+    val mem = MemoryStream[String]
+    val q = IngestStream.start(
+      mem.toDF().select(col("value")), store, ckpt)
+
+    // batch 1: two windows for t1.m1 + one invalid record (empty name)
+    mem.addData(
+      json("t1", "m1", base + 10000, 1.0),
+      json("t1", "m1", base + 20000, 3.0),
+      json("t1", "m1", base + 310000, 5.0),
+      json("t1", "", base + 1000, 9.0))
+    q.processAllAvailable()
+
+    // batch 2: a LATE point for the first window + a new locator
+    mem.addData(
+      json("t1", "m1", base + 30000, 7.0),
+      json("t2", "m9", base + 600000, 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rolled = spark.read.parquet(s"$store/metrics_5m")
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+      .collect()
+
+    val expected = Rollups.basicFromRaw(
+        Seq(
+          ("t1", "m1", base + 10000, 1.0),
+          ("t1", "m1", base + 20000, 3.0),
+          ("t1", "m1", base + 310000, 5.0),
+          ("t1", "m1", base + 30000, 7.0),
+          ("t2", "m9", base + 600000, 2.0))
+          .toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        Granularity.MIN_5)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+      .collect()
+
+    assert(rolled.length === expected.length)
+    rolled.zip(expected).foreach { case (a, b) => assert(a === b) }
+    // the late point re-rolled its window: first window has 3 points
+    assert(rolled(0).getLong(3) === 3L)
+  }
+
+  test("validation filter drops out-of-range and empty-name records") {
+    import spark.implicits._
+    val now = 1704067200000L
+    val df = IngestStream.withValidity(
+      Seq(
+        ("t1", "ok", now, 1.0, 300, "ms"),
+        ("t1", "", now, 1.0, 300, "ms"),
+        ("t1", "old", now - 100L * 86400000L, 1.0, 300, "ms"),
+        ("t1", "badttl", now, 1.0, -5, "ms"))
+        .toDF("tenant_id", "metric_name", "ts_ms", "value", "ttl_seconds", "unit"),
+      minTs = now - 86400000L, maxTs = now + 86400000L)
+    val valid = df.filter(col("valid")).select("metric_name").as[String].collect().toSet
+    assert(valid === Set("ok"))
+  }
+
+  test("watermarked streaming 5m aggregation emits closed windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val agg = IngestStream.streaming5m(
+      mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s5m").start()
+    mem.addData(("t1", "m1", base + 1000, 2.0), ("t1", "m1", base + 2000, 4.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark so the first window closes
+    mem.addData(("t1", "m1", base + 3600000, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("s5m").collect()
+    assert(out.exists(r => r.getAs[Long]("bucket_ms") == base &&
+      r.getAs[Long]("num_points") == 2L && r.getAs[Double]("sum_v") == 6.0))
+  }
+}
