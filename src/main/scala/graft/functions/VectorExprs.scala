@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two ARRAY<FLOAT> / ARRAY<DOUBLE> columns.
+  *
+  * Exists because the composable form —
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` — runs interpreted
+  * (higher-order functions are CodegenFallback) and allocates per lambda
+  * call; over an O(n²) similarity join that interpreter cost dominates the
+  * whole query. This expression generates a tight fused loop instead.
+  * Accumulation is strictly left-to-right in double precision with each
+  * element cast to double first — bit-identical to the HOF form and to the
+  * DuckDB oracle's `list_reduce` fold.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs two float/double arrays, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (af, bf) = (isFloat(left), isFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isFloat(left)) "getFloat" else "getDouble"
+    val getB = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -23,9 +23,12 @@ object Similarity {
     * DataFrame of (query_id, query_vec)). Ranking uses the decimal-snapped
     * cosine with doc-id tie-break, so results are totally ordered. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = corpus.withColumn("nrm", norm(col("embedding")))
+    val q = queries.withColumn("qnrm", norm(col("query_vec")))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineSnapped(col("query_vec"), col("embedding")))
+      .withColumn("cos", cosineSnappedPre(
+        col("query_vec"), col("embedding"), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored
@@ -67,10 +70,13 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "query_vec", "vec_id", "embedding")
       .distinct()
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("qnrm", norm(col("query_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cands
-      .withColumn("cos", cosineSnapped(col("query_vec"), col("embedding")))
+      .withColumn("cos", cosineSnappedPre(
+        col("query_vec"), col("embedding"), col("qnrm"), col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
@@ -79,10 +85,13 @@ object Similarity {
   /** Embedding near-duplicate pairs above a cosine threshold; brute
     * variant via broadcast-nested-loop on vec_id ordering. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_id_1"), col("embedding").as("e1"))
-    val b = corpus.select(col("vec_id").as("vec_id_2"), col("embedding").as("e2"))
+    val withNorm = corpus.withColumn("nrm", norm(col("embedding")))
+    val a = withNorm.select(col("vec_id").as("vec_id_1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("vec_id_2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))
-      .withColumn("cos", cosineSnapped(col("e1"), col("e2")))
+      .withColumn("cos", cosineSnappedPre(col("e1"), col("e2"), col("n1"), col("n2")))
       .filter(col("cos") >= threshold)
       .select("vec_id_1", "vec_id_2", "cos")
   }
