@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JIT/codegen/parquet-footer caches, so the first timed query
+    // isn't charged for JVM cold start.
+    try {
+      SparkEntry.queries.get("q_rollup_basic_5m").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_tpch_q5").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QDef] =
-    RollupQueries.defs ++ RollupQueries2.defs ++ DiscoveryQueries.defs ++
-      PipelineQueries.defs ++ TpchQueries.defs
+    RollupQueries.defs ++ RollupQueries2.defs ++ PreaggQueries.defs ++
+      DiscoveryQueries.defs ++ PipelineQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5m basic rollup — the engine's core operation. */

@@ -1,0 +1,142 @@
+package graft.api
+
+import graft.core.{Granularity, OracleViews, Tables}
+import graft.operators.Preaggregated
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Pre-aggregated (statsd) kinds: tier-1 states built from the events
+  * stream, then merged up the ladder with each kind's own algebra — the
+  * merges the reference implements in Blueflood*Rollup.buildRollupFromRollups.
+  * Oracles recompute from raw (merge ≡ raw) or restate the same algebra.
+  *
+  * Determinism: tier-1 states derive from exact integer/decimal math;
+  * merge-level small double sums are snapped to DECIMAL(18,6) on output. */
+object PreaggQueries {
+
+  private def snap6(c: Column): Column = c.cast(DecimalType(18, 6)).cast("double")
+  private def bucketSql(g: Granularity) = s"(ts_ms // ${g.millis}) * ${g.millis}"
+
+  /** Counter merge with the total-time rate formula
+    * (rate = Σcount / Σ(countᵢ/rateᵢ), BluefloodCounterRollup.java:102-115). */
+  private val counterMerge = QDef(
+    "q_preagg_counter_merge",
+    s"""WITH ${OracleViews.metricsCte},
+       |c20 AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_20)} AS bucket_ms,
+       |         COUNT(*) AS count, MIN(ts_ms) AS min_ts, MAX(ts_ms) AS max_ts
+       |  FROM metrics GROUP BY 1, 2, 3
+       |),
+       |r20 AS (
+       |  SELECT tenant_id, metric_name, bucket_ms, count,
+       |         CASE WHEN max_ts > min_ts THEN count / ((max_ts - min_ts) / 1000.0)
+       |              ELSE 0.0 END AS rate
+       |  FROM c20
+       |)
+       |SELECT tenant_id, metric_name,
+       |       (bucket_ms // ${Granularity.MIN_60.millis}) * ${Granularity.MIN_60.millis} AS bucket_ms,
+       |       CAST(SUM(count) AS BIGINT) AS count,
+       |       CAST(CAST(CASE WHEN SUM(CASE WHEN rate <> 0.0 THEN count / rate ELSE 0.0 END) <> 0.0
+       |            THEN SUM(count) / SUM(CASE WHEN rate <> 0.0 THEN count / rate ELSE 0.0 END)
+       |            ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS rate
+       |FROM r20 GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val c20 = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
+      .agg(count(lit(1)).as("count"),
+        min(col("ts_ms")).as("min_ts"), max(col("ts_ms")).as("max_ts"))
+      .withColumn("rate",
+        when(col("max_ts") > col("min_ts"),
+          col("count") / ((col("max_ts") - col("min_ts")) / lit(1000.0)))
+          .otherwise(lit(0.0)))
+      .select("tenant_id", "metric_name", "bucket_ms", "count", "rate")
+    Preaggregated.counterMerge(c20, Granularity.MIN_60)
+      .withColumn("rate", snap6(col("rate")))
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Timer percentile MAP state merged relationally (explode → unweighted
+    * avg per label → map_from_entries), surfaced as rows for the oracle. */
+  private val timerPmapMerge = QDef(
+    "q_preagg_timer_pmap",
+    s"""WITH ${OracleViews.metricsCte},
+       |t20 AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_20)} AS bucket_ms,
+       |         CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+       |         CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95
+       |  FROM metrics GROUP BY 1, 2, 3
+       |),
+       |unpvt AS (
+       |  SELECT tenant_id, metric_name, bucket_ms, '50' AS label, p50 AS p_mean FROM t20
+       |  UNION ALL
+       |  SELECT tenant_id, metric_name, bucket_ms, '95', p95 FROM t20
+       |)
+       |SELECT tenant_id, metric_name,
+       |       (bucket_ms // ${Granularity.MIN_60.millis}) * ${Granularity.MIN_60.millis} AS bucket_ms,
+       |       label,
+       |       CAST(CAST(AVG(p_mean) AS DECIMAL(18,6)) AS DOUBLE) AS p_mean
+       |FROM unpvt GROUP BY 1, 2, 3, 4
+       |ORDER BY tenant_id, metric_name, bucket_ms, label""".stripMargin) { (s, dir) =>
+    val t20 = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
+      .agg(
+        snap6(percentile(col("value"), lit(0.5))).as("p50"),
+        snap6(percentile(col("value"), lit(0.95))).as("p95"))
+      .withColumn("percentiles",
+        map(lit("50"), col("p50"), lit("95"), col("p95")))
+      .select("tenant_id", "metric_name", "bucket_ms", "percentiles")
+    Preaggregated.timerPercentileMerge(t20, Granularity.MIN_60)
+      .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        explode(col("percentiles")).as(Seq("label", "p_mean")))
+      .withColumn("p_mean", snap6(col("p_mean")))
+      .orderBy("tenant_id", "metric_name", "bucket_ms", "label")
+  }
+
+  /** Gauge state merge: latest-by-max-ts survives the merge
+    * (merge ≡ raw oracle at 60m). */
+  private val gaugeMerge = QDef(
+    "q_preagg_gauge_merge",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_60)} AS bucket_ms,
+       |       COUNT(*) AS num_points,
+       |       MAX(ts_ms) AS latest_ts,
+       |       arg_max(value, ts_ms) AS latest_v,
+       |       MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val g20 = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
+      .agg(
+        count(lit(1)).as("num_points"),
+        max(col("ts_ms")).as("latest_ts"),
+        max_by(col("value"), col("ts_ms")).as("latest_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    Preaggregated.gaugeMerge(g20, Granularity.MIN_60)
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Exact set-state (ARRAY<INT>) merge across tiers: 20m hash arrays
+    * union'd into daily cardinality — the declarative SetRollupAggregator. */
+  private val setStateMerge = QDef(
+    "q_preagg_set_merge",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_1440)} AS bucket_ms,
+       |       CAST(COUNT(DISTINCT CAST(round(value * 100, 0) AS INTEGER)) AS INTEGER) AS distinct_count
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    val s20 = Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
+      .agg(collect_set(round(col("value") * 100, 0).cast("int")).as("set_state"))
+    Preaggregated.setStateMerge(s20, Granularity.MIN_1440)
+      .select("tenant_id", "metric_name", "bucket_ms", "distinct_count")
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  val defs: Seq[QDef] = Seq(counterMerge, timerPmapMerge, gaugeMerge, setStateMerge)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.core.{Granularity, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pre-aggregated (statsd) metric support: typed struct state per kind and
+  * the cross-window merge algebra (reference: inputs/formats/
+  * AggregatedPayload.java:37-176, conversions PreaggregateConversions.java:
+  * 48-130, merge semantics in types/Blueflood{Counter,Timer,Gauge,Set}
+  * Rollup.java; state shapes per FIXTURES.md §2).
+  *
+  * All merges are expressed as ordinary grouped aggregations so Catalyst
+  * plans partial/final automatically; map-typed percentile state is merged
+  * relationally (explode → avg per label → map_from_entries) instead of a
+  * driver-side loop. */
+object Preaggregated {
+
+  /** Schema of a pre-aggregated point (FIXTURES.md §2). */
+  val preaggSchema: StructType = StructType(Seq(
+    StructField("tenant_id", StringType),
+    StructField("metric_name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("kind", StringType),
+    StructField("counter", StructType(Seq(
+      StructField("count", DoubleType),
+      StructField("rate", DoubleType),
+      StructField("sample_count", IntegerType)))),
+    StructField("gauge", StructType(Seq(
+      StructField("latest_ts", LongType),
+      StructField("latest", DoubleType)))),
+    StructField("timer", StructType(Seq(
+      StructField("count", LongType),
+      StructField("sum", DoubleType),
+      StructField("min", DoubleType),
+      StructField("max", DoubleType),
+      StructField("percentiles", MapType(StringType, DoubleType))))),
+    StructField("set", ArrayType(IntegerType))))
+
+  /** Counter merge: counts added; merged rate = Σcount / Σ(countᵢ/rateᵢ)
+    * — the reference's total-time formula (BluefloodCounterRollup.java:
+    * 102-115), zero-guarded like utils/Util.safeDiv. Input: rows with
+    * (count, rate) per finer window. */
+  def counterMerge(finer: DataFrame, g: Granularity): DataFrame =
+    finer
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
+      .agg(
+        sum(col("count")).as("count"),
+        sum(when(col("rate") =!= 0.0, col("count") / col("rate"))
+          .otherwise(lit(0.0))).as("elapsed_s"))
+      .withColumn("rate",
+        when(col("elapsed_s") =!= 0.0, col("count") / col("elapsed_s"))
+          .otherwise(lit(0.0)))
+      .drop("elapsed_s")
+
+  /** Timer percentile-map merge: per label, the UNWEIGHTED mean of the
+    * finer windows' percentile means (BluefloodTimerRollup.java:242-254).
+    * The map explodes to rows, averages per (group, label), and reassembles
+    * with map_from_entries — no driver loop, shuffle-parallel. */
+  def timerPercentileMerge(finer: DataFrame, g: Granularity): DataFrame = {
+    val exploded = finer.select(
+      col("tenant_id"), col("metric_name"),
+      Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"),
+      explode(col("percentiles")).as(Seq("label", "p_mean")))
+    exploded
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"), col("label"))
+      .agg(avg(col("p_mean")).as("p_mean"))
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
+      .agg(map_from_entries(collect_list(struct(col("label"), col("p_mean"))))
+        .as("percentiles"))
+  }
+
+  /** Gauge merge: the latest value across inputs is the one with the max
+    * latest_ts (BluefloodGaugeRollup.java:81-96). */
+  def gaugeMerge(finer: DataFrame, g: Granularity): DataFrame =
+    finer
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
+      .agg(
+        sum(col("num_points")).as("num_points"),
+        max(col("latest_ts")).as("latest_ts"),
+        max_by(col("latest_v"), col("latest_ts")).as("latest_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Set-state merge: stored exact hash-set arrays union'd per coarser
+    * window; cardinality = union size (BluefloodSetRollup.java:35-70).
+    * `flatten(collect_list(...))` keeps the state mergeable across tiers —
+    * the declarative form of SetRollupAggregator. */
+  def setStateMerge(finer: DataFrame, g: Granularity): DataFrame =
+    finer
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
+      .agg(array_distinct(flatten(collect_list(col("set_state")))).as("set_state"))
+      .withColumn("distinct_count", size(col("set_state")))
+}

@@ -1,0 +1,112 @@
+package graft.query
+
+import graft.core.{DateTimeParser, Granularity, GlobPattern, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing query API — the §3.1 lifecycle as one facade
+  * (reference: HttpRollupsQueryHandler.java:115-161 +
+  * HttpMultiRollupsQueryHandler + RollupHandler.getRollupByGranularity):
+  * parse graphite-style from/to, resolve the metric set by glob, pick the
+  * resolution (points-mode or explicit), aggregate the range, join units,
+  * project requested stats, return time-ordered buckets.
+  */
+object MetricsQueryApi {
+
+  /** Reference default MAX_METRICS_PER_BATCH_QUERY (HttpConfig.java:36,
+    * enforced HttpMultiRollupsQueryHandler.java:110-114). */
+  val MaxMetricsPerBatchQuery = 100
+
+  final case class Params(
+      tenantId: String,
+      metricGlob: String,
+      from: String,
+      to: String,
+      points: Option[Int] = None,
+      resolution: Option[Granularity] = None,
+      select: Seq[String] = Seq("average", "numPoints", "sum"))
+
+  private val statCols: Map[String, String] = Map(
+    "average" -> "average", "numPoints" -> "num_points", "sum" -> "sum_v",
+    "min" -> "min_v", "max" -> "max_v", "variance" -> "var_v",
+    "latest" -> "latest_v")
+
+  /** Full read path. `nowMillis` pins both datetime parsing and the
+    * retention clock (injectable for tests). */
+  def getRollups(spark: SparkSession, dir: String, p: Params,
+      nowMillis: Long = System.currentTimeMillis(),
+      maxBatch: Int = MaxMetricsPerBatchQuery): DataFrame = {
+    require(p.points.isDefined ^ p.resolution.isDefined,
+      "exactly one of points= or resolution= required")
+    val fromMs = DateTimeParser.parseMillis(p.from, nowMillis)
+    val toMs = DateTimeParser.parseMillis(p.to, nowMillis)
+    require(fromMs < toMs, "from must precede to")
+
+    val g = p.resolution.getOrElse(
+      Granularity.granularityFromPointsInInterval(fromMs, toMs, p.points.get,
+        nowMillis = nowMillis))
+
+    // resolve locators via discovery, then guard the batch width (O2)
+    val catalog = Tables.catalog(spark, dir)
+    val names = catalog
+      .filter(col("tenant_id") === p.tenantId &&
+        col("metric_name").rlike(GlobPattern.toAnchoredRegex(p.metricGlob)))
+    val nMetrics = names.count()
+    require(nMetrics <= maxBatch,
+      s"batch query resolves $nMetrics metrics > $maxBatch")
+
+    val snappedFrom = g.snap(fromMs)
+    val pts = Tables.metrics(spark, dir)
+      .filter(col("tenant_id") === p.tenantId &&
+        col("ts_ms") >= snappedFrom && col("ts_ms") < toMs)
+      .join(broadcast(names.select("tenant_id", "metric_name", "unit")),
+        Seq("tenant_id", "metric_name"))
+    val agged = pts
+      .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
+        Tables.bucketMs(col("ts_ms"), if (g.isFull) Granularity.MIN_5 else g)
+          .as("bucket_ms"))
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value")).as("sum_v"),
+        avg(col("value")).as("average"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        var_pop(col("value")).as("var_v"),
+        max_by(col("value"), col("ts_ms")).as("latest_v"))
+
+    val keep = Seq("tenant_id", "metric_name", "unit", "bucket_ms") ++
+      p.select.flatMap(statCols.get).distinct
+    agged.select(keep.map(col): _*)
+      .orderBy("metric_name", "bucket_ms")
+  }
+
+  /** The reference's JSON response shape (S13,
+    * JSONBasicRollupsOutputSerializer.java:55-151 /
+    * BatchedMetricsJSONOutputSerializer: per metric
+    * `{unit, values: [{timestamp, <stats>}...], metadata: {count, limit,
+    * marker, next_href}}`). Driver-side by design — this is the API
+    * serialization step, bounded by MaxMetricsPerBatchQuery. */
+  def toJsonResponse(rollups: DataFrame): String = {
+    val statFields = rollups.columns
+      .filterNot(Set("tenant_id", "metric_name", "unit", "bucket_ms"))
+    val byMetric = rollups.collect()
+      .groupBy(r => (r.getAs[String]("metric_name"), r.getAs[String]("unit")))
+      .toSeq.sortBy(_._1)
+    def jNum(v: Any): String = v match {
+      case null => "null"
+      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+      case x => x.toString
+    }
+    val metrics = byMetric.map { case ((name, unit), rows) =>
+      val values = rows.sortBy(_.getAs[Long]("bucket_ms")).map { r =>
+        val stats = statFields.map(f => s""""$f": ${jNum(r.getAs[Any](f))}""")
+        (Seq(s""""timestamp": ${r.getAs[Long]("bucket_ms")}""") ++ stats)
+          .mkString("{", ", ", "}")
+      }
+      s"""{"metric": "$name", "unit": "${Option(unit).getOrElse("unknown")}", """ +
+        s""""values": [${values.mkString(", ")}], """ +
+        s""""metadata": {"count": ${rows.length}, "limit": null, "marker": null, "next_href": null}}"""
+    }
+    s"""{"metrics": [${metrics.mkString(", ")}]}"""
+  }
+}

@@ -1,0 +1,73 @@
+package graft.query
+
+import graft.SparkSuite
+import graft.core.Granularity
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private val now = 1706659200000L // 2024-01-31, pins datetime + retention
+
+  test("points-mode query end to end: glob resolve, auto resolution, stats") {
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params(
+        tenantId = "purchase",
+        metricGlob = "app.purchase.*",
+        from = "20240103", to = "20240123",
+        points = Some(200)),
+      nowMillis = now)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq ===
+      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "average", "num_points", "sum_v"))
+    // buckets are 240m-aligned (GEOMETRIC pick for 200 pts over 20 days)
+    rows.foreach(r => assert(r.getAs[Long]("bucket_ms") % Granularity.MIN_240.millis === 0))
+    assert(rows.forall(r => r.getAs[String]("unit") == "dollars"))
+  }
+
+  test("explicit resolution + graphite datetime with offsets") {
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params(
+        tenantId = "click",
+        metricGlob = "app.click.*",
+        from = "00:00 20240110-5d", to = "00:00 20240110+10d",
+        points = None, resolution = Some(Granularity.MIN_1440),
+        select = Seq("numPoints", "min", "max")),
+      nowMillis = now)
+    assert(df.columns.toSeq ===
+      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "num_points", "min_v", "max_v"))
+    assert(df.count() > 0)
+  }
+
+  test("batch width guard rejects too-wide globs") {
+    val wide = intercept[IllegalArgumentException] {
+      MetricsQueryApi.getRollups(spark, dir,
+        MetricsQueryApi.Params("click", "app.click.*", "20240101", "20240130",
+          points = Some(10)), nowMillis = now, maxBatch = 5)
+    }
+    assert(wide.getMessage.contains("batch query resolves"))
+  }
+
+  test("JSON response has the reference output shape") {
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params("purchase", "app.purchase.user_1?", "20240103", "20240123",
+        points = Some(50)), nowMillis = now)
+    val json = MetricsQueryApi.toJsonResponse(df)
+    assert(json.contains("\"values\""))
+    assert(json.contains("\"timestamp\""))
+    assert(json.contains("\"unit\": \"dollars\""))
+    assert(json.contains("\"metadata\""))
+    // must be parseable
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.columns.contains("metrics"))
+  }
+
+  test("one of points/resolution is mandatory, exclusive") {
+    intercept[IllegalArgumentException] {
+      MetricsQueryApi.getRollups(spark, dir,
+        MetricsQueryApi.Params("click", "app.click.*", "20240101", "20240102"),
+        nowMillis = now)
+    }
+  }
+}
