@@ -82,8 +82,7 @@ object DiscoveryQueries {
          |       COUNT(*) AS n
          |FROM metrics WHERE ts_ms >= $from AND ts_ms < $to
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      Tables.metrics(s, dir)
-        .filter(col("ts_ms") >= from && col("ts_ms") < to)
+      Tables.metricsRange(s, dir, Some((from, to)))
         .groupBy(col("tenant_id"),
           Tables.bucketMs(col("ts_ms"), Granularity.MIN_1440).as("day_ms"))
         .agg(count(lit(1)).as("n"))

@@ -74,9 +74,8 @@ object RollupQueries {
        |WHERE tenant_id = 'click' AND metric_name = 'app.click.user_7'
        |  AND ts_ms >= 1704067200000 AND ts_ms < 1705276800000
        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
-    Tables.metrics(s, dir)
-      .filter(col("tenant_id") === "click" && col("metric_name") === "app.click.user_7" &&
-        col("ts_ms") >= 1704067200000L && col("ts_ms") < 1705276800000L)
+    Tables.metricsRange(s, dir, Some((1704067200000L, 1705276800000L)))
+      .filter(col("tenant_id") === "click" && col("metric_name") === "app.click.user_7")
       .select("metric_name", "ts_ms", "value")
       .orderBy("ts_ms")
   }

@@ -274,9 +274,8 @@ object RollupQueries2 {
          |FROM agg a LEFT JOIN catalog c
          |  ON a.tenant_id = c.tenant_id AND a.metric_name = c.metric_name
          |ORDER BY a.metric_name, a.bucket_ms""".stripMargin) { (s, dir) =>
-      val pts = Tables.metrics(s, dir)
-        .filter(col("tenant_id") === "purchase" &&
-          col("ts_ms") >= from && col("ts_ms") < to)
+      val pts = Tables.metricsRange(s, dir, Some((from, to)))
+        .filter(col("tenant_id") === "purchase")
         .groupBy(col("tenant_id"), col("metric_name"),
           Tables.bucketMs(col("ts_ms"), g).as("bucket_ms"))
         .agg(count(col("value")).as("num_points"), sumDec(col("value")).as("sum_v"))

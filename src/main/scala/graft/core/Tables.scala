@@ -39,17 +39,36 @@ object Tables {
     *          'app.' || event_type || '.user_' || CAST(user_id AS VARCHAR) AS metric_name,
     *          epoch_ms(ts) AS ts_ms, value FROM events
     */
-  def metrics(spark: SparkSession, dir: String): DataFrame = {
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    metricsRange(spark, dir, None)
+
+  /** Metrics view with an optional [fromMs, toMs) range predicate applied to
+    * the RAW ts column before projection. `ts_ms = ts div 1e6` is monotonic,
+    * so `ts_ms ∈ [f, t)` ⟺ `ts ∈ [f·1e6, t·1e6)` — phrasing the filter on
+    * the stored column lets it push into the parquet scan (row-group min/max
+    * skipping), which a predicate on the derived column cannot. In a real
+    * deployment the store carries ts_ms natively and is day-partitioned
+    * (SURVEY §1.4), making this translation unnecessary. */
+  def metricsRange(spark: SparkSession, dir: String,
+      range: Option[(Long, Long)]): DataFrame = {
     val ev = load(spark, dir, "events")
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong=true it arrives as LongType nanos;
     // integer `div` keeps the full 64-bit precision (a double division would
     // lose bits above 2^53).
-    val tsMs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts").cast("timestamp"))
+    val isNanoLong = ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val filtered = range match {
+      case Some((f, t)) if isNanoLong =>
+        ev.filter(col("ts") >= f * 1000000L && col("ts") < t * 1000000L)
+      case Some((f, t)) =>
+        ev.filter(col("ts").cast("timestamp") >= timestamp_millis(lit(f)) &&
+          col("ts").cast("timestamp") < timestamp_millis(lit(t)))
+      case None => ev
     }
-    ev.select(
+    val tsMs =
+      if (isNanoLong) expr("ts div 1000000")
+      else unix_millis(col("ts").cast("timestamp"))
+    filtered.select(
       col("event_type").as("tenant_id"),
       concat(lit("app."), col("event_type"), lit(".user_"),
         col("user_id").cast("string")).as("metric_name"),

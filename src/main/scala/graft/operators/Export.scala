@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.core.Granularity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rollup export + out-of-band backfill (reference: blueflood-cloudfiles/
+  * CloudFilesService.java — gzipped JSON rollup export to object storage —
+  * and blueflood-rollupTools/CloudFilesBackfiller, which re-rolls from the
+  * exported files). On Spark both are one-liners over the same operators:
+  * export is a partitioned compressed-JSON write, backfill re-aggregates
+  * the exported full-res points and upserts the rollup tier. */
+object Export {
+
+  /** Export a rollup/points table as day-partitioned gzipped JSON. */
+  def exportJson(df: DataFrame, outDir: String): Unit =
+    df.withColumn("ts_day",
+        col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+      .write.mode("overwrite")
+      .partitionBy("ts_day")
+      .option("compression", "gzip")
+      .json(outDir)
+
+  /** Backfill: read an exported full-res dump and rebuild a rollup tier
+    * from it (recompute-from-source, idempotent). */
+  def backfillFromExport(spark: SparkSession, exportDir: String,
+      g: Granularity): DataFrame = {
+    val raw = spark.read.json(exportDir)
+      .select(col("tenant_id"), col("metric_name"),
+        col("ts_ms").cast("long").as("ts_ms"), col("value").cast("double").as("value"))
+    Rollups.basicFromRaw(raw, g)
+  }
+}

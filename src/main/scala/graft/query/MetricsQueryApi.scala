@@ -56,9 +56,8 @@ object MetricsQueryApi {
       s"batch query resolves $nMetrics metrics > $maxBatch")
 
     val snappedFrom = g.snap(fromMs)
-    val pts = Tables.metrics(spark, dir)
-      .filter(col("tenant_id") === p.tenantId &&
-        col("ts_ms") >= snappedFrom && col("ts_ms") < toMs)
+    val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, toMs)))
+      .filter(col("tenant_id") === p.tenantId)
       .join(broadcast(names.select("tenant_id", "metric_name", "unit")),
         Seq("tenant_id", "metric_name"))
     val agged = pts

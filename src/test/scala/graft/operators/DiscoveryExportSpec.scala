@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.{Granularity, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class DiscoveryExportSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("glob search matches only the globbed names with units") {
+    val out = Discovery.globSearch(Tables.catalog(spark, dir), "click", "app.click.user_1*")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0).startsWith("app.click.user_1"))
+      assert(r.getString(1) === "count")
+    }
+  }
+
+  test("token hierarchy has 3 levels with correct leaf flags") {
+    val toks = Discovery.tokens(Tables.catalog(spark, dir)).collect()
+    val parents = toks.map(_.getString(0)).toSet
+    assert(parents.contains("")) // root level
+    assert(toks.filter(_.getString(0) == "").forall(!_.getBoolean(2))) // root isn't leaf
+    assert(toks.filter(_.getBoolean(2)).forall(_.getString(1).startsWith("user_")))
+  }
+
+  test("metric name browse returns next level with completeness flag") {
+    val out = Discovery.metricNameBrowse(Tables.catalog(spark, dir), "click", "app.*")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) === "app.click") // only this tenant's subtree
+      assert(!r.getBoolean(1)) // app.click is a prefix, not a complete name
+    }
+  }
+
+  test("export then backfill reproduces the 5m rollup") {
+    val tmp = Files.createTempDirectory("graft_export").toString
+    val pts = Tables.metrics(spark, dir).withColumn("bucket_ms", col("ts_ms"))
+    Export.exportJson(pts.select("tenant_id", "metric_name", "ts_ms", "value", "bucket_ms"), tmp)
+    val rebuilt = Export.backfillFromExport(spark, tmp, Granularity.MIN_5)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    val direct = Rollups.basicFromRaw(Tables.metrics(spark, dir), Granularity.MIN_5)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    assert(rebuilt.length === direct.length)
+    rebuilt.zip(direct).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("incremental cascade tiers equal direct aggregation") {
+    val store = Files.createTempDirectory("graft_cascade").toString
+    val pts = Tables.metrics(spark, dir)
+    Rollups.basicFromRaw(pts, Granularity.MIN_5)
+      .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+      .write.partitionBy("ts_day").parquet(s"$store/metrics_5m")
+    graft.streaming.IngestStream.rollupCascadeFor(spark, store)
+    val t1440 = spark.read.parquet(s"$store/metrics_1440m")
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    val direct = Rollups.basicFromRaw(pts, Granularity.MIN_1440)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    assert(t1440.length === direct.length)
+    t1440.zip(direct).foreach { case (a, b) => assert(a === b) }
+  }
+}
