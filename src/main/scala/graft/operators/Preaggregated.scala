@@ -38,6 +38,52 @@ object Preaggregated {
       StructField("percentiles", MapType(StringType, DoubleType))))),
     StructField("set", ArrayType(IntegerType))))
 
+  /** Parse a statsd-style aggregated payload (reference: POST
+    * /v2.0/:t/ingest/aggregated — AggregatedPayload.java:37-176, converted
+    * by PreaggregateConversions.java:48-130) into typed pre-agg rows. One
+    * JSON line per flush: `{tenant_id, timestamp, gauges: [{name, latest}],
+    * counters: [{name, value, rate}], timers: [{name, count, sum, min, max,
+    * percentiles: {..}}], sets: [{name, values: [..]}]}` → one row per
+    * member metric, kind-discriminated, struct state columns. */
+  def fromAggregatedJson(lines: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payloadSchema = StructType(Seq(
+      StructField("tenant_id", StringType),
+      StructField("timestamp", LongType),
+      StructField("gauges", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("latest", DoubleType))))),
+      StructField("counters", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("value", DoubleType),
+        StructField("rate", DoubleType))))),
+      StructField("timers", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("count", LongType),
+        StructField("sum", DoubleType), StructField("min", DoubleType),
+        StructField("max", DoubleType),
+        StructField("percentiles", MapType(StringType, DoubleType)))))),
+      StructField("sets", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("values", ArrayType(IntegerType))))))))
+    val p = lines
+      .select(from_json(col("value").cast("string"), payloadSchema).as("p"))
+      .select(col("p.tenant_id"), col("p.timestamp").as("ts_ms"),
+        col("p.gauges"), col("p.counters"), col("p.timers"), col("p.sets"))
+    def kindRows(arr: String, kind: String, state: Column) =
+      p.select(col("tenant_id"), col("ts_ms"), explode(col(arr)).as("m"))
+        .select(col("tenant_id"), col("m.name").as("metric_name"), col("ts_ms"),
+          lit(kind).as("kind"), state)
+    Seq(
+      kindRows("counters", "counter",
+        struct(col("m.value").as("count"), col("m.rate").as("rate")).as("counter")),
+      kindRows("gauges", "gauge",
+        struct(col("ts_ms").as("latest_ts"), col("m.latest").as("latest")).as("gauge")),
+      kindRows("timers", "timer",
+        struct(col("m.count").as("count"), col("m.sum").as("sum"),
+          col("m.min").as("min"), col("m.max").as("max"),
+          col("m.percentiles").as("percentiles")).as("timer")),
+      kindRows("sets", "set", col("m.values").as("set")))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Counter merge: counts added; merged rate = Σcount / Σ(countᵢ/rateᵢ)
     * — the reference's total-time formula (BluefloodCounterRollup.java:
     * 102-115), zero-guarded like utils/Util.safeDiv. Input: rows with
