@@ -89,5 +89,29 @@ object TpchQueries {
       .orderBy("o_orderpriority")
   }
 
-  val defs: Seq[QDef] = Seq(q1, q5, q4)
+  /** Top-k by aggregate (TPC-H Q18 shape): Spark plans sort+limit as
+    * TakeOrderedAndProject — per-partition top-k then a single-partition
+    * merge of k·P rows, no global sort. Exact decimal revenue makes the
+    * ranking deterministic; orderkey tie-break totalizes it. */
+  private val q18 = QDef(
+    "q_tpch_q18_topk",
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        sumDec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        sumDec(col("l_quantity")).as("total_qty"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val defs: Seq[QDef] = Seq(q1, q5, q4, q18)
 }

@@ -82,6 +82,70 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the 100 TB path: spherical k-means cells
+    * over the corpus, each vector assigned to its max-dot centroid; a query
+    * probes only its `nProbe` best cells, so the exact-cosine work drops to
+    * ~nProbe/nCells of the corpus. Centroids are the only driver-side state
+    * (nCells × dim doubles, broadcast back each Lloyd iteration — the
+    * standard distributed k-means shape); assignments, updates, and the
+    * candidate join are all DataFrame ops. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+
+    def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+
+    // cell-scored struct array: (dot, cellId) — array_max picks best cell
+    def cellStructs(v: Column, cents: Array[Array[Double]]): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(v, litVec(c)).as("s"), lit(i).as("c"))
+      }: _*)
+
+    // init: first nCells vectors by vec_id (deterministic)
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    for (_ <- 1 to iterations) {
+      val assigned = corpus.withColumn("cell",
+        array_max(cellStructs(col("embedding"), centroids)).getField("c"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.indices.map { c =>
+        updated.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toArray
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val corpusCells = corpus.withColumn("cell",
+        array_max(cellStructs(col("embedding"), centroids)).getField("c"))
+      .withColumn("nrm", norm(col("embedding")))
+    // query probes: top-nProbe cells by centroid dot
+    val queryCells = queries
+      .withColumn("probes", slice(reverse(array_sort(
+        cellStructs(col("query_vec"), centroids))), 1, nProbe))
+      .select(col("query_id"), col("query_vec"),
+        explode(col("probes")).as("p"))
+      .select(col("query_id"), col("query_vec"), col("p.c").as("cell"))
+      .withColumn("qnrm", norm(col("query_vec")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpusCells.join(queryCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSnappedPre(
+        col("query_vec"), col("embedding"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold; brute
     * variant via broadcast-nested-loop on vec_id ordering. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {

@@ -1,0 +1,29 @@
+package graft.plans
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+
+/** Engine extensions: registers the custom expressions for SQL users, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` works next to the DataFrame
+  * API. Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - left-to-right double dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => Sqrt(DotProduct(args(0), args(0)))))
+  }
+}

@@ -50,6 +50,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.6, s"LSH recall $recall too low") // 24-bit sketch, 8 bands of 3
   }
 
+  test("IVF ANN recall vs brute-force top-10") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteTopK(emb, qs, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, qs, 10, nCells = 16, nProbe = 6)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall $recall too low")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDups(emb, 0.4).collect()
     pairs.foreach { r =>

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Own session (withExtensions) — deliberately not SparkSuite's. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = {
+    // getOrCreate returns any active session, ignoring withExtensions —
+    // clear the handles so a NEW session (sharing the context) is built
+    // with the extensions applied.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("dot_product and vec_norm usable from SQL") {
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d,
+        |       vec_norm(array(3.0F, 4.0F)) AS n""".stripMargin).collect()(0)
+    assert(row.getDouble(0) === 32.0)
+    assert(row.getDouble(1) === 5.0)
+  }
+
+  test("dot_product participates in codegen over a table") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.5f, 2.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("v")
+    assert(spark.sql("SELECT dot_product(a, b) FROM v").collect()(0).getDouble(0) === 0.5)
+  }
+}
