@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - left-to-right double dot product of two float/double arrays"),

@@ -36,4 +36,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("v")
     assert(spark.sql("SELECT dot_product(a, b) FROM v").collect()(0).getDouble(0) === 0.5)
   }
+
+  test("optimizer rewrites composable aggregate/zip_with dot product to DotProduct") {
+    import org.apache.spark.sql.functions._
+    // non-foldable inputs, else ConvertToLocalRelation evaluates the whole
+    // plan before the rewrite is observable
+    val df = spark.range(1).select(
+      array((col("id") + 1).cast("float"), (col("id") + 2).cast("float"),
+        (col("id") + 3).cast("float")).as("a"),
+      array((col("id") + 4).cast("float"), (col("id") + 5).cast("float"),
+        (col("id") + 6).cast("float")).as("b"))
+    val composable = df.select(
+      aggregate(
+        zip_with(transform(col("a"), _.cast("double")),
+          transform(col("b"), _.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = composable.queryExecution.optimizedPlan
+    assert(optimized.expressions.map(_.toString).exists(_.contains("DotProduct")) ||
+      optimized.toString.contains("dotproduct"),
+      s"rule did not fire:\n$optimized")
+    assert(composable.collect()(0).getDouble(0) === 32.0)
+  }
 }
