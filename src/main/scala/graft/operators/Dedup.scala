@@ -34,17 +34,17 @@ object Dedup {
     * shape: one split per document (explode), then window `lead` to stitch
     * k consecutive words. Everything stays in codegen; the only shuffle is
     * the per-doc window sort, which later aggregations reuse. */
-  def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, k: Int, distinct: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = (1 until k).map(j => lead(col("w0"), j).over(w).as(s"w$j"))
     val wide = docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
       .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ parts: _*)
-    wide
+    val sh = wide
       .filter(col(s"w${k - 1}").isNotNull) // complete k-shingles only
       .select(col("doc_id"),
         concat_ws(" ", (0 until k).map(j => col(s"w$j")): _*).as("sh"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
   }
 
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
@@ -72,7 +72,14 @@ object Dedup {
     val rnd = new scala.util.Random(42L)
     val coeffs = Seq.fill(numHashes)(
       (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
-    val shingled = shingleRows(docs, k)
+    // distinct=false: min over duplicate shingles is unchanged, and the
+    // exact-verify side dedups via collect_set — saves a 500k-row shuffle.
+    // The plan fans out 4 ways (both self-join sides + both shingle-set
+    // lookups) and recomputes the shingle pipeline per branch; measured
+    // locally that beats persisting the base (each branch column-prunes a
+    // narrower pipeline than the cache would materialize). At 100 TB the
+    // signature table would be written out once and reused instead.
+    val shingled = shingleRows(docs, k, distinct = false)
       .withColumn("h", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
     // h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1 (Mersenne prime): a proper
     // universal family. Without the modular reduction the affine map is
