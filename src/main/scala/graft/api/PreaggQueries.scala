@@ -82,9 +82,10 @@ object PreaggQueries {
     val t20 = Tables.metrics(s, dir)
       .groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("ts_ms"), Granularity.MIN_20).as("bucket_ms"))
-      .agg(
-        snap6(percentile(col("value"), lit(0.5))).as("p50"),
-        snap6(percentile(col("value"), lit(0.95))).as("p95"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.95))).as("ps"))
+      .withColumn("p50", snap6(col("ps").getItem(0)))
+      .withColumn("p95", snap6(col("ps").getItem(1)))
+      .drop("ps")
       .withColumn("percentiles",
         map(lit("50"), col("p50"), lit("95"), col("p95")))
       .select("tenant_id", "metric_name", "bucket_ms", "percentiles")

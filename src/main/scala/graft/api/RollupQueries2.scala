@@ -126,6 +126,7 @@ object RollupQueries2 {
        |       SUM(num_points) / ${Granularity.MIN_60.millis / 1000.0} AS rate
        |FROM t5 GROUP BY 1, 2, 3
        |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    // one percentile buffer for both quantiles (array form), not two
     val t5 = Tables.metrics(s, dir)
       .groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
@@ -134,8 +135,10 @@ object RollupQueries2 {
         sum(col("value").cast(DecimalType(28, 2))).as("sum_dec"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
-        percentile(col("value"), lit(0.5)).cast(DecimalType(18, 6)).as("p50_dec"),
-        percentile(col("value"), lit(0.95)).cast(DecimalType(18, 6)).as("p95_dec"))
+        percentile(col("value"), array(lit(0.5), lit(0.95))).as("ps"))
+      .withColumn("p50_dec", col("ps").getItem(0).cast(DecimalType(18, 6)))
+      .withColumn("p95_dec", col("ps").getItem(1).cast(DecimalType(18, 6)))
+      .drop("ps")
     t5.groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("bucket_ms"), Granularity.MIN_60).as("bucket_ms"))
       .agg(

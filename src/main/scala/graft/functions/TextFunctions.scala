@@ -16,8 +16,11 @@ object TextFunctions {
   /** Whitespace word tokens of the normalized text. */
   def words(text: Column): Column = split(normalized(text), " ")
 
-  /** Word k-shingles as space-joined strings (the MinHash/Jaccard unit).
-    * `sequence`+`transform` keeps this one codegen'd expression. */
+  /** Word k-shingles as space-joined strings (the MinHash/Jaccard unit) —
+    * expression form for per-row use. NOTE: higher-order functions evaluate
+    * interpreted and re-evaluate `words(text)` per index; for corpus-scale
+    * shingling use the relational `Dedup.shingleRows` (explode + window
+    * lead) instead. */
   def wordShingles(text: Column, k: Int): Column = {
     val ws = words(text)
     array_distinct(
@@ -81,43 +84,10 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
-  /** 31-bit base hash of each shingle (xxhash64 masked): keeps the affine
-    * MinHash family a*x+b inside a 63-bit product, so ANSI-mode arithmetic
-    * never overflows. */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(wordShingles(text, k), s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
-
-  /** MinHash signature: h_i(x) = a_i*x + b_i over the 31-bit base hashes,
-    * a_i,b_i < 2^31 from a fixed seed — reproducible, overflow-free.
-    *
-    * Built as ONE nested-lambda expression (outer transform over the hash
-    * index, coefficients looked up in literal arrays) rather than
-    * `numHashes` separate expressions: N sibling expressions each
-    * re-inlining the bases subtree made Catalyst optimization time explode
-    * combinatorially. */
-  def minhashFromBases(bases: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
-    val aArr = array(coeffs.map(c => lit(c._1)): _*)
-    val bArr = array(coeffs.map(c => lit(c._2)): _*)
-    // zip_with binds (a_i, b_i) as lambda variables: the coefficient arrays
-    // are evaluated once per row, and the inner loop is pure arithmetic —
-    // HOFs evaluate interpreted (CodegenFallback), so a per-element
-    // element_at(<literal array>) would rebuild the 128-element array on
-    // every single multiplication.
-    zip_with(aArr, bArr, (a, b) => array_min(transform(bases, x => x * a + b)))
-  }
-
-  def minhashSignature(text: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
-    minhashFromBases(shingleHashes(text, k), numHashes, seed)
-
-  /** LSH band keys: the signature chopped into `bands` groups of `rowsPer`
-    * values, each hashed to one long — docs sharing any band key are
-    * near-dup candidates. One nested-lambda expression (see
-    * [[minhashFromBases]] for why). */
-  def lshBandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(concat_ws(",", transform(slice(sig, b * rowsPer + 1, lit(rowsPer)),
-        x => x.cast("string")))))
+  // MinHash signatures and LSH band keys deliberately have NO expression-
+  // level (higher-order-function) form here: nested HOFs evaluate
+  // interpreted and re-evaluate argument subtrees per lambda invocation,
+  // which made a 128-hash signature quadratic per document. The engine's
+  // MinHash is relational — see Dedup.minhashNearDups (shingle explode →
+  // codegen'd min aggregates over a mod-p affine family → band equi-join).
 }

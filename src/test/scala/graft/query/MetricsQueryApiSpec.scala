@@ -63,6 +63,20 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
     assert(parsed.columns.contains("metrics"))
   }
 
+  test("golden JSON: response is byte-stable for a fixed query") {
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params("purchase", "app.purchase.user_3", "20240103", "20240105",
+        points = None, resolution = Some(graft.core.Granularity.MIN_1440),
+        select = Seq("numPoints", "sum")), nowMillis = now)
+    val json = MetricsQueryApi.toJsonResponse(df)
+    val again = MetricsQueryApi.toJsonResponse(df)
+    assert(json === again) // deterministic serialization
+    assert(json.startsWith("""{"metrics": ["""))
+    // shape: one metric, day-aligned timestamps
+    assert("\"timestamp\": (\\d+)".r.findAllMatchIn(json)
+      .forall(_.group(1).toLong % 86400000L == 0))
+  }
+
   test("one of points/resolution is mandatory, exclusive") {
     intercept[IllegalArgumentException] {
       MetricsQueryApi.getRollups(spark, dir,
