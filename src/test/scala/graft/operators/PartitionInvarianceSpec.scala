@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.{Granularity, Tables}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must not depend on physical parallelism: every operator is
+  * re-run with adversarial repartitioning (1 vs 13 partitions) and must
+  * produce identical rows. This is the local stand-in for "would the
+  * answer change on a 1000-executor cluster?" — it guards the custom
+  * merge algebra (timer/set/minhash) where Spark can't guarantee it
+  * for us. */
+class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def invariant(name: String)(f: DataFrame => DataFrame)(src: => DataFrame): Unit =
+    test(s"$name is partition-invariant") {
+      val one = sortedRows(f(src.repartition(1)))
+      val many = sortedRows(f(src.repartition(13)))
+      assert(one === many)
+    }
+
+  invariant("basicFromRaw@5m")(df => Rollups.basicFromRaw(df, Granularity.MIN_5))(
+    Tables.metrics(spark, dir))
+
+  invariant("basicMerge(5m→60m)")(df =>
+    Rollups.basicMerge(Rollups.basicFromRaw(df, Granularity.MIN_5), Granularity.MIN_60)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "min_v", "max_v"))(
+    Tables.metrics(spark, dir))
+
+  // avg_v excluded: a plain double sum is ulp-sensitive to partitioning,
+  // which is precisely why the oracle-facing queries accumulate in DECIMAL
+  // (QDef scaladoc); the structural stats must be exactly invariant.
+  invariant("gaugeFromRaw@1440m")(df =>
+    Rollups.gaugeFromRaw(df, Granularity.MIN_1440)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points",
+        "min_v", "max_v", "latest_ts", "latest_v"))(
+    Tables.metrics(spark, dir))
+
+  invariant("setFromRaw@1440m")(df => Rollups.setFromRaw(df, Granularity.MIN_1440))(
+    Tables.metrics(spark, dir))
+
+  invariant("minhashNearDups")(df =>
+    Dedup.minhashNearDups(df).select("doc_id_1", "doc_id_2"))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("simhashNearDups")(df =>
+    Dedup.simhashNearDups(df, maxDist = 6).select("doc_id_1", "doc_id_2"))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("bruteTopK")(df => {
+    import org.apache.spark.sql.functions._
+    val qs = df.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.bruteTopK(df, qs, 10)
+  })(Tables.load(spark, dir, "embeddings"))
+}
