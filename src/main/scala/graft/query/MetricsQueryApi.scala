@@ -24,12 +24,21 @@ object MetricsQueryApi {
       to: String,
       points: Option[Int] = None,
       resolution: Option[Granularity] = None,
-      select: Seq[String] = Seq("average", "numPoints", "sum"))
+      select: Seq[String] = Nil)
+
+  /** Per-type default stat lists when `select=` is absent (reference:
+    * PlotRequestParser.java:26-59). */
+  val defaultStats: Map[String, Seq[String]] = Map(
+    "basic" -> Seq("average", "numPoints", "sum"),
+    "counter" -> Seq("numPoints", "sum"),
+    "gauge" -> Seq("numPoints", "latest"),
+    "timer" -> Seq("rate", "numPoints", "average"),
+    "set" -> Seq("numPoints"))
 
   private val statCols: Map[String, String] = Map(
     "average" -> "average", "numPoints" -> "num_points", "sum" -> "sum_v",
     "min" -> "min_v", "max" -> "max_v", "variance" -> "var_v",
-    "latest" -> "latest_v")
+    "latest" -> "latest_v", "rate" -> "rate")
 
   /** Full read path. `nowMillis` pins both datetime parsing and the
     * retention clock (injectable for tests). */
@@ -55,6 +64,13 @@ object MetricsQueryApi {
     require(nMetrics <= maxBatch,
       s"batch query resolves $nMetrics metrics > $maxBatch")
 
+    // select= default depends on the metric type (PlotRequestParser.java:26-59)
+    val select =
+      if (p.select.nonEmpty) p.select
+      else names.select("rollup_type").limit(1).collect().headOption
+        .map(r => defaultStats(r.getString(0))).getOrElse(defaultStats("basic"))
+
+    val gEff = if (g.isFull) Granularity.MIN_5 else g
     val snappedFrom = g.snap(fromMs)
     val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, toMs)))
       .filter(col("tenant_id") === p.tenantId)
@@ -62,8 +78,7 @@ object MetricsQueryApi {
         Seq("tenant_id", "metric_name"))
     val agged = pts
       .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
-        Tables.bucketMs(col("ts_ms"), if (g.isFull) Granularity.MIN_5 else g)
-          .as("bucket_ms"))
+        Tables.bucketMs(col("ts_ms"), gEff).as("bucket_ms"))
       .agg(
         count(col("value")).as("num_points"),
         sum(col("value")).as("sum_v"),
@@ -72,9 +87,10 @@ object MetricsQueryApi {
         max(col("value")).as("max_v"),
         var_pop(col("value")).as("var_v"),
         max_by(col("value"), col("ts_ms")).as("latest_v"))
+      .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
 
     val keep = Seq("tenant_id", "metric_name", "unit", "bucket_ms") ++
-      p.select.flatMap(statCols.get).distinct
+      select.flatMap(statCols.get).distinct
     agged.select(keep.map(col): _*)
       .orderBy("metric_name", "bucket_ms")
   }

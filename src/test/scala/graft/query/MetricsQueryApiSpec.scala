@@ -63,6 +63,15 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
     assert(parsed.columns.contains("metrics"))
   }
 
+  test("per-type default stats: counter tenants default to numPoints+sum") {
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params("click", "app.click.user_1*", "20240110", "20240112",
+        points = None, resolution = Some(graft.core.Granularity.MIN_1440)),
+      nowMillis = now)
+    assert(df.columns.toSeq ===
+      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "num_points", "sum_v"))
+  }
+
   test("golden JSON: response is byte-stable for a fixed query") {
     val df = MetricsQueryApi.getRollups(spark, dir,
       MetricsQueryApi.Params("purchase", "app.purchase.user_3", "20240103", "20240105",
