@@ -30,9 +30,8 @@ object DateTimeParser {
 
     val (dtPart, offset) = splitOffset(cleaned)
     val base = LocalDateTime.ofEpochSecond(nowMillis / 1000, 0, ZoneOffset.UTC)
-    var result = updateTime(base, dtPart)._1
-    val afterTime = updateTime(base, dtPart)._2
-    result = updateDate(result, afterTime)
+    val (timed, afterTime) = updateTime(base, dtPart)
+    var result = updateDate(timed, afterTime)
     if (offset.nonEmpty) result = applyOffset(result, offset)
     result.toInstant(ZoneOffset.UTC).toEpochMilli
   }

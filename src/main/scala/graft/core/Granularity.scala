@@ -25,8 +25,12 @@ sealed abstract class Granularity(
     * bucket start (reference: Granularity.java:130-133 snapMillis). */
   def snap(ts: Long): Long = if (isFull) ts else ts - math.floorMod(ts, millis)
 
-  /** Window-duration string for Spark's `window(ts, d)`. */
-  def windowDuration: String = s"${millis / 60000} minutes"
+  /** Window-duration string for Spark's `window(ts, d)` (rollup tiers
+    * only — FULL has no window width). */
+  def windowDuration: String = {
+    require(!isFull, "FULL has no window duration")
+    s"${millis / 60000} minutes"
+  }
 
   def retentionMillis: Long = retentionDays * 86400000L
 

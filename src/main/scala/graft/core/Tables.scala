@@ -25,9 +25,12 @@ object Tables {
 
   /** Epoch-aligned bucket start in millis for a granularity — integer math
     * only, so Spark and the DuckDB oracle agree bit-for-bit
-    * (reference snapMillis: Granularity.java:130-133). */
+    * (reference snapMillis: Granularity.java:130-133). FULL passes the
+    * timestamp through, mirroring Granularity.snap (pmod by 0 would
+    * otherwise null out every bucket). */
   def bucketMs(tsMs: Column, g: Granularity): Column =
-    (tsMs - pmod(tsMs, lit(g.millis))).cast("long")
+    if (g.isFull) tsMs.cast("long")
+    else (tsMs - pmod(tsMs, lit(g.millis))).cast("long")
 
   /** The canonical raw metric-point view over `events`:
     *   tenant_id   = event_type

@@ -38,14 +38,23 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // Semantics deliberately match the composable form this replaces
+  // (aggregate(zip_with(a,b,_*_),0d,_+_), which RewriteDotProduct targets):
+  // unequal lengths ⇒ zip_with null-pads and the sum is NULL; a NULL
+  // element ⇒ NULL. Returning a number where the idiom returned NULL would
+  // silently change user results.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     val (af, bf) = (isFloat(left), isFloat(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -62,12 +71,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

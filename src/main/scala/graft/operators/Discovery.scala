@@ -46,11 +46,16 @@ object Discovery {
   def metricNameBrowse(catalog: DataFrame, tenantId: String, query: String): DataFrame = {
     val baseLevel = query.count(_ == '.')
     val parts = split(col("metric_name"), "\\.")
+    // Anchored match of the glob against the name's first baseLevel+1
+    // tokens — an unanchored prefix regex would let 'foo.*.baz' also match
+    // names whose token merely STARTS with 'baz' (e.g. foo.a.bazX).
+    val prefix = concat_ws(".", slice(parts, lit(1), lit(baseLevel + 1)))
     catalog
       .filter(col("tenant_id") === tenantId &&
-        col("metric_name").rlike("^" + GlobPattern.toRegex(query).stripSuffix(".*")))
+        size(parts) >= baseLevel + 1 &&
+        prefix.rlike(GlobPattern.toAnchoredRegex(query)))
       .select(
-        concat_ws(".", slice(parts, lit(1), lit(baseLevel + 1))).as("name"),
+        prefix.as("name"),
         (size(parts) === baseLevel + 1).as("is_complete_name"))
       .distinct()
       .orderBy("name")

@@ -55,27 +55,37 @@ object MetricsQueryApi {
       Granularity.granularityFromPointsInInterval(fromMs, toMs, p.points.get,
         nowMillis = nowMillis))
 
-    // resolve locators via discovery, then guard the batch width (O2)
-    val catalog = Tables.catalog(spark, dir)
-    val names = catalog
+    // resolve locators via discovery, then guard the batch width (O2).
+    // One scan: the guard caps the set at maxBatch rows, so collect once and
+    // rebuild a local broadcast side instead of re-running the
+    // catalog-derivation pipeline for count/type-lookup/join.
+    val resolved = Tables.catalog(spark, dir)
       .filter(col("tenant_id") === p.tenantId &&
         col("metric_name").rlike(GlobPattern.toAnchoredRegex(p.metricGlob)))
-    val nMetrics = names.count()
-    require(nMetrics <= maxBatch,
-      s"batch query resolves $nMetrics metrics > $maxBatch")
+      .limit(maxBatch + 1)
+      .collect()
+    require(resolved.length <= maxBatch,
+      s"batch query resolves > $maxBatch metrics")
+    import spark.implicits._
+    val names = resolved.toSeq
+      .map(r => (r.getAs[String]("tenant_id"), r.getAs[String]("metric_name"),
+        r.getAs[String]("unit")))
+      .toDF("tenant_id", "metric_name", "unit")
 
     // select= default depends on the metric type (PlotRequestParser.java:26-59)
     val select =
       if (p.select.nonEmpty) p.select
-      else names.select("rollup_type").limit(1).collect().headOption
-        .map(r => defaultStats(r.getString(0))).getOrElse(defaultStats("basic"))
+      else resolved.headOption
+        .map(r => defaultStats(r.getAs[String]("rollup_type")))
+        .getOrElse(defaultStats("basic"))
 
     val gEff = if (g.isFull) Granularity.MIN_5 else g
-    val snappedFrom = g.snap(fromMs)
+    // snap with the EFFECTIVE bucket granularity: FULL selection still
+    // buckets at 5m, and an unsnapped start would truncate the first window
+    val snappedFrom = gEff.snap(fromMs)
     val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, toMs)))
       .filter(col("tenant_id") === p.tenantId)
-      .join(broadcast(names.select("tenant_id", "metric_name", "unit")),
-        Seq("tenant_id", "metric_name"))
+      .join(broadcast(names), Seq("tenant_id", "metric_name"))
     val agged = pts
       .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
         Tables.bucketMs(col("ts_ms"), gEff).as("bucket_ms"))
@@ -112,13 +122,23 @@ object MetricsQueryApi {
       case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
       case x => x.toString
     }
+    // metric names/units are arbitrary ingested strings — escape them
+    def jStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val metrics = byMetric.map { case ((name, unit), rows) =>
       val values = rows.sortBy(_.getAs[Long]("bucket_ms")).map { r =>
         val stats = statFields.map(f => s""""$f": ${jNum(r.getAs[Any](f))}""")
         (Seq(s""""timestamp": ${r.getAs[Long]("bucket_ms")}""") ++ stats)
           .mkString("{", ", ", "}")
       }
-      s"""{"metric": "$name", "unit": "${Option(unit).getOrElse("unknown")}", """ +
+      s"""{"metric": ${jStr(name)}, "unit": ${jStr(Option(unit).getOrElse("unknown"))}, """ +
         s""""values": [${values.mkString(", ")}], """ +
         s""""metadata": {"count": ${rows.length}, "limit": null, "marker": null, "next_href": null}}"""
     }

@@ -56,17 +56,31 @@ object IngestStream {
 
   /** One micro-batch: append raw, then recompute 5m rollups for the days
     * this batch touched. Pure DataFrame ops; executors do all data work
-    * (the only driver-side collect is the small dirty-day list). */
-  def processBatch(batch: DataFrame, storeDir: String): Unit = {
+    * (the only driver-side collect is the small dirty-day list).
+    *
+    * Idempotent under foreachBatch's at-least-once retries: the raw write
+    * goes to a batch-id partition with overwrite, so a replayed batch
+    * replaces rather than duplicates its own rows, and the re-roll (which
+    * always recomputes from the store) converges to the same state. */
+  def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val valid = batch.filter(col("valid")).drop("valid")
-    valid.withColumn("ts_day", dayOf(col("ts_ms")))
-      .write.mode("append").partitionBy("ts_day").parquet(s"$storeDir/metrics_full")
-    val dirtyDays = valid
-      .select(dayOf(col("ts_ms")).as("ts_day"))
-      .distinct().collect().map(_.getLong(0))
-    if (dirtyDays.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      valid.withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$storeDir/metrics_full/batch_id=$batchId")
+      val dirtyDays = valid
+        .select(dayOf(col("ts_ms")).as("ts_day"))
+        .distinct().collect().map(_.getLong(0))
+      if (dirtyDays.isEmpty) return
+      rollDirtyDays(spark, storeDir, dirtyDays)
+    } finally valid.unpersist()
+  }
+
+  private def rollDirtyDays(spark: SparkSession, storeDir: String,
+      dirtyDays: Array[Long]): Unit = {
     val full = spark.read.parquet(s"$storeDir/metrics_full")
       .filter(col("ts_day").isin(dirtyDays.toSeq: _*))
     val rolled = graft.operators.Rollups.basicFromRaw(
@@ -85,7 +99,7 @@ object IngestStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, storeDir) }
+      .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, storeDir, id) }
       .start()
 
   /** Watermarked streaming 5m aggregation — the pure-streaming shape

@@ -1,0 +1,82 @@
+package graft
+
+import graft.core.{Granularity, Tables}
+import graft.functions.VectorFunctions
+import graft.operators.{Discovery, Rollups}
+import graft.query.MetricsQueryApi
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Regressions for defects found in the round-1 review pass. */
+class ReviewRegressionSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private val now = 1706659200000L
+
+  test("FULL-resolution points query snaps its start to the 5m bucket grid") {
+    // 1h window, enough points that GEOMETRIC picks FULL; from NOT 5m-aligned
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params("click", "app.click.*", "10:02 20240110", "11:02 20240110",
+        points = Some(120)), nowMillis = 1704884520000L /* 2024-01-10 11:02 */)
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("bucket_ms") % Granularity.MIN_5.millis === 0)
+    }
+  }
+
+  test("DotProduct matches the HOF idiom on unequal lengths and null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // unequal length
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))       // normal
+      .toDF("a", "b")
+    val rows = df.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(rows(0).isNullAt(0))       // unequal length -> NULL (like zip_with pad)
+    assert(rows(1).getDouble(0) === 11.0)
+  }
+
+  test("metricNameBrowse glob is end-anchored per token prefix") {
+    import spark.implicits._
+    val cat = Seq(
+      ("t", "foo.a.baz", "u", "basic"),
+      ("t", "foo.a.bazX", "u", "basic"),
+      ("t", "foo.a.baz.deep", "u", "basic"))
+      .toDF("tenant_id", "metric_name", "unit", "rollup_type")
+    val out = Discovery.metricNameBrowse(cat, "t", "foo.*.baz").collect()
+    assert(out.map(_.getString(0)).toSet === Set("foo.a.baz"))
+    // the 3-token prefix of foo.a.baz.deep is foo.a.baz (a prefix, not complete)
+    assert(out.exists(r => r.getString(0) == "foo.a.baz"))
+  }
+
+  test("bucketMs(FULL) passes timestamps through") {
+    val pts = Tables.metrics(spark, dir).limit(10)
+    val out = pts.select(col("ts_ms"),
+      Tables.bucketMs(col("ts_ms"), Granularity.FULL).as("b")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("replayed ingest micro-batch does not duplicate points") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_retry").toString
+    val base = 1704067200000L
+    val batch = graft.streaming.IngestStream.withValidity(
+      Seq(("t1", "m1", base + 1000, 2.0, 300, "ms"))
+        .toDF("tenant_id", "metric_name", "ts_ms", "value", "ttl_seconds", "unit"),
+      0L, Long.MaxValue)
+    graft.streaming.IngestStream.processBatch(batch, store, batchId = 7L)
+    graft.streaming.IngestStream.processBatch(batch, store, batchId = 7L) // retry
+    val rolled = spark.read.parquet(s"$store/metrics_5m").collect()
+    assert(rolled.length === 1)
+    assert(rolled(0).getAs[Long]("num_points") === 1L) // not double-counted
+  }
+
+  test("JSON response escapes quotes and backslashes in names") {
+    import spark.implicits._
+    val df = Seq(("t", "a\"b\\c", "u\"nit", 0L, 1L))
+      .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "num_points")
+    val json = MetricsQueryApi.toJsonResponse(df)
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    assert(!parsed.columns.contains("_corrupt_record"), s"unparseable: $json")
+  }
+}
