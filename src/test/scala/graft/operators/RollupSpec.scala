@@ -35,6 +35,18 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("salted rollup equals plain rollup on structural stats") {
+    val pts = Tables.metrics(spark, dir)
+    val plain = Rollups.basicFromRaw(pts, Granularity.MIN_60)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "min_v", "max_v")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    val salted = Rollups.basicFromRawSalted(pts, Granularity.MIN_60, salt = 7)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "min_v", "max_v")
+      .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
+    assert(plain.length === salted.length)
+    plain.zip(salted).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("repairBasic fills exactly the missing windows") {
     val pts = Tables.metrics(spark, dir)
     val full = Rollups.basicFromRaw(pts, Granularity.MIN_5)
