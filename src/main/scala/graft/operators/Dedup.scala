@@ -76,9 +76,12 @@ object Dedup {
     // exact-verify side dedups via collect_set — saves a 500k-row shuffle.
     // The plan fans out 4 ways (both self-join sides + both shingle-set
     // lookups) and recomputes the shingle pipeline per branch; measured
-    // locally that beats persisting the base (each branch column-prunes a
-    // narrower pipeline than the cache would materialize). At 100 TB the
-    // signature table would be written out once and reused instead.
+    // locally that this window-lead form beats both persisting the base
+    // (cache materializes wider rows than any branch needs) and the
+    // expression-form shingles (explode(wordShingles) — the interpreted
+    // per-index split re-eval costs more than the window shuffle: 8.2s vs
+    // 5.3s at sf0.1). At 100 TB the signature table would be written out
+    // once and reused instead.
     val shingled = shingleRows(docs, k, distinct = false)
       .withColumn("h", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
     // h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1 (Mersenne prime): a proper
