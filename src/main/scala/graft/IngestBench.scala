@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ingest-path throughput: validate + day-partitioned raw write + dirty-day
+  * 5m re-roll over the sf dir's full events table, reported as points/s —
+  * comparable to the reference's single-node ingest benchmark
+  * (contrib/perf/README.md: ~15.4k metrics/s over HTTP+Cassandra). */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+    val batch = graft.streaming.IngestStream.withValidity(
+      graft.core.Tables.metrics(spark, sfDir)
+        .withColumn("ttl_seconds", lit(86400)).withColumn("unit", lit("ms")),
+      0L, Long.MaxValue)
+    val n = batch.count()
+    // warm the write/codegen path, then measure steady state
+    graft.streaming.IngestStream.processBatch(batch, store, batchId = 0L)
+    // ingest-only (validate + day-partitioned raw write) — the surface the
+    // reference's 15.4k/s HTTP+Cassandra number covers (rollup is
+    // background there)
+    val t0 = System.nanoTime()
+    val valid = batch.filter(col("valid")).drop("valid")
+      .withColumn("ts_day", col("ts_ms") - pmod(col("ts_ms"), lit(86400000L)))
+    valid.write.mode("overwrite").partitionBy("ts_day")
+      .parquet(s"$store/metrics_full/batch_id=1")
+    val ingestSecs = (System.nanoTime() - t0) / 1e9
+    // full pipeline including the dirty-day 5m re-roll
+    val t1 = System.nanoTime()
+    graft.streaming.IngestStream.processBatch(batch, store, batchId = 2L)
+    val fullSecs = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"points":$n,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f}""")
+    spark.stop()
+  }
+}
