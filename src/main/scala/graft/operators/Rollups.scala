@@ -188,8 +188,16 @@ object Rollups {
     * uncovered windows relationally — Spark parallelism replaces the
     * reference's repair thread pools. Always recompute-from-source, never
     * read-modify-write (SURVEY §7.4 #3). */
-  def repairBasic(stored: DataFrame, raw: DataFrame, g: Granularity): DataFrame = {
-    val computed = basicFromRaw(raw, g)
+  def repairBasic(stored: DataFrame, raw: DataFrame, g: Granularity): DataFrame =
+    repairWith(stored, raw, g)(basicFromRaw)
+
+  /** Kind-generic rollups-on-read: works for any rollup builder with the
+    * standard (tenant_id, metric_name, bucket_ms) key — the reference
+    * dispatches repair per rollup type the same way
+    * (RollupRunnable.getRollupComputer:162-178 feeding repairMetrics). */
+  def repairWith(stored: DataFrame, raw: DataFrame, g: Granularity)(
+      rollupFromRaw: (DataFrame, Granularity) => DataFrame): DataFrame = {
+    val computed = rollupFromRaw(raw, g)
     val missing = computed.join(
       stored.select(col("tenant_id"), col("metric_name"), col("bucket_ms")),
       Seq("tenant_id", "metric_name", "bucket_ms"), "left_anti")

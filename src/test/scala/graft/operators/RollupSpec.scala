@@ -57,6 +57,17 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
       === full.count())
   }
 
+  test("kind-generic repair works for gauge and counter rollups") {
+    val pts = Tables.metrics(spark, dir)
+    for (builder <- Seq[(org.apache.spark.sql.DataFrame, Granularity) => org.apache.spark.sql.DataFrame](
+        Rollups.gaugeFromRaw, Rollups.counterFromRaw)) {
+      val full = builder(pts, Granularity.MIN_60)
+      val stored = full.filter(col("bucket_ms") < 1704500000000L)
+      val repaired = Rollups.repairWith(stored, pts, Granularity.MIN_60)(builder)
+      assert(repaired.count() === full.count())
+    }
+  }
+
   test("gauge latest picks max-ts value") {
     val pts = Tables.metrics(spark, dir)
     val g = Rollups.gaugeFromRaw(pts, Granularity.MIN_1440)
