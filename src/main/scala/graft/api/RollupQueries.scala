@@ -146,5 +146,44 @@ object RollupQueries {
         .orderBy("tenant_id", "metric_name", "bucket_ms")
   }
 
-  val defs: Seq[QDef] = Seq(rangeScan, ingestValidate, basic5m, basic1440m, basicMerge60m)
+  /** Full cascade: 5m → 20m → 60m → 240m → 1440m, each hop using only the
+    * previous tier (never re-reading raw) — the reference's tiered rollup
+    * pipeline end to end (§3.3). The oracle aggregates raw directly at
+    * 1440m, so a match proves the merge algebra is exact across all four
+    * hops. DECIMAL partials ride the whole ladder. */
+  private val cascade1440m = QDef("q_rollup_cascade_1440m", basicSql(Granularity.MIN_1440)) {
+    (s, dir) =>
+      val tier5 = Tables.metrics(s, dir)
+        .groupBy(col("tenant_id"), col("metric_name"),
+          Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
+        .agg(
+          count(col("value")).as("num_points"),
+          sum(col("value").cast(DecimalType(28, 2))).as("sum_v_dec"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          sum((col("value") * col("value")).cast(DecimalType(38, 8))).as("sum_sq_dec"))
+      def hop(finer: org.apache.spark.sql.DataFrame, g: Granularity) =
+        finer.groupBy(col("tenant_id"), col("metric_name"),
+            Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
+          .agg(
+            sum(col("num_points")).as("num_points"),
+            sum(col("sum_v_dec")).as("sum_v_dec"),
+            min(col("min_v")).as("min_v"),
+            max(col("max_v")).as("max_v"),
+            sum(col("sum_sq_dec")).as("sum_sq_dec"))
+      val tier1440 = Seq(Granularity.MIN_20, Granularity.MIN_60,
+        Granularity.MIN_240, Granularity.MIN_1440).foldLeft(tier5)(hop)
+      tier1440
+        .withColumn("sum_v", col("sum_v_dec").cast("double"))
+        .withColumn("sum_sq", col("sum_sq_dec").cast("double"))
+        .withColumn("avg_v", col("sum_v") / col("num_points"))
+        .withColumn("var_v",
+          (col("sum_sq") - col("sum_v") * col("sum_v") / col("num_points")) / col("num_points"))
+        .select("tenant_id", "metric_name", "bucket_ms", "num_points",
+          "sum_v", "min_v", "max_v", "avg_v", "var_v")
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  val defs: Seq[QDef] = Seq(rangeScan, ingestValidate, basic5m, basic1440m,
+    basicMerge60m, cascade1440m)
 }
