@@ -20,26 +20,29 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val store = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
     val batch = graft.streaming.IngestStream.withValidity(
       graft.core.Tables.metrics(spark, sfDir)
         .withColumn("ttl_seconds", lit(86400)).withColumn("unit", lit("ms")),
       0L, Long.MaxValue)
-    val n = batch.count()
-    // warm the write/codegen path, then measure steady state
-    graft.streaming.IngestStream.processBatch(batch, store, batchId = 0L)
-    // ingest-only (validate + day-partitioned raw write) — the surface the
-    // reference's 15.4k/s HTTP+Cassandra number covers (rollup is
-    // background there)
+    // numerator = points actually persisted (invalid rows are filtered
+    // before the measured write)
+    val n = batch.filter(col("valid")).count()
+    // warm the write/codegen path against a throwaway store
+    graft.streaming.IngestStream.processBatch(batch, tmp(), batchId = 0L)
+    // ingest-only (validate + day-partitioned raw write, the production
+    // write path) — the surface the reference's 15.4k/s HTTP+Cassandra
+    // number covers (rollup is background there). Fresh store so the
+    // measurement isn't polluted by earlier copies.
     val t0 = System.nanoTime()
-    val valid = batch.filter(col("valid")).drop("valid")
-      .withColumn("ts_day", col("ts_ms") - pmod(col("ts_ms"), lit(86400000L)))
-    valid.write.mode("overwrite").partitionBy("ts_day")
-      .parquet(s"$store/metrics_full/batch_id=1")
+    graft.streaming.IngestStream.writeRaw(
+      batch.filter(col("valid")).drop("valid"), tmp(), batchId = 0L)
     val ingestSecs = (System.nanoTime() - t0) / 1e9
-    // full pipeline including the dirty-day 5m re-roll
+    // full pipeline including the dirty-day 5m re-roll, also on a fresh
+    // store (steady-state micro-batches touch 1-2 days, not all 30 — this
+    // is the worst case)
     val t1 = System.nanoTime()
-    graft.streaming.IngestStream.processBatch(batch, store, batchId = 2L)
+    graft.streaming.IngestStream.processBatch(batch, tmp(), batchId = 0L)
     val fullSecs = (System.nanoTime() - t1) / 1e9
     println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"points":$n,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f}""")
     spark.stop()

@@ -147,39 +147,23 @@ object Rollups {
         avg(col("p95")).as("p95"))
       .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
 
-  /** Skew-resistant basic rollup: a hot locator (one key receiving a large
-    * share of points) would bottleneck the single reducer owning its hash
-    * partition. Salting splits each (locator, window) group across `salt`
-    * sub-groups for the wide partial aggregation, then merges the partials
-    * with the same algebra as the cross-tier merge — two narrow shuffles
-    * instead of one skewed one. Results are identical to [[basicFromRaw]]
-    * (merge is exact for count/sum/min/max; avg/var recomputed from the
-    * merged sums). AQE's skew handling covers joins; aggregation skew needs
-    * this explicit form. */
-  def basicFromRawSalted(points: DataFrame, g: Granularity, salt: Int = 16): DataFrame = {
-    val partial = points
+  /** Skew-resistant EXACT set rollup. Algebraic aggregates (count/sum/
+    * min/max/avg/var) don't need salting — map-side partial aggregation
+    * already bounds what a hot key's reducer receives. The holistic
+    * exact-distinct state is different: `countDistinct` keeps per-key
+    * distinct sets, and a hot locator's set lands on one reducer. Salting
+    * by the VALUE hash splits it exactly: every distinct value belongs to
+    * exactly one salt sub-group, so the per-salt distinct counts are
+    * disjoint and their sum is the exact total — two narrow shuffles, no
+    * single reducer ever holds the full hot set. */
+  def setFromRawSalted(points: DataFrame, g: Granularity, salt: Int = 16): DataFrame =
+    points
       .groupBy(keyCols ++ Seq(
         Tables.bucketMs(col("ts_ms"), g).as("bucket_ms"),
-        pmod(hash(col("ts_ms")), lit(salt)).as("salt_k")): _*)
-      .agg(
-        count(col("value")).as("num_points"),
-        sum(col("value")).as("sum_v"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"),
-        sum(col("value") * col("value")).as("sum_sq"))
-    partial
+        pmod(hash(col("value")), lit(salt)).as("salt_k")): _*)
+      .agg(countDistinct(col("value")).as("partial_distinct"))
       .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
-      .agg(
-        sum(col("num_points")).as("num_points"),
-        sum(col("sum_v")).as("sum_v"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"),
-        sum(col("sum_sq")).as("sum_sq"))
-      .withColumn("avg_v", col("sum_v") / col("num_points"))
-      .withColumn("var_v",
-        (col("sum_sq") - col("sum_v") * col("sum_v") / col("num_points")) / col("num_points"))
-      .drop("sum_sq")
-  }
+      .agg(sum(col("partial_distinct")).as("distinct_count"))
 
   /** Rollups-on-read repair: fill windows missing from the stored rollup
     * tier by recomputing them from the finer/raw tier, then union

@@ -68,9 +68,7 @@ object IngestStream {
     val valid = batch.filter(col("valid")).drop("valid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      valid.withColumn("ts_day", dayOf(col("ts_ms")))
-        .write.mode("overwrite").partitionBy("ts_day")
-        .parquet(s"$storeDir/metrics_full/batch_id=$batchId")
+      writeRaw(valid, storeDir, batchId)
       val dirtyDays = valid
         .select(dayOf(col("ts_ms")).as("ts_day"))
         .distinct().collect().map(_.getLong(0))
@@ -78,6 +76,14 @@ object IngestStream {
       rollDirtyDays(spark, storeDir, dirtyDays)
     } finally valid.unpersist()
   }
+
+  /** The raw-store write: day-partitioned parquet under an overwrite
+    * batch-id partition (shared by processBatch and IngestBench so the
+    * benchmark measures the production write path). */
+  def writeRaw(validPoints: DataFrame, storeDir: String, batchId: Long): Unit =
+    validPoints.withColumn("ts_day", dayOf(col("ts_ms")))
+      .write.mode("overwrite").partitionBy("ts_day")
+      .parquet(s"$storeDir/metrics_full/batch_id=$batchId")
 
   private def rollDirtyDays(spark: SparkSession, storeDir: String,
       dirtyDays: Array[Long]): Unit = {

@@ -35,16 +35,19 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("salted rollup equals plain rollup on structural stats") {
+  test("salted exact-distinct set rollup equals the plain one") {
     val pts = Tables.metrics(spark, dir)
-    val plain = Rollups.basicFromRaw(pts, Granularity.MIN_60)
-      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "min_v", "max_v")
+    val plain = Rollups.setFromRaw(pts, Granularity.MIN_1440)
       .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
-    val salted = Rollups.basicFromRawSalted(pts, Granularity.MIN_60, salt = 7)
-      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "min_v", "max_v")
+    val salted = Rollups.setFromRawSalted(pts, Granularity.MIN_1440, salt = 7)
       .orderBy("tenant_id", "metric_name", "bucket_ms").collect()
     assert(plain.length === salted.length)
-    plain.zip(salted).foreach { case (a, b) => assert(a === b) }
+    plain.zip(salted).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getString(1) === b.getString(1))
+      assert(a.getLong(2) === b.getLong(2))
+      assert(a.getLong(3) === b.getLong(3)) // exact distinct count
+    }
   }
 
   test("repairBasic fills exactly the missing windows") {
