@@ -66,6 +66,45 @@ object Rollups {
           (sum(col("sum_v")) * sum(col("sum_v")) / n)) / n).as("var_v"))
   }
 
+  /** Numerically stable variant of [[basicMerge]] using the reference's
+    * grand-mean combine (Variance.java:90-145):
+    * var = [Σ nᵢσᵢ² + Σ nᵢ(μᵢ−μ)²] / N. The algebraically equivalent
+    * expanded form in basicMerge (Σx² − (Σx)²/N shape) cancels
+    * catastrophically when |mean| ≫ stddev (e.g. values ≈ 1e8 ± 0.01);
+    * this form needs the merged mean first, so it costs a second
+    * aggregation pass + a co-partitioned join — worth it whenever value
+    * magnitudes dwarf their spread. */
+  def basicMergeStable(finerRollups: DataFrame, g: Granularity): DataFrame = {
+    val keyed = finerRollups
+      .withColumn("bucket_coarse", Tables.bucketMs(col("bucket_ms"), g))
+    val totals = keyed
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_coarse"))
+      .agg(
+        sum(col("num_points")).as("num_points"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+      .withColumn("mu", col("sum_v") / col("num_points"))
+    keyed
+      .join(totals.select(col("tenant_id"), col("metric_name"),
+          col("bucket_coarse"), col("mu")),
+        Seq("tenant_id", "metric_name", "bucket_coarse"))
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_coarse"))
+      .agg(
+        (sum(col("num_points") * col("var_v")) +
+          sum(col("num_points") *
+            (col("avg_v") - col("mu")) * (col("avg_v") - col("mu"))))
+          .as("m2"),
+        sum(col("num_points")).as("n"))
+      .withColumn("var_v", col("m2") / col("n"))
+      .drop("m2")
+      .join(totals, Seq("tenant_id", "metric_name", "bucket_coarse"))
+      .select(col("tenant_id"), col("metric_name"),
+        col("bucket_coarse").as("bucket_ms"), col("num_points"),
+        col("sum_v"), col("mu").as("avg_v"), col("min_v"), col("max_v"),
+        col("var_v"))
+  }
+
   /** Counter rollup: summed count plus per-second rate over the observed
     * span (reference: types/BluefloodCounterRollup.java:87-100; safe-div
     * guard mirrors utils/Util.safeDiv). */

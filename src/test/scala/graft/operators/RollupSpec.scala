@@ -60,6 +60,22 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
       === full.count())
   }
 
+  test("stable variance merge survives huge-mean/small-spread data where expanded form cancels") {
+    import spark.implicits._
+    // values ≈ 1e8 ± 1: true var ≈ 0.6875 over the window; the expanded
+    // Σx²−(Σx)²/N form loses ~16 digits to cancellation at this magnitude
+    val base = 1704067200000L
+    val raw = (0 until 8).map { i =>
+      ("t", "m", base + i * 60000L, 1e8 + (i % 4) - 1.5)
+    }.toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val tier5 = Rollups.basicFromRaw(raw, Granularity.MIN_5)
+    val stable = Rollups.basicMergeStable(tier5, Granularity.MIN_60)
+      .select("var_v").collect()(0).getDouble(0)
+    val truth = raw.agg(org.apache.spark.sql.functions.var_pop($"value"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(stable - truth) < 1e-6, s"stable=$stable truth=$truth")
+  }
+
   test("kind-generic repair works for gauge and counter rollups") {
     val pts = Tables.metrics(spark, dir)
     for (builder <- Seq[(org.apache.spark.sql.DataFrame, Granularity) => org.apache.spark.sql.DataFrame](
