@@ -165,8 +165,11 @@ object Rollups {
         avg(col("value")).as("avg_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
-        percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.95)).as("p95"))
+        // one sort buffer for both quantiles
+        percentile(col("value"), array(lit(0.5), lit(0.95))).as("ps"))
+      .withColumn("p50", col("ps").getItem(0))
+      .withColumn("p95", col("ps").getItem(1))
+      .drop("ps")
       .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
 
   /** Timer merge to a coarser tier: counts/sums added, mean count-weighted,
