@@ -23,7 +23,7 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
       // this tiny scale; everything else must produce rows
       val n = df.count()
       if (!Set("q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
-          "q_dedup_embed").contains(name))
+          "q_dedup_embed", "q_sim_range").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
