@@ -70,4 +70,49 @@ object Multimodal {
       })
       .toDF()
   }
+
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int,
+      thumb: Array[Byte])
+
+  /** Resize plumbing: decode → scale → re-encode, partition-local. The
+    * STUB "thumbnail" is a deterministic byte slice; a real deployment
+    * swaps the body for an image scaler — the batch shape and output
+    * schema stay put. */
+  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val f = decodeStub(id, b)
+        val scale = maxDim.toDouble / math.max(f.width, f.height)
+        ResizedMedia(id,
+          math.max(1, (f.width * math.min(scale, 1.0)).toInt),
+          math.max(1, (f.height * math.min(scale, 1.0)).toInt),
+          b.take(math.min(maxDim, b.length)))
+      })
+      .toDF()
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: the 1→N expansion shape for video payloads — emit
+    * every `stride`-th fixed-size chunk of the payload as a "frame"
+    * (deterministic stub for a real demuxer). flatMap keeps it partition-
+    * local; downstream per-frame ops parallelize over the exploded rows. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val nFrames = b.length / frameBytes
+        (0 until nFrames by stride).map { i =>
+          Frame(id, i, b.slice(i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+      .toDF()
+  }
 }

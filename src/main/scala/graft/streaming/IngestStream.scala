@@ -68,6 +68,12 @@ object IngestStream {
     val valid = batch.filter(col("valid")).drop("valid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // invalid records go to an errors sink instead of vanishing — the
+      // reference returns per-record errors to the client
+      // (HttpMetricsIngestionHandler error responses, ErrorResponse.java)
+      batch.filter(!col("valid")).drop("valid")
+        .write.mode("overwrite")
+        .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
       writeRaw(valid, storeDir, batchId)
       val dirtyDays = valid
         .select(dayOf(col("ts_ms")).as("ts_day"))

@@ -22,6 +22,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("resize bounds dimensions and emits a thumbnail payload") {
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
+    val resized = Multimodal.resize(media, maxDim = 64)
+    assert(resized.count() === media.count())
+    resized.collect().foreach { r =>
+      assert(r.getAs[Int]("width") <= 64 && r.getAs[Int]("height") <= 64)
+      assert(r.getAs[Array[Byte]]("thumb").length <= 64)
+    }
+  }
+
+  test("frame sampling is a deterministic 1->N expansion") {
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    assert(frames.count() > media.count()) // expanded
+    frames.collect().foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 2 === 0)
+      assert(r.getAs[Array[Byte]]("frame").length === 32)
+    }
+    // deterministic
+    assert(frames.orderBy("media_id", "frame_idx").collect().toSeq ===
+      Multimodal.sampleFrames(media, 32, 2).orderBy("media_id", "frame_idx").collect().toSeq)
+  }
+
   test("payload byte length matches metadata") {
     val docs = Tables.load(spark, dir, "documents")
     val media = Multimodal.asMedia(docs)

@@ -66,6 +66,11 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     rolled.zip(expected).foreach { case (a, b) => assert(a === b) }
     // the late point re-rolled its window: first window has 3 points
     assert(rolled(0).getLong(3) === 3L)
+
+    // the invalid record (empty name) landed in the errors sink
+    val errors = spark.read.parquet(s"$store/metrics_errors")
+    assert(errors.count() === 1)
+    assert(errors.collect()(0).getAs[Double]("value") === 9.0)
   }
 
   test("validation filter drops out-of-range and empty-name records") {
