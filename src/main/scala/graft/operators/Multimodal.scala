@@ -79,6 +79,7 @@ object Multimodal {
     * swaps the body for an image scaler — the batch shape and output
     * schema stay put. */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
@@ -102,6 +103,8 @@ object Multimodal {
     * (deterministic stub for a real demuxer). flatMap keeps it partition-
     * local; downstream per-frame ops parallelize over the exploded rows. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))

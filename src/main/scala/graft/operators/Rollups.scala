@@ -85,24 +85,24 @@ object Rollups {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
       .withColumn("mu", col("sum_v") / col("num_points"))
+    // One join (for mu), then ONE wider aggregation carrying all output
+    // stats — a second join back to totals would re-execute its subtree.
     keyed
       .join(totals.select(col("tenant_id"), col("metric_name"),
           col("bucket_coarse"), col("mu")),
         Seq("tenant_id", "metric_name", "bucket_coarse"))
       .groupBy(col("tenant_id"), col("metric_name"), col("bucket_coarse"))
       .agg(
-        (sum(col("num_points") * col("var_v")) +
+        sum(col("num_points")).as("num_points"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        first(col("mu")).as("avg_v"),
+        ((sum(col("num_points") * col("var_v")) +
           sum(col("num_points") *
-            (col("avg_v") - col("mu")) * (col("avg_v") - col("mu"))))
-          .as("m2"),
-        sum(col("num_points")).as("n"))
-      .withColumn("var_v", col("m2") / col("n"))
-      .drop("m2")
-      .join(totals, Seq("tenant_id", "metric_name", "bucket_coarse"))
-      .select(col("tenant_id"), col("metric_name"),
-        col("bucket_coarse").as("bucket_ms"), col("num_points"),
-        col("sum_v"), col("mu").as("avg_v"), col("min_v"), col("max_v"),
-        col("var_v"))
+            (col("avg_v") - col("mu")) * (col("avg_v") - col("mu")))) /
+          sum(col("num_points"))).as("var_v"))
+      .withColumnRenamed("bucket_coarse", "bucket_ms")
   }
 
   /** Counter rollup: summed count plus per-second rate over the observed

@@ -42,10 +42,15 @@ object IngestStream {
     * default in the reference — here parameterized). */
   def withValidity(points: DataFrame, minTs: Long, maxTs: Long): DataFrame =
     points.withColumn("valid",
-      col("metric_name").isNotNull && length(col("metric_name")) > 0 &&
-        col("value").isNotNull &&
-        col("ts_ms").between(minTs, maxTs) &&
-        (col("ttl_seconds").isNull || col("ttl_seconds") > 0))
+      // coalesce: a NULL field (e.g. missing ts_ms) must yield valid=false,
+      // not NULL — under three-valued logic a NULL flag would drop the
+      // record from BOTH the valid store and the errors sink
+      coalesce(
+        col("metric_name").isNotNull && length(col("metric_name")) > 0 &&
+          col("value").isNotNull &&
+          col("ts_ms").between(minTs, maxTs) &&
+          (col("ttl_seconds").isNull || col("ttl_seconds") > 0),
+        lit(false)))
 
   /** Parse a stream/batch of JSON lines into typed points. */
   def parseJson(lines: DataFrame): DataFrame =
@@ -64,23 +69,28 @@ object IngestStream {
     * always recomputes from the store) converges to the same state. */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
-    val valid = batch.filter(col("valid")).drop("valid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the parsed+validated batch once; both splits derive from it
+    // (otherwise the source is re-read and re-parsed per split)
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cached.isEmpty) return
       // invalid records go to an errors sink instead of vanishing — the
       // reference returns per-record errors to the client
-      // (HttpMetricsIngestionHandler error responses, ErrorResponse.java)
-      batch.filter(!col("valid")).drop("valid")
-        .write.mode("overwrite")
-        .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
+      // (HttpMetricsIngestionHandler error responses, ErrorResponse.java).
+      // Only written when non-empty: an empty parquet dir per healthy batch
+      // would break schema inference for readers of the sink.
+      val invalid = cached.filter(!col("valid")).drop("valid")
+      if (!invalid.isEmpty)
+        invalid.write.mode("overwrite")
+          .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
+      val valid = cached.filter(col("valid")).drop("valid")
       writeRaw(valid, storeDir, batchId)
       val dirtyDays = valid
         .select(dayOf(col("ts_ms")).as("ts_day"))
         .distinct().collect().map(_.getLong(0))
       if (dirtyDays.isEmpty) return
       rollDirtyDays(spark, storeDir, dirtyDays)
-    } finally valid.unpersist()
+    } finally cached.unpersist()
   }
 
   /** The raw-store write: day-partitioned parquet under an overwrite

@@ -62,8 +62,8 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
 
   test("stable variance merge survives huge-mean/small-spread data where expanded form cancels") {
     import spark.implicits._
-    // values ≈ 1e8 ± 1: true var ≈ 0.6875 over the window; the expanded
-    // Σx²−(Σx)²/N form loses ~16 digits to cancellation at this magnitude
+    // values 1e8 + offsets {-1.5,-0.5,0.5,1.5}×2 ⇒ var_pop = 1.25; the
+    // expanded Σx²−(Σx)²/N form loses ~16 digits to cancellation at 1e8
     val base = 1704067200000L
     val raw = (0 until 8).map { i =>
       ("t", "m", base + i * 60000L, 1e8 + (i % 4) - 1.5)

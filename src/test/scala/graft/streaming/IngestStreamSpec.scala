@@ -88,6 +88,20 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     assert(valid === Set("ok"))
   }
 
+  test("NULL fields make a record invalid, not silently dropped") {
+    import spark.implicits._
+    val now = 1704067200000L
+    val df = IngestStream.withValidity(
+      Seq(("t1", "nullts", null.asInstanceOf[java.lang.Long], 1.0, 300, "ms"))
+        .toDF("tenant_id", "metric_name", "ts_ms", "value", "ttl_seconds", "unit"),
+      minTs = now - 86400000L, maxTs = now + 86400000L)
+    // valid must be exactly false (not NULL) so the errors split catches it
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Boolean]("valid") === false)
+    assert(df.filter(!org.apache.spark.sql.functions.col("valid")).count() === 1)
+  }
+
   test("watermarked streaming 5m aggregation emits closed windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
