@@ -290,7 +290,31 @@ object RollupQueries2 {
     }
   }
 
+  /** "Current value" lookup: the latest point at-or-before a pinned
+    * instant per locator — the gauge-style now-endpoint every TSDB exposes
+    * (and the as-of shape training pipelines use for feature snapshots).
+    * One max_by over the range scan; the time filter pushes to the scan. */
+  private val latestAt = {
+    val t = 1705276800000L // 2024-01-15 00:00 UTC
+    QDef(
+      "q_latest_at",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name,
+         |       MAX(ts_ms) AS latest_ts,
+         |       arg_max(value, ts_ms) AS latest_v
+         |FROM metrics WHERE ts_ms <= $t
+         |GROUP BY 1, 2
+         |ORDER BY tenant_id, metric_name""".stripMargin) { (s, dir) =>
+      Tables.metricsRange(s, dir, Some((0L, t + 1)))
+        .groupBy(col("tenant_id"), col("metric_name"))
+        .agg(
+          max(col("ts_ms")).as("latest_ts"),
+          max_by(col("value"), col("ts_ms")).as("latest_v"))
+        .orderBy("tenant_id", "metric_name")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
-    rollupsOnRead, unitsJoin, typeRouting, pointsQuery)
+    rollupsOnRead, unitsJoin, typeRouting, pointsQuery, latestAt)
 }
