@@ -47,6 +47,12 @@ class DateTimeParserSpec extends AnyFunSuite {
     assert(p("00:00 today-7d") === jan20_0000 - 7L * 86400000L)
   }
 
+  test("month and year offsets") {
+    assert(p("00:00 today-2mon") === 1700438400000L) // 2023-11-20
+    assert(p("00:00 today+1y") === jan20_0000 + 366L * 86400000L) // 2024 is leap
+    assert(p("00:00 today-30s") === jan20_0000 - 30000L)
+  }
+
   test("slash dates") {
     assert(p("00:00 01/05/2024") === 1704412800000L)
     assert(p("00:00 01/05/24") === 1704412800000L)

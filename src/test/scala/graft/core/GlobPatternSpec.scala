@@ -34,6 +34,13 @@ class GlobPatternSpec extends AnyFunSuite {
     assert(!m("a+b", "aab"))
   }
 
+  test("braces, classes, and wildcards compose") {
+    assert(m("app.{click,view}.user_[0-9]*", "app.click.user_42"))
+    assert(m("app.{click,view}.user_[0-9]*", "app.view.user_7x"))
+    assert(!m("app.{click,view}.user_[0-9]*", "app.error.user_1"))
+    assert(!m("app.{click,view}.user_[0-9]*", "app.click.user_x"))
+  }
+
   test("unclosed class/group rejected") {
     intercept[IllegalArgumentException](GlobPattern.toRegex("a[bc"))
     intercept[IllegalArgumentException](GlobPattern.toRegex("a{b,c"))
