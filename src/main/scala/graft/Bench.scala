@@ -28,7 +28,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses stdout for this line; sbt's logger can prefix or
+    // swallow it (BENCH_r01 "parsed": null), so emit it on a bare line AND
+    // persist it to a file (overridable via SPARK_GRAFT_BENCH_OUT).
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

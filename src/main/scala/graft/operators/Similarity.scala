@@ -146,15 +146,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold; brute
-    * variant via broadcast-nested-loop on vec_id ordering. */
-  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-duplicate pairs above a cosine threshold — brute
+    * all-pairs baseline (broadcast-nested-loop on vec_id ordering). Exact
+    * by construction; the spec yardstick for [[embeddingNearDups]]. */
+  def embeddingNearDupsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
     val withNorm = corpus.withColumn("nrm", norm(col("embedding")))
     val a = withNorm.select(col("vec_id").as("vec_id_1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = withNorm.select(col("vec_id").as("vec_id_2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cos", cosineSnappedPre(col("e1"), col("e2"), col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select("vec_id_1", "vec_id_2", "cos")
+  }
+
+  /** Band count making the per-pair miss probability at `threshold` at most
+    * `targetMiss` for `bandBits`-bit sign bands: a pair at cosine t collides
+    * on one hyperplane bit with p1 = 1 - acos(t)/π, on a band with p1^bits,
+    * and escapes all n bands with (1 - p1^bits)^n. */
+  def bandCountFor(threshold: Double, bandBits: Int, targetMiss: Double = 1e-9): Int = {
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p1, bandBits)
+    math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt.max(1)
+  }
+
+  /** Embedding near-dup pairs via hyperplane-band candidate generation +
+    * exact-cosine verify — same candidates→verify shape as
+    * [[Dedup.minhashNearDups]]. Band parameters are derived from the
+    * threshold so candidate generation is statistically lossless (per-pair
+    * miss ≤ targetMiss, deterministic given the seed); false candidates die
+    * in the exact verify, so band tuning affects cost, never survivors.
+    *
+    * Scale: candidate generation is a shuffled equi-join on (band, key) —
+    * horizontally partitionable, no broadcast of the corpus, unlike the
+    * brute nested loop. Selectivity is threshold-dependent: at real
+    * near-dup thresholds (≥0.8, p1 ≥ 0.8) a few wide bands prune hard; at
+    * a loose 0.45 floor (p1 ≈ 0.65) sign bands barely separate signal from
+    * noise, so the win is the join *shape*, not the candidate count — any
+    * method is Ω(output) there, and the output itself approaches all pairs. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double, dim: Int = 64,
+      bandBits: Int = 2, seed: Long = 7L): DataFrame = {
+    val nBands = bandCountFor(threshold, bandBits)
+    val banded = corpus.select(col("vec_id"),
+      posexplode(hyperplaneBands(col("embedding"), dim, nBands * bandBits,
+        bandBits, seed)).as(Seq("band", "key")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"))
+      .distinct()
+    val e = corpus.withColumn("nrm", norm(col("embedding")))
+    cands
+      .join(e.select(col("vec_id").as("vec_id_1"),
+        col("embedding").as("e1"), col("nrm").as("n1")), "vec_id_1")
+      .join(e.select(col("vec_id").as("vec_id_2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), "vec_id_2")
       .withColumn("cos", cosineSnappedPre(col("e1"), col("e2"), col("n1"), col("n2")))
       .filter(col("cos") >= threshold)
       .select("vec_id_1", "vec_id_2", "cos")

@@ -68,4 +68,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("banded embedding near-dups == brute all-pairs at 0.45 on sf0.01") {
+    // The q_dedup_embed oracle is the exhaustive exact answer, so the banded
+    // candidate path must be lossless here. sf0.01's thinnest qualifying
+    // pair sits at cos 0.4516 — per-pair miss at the derived band params is
+    // ~1e-9, and deterministic for the fixed hyperplane seed.
+    val e01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = toSet(Similarity.embeddingNearDups(e01, 0.45))
+    val brute = toSet(Similarity.embeddingNearDupsBrute(e01, 0.45))
+    assert(banded === brute)
+  }
+
+  test("bandCountFor derives enough bands for the target miss probability") {
+    val bands = Similarity.bandCountFor(0.45, bandBits = 2)
+    val p1 = 1.0 - math.acos(0.45) / math.Pi
+    assert(math.pow(1 - p1 * p1, bands) <= 1e-9)
+    // tight thresholds need far fewer bands than loose ones
+    assert(Similarity.bandCountFor(0.9, bandBits = 2) < bands)
+  }
 }
