@@ -104,7 +104,7 @@ object PreaggQueries {
        |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_60)} AS bucket_ms,
        |       COUNT(*) AS num_points,
        |       MAX(ts_ms) AS latest_ts,
-       |       arg_max(value, ts_ms) AS latest_v,
+       |       (MAX({'ts': ts_ms, 'v': value})).v AS latest_v,
        |       MIN(value) AS min_v, MAX(value) AS max_v
        |FROM metrics GROUP BY 1, 2, 3
        |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
@@ -114,7 +114,7 @@ object PreaggQueries {
       .agg(
         count(lit(1)).as("num_points"),
         max(col("ts_ms")).as("latest_ts"),
-        max_by(col("value"), col("ts_ms")).as("latest_v"),
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
     Preaggregated.gaugeMerge(g20, Granularity.MIN_60)

@@ -52,7 +52,10 @@ object RollupQueries2 {
   }
 
   /** Gauge rollup (reference: types/BluefloodGaugeRollup.java:64-96): basic
-    * stats + the latest (max-timestamp) value. `max_by` ≡ DuckDB arg_max. */
+    * stats + the latest (max-timestamp) value. The latest pick is the
+    * lexicographic max over (ts_ms, value) on BOTH sides — max_by/arg_max
+    * choose an arbitrary row on ts_ms ties, which would make a hash-exact
+    * comparison flaky the moment two points share a bucket's max timestamp. */
   private val gauge60m = QDef(
     "q_rollup_gauge_60m",
     s"""WITH ${OracleViews.metricsCte}
@@ -60,7 +63,7 @@ object RollupQueries2 {
        |       COUNT(value) AS num_points,
        |       MIN(value) AS min_v, MAX(value) AS max_v,
        |       MAX(ts_ms) AS latest_ts,
-       |       arg_max(value, ts_ms) AS latest_v
+       |       (MAX({'ts': ts_ms, 'v': value})).v AS latest_v
        |FROM metrics GROUP BY 1, 2, 3
        |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
     Tables.metrics(s, dir)
@@ -71,7 +74,7 @@ object RollupQueries2 {
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         max(col("ts_ms")).as("latest_ts"),
-        max_by(col("value"), col("ts_ms")).as("latest_v"))
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
       .orderBy("tenant_id", "metric_name", "bucket_ms")
   }
 
@@ -96,13 +99,16 @@ object RollupQueries2 {
 
   /** Timer rollup with the two-tier merge (reference:
     * types/BluefloodTimerRollup.java:211-256): 5m tier computes exact
-    * interpolated percentiles; the 60m merge adds counts/sums, recomputes
-    * rate over the coarser span, and averages the percentile means
-    * UNWEIGHTED — the reference's lossy-by-design semantics
-    * (BluefloodTimerRollup.java:242-254), replicated rather than improved.
-    * Percentiles are snapped to DECIMAL(18,6) on both sides so engine-level
-    * ulp differences in interpolation cannot surface; the unweighted mean
-    * then runs over exact decimals. */
+    * interpolated percentiles and a full-span tier-1 rate; the 60m merge
+    * adds counts/sums, averages the percentile means UNWEIGHTED — the
+    * reference's lossy-by-design semantics (BluefloodTimerRollup.java:
+    * 242-254), replicated rather than improved — and recomputes rate over
+    * the total OBSERVED time of present partials, Σnᵢ / Σ(nᵢ/rateᵢ)
+    * (BluefloodTimerRollup.java:226-228), which differs from count-over-
+    * coarser-span whenever a 60m bucket contains empty 5m slots.
+    * Percentiles and per-window elapsed times are snapped to DECIMAL(18,6)
+    * on both sides so engine-level ulp and summation-order differences
+    * cannot surface; sums then run over exact decimals. */
   private val timerMerge60m = QDef(
     "q_rollup_timer_60m",
     s"""WITH ${OracleViews.metricsCte},
@@ -112,7 +118,9 @@ object RollupQueries2 {
        |         SUM(CAST(value AS DECIMAL(28,2))) AS sum_dec,
        |         MIN(value) AS min_v, MAX(value) AS max_v,
        |         CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50_dec,
-       |         CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS p95_dec
+       |         CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS p95_dec,
+       |         CAST(num_points / (num_points / ${Granularity.MIN_5.millis / 1000.0})
+       |              AS DECIMAL(18,6)) AS elapsed_dec
        |  FROM metrics GROUP BY 1, 2, 3
        |)
        |SELECT tenant_id, metric_name,
@@ -123,7 +131,7 @@ object RollupQueries2 {
        |       MIN(min_v) AS min_v, MAX(max_v) AS max_v,
        |       CAST(SUM(p50_dec) AS DOUBLE) / COUNT(p50_dec) AS p50,
        |       CAST(SUM(p95_dec) AS DOUBLE) / COUNT(p95_dec) AS p95,
-       |       SUM(num_points) / ${Granularity.MIN_60.millis / 1000.0} AS rate
+       |       CAST(SUM(num_points) AS DOUBLE) / CAST(SUM(elapsed_dec) AS DOUBLE) AS rate
        |FROM t5 GROUP BY 1, 2, 3
        |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
     // one percentile buffer for both quantiles (array form), not two
@@ -139,6 +147,12 @@ object RollupQueries2 {
       .withColumn("p50_dec", col("ps").getItem(0).cast(DecimalType(18, 6)))
       .withColumn("p95_dec", col("ps").getItem(1).cast(DecimalType(18, 6)))
       .drop("ps")
+      // tier-1 rate = n / 300s (full span); observed time n/rate re-derived
+      // and decimal-snapped so the 60m sum is order-independent
+      .withColumn("elapsed_dec",
+        (col("num_points") /
+          (col("num_points") / lit(Granularity.MIN_5.millis / 1000.0)))
+          .cast(DecimalType(18, 6)))
     t5.groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("bucket_ms"), Granularity.MIN_60).as("bucket_ms"))
       .agg(
@@ -148,7 +162,8 @@ object RollupQueries2 {
         max(col("max_v")).as("max_v"),
         (sum(col("p50_dec")).cast("double") / count(col("p50_dec"))).as("p50"),
         (sum(col("p95_dec")).cast("double") / count(col("p95_dec"))).as("p95"),
-        (sum(col("num_points")) / lit(Granularity.MIN_60.millis / 1000.0)).as("rate"))
+        (sum(col("num_points")).cast("double") /
+          sum(col("elapsed_dec")).cast("double")).as("rate"))
       .withColumn("avg_v", col("sum_v") / col("num_points"))
       .orderBy("tenant_id", "metric_name", "bucket_ms")
   }
@@ -301,7 +316,7 @@ object RollupQueries2 {
       s"""WITH ${OracleViews.metricsCte}
          |SELECT tenant_id, metric_name,
          |       MAX(ts_ms) AS latest_ts,
-         |       arg_max(value, ts_ms) AS latest_v
+         |       (MAX({'ts': ts_ms, 'v': value})).v AS latest_v
          |FROM metrics WHERE ts_ms <= $t
          |GROUP BY 1, 2
          |ORDER BY tenant_id, metric_name""".stripMargin) { (s, dir) =>
@@ -309,7 +324,7 @@ object RollupQueries2 {
         .groupBy(col("tenant_id"), col("metric_name"))
         .agg(
           max(col("ts_ms")).as("latest_ts"),
-          max_by(col("value"), col("ts_ms")).as("latest_v"))
+          max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
         .orderBy("tenant_id", "metric_name")
     }
   }

@@ -17,16 +17,21 @@ object TextFunctions {
   def words(text: Column): Column = split(normalized(text), " ")
 
   /** Word k-shingles as space-joined strings (the MinHash/Jaccard unit) —
-    * expression form for per-row use. NOTE: higher-order functions evaluate
-    * interpreted and re-evaluate `words(text)` per index; for corpus-scale
-    * shingling use the relational `Dedup.shingleRows` (explode + window
-    * lead) instead. */
+    * expression form for per-row use. Documents with fewer than k words
+    * yield an EMPTY array (complete shingles only), agreeing with the
+    * relational `Dedup.shingleRows` so the two forms are interchangeable
+    * without changing Jaccard denominators for short docs. NOTE:
+    * higher-order functions evaluate interpreted and re-evaluate
+    * `words(text)` per index; for corpus-scale shingling use shingleRows
+    * (explode + window lead) instead. */
   def wordShingles(text: Column, k: Int): Column = {
     val ws = words(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
-        i => concat_ws(" ", slice(ws, i, lit(k)))))
+    // guard, not greatest(...,1): sequence(1, 0) would count DOWN to [1, 0]
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(k))))))
   }
 
   /** Whitespace token count. */

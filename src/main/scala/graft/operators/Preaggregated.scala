@@ -35,6 +35,7 @@ object Preaggregated {
       StructField("sum", DoubleType),
       StructField("min", DoubleType),
       StructField("max", DoubleType),
+      StructField("rate", DoubleType),
       StructField("percentiles", MapType(StringType, DoubleType))))),
     StructField("set", ArrayType(IntegerType))))
 
@@ -50,6 +51,7 @@ object Preaggregated {
     val payloadSchema = StructType(Seq(
       StructField("tenant_id", StringType),
       StructField("timestamp", LongType),
+      StructField("flushInterval", LongType),
       StructField("gauges", ArrayType(StructType(Seq(
         StructField("name", StringType), StructField("latest", DoubleType))))),
       StructField("counters", ArrayType(StructType(Seq(
@@ -58,7 +60,7 @@ object Preaggregated {
       StructField("timers", ArrayType(StructType(Seq(
         StructField("name", StringType), StructField("count", LongType),
         StructField("sum", DoubleType), StructField("min", DoubleType),
-        StructField("max", DoubleType),
+        StructField("max", DoubleType), StructField("rate", DoubleType),
         StructField("percentiles", MapType(StringType, DoubleType)))))),
       StructField("sets", ArrayType(StructType(Seq(
         StructField("name", StringType),
@@ -66,19 +68,30 @@ object Preaggregated {
     val p = lines
       .select(from_json(col("value").cast("string"), payloadSchema).as("p"))
       .select(col("p.tenant_id"), col("p.timestamp").as("ts_ms"),
+        coalesce(col("p.flushInterval"), lit(0L)).as("flush_ms"),
         col("p.gauges"), col("p.counters"), col("p.timers"), col("p.sets"))
     def kindRows(arr: String, kind: String, state: Column) =
-      p.select(col("tenant_id"), col("ts_ms"), explode(col(arr)).as("m"))
+      p.select(col("tenant_id"), col("ts_ms"), col("flush_ms"), explode(col(arr)).as("m"))
         .select(col("tenant_id"), col("m.name").as("metric_name"), col("ts_ms"),
           lit(kind).as("kind"), state)
+    // Counter sampleCount = trunc(rate × flushInterval/1000), or 1 when the
+    // statsd config omits flushInterval (PreaggregateConversions.java:58-65).
+    // floor ≡ the reference's (long) truncation for the non-negative rates
+    // statsd emits, and floor round-trips identically through DuckDB.
+    val sampleCount =
+      when(col("flush_ms") > 0,
+        floor(col("m.rate") * col("flush_ms") / lit(1000.0)).cast(IntegerType))
+        .otherwise(lit(1))
     Seq(
       kindRows("counters", "counter",
-        struct(col("m.value").as("count"), col("m.rate").as("rate")).as("counter")),
+        struct(col("m.value").as("count"), col("m.rate").as("rate"),
+          sampleCount.as("sample_count")).as("counter")),
       kindRows("gauges", "gauge",
         struct(col("ts_ms").as("latest_ts"), col("m.latest").as("latest")).as("gauge")),
       kindRows("timers", "timer",
         struct(col("m.count").as("count"), col("m.sum").as("sum"),
           col("m.min").as("min"), col("m.max").as("max"),
+          coalesce(col("m.rate"), lit(0.0)).as("rate"),
           col("m.percentiles").as("percentiles")).as("timer")),
       kindRows("sets", "set", col("m.values").as("set")))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -88,18 +101,26 @@ object Preaggregated {
     * — the reference's total-time formula (BluefloodCounterRollup.java:
     * 102-115), zero-guarded like utils/Util.safeDiv. Input: rows with
     * (count, rate) per finer window. */
-  def counterMerge(finer: DataFrame, g: Granularity): DataFrame =
+  def counterMerge(finer: DataFrame, g: Granularity): DataFrame = {
+    // sample counts add across merges (BluefloodCounterRollup.java:120-128);
+    // carried only when the input tier has the column, so merge inputs built
+    // from sources without sampling metadata stay unchanged.
+    val sampleAgg =
+      if (finer.columns.contains("sample_count"))
+        Seq(sum(col("sample_count")).cast("int").as("sample_count"))
+      else Nil
     finer
       .groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
       .agg(
         sum(col("count")).as("count"),
-        sum(when(col("rate") =!= 0.0, col("count") / col("rate"))
-          .otherwise(lit(0.0))).as("elapsed_s"))
+        (sum(when(col("rate") =!= 0.0, col("count") / col("rate"))
+          .otherwise(lit(0.0))).as("elapsed_s") +: sampleAgg): _*)
       .withColumn("rate",
         when(col("elapsed_s") =!= 0.0, col("count") / col("elapsed_s"))
           .otherwise(lit(0.0)))
       .drop("elapsed_s")
+  }
 
   /** Timer percentile-map merge: per label, the UNWEIGHTED mean of the
     * finer windows' percentile means (BluefloodTimerRollup.java:242-254).
@@ -118,8 +139,46 @@ object Preaggregated {
         .as("percentiles"))
   }
 
+  /** Full timer-state merge to a coarser tier — the scalar state plus the
+    * percentile map in one operator (reference computeFromRollups,
+    * BluefloodTimerRollup.java:210-256): counts and sums add, min/max
+    * extremize, rate uses the total-OBSERVED-time formula
+    * rate = Σcountᵢ / Σ(countᵢ/rateᵢ) (lines 226-228 — NOT count over the
+    * coarser span: empty finer windows contribute no time), and percentile
+    * means merge UNWEIGHTED (lines 242-254, lossy by design). The map state
+    * merges relationally (explode → avg per label → map_from_entries); the
+    * scalar and map aggregations share the same grouping key, so the join
+    * re-uses the shuffle partitioning rather than adding an exchange. */
+  def timerStateMerge(finer: DataFrame, g: Granularity): DataFrame = {
+    val keyed = finer.withColumn("bucket_ms", Tables.bucketMs(col("bucket_ms"), g))
+    val scalars = keyed
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
+      .agg(
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        sum(when(col("rate") =!= 0.0, col("count") / col("rate"))
+          .otherwise(lit(0.0))).as("elapsed_s"))
+      .withColumn("rate",
+        when(col("elapsed_s") =!= 0.0, col("count") / col("elapsed_s"))
+          .otherwise(lit(0.0)))
+      .drop("elapsed_s")
+    val pmap = keyed
+      .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        explode(col("percentiles")).as(Seq("label", "p_mean")))
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"), col("label"))
+      .agg(avg(col("p_mean")).as("p_mean"))
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
+      .agg(map_from_entries(collect_list(struct(col("label"), col("p_mean"))))
+        .as("percentiles"))
+    scalars.join(pmap, Seq("tenant_id", "metric_name", "bucket_ms"), "left")
+  }
+
   /** Gauge merge: the latest value across inputs is the one with the max
-    * latest_ts (BluefloodGaugeRollup.java:81-96). */
+    * latest_ts (BluefloodGaugeRollup.java:81-96); ties on latest_ts break
+    * by value (lexicographic struct max) so the merge is total and
+    * partition-order-independent. */
   def gaugeMerge(finer: DataFrame, g: Granularity): DataFrame =
     finer
       .groupBy(col("tenant_id"), col("metric_name"),
@@ -127,7 +186,8 @@ object Preaggregated {
       .agg(
         sum(col("num_points")).as("num_points"),
         max(col("latest_ts")).as("latest_ts"),
-        max_by(col("latest_v"), col("latest_ts")).as("latest_v"),
+        max(struct(col("latest_ts"), col("latest_v"))).getField("latest_v")
+          .as("latest_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
@@ -141,4 +201,36 @@ object Preaggregated {
         Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
       .agg(array_distinct(flatten(collect_list(col("set_state")))).as("set_state"))
       .withColumn("distinct_count", size(col("set_state")))
+
+  /** Tier-1 (finest stored) merge states per kind from parsed payload rows —
+    * the kind dispatch the reference performs in
+    * RollupRunnable.getRollupComputer (service/RollupRunnable.java:162-178),
+    * resolved here by each row's declared kind; the result tables are flat,
+    * keyed (tenant_id, metric_name, bucket_ms), and directly mergeable by
+    * the same kind operator that built them, so the whole ladder uses one
+    * algebra per kind. A single flush state converts per the reference's
+    * buildFromRawSamples semantics — a lone gauge reading has count 1 and
+    * min = max = latest (BluefloodGaugeRollup.java:49-63). */
+  def tier1FromParsed(parsed: DataFrame, g: Granularity): Map[String, DataFrame] = {
+    def of(kind: String) = parsed.filter(col("kind") === kind)
+      .withColumn("bucket_ms", col("ts_ms"))
+    val counter = counterMerge(
+      of("counter").select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        col("counter.count").as("count"), col("counter.rate").as("rate"),
+        col("counter.sample_count").as("sample_count")), g)
+    val gauge = gaugeMerge(
+      of("gauge").select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        lit(1L).as("num_points"),
+        col("gauge.latest_ts").as("latest_ts"), col("gauge.latest").as("latest_v"),
+        col("gauge.latest").as("min_v"), col("gauge.latest").as("max_v")), g)
+    val timer = timerStateMerge(
+      of("timer").select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        col("timer.count").as("count"), col("timer.sum").as("sum"),
+        col("timer.min").as("min"), col("timer.max").as("max"),
+        col("timer.rate").as("rate"), col("timer.percentiles").as("percentiles")), g)
+    val set = setStateMerge(
+      of("set").select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        col("set").as("set_state")), g)
+    Map("counter" -> counter, "gauge" -> gauge, "timer" -> timer, "set" -> set)
+  }
 }

@@ -123,8 +123,12 @@ object Rollups {
       .drop("min_ts", "max_ts")
 
   /** Gauge rollup: basic stats + the latest (max-timestamp) point
-    * (reference: types/BluefloodGaugeRollup.java:64-96). `max_by` is the
-    * native Catalyst form of "value at max ts". */
+    * (reference: types/BluefloodGaugeRollup.java:64-96). The "latest" pick
+    * is totalized as max over (ts_ms, value) pairs — max_by alone picks an
+    * ARBITRARY row when two points share the max timestamp, which would
+    * make results partition-order-dependent (and any hash-exact comparison
+    * flaky); the lexicographic struct max is deterministic and identical to
+    * max_by whenever timestamps are unique. */
   def gaugeFromRaw(points: DataFrame, g: Granularity): DataFrame =
     points
       .groupBy(grouped(points, g): _*)
@@ -134,7 +138,7 @@ object Rollups {
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         max(col("ts_ms")).as("latest_ts"),
-        max_by(col("value"), col("ts_ms")).as("latest_v"))
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
 
   /** Set rollup: exact distinct count per window (reference:
     * types/BluefloodSetRollup.java:30-70 keeps a Set of value hashes; count
@@ -173,9 +177,13 @@ object Rollups {
       .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
 
   /** Timer merge to a coarser tier: counts/sums added, mean count-weighted,
-    * rate over the coarser span, and — deliberately — percentile means
-    * merged by UNWEIGHTED average, replicating the reference's lossy-by-design
-    * semantics (BluefloodTimerRollup.java:242-254). */
+    * percentile means — deliberately — merged by UNWEIGHTED average,
+    * replicating the reference's lossy-by-design semantics
+    * (BluefloodTimerRollup.java:242-254), and rate over the total OBSERVED
+    * time of the present partials, rate = Σnᵢ / Σ(nᵢ/rateᵢ)
+    * (BluefloodTimerRollup.java:226-228) — NOT count over the full coarser
+    * span: finer windows with no data contribute no time, so the two
+    * diverge whenever a coarser bucket has empty 5m slots inside it. */
   def timerMerge(finerRollups: DataFrame, g: Granularity): DataFrame =
     finerRollups
       .groupBy(keyCols :+ Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"): _*)
@@ -186,8 +194,13 @@ object Rollups {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
         avg(col("p50")).as("p50"),
-        avg(col("p95")).as("p95"))
-      .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+        avg(col("p95")).as("p95"),
+        sum(when(col("rate") =!= 0.0, col("num_points") / col("rate"))
+          .otherwise(lit(0.0))).as("elapsed_s"))
+      .withColumn("rate",
+        when(col("elapsed_s") =!= 0.0, col("num_points") / col("elapsed_s"))
+          .otherwise(lit(0.0)))
+      .drop("elapsed_s")
 
   /** Skew-resistant EXACT set rollup. Algebraic aggregates (count/sum/
     * min/max/avg/var) don't need salting — map-side partial aggregation

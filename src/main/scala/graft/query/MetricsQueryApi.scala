@@ -41,10 +41,21 @@ object MetricsQueryApi {
     "latest" -> "latest_v", "rate" -> "rate")
 
   /** Full read path. `nowMillis` pins both datetime parsing and the
-    * retention clock (injectable for tests). */
+    * retention clock (injectable for tests); `catalogOverride` injects a
+    * discovery source other than the derived catalog (the reference's
+    * discovery backend is pluggable the same way, DiscoveryIO).
+    *
+    * When `select=` is absent, defaults apply PER METRIC from its catalog
+    * rollup_type (PlotRequestParser.java:26-59 +
+    * BasicRollupsOutputSerializer — a mixed basic+counter glob returns each
+    * metric its own default stat set, not the first metric's): the frame
+    * keeps the union of the needed stat columns plus a per-row `stat_set`
+    * listing the metric's own stats, which [[toJsonResponse]] uses to emit
+    * exactly that metric's fields. */
   def getRollups(spark: SparkSession, dir: String, p: Params,
       nowMillis: Long = System.currentTimeMillis(),
-      maxBatch: Int = MaxMetricsPerBatchQuery): DataFrame = {
+      maxBatch: Int = MaxMetricsPerBatchQuery,
+      catalogOverride: Option[DataFrame] = None): DataFrame = {
     require(p.points.isDefined ^ p.resolution.isDefined,
       "exactly one of points= or resolution= required")
     val fromMs = DateTimeParser.parseMillis(p.from, nowMillis)
@@ -59,7 +70,7 @@ object MetricsQueryApi {
     // One scan: the guard caps the set at maxBatch rows, so collect once and
     // rebuild a local broadcast side instead of re-running the
     // catalog-derivation pipeline for count/type-lookup/join.
-    val resolved = Tables.catalog(spark, dir)
+    val resolved = catalogOverride.getOrElse(Tables.catalog(spark, dir))
       .filter(col("tenant_id") === p.tenantId &&
         col("metric_name").rlike(GlobPattern.toAnchoredRegex(p.metricGlob)))
       .limit(maxBatch + 1)
@@ -69,15 +80,21 @@ object MetricsQueryApi {
     import spark.implicits._
     val names = resolved.toSeq
       .map(r => (r.getAs[String]("tenant_id"), r.getAs[String]("metric_name"),
-        r.getAs[String]("unit")))
-      .toDF("tenant_id", "metric_name", "unit")
+        r.getAs[String]("unit"), r.getAs[String]("rollup_type")))
+      .toDF("tenant_id", "metric_name", "unit", "rollup_type")
 
-    // select= default depends on the metric type (PlotRequestParser.java:26-59)
+    // select= given → one uniform stat set; absent → per-metric defaults
+    // by rollup_type, so keep the union of every resolved type's columns
+    val perMetricDefaults = p.select.isEmpty
     val select =
-      if (p.select.nonEmpty) p.select
-      else resolved.headOption
-        .map(r => defaultStats(r.getAs[String]("rollup_type")))
-        .getOrElse(defaultStats("basic"))
+      if (!perMetricDefaults) p.select
+      else resolved.toSeq
+        .map(r => r.getAs[String]("rollup_type")).distinct
+        .flatMap(t => defaultStats.getOrElse(t, defaultStats("basic")))
+        .distinct match {
+          case Nil => defaultStats("basic")
+          case u => u
+        }
 
     val gEff = if (g.isFull) Granularity.MIN_5 else g
     // snap with the EFFECTIVE bucket granularity: FULL selection still
@@ -88,6 +105,7 @@ object MetricsQueryApi {
       .join(broadcast(names), Seq("tenant_id", "metric_name"))
     val agged = pts
       .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
+        col("rollup_type"),
         Tables.bucketMs(col("ts_ms"), gEff).as("bucket_ms"))
       .agg(
         count(col("value")).as("num_points"),
@@ -96,13 +114,26 @@ object MetricsQueryApi {
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         var_pop(col("value")).as("var_v"),
-        max_by(col("value"), col("ts_ms")).as("latest_v"))
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
       .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
 
     val keep = Seq("tenant_id", "metric_name", "unit", "bucket_ms") ++
       select.flatMap(statCols.get).distinct
-    agged.select(keep.map(col): _*)
-      .orderBy("metric_name", "bucket_ms")
+    val projected =
+      if (!perMetricDefaults) agged.select(keep.map(col): _*)
+      else {
+        // per-row list of this metric's own stat columns, consumed by the
+        // serializer; the frame carries the union of columns
+        val statSet = defaultStats.foldLeft(
+            array(defaultStats("basic").flatMap(statCols.get).map(lit): _*)) {
+          case (els, (t, stats)) =>
+            when(col("rollup_type") === t,
+              array(stats.flatMap(statCols.get).map(lit): _*)).otherwise(els)
+        }
+        agged.withColumn("stat_set", statSet)
+          .select((keep :+ "stat_set").map(col): _*)
+      }
+    projected.orderBy("metric_name", "bucket_ms")
   }
 
   /** The reference's JSON response shape (S13,
@@ -113,7 +144,8 @@ object MetricsQueryApi {
     * serialization step, bounded by MaxMetricsPerBatchQuery. */
   def toJsonResponse(rollups: DataFrame): String = {
     val statFields = rollups.columns
-      .filterNot(Set("tenant_id", "metric_name", "unit", "bucket_ms"))
+      .filterNot(Set("tenant_id", "metric_name", "unit", "bucket_ms", "stat_set"))
+    val hasStatSet = rollups.columns.contains("stat_set")
     val byMetric = rollups.collect()
       .groupBy(r => (r.getAs[String]("metric_name"), r.getAs[String]("unit")))
       .toSeq.sortBy(_._1)
@@ -134,7 +166,13 @@ object MetricsQueryApi {
     } + "\""
     val metrics = byMetric.map { case ((name, unit), rows) =>
       val values = rows.sortBy(_.getAs[Long]("bucket_ms")).map { r =>
-        val stats = statFields.map(f => s""""$f": ${jNum(r.getAs[Any](f))}""")
+        // per-metric default stat sets: emit only this metric's own stats
+        val fields =
+          if (hasStatSet) {
+            val own = r.getSeq[String](r.fieldIndex("stat_set"))
+            statFields.filter(own.contains)
+          } else statFields
+        val stats = fields.map(f => s""""$f": ${jNum(r.getAs[Any](f))}""")
         (Seq(s""""timestamp": ${r.getAs[Long]("bucket_ms")}""") ++ stats)
           .mkString("{", ", ", "}")
       }

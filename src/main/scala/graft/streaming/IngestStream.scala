@@ -146,19 +146,83 @@ object IngestStream {
         col("num_points"), col("sum_v"), col("avg_v"),
         col("min_v"), col("max_v"), col("var_v"))
 
+  private val cascadeTiers = Seq(
+    Granularity.MIN_20, Granularity.MIN_60, Granularity.MIN_240, Granularity.MIN_1440)
+
   /** Incremental cascade tiers: each coarser tier recomputes from the tier
-    * below for the touched buckets only (reference §3.3: 5m slots roll
-    * from FULL, 20m from 5m, ...). */
-  def rollupCascadeFor(spark: SparkSession, storeDir: String): Unit = {
+    * below (reference §3.3: 5m slots roll from FULL, 20m from 5m, ...).
+    *
+    * With `dirtyDays` given, only those `ts_day` partitions are read from
+    * the finer tier and only they are overwritten in the coarser one
+    * (dynamic partition overwrite) — the same discipline as
+    * [[rollDirtyDays]], and the per-slot (not whole-table) re-roll of the
+    * reference's LocatorFetchRunnable.java:92-129. Every tier here is
+    * day-contained (20m…1440m all divide a day, epoch-aligned), so a dirty
+    * finer day maps to exactly the same dirty day at every coarser tier.
+    * With `dirtyDays = None` the whole ladder rebuilds (static overwrite, so
+    * days deleted from the finer tier also vanish from the coarser ones).
+    *
+    * Merges use [[graft.operators.Rollups.basicMergeStable]]: the expanded
+    * variance form cancels catastrophically when |mean| ≫ stddev, which a
+    * stored production tier must not risk. */
+  def rollupCascadeFor(spark: SparkSession, storeDir: String,
+      dirtyDays: Option[Seq[Long]] = None): Unit = {
     var finerName = "metrics_5m"
-    for (g <- Seq(Granularity.MIN_20, Granularity.MIN_60, Granularity.MIN_240, Granularity.MIN_1440)) {
-      val finer = spark.read.parquet(s"$storeDir/$finerName")
-        .drop("ts_day")
-      val merged = graft.operators.Rollups.basicMerge(finer, g)
+    for (g <- cascadeTiers) {
+      val finerAll = spark.read.parquet(s"$storeDir/$finerName")
+      val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
+      val merged = graft.operators.Rollups.basicMergeStable(finer.drop("ts_day"), g)
+        .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+          col("num_points"), col("sum_v"), col("avg_v"),
+          col("min_v"), col("max_v"), col("var_v"))
         .withColumn("ts_day", dayOf(col("bucket_ms")))
-      merged.write.mode("overwrite").partitionBy("ts_day")
+      val w = merged.write.mode("overwrite").partitionBy("ts_day")
+      (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
         .parquet(s"$storeDir/metrics_${g.name}")
       finerName = s"metrics_${g.name}"
+    }
+  }
+
+  /** Persist the per-kind tier-1 (5m) pre-aggregated state tables from
+    * parsed statsd payload rows ([[graft.operators.Preaggregated
+    * .fromAggregatedJson]]), day-partitioned like the basic tiers. */
+  def writePreaggTier1(parsed: DataFrame, storeDir: String): Unit =
+    graft.operators.Preaggregated.tier1FromParsed(parsed, Granularity.MIN_5)
+      .foreach { case (kind, df) =>
+        df.withColumn("ts_day", dayOf(col("bucket_ms")))
+          .write.mode("overwrite").partitionBy("ts_day")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$storeDir/preagg_${kind}_5m")
+      }
+
+  /** Kind-routed stored cascade for the pre-aggregated families — the
+    * dispatch the reference does per locator in
+    * RollupRunnable.getRollupComputer (service/RollupRunnable.java:162-178):
+    * each kind's tier-1 table rolls 20m → … → 1440m with its OWN merge
+    * algebra (counter total-time rate, gauge latest-by-ts, timer
+    * scalar+percentile-map, set hash-union), under the same dirty-day
+    * dynamic-overwrite discipline as the basic cascade. */
+  def preaggCascadeFor(spark: SparkSession, storeDir: String,
+      kinds: Seq[String] = Seq("counter", "gauge", "timer", "set"),
+      dirtyDays: Option[Seq[Long]] = None): Unit = {
+    import graft.operators.Preaggregated
+    val merges: Map[String, (DataFrame, Granularity) => DataFrame] = Map(
+      "counter" -> Preaggregated.counterMerge,
+      "gauge" -> Preaggregated.gaugeMerge,
+      "timer" -> Preaggregated.timerStateMerge,
+      "set" -> Preaggregated.setStateMerge)
+    for (kind <- kinds; merge = merges(kind)) {
+      var finerName = s"preagg_${kind}_5m"
+      for (g <- cascadeTiers) {
+        val finerAll = spark.read.parquet(s"$storeDir/$finerName")
+        val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
+        val merged = merge(finer.drop("ts_day", "distinct_count"), g)
+          .withColumn("ts_day", dayOf(col("bucket_ms")))
+        val w = merged.write.mode("overwrite").partitionBy("ts_day")
+        (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
+          .parquet(s"$storeDir/preagg_${kind}_${g.name}")
+        finerName = s"preagg_${kind}_${g.name}"
+      }
     }
   }
 }

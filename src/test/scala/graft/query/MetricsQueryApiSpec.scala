@@ -18,8 +18,9 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
       nowMillis = now)
     val rows = df.collect()
     assert(rows.nonEmpty)
+    // defaults absent → the union of needed stats + per-metric stat_set
     assert(df.columns.toSeq ===
-      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "average", "num_points", "sum_v"))
+      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "average", "num_points", "sum_v", "stat_set"))
     // buckets are 240m-aligned (GEOMETRIC pick for 200 pts over 20 days)
     rows.foreach(r => assert(r.getAs[Long]("bucket_ms") % Granularity.MIN_240.millis === 0))
     assert(rows.forall(r => r.getAs[String]("unit") == "dollars"))
@@ -69,7 +70,38 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
         points = None, resolution = Some(graft.core.Granularity.MIN_1440)),
       nowMillis = now)
     assert(df.columns.toSeq ===
-      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "num_points", "sum_v"))
+      Seq("tenant_id", "metric_name", "unit", "bucket_ms", "num_points", "sum_v", "stat_set"))
+  }
+
+  test("mixed-type glob: each metric gets ITS OWN default stat set") {
+    import spark.implicits._
+    // one tenant, two metrics of different catalog types — the reference
+    // routes defaults per metric (PlotRequestParser + per-type serializer),
+    // not per batch
+    val cat = Seq(
+      ("click", "app.click.user_1", "count", "counter"),
+      ("click", "app.click.user_2", "count", "basic"))
+      .toDF("tenant_id", "metric_name", "unit", "rollup_type")
+    val df = MetricsQueryApi.getRollups(spark, dir,
+      MetricsQueryApi.Params("click", "app.click.user_[12]", "20240103", "20240129",
+        points = None, resolution = Some(graft.core.Granularity.MIN_1440)),
+      nowMillis = now, catalogOverride = Some(cat))
+    // union of counter {numPoints,sum} and basic {average,numPoints,sum}
+    assert(df.columns.toSet ===
+      Set("tenant_id", "metric_name", "unit", "bucket_ms",
+        "average", "num_points", "sum_v", "stat_set"))
+    val sets = df.collect()
+      .map(r => r.getAs[String]("metric_name") ->
+        r.getSeq[String](r.fieldIndex("stat_set")).toSet).toMap
+    assert(sets("app.click.user_1") === Set("num_points", "sum_v"))
+    assert(sets("app.click.user_2") === Set("average", "num_points", "sum_v"))
+    // and the JSON emits only each metric's own fields
+    val json = MetricsQueryApi.toJsonResponse(df)
+    val perMetric = json.split("\\{\"metric\": ").drop(1)
+    val m1 = perMetric.find(_.startsWith("\"app.click.user_1\"")).get
+    val m2 = perMetric.find(_.startsWith("\"app.click.user_2\"")).get
+    assert(!m1.contains("\"average\"") && m1.contains("\"num_points\""))
+    assert(m2.contains("\"average\"") && m2.contains("\"num_points\""))
   }
 
   test("golden JSON: response is byte-stable for a fixed query") {

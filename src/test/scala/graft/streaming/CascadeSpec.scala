@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.core.Granularity
+import graft.operators.{Preaggregated, Rollups}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The stored rollup cascade: dirty-day incremental re-roll (the per-slot,
+  * not whole-table, discipline of the reference's LocatorFetchRunnable
+  * .java:92-129), numerically stable variance up the ladder, and the
+  * kind-routed pre-aggregated ladder (RollupRunnable.java:162-178). */
+class CascadeSpec extends AnyFunSuite with SparkSuite {
+
+  private val day0 = 1704067200000L // 2024-01-01 00:00 UTC
+  private def day(n: Int) = day0 + n * 86400000L
+
+  /** (file name, last-modified) set for one ts_day partition directory. */
+  private def partitionState(store: String, table: String, d: Long): Set[(String, Long)] = {
+    val dir = Paths.get(s"$store/$table/ts_day=$d")
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      .toSet
+  }
+
+  test("incremental cascade re-rolls only dirty days; other partitions untouched") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_inc").toString
+    def write5m(points: Seq[(String, String, Long, Double)]): Unit =
+      Rollups.basicFromRaw(
+          points.toDF("tenant_id", "metric_name", "ts_ms", "value"), Granularity.MIN_5)
+        .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$store/metrics_5m")
+
+    val base = Seq(
+      ("t1", "m1", day(0) + 10000, 1.0), ("t1", "m1", day(0) + 20000, 3.0),
+      ("t1", "m1", day(1) + 10000, 5.0), ("t1", "m1", day(1) + 400000, 7.0),
+      ("t1", "m1", day(2) + 10000, 9.0))
+    write5m(base)
+    IngestStream.rollupCascadeFor(spark, store) // full build
+
+    val before1 = partitionState(store, "metrics_1440m", day(1))
+    val before2 = partitionState(store, "metrics_1440m", day(2))
+
+    // a late point lands in day 0 → only day 0 is dirty
+    val late = ("t1", "m1", day(0) + 30000, 11.0)
+    write5m(base :+ late) // day-partitioned dynamic overwrite rewrites day 0 only
+    IngestStream.rollupCascadeFor(spark, store, dirtyDays = Some(Seq(day(0))))
+
+    // untouched days: the exact same parquet files, byte-for-byte untouched
+    assert(partitionState(store, "metrics_1440m", day(1)) === before1)
+    assert(partitionState(store, "metrics_1440m", day(2)) === before2)
+
+    // the dirty day converged to the direct aggregation of ALL points
+    val t1440 = spark.read.parquet(s"$store/metrics_1440m")
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
+      .orderBy("bucket_ms").collect()
+    val direct = Rollups.basicFromRaw(
+        (base :+ late).toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        Granularity.MIN_1440)
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
+      .orderBy("bucket_ms").collect()
+    assert(t1440.toSeq === direct.toSeq)
+  }
+
+  test("cascade variance is numerically stable at huge means (never negative)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_stable").toString
+    // |mean| >> stddev: the expanded-form combine loses all significant
+    // digits here and can go negative; the grand-mean form must not.
+    val pts = (0 until 48).map { i =>
+      ("t1", "m1", day(0) + i * 1800000L, 1.0e8 + (i % 3) * 0.01)
+    }
+    Rollups.basicFromRaw(
+        pts.toDF("tenant_id", "metric_name", "ts_ms", "value"), Granularity.MIN_5)
+      .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+      .write.partitionBy("ts_day").parquet(s"$store/metrics_5m")
+    IngestStream.rollupCascadeFor(spark, store)
+    for (tier <- Seq("20m", "60m", "240m", "1440m")) {
+      val vars = spark.read.parquet(s"$store/metrics_$tier")
+        .select("var_v").as[Double].collect()
+      assert(vars.forall(_ >= 0.0), s"negative variance in $tier tier")
+    }
+    // and the 1440m variance is actually right (true pop-var of the cycle of
+    // offsets {0, .01, .02} repeated 16x)
+    val v = spark.read.parquet(s"$store/metrics_1440m").select("var_v").as[Double].head()
+    val offs = (0 until 48).map(i => (i % 3) * 0.01)
+    val mu = offs.sum / offs.size
+    val trueVar = offs.map(o => (o - mu) * (o - mu)).sum / offs.size
+    assert(math.abs(v - trueVar) < 1e-7, s"var_v=$v truth=$trueVar")
+  }
+
+  test("kind-routed preagg cascade materializes each kind's ladder with its own algebra") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_preagg").toString
+    def payload(ts: Long, flushMs: Long, ctr: (Double, Double), timer: String,
+        gauge: Double, set: String): String =
+      s"""{"tenant_id":"t1","timestamp":$ts,"flushInterval":$flushMs,
+         |"counters":[{"name":"c1","value":${ctr._1},"rate":${ctr._2}}],
+         |"timers":[{"name":"tm1",$timer}],
+         |"gauges":[{"name":"g1","latest":$gauge}],
+         |"sets":[{"name":"s1","values":$set}]}""".stripMargin.replaceAll("\n", "")
+    val lines = Seq(
+      payload(day(0) + 10000, 10000L, (100.0, 10.0),
+        """"count":4,"sum":40.0,"min":5.0,"max":15.0,"rate":2.0,"percentiles":{"50":9.0,"95":14.0}""",
+        42.0, "[1,2,3]"),
+      payload(day(0) + 200000, 10000L, (300.0, 15.0),
+        """"count":6,"sum":90.0,"min":3.0,"max":30.0,"rate":3.0,"percentiles":{"50":12.0,"95":28.0}""",
+        43.5, "[3,4]"),
+      payload(day(0) + 1300000, 0L, (50.0, 5.0),
+        """"count":2,"sum":10.0,"min":4.0,"max":6.0,"rate":1.0,"percentiles":{"50":5.0,"95":6.0}""",
+        41.0, "[9]"))
+      .toDF("value")
+    val parsed = Preaggregated.fromAggregatedJson(lines)
+
+    // counter sampleCount = trunc(rate × flushInterval/1000); 1 when flushInterval absent/0
+    val sc = parsed.filter(col("kind") === "counter")
+      .select(col("ts_ms"), col("counter.sample_count")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sc === Map((day(0) + 10000) -> 100, (day(0) + 200000) -> 150, (day(0) + 1300000) -> 1))
+
+    IngestStream.writePreaggTier1(parsed, store)
+    IngestStream.preaggCascadeFor(spark, store)
+
+    // counter 20m: flushes at +10s and +200s share a 20m bucket; total-time
+    // rate = (100+300)/(100/10 + 300/15) = 400/30; +1300s in the next bucket
+    val c20 = spark.read.parquet(s"$store/preagg_counter_20m")
+      .orderBy("bucket_ms").collect()
+    assert(c20.length === 2)
+    assert(c20(0).getAs[Double]("count") === 400.0)
+    assert(math.abs(c20(0).getAs[Double]("rate") - 400.0 / 30.0) < 1e-9)
+    assert(c20(0).getAs[Int]("sample_count") === 250)
+    assert(c20(1).getAs[Double]("count") === 50.0)
+    assert(c20(1).getAs[Int]("sample_count") === 1)
+
+    // counter 1440m folds both buckets; sample counts keep adding up the ladder
+    val c1440 = spark.read.parquet(s"$store/preagg_counter_1440m").collect()
+    assert(c1440.length === 1)
+    assert(c1440(0).getAs[Double]("count") === 450.0)
+    assert(c1440(0).getAs[Int]("sample_count") === 251)
+
+    // timer 20m: observed-time rate (4/2 + 6/3 = 4s observed → 10/4), NOT
+    // count over the 1200s span; percentile means merge unweighted
+    val t20 = spark.read.parquet(s"$store/preagg_timer_20m")
+      .orderBy("bucket_ms").collect()
+    assert(t20(0).getAs[Long]("count") === 10L)
+    assert(math.abs(t20(0).getAs[Double]("rate") - 10.0 / 4.0) < 1e-9)
+    assert(t20(0).getAs[Double]("min") === 3.0)
+    assert(t20(0).getAs[Double]("max") === 30.0)
+    val pmap = t20(0).getAs[Map[String, Double]]("percentiles")
+    assert(math.abs(pmap("50") - 10.5) < 1e-9) // avg(9, 12)
+    assert(math.abs(pmap("95") - 21.0) < 1e-9) // avg(14, 28)
+
+    // gauge 1440m: latest value by max ts; min/max across all flushes
+    val g1440 = spark.read.parquet(s"$store/preagg_gauge_1440m").collect()
+    assert(g1440.length === 1)
+    assert(g1440(0).getAs[Double]("latest_v") === 41.0)
+    assert(g1440(0).getAs[Long]("latest_ts") === day(0) + 1300000)
+    assert(g1440(0).getAs[Double]("min_v") === 41.0)
+    assert(g1440(0).getAs[Double]("max_v") === 43.5)
+    assert(g1440(0).getAs[Long]("num_points") === 3L)
+
+    // set 1440m: union of {1,2,3}, {3,4}, {9} = {1,2,3,4,9} → 5 distinct
+    val s1440 = spark.read.parquet(s"$store/preagg_set_1440m").collect()
+    assert(s1440.length === 1)
+    assert(s1440(0).getAs[Int]("distinct_count") === 5)
+  }
+}
