@@ -139,5 +139,115 @@ object PreaggQueries {
       .orderBy("tenant_id", "metric_name", "bucket_ms")
   }
 
-  val defs: Seq[QDef] = Seq(counterMerge, timerPmapMerge, gaugeMerge, setStateMerge)
+  /** The JSON→state ingest conversion itself, oracle-backed end to end:
+    * statsd aggregated payloads are CONSTRUCTED from the metrics view (one
+    * payload per tenant × 5m flush, counters/gauges/timers/sets sections,
+    * alternating flushInterval to exercise both sampleCount branches),
+    * routed through [[Preaggregated.fromAggregatedJson]] — real JSON
+    * serialization, schema parse, per-kind explode, sampleCount math
+    * (PreaggregateConversions.java:48-130) — then flattened to
+    * (locator, ts, kind, stat, value) rows. The oracle restates the same
+    * conversion arithmetic directly over the events table, so any drift in
+    * the parse schema, the kind dispatch, or the conversion formulas
+    * hash-fails. Doubles survive the JSON round-trip exactly (shortest
+    * round-trip printing); per-window derived stats are decimal-snapped on
+    * both sides per the oracle-parity convention. */
+  private val preaggIngest = QDef(
+    "q_preagg_ingest",
+    s"""WITH ${OracleViews.metricsCte},
+       |per AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_5)} AS bucket_ms,
+       |         COUNT(value) AS cnt,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+       |         MIN(value) AS min_v, MAX(value) AS max_v,
+       |         CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+       |         CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95,
+       |         CAST(COUNT(DISTINCT CAST(round(value * 100, 0) AS INTEGER)) AS DOUBLE) AS set_card,
+       |         (MAX({'ts': ts_ms, 'v': value})).v AS latest
+       |  FROM metrics WHERE tenant_id = 'error' GROUP BY 1, 2, 3
+       |),
+       |conv AS (
+       |  SELECT *, cnt / 300.0 AS rate,
+       |         CASE WHEN (bucket_ms // 300000) % 2 = 0 THEN 45000 ELSE 0 END AS flush_ms
+       |  FROM per
+       |)
+       |SELECT * FROM (
+       |  SELECT tenant_id, metric_name, bucket_ms AS ts_ms, 'counter' AS kind,
+       |         'count' AS stat, CAST(cnt AS DOUBLE) AS value_d FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'counter', 'rate', rate FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'counter', 'sample_count',
+       |    CASE WHEN flush_ms > 0 THEN FLOOR(rate * flush_ms / 1000.0) ELSE 1.0 END FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'gauge', 'latest', latest FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'count', CAST(cnt AS DOUBLE) FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'sum', sum_v FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'min', min_v FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'max', max_v FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'rate', rate FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'p50', p50 FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'timer', 'p95', p95 FROM conv
+       |  UNION ALL SELECT tenant_id, metric_name, bucket_ms, 'set', 'set_card', set_card FROM conv
+       |)
+       |ORDER BY tenant_id, metric_name, ts_ms, kind, stat""".stripMargin) { (s, dir) =>
+    val per = Tables.metrics(s, dir).filter(col("tenant_id") === "error")
+      .groupBy(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
+      .agg(
+        count(col("value")).as("cnt"),
+        sum(col("value").cast(DecimalType(28, 2))).cast("double").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        percentile(col("value"), array(lit(0.5), lit(0.95))).as("ps"),
+        collect_set(round(col("value") * 100, 0).cast("int")).as("svals"),
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest"))
+      .withColumn("p50", snap6(col("ps").getItem(0)))
+      .withColumn("p95", snap6(col("ps").getItem(1)))
+      .drop("ps")
+      .withColumn("rate", col("cnt") / lit(300.0))
+      .withColumn("flush_ms",
+        when(expr("bucket_ms div 300000 % 2") === 0, lit(45000L)).otherwise(lit(0L)))
+    val payloads = per
+      .groupBy(col("tenant_id"), col("bucket_ms"), col("flush_ms"))
+      .agg(
+        collect_list(struct(col("metric_name").as("name"),
+          col("cnt").cast("double").as("value"), col("rate"))).as("counters"),
+        collect_list(struct(col("metric_name").as("name"),
+          col("latest"))).as("gauges"),
+        collect_list(struct(col("metric_name").as("name"),
+          col("cnt").as("count"), col("sum_v").as("sum"), col("min_v").as("min"),
+          col("max_v").as("max"), col("rate"),
+          map(lit("50"), col("p50"), lit("95"), col("p95")).as("percentiles")))
+          .as("timers"),
+        collect_list(struct(col("metric_name").as("name"),
+          col("svals").as("values"))).as("sets"))
+      .select(to_json(struct(col("tenant_id"), col("bucket_ms").as("timestamp"),
+        col("flush_ms").as("flushInterval"), col("gauges"), col("counters"),
+        col("timers"), col("sets"))).as("value"))
+    val parsed = Preaggregated.fromAggregatedJson(payloads)
+    def longRows(kind: String, stackExpr: String) =
+      parsed.filter(col("kind") === kind).selectExpr(
+        "tenant_id", "metric_name", "ts_ms", "kind", stackExpr)
+    longRows("counter",
+      """stack(3,
+        |'count', counter.count,
+        |'rate', counter.rate,
+        |'sample_count', CAST(counter.sample_count AS DOUBLE)) AS (stat, value_d)"""
+        .stripMargin)
+      .unionByName(longRows("gauge",
+        "stack(1, 'latest', gauge.latest) AS (stat, value_d)"))
+      .unionByName(longRows("timer",
+        """stack(7,
+          |'count', CAST(timer.count AS DOUBLE),
+          |'sum', timer.sum,
+          |'min', timer.min,
+          |'max', timer.max,
+          |'rate', timer.rate,
+          |'p50', timer.percentiles['50'],
+          |'p95', timer.percentiles['95']) AS (stat, value_d)""".stripMargin))
+      .unionByName(longRows("set",
+        "stack(1, 'set_card', CAST(size(set) AS DOUBLE)) AS (stat, value_d)"))
+      .orderBy("tenant_id", "metric_name", "ts_ms", "kind", "stat")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    counterMerge, timerPmapMerge, gaugeMerge, setStateMerge, preaggIngest)
 }
