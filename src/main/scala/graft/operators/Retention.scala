@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.core.Granularity
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Retention enforcement: per-tier TTL as partition drops.
+  *
+  * The reference ages data out per resolution via Cassandra column-family
+  * TTLs (io/CassandraModel.java:47-59: full 5d, 5m 10d, 20m 20d, 60m 155d,
+  * 240m 300d, 1440m 1825d — the same ladder carried by
+  * [[Granularity.retentionDays]]). On a parquet lake the equivalent is
+  * dropping whole `ts_day=` partitions once every record in them has
+  * exceeded the tier's TTL — a metadata/file operation, O(number of
+  * partition directories), with no data rewrite; exactly how production
+  * table formats (Hive/Delta/Iceberg `DROP PARTITION`) implement retention
+  * at 100 TB. The query planner's geometric TTL skip
+  * ([[Granularity]] geometric selection) already refuses tiers whose
+  * retention has expired a range — this job makes the store agree with the
+  * plan, so "retention" changes storage, not just plans.
+  */
+object Retention {
+
+  /** Store-relative table name for a basic tier. */
+  def tableFor(g: Granularity): String =
+    if (g.isFull) "metrics_full" else s"metrics_${g.name}"
+
+  private val preaggKinds = Seq("counter", "gauge", "timer", "set")
+
+  /** Every tiered table a store may hold, with its governing granularity:
+    * the basic ladder plus the per-kind pre-aggregated ladders (the
+    * reference applies the same per-gran TTLs to its preaggregated column
+    * families, CassandraModel.java:61-72). */
+  def defaultTables: Map[String, Granularity] =
+    Granularity.all.map(g => tableFor(g) -> g).toMap ++
+      (for (k <- preaggKinds; g <- Granularity.rollupTiers)
+        yield s"preagg_${k}_${g.name}" -> g)
+
+  /** A day partition is expired only when its whole day lies beyond the
+    * tier's TTL horizon — the conservative reading of the reference's
+    * per-record TTL (no surviving record may be dropped early). */
+  def isExpired(tsDay: Long, g: Granularity, nowMillis: Long): Boolean =
+    tsDay + 86400000L <= nowMillis - g.retentionMillis
+
+  /** Drop expired `ts_day=` partitions of every present table; returns the
+    * dropped day values per table. Handles both flat day partitioning
+    * (`table/ts_day=D`) and the raw store's batch-then-day layout
+    * (`metrics_full/batch_id=B/ts_day=D`). Driver-side by design: the work
+    * is proportional to the number of partition DIRECTORIES (≤ retention
+    * window in days × batches), never to data volume. */
+  def enforce(spark: SparkSession, storeDir: String, nowMillis: Long,
+      tables: Map[String, Granularity] = defaultTables): Map[String, Seq[Long]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.toSeq.sortBy(_._1).flatMap { case (table, g) =>
+      val root = new Path(s"$storeDir/$table")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) None
+      else {
+        val parts =
+          fs.globStatus(new Path(root, "ts_day=*")) ++
+            fs.globStatus(new Path(root, "*/ts_day=*"))
+        val dropped = parts.toSeq.flatMap { st =>
+          val day = st.getPath.getName.stripPrefix("ts_day=").toLong
+          if (isExpired(day, g, nowMillis)) {
+            fs.delete(st.getPath, true)
+            Some(day)
+          } else None
+        }
+        if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
+      }
+    }.toMap
+  }
+}

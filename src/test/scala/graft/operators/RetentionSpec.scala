@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.Granularity
+import graft.streaming.IngestStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Retention enforcement (reference CassandraModel.java:47-59 TTL ladder):
+  * expired day partitions are dropped per tier, and the store then agrees
+  * with the planner's geometric TTL skip. */
+class RetentionSpec extends AnyFunSuite with SparkSuite {
+
+  private val day0 = 1704067200000L // 2024-01-01 00:00 UTC
+  private def day(n: Int) = day0 + n * 86400000L
+  private val now = day(30) // pinned retention clock
+
+  /** Days with ages (from day END to now) of 2, 7, 14 and 24 days: each
+    * crosses a different rung of the TTL ladder (full 5d, 5m 10d, 20m 20d). */
+  private val presentDays = Seq(day(27), day(22), day(15), day(5))
+
+  private def buildStore(): String = {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_retention").toString
+    val pts = presentDays.map(d => ("t1", "m1", d + 1000, 1.0))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    IngestStream.writeRaw(pts, store, batchId = 0L) // batch_id=0/ts_day=D layout
+    for (g <- Seq(Granularity.MIN_5, Granularity.MIN_20, Granularity.MIN_60))
+      Rollups.basicFromRaw(pts, g)
+        .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+        .write.partitionBy("ts_day").parquet(s"$store/${Retention.tableFor(g)}")
+    store
+  }
+
+  private def daysIn(store: String, table: String): Set[Long] = {
+    val root = Paths.get(s"$store/$table")
+    if (!java.nio.file.Files.exists(root)) Set.empty
+    else spark.read.parquet(root.toString)
+      .select("ts_day").distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("expired ts_day partitions drop per the tier TTL ladder") {
+    val store = buildStore()
+    val dropped = Retention.enforce(spark, store, now)
+
+    // full (5d): only the 2-day-old day survives
+    assert(daysIn(store, "metrics_full") === Set(day(27)))
+    // 5m (10d): 2- and 7-day-old survive
+    assert(daysIn(store, "metrics_5m") === Set(day(27), day(22)))
+    // 20m (20d): everything but the 24-day-old
+    assert(daysIn(store, "metrics_20m") === Set(day(27), day(22), day(15)))
+    // 60m (155d): nothing expires
+    assert(daysIn(store, "metrics_60m") === presentDays.toSet)
+
+    assert(dropped("metrics_full") === Seq(day(5), day(15), day(22)))
+    assert(dropped("metrics_5m") === Seq(day(5), day(15)))
+    assert(dropped("metrics_20m") === Seq(day(5)))
+    assert(!dropped.contains("metrics_60m"))
+
+    // idempotent: a second run finds nothing to drop
+    assert(Retention.enforce(spark, store, now) === Map.empty)
+  }
+
+  test("planner TTL-skip agrees with the store's actual contents") {
+    val store = buildStore()
+    Retention.enforce(spark, store, now)
+    // a range starting at the 15-day-old day: geometric selection skips
+    // full (5d) and 5m (10d) — both TTL-expired — and lands on 20m for a
+    // point budget that 20m provides best
+    val from = day(15)
+    val g = Granularity.granularityFromPointsInInterval(
+      from, now, points = 1080, nowMillis = now)
+    assert(g === Granularity.MIN_20)
+    // the selected tier still holds that day; every skipped finer tier lost it
+    assert(daysIn(store, Retention.tableFor(g)).contains(from))
+    assert(!daysIn(store, "metrics_full").contains(from))
+    assert(!daysIn(store, "metrics_5m").contains(from))
+    // and the skip/drop predicates agree tier-by-tier for every present day:
+    // a tier the planner would refuse (range start TTL-expired) is exactly a
+    // tier whose partition the store no longer has
+    for (g <- Seq(Granularity.FULL, Granularity.MIN_5, Granularity.MIN_20, Granularity.MIN_60);
+         d <- presentDays) {
+      val plannerSkips = d < now - g.retentionMillis
+      val stored = daysIn(store, Retention.tableFor(g)).contains(d)
+      assert(plannerSkips === !stored,
+        s"tier ${g.name} day ${(now - d) / 86400000L}d: plannerSkips=$plannerSkips stored=$stored")
+    }
+  }
+}
