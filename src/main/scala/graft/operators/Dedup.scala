@@ -47,65 +47,90 @@ object Dedup {
     if (distinct) sh.distinct() else sh
   }
 
-  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
-    * shingle→minhash→band→bucket-join→exact-verify; returns
-    * (doc_id_1, doc_id_2, jaccard) with jaccard ≥ threshold.
+  /** Per-document MinHash signature (m0..m{numHashes-1}) — RELATIONAL
+    * minhash: explode shingles once, then numHashes codegen'd `min`
+    * aggregates (h·a_i+b_i mod p) with map-side partial aggregation.
+    * Deliberately NOT nested higher-order functions: HOFs evaluate
+    * interpreted (CodegenFallback) and re-evaluate their argument
+    * expressions per lambda invocation, which turns a sig→bands→hash
+    * composition into per-doc quadratic re-computation of the shingle
+    * pipeline. Flat aggregates keep the whole thing in Tungsten codegen and
+    * scale with shuffle partial-merge like any other aggregation.
     *
-    * With numHashes=128, bands=32 (r=4), recall at j=0.8 is
-    * 1-(1-0.8⁴)³² ≈ 1-5e-8 — candidate generation is effectively lossless
-    * at the threshold, and false candidates die in the exact verify. */
-  def minhashNearDups(
+    * `maxShingleDf` prunes shingles present in more than that many
+    * DOCUMENTS from signature input — stopword n-grams ("of the and" in
+    * every doc) otherwise minhash to hot values that produce oversized band
+    * buckets; since the prune applies to CANDIDATE GENERATION only (verify
+    * is exact Jaccard over the full shingle sets), it trades recall only
+    * for pairs whose entire overlap is corpus-stopword shingles.
+    *
+    * This is the table to persist at 100 TB (one narrow row per doc): write
+    * it once with [[writeMinhashSignatures]] and feed every later dedup run
+    * from [[minhashNearDupsFromSignatures]] instead of re-shingling the
+    * corpus. (At bench scale the inline 4-way recompute measures faster
+    * than caching — column pruning keeps each branch narrower than the
+    * materialized base — so [[minhashNearDups]] stays inline by default.) */
+  def minhashSignatures(
       docs: DataFrame,
       k: Int = 3,
       numHashes: Int = 128,
-      bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val rowsPer = numHashes / bands
-    // RELATIONAL minhash: explode shingles once, then 128 codegen'd `min`
-    // aggregates (h*a_i+b_i) with map-side partial aggregation. Deliberately
-    // NOT nested higher-order functions: HOFs evaluate interpreted
-    // (CodegenFallback) and re-evaluate their argument expressions per
-    // lambda invocation, which turns a sig→bands→hash composition into
-    // per-doc quadratic re-computation of the shingle pipeline. Flat
-    // aggregates keep the whole thing in Tungsten codegen and scale with
-    // shuffle partial-merge like any other aggregation.
-    val rnd = new scala.util.Random(42L)
-    val coeffs = Seq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
-    // distinct=false: min over duplicate shingles is unchanged, and the
-    // exact-verify side dedups via collect_set — saves a 500k-row shuffle.
-    // The plan fans out 4 ways (both self-join sides + both shingle-set
-    // lookups) and recomputes the shingle pipeline per branch; measured
-    // locally that this window-lead form beats both persisting the base
-    // (cache materializes wider rows than any branch needs) and the
-    // expression-form shingles (explode(wordShingles) — the interpreted
-    // per-index split re-eval costs more than the window shuffle: 8.2s vs
-    // 5.3s at sf0.1). At 100 TB the signature table would be written out
-    // once and reused instead.
-    val shingled = shingleRows(docs, k, distinct = false)
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    // distinct=false: min over duplicate shingles is unchanged — saves a
+    // 500k-row shuffle (the verify side dedups via collect_set).
+    val base = shingleRows(docs, k, distinct = false)
+    val shingled0 = maxShingleDf.fold(base) { t =>
+      val dfs = shingleRows(docs, k).groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+      base.join(dfs.filter(col("df") <= t).select("sh"), "sh")
+    }
+    val shingled = shingled0
       .withColumn("h", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
     // h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1 (Mersenne prime): a proper
     // universal family. Without the modular reduction the affine map is
     // monotonic, every h_i selects the same argmin shingle, and the 128
     // "independent" hashes collapse to one.
+    val rnd = new scala.util.Random(42L)
+    val coeffs = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
     val p = 2147483647L
     val sigAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
-    val sig = shingled.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    shingled.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Persist the signature table — the once-per-corpus pass of the 100 TB
+    * dedup pipeline. */
+  def writeMinhashSignatures(docs: DataFrame, path: String, k: Int = 3,
+      numHashes: Int = 128, maxShingleDf: Option[Long] = None): Unit =
+    minhashSignatures(docs, k, numHashes, maxShingleDf)
+      .write.mode("overwrite").parquet(path)
+
+  /** LSH band candidates from a signature table: band the signature,
+    * equi-join on (band, key). */
+  def minhashCandidates(sig: DataFrame, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val rowsPer = numHashes / bands
     val bandKeyCols = (0 until bands).map { bnd =>
       xxhash64(concat_ws(",",
         (0 until rowsPer).map(r => col(s"m${bnd * rowsPer + r}").cast("string")): _*))
     }
     val bandsDf = sig.select(col("doc_id"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
-    val candidates = bandsDf.as("a")
+    bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
-    val sh = shingled.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the corpus's
+    * full (unpruned) shingle sets. */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, k, distinct = false)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     candidates
       .join(sh.withColumnRenamed("doc_id", "doc_id_1")
         .withColumnRenamed("shingles", "sh1"), "doc_id_1")
@@ -117,6 +142,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
   }
+
+  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
+    * shingle→minhash→band→bucket-join→exact-verify; returns
+    * (doc_id_1, doc_id_2, jaccard) with jaccard ≥ threshold.
+    *
+    * With numHashes=128, bands=32 (r=4), recall at j=0.8 is
+    * 1-(1-0.8⁴)³² ≈ 1-5e-8 — candidate generation is effectively lossless
+    * at the threshold, and false candidates die in the exact verify.
+    *
+    * The plan fans out 4 ways (both self-join sides + both shingle-set
+    * lookups) and recomputes the shingle pipeline per branch; measured
+    * locally that this window-lead form beats both persisting the base
+    * (cache materializes wider rows than any branch needs) and the
+    * expression-form shingles (explode(wordShingles) — the interpreted
+    * per-index split re-eval costs more than the window shuffle: 8.2s vs
+    * 5.3s at sf0.1). At 100 TB write the signatures out once
+    * ([[writeMinhashSignatures]]) and run
+    * [[minhashNearDupsFromSignatures]]. */
+  def minhashNearDups(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxShingleDf: Option[Long] = None): DataFrame =
+    verifyJaccard(
+      minhashCandidates(minhashSignatures(docs, k, numHashes, maxShingleDf),
+        numHashes, bands),
+      docs, k, threshold)
+
+  /** The persisted-signature dedup path: candidates come from a stored
+    * signature table (written once by [[writeMinhashSignatures]]); only
+    * verification touches the corpus text. Identical output to the inline
+    * path for the same parameters. */
+  def minhashNearDupsFromSignatures(
+      sig: DataFrame,
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame =
+    verifyJaccard(minhashCandidates(sig, numHashes, bands), docs, k, threshold)
 
   /** Exact n-gram Jaccard over all pairs — the small-corpus baseline the
     * LSH path approximates. Pair generation via shingle-explode equi-join
@@ -138,6 +205,27 @@ object Dedup {
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** [[ngramJaccardPairs]] with a document-frequency prune on CANDIDATE
+    * GENERATION: shingles appearing in more than `maxDf` documents
+    * (stopword n-grams) are dropped from the pair-producing equi-join —
+    * they are precisely the hot join keys whose bucket is quadratic in df —
+    * and surviving pairs are then verified with the exact Jaccard over the
+    * FULL shingle sets, so any pair that still qualifies gets exactly the
+    * same score as the unpruned baseline. Only pairs whose entire overlap
+    * is pruned shingles can be lost; at a meaningful threshold those are
+    * stopword-only overlaps, not near-duplicates. */
+  def ngramJaccardPairsPruned(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, maxDf: Long = 100L): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfs.filter(col("df") <= maxDf).select("sh"), "sh")
+    val candidates = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, docs, k, threshold)
   }
 
   /** 64-bit SimHash per document: weighted majority vote of each word-hash

@@ -82,6 +82,51 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(banded === brute)
   }
 
+  test("persisted minhash signature table gives identical near-dup pairs") {
+    val d01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sigPath = java.nio.file.Files.createTempDirectory("graft_sig").toString + "/sig"
+    Dedup.writeMinhashSignatures(d01, sigPath)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = toSet(Dedup.minhashNearDupsFromSignatures(
+      spark.read.parquet(sigPath), d01))
+    val inline = toSet(Dedup.minhashNearDups(d01))
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+  }
+
+  test("high-df shingle prune: identical pairs, fewer candidates (minhash + ngram)") {
+    val d01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // synthetic trigrams are near-unique (max df = 7 at sf0.01): prune at 3
+    // so the guard actually bites; real corpora would use a far larger cap
+    val maxDf = 3L
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // minhash: pruned signatures produce the same verified pairs...
+    val unpruned = pairs(Dedup.minhashNearDups(d01))
+    val pruned = pairs(Dedup.minhashNearDups(d01, maxShingleDf = Some(maxDf)))
+    assert(pruned === unpruned)
+    // ...and the prune actually bites: some shingles exceed the df cutoff
+    val hot = Dedup.shingleRows(d01, 3).groupBy(col("sh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).count()
+    assert(hot > 0, s"test corpus has no shingle with df > $maxDf — prune untested")
+
+    // ngram: same final pairs, measurably fewer candidate pairs generated
+    val basePairs = pairs(Dedup.ngramJaccardPairs(d01, threshold = 0.5))
+    val prunedPairs = pairs(Dedup.ngramJaccardPairsPruned(d01, threshold = 0.5, maxDf = maxDf))
+    assert(prunedPairs === basePairs)
+    val sh = Dedup.shingleRows(d01, 3)
+    def candCount(s: org.apache.spark.sql.DataFrame) =
+      s.as("a").join(s.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfs.filter(col("df") <= maxDf).select("sh"), "sh")
+    val (cAll, cRare) = (candCount(sh), candCount(rare))
+    assert(cRare < cAll, s"prune did not reduce candidates: $cRare vs $cAll")
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi
