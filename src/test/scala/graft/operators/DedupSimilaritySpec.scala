@@ -69,17 +69,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("banded embedding near-dups == brute all-pairs at 0.45 on sf0.01") {
-    // The q_dedup_embed oracle is the exhaustive exact answer, so the banded
+  test("banded, blocked, and routed embedding near-dups all == brute at 0.45 on sf0.01") {
+    // The q_dedup_embed oracle is the exhaustive exact answer, so every
     // candidate path must be lossless here. sf0.01's thinnest qualifying
-    // pair sits at cos 0.4516 — per-pair miss at the derived band params is
-    // ~1e-9, and deterministic for the fixed hyperplane seed.
+    // pair sits at cos 0.4516 — per-pair banded miss at the derived band
+    // params is ~1e-9, deterministic for the fixed hyperplane seed.
     val e01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     def toSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val banded = toSet(Similarity.embeddingNearDups(e01, 0.45))
     val brute = toSet(Similarity.embeddingNearDupsBrute(e01, 0.45))
-    assert(banded === brute)
+    assert(toSet(Similarity.embeddingNearDupsBanded(e01, 0.45)) === brute)
+    assert(toSet(Similarity.embeddingNearDupsBlocked(e01, 0.45)) === brute)
+    assert(toSet(Similarity.embeddingNearDups(e01, 0.45)) === brute) // routed
+    assert(brute.nonEmpty)
+  }
+
+  test("threshold-adaptive routing: blocked when bands cannot prune, banded when they can") {
+    // at 0.45 no sign-band plan prunes orthogonal noise (p1 = 0.65 vs 0.5)
+    assert(Similarity.bandPlanFor(0.45).isEmpty)
+    // at tight thresholds a pruning plan exists and the two paths agree
+    val plan9 = Similarity.bandPlanFor(0.9)
+    assert(plan9.isDefined)
+    assert(Similarity.noiseCandidateFraction(plan9.get._1, plan9.get._2) <= 0.5)
+    val e01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(toSet(Similarity.embeddingNearDups(e01, 0.9)) ===
+      toSet(Similarity.embeddingNearDupsBrute(e01, 0.9)))
   }
 
   test("persisted minhash signature table gives identical near-dup pairs") {
