@@ -185,7 +185,11 @@ object IngestStream {
 
   /** Persist the per-kind tier-1 (5m) pre-aggregated state tables from
     * parsed statsd payload rows ([[graft.operators.Preaggregated
-    * .fromAggregatedJson]]), day-partitioned like the basic tiers. */
+    * .fromAggregatedJson]]), day-partitioned like the basic tiers.
+    * ONE-SHOT/batch form: a day partition is overwritten with THIS input's
+    * aggregation — for continuous ingest, where several batches touch the
+    * same day, use [[processAggregatedBatch]], which appends the parsed
+    * rows and recomputes dirty days from the full store. */
   def writePreaggTier1(parsed: DataFrame, storeDir: String): Unit =
     graft.operators.Preaggregated.tier1FromParsed(parsed, Granularity.MIN_5)
       .foreach { case (kind, df) =>
@@ -194,6 +198,55 @@ object IngestStream {
           .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$storeDir/preagg_${kind}_5m")
       }
+
+  /** One statsd micro-batch, same discipline as [[processBatch]]:
+    * (1) append the PARSED payload rows to `preagg_raw` under an
+    * overwrite batch-id partition (idempotent under foreachBatch replays);
+    * (2) recompute the per-kind 5m tier for exactly the touched days from
+    * the FULL parsed store — recompute-from-source, never
+    * read-modify-write, so a late flush simply re-dirties its day;
+    * (3) optionally roll the coarser kind ladders for the same dirty days.
+    * This is the stored-cascade analog of the reference's
+    * /ingest/aggregated → preaggregated CF → per-slot rollup pipeline. */
+  def processAggregatedBatch(parsed: DataFrame, storeDir: String,
+      batchId: Long = 0L, cascade: Boolean = true): Unit = {
+    val spark = parsed.sparkSession
+    val cached = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.isEmpty) return
+      cached.withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$storeDir/preagg_raw/batch_id=$batchId")
+      val dirtyDays = cached
+        .select(dayOf(col("ts_ms")).as("ts_day")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val raw = spark.read.parquet(s"$storeDir/preagg_raw")
+        .filter(col("ts_day").isin(dirtyDays: _*))
+      graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
+        .foreach { case (kind, df) =>
+          df.withColumn("ts_day", dayOf(col("bucket_ms")))
+            .write.mode("overwrite").partitionBy("ts_day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$storeDir/preagg_${kind}_5m")
+        }
+      if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(dirtyDays))
+    } finally cached.unpersist()
+  }
+
+  /** Start the statsd aggregated-payload ingest stream over JSON lines —
+    * the streaming S3 surface (reference: POST /v2.0/:t/ingest/aggregated,
+    * HttpAggregatedIngestionHandler → PreaggregateConversions →
+    * preaggregated CFs → RollupService cascade). */
+  def startAggregated(lines: DataFrame, storeDir: String, checkpointDir: String,
+      cascade: Boolean = true): StreamingQuery =
+    graft.operators.Preaggregated.fromAggregatedJson(lines)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processAggregatedBatch(batch, storeDir, id, cascade)
+      }
+      .start()
 
   /** Kind-routed stored cascade for the pre-aggregated families — the
     * dispatch the reference does per locator in
