@@ -26,7 +26,7 @@ object Preaggregated {
     StructField("counter", StructType(Seq(
       StructField("count", DoubleType),
       StructField("rate", DoubleType),
-      StructField("sample_count", IntegerType)))),
+      StructField("sample_count", LongType)))),
     StructField("gauge", StructType(Seq(
       StructField("latest_ts", LongType),
       StructField("latest", DoubleType)))),
@@ -77,11 +77,16 @@ object Preaggregated {
     // Counter sampleCount = trunc(rate × flushInterval/1000), or 1 when the
     // statsd config omits flushInterval (PreaggregateConversions.java:58-65).
     // floor ≡ the reference's (long) truncation for the non-negative rates
-    // statsd emits, and floor round-trips identically through DuckDB.
+    // statsd emits, and floor round-trips identically through DuckDB. LONG,
+    // not int: the value is only ever summed, and a high-volume counter with
+    // a long flush interval would overflow an ANSI int cast and fail the
+    // whole ingest batch. A payload omitting rate coalesces to 0 samples
+    // rather than a null that counterMerge's sum would silently skip.
     val sampleCount =
       when(col("flush_ms") > 0,
-        floor(col("m.rate") * col("flush_ms") / lit(1000.0)).cast(IntegerType))
-        .otherwise(lit(1))
+        floor(coalesce(col("m.rate"), lit(0.0)) * col("flush_ms") / lit(1000.0))
+          .cast(LongType))
+        .otherwise(lit(1L))
     Seq(
       kindRows("counters", "counter",
         struct(col("m.value").as("count"), col("m.rate").as("rate"),
@@ -107,7 +112,7 @@ object Preaggregated {
     // from sources without sampling metadata stay unchanged.
     val sampleAgg =
       if (finer.columns.contains("sample_count"))
-        Seq(sum(col("sample_count")).cast("int").as("sample_count"))
+        Seq(sum(col("sample_count")).cast("long").as("sample_count"))
       else Nil
     finer
       .groupBy(col("tenant_id"), col("metric_name"),

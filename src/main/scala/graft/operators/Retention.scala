@@ -30,11 +30,17 @@ object Retention {
   /** Every tiered table a store may hold, with its governing granularity:
     * the basic ladder plus the per-kind pre-aggregated ladders (the
     * reference applies the same per-gran TTLs to its preaggregated column
-    * families, CassandraModel.java:61-72). */
+    * families, CassandraModel.java:61-72). `preagg_raw` — the parsed-flush
+    * store that [[graft.streaming.IngestStream.processAggregatedBatch]]
+    * recomputes tier 1 from — ages with the finest stored tier's TTL: once
+    * a day can no longer appear in any 5m tier, its raw flushes are dead
+    * weight (without this it grows without bound while everything derived
+    * from it ages out). */
   def defaultTables: Map[String, Granularity] =
     Granularity.all.map(g => tableFor(g) -> g).toMap ++
       (for (k <- preaggKinds; g <- Granularity.rollupTiers)
-        yield s"preagg_${k}_${g.name}" -> g)
+        yield s"preagg_${k}_${g.name}" -> g) +
+      ("preagg_raw" -> Granularity.rollupTiers.head)
 
   /** A day partition is expired only when its whole day lies beyond the
     * tier's TTL horizon — the conservative reading of the reference's
@@ -66,8 +72,24 @@ object Retention {
             Some(day)
           } else None
         }
+        if (dropped.nonEmpty) pruneEmptied(fs, root)
         if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
       }
     }.toMap
+  }
+
+  /** After partition drops, remove dirs that no longer hold any partition:
+    * first emptied `batch_id=` subdirs (the raw stores' two-level layout),
+    * then the table root itself if every partition is gone. A directory of
+    * nothing but `_SUCCESS` markers would fail `spark.read.parquet` schema
+    * inference; absence is the state readers (and [[graft.streaming
+    * .IngestStream.hasParquetData]] guards) handle cleanly. */
+  private def pruneEmptied(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    def partitionDirs(p: Path) =
+      fs.globStatus(new Path(p, "ts_day=*")) ++ fs.globStatus(new Path(p, "*/ts_day=*"))
+    for (batch <- fs.globStatus(new Path(root, "batch_id=*"))
+         if fs.globStatus(new Path(batch.getPath, "ts_day=*")).isEmpty)
+      fs.delete(batch.getPath, true)
+    if (partitionDirs(root).isEmpty) fs.delete(root, true)
   }
 }

@@ -52,6 +52,14 @@ object MetricsQueryApi {
     * keeps the union of the needed stat columns plus a per-row `stat_set`
     * listing the metric's own stats, which [[toJsonResponse]] uses to emit
     * exactly that metric's fields. */
+  /** Result schema contract: with `select=` given, the frame holds exactly
+    * `(tenant_id, metric_name, unit, bucket_ms)` + the selected stat
+    * columns. With `select=` ABSENT the frame instead carries the UNION of
+    * every resolved rollup_type's default stat columns plus a `stat_set`
+    * array naming each row's own stats (reference parity: per-metric
+    * defaults, PlotRequestParser.java:26-59) — consumers doing positional
+    * or fixed-column access must request an explicit `select=` or filter by
+    * `stat_set`, as [[toJsonResponse]] does. */
   def getRollups(spark: SparkSession, dir: String, p: Params,
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,

@@ -84,6 +84,9 @@ object IngestStream {
         invalid.write.mode("overwrite")
           .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
       val valid = cached.filter(col("valid")).drop("valid")
+      // an all-invalid batch writes nothing: an empty batch_id partition
+      // would be dead weight (and an all-empty store breaks schema inference)
+      if (valid.isEmpty) return
       writeRaw(valid, storeDir, batchId)
       val dirtyDays = valid
         .select(dayOf(col("ts_ms")).as("ts_day"))
@@ -149,6 +152,24 @@ object IngestStream {
   private val cascadeTiers = Seq(
     Granularity.MIN_20, Granularity.MIN_60, Granularity.MIN_240, Granularity.MIN_1440)
 
+  /** True when `path` exists and holds at least one parquet data file
+    * (directly or up to two partition levels down). A tier directory with no
+    * data files — a batch that carried no metrics of some kind, or retention
+    * having dropped every remaining day — must read as "absent", not crash
+    * `spark.read.parquet`'s schema inference. */
+  private[graft] def hasParquetData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Seq("*.parquet", "*/*.parquet", "*/*/*.parquet").exists(g =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, g))).exists(_.nonEmpty))
+  }
+
+  /** Kinds actually present in a parsed statsd frame — real statsd traffic
+    * routinely omits whole sections (a flush with no sets, say), and writing
+    * an empty per-kind tier would poison later reads. Tiny collect (≤4 rows). */
+  private def presentKinds(parsed: DataFrame): Set[String] =
+    parsed.select("kind").distinct().collect().map(_.getString(0)).toSet
+
   /** Incremental cascade tiers: each coarser tier recomputes from the tier
     * below (reference §3.3: 5m slots roll from FULL, 20m from 5m, ...).
     *
@@ -167,6 +188,8 @@ object IngestStream {
     * stored production tier must not risk. */
   def rollupCascadeFor(spark: SparkSession, storeDir: String,
       dirtyDays: Option[Seq[Long]] = None): Unit = {
+    // nothing at 5m (never rolled, or retention dropped every day) → no-op
+    if (!hasParquetData(spark, s"$storeDir/metrics_5m")) return
     var finerName = "metrics_5m"
     for (g <- cascadeTiers) {
       val finerAll = spark.read.parquet(s"$storeDir/$finerName")
@@ -190,14 +213,17 @@ object IngestStream {
     * aggregation — for continuous ingest, where several batches touch the
     * same day, use [[processAggregatedBatch]], which appends the parsed
     * rows and recomputes dirty days from the full store. */
-  def writePreaggTier1(parsed: DataFrame, storeDir: String): Unit =
+  def writePreaggTier1(parsed: DataFrame, storeDir: String): Unit = {
+    val present = presentKinds(parsed)
     graft.operators.Preaggregated.tier1FromParsed(parsed, Granularity.MIN_5)
       .foreach { case (kind, df) =>
-        df.withColumn("ts_day", dayOf(col("bucket_ms")))
-          .write.mode("overwrite").partitionBy("ts_day")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(s"$storeDir/preagg_${kind}_5m")
+        if (present(kind))
+          df.withColumn("ts_day", dayOf(col("bucket_ms")))
+            .write.mode("overwrite").partitionBy("ts_day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$storeDir/preagg_${kind}_5m")
       }
+  }
 
   /** One statsd micro-batch, same discipline as [[processBatch]]:
     * (1) append the PARSED payload rows to `preagg_raw` under an
@@ -222,12 +248,17 @@ object IngestStream {
         .collect().map(_.getLong(0)).toSeq
       val raw = spark.read.parquet(s"$storeDir/preagg_raw")
         .filter(col("ts_day").isin(dirtyDays: _*))
+      // presence is judged on the dirty-day slice of the FULL store, not on
+      // this batch: a day whose sets arrived in an earlier flush must still
+      // re-roll its set tier when a later counters-only flush re-dirties it
+      val present = presentKinds(raw)
       graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
         .foreach { case (kind, df) =>
-          df.withColumn("ts_day", dayOf(col("bucket_ms")))
-            .write.mode("overwrite").partitionBy("ts_day")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$storeDir/preagg_${kind}_5m")
+          if (present(kind))
+            df.withColumn("ts_day", dayOf(col("bucket_ms")))
+              .write.mode("overwrite").partitionBy("ts_day")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(s"$storeDir/preagg_${kind}_5m")
         }
       if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(dirtyDays))
     } finally cached.unpersist()
@@ -264,7 +295,10 @@ object IngestStream {
       "gauge" -> Preaggregated.gaugeMerge,
       "timer" -> Preaggregated.timerStateMerge,
       "set" -> Preaggregated.setStateMerge)
-    for (kind <- kinds; merge = merges(kind)) {
+    // a kind with no tier-1 data (statsd traffic without that section, or a
+    // fully-aged-out ladder) is a no-op, not a schema-inference crash
+    for (kind <- kinds if hasParquetData(spark, s"$storeDir/preagg_${kind}_5m")) {
+      val merge = merges(kind)
       var finerName = s"preagg_${kind}_5m"
       for (g <- cascadeTiers) {
         val finerAll = spark.read.parquet(s"$storeDir/$finerName")

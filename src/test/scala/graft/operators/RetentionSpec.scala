@@ -63,6 +63,34 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     assert(Retention.enforce(spark, store, now) === Map.empty)
   }
 
+  test("fully-expired tables prune away cleanly; preagg_raw ages with the 5m tier") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_retention_prune").toString
+    val old = day(5) // 24 days old: past the full (5d), 5m (10d) TTLs
+    val dayCol = col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))
+    val pts = Seq(("t1", "m1", old + 1000, 1.0))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    IngestStream.writeRaw(pts, store, batchId = 0L)
+    Rollups.basicFromRaw(pts, Granularity.MIN_5)
+      .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+      .write.partitionBy("ts_day").parquet(s"$store/metrics_5m")
+    // preagg_raw uses the same batch/day layout processAggregatedBatch writes
+    pts.withColumn("kind", lit("counter")).withColumn("ts_day", dayCol)
+      .write.partitionBy("ts_day").parquet(s"$store/preagg_raw/batch_id=0")
+
+    val dropped = Retention.enforce(spark, store, now)
+    // the recompute-from-source store is TTL'd too — it must not grow
+    // unboundedly while everything derived from it ages out
+    assert(dropped("preagg_raw") === Seq(old))
+    // emptied tables vanish entirely: no husk of _SUCCESS markers that a
+    // later spark.read.parquet would fail schema inference on
+    for (t <- Seq("metrics_full", "metrics_5m", "preagg_raw"))
+      assert(!Files.exists(Paths.get(s"$store/$t")), s"$t should be pruned away")
+    // and the cascades treat the emptied store as a no-op, not a crash
+    IngestStream.rollupCascadeFor(spark, store)
+    IngestStream.preaggCascadeFor(spark, store)
+  }
+
   test("planner TTL-skip agrees with the store's actual contents") {
     val store = buildStore()
     Retention.enforce(spark, store, now)

@@ -121,8 +121,8 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     // counter sampleCount = trunc(rate × flushInterval/1000); 1 when flushInterval absent/0
     val sc = parsed.filter(col("kind") === "counter")
       .select(col("ts_ms"), col("counter.sample_count")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(sc === Map((day(0) + 10000) -> 100, (day(0) + 200000) -> 150, (day(0) + 1300000) -> 1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc === Map((day(0) + 10000) -> 100L, (day(0) + 200000) -> 150L, (day(0) + 1300000) -> 1L))
 
     IngestStream.writePreaggTier1(parsed, store)
     IngestStream.preaggCascadeFor(spark, store)
@@ -134,15 +134,15 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     assert(c20.length === 2)
     assert(c20(0).getAs[Double]("count") === 400.0)
     assert(math.abs(c20(0).getAs[Double]("rate") - 400.0 / 30.0) < 1e-9)
-    assert(c20(0).getAs[Int]("sample_count") === 250)
+    assert(c20(0).getAs[Long]("sample_count") === 250L)
     assert(c20(1).getAs[Double]("count") === 50.0)
-    assert(c20(1).getAs[Int]("sample_count") === 1)
+    assert(c20(1).getAs[Long]("sample_count") === 1L)
 
     // counter 1440m folds both buckets; sample counts keep adding up the ladder
     val c1440 = spark.read.parquet(s"$store/preagg_counter_1440m").collect()
     assert(c1440.length === 1)
     assert(c1440(0).getAs[Double]("count") === 450.0)
-    assert(c1440(0).getAs[Int]("sample_count") === 251)
+    assert(c1440(0).getAs[Long]("sample_count") === 251L)
 
     // timer 20m: observed-time rate (4/2 + 6/3 = 4s observed → 10/4), NOT
     // count over the 1200s span; percentile means merge unweighted
@@ -169,5 +169,34 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     val s1440 = spark.read.parquet(s"$store/preagg_set_1440m").collect()
     assert(s1440.length === 1)
     assert(s1440(0).getAs[Int]("distinct_count") === 5)
+  }
+
+  test("statsd batch missing kinds: absent kinds are a no-op, not a cascade crash") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_partial").toString
+    // counters-only flush — real statsd traffic routinely omits sections
+    val countersOnly = Seq(
+      s"""{"tenant_id":"t1","timestamp":${day(0) + 10000},"flushInterval":10000,""" +
+        """"counters":[{"name":"c1","value":100.0,"rate":10.0}]}""").toDF("value")
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(countersOnly), store, batchId = 0L, cascade = true)
+    assert(spark.read.parquet(s"$store/preagg_counter_1440m").count() === 1)
+    for (k <- Seq("gauge", "timer", "set"))
+      assert(!Files.exists(Paths.get(s"$store/preagg_${k}_5m")),
+        s"$k tier should be absent, not an empty unreadable dir")
+
+    // a later sets-only flush re-dirtying the same day re-rolls BOTH the set
+    // ladder (new) and the counter ladder (whose data lives in earlier
+    // batches of preagg_raw, not in this flush)
+    val setsOnly = Seq(
+      s"""{"tenant_id":"t1","timestamp":${day(0) + 20000},""" +
+        """"sets":[{"name":"s1","values":[1,2,3]}]}""").toDF("value")
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(setsOnly), store, batchId = 1L, cascade = true)
+    assert(spark.read.parquet(s"$store/preagg_set_1440m")
+      .head().getAs[Int]("distinct_count") === 3)
+    assert(spark.read.parquet(s"$store/preagg_counter_1440m")
+      .head().getAs[Double]("count") === 100.0)
+    assert(!Files.exists(Paths.get(s"$store/preagg_timer_5m")))
   }
 }
