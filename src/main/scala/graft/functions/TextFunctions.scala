@@ -87,7 +87,11 @@ object TextFunctions {
     * word set — catches shuffled/reordered copies that exact-text dedup
     * misses. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+    // sort_array, NOT array_sort: the latter is a higher-order function
+    // whose default comparator lambda evaluates interpreted per comparison;
+    // sort_array sorts with the native type ordering (same ascending result
+    // on a null-free string array) without leaving codegen
+    md5(concat_ws(" ", sort_array(array_distinct(words(text)))))
 
   // MinHash signatures and LSH band keys deliberately have NO expression-
   // level (higher-order-function) form here: nested HOFs evaluate

@@ -128,8 +128,8 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
     // query probes: top-nProbe cells by centroid dot
     val queryCells = queries
-      .withColumn("probes", slice(reverse(array_sort(
-        cellStructs(col("query_vec"), centroids))), 1, nProbe))
+      .withColumn("probes", slice(sort_array(
+        cellStructs(col("query_vec"), centroids), asc = false), 1, nProbe))
       .select(col("query_id"), col("query_vec"),
         explode(col("probes")).as("p"))
       .select(col("query_id"), col("query_vec"), col("p.c").as("cell"))
