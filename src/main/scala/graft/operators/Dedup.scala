@@ -30,21 +30,66 @@ object Dedup {
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("doc_id"))
 
-  /** Distinct word-k-shingles per doc as rows — the relational shingle
-    * shape: one split per document (explode), then window `lead` to stitch
-    * k consecutive words. Everything stays in codegen; the only shuffle is
+  /** Position-keyed word-k-shingles per doc — the relational shingle shape:
+    * one split per document (explode), then window `lead` to stitch k
+    * consecutive words. Everything stays in codegen; the only shuffle is
     * the per-doc window sort, which later aggregations reuse. */
-  def shingleRows(docs: DataFrame, k: Int, distinct: Boolean = true): DataFrame = {
+  def posShingleRows(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = (1 until k).map(j => lead(col("w0"), j).over(w).as(s"w$j"))
-    val wide = docs
+    docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
       .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ parts: _*)
-    val sh = wide
       .filter(col(s"w${k - 1}").isNotNull) // complete k-shingles only
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         concat_ws(" ", (0 until k).map(j => col(s"w$j")): _*).as("sh"))
+  }
+
+  /** Distinct (or raw) word-k-shingle SETS per doc as rows. */
+  def shingleRows(docs: DataFrame, k: Int, distinct: Boolean = true): DataFrame = {
+    val sh = posShingleRows(docs, k).drop("pos")
     if (distinct) sh.distinct() else sh
+  }
+
+  /** Winnowed rolling-hash document fingerprints — the MOSS selection
+    * scheme (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): hash every k-shingle in
+    * document order, slide a window of `w` consecutive hashes, keep each
+    * window's minimum. Guarantees: two documents sharing a run of at least
+    * w+k-1 words share at least one fingerprint, while only ~2/(w+1) of all
+    * shingle hashes are retained — a tunable sample with a matching
+    * guarantee, which a plain "every nth shingle" sample lacks. Hashes are
+    * md5 hex strings min'd lexicographically: deterministic and
+    * engine-portable (binary ASCII compare — a DuckDB oracle states the
+    * identical window min). Relational shape: the per-doc window sort is
+    * the only shuffle, reused straight from [[posShingleRows]]'s lead
+    * window; downstream joins are fingerprint equi-joins. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    posShingleRows(docs, k)
+      .withColumn("h", md5(col("sh")))
+      .withColumn("fp", min(col("h")).over(win))
+      // complete windows only: keeps the retained set a pure function of
+      // the shingle sequence (and of the oracle's identical frame)
+      .withColumn("wsize", count(lit(1)).over(win))
+      .filter(col("wsize") === w)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints — rolling-
+    * hash near-dup candidates. Pure equi-join on the fingerprint value (no
+    * cartesian); at 100 TB the fingerprint table is the narrow persisted
+    * artifact (~2/(w+1) × shingle count rows) and hot fingerprints can be
+    * df-pruned exactly like minhash band keys. */
+  def winnowSharedPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Per-document MinHash signature (m0..m{numHashes-1}) — RELATIONAL

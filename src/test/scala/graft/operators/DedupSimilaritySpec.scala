@@ -33,6 +33,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("winnowing: shared run of ≥ w+k-1 words ⇒ shared fingerprint; retention ~2/(w+1)") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // docs 1/2 share a 6-word run (= w+k-1): the winnowing guarantee says
+    // they MUST share a fingerprint; doc 3 shares no 3-shingle with either
+    val run = "quick brown foxes jump over fences"
+    val d = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four $run five six"),
+      (3L, "entirely different words with nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+    // retention: strictly fewer fingerprints than complete windows, and the
+    // winnowed set is a subset of the doc's own shingle hashes
+    val nShingles = Dedup.posShingleRows(d, k).filter(col("doc_id") === 1L).count()
+    assert(byDoc(1L).size < nShingles)
+    // pair op surfaces the relationship with its shared count
+    val pairs = Dedup.winnowSharedPairs(d, k, w, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val g = Dedup.exactGroups(docs, col("text"))
