@@ -176,6 +176,30 @@ object Rollups {
       .drop("ps")
       .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
 
+  /** [[timerFromRaw]] with APPROXIMATE percentiles — the scale-deployment
+    * variant: `approx_percentile` (a mergeable KLL-style digest) keeps the
+    * aggregation algebraic, so partial aggregation absorbs the per-group
+    * sort that makes the exact form the most expensive rollup at 100 TB.
+    * `accuracy` is the standard inverse-error knob (10000 ≈ ±0.01%%-ile).
+    * Exact [[timerFromRaw]] stays the stored/oracle semantics; this is the
+    * interactive/ad-hoc path. */
+  def timerApproxFromRaw(points: DataFrame, g: Granularity,
+      accuracy: Int = 10000): DataFrame =
+    points
+      .groupBy(grouped(points, g): _*)
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value")).as("sum_v"),
+        avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        approx_percentile(col("value"), array(lit(0.5), lit(0.95)),
+          lit(accuracy)).as("ps"))
+      .withColumn("p50", col("ps").getItem(0))
+      .withColumn("p95", col("ps").getItem(1))
+      .drop("ps")
+      .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+
   /** Timer merge to a coarser tier: counts/sums added, mean count-weighted,
     * percentile means — deliberately — merged by UNWEIGHTED average,
     * replicating the reference's lossy-by-design semantics

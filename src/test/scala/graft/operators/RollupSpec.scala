@@ -108,4 +108,36 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
       .agg(sum("distinct_count")).collect()(0).getLong(0)
     assert(math.abs(exact - approx).toDouble / exact < 0.15)
   }
+
+  test("timer approx percentiles track exact within digest error; scalars identical") {
+    val pts = Tables.metrics(spark, dir)
+    val key = Seq("tenant_id", "metric_name", "bucket_ms")
+    val exact = Rollups.timerFromRaw(pts, Granularity.MIN_60)
+    val approx = Rollups.timerApproxFromRaw(pts, Granularity.MIN_60)
+    val joined = exact.as("e").join(approx.as("a"), key)
+      .select(col("e.num_points").as("en"), col("a.num_points").as("an"),
+        col("e.min_v").as("emin"), col("a.min_v").as("amin"),
+        col("e.max_v").as("emax"), col("a.max_v").as("amax"),
+        col("e.p50").as("ep50"), col("a.p50").as("ap50"),
+        col("e.p95").as("ep95"), col("a.p95").as("ap95"))
+      .collect()
+    assert(joined.length === exact.count())
+    joined.foreach { r =>
+      // algebraic stats are the same aggregation — must match exactly
+      assert(r.getAs[Long]("en") === r.getAs[Long]("an"))
+      assert(r.getAs[Double]("emin") === r.getAs[Double]("amin"))
+      assert(r.getAs[Double]("emax") === r.getAs[Double]("amax"))
+      // percentiles: approx returns an actual element (rank-exact at this
+      // accuracy, no interpolation) — always inside the group's range; for
+      // small groups the exact INTERPOLATED value can sit mid-gap between
+      // two elements, so the closeness bound applies to populated groups
+      val span = math.max(r.getAs[Double]("emax") - r.getAs[Double]("emin"), 1e-9)
+      for (p <- Seq("p50", "p95")) {
+        val e = r.getAs[Double](s"e$p"); val a = r.getAs[Double](s"a$p")
+        assert(a >= r.getAs[Double]("emin") && a <= r.getAs[Double]("emax"))
+        if (r.getAs[Long]("en") >= 20)
+          assert(math.abs(e - a) / span <= 0.25, s"$p exact=$e approx=$a span=$span")
+      }
+    }
+  }
 }
