@@ -72,7 +72,11 @@ object Retention {
             Some(day)
           } else None
         }
-        if (dropped.nonEmpty) pruneEmptied(fs, root)
+        // unconditional: a crash between a prior run's partition deletes and
+        // its prune leaves a _SUCCESS-only husk that a dropped-gated prune
+        // would never revisit (later runs find nothing to drop). O(partition
+        // dirs), so running it every enforce costs nothing.
+        pruneEmptied(fs, root)
         if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
       }
     }.toMap

@@ -51,8 +51,9 @@ object MetricsQueryApi {
     * metric its own default stat set, not the first metric's): the frame
     * keeps the union of the needed stat columns plus a per-row `stat_set`
     * listing the metric's own stats, which [[toJsonResponse]] uses to emit
-    * exactly that metric's fields. */
-  /** Result schema contract: with `select=` given, the frame holds exactly
+    * exactly that metric's fields.
+    *
+    * Result schema contract: with `select=` given, the frame holds exactly
     * `(tenant_id, metric_name, unit, bucket_ms)` + the selected stat
     * columns. With `select=` ABSENT the frame instead carries the UNION of
     * every resolved rollup_type's default stat columns plus a `stat_set`

@@ -194,6 +194,11 @@ object IngestStream {
     for (g <- cascadeTiers) {
       val finerAll = spark.read.parquet(s"$storeDir/$finerName")
       val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
+      // empty dirty-day slice → every coarser slice is empty too; writing it
+      // anyway would create a parquet-less dir (when the coarser tier doesn't
+      // exist yet) that the next hop's schema inference chokes on — the same
+      // husk class hasParquetData guards against. Break the whole ladder.
+      if (dirtyDays.isDefined && finer.isEmpty) return
       val merged = graft.operators.Rollups.basicMergeStable(finer.drop("ts_day"), g)
         .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
           col("num_points"), col("sum_v"), col("avg_v"),
@@ -233,12 +238,35 @@ object IngestStream {
     * read-modify-write, so a late flush simply re-dirties its day;
     * (3) optionally roll the coarser kind ladders for the same dirty days.
     * This is the stored-cascade analog of the reference's
-    * /ingest/aggregated → preaggregated CF → per-slot rollup pipeline. */
+    * /ingest/aggregated → preaggregated CF → per-slot rollup pipeline.
+    *
+    * `[minTs, maxTs]` bounds the accepted flush timestamps — the epoch
+    * validation the basic path gets from [[withValidity]] (reference:
+    * JSONMetric.java:28-39 bean validation applies to the aggregated
+    * handler's payloads too). Without it a flush carrying a stale ts_ms
+    * older than the preagg_raw TTL horizon re-dirties a retention-pruned
+    * day: the recompute rebuilds that day's 5m tier from ONLY the late
+    * flush and the cascade dynamic-overwrites the day in the 20m-1440m
+    * tiers, silently destroying history their longer TTLs were meant to
+    * keep. Production callers should pass
+    * `minTs = now - Granularity.MIN_5.retentionMillis` (the preagg_raw TTL
+    * horizon); rejects land in `preagg_errors`, like the basic path's
+    * invalid sink. */
   def processAggregatedBatch(parsed: DataFrame, storeDir: String,
-      batchId: Long = 0L, cascade: Boolean = true): Unit = {
+      batchId: Long = 0L, cascade: Boolean = true,
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
     val spark = parsed.sparkSession
-    val cached = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached0 = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cached0.isEmpty) return
+      // 3VL-safe: a null ts_ms must read as out-of-window, not NULL (which
+      // would vanish from both the store and the errors sink)
+      val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
+      val rejected = cached0.filter(!inWindow)
+      if (!rejected.isEmpty)
+        rejected.write.mode("overwrite")
+          .parquet(s"$storeDir/preagg_errors/batch_id=$batchId")
+      val cached = cached0.filter(inWindow)
       if (cached.isEmpty) return
       cached.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
@@ -261,7 +289,7 @@ object IngestStream {
               .parquet(s"$storeDir/preagg_${kind}_5m")
         }
       if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(dirtyDays))
-    } finally cached.unpersist()
+    } finally cached0.unpersist()
   }
 
   /** Start the statsd aggregated-payload ingest stream over JSON lines —
@@ -269,13 +297,14 @@ object IngestStream {
     * HttpAggregatedIngestionHandler → PreaggregateConversions →
     * preaggregated CFs → RollupService cascade). */
   def startAggregated(lines: DataFrame, storeDir: String, checkpointDir: String,
-      cascade: Boolean = true): StreamingQuery =
+      cascade: Boolean = true,
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue): StreamingQuery =
     graft.operators.Preaggregated.fromAggregatedJson(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processAggregatedBatch(batch, storeDir, id, cascade)
+        processAggregatedBatch(batch, storeDir, id, cascade, minTs, maxTs)
       }
       .start()
 
@@ -300,15 +329,23 @@ object IngestStream {
     for (kind <- kinds if hasParquetData(spark, s"$storeDir/preagg_${kind}_5m")) {
       val merge = merges(kind)
       var finerName = s"preagg_${kind}_5m"
-      for (g <- cascadeTiers) {
+      var ladderLive = true
+      for (g <- cascadeTiers if ladderLive) {
         val finerAll = spark.read.parquet(s"$storeDir/$finerName")
         val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
-        val merged = merge(finer.drop("ts_day", "distinct_count"), g)
-          .withColumn("ts_day", dayOf(col("bucket_ms")))
-        val w = merged.write.mode("overwrite").partitionBy("ts_day")
-        (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
-          .parquet(s"$storeDir/preagg_${kind}_${g.name}")
-        finerName = s"preagg_${kind}_${g.name}"
+        // a kind's dirty-day slice can be empty even when its 5m tier has
+        // data (the dirty days came from a flush missing this kind); an
+        // empty write would husk a not-yet-existing coarser dir — skip and
+        // break this kind's ladder (coarser slices are empty a fortiori)
+        if (dirtyDays.isDefined && finer.isEmpty) ladderLive = false
+        else {
+          val merged = merge(finer.drop("ts_day", "distinct_count"), g)
+            .withColumn("ts_day", dayOf(col("bucket_ms")))
+          val w = merged.write.mode("overwrite").partitionBy("ts_day")
+          (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
+            .parquet(s"$storeDir/preagg_${kind}_${g.name}")
+          finerName = s"preagg_${kind}_${g.name}"
+        }
       }
     }
   }

@@ -91,6 +91,18 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     IngestStream.preaggCascadeFor(spark, store)
   }
 
+  test("husk left by a crash between delete and prune is cleaned by the next run") {
+    val store = Files.createTempDirectory("graft_retention_husk").toString
+    // simulate: a prior enforce deleted every partition of metrics_5m, then
+    // crashed before pruning — leaving a _SUCCESS-only husk dir
+    val husk = Paths.get(s"$store/metrics_5m")
+    Files.createDirectories(husk)
+    Files.createFile(husk.resolve("_SUCCESS"))
+    // the next run has NOTHING to drop — the prune must still happen
+    assert(Retention.enforce(spark, store, now) === Map.empty)
+    assert(!Files.exists(husk), "crash-orphaned husk must be pruned unconditionally")
+  }
+
   test("planner TTL-skip agrees with the store's actual contents") {
     val store = buildStore()
     Retention.enforce(spark, store, now)

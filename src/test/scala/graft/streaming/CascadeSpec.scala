@@ -199,4 +199,67 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
       .head().getAs[Double]("count") === 100.0)
     assert(!Files.exists(Paths.get(s"$store/preagg_timer_5m")))
   }
+
+  test("stale flush outside the epoch window is rejected, not re-dirtying pruned days") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_stale").toString
+    // day(20) is "current"; day(0) is past the preagg_raw TTL horizon
+    val minTs = day(15)
+    val fresh =
+      s"""{"tenant_id":"t1","timestamp":${day(20) + 10000},"flushInterval":10000,""" +
+        """"counters":[{"name":"c1","value":100.0,"rate":10.0}]}"""
+    val stale =
+      s"""{"tenant_id":"t1","timestamp":${day(0) + 10000},"flushInterval":10000,""" +
+        """"counters":[{"name":"c1","value":999.0,"rate":10.0}]}"""
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(Seq(fresh, stale).toDF("value")),
+      store, batchId = 0L, cascade = true, minTs = minTs)
+    // only the fresh day materialized anywhere in the ladder
+    for (tier <- Seq("5m", "1440m")) {
+      val days = spark.read.parquet(s"$store/preagg_counter_$tier")
+        .select("ts_day").distinct().collect().map(_.getLong(0)).toSet
+      assert(days === Set(day(20)), s"tier $tier has $days")
+    }
+    // the stale flush is visible in the errors sink, not silently dropped
+    val errs = spark.read.parquet(s"$store/preagg_errors").collect()
+    assert(errs.length === 1 && errs(0).getAs[Long]("ts_ms") === day(0) + 10000)
+    // and preagg_raw holds only in-window rows → no pruned-day re-dirty ever
+    val rawDays = spark.read.parquet(s"$store/preagg_raw")
+      .select("ts_day").distinct().collect().map(_.getLong(0)).toSet
+    assert(rawDays === Set(day(20)))
+
+    // an all-stale batch is a clean no-op on the tiers
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(Seq(stale).toDF("value")),
+      store, batchId = 1L, cascade = true, minTs = minTs)
+    assert(spark.read.parquet(s"$store/preagg_counter_1440m").count() === 1)
+  }
+
+  test("dirty-day slice empty for a kind: ladder breaks instead of writing a husk tier") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_husk").toString
+    // counters flushed on day 0, cascade OFF → only preagg_counter_5m exists
+    val countersDay0 =
+      s"""{"tenant_id":"t1","timestamp":${day(0) + 10000},"flushInterval":10000,""" +
+        """"counters":[{"name":"c1","value":100.0,"rate":10.0}]}"""
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(Seq(countersDay0).toDF("value")),
+      store, batchId = 0L, cascade = false)
+    assert(!Files.exists(Paths.get(s"$store/preagg_counter_20m")))
+
+    // a sets-only flush for a NEW day: counter's dirty-day slice is empty
+    // and its 20m dir doesn't exist yet — must not create a parquet-less dir
+    // (which the next hop's schema inference would crash on)
+    val setsDay1 =
+      s"""{"tenant_id":"t1","timestamp":${day(1) + 10000},""" +
+        """"sets":[{"name":"s1","values":[1,2,3]}]}"""
+    IngestStream.processAggregatedBatch(
+      Preaggregated.fromAggregatedJson(Seq(setsDay1).toDF("value")),
+      store, batchId = 1L, cascade = true)
+    assert(!Files.exists(Paths.get(s"$store/preagg_counter_20m")),
+      "empty dirty slice must skip the tier write entirely")
+    // the set ladder for the dirty day still built normally
+    assert(spark.read.parquet(s"$store/preagg_set_1440m")
+      .head().getAs[Int]("distinct_count") === 3)
+  }
 }
