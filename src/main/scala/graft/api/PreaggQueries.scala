@@ -223,28 +223,34 @@ object PreaggQueries {
         col("flush_ms").as("flushInterval"), col("gauges"), col("counters"),
         col("timers"), col("sets"))).as("value"))
     val parsed = Preaggregated.fromAggregatedJson(payloads)
-    def longRows(kind: String, stackExpr: String) =
-      parsed.filter(col("kind") === kind).selectExpr(
-        "tenant_id", "metric_name", "ts_ms", "kind", stackExpr)
-    longRows("counter",
-      """stack(3,
-        |'count', counter.count,
-        |'rate', counter.rate,
-        |'sample_count', CAST(counter.sample_count AS DOUBLE)) AS (stat, value_d)"""
-        .stripMargin)
-      .unionByName(longRows("gauge",
-        "stack(1, 'latest', gauge.latest) AS (stat, value_d)"))
-      .unionByName(longRows("timer",
-        """stack(7,
-          |'count', CAST(timer.count AS DOUBLE),
-          |'sum', timer.sum,
-          |'min', timer.min,
-          |'max', timer.max,
-          |'rate', timer.rate,
-          |'p50', timer.percentiles['50'],
-          |'p95', timer.percentiles['95']) AS (stat, value_d)""".stripMargin))
-      .unionByName(longRows("set",
-        "stack(1, 'set_card', CAST(size(set) AS DOUBLE)) AS (stat, value_d)"))
+    // SINGLE-PASS flatten: one kind-routed stat array + one explode. The
+    // previous 4-way filter+stack union made Catalyst duplicate the whole
+    // upstream subtree (payload construction AND the json parse) per kind —
+    // 4 scans and 4 from_json over the same lines. One explode keeps one.
+    def sv(stat: String, v: Column) =
+      struct(lit(stat).as("stat"), v.cast("double").as("value_d"))
+    val statArr =
+      when(col("kind") === "counter", array(
+        sv("count", col("counter.count")),
+        sv("rate", col("counter.rate")),
+        sv("sample_count", col("counter.sample_count"))))
+      .when(col("kind") === "gauge", array(
+        sv("latest", col("gauge.latest"))))
+      .when(col("kind") === "timer", array(
+        sv("count", col("timer.count")),
+        sv("sum", col("timer.sum")),
+        sv("min", col("timer.min")),
+        sv("max", col("timer.max")),
+        sv("rate", col("timer.rate")),
+        sv("p50", col("timer.percentiles").getItem("50")),
+        sv("p95", col("timer.percentiles").getItem("95"))))
+      .when(col("kind") === "set", array(
+        sv("set_card", size(col("set")))))
+    parsed
+      .select(col("tenant_id"), col("metric_name"), col("ts_ms"), col("kind"),
+        explode(statArr).as("m"))
+      .select(col("tenant_id"), col("metric_name"), col("ts_ms"), col("kind"),
+        col("m.stat").as("stat"), col("m.value_d").as("value_d"))
       .orderBy("tenant_id", "metric_name", "ts_ms", "kind", "stat")
   }
 

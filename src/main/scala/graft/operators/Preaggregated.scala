@@ -65,15 +65,30 @@ object Preaggregated {
       StructField("sets", ArrayType(StructType(Seq(
         StructField("name", StringType),
         StructField("values", ArrayType(IntegerType))))))))
-    val p = lines
+    // SINGLE-PASS parse: one from_json, one explode. The previous shape (a
+    // 4-way union of per-kind branches, each exploding its own section) made
+    // Catalyst plan FOUR scans each re-running from_json over every line —
+    // the dominant cost of the ingest conversion. Here each kind section is
+    // mapped (transform — a single-level lambda over the handful of metrics
+    // in one flush, NOT a fan-out HOF re-evaluating a heavy subtree) into a
+    // common kind-tagged element shape, concatenated, and exploded once.
+    // CollapseProject declines to inline the expensive from_json into its
+    // many field references, so the plan keeps exactly one parse.
+    val parsed = lines
       .select(from_json(col("value").cast("string"), payloadSchema).as("p"))
-      .select(col("p.tenant_id"), col("p.timestamp").as("ts_ms"),
-        coalesce(col("p.flushInterval"), lit(0L)).as("flush_ms"),
-        col("p.gauges"), col("p.counters"), col("p.timers"), col("p.sets"))
-    def kindRows(arr: String, kind: String, state: Column) =
-      p.select(col("tenant_id"), col("ts_ms"), col("flush_ms"), explode(col(arr)).as("m"))
-        .select(col("tenant_id"), col("m.name").as("metric_name"), col("ts_ms"),
-          lit(kind).as("kind"), state)
+    val counterT = preaggSchema("counter").dataType
+    val gaugeT = preaggSchema("gauge").dataType
+    val timerT = preaggSchema("timer").dataType
+    val setT = preaggSchema("set").dataType
+    val taggedT = ArrayType(StructType(Seq(
+      StructField("metric_name", StringType),
+      StructField("kind", StringType),
+      StructField("counter", counterT),
+      StructField("gauge", gaugeT),
+      StructField("timer", timerT),
+      StructField("set", setT))))
+    def nul(t: DataType): Column = lit(null).cast(t)
+    val flushMs = coalesce(col("p.flushInterval"), lit(0L))
     // Counter sampleCount = trunc(rate × flushInterval/1000), or 1 when the
     // statsd config omits flushInterval (PreaggregateConversions.java:58-65).
     // floor ≡ the reference's (long) truncation for the non-negative rates
@@ -82,24 +97,43 @@ object Preaggregated {
     // a long flush interval would overflow an ANSI int cast and fail the
     // whole ingest batch. A payload omitting rate coalesces to 0 samples
     // rather than a null that counterMerge's sum would silently skip.
-    val sampleCount =
-      when(col("flush_ms") > 0,
-        floor(coalesce(col("m.rate"), lit(0.0)) * col("flush_ms") / lit(1000.0))
-          .cast(LongType))
+    def sampleCount(rate: Column): Column =
+      when(flushMs > 0,
+        floor(coalesce(rate, lit(0.0)) * flushMs / lit(1000.0)).cast(LongType))
         .otherwise(lit(1L))
-    Seq(
-      kindRows("counters", "counter",
-        struct(col("m.value").as("count"), col("m.rate").as("rate"),
-          sampleCount.as("sample_count")).as("counter")),
-      kindRows("gauges", "gauge",
-        struct(col("ts_ms").as("latest_ts"), col("m.latest").as("latest")).as("gauge")),
-      kindRows("timers", "timer",
-        struct(col("m.count").as("count"), col("m.sum").as("sum"),
-          col("m.min").as("min"), col("m.max").as("max"),
-          coalesce(col("m.rate"), lit(0.0)).as("rate"),
-          col("m.percentiles").as("percentiles")).as("timer")),
-      kindRows("sets", "set", col("m.values").as("set")))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val counterEls = transform(col("p.counters"), m => struct(
+      m.getField("name").as("metric_name"), lit("counter").as("kind"),
+      struct(m.getField("value").as("count"), m.getField("rate").as("rate"),
+        sampleCount(m.getField("rate")).as("sample_count")).as("counter"),
+      nul(gaugeT).as("gauge"), nul(timerT).as("timer"), nul(setT).as("set")))
+    val gaugeEls = transform(col("p.gauges"), m => struct(
+      m.getField("name").as("metric_name"), lit("gauge").as("kind"),
+      nul(counterT).as("counter"),
+      struct(col("p.timestamp").as("latest_ts"),
+        m.getField("latest").as("latest")).as("gauge"),
+      nul(timerT).as("timer"), nul(setT).as("set")))
+    val timerEls = transform(col("p.timers"), m => struct(
+      m.getField("name").as("metric_name"), lit("timer").as("kind"),
+      nul(counterT).as("counter"), nul(gaugeT).as("gauge"),
+      struct(m.getField("count").as("count"), m.getField("sum").as("sum"),
+        m.getField("min").as("min"), m.getField("max").as("max"),
+        coalesce(m.getField("rate"), lit(0.0)).as("rate"),
+        m.getField("percentiles").as("percentiles")).as("timer"),
+      nul(setT).as("set")))
+    val setEls = transform(col("p.sets"), m => struct(
+      m.getField("name").as("metric_name"), lit("set").as("kind"),
+      nul(counterT).as("counter"), nul(gaugeT).as("gauge"), nul(timerT).as("timer"),
+      m.getField("values").as("set")))
+    // an absent section parses to null; it must contribute zero elements,
+    // not null the whole concat
+    def orEmpty(c: Column): Column = coalesce(c, array().cast(taggedT))
+    parsed
+      .select(col("p.tenant_id").as("tenant_id"), col("p.timestamp").as("ts_ms"),
+        explode(concat(orEmpty(counterEls), orEmpty(gaugeEls),
+          orEmpty(timerEls), orEmpty(setEls))).as("m"))
+      .select(col("tenant_id"), col("m.metric_name").as("metric_name"), col("ts_ms"),
+        col("m.kind").as("kind"), col("m.counter").as("counter"),
+        col("m.gauge").as("gauge"), col("m.timer").as("timer"), col("m.set").as("set"))
   }
 
   /** Counter merge: counts added; merged rate = Σcount / Σ(countᵢ/rateᵢ)
