@@ -271,27 +271,35 @@ object RollupQueries2 {
     * reference Granularity.java:298-339), range snap (RollupHandler.java:
     * 164-167), per-type default stat projection (PlotRequestParser.java:
     * 26-33: average, numPoints, sum), units join, time-ordered output. */
+  // shared across q_points_query (raw re-aggregation) and
+  // q_points_query_stored (read through the materialized tier)
+  private val pointsFrom = 1704240000000L // 2024-01-03 00:00 UTC (240m-aligned)
+  private val pointsTo = 1705968000000L   // 2024-01-23 00:00 UTC
+  private val pointsNow = 1706659200000L  // 2024-01-31: retention clock
+  private def pointsOracleSql(g: Granularity): String =
+    s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte},
+       |agg AS (
+       |  SELECT tenant_id, metric_name, ${bucketSql(g)} AS bucket_ms,
+       |         COUNT(value) AS num_points, $sumDecSql AS sum_v
+       |  FROM metrics
+       |  WHERE tenant_id = 'purchase' AND ts_ms >= $pointsFrom AND ts_ms < $pointsTo
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT a.metric_name, a.bucket_ms, a.num_points, a.sum_v,
+       |       a.sum_v / a.num_points AS average, c.unit
+       |FROM agg a LEFT JOIN catalog c
+       |  ON a.tenant_id = c.tenant_id AND a.metric_name = c.metric_name
+       |ORDER BY a.metric_name, a.bucket_ms""".stripMargin
+
   private val pointsQuery = {
-    val from = 1704240000000L // 2024-01-03 00:00 UTC (240m-aligned)
-    val to = 1705968000000L   // 2024-01-23 00:00 UTC
-    val nowPinned = 1706659200000L // 2024-01-31: retention clock
+    val from = pointsFrom
+    val to = pointsTo
+    val nowPinned = pointsNow
     val g = Granularity.granularityFromPointsInInterval(from, to, 200, nowMillis = nowPinned)
     require(g == Granularity.MIN_240, s"expected MIN_240, selection gave $g")
     QDef(
       "q_points_query",
-      s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte},
-         |agg AS (
-         |  SELECT tenant_id, metric_name, ${bucketSql(g)} AS bucket_ms,
-         |         COUNT(value) AS num_points, $sumDecSql AS sum_v
-         |  FROM metrics
-         |  WHERE tenant_id = 'purchase' AND ts_ms >= $from AND ts_ms < $to
-         |  GROUP BY 1, 2, 3
-         |)
-         |SELECT a.metric_name, a.bucket_ms, a.num_points, a.sum_v,
-         |       a.sum_v / a.num_points AS average, c.unit
-         |FROM agg a LEFT JOIN catalog c
-         |  ON a.tenant_id = c.tenant_id AND a.metric_name = c.metric_name
-         |ORDER BY a.metric_name, a.bucket_ms""".stripMargin) { (s, dir) =>
+      pointsOracleSql(g)) { (s, dir) =>
       val pts = Tables.metricsRange(s, dir, Some((from, to)))
         .filter(col("tenant_id") === "purchase")
         .groupBy(col("tenant_id"), col("metric_name"),
@@ -300,6 +308,67 @@ object RollupQueries2 {
         .withColumn("average", col("sum_v") / col("num_points"))
       pts.join(broadcast(Tables.catalog(s, dir).select("tenant_id", "metric_name", "unit")),
           Seq("tenant_id", "metric_name"), "left")
+        .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
+        .orderBy("metric_name", "bucket_ms")
+    }
+  }
+
+  /** The same points-mode lifecycle as [[pointsQuery]], but THROUGH the
+    * materialized rollup store — the reference's actual read path
+    * (RollupHandler.getRollupByGranularity, RollupHandler.java:126-223: scan
+    * the rollup CF at the chosen granularity, repair only the gaps from finer
+    * data, RollupHandler.java:241-297). The query materializes the 240m tier
+    * from the canonical view with one day DELIBERATELY left unrolled, then
+    * answers via [[graft.query.MetricsQueryApi.getRollupsStored]]: covered
+    * days come from the tier (~6 rows/metric/day instead of every raw
+    * point), the missing day alone is recomputed from raw. Matching the
+    * whole-range oracle proves stored + repair ≡ raw re-aggregation.
+    *
+    * Oracle-parity: tier sums ride DECIMAL(28,2) exactly like the inline
+    * queries (decimal addition is associative, so tier-then-read equals
+    * direct aggregation bit-for-bit), and the gap fill uses the same
+    * builder. */
+  private val pointsQueryStored = {
+    val g = Granularity.MIN_240
+    val missingDay = 1704844800000L // 2024-01-10: deliberately unrolled day
+    val dayMs = 86400000L
+    QDef("q_points_query_stored", pointsOracleSql(g)) { (s, dir) =>
+      def dayOf(c: Column): Column = (c - pmod(c, lit(dayMs))).cast("long")
+      // decimal-exact basic rollup with the stored-tier column contract
+      def decBasic(points: DataFrame, gr: Granularity): DataFrame =
+        points.groupBy(col("tenant_id"), col("metric_name"),
+            Tables.bucketMs(col("ts_ms"), gr).as("bucket_ms"))
+          .agg(
+            count(col("value")).as("num_points"),
+            sumDec(col("value")).as("sum_v"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"),
+            sum((col("value") * col("value")).cast(DecimalType(38, 8)))
+              .cast("double").as("sum_sq"))
+          .withColumn("avg_v", col("sum_v") / col("num_points"))
+          .withColumn("var_v",
+            (col("sum_sq") - col("sum_v") * col("sum_v") / col("num_points")) /
+              col("num_points"))
+          .drop("sum_sq")
+      // materialize ONLY the tier (the raw table already exists — the view
+      // over the driver's events parquet stands in for metrics_full, exactly
+      // the reference shape: rollup CFs are derived, raw is the source)
+      val store = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val raw = Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))
+      decBasic(raw.filter(col("tenant_id") === "purchase" &&
+          !(col("ts_ms") >= missingDay && col("ts_ms") < missingDay + dayMs)), g)
+        .withColumn("ts_day", dayOf(col("bucket_ms")))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$store/metrics_${g.name}")
+      graft.query.MetricsQueryApi.getRollupsStored(s, store,
+        graft.query.MetricsQueryApi.Params("purchase", "app.purchase.*",
+          from = "20240103", to = "20240123", points = Some(200),
+          select = Seq("average", "numPoints", "sum")),
+        nowMillis = pointsNow, maxBatch = 1000000,
+        catalogOverride = Some(Tables.catalog(s, dir)),
+        rollupFromRaw = decBasic,
+        // range-pushed view: the gap scan's ts bounds reach the parquet scan
+        rawOverride = Some(Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))))
         .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
         .orderBy("metric_name", "bucket_ms")
     }
@@ -331,5 +400,6 @@ object RollupQueries2 {
 
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
-    rollupsOnRead, unitsJoin, typeRouting, pointsQuery, latestAt)
+    rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
+    latestAt)
 }

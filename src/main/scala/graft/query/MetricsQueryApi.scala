@@ -1,6 +1,8 @@
 package graft.query
 
 import graft.core.{DateTimeParser, Granularity, GlobPattern, Tables}
+import graft.operators.Rollups
+import graft.streaming.IngestStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +67,42 @@ object MetricsQueryApi {
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,
       catalogOverride: Option[DataFrame] = None): DataFrame = {
+    val r = resolveQuery(spark, p, nowMillis, maxBatch,
+      catalogOverride.getOrElse(Tables.catalog(spark, dir)))
+    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
+    // snap with the EFFECTIVE bucket granularity: FULL selection still
+    // buckets at 5m, and an unsnapped start would truncate the first window
+    val snappedFrom = gEff.snap(r.fromMs)
+    val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, r.toMs)))
+      .filter(col("tenant_id") === p.tenantId)
+      .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+    val agged = pts
+      .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
+        col("rollup_type"),
+        Tables.bucketMs(col("ts_ms"), gEff).as("bucket_ms"))
+      .agg(
+        count(col("value")).as("num_points"),
+        sum(col("value")).as("sum_v"),
+        avg(col("value")).as("average"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        var_pop(col("value")).as("var_v"),
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
+      .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
+    projectStats(agged, r.select, r.perMetricDefaults)
+      .orderBy("metric_name", "bucket_ms")
+  }
+
+  /** The resolved prelude every read-path variant shares: datetime parse,
+    * §4.1 resolution selection, glob → locator resolution with the O2 batch
+    * guard, and the stat-selection rules (explicit `select=` vs per-metric
+    * defaults by rollup_type). */
+  private final case class ResolvedQuery(
+      fromMs: Long, toMs: Long, g: Granularity,
+      names: DataFrame, select: Seq[String], perMetricDefaults: Boolean)
+
+  private def resolveQuery(spark: SparkSession, p: Params, nowMillis: Long,
+      maxBatch: Int, catalog: DataFrame): ResolvedQuery = {
     require(p.points.isDefined ^ p.resolution.isDefined,
       "exactly one of points= or resolution= required")
     val fromMs = DateTimeParser.parseMillis(p.from, nowMillis)
@@ -79,7 +117,7 @@ object MetricsQueryApi {
     // One scan: the guard caps the set at maxBatch rows, so collect once and
     // rebuild a local broadcast side instead of re-running the
     // catalog-derivation pipeline for count/type-lookup/join.
-    val resolved = catalogOverride.getOrElse(Tables.catalog(spark, dir))
+    val resolved = catalog
       .filter(col("tenant_id") === p.tenantId &&
         col("metric_name").rlike(GlobPattern.toAnchoredRegex(p.metricGlob)))
       .limit(maxBatch + 1)
@@ -104,45 +142,160 @@ object MetricsQueryApi {
           case Nil => defaultStats("basic")
           case u => u
         }
+    ResolvedQuery(fromMs, toMs, g, names, select, perMetricDefaults)
+  }
 
-    val gEff = if (g.isFull) Granularity.MIN_5 else g
-    // snap with the EFFECTIVE bucket granularity: FULL selection still
-    // buckets at 5m, and an unsnapped start would truncate the first window
-    val snappedFrom = gEff.snap(fromMs)
-    val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, toMs)))
-      .filter(col("tenant_id") === p.tenantId)
-      .join(broadcast(names), Seq("tenant_id", "metric_name"))
-    val agged = pts
-      .groupBy(col("tenant_id"), col("metric_name"), col("unit"),
-        col("rollup_type"),
-        Tables.bucketMs(col("ts_ms"), gEff).as("bucket_ms"))
-      .agg(
-        count(col("value")).as("num_points"),
-        sum(col("value")).as("sum_v"),
-        avg(col("value")).as("average"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"),
-        var_pop(col("value")).as("var_v"),
-        max(struct(col("ts_ms"), col("value"))).getField("value").as("latest_v"))
-      .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
-
+  /** Shared stat projection: explicit `select=` keeps exactly those columns;
+    * per-metric defaults keep the union plus a `stat_set` array naming each
+    * row's own stats (see the schema contract on [[getRollups]]). */
+  private def projectStats(agged: DataFrame, select: Seq[String],
+      perMetricDefaults: Boolean): DataFrame = {
     val keep = Seq("tenant_id", "metric_name", "unit", "bucket_ms") ++
       select.flatMap(statCols.get).distinct
-    val projected =
-      if (!perMetricDefaults) agged.select(keep.map(col): _*)
-      else {
-        // per-row list of this metric's own stat columns, consumed by the
-        // serializer; the frame carries the union of columns
-        val statSet = defaultStats.foldLeft(
-            array(defaultStats("basic").flatMap(statCols.get).map(lit): _*)) {
-          case (els, (t, stats)) =>
-            when(col("rollup_type") === t,
-              array(stats.flatMap(statCols.get).map(lit): _*)).otherwise(els)
-        }
-        agged.withColumn("stat_set", statSet)
-          .select((keep :+ "stat_set").map(col): _*)
+    if (!perMetricDefaults) agged.select(keep.map(col): _*)
+    else {
+      // per-row list of this metric's own stat columns, consumed by the
+      // serializer; the frame carries the union of columns
+      val statSet = defaultStats.foldLeft(
+          array(defaultStats("basic").flatMap(statCols.get).map(lit): _*)) {
+        case (els, (t, stats)) =>
+          when(col("rollup_type") === t,
+            array(stats.flatMap(statCols.get).map(lit): _*)).otherwise(els)
       }
-    projected.orderBy("metric_name", "bucket_ms")
+      agged.withColumn("stat_set", statSet)
+        .select((keep :+ "stat_set").map(col): _*)
+    }
+  }
+
+  /** Catalog over an engine store (a directory produced by
+    * [[graft.streaming.IngestStream]]): distinct locators plus their ingested
+    * unit. In production this is a maintained dimension upserted at ingest
+    * (reference: metrics_metadata CF + the ES discovery index, SURVEY §1.1);
+    * deriving it here reads only the name/unit columns of the raw store.
+    * rollup_type is `basic` — the pre-aggregated families live in their own
+    * kind-routed tables. */
+  def storeCatalog(spark: SparkSession, storeDir: String): DataFrame =
+    catalogFromRaw(spark.read.parquet(s"$storeDir/metrics_full"))
+
+  private def catalogFromRaw(raw: DataFrame): DataFrame = {
+    val unitCol =
+      if (raw.columns.contains("unit")) max(col("unit")) else max(lit("unknown"))
+    raw.groupBy(col("tenant_id"), col("metric_name"))
+      .agg(unitCol.as("unit"))
+      .withColumn("rollup_type", lit("basic"))
+  }
+
+  private val DayMs = 86400000L
+
+  /** STORE-BACKED read path — the reference's core read: scan the rollup
+    * table for the planner-selected granularity and recompute only the gaps
+    * from raw (RollupHandler.getRollupByGranularity, RollupHandler.java:
+    * 126-223 → MetricsRWDelegator.getDatapointsForRange; repair union
+    * RollupHandler.java:241-297). [[getRollups]] re-aggregates the raw view
+    * on every call — correct, but a scale-killer for a long-range query; this
+    * variant reads ~range/granularity rows per metric from the materialized
+    * tier the ingest cascade maintains, touching `metrics_full` only for:
+    *
+    *  - days ABSENT from the tier (never rolled, or deliberately dropped).
+    *    Coverage is day-atomic by construction: the ingest path recomputes
+    *    whole dirty days (dynamic partition overwrite, [[IngestStream
+    *    .processBatch]]), so a `ts_day` present in a tier is fully rolled —
+    *    the gap test is a cheap distinct over the tier's partition column,
+    *    never a per-bucket anti-join against a full raw scan;
+    *  - the tail PARTIAL bucket when `to` is not bucket-aligned: a stored
+    *    bucket covers its whole window, so serving it would include points
+    *    past `to`; it is recomputed from raw instead (the reference serves
+    *    the full stored bucket here — we keep raw-path equivalence instead).
+    *
+    * `rollupFromRaw` computes the gap fill and must use the same algebra the
+    * stored tiers were built with (the reference dispatches repair per rollup
+    * type the same way, RollupRunnable.getRollupComputer). The basic store
+    * serves BasicRollup stats (+ derived rate); `latest` belongs to the gauge
+    * pre-aggregated family ([[graft.operators.Preaggregated]] tiers), as in
+    * the reference where BasicRollup carries no latest value.
+    *
+    * `rawOverride` points the gap fill at a raw source other than the
+    * store's own `metrics_full` — e.g. a view over an external full-
+    * resolution table when only the rollup tiers are materialized in
+    * `storeDir` (the reference's pluggable MetricsRW the same way). A source
+    * without a `ts_day` column gets per-day `ts_ms` range predicates
+    * instead of partition pruning. */
+  def getRollupsStored(spark: SparkSession, storeDir: String, p: Params,
+      nowMillis: Long = System.currentTimeMillis(),
+      maxBatch: Int = MaxMetricsPerBatchQuery,
+      catalogOverride: Option[DataFrame] = None,
+      rollupFromRaw: (DataFrame, Granularity) => DataFrame = Rollups.basicFromRaw,
+      rawOverride: Option[DataFrame] = None): DataFrame = {
+    val r = resolveQuery(spark, p, nowMillis, maxBatch,
+      catalogOverride.getOrElse(rawOverride.map(catalogFromRaw)
+        .getOrElse(storeCatalog(spark, storeDir))))
+    require(!r.select.contains("latest"),
+      "latest is served by the gauge preagg tiers, not the basic rollup store")
+    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
+    val snappedFrom = gEff.snap(r.fromMs)
+    val toMs = r.toMs
+    // tail partial bucket: when `to` is not bucket-aligned the stored bucket
+    // at floor(to) covers points past `to`; recompute it from raw
+    val tailStart = if (toMs % gEff.millis == 0) toMs else gEff.snap(toMs)
+    val rangeDays: Seq[Long] =
+      (snappedFrom - math.floorMod(snappedFrom, DayMs)) to (toMs - 1) by DayMs
+    val nameKeys = r.names.select("tenant_id", "metric_name")
+
+    val tierPath = s"$storeDir/metrics_${gEff.name}"
+    val (coveredDays, stored) =
+      if (!IngestStream.hasParquetData(spark, tierPath)) (Set.empty[Long], None)
+      else {
+        val tier = spark.read.parquet(tierPath)
+          .filter(col("ts_day").isin(rangeDays: _*))
+        // tiny collect: one long per day in range (partition-pruned scan of
+        // the partition column only)
+        val covered = tier.select("ts_day").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val slice = tier
+          .filter(col("bucket_ms") >= snappedFrom &&
+            col("bucket_ms") < tailStart &&
+            col("tenant_id") === p.tenantId)
+          .join(broadcast(nameKeys), Seq("tenant_id", "metric_name"), "left_semi")
+          .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+            col("num_points"), col("sum_v"), col("avg_v"),
+            col("min_v"), col("max_v"), col("var_v"))
+        (covered, Some(slice))
+      }
+
+    val missingDays = rangeDays.filterNot(coveredDays)
+    val gapFilled =
+      if (missingDays.isEmpty && tailStart >= toMs) None
+      else {
+        // raw is touched ONLY for uncovered days and the tail partial bucket
+        val rawSrc = rawOverride.getOrElse(
+          spark.read.parquet(s"$storeDir/metrics_full"))
+        val dayCond =
+          if (missingDays.isEmpty) lit(false)
+          else if (rawSrc.columns.contains("ts_day"))
+            col("ts_day").isin(missingDays: _*)
+          else missingDays
+            .map(d => col("ts_ms") >= d && col("ts_ms") < d + DayMs)
+            .reduce(_ || _)
+        val tailCond =
+          if (tailStart < toMs) col("ts_ms") >= tailStart else lit(false)
+        val raw = rawSrc
+          .filter(col("ts_ms") >= snappedFrom && col("ts_ms") < toMs &&
+            (dayCond || tailCond) && col("tenant_id") === p.tenantId)
+          .join(broadcast(nameKeys), Seq("tenant_id", "metric_name"), "left_semi")
+          .select("tenant_id", "metric_name", "ts_ms", "value")
+        Some(rollupFromRaw(raw, gEff))
+      }
+
+    // stored buckets and gap-filled buckets are disjoint by construction
+    // (every tier window is day-contained and gap days exclude covered days),
+    // so plain union — no anti-join needed
+    val combined = (stored.toSeq ++ gapFilled.toSeq).reduce(_ unionByName _)
+    val agged = combined
+      .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+      .withColumnRenamed("avg_v", "average")
+      .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
+    projectStats(agged, r.select, r.perMetricDefaults)
+      .orderBy("metric_name", "bucket_ms")
   }
 
   /** The reference's JSON response shape (S13,

@@ -1,0 +1,129 @@
+package graft.query
+
+import graft.SparkSuite
+import graft.core.Granularity
+import graft.streaming.IngestStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The store-backed read path (reference: RollupHandler
+  * .getRollupByGranularity, RollupHandler.java:126-223 — serve the rollup CF
+  * at the chosen granularity, repair gaps from finer data): proves
+  * [[MetricsQueryApi.getRollupsStored]] over an ingest-built store equals a
+  * pure raw recompute, including a deliberately missing tier day, and that a
+  * fully-covered query never touches the raw table. */
+class StoredReadSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val day0 = 1704240000000L // 2024-01-03 00:00 UTC
+  private val dayMs = 86400000L
+
+  /** Synthetic points: 2 tenants × 2 metrics × 4 days, several points per
+    * 5m bucket. INTEGER values — double addition over integers this small is
+    * exact in any order, so stored-vs-recomputed comparisons can be
+    * hash-exact without decimal plumbing. */
+  private def points: DataFrame = {
+    val rows = for {
+      (tenant, metric) <- Seq(("t1", "app.t1.m1"), ("t1", "app.t1.m2"),
+        ("t2", "app.t2.m1"))
+      d <- 0 until 4
+      i <- 0 until 200
+    } yield (tenant, metric, day0 + d * dayMs + i * 397000L,
+      ((i * 7 + d * 13) % 101).toDouble, 86400, "count")
+    rows.toDF("tenant_id", "metric_name", "ts_ms", "value", "ttl_seconds", "unit")
+  }
+
+  /** Build a store through the production ingest path (raw write + dirty-day
+    * 5m roll + cascade), and a tier-less twin holding only raw. */
+  private def buildStores(): (String, String) = {
+    val store = java.nio.file.Files.createTempDirectory("graft_srs_").toString
+    val rawOnly = java.nio.file.Files.createTempDirectory("graft_srs_raw_").toString
+    val validated = IngestStream.withValidity(points, 0L, Long.MaxValue)
+    IngestStream.processBatch(validated, store)
+    IngestStream.rollupCascadeFor(spark, store)
+    IngestStream.writeRaw(points, rawOnly, 0L)
+    (store, rawOnly)
+  }
+
+  private def params(to: String = "20240107",
+      g: Granularity = Granularity.MIN_5) = MetricsQueryApi.Params(
+    "t1", "app.t1.*", from = "20240103", to = to,
+    points = None, resolution = Some(g),
+    // variance excluded: var_pop's central-moment accumulation is
+    // partition-order-dependent even over integers; everything else is exact
+    select = Seq("numPoints", "sum", "average", "min", "max"))
+
+  private val now = 1704931200000L // 2024-01-11
+
+  private def run(store: String, to: String = "20240107",
+      g: Granularity = Granularity.MIN_5): Array[String] =
+    MetricsQueryApi.getRollupsStored(spark, store, params(to, g), nowMillis = now)
+      .collect().map(_.toString).sorted
+
+  test("stored path ≡ raw recompute when the tier fully covers the range") {
+    val (store, rawOnly) = buildStores()
+    assert(run(store) === run(rawOnly))
+  }
+
+  test("a missing tier day is repaired from raw, transparently") {
+    val (store, rawOnly) = buildStores()
+    // drop 2024-01-04 from the 5m tier — the gap the reference's
+    // repairMetrics path fills (RollupHandler.java:241-297)
+    val gone = new java.io.File(s"$store/metrics_5m/ts_day=${day0 + dayMs}")
+    assert(gone.exists)
+    gone.listFiles.foreach(_.delete())
+    assert(gone.delete())
+    assert(run(store) === run(rawOnly))
+  }
+
+  test("tail partial bucket is recomputed, never served stale from the tier") {
+    val (store, rawOnly) = buildStores()
+    // to = 00:10 into day 4 — mid-20m-bucket, so the tail bucket must come
+    // from raw points < to, not the stored full-window bucket
+    val to = "00:10 20240106"
+    assert(run(store, to, Granularity.MIN_20) ===
+      run(rawOnly, to, Granularity.MIN_20))
+  }
+
+  test("fully-covered query plans ZERO raw reads (scale contract)") {
+    val (store, _) = buildStores()
+    val df = MetricsQueryApi.getRollupsStored(spark, store, params(), nowMillis = now)
+    val plan = df.queryExecution.executedPlan.toString
+    // positive assert guards against path truncation silently passing
+    assert(plan.contains("metrics_5m"), s"tier scan missing from plan:\n$plan")
+    assert(!plan.contains("metrics_full"),
+      s"covered read must not scan raw:\n$plan")
+  }
+
+  test("coarser tier (20m) serves from its own table") {
+    val (store, rawOnly) = buildStores()
+    assert(run(store, g = Granularity.MIN_20) ===
+      run(rawOnly, g = Granularity.MIN_20))
+    val df = MetricsQueryApi.getRollupsStored(spark, store,
+      params(g = Granularity.MIN_20), nowMillis = now)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("metrics_20m") && !plan.contains("metrics_full"))
+  }
+
+  test("rawOverride: gaps fill from an external raw view (no ts_day column)") {
+    val (store, rawOnly) = buildStores()
+    val gone = new java.io.File(s"$store/metrics_5m/ts_day=${day0 + 2 * dayMs}")
+    gone.listFiles.foreach(_.delete())
+    assert(gone.delete())
+    val ext = points.select("tenant_id", "metric_name", "ts_ms", "value", "unit")
+    val got = MetricsQueryApi.getRollupsStored(spark, store, params(),
+      nowMillis = now, rawOverride = Some(ext))
+      .collect().map(_.toString).sorted
+    assert(got === run(rawOnly))
+  }
+
+  test("latest is routed to the gauge family, not the basic store") {
+    val (store, _) = buildStores()
+    val e = intercept[IllegalArgumentException] {
+      MetricsQueryApi.getRollupsStored(spark, store,
+        params().copy(select = Seq("latest")), nowMillis = now)
+    }
+    assert(e.getMessage.contains("gauge"))
+  }
+}
