@@ -82,26 +82,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** IVF (inverted-file) ANN — the 100 TB path: spherical k-means cells
-    * over the corpus, each vector assigned to its max-dot centroid; a query
-    * probes only its `nProbe` best cells, so the exact-cosine work drops to
-    * ~nProbe/nCells of the corpus. Centroids are the only driver-side state
-    * (nCells × dim doubles, broadcast back each Lloyd iteration — the
-    * standard distributed k-means shape); assignments, updates, and the
-    * candidate join are all DataFrame ops. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
+  private def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
 
-    def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+  /** cell-scored struct array: (dot, cellId) — array_max picks best cell. */
+  private def cellStructs(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, litVec(c)).as("s"), lit(i).as("c"))
+    }: _*)
 
-    // cell-scored struct array: (dot, cellId) — array_max picks best cell
-    def cellStructs(v: Column, cents: Array[Array[Double]]): Column =
-      array(cents.zipWithIndex.map { case (c, i) =>
-        struct(dot(v, litVec(c)).as("s"), lit(i).as("c"))
-      }: _*)
-
-    // init: first nCells vectors by vec_id (deterministic)
+  /** Distributed spherical-k-means training (Lloyd iterations). Centroids
+    * are the only driver-side state (nCells × dim doubles, broadcast back
+    * each iteration — the standard distributed k-means shape); assignment
+    * and mean updates are DataFrame ops. Init is the first nCells vectors
+    * by vec_id (deterministic). Train on a SAMPLE at scale — centroid
+    * quality converges long before the full corpus is seen; assignment of
+    * the full corpus happens once, in [[writeIvfIndex]]. */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16,
+      iterations: Int = 3): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(nCells)
       .select(col("embedding")).collect()
@@ -122,12 +119,21 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
 
-    val corpusCells = corpus.withColumn("cell",
+  /** Corpus with its max-dot cell assignment and precomputed norm — the
+    * row shape stored by [[writeIvfIndex]] and probed by the top-k join. */
+  private def assignCells(corpus: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("cell",
         array_max(cellStructs(col("embedding"), centroids)).getField("c"))
       .withColumn("nrm", norm(col("embedding")))
-    // query probes: top-nProbe cells by centroid dot
-    val queryCells = queries
+
+  /** Queries exploded to their top-nProbe cells by centroid dot. */
+  private def queryProbes(queries: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries
       .withColumn("probes", slice(sort_array(
         cellStructs(col("query_vec"), centroids), asc = false), 1, nProbe))
       .select(col("query_id"), col("query_vec"),
@@ -135,6 +141,9 @@ object Similarity {
       .select(col("query_id"), col("query_vec"), col("p.c").as("cell"))
       .withColumn("qnrm", norm(col("query_vec")))
 
+  /** Exact cosine + per-query top-k over cell-equi-join candidates. */
+  private def probeTopK(corpusCells: DataFrame, queryCells: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     corpusCells.join(queryCells, Seq("cell"))
@@ -144,6 +153,75 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF probe against an in-memory corpus with caller-supplied centroids —
+    * the shared core of [[ivfTopK]] (inline) and the persisted-index path
+    * ([[ivfTopKFromIndex]]); identical output for identical centroids. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int = 4): DataFrame =
+    probeTopK(assignCells(corpus, centroids),
+      queryProbes(queries, centroids, nProbe), k)
+
+  /** IVF (inverted-file) ANN — train + assign + probe in one call: a query
+    * probes only its `nProbe` best of `nCells` k-means cells, so the
+    * exact-cosine work drops to ~nProbe/nCells of the corpus. This inline
+    * form re-trains and re-assigns per call — fine as a query shape at
+    * test scale; at 100 TB build the index ONCE with [[writeIvfIndex]]
+    * (train on a sample, persist centroids + cell-partitioned assignments)
+    * and serve queries with [[ivfTopKFromIndex]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 3): DataFrame =
+    ivfTopKWithCentroids(corpus, queries,
+      trainIvfCentroids(corpus, nCells, iterations), k, nProbe)
+
+  /** Build and persist the IVF index — the once-per-corpus pass of the
+    * 100 TB ANN pipeline (mirror of [[Dedup.writeMinhashSignatures]]):
+    * `path/centroids` holds the nCells × dim model; `path/assignments`
+    * holds (vec_id, embedding, nrm) PARTITIONED BY cell, so a probe reads
+    * only the nProbe probed cell partitions from storage — the IVF scan
+    * reduction happens at the parquet-pruning layer, not post-scan.
+    * Training runs on a `trainFraction` sample (centroid quality needs a
+    * sample, full-corpus assignment happens exactly once here); pass
+    * `centroids` to skip training and index under an existing model. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+      iterations: Int = 3, trainFraction: Double = 1.0, seed: Long = 42L,
+      centroids: Option[Array[Array[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse {
+      val trainSet =
+        if (trainFraction >= 1.0) corpus
+        else corpus.sample(withReplacement = false, trainFraction, seed)
+      trainIvfCentroids(trainSet, nCells, iterations)
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, cents)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Serve ANN top-k from a persisted IVF index: centroids load
+    * driver-side (nCells × dim — tiny), the probed-cell set is collected
+    * (bounded by nCells, never by |queries|) and pushed into the
+    * assignments scan as a static partition filter, so parquet reads only
+    * the probed cells. Identical output to [[ivfTopKWithCentroids]] over
+    * the same corpus and centroids. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val queryCells = queryProbes(queries, centroids, nProbe)
+    // distinct probed cells ⊆ {0..nCells-1}: O(nCells) driver rows
+    val probed = queryCells.select("cell").distinct().collect()
+      .map(_.getInt(0))
+    val assignments = spark.read.parquet(s"$path/assignments")
+      .filter(col("cell").isin(probed.toSeq: _*))
+    probeTopK(assignments, queryCells, k)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — brute

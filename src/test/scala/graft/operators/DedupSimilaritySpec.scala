@@ -88,6 +88,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("persisted IVF index == inline path for the same centroids") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cents = Similarity.trainIvfCentroids(emb, nCells = 16, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    Similarity.writeIvfIndex(emb, path, centroids = Some(cents))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = toSet(Similarity.ivfTopKWithCentroids(emb, qs, cents, 10, nProbe = 4))
+    val persisted = toSet(Similarity.ivfTopKFromIndex(spark, path, qs, 10, nProbe = 4))
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+  }
+
+  test("IVF recall floor holds through the persisted index (sample-trained)") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_s").toString + "/ivf"
+    // train on half the corpus — the 100 TB shape (sampled training, one
+    // full-corpus assignment pass at write time)
+    Similarity.writeIvfIndex(emb, path, nCells = 16, iterations = 3,
+      trainFraction = 0.5)
+    val brute = Similarity.bruteTopK(emb, qs, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKFromIndex(spark, path, qs, 10, nProbe = 6)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"persisted-IVF recall $recall too low")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDups(emb, 0.4).collect()
     pairs.foreach { r =>
