@@ -45,6 +45,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       Multimodal.sampleFrames(media, 32, 2).orderBy("media_id", "frame_idx").collect().toSeq)
   }
 
+  test("image/* payloads get a REAL ImageIO decode: true dims, channels, luminance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def encode(w: Int, h: Int, fmt: String, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val white = 0xffffff
+    val media = Seq(
+      (1L, encode(37, 21, "png", white), "image/png"),
+      (2L, encode(64, 48, "jpg", 0x000000), "image/jpeg"),
+      (3L, "not an image at all".getBytes("UTF-8"), "image/png"), // corrupt
+      (4L, "plain text payload".getBytes("UTF-8"), "text/plain"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("test").as("source")).as("meta"))
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // true dimensions and channel counts from the decoder, not the stub
+    assert(f(1L).getAs[Int]("width") === 37 && f(1L).getAs[Int]("height") === 21)
+    assert(f(1L).getAs[Int]("channels") === 3 && f(1L).getAs[Boolean]("real_decode"))
+    assert(f(1L).getAs[Double]("feature0") > 0.99) // all-white luminance
+    assert(f(2L).getAs[Int]("width") === 64 && f(2L).getAs[Int]("height") === 48)
+    assert(f(2L).getAs[Double]("feature0") < 0.05) // all-black luminance
+    // corrupt image payload and non-image mime both take the total stub path
+    assert(!f(3L).getAs[Boolean]("real_decode") && f(3L).getAs[Int]("channels") === 0)
+    assert(!f(4L).getAs[Boolean]("real_decode"))
+
+    // real resize: aspect preserved, never upscaled, thumb is decodable PNG
+    val r = Multimodal.resize(media, maxDim = 16).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(r(1L).getAs[Int]("width") === 16 && r(1L).getAs[Int]("height") === 9)
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r(1L).getAs[Array[Byte]]("thumb")))
+    assert(thumb.getWidth === 16 && thumb.getHeight === 9)
+    assert(thumb.getRGB(8, 4) === (0xff000000 | white)) // scaling preserved color
+  }
+
   test("payload byte length matches metadata") {
     val docs = Tables.load(spark, dir, "documents")
     val media = Multimodal.asMedia(docs)
