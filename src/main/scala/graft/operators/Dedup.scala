@@ -77,14 +77,37 @@ object Dedup {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** Drop join-key buckets wider than `maxBucket` rows from a candidate-
+    * generation table — the hot-key guard for every LSH-style equi-join
+    * here. One degenerate key (empty docs, boilerplate headers, an
+    * adversarial constant) otherwise joins quadratically in its bucket
+    * width; a key shared by a MILLION docs contributes 5·10¹¹ candidate
+    * pairs on its own. The cap applies to CANDIDATE GENERATION only —
+    * verification stays exact — so it trades recall only for pairs whose
+    * every collision is a hot key, i.e. boilerplate-only overlap. Cost:
+    * one aggregate + left-anti join on the key columns (same shuffle key
+    * the candidate join needs anyway). */
+  private def capBuckets(rows: DataFrame, keyCols: Seq[String],
+      maxBucket: Long): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_w"))
+      .filter(col("bucket_w") > maxBucket)
+      .select(keyCols.map(col): _*)
+    rows.join(hot, keyCols, "left_anti")
+  }
+
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints — rolling-
     * hash near-dup candidates. Pure equi-join on the fingerprint value (no
     * cartesian); at 100 TB the fingerprint table is the narrow persisted
-    * artifact (~2/(w+1) × shingle count rows) and hot fingerprints can be
-    * df-pruned exactly like minhash band keys. */
+    * artifact (~2/(w+1) × shingle count rows). `maxFpDf` drops fingerprints
+    * held by more than that many documents before the pair join
+    * ([[capBuckets]]): boilerplate runs shared corpus-wide are exactly the
+    * hot keys whose bucket joins quadratically, and their shared counts say
+    * "same template", not "same document". */
   def winnowSharedPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-      minShared: Long = 2L): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w)
+      minShared: Long = 2L, maxFpDf: Option[Long] = None): DataFrame = {
+    val fp0 = winnowFingerprints(docs, k, w)
+    val fp = maxFpDf.fold(fp0)(capBuckets(fp0, Seq("fp"), _))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
@@ -295,16 +318,24 @@ object Dedup {
   /** SimHash near-dup pairs at hamming distance ≤ maxDist via the
     * pigeonhole band trick: split 64 bits into maxDist+1 bands; any pair
     * within distance must agree exactly on ≥1 band — equi-join per band,
-    * then exact hamming filter (`bit_count(xor)`). */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * then exact hamming filter (`bit_count(xor)`). `maxBucket` caps the
+    * per-(band,key) bucket width ([[capBuckets]]): identical/empty/
+    * boilerplate documents all simhash to the same value, putting the
+    * whole clique in every band bucket — quadratic in clique size without
+    * the cap. Capped, the pigeonhole guarantee weakens only for pairs
+    * ALL of whose agreeing bands are hot — degenerate-clique members, not
+    * organic near-dups. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Option[Long] = None): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     val sh = simhash(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map { b =>
         shiftrightunsigned(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("band", "key")))
+    val banded = maxBucket.fold(banded0)(capBuckets(banded0, Seq("band", "key"), _))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -200,6 +200,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(cRare < cAll, s"prune did not reduce candidates: $cRare vs $cAll")
   }
 
+  test("bucket caps: identical pairs on the organic corpus, sub-quadratic on a hot-key clique") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // organic corpus: cap at the widest natural bucket — the guard is armed
+    // but must not change results
+    val simBandWidth = {
+      val sh = Dedup.simhash(docs)
+      val nBands = 4; val width = 16
+      sh.select(posexplode(array((0 until nBands).map { b =>
+          shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))
+        }: _*)).as(Seq("band", "key")))
+        .groupBy("band", "key").count().agg(max("count")).collect()(0).getLong(0)
+    }
+    assert(pairSet(Dedup.simhashNearDups(docs, maxBucket = Some(simBandWidth))) ===
+      pairSet(Dedup.simhashNearDups(docs)))
+    val fpWidth = Dedup.winnowFingerprints(docs).groupBy("fp").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(pairSet(Dedup.winnowSharedPairs(docs, maxFpDf = Some(fpWidth))) ===
+      pairSet(Dedup.winnowSharedPairs(docs)))
+
+    // hot-key clique: one degenerate simhash/fingerprint shared by 120
+    // clones goes quadratic uncapped; capped, the clique dies in candidate
+    // generation while an organic duplicate pair survives untouched
+    val boiler = "the same boilerplate header text repeated in every single cloned document goes here"
+    val organic = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = ((100L until 220L).map(i => (i, boiler)) ++
+      Seq((1L, organic), (2L, organic))).toDF("doc_id", "text")
+    val n = 120L
+
+    val simUncapped = Dedup.simhashNearDups(corpus).count()
+    assert(simUncapped >= n * (n - 1) / 2, s"expected quadratic clique, got $simUncapped")
+    assert(pairSet(Dedup.simhashNearDups(corpus, maxBucket = Some(10L))) === Set((1L, 2L)))
+
+    val winUncapped = Dedup.winnowSharedPairs(corpus, minShared = 1L).count()
+    assert(winUncapped >= n * (n - 1) / 2, s"expected quadratic clique, got $winUncapped")
+    assert(pairSet(Dedup.winnowSharedPairs(corpus, minShared = 1L,
+      maxFpDf = Some(10L))) === Set((1L, 2L)))
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi
