@@ -398,8 +398,44 @@ object RollupQueries2 {
     }
   }
 
+  /** APPROX-percentile timer rollup ([[Rollups.timerApproxFromRaw]]) — the
+    * 100 TB-scale variant of q_rollup_timer_60m's tier-1: approx_percentile
+    * is a mergeable digest, so the per-group sort the exact `percentile`
+    * needs disappears into algebraic partial aggregation. Approximate by
+    * design → rows-only here; RollupSpec bounds the error vs the exact
+    * form (non-percentile fields identical, percentiles within the
+    * window's [min,max] and close to exact). */
+  private val timerApprox60m = QDef.noOracle("q_rollup_timer_approx_60m") { (s, dir) =>
+    Rollups.timerApproxFromRaw(Tables.metrics(s, dir), Granularity.MIN_60)
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** HLL set rollup ([[Rollups.setApproxFromRaw]]) — O(1) sketch state per
+    * window instead of the exact path's unbounded hash set. Approximate by
+    * design → rows-only; RollupSpec bounds the relative error vs exact. */
+  private val setHll1440m = QDef.noOracle("q_rollup_set_hll_1440m") { (s, dir) =>
+    Rollups.setApproxFromRaw(Tables.metrics(s, dir), Granularity.MIN_1440)
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
+  /** Value-salted EXACT set rollup ([[Rollups.setFromRawSalted]]): every
+    * distinct value belongs to exactly one salt sub-group, so per-salt
+    * distinct counts are disjoint and their sum is the exact total — a hot
+    * locator's distinct set never lands on one reducer. Exact ⇒ shares
+    * q_rollup_set_1440m's oracle verbatim. */
+  private val setSalted1440m = QDef(
+    "q_rollup_set_salted_1440m",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ${bucketSql(Granularity.MIN_1440)} AS bucket_ms,
+       |       COUNT(DISTINCT value) AS distinct_count
+       |FROM metrics GROUP BY 1, 2, 3
+       |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+    Rollups.setFromRawSalted(Tables.metrics(s, dir), Granularity.MIN_1440)
+      .orderBy("tenant_id", "metric_name", "bucket_ms")
+  }
+
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
-    latestAt)
+    latestAt, timerApprox60m, setHll1440m, setSalted1440m)
 }
