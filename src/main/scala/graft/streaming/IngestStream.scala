@@ -149,6 +149,73 @@ object IngestStream {
         col("num_points"), col("sum_v"), col("avg_v"),
         col("min_v"), col("max_v"), col("var_v"))
 
+  /** Event/annotation ingest schema (reference: the events ingest surface
+    * HttpEventsIngestionHandler.java → Event.java what/when/tags/data,
+    * persisted by EventElasticSearchIO.java:46-58): the engine's event row
+    * is (tenant_id, event_id, ts_ms, event_type, value, props) — the same
+    * shape [[graft.operators.Discovery.eventSearch]] queries. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("tenant_id", StringType),
+    StructField("event_id", LongType),
+    StructField("ts_ms", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Parse a stream/batch of event JSON lines into typed event rows. */
+  def parseEventsJson(lines: DataFrame): DataFrame =
+    lines.select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select("e.*")
+
+  /** Event validity: an id, a type, and an in-window timestamp (same
+    * null-safe 3VL discipline as [[withValidity]]). */
+  def withEventValidity(events: DataFrame, minTs: Long, maxTs: Long): DataFrame =
+    events.withColumn("valid",
+      coalesce(
+        col("event_id").isNotNull &&
+          col("event_type").isNotNull && length(col("event_type")) > 0 &&
+          col("ts_ms").between(minTs, maxTs),
+        lit(false)))
+
+  /** One events micro-batch — the same idempotence discipline as
+    * [[processBatch]]: day-partitioned parquet under an overwrite batch-id
+    * partition, so a replayed batch replaces rather than duplicates its own
+    * rows; invalid records go to an errors sink instead of vanishing.
+    * Events are immutable annotations with no rollup ladder, so ingest is
+    * append-only — no re-roll step, which is what makes this path trivial
+    * by design next to the metrics one. */
+  def processEventsBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.isEmpty) return
+      val invalid = cached.filter(!col("valid")).drop("valid")
+      if (!invalid.isEmpty)
+        invalid.write.mode("overwrite")
+          .parquet(s"$storeDir/events_errors/batch_id=$batchId")
+      val valid = cached.filter(col("valid")).drop("valid")
+      if (valid.isEmpty) return
+      valid.withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$storeDir/events/batch_id=$batchId")
+    } finally cached.unpersist()
+  }
+
+  /** Start the events ingest stream over a source of JSON lines. */
+  def startEvents(lines: DataFrame, storeDir: String, checkpointDir: String,
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue): StreamingQuery =
+    withEventValidity(parseEventsJson(lines), minTs, maxTs)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, id: Long) => processEventsBatch(batch, storeDir, id) }
+      .start()
+
+  /** The ingested events store as the query surface for
+    * [[graft.operators.Discovery.eventSearch]] — day partitions push the
+    * search's time-range filter into partition pruning. */
+  def eventsStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/events").drop("batch_id", "ts_day")
+
   private val cascadeTiers = Seq(
     Granularity.MIN_20, Granularity.MIN_60, Granularity.MIN_240, Granularity.MIN_1440)
 

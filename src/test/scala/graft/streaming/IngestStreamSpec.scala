@@ -73,6 +73,45 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     assert(errors.collect()(0).getAs[Double]("value") === 9.0)
   }
 
+  test("events stream ingest: search over the resulting store matches batch expectations") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_estore").toString
+    val ckpt = Files.createTempDirectory("graft_eckpt").toString
+    val base = 1704844800000L
+    def ev(tenant: String, id: Long, ts: Long, typ: String, v: Double, k: Int): String =
+      s"""{"tenant_id":"$tenant","event_id":$id,"ts_ms":$ts,"event_type":"$typ","value":$v,"props":"{\\"k\\": $k}"}"""
+
+    val mem = MemoryStream[String]
+    val q = IngestStream.startEvents(mem.toDF().select(col("value")), store, ckpt)
+    mem.addData(
+      ev("t1", 1, base + 1000, "deploy", 1.0, 10),
+      ev("t1", 2, base + 2000, "deploy", 2.0, 99), // tag regex must reject
+      s"""{"tenant_id":"t1","event_id":3,"ts_ms":${base + 3000},"value":4.0,"props":"{}"}""") // no type → invalid
+    q.processAllAvailable()
+    // a second batch lands on the NEXT day partition
+    mem.addData(ev("t2", 4, base + 86400000L + 5000, "alert", 3.0, 15))
+    q.processAllAvailable()
+    q.stop()
+
+    val evStore = IngestStream.eventsStore(spark, store)
+    // same range+tag search shape as q_event_search
+    val hits = graft.operators.Discovery.eventSearch(
+        evStore, base, base + 2 * 86400000L, "\"k\": 1[0-9]\\}")
+      .select("event_id", "event_type").collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    assert(hits.map(_.getString(1)).toSeq === Seq("deploy", "alert"))
+    // range filter excludes day 2 when until is tightened
+    assert(graft.operators.Discovery.eventSearch(
+      evStore, base, base + 86400000L, "\"k\": 1[0-9]\\}").count() === 1)
+    // the type-less record landed in the errors sink, not the store
+    assert(spark.read.parquet(s"$store/events_errors").count() === 1)
+    assert(evStore.count() === 3)
+    // store is day-partitioned for range pruning
+    assert(spark.read.parquet(s"$store/events")
+      .select("ts_day").distinct().count() === 2)
+  }
+
   test("validation filter drops out-of-range and empty-name records") {
     import spark.implicits._
     val now = 1704067200000L
