@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // N>1 → per-query MEDIAN over N full rounds (round-robin, so JVM/JIT
+    // drift spreads evenly across queries instead of biasing whichever
+    // query runs first). The driver leaves this unset → single-run, same
+    // output shape as always.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,15 +25,30 @@ object Bench {
       SparkEntry.queries.get("q_rollup_basic_5m").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_tpch_q5").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Map[String, Seq[Double]] = (1 to runs).flatMap { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2).sum
+    // runs>1 → also emit the raw per-round samples: a median alone can't
+    // distinguish a real regression from machine variance; the spread can.
+    val sampleJson =
+      if (runs <= 1) ""
+      else "," + names.map(n => s"\"" + n + "\":[" + samples(n).mkString(",") + "]")
+        .mkString("\"samples\":{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sampleJson}"""
     // The driver parses stdout for this line; sbt's logger can prefix or
     // swallow it (BENCH_r01 "parsed": null), so emit it on a bare line AND
     // persist it to a file (overridable via SPARK_GRAFT_BENCH_OUT).
