@@ -40,7 +40,13 @@ object Retention {
     Granularity.all.map(g => tableFor(g) -> g).toMap ++
       (for (k <- preaggKinds; g <- Granularity.rollupTiers)
         yield s"preagg_${k}_${g.name}" -> g) +
-      ("preagg_raw" -> Granularity.rollupTiers.head)
+      ("preagg_raw" -> Granularity.rollupTiers.head) +
+      // events are annotations on the data, not samples of it: they age
+      // with the COARSEST tier (1825d) so an annotation outlives every
+      // rollup it annotates (the reference keeps events in a separate
+      // long-retention ES index for the same reason). Same two-level
+      // batch_id/ts_day layout as metrics_full, handled by enforce as-is.
+      ("events" -> Granularity.rollupTiers.last)
 
   /** A day partition is expired only when its whole day lies beyond the
     * tier's TTL horizon — the conservative reading of the reference's

@@ -91,6 +91,20 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     IngestStream.preaggCascadeFor(spark, store)
   }
 
+  test("events age with the coarsest tier TTL — annotations outlive the rollups") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_ret_events").toString
+    val oldDay = day0 - 1830L * 86400000L // > 1825d before the clock
+    val newDay = day(5) // 24d old: dead in full/5m/20m, alive for events
+    Seq(("t1", 1L, oldDay + 1000, "deploy", 1.0, "{}", oldDay),
+        ("t1", 2L, newDay + 1000, "deploy", 2.0, "{}", newDay))
+      .toDF("tenant_id", "event_id", "ts_ms", "event_type", "value", "props", "ts_day")
+      .write.partitionBy("ts_day").parquet(s"$store/events/batch_id=0")
+    val dropped = Retention.enforce(spark, store, now)
+    assert(dropped("events") === Seq(oldDay))
+    assert(daysIn(store, "events") === Set(newDay))
+  }
+
   test("husk left by a crash between delete and prune is cleaned by the next run") {
     val store = Files.createTempDirectory("graft_retention_husk").toString
     // simulate: a prior enforce deleted every partition of metrics_5m, then
