@@ -105,9 +105,23 @@ object Dedup {
     * hot keys whose bucket joins quadratically, and their shared counts say
     * "same template", not "same document". */
   def winnowSharedPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxFpDf: Option[Long] = None): DataFrame =
+    winnowSharedPairsFromFingerprints(
+      winnowFingerprints(docs, k, w), minShared, maxFpDf)
+
+  /** Persist the winnowed fingerprint table — the once-per-corpus pass of
+    * the rolling-hash dedup pipeline at 100 TB (the ~2/(w+1)-of-shingles
+    * narrow artifact; mirror of [[writeMinhashSignatures]]). */
+  def writeWinnowFingerprints(docs: DataFrame, path: String, k: Int = 3,
+      w: Int = 4): Unit =
+    winnowFingerprints(docs, k, w).write.mode("overwrite").parquet(path)
+
+  /** Pair generation from a stored fingerprint table (written once by
+    * [[writeWinnowFingerprints]]) — no re-shingling of the corpus.
+    * Identical output to [[winnowSharedPairs]] for the same (k, w). */
+  def winnowSharedPairsFromFingerprints(fingerprints: DataFrame,
       minShared: Long = 2L, maxFpDf: Option[Long] = None): DataFrame = {
-    val fp0 = winnowFingerprints(docs, k, w)
-    val fp = maxFpDf.fold(fp0)(capBuckets(fp0, Seq("fp"), _))
+    val fp = maxFpDf.fold(fingerprints)(capBuckets(fingerprints, Seq("fp"), _))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))

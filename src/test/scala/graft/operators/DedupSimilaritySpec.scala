@@ -168,6 +168,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(persisted.nonEmpty)
   }
 
+  test("persisted winnow fingerprint table gives identical shared pairs") {
+    val d01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_fp").toString + "/fp"
+    Dedup.writeWinnowFingerprints(d01, path)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = toSet(Dedup.winnowSharedPairsFromFingerprints(
+      spark.read.parquet(path), minShared = 1L))
+    val inline = toSet(Dedup.winnowSharedPairs(d01, minShared = 1L))
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+  }
+
   test("high-df shingle prune: identical pairs, fewer candidates (minhash + ngram)") {
     val d01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
     // synthetic trigrams are near-unique (max df = 7 at sf0.01): prune at 3
