@@ -57,6 +57,37 @@ object Demo {
         |         (vec_norm(a.embedding) * vec_norm(b.embedding)) AS cos
         |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id IN (1, 2, 3)""".stripMargin)
       .show()
+    println("== 6. store-backed read: same query served FROM the cascade tiers ==")
+    val storedResult = MetricsQueryApi.getRollupsStored(spark, store,
+      MetricsQueryApi.Params("purchase", "app.purchase.user_1?", "20240103", "20240123",
+        points = Some(50)),
+      nowMillis = 1706659200000L)
+    storedResult.show(5, truncate = false)
+
+    println("== 7. persisted IVF index: build once, probe reads only probed cells ==")
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.operators.Similarity.writeIvfIndex(emb, s"$store/ivf")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.operators.Similarity.ivfTopKFromIndex(spark, s"$store/ivf", queries, k = 5)
+      .show()
+
+    println("== 8. multimodal: REAL image decode (JDK ImageIO) ==")
+    val img = new java.awt.image.BufferedImage(32, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 32) img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    import spark.implicits._
+    val media = Seq((1L, buf.toByteArray, "image/png"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        org.apache.spark.sql.functions.struct(
+          col("mime"),
+          org.apache.spark.sql.functions.lit(buf.size().toLong).as("n_bytes"),
+          org.apache.spark.sql.functions.lit("demo").as("source")).as("meta"))
+    graft.operators.Multimodal.extractFeatures(media).show()
+
     spark.stop()
   }
 }
