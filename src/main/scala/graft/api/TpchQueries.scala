@@ -113,5 +113,62 @@ object TpchQueries {
       .limit(10)
   }
 
-  val defs: Seq[QDef] = Seq(q1, q5, q4, q18)
+  /** Forecast-revenue-change (TPC-H Q6 shape): a single selective scan —
+    * every predicate (date range, discount band, quantity cap) pushes to
+    * the parquet reader, and the whole plan is scan→filter→one-row agg
+    * with no shuffle beyond the final partial merge. The canary query for
+    * pushdown health: if `PushedFilters` ever regresses, this is where it
+    * shows first. */
+  private val q6 = QDef(
+    "q_tpch_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sumDec6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Unshipped-orders top-k (TPC-H Q3 shape): one broadcast dimension
+    * (filtered customers), one fact-fact equi-join, then
+    * TakeOrderedAndProject over the grouped revenue — the join+rank
+    * composite the dashboard-style queries reduce to. */
+  private val q3 = QDef(
+    "q_tpch_q3_topk",
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       epoch_ms(o_orderdate) AS o_orderdate_ms
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumDec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val defs: Seq[QDef] = Seq(q1, q5, q4, q18, q6, q3)
 }
