@@ -298,6 +298,137 @@ object MetricsQueryApi {
       .orderBy("metric_name", "bucket_ms")
   }
 
+  /** Locator catalog for one pre-aggregated family, derived from the
+    * parsed-flush store: statsd payloads carry no unit, and rollup_type is
+    * the family itself (the reference's metrics_metadata records the same
+    * discriminator for preagg locators). */
+  def preaggStoreCatalog(spark: SparkSession, storeDir: String,
+      kind: String): DataFrame =
+    spark.read.parquet(s"$storeDir/preagg_raw")
+      .filter(col("kind") === kind)
+      .select("tenant_id", "metric_name").distinct()
+      .withColumn("unit", lit("unknown"))
+      .withColumn("rollup_type", lit(kind))
+
+  private val preaggMerges: Map[String, (DataFrame, Granularity) => DataFrame] =
+    Map(
+      "counter" -> graft.operators.Preaggregated.counterMerge,
+      "gauge" -> graft.operators.Preaggregated.gaugeMerge,
+      "timer" -> graft.operators.Preaggregated.timerStateMerge,
+      "set" -> graft.operators.Preaggregated.setStateMerge)
+
+  /** Recompute a pre-aggregated tier slice from parsed flush rows by
+    * replicating the STORED LADDER hop-by-hop (5m tier-1, then each
+    * cascade tier's kind merge up to `gEff`). A direct single-hop
+    * aggregation at `gEff` would NOT match the store for path-dependent
+    * algebra — the timer percentile merge is an unweighted mean-of-means
+    * per hop (reference-lossy by design, BluefloodTimerRollup.java:242-254),
+    * so 5m→20m→60m differs from 5m→60m. Gap repair must agree with what
+    * the cascade would have stored, hence the ladder walk. */
+  private def preaggLadder(parsed: DataFrame, kind: String,
+      gEff: Granularity): DataFrame = {
+    val tier1 = graft.operators.Preaggregated
+      .tier1FromParsed(parsed, Granularity.MIN_5)(kind)
+    Granularity.rollupTiers.filter(g =>
+        g.millis > Granularity.MIN_5.millis && g.millis <= gEff.millis)
+      .foldLeft(tier1)((finer, g) => preaggMerges(kind)(finer, g))
+  }
+
+  /** Map one family's stored state columns onto the facade's stat-column
+    * contract (reference serializer dispatch,
+    * JSONBasicRollupsOutputSerializer.java:55-151: counter numPoints =
+    * sampleCount and sum = accumulated count; timer scalars; gauge latest;
+    * set cardinality). Stats a family doesn't carry surface as NULL
+    * columns, so an explicit cross-family `select=` degrades to nulls
+    * instead of an analysis error. */
+  private def preaggToStats(df: DataFrame, kind: String): DataFrame = {
+    val keys = Seq(col("tenant_id"), col("metric_name"), col("bucket_ms"))
+    val mapped = kind match {
+      case "counter" => df.select(keys ++ Seq(
+        col("sample_count").as("num_points"), col("count").as("sum_v"),
+        col("rate")): _*)
+      case "gauge" => df.select(keys ++ Seq(
+        col("num_points"), col("latest_v"), col("min_v"), col("max_v")): _*)
+      case "timer" => df.select(keys ++ Seq(
+        col("count").as("num_points"), col("sum").as("sum_v"),
+        when(col("count") =!= 0, col("sum") / col("count")).as("average"),
+        col("min").as("min_v"), col("max").as("max_v"), col("rate")): _*)
+      case "set" => df.select(keys ++ Seq(
+        col("distinct_count").cast("long").as("num_points")): _*)
+    }
+    statCols.values.toSeq.distinct.filterNot(mapped.columns.contains)
+      .foldLeft(mapped)((d, c) => d.withColumn(c, lit(null).cast("double")))
+  }
+
+  /** STORE-BACKED read for a pre-aggregated family — the kind-dispatched
+    * arm of the reference's read path (RollupHandler routes a locator's
+    * read to its rollup_type's column family the same way,
+    * MetricsRWDelegator.java:79-113): scan `preagg_<kind>_<g>` for the
+    * planner-selected granularity, recompute only tier-absent days and the
+    * tail partial bucket from the `preagg_raw` parsed-flush store via the
+    * SAME ladder algebra the cascade used ([[preaggLadder]]). Day-atomic
+    * coverage holds for the preagg tiers exactly as for the basic ones
+    * (dirty-day dynamic overwrite, [[IngestStream.processAggregatedBatch]]).
+    * This serves `latest` (gauge family) — the stat [[getRollupsStored]]
+    * refuses because BasicRollup does not carry it. */
+  def getPreaggStored(spark: SparkSession, storeDir: String, p: Params,
+      kind: String,
+      nowMillis: Long = System.currentTimeMillis(),
+      maxBatch: Int = MaxMetricsPerBatchQuery,
+      catalogOverride: Option[DataFrame] = None): DataFrame = {
+    require(preaggMerges.contains(kind),
+      s"unknown pre-aggregated kind '$kind' (one of ${preaggMerges.keys.mkString(", ")})")
+    val r = resolveQuery(spark, p, nowMillis, maxBatch,
+      catalogOverride.getOrElse(preaggStoreCatalog(spark, storeDir, kind)))
+    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
+    val snappedFrom = gEff.snap(r.fromMs)
+    val toMs = r.toMs
+    val tailStart = if (toMs % gEff.millis == 0) toMs else gEff.snap(toMs)
+    val rangeDays: Seq[Long] =
+      (snappedFrom - math.floorMod(snappedFrom, DayMs)) to (toMs - 1) by DayMs
+    val nameKeys = r.names.select("tenant_id", "metric_name")
+
+    val tierPath = s"$storeDir/preagg_${kind}_${gEff.name}"
+    val (coveredDays, stored) =
+      if (!IngestStream.hasParquetData(spark, tierPath)) (Set.empty[Long], None)
+      else {
+        val tier = spark.read.parquet(tierPath)
+          .filter(col("ts_day").isin(rangeDays: _*))
+        val covered = tier.select("ts_day").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val slice = tier
+          .filter(col("bucket_ms") >= snappedFrom &&
+            col("bucket_ms") < tailStart &&
+            col("tenant_id") === p.tenantId)
+          .join(broadcast(nameKeys), Seq("tenant_id", "metric_name"), "left_semi")
+          .drop("ts_day")
+        (covered, Some(slice))
+      }
+
+    val missingDays = rangeDays.filterNot(coveredDays)
+    val gapFilled =
+      if (missingDays.isEmpty && tailStart >= toMs) None
+      else {
+        val dayCond =
+          if (missingDays.isEmpty) lit(false)
+          else col("ts_day").isin(missingDays: _*)
+        val tailCond =
+          if (tailStart < toMs) col("ts_ms") >= tailStart else lit(false)
+        val parsed = spark.read.parquet(s"$storeDir/preagg_raw")
+          .filter(col("ts_ms") >= snappedFrom && col("ts_ms") < toMs &&
+            (dayCond || tailCond) &&
+            col("tenant_id") === p.tenantId && col("kind") === kind)
+          .join(broadcast(nameKeys), Seq("tenant_id", "metric_name"), "left_semi")
+        Some(preaggLadder(parsed, kind, gEff))
+      }
+
+    val combined = (stored.toSeq ++ gapFilled.toSeq).reduce(_ unionByName _)
+    val agged = preaggToStats(combined, kind)
+      .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+    projectStats(agged, r.select, r.perMetricDefaults)
+      .orderBy("metric_name", "bucket_ms")
+  }
+
   /** The reference's JSON response shape (S13,
     * JSONBasicRollupsOutputSerializer.java:55-151 /
     * BatchedMetricsJSONOutputSerializer: per metric
