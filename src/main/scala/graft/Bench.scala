@@ -25,7 +25,12 @@ object Bench {
       SparkEntry.queries.get("q_rollup_basic_5m").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_tpch_q5").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (local A/B
+    // iteration on a regression; driver leaves it unset → full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val samples: Map[String, Seq[Double]] = (1 to runs).flatMap { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)

@@ -16,14 +16,23 @@ object TextFunctions {
   /** Whitespace word tokens of the normalized text. */
   def words(text: Column): Column = split(normalized(text), " ")
 
+  /** Positional word-k-grams of a pre-split ARRAY<STRING> column via the
+    * codegen'd [[WordKGrams]] expression — the corpus-scale shingle
+    * builder: one fused pass per row, no shuffle, no interpreted HOF.
+    * `posexplode(wordKGrams(words(text), k))` is the canonical shingle-row
+    * shape (see `Dedup.posShingleRows`). */
+  def wordKGrams(arr: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordKGrams(org.apache.spark.sql.graft.ColumnBridge.expression(arr), k))
+
   /** Word k-shingles as space-joined strings (the MinHash/Jaccard unit) —
-    * expression form for per-row use. Documents with fewer than k words
-    * yield an EMPTY array (complete shingles only), agreeing with the
-    * relational `Dedup.shingleRows` so the two forms are interchangeable
-    * without changing Jaccard denominators for short docs. NOTE:
-    * higher-order functions evaluate interpreted and re-evaluate
-    * `words(text)` per index; for corpus-scale shingling use shingleRows
-    * (explode + window lead) instead. */
+    * DISTINCT-set HOF form kept only for per-row set semantics in specs.
+    * Documents with fewer than k words yield an EMPTY array (complete
+    * shingles only), agreeing with the relational `Dedup.shingleRows` so
+    * the two forms are interchangeable without changing Jaccard
+    * denominators for short docs. NOTE: higher-order functions evaluate
+    * interpreted and re-evaluate `words(text)` per index; for corpus-scale
+    * shingling use [[wordKGrams]] instead. */
   def wordShingles(text: Column, k: Int): Column = {
     val ws = words(text)
     // guard, not greatest(...,1): sequence(1, 0) would count DOWN to [1, 0]

@@ -30,11 +30,19 @@ object Dedup {
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("doc_id"))
 
-  /** Position-keyed word-k-shingles per doc — the relational shingle shape:
-    * one split per document (explode), then window `lead` to stitch k
-    * consecutive words. Everything stays in codegen; the only shuffle is
-    * the per-doc window sort, which later aggregations reuse. */
-  def posShingleRows(docs: DataFrame, k: Int): DataFrame = {
+  /** Position-keyed word-k-shingles per doc: one codegen'd
+    * [[graft.functions.WordKGrams]] pass over the split array, exploded
+    * with positions — ZERO shuffle (the window-`lead` form this replaces
+    * paid a per-doc hash-partition + sort carrying every word row, and its
+    * pre-shuffled shape forfeited map-side partial aggregation in every
+    * downstream groupBy(doc_id)). */
+  def posShingleRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(wordKGrams(words(col("text")), k)).as(Seq("pos", "sh")))
+
+  /** The window-`lead` relational form of [[posShingleRows]] — retained as
+    * the independent reference implementation for the equivalence spec. */
+  private[graft] def posShingleRowsWindowed(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = (1 until k).map(j => lead(col("w0"), j).over(w).as(s"w$j"))
     docs
@@ -61,9 +69,10 @@ object Dedup {
     * guarantee, which a plain "every nth shingle" sample lacks. Hashes are
     * md5 hex strings min'd lexicographically: deterministic and
     * engine-portable (binary ASCII compare — a DuckDB oracle states the
-    * identical window min). Relational shape: the per-doc window sort is
-    * the only shuffle, reused straight from [[posShingleRows]]'s lead
-    * window; downstream joins are fingerprint equi-joins. */
+    * identical window min). Relational shape: shingle construction is
+    * shuffle-free ([[posShingleRows]]); the min-over-w window's per-doc
+    * sort is the only shuffle; downstream joins are fingerprint
+    * equi-joins. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)

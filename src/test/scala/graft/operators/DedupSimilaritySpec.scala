@@ -60,6 +60,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("codegen WordKGrams shingle rows ≡ window-lead form (incl. edge docs)") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, "one two"),             // fewer than k words
+      (9002L, "one two three"),       // exactly k
+      (9003L, ""),                    // empty text
+      (9004L, null.asInstanceOf[String]), // null text
+      (9005L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    for (corpus <- Seq(docs.select("doc_id", "text"), edge); k <- Seq(2, 3, 4)) {
+      val fast = Dedup.posShingleRows(corpus, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val ref = Dedup.posShingleRowsWindowed(corpus, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(fast === ref, s"k=$k mismatch")
+    }
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val g = Dedup.exactGroups(docs, col("text"))
