@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
   * Decode routes by declared mime: image-mime payloads get a REAL decode
-  * via `javax.imageio` (JDK-builtin — PNG/JPEG/GIF/BMP, no external codec
-  * libraries needed), everything else (audio/video mimes have no JDK
-  * decoder in this container) falls back to a deterministic stub deriving
-  * "features" from payload bytes. The Spark-side shape — schema,
-  * partition-local batched decode via `mapPartitions`, explicit output
-  * schema — is identical either way, so adding a native audio/video
-  * decoder on executors changes one function, not the pipeline. */
+  * via `javax.imageio` (JDK-builtin — PNG/JPEG/GIF/BMP), audio-mime
+  * payloads a REAL decode via `javax.sound.sampled` (JDK-builtin —
+  * WAV/AIFF/AU containers); no external codec libraries needed for either.
+  * Everything else (video mimes have no JDK demuxer) falls back to a
+  * deterministic stub deriving "features" from payload bytes. The
+  * Spark-side shape — schema, partition-local batched decode via
+  * `mapPartitions`, explicit output schema — is identical either way, so
+  * adding a native video decoder on executors changes one function, not
+  * the pipeline. */
 object Multimodal extends Serializable {
 
   /** Canonical multimodal schema: payload + typed metadata struct. */
@@ -109,11 +111,74 @@ object Multimodal extends Serializable {
     } catch { case _: Exception => None }
   }
 
-  /** Mime-routed total decode: real ImageIO for image mimes, stub fallback
-    * for everything else (and for corrupt image payloads). */
+  /** REAL audio decode via `javax.sound.sampled` (JDK-builtin: WAV/AIFF/AU
+    * containers, PCM/µ-law/a-law payloads). Audio has no pixel dimensions,
+    * so the typed feature slots carry the audio analogs:
+    * width = sample rate (Hz), height = frame count, channels = channels,
+    * feature0 = RMS amplitude in [0,1] over a bounded (≤65 536-frame)
+    * prefix after conversion to 16-bit signed PCM — the same bounded-work
+    * discipline as the image path's ≤64×64 luminance grid, so one huge
+    * payload can't stall its whole partition. None on unrecognized or
+    * corrupt payloads — the caller falls back to the stub so the decode
+    * stays total. */
+  private def decodeAudio(mediaId: Long, payload: Array[Byte]): Option[MediaFeatures] = {
+    if (payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val headerFrames = in.getFrameLength // container-declared; -1 if unknown
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val frameSize = target.getFrameSize
+        val maxFrames = 65536L
+        val buf = new Array[Byte](frameSize * 4096)
+        var sumSq = 0.0
+        var nSamples = 0L
+        var framesRead = 0L
+        var eof = false
+        while (!eof && framesRead < maxFrames) {
+          val r = pcm.read(buf)
+          if (r <= 0) eof = true
+          else {
+            var off = 0
+            while (off + 1 < r) {
+              // little-endian 16-bit signed, as requested in `target`
+              val s = ((buf(off + 1): Int) << 8) | (buf(off) & 0xff)
+              val x = s / 32768.0
+              sumSq += x * x
+              nSamples += 1
+              off += 2
+            }
+            framesRead += r / frameSize
+          }
+        }
+        val frames = if (headerFrames >= 0) headerFrames else framesRead
+        Some(MediaFeatures(
+          media_id = mediaId,
+          n_bytes = payload.length.toLong,
+          checksum = byteChecksum(payload),
+          width = fmt.getSampleRate.toInt,
+          height = math.min(frames, Int.MaxValue.toLong).toInt,
+          channels = fmt.getChannels,
+          real_decode = true,
+          feature0 = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Mime-routed total decode: real ImageIO for image mimes, real
+    * javax.sound for audio mimes, stub fallback for everything else (and
+    * for corrupt image/audio payloads). */
   private def decodeAny(mediaId: Long, payload: Array[Byte], mime: String): MediaFeatures =
     if (mime != null && mime.startsWith("image/"))
       decodeImage(mediaId, payload).getOrElse(decodeStub(mediaId, payload))
+    else if (mime != null && mime.startsWith("audio/"))
+      decodeAudio(mediaId, payload).getOrElse(decodeStub(mediaId, payload))
     else decodeStub(mediaId, payload)
 
   /** Partition-local batched decode: one pass per partition, no shuffle;

@@ -88,6 +88,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(thumb.getRGB(8, 4) === (0xff000000 | white)) // scaling preserved color
   }
 
+  test("audio/* payloads get a REAL javax.sound decode: rate, frames, channels, RMS") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Committed-fixture-free: synthesize a canonical WAV (16-bit signed PCM
+    // sine) through the same JDK encoder the decoder reads.
+    def wav(freq: Double, amp: Double, rate: Float, frames: Int, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val data = new Array[Byte](frames * 2 * channels)
+      for (i <- 0 until frames) {
+        val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).round.toInt
+        for (c <- 0 until channels) {
+          val off = (i * channels + c) * 2
+          data(off) = (s & 0xff).toByte
+          data(off + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(440.0, 0.5, 8000f, 2000, 1), "audio/wav"),   // mono sine
+      (2L, wav(220.0, 0.25, 44100f, 4410, 2), "audio/wav"), // stereo sine
+      (3L, "definitely not audio".getBytes("UTF-8"), "audio/wav")) // corrupt
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("test").as("source")).as("meta"))
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // audio mapping: width = sample rate, height = frames, channels = channels
+    assert(f(1L).getAs[Int]("width") === 8000 && f(1L).getAs[Int]("height") === 2000)
+    assert(f(1L).getAs[Int]("channels") === 1 && f(1L).getAs[Boolean]("real_decode"))
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.3536
+    assert(math.abs(f(1L).getAs[Double]("feature0") - 0.5 / math.sqrt(2)) < 0.005)
+    assert(f(2L).getAs[Int]("width") === 44100 && f(2L).getAs[Int]("height") === 4410)
+    assert(f(2L).getAs[Int]("channels") === 2)
+    assert(math.abs(f(2L).getAs[Double]("feature0") - 0.25 / math.sqrt(2)) < 0.005)
+    // corrupt audio payload takes the total stub path
+    assert(!f(3L).getAs[Boolean]("real_decode") && f(3L).getAs[Int]("channels") === 0)
+  }
+
   test("payload byte length matches metadata") {
     val docs = Tables.load(spark, dir, "documents")
     val media = Multimodal.asMedia(docs)
