@@ -11,7 +11,8 @@ object SparkEntry {
 
   def allDefs: Seq[QDef] =
     RollupQueries.defs ++ RollupQueries2.defs ++ PreaggQueries.defs ++
-      DiscoveryQueries.defs ++ PipelineQueries.defs ++ TpchQueries.defs
+      DiscoveryQueries.defs ++ PipelineQueries.defs ++ PipelineQueries2.defs ++
+      TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5m basic rollup — the engine's core operation. */

@@ -1,0 +1,231 @@
+package graft.api
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Sampling}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline surface, part 2: corpus selection and layout —
+  * dedup clustering (transitive closure), deterministic splits/samples,
+  * sequence packing, PII scrubbing, chunking, and train/test
+  * decontamination. All oracle-backed: every selection keys on content
+  * hashes (md5 hex — engine-portable), never on `rand()`, so a DuckDB
+  * oracle states the identical choice. */
+object PipelineQueries2 {
+  import PipelineQueries.{normSql, wsSql, shinglesSqlK}
+
+  /** Jaccard ≥ 0.8 pair predicate over DuckDB shingle lists (shared with
+    * the q_dedup_minhash oracle). */
+  private def jaccardGe(a: String, b: String, t: Double): String =
+    s"""CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE) /
+       |        (len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s))) >= $t""".stripMargin
+
+  /** Near-dup CLUSTERS: connected components over the verified minhash
+    * pair graph — the transitive closure a keep-one-per-cluster policy
+    * needs (pairwise keep-lowest can drop both ends of a chain). Oracle:
+    * recursive-CTE reachability from the exact-Jaccard pair set, label =
+    * min reachable doc_id. */
+  private val dedupClusters = QDef(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${shinglesSqlK(3)} AS s
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE ${jaccardGe("a", "b", 0.8)}
+       |),
+       |ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM ed
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+       |  WHERE e.b != r.src
+       |),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
+      .select("doc_id_1", "doc_id_2")
+    Dedup.connectedComponents(pairs, docs.select("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment by content-hash prefix
+    * (≈ 80/10/10, quantized to 1/256): a pure projection — no shuffle, no
+    * state — and stable under reruns and corpus appends. */
+  private val sampleSplit = QDef(
+    "q_sample_split",
+    """SELECT doc_id, lang,
+      |       CASE WHEN h < 'cc' THEN 'train'
+      |            WHEN h < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> "cc", "val" -> "e6"), "test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact per-language quota sample (the 40 smallest content hashes per
+    * stratum) — the balanced-mixture selection of a multilingual corpus. */
+  private val sampleStratified = QDef(
+    "q_sample_stratified",
+    """SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT lang, doc_id,
+      |             row_number() OVER (PARTITION BY lang
+      |                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 40
+      |ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedQuota(Tables.load(s, dir, "documents"),
+        col("lang"), col("doc_id"), 40)
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  /** Concat-and-slice sequence packing: shard by doc_id mod 8, concatenate
+    * in doc order, slice the token stream into 512-token sequences; each
+    * doc reports the sequence its first token lands in. Per-shard
+    * cumulative sums — shards pack in parallel. */
+  private val packSequences = QDef(
+    "q_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t
+       |)
+       |SELECT shard, doc_id, n_tokens, cum - n_tokens AS start_offset,
+       |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+       |FROM c ORDER BY shard, doc_id""".stripMargin) { (s, dir) =>
+    Sampling.packGreedy(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        shard = col("doc_id") % 8, order = col("doc_id"),
+        tokens = TF.tokenCountBpe(col("text")), budget = 512L)
+      .select("shard", "doc_id", "n_tokens", "start_offset", "seq_id")
+      .orderBy("shard", "doc_id")
+  }
+
+  /** PII scrub: structural patterns (emails, URLs, long digit runs) plus a
+    * term denylist, as a chain of codegen'd replace-alls; n_redactions
+    * counts matches per pattern on the original text. */
+  private val textScrub = {
+    val denylist = Seq("customer", "supplier")
+    val denySql = TF.denylistPattern(denylist)
+    val replSql = (TF.piiPatterns :+ (denySql -> "<TERM>"))
+      .foldLeft("text") { case (inner, (pat, repl)) =>
+        s"regexp_replace($inner, '$pat', '$repl', 'g')"
+      }
+    val countSql = (TF.piiPatterns.map(_._1) :+ denySql)
+      .map(p => s"len(regexp_extract_all(text, '$p'))").mkString(" + ")
+    QDef(
+      "q_text_scrub",
+      s"""SELECT doc_id, $replSql AS scrubbed,
+         |       CAST($countSql AS INTEGER) AS n_redactions
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.scrubPii(col("text"), denylist).as("scrubbed"),
+          TF.redactionCount(col("text"), denylist).as("n_redactions"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Overlapping fixed-window chunking (window 32 words, stride 24): the
+    * long-document splitter feeding embedding/context-window stages. Chunk
+    * construction is `posexplode(sequence)` + `slice` — all codegen, zero
+    * shuffle, every chunk start knows its slice without re-tokenizing.
+    * Output limited to a deterministic doc slice to keep the gate artifact
+    * small. */
+  private val textChunk = QDef(
+    "q_text_chunk",
+    s"""WITH w AS (
+       |  SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id < 30
+       |),
+       |s AS (
+       |  SELECT doc_id, ws,
+       |         unnest(range(0, greatest(len(ws), 1), 24)) AS st
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_idx,
+       |       st AS start_word,
+       |       CAST(least(st + 32, len(ws)) - st AS INTEGER) AS n_chunk_words,
+       |       array_to_string(ws[st+1:least(st + 32, len(ws))], ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val ws = TF.words(col("text"))
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), greatest(size(col("ws")), lit(1)) - 1,
+          lit(24))).as(Seq("chunk_idx", "start_word")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        (least(col("start_word") + 32, size(col("ws"))) - col("start_word"))
+          .cast("int").as("n_chunk_words"),
+        array_join(slice(col("ws"), col("start_word") + 1, lit(32)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Train/test decontamination: for every held-out doc (hash-split, ~1/16
+    * of the corpus), count its distinct 8-grams that occur anywhere in the
+    * training split — shared long grams leak benchmark answers into
+    * training. Shingle equi-join against the train-side distinct-gram
+    * table; no cartesian. */
+  private val decontaminate = QDef(
+    "q_decontaminate",
+    s"""WITH base AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSqlK(8)}) AS sh FROM base
+       |),
+       |split AS (
+       |  SELECT doc_id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_test
+       |  FROM documents
+       |),
+       |tr AS (SELECT DISTINCT s.sh FROM sh s
+       |       JOIN split sp USING (doc_id) WHERE NOT sp.is_test),
+       |te AS (SELECT s.doc_id, s.sh FROM sh s
+       |       JOIN split sp USING (doc_id) WHERE sp.is_test),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM te GROUP BY 1),
+       |hit AS (SELECT te.doc_id, COUNT(*) AS n_shared
+       |        FROM te JOIN tr ON te.sh = tr.sh GROUP BY 1)
+       |SELECT sp.doc_id,
+       |       CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(coalesce(hit.n_shared, 0) AS BIGINT) AS n_shared,
+       |       coalesce(hit.n_shared, 0) > 0 AS contaminated
+       |FROM split sp
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+       |WHERE sp.is_test ORDER BY sp.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.contaminationReport(Tables.load(s, dir, "documents"),
+        substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8)
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    dedupClusters, sampleSplit, sampleStratified, packSequences,
+    textScrub, textChunk, decontaminate)
+}

@@ -92,6 +92,41 @@ object TextFunctions {
       (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.3 +
       least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.2
 
+  /** Structural PII patterns for corpus scrubbing, in application order
+    * (emails before URLs before digit runs: an address inside a URL is
+    * redacted as the more specific form first). Shared with the DuckDB
+    * oracle — every pattern is valid in both Java regex and RE2 (no
+    * lookaround, no backreferences). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://\\S+" -> "<URL>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  /** Word-boundary-anchored alternation for a redaction denylist. */
+  def denylistPattern(terms: Seq[String]): String =
+    terms.mkString("\\b(", "|", ")\\b")
+
+  /** Redact structural PII (emails, URLs, long digit runs) and a term
+    * denylist from text — the privacy-scrub stage of a training-data
+    * pipeline. A chain of codegen'd `regexp_replace`s (replace-all is
+    * Spark's default, matching the oracle's 'g' flag); linear per row, no
+    * shuffle, no UDF. */
+  def scrubPii(text: Column, denylist: Seq[String] = Nil): Column = {
+    val all = piiPatterns ++
+      (if (denylist.isEmpty) Nil else Seq(denylistPattern(denylist) -> "<TERM>"))
+    all.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+  }
+
+  /** How many redactions [[scrubPii]] would make — counted per pattern on
+    * the ORIGINAL text (a match consumed by an earlier pattern in the
+    * replace chain still counts once here; same convention in the oracle). */
+  def redactionCount(text: Column, denylist: Seq[String] = Nil): Column = {
+    val all = piiPatterns.map(_._1) ++
+      (if (denylist.isEmpty) Nil else Seq(denylistPattern(denylist)))
+    all.map(p => size(regexp_extract_all(text, lit(p), lit(0))))
+      .reduce(_ + _).cast("int")
+  }
+
   /** Order-insensitive document fingerprint: md5 of the sorted distinct
     * word set — catches shuffled/reordered copies that exact-text dedup
     * misses. */

@@ -319,6 +319,95 @@ object Dedup {
     verifyJaccard(candidates, docs, k, threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * gets a `cluster_id` = the minimum doc_id reachable from it (documents
+    * in no pair are their own singleton cluster). This is the transitive
+    * closure a keep-one-per-cluster dedup policy actually needs — pairwise
+    * keep-lowest ([[graft.api.PipelineQueries]] `q_dedup_decisions`) can
+    * drop BOTH members of a chain a–b–c where only (a,b) and (b,c) matched.
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min of its own label and its neighbors' labels (one
+    * equi-join + one min-aggregate per round, both shuffling on doc_id), to
+    * a fixpoint. Rounds needed = graph diameter, and near-dup graphs are
+    * unions of small-diameter cliques/chains, so this converges in a
+    * handful of rounds; for adversarial long-chain graphs the
+    * pointer-jumping variant (large-star/small-star, O(log n) rounds —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) drops in behind the same signature. Each round's result is
+    * `localCheckpoint`ed to truncate lineage (the plan would otherwise
+    * double per iteration), and convergence is detected with a `limit(1)`
+    * existence probe, not a full count. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col("doc_id_1").cast("long").as("src"),
+      col("doc_id_2").cast("long").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    // Only pair PARTICIPANTS enter the loop: every other document is its
+    // own singleton cluster by construction. At corpus scale the near-dup
+    // subgraph is a vanishing fraction of the documents table — the bulk
+    // of a 100 TB corpus never ships through an iteration shuffle.
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = und.join(labels, und("src") === labels("doc_id"))
+        .select(und("dst").as("doc_id"), col("label"))
+      // fold the convergence probe into the same checkpointed pass (carry
+      // the previous label alongside the new one) — the probe is then a
+      // shuffle-free filter over checkpointed partitions, not a second join
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(labels.union(msgs)
+          .groupBy("doc_id").agg(min("label").as("label")), "doc_id")
+        .localCheckpoint()
+      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0L
+      labels = next.select("doc_id", "label")
+      iter += 1
+    }
+    und.unpersist()
+    nodes.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Cross-split contamination report — the decontamination pass of a
+    * training-data pipeline: for every held-out (test) document, how many
+    * of its distinct word-`k`-grams also occur anywhere in the training
+    * split. A test doc sharing long grams with train data leaks benchmark
+    * answers into training; the standard remedy is to drop (or trim) the
+    * flagged docs.
+    *
+    * Shape: distinct-shingle rows for both splits (shuffle-free
+    * construction via [[posShingleRows]]), one `distinct` on the train
+    * side, then a shingle equi-join — the same co-partitioned join shape as
+    * every LSH candidate stage here, no cartesian. At 100 TB the train-side
+    * distinct-gram table is the big artifact; it persists once per corpus
+    * and serves every benchmark sweep (or collapses into a Bloom filter
+    * broadcast when a false-positive rate is acceptable).
+    *
+    * Returns one row per test document: (doc_id, n_grams, n_shared,
+    * contaminated) — docs too short to form a k-gram report n_grams = 0 and
+    * are not flagged. */
+  def contaminationReport(docs: DataFrame, isTest: Column, k: Int = 8): DataFrame = {
+    val split = docs.select(col("doc_id"), isTest.as("is_test"))
+    val sh = shingleRows(docs, k).join(split, "doc_id")
+    val trainGrams = sh.filter(!col("is_test")).select("sh").distinct()
+    val testGrams = sh.filter(col("is_test")).select("doc_id", "sh")
+    val totals = testGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainGrams, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    split.filter(col("is_test")).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** 64-bit SimHash per document: weighted majority vote of each word-hash
     * bit (weight = term frequency). */
   def simhash(docs: DataFrame): DataFrame = {

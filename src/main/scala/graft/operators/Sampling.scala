@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling, split assignment, and sequence packing —
+  * the selection stages of a training-data pipeline.
+  *
+  * Everything here keys on a CONTENT hash (md5 of the key rendered as a
+  * string), never on `rand()`: the sample/split of a document is a pure
+  * function of its key, so reruns, backfills, and incremental appends land
+  * every row on the same side — and a DuckDB oracle can state the identical
+  * selection. md5 hex is engine-portable (lowercase hex in Spark, DuckDB,
+  * and every standard implementation); comparing a hex PREFIX
+  * lexicographically is a uniform threshold test with 16^len resolution.
+  *
+  * Scale shapes:
+  *  - [[sampleByHash]] / [[splitAssign]] are pure filters/projections — no
+  *    shuffle at all, fully pushdown-friendly, linear at any corpus size;
+  *  - [[stratifiedQuota]] sorts within strata (one shuffle on the stratum
+  *    key) — exact quotas, for bounded strata counts; at extreme per-stratum
+  *    cardinality, pre-filter with [[sampleByHash]] at a rate slightly above
+  *    quota/|stratum| first, then take the exact quota from the survivors;
+  *  - [[packGreedy]] is a per-shard cumulative sum — one shuffle on the
+  *    shard key, parallel across shards, no global sort.
+  */
+object Sampling {
+
+  /** Engine-portable content hash: lowercase md5 hex of the key rendered
+    * as a string (DuckDB: `md5(CAST(key AS VARCHAR))`). */
+  def hashHex(key: Column): Column = md5(key.cast("string").cast("binary"))
+
+  /** Deterministic Bernoulli-style sample: keep rows whose hash prefix is
+    * lexicographically below `hexUpper` (e.g. "28f6" keeps ≈ 0x28f6/65536 ≈
+    * 16% of rows). Samples at lower thresholds are strict SUBSETS of
+    * samples at higher ones — growing a sample never churns the rows
+    * already in it. */
+  def sampleByHash(df: DataFrame, key: Column, hexUpper: String): DataFrame =
+    df.filter(substring(hashHex(key), 1, hexUpper.length) < lit(hexUpper))
+
+  /** Train/val/test (or any n-way) split assignment by hash prefix.
+    * `bounds` are (name, exclusive upper 2-hex bound) in ascending order;
+    * rows above every bound get `last`. Fractions quantize to 1/256 —
+    * e.g. Seq("train" -> "cc", "val" -> "e6"), "test" gives
+    * 204/26/26 ≈ 80/10/10. */
+  def splitAssign(key: Column, bounds: Seq[(String, String)], last: String): Column = {
+    val h = substring(hashHex(key), 1, 2)
+    bounds.foldRight(lit(last): Column) { case ((name, ub), els) =>
+      when(h < ub, lit(name)).otherwise(els)
+    }
+  }
+
+  /** Exact per-stratum quota sample: the `quota` rows of each stratum with
+    * the smallest content hashes (hash order = an arbitrary-but-fixed
+    * shuffle of the stratum; key breaks the theoretical hash tie). Adds an
+    * INTEGER `rn` (1-based rank within stratum). */
+  def stratifiedQuota(df: DataFrame, strata: Column, key: Column,
+      quota: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(strata).orderBy(hashHex(key), key)))
+      .filter(col("rn") <= quota)
+
+  /** Concat-and-slice sequence packing — the LLM-pretraining layout: within
+    * each shard, documents are concatenated in `order` and the token stream
+    * is sliced into `budget`-token sequences; each document is labeled with
+    * the sequence its FIRST token lands in (`seq_id`) and its offset into
+    * the shard's token stream (`start_offset`). A document longer than
+    * `budget` spans sequences, exactly as a pretraining packer would split
+    * it. One cumulative-sum window per shard — shards pack in parallel,
+    * no global sort. */
+  def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
+      budget: Long): DataFrame =
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_offset", col("cum") - col("n_tokens"))
+      .withColumn("seq_id",
+        floor(col("start_offset").cast("double") / budget).cast("long"))
+      .drop("cum")
+}

@@ -273,6 +273,66 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
       maxFpDf = Some(10L))) === Set((1L, 2L)))
   }
 
+  test("connectedComponents == driver-side union-find on a random pair graph") {
+    import spark.implicits._
+    val n = 60
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(45)((rnd.nextInt(n), rnd.nextInt(n)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+      .distinct
+    val got = Dedup.connectedComponents(
+        pairs.toDF("doc_id_1", "doc_id_2"), (0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: union-find attaching larger root under smaller,
+    // so each component's root IS its minimum member
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(got === want)
+  }
+
+  test("connectedComponents: transitive chains collapse; no pairs ⇒ singletons") {
+    import spark.implicits._
+    val nodes = (0L until 6L).toDF("doc_id")
+    // chain 1-2-3-4: pairwise keep-lowest would drop 2,3,4 but also lose
+    // the fact that they are ONE group; cc labels them all 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_id_1", "doc_id_2")
+    val labels = Dedup.connectedComponents(chain, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val singletons = Dedup.connectedComponents(empty, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singletons === (0L until 6L).map(i => i -> i).toMap)
+  }
+
+  test("contaminationReport flags cross-split duplicates, spares clean and short docs") {
+    import spark.implicits._
+    val leaked = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (0L, leaked), // train
+      (1L, leaked), // test: full duplicate of a train doc
+      (2L, "completely unrelated held out document with fresh vocabulary throughout entirely"),
+      (3L, "short doc")) // test: < 8 words, no grams to check
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(d, col("doc_id") >= 1, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep.keySet === Set(1L, 2L, 3L), "one row per test doc, train absent")
+    assert(rep(1L)._3 && rep(1L)._2 === rep(1L)._1, "duplicate shares every gram")
+    assert(rep(2L)._1 > 0 && rep(2L)._2 === 0L && !rep(2L)._3)
+    assert(rep(3L) === ((0L, 0L, false)))
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkSuite {
+
+  test("splitAssign: fractions track the hash bounds and survive repartitioning") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    val split = Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> "cc", "val" -> "e6"), "test")
+    val counts = ids.select(split.as("split")).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bounds quantize to 204/26/26 of 256; 10k uniform hashes land within ~2%
+    assert(math.abs(counts("train") / 10000.0 - 204.0 / 256) < 0.02)
+    assert(math.abs(counts("val") / 10000.0 - 26.0 / 256) < 0.02)
+    assert(math.abs(counts("test") / 10000.0 - 26.0 / 256) < 0.02)
+    // pure function of the key: identical assignment regardless of layout
+    val a = ids.select(col("doc_id"), split.as("split")).collect().toSet
+    val b = ids.repartition(13).select(col("doc_id"), split.as("split")).collect().toSet
+    assert(a === b)
+  }
+
+  test("sampleByHash: monotone thresholds give nested samples at ~prefix rate") {
+    import spark.implicits._
+    val ids = (0L until 8000L).toDF("doc_id")
+    val s28 = Sampling.sampleByHash(ids, col("doc_id"), "28")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s80 = Sampling.sampleByHash(ids, col("doc_id"), "80")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s28.subsetOf(s80), "growing the threshold must only add rows")
+    assert(math.abs(s28.size / 8000.0 - 0x28 / 256.0) < 0.02)
+    assert(math.abs(s80.size / 8000.0 - 0x80 / 256.0) < 0.02)
+  }
+
+  test("stratifiedQuota: exact per-stratum quotas, dense 1-based ranks") {
+    import spark.implicits._
+    val rows = (0L until 5L).map(i => ("small", i)) ++
+      (0L until 20L).map(i => ("big", 100L + i))
+    val df = rows.toDF("lang", "doc_id")
+    val got = Sampling.stratifiedQuota(df, col("lang"), col("doc_id"), 10)
+    val counts = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("small" -> 5L, "big" -> 10L))
+    val ranks = got.filter(col("lang") === "big")
+      .select("rn").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to 10))
+    // deterministic: same selection from a different layout
+    val again = Sampling.stratifiedQuota(df.repartition(7), col("lang"),
+      col("doc_id"), 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packGreedy: offsets are shard-local prefix sums, seq_id = offset div budget") {
+    import spark.implicits._
+    val docs = (0L until 97L).map(i => (i, (i % 13 + 1) * 7)).toDF("doc_id", "tok")
+    val packed = Sampling.packGreedy(docs, shard = col("doc_id") % 4,
+        order = col("doc_id"), tokens = col("tok"), budget = 100L)
+      .select("shard", "doc_id", "n_tokens", "start_offset", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var expectOffset = 0L
+      ordered.foreach { case (_, _, tok, off, seq) =>
+        assert(off === expectOffset, "start_offset must be the shard-local prefix sum")
+        assert(seq === off / 100L)
+        expectOffset += tok
+      }
+    }
+    // layout-invariant
+    val again = Sampling.packGreedy(docs.repartition(11), shard = col("doc_id") % 4,
+        order = col("doc_id"), tokens = col("tok"), budget = 100L)
+      .select("shard", "doc_id", "n_tokens", "start_offset", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSet === packed.toSet)
+  }
+
+  test("scrubPii: structural patterns + denylist redact; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact a.b@example.com or http://ex.com/x?id=9 call 12345678 customer"),
+      (2L, "nothing sensitive here"),
+      (3L, "digits 123456 stay, 1234567 goes; visit https://a.b/c then supplier x"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TF.scrubPii(col("text"), Seq("customer", "supplier")).as("s"),
+        TF.redactionCount(col("text"), Seq("customer", "supplier")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 === "contact <EMAIL> or <URL> call <NUM> <TERM>")
+    assert(got(1L)._2 === 4)
+    assert(got(2L) === (("nothing sensitive here", 0)))
+    // 6-digit run survives ({7,} floor), 7-digit goes; URL + denylist hit
+    assert(got(3L)._1 === "digits 123456 stay, <NUM> goes; visit <URL> then <TERM> x")
+    assert(got(3L)._2 === 3)
+  }
+}
