@@ -392,14 +392,17 @@ object Dedup {
     * contaminated) — docs too short to form a k-gram report n_grams = 0 and
     * are not flagged. */
   def contaminationReport(docs: DataFrame, isTest: Column, k: Int = 8): DataFrame = {
-    val split = docs.select(col("doc_id"), isTest.as("is_test"))
-    val sh = shingleRows(docs, k).join(split, "doc_id")
-    val trainGrams = sh.filter(!col("is_test")).select("sh").distinct()
-    val testGrams = sh.filter(col("is_test")).select("doc_id", "sh")
+    // split BEFORE shingling: each branch only tokenizes its own side (the
+    // filter sits directly on the scan, no post-Generate join to discard
+    // the other split's shingles)
+    val flagged = docs.withColumn("is_test", isTest)
+    val trainGrams = shingleRows(flagged.filter(!col("is_test")), k)
+      .select("sh").distinct()
+    val testGrams = shingleRows(flagged.filter(col("is_test")), k)
     val totals = testGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = testGrams.join(trainGrams, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    split.filter(col("is_test")).select("doc_id")
+    flagged.filter(col("is_test")).select("doc_id")
       .join(totals, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
