@@ -319,6 +319,30 @@ object Dedup {
     verifyJaccard(candidates, docs, k, threshold)
   }
 
+  /** Streaming exact dedup — the ingest-time member of the dedup family:
+    * first arrival of each key wins, duplicates arriving within
+    * `stateRetention` of it are dropped, and the key's state is EVICTED
+    * once the event-time watermark passes (bounded state — the property
+    * that makes streaming dedup viable over an unbounded corpus feed;
+    * a plain streaming `dropDuplicates` accumulates keys forever). A
+    * duplicate arriving after eviction passes through: ingest-time dedup
+    * bounds the duplicate rate cheaply, the batch operators above
+    * ([[exactGroups]], [[minhashNearDups]]) remain the exhaustive pass —
+    * the same two-tier discipline as the rollup cascade's
+    * streaming-then-recompute split.
+    *
+    * `key` is any deterministic column over the record — `text` for
+    * byte-exact dedup, `TextFunctions.fingerprint(text)` for
+    * word-reorder-insensitive dedup. Works on a streaming DataFrame with
+    * an event-time column; output carries the input columns unchanged. */
+  def streamingDedupKeepFirst(docs: DataFrame, key: Column, eventTime: Column,
+      stateRetention: String = "10 minutes"): DataFrame =
+    docs.withColumn("dedup_key", key)
+      .withColumn("event_ts", eventTime)
+      .withWatermark("event_ts", stateRetention)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key", "event_ts")
+
   /** Connected components over a near-duplicate pair graph: every document
     * gets a `cluster_id` = the minimum doc_id reachable from it (documents
     * in no pair are their own singleton cluster). This is the transitive
