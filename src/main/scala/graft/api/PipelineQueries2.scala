@@ -225,7 +225,74 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end training-set materialization: split → quality floor →
+    * language confirmation → near-dup drop, composed from the pipeline's
+    * own stages — the query a user actually runs to cut a training corpus.
+    * Dedup decisions are corpus-wide (keeper = min doc_id over ALL
+    * documents, same policy as q_dedup_decisions); filters are pure
+    * projections/filters so Catalyst fuses them into one scan pass, and the
+    * drop set arrives via a left-anti join. */
+  private val pipelineSelect = {
+    val hitSql = TF.langMarkers.map { case (l, ms) =>
+      s"CAST(len([w for w in ws if w IN (${ms.map("'" + _ + "'").mkString(",")})]) AS INTEGER) AS h_$l"
+    }.mkString(",\n       ")
+    val caseSql = TF.langMarkers.map { case (l, _) =>
+      s"WHEN h_$l > 0 AND h_$l = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN '$l'"
+    }.mkString(" ")
+    // identical algebra to the q_text_stats oracle (hash-exact there)
+    val qualitySql =
+      """least(len(ws) / 100.0, 1.0) * 0.5 +
+        |  (1.0 - least(CAST(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) * 5.0, 1.0)) * 0.3 +
+        |  least(CAST(len([w for w in ws if w IN ('the','and','of','to','a','in','is')]) AS DOUBLE) / len(ws) * 10.0, 1.0) * 0.2""".stripMargin
+    QDef(
+      "q_pipeline_select",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSqlK(3)} AS s
+         |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+         |),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE ${jaccardGe("a", "b", 0.8)}
+         |),
+         |base AS (
+         |  SELECT doc_id, lang, text, $wsSql AS ws FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |),
+         |hits AS (
+         |  SELECT doc_id, lang, text, ws, $hitSql
+         |  FROM base
+         |),
+         |feat AS (
+         |  SELECT doc_id, lang,
+         |         $qualitySql AS quality_score,
+         |         CASE $caseSql ELSE 'und' END AS pred_lang,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+         |  FROM hits
+         |)
+         |SELECT doc_id, lang, quality_score, n_bpe_tokens
+         |FROM feat
+         |WHERE quality_score >= 0.5 AND pred_lang = lang
+         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val drops = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select(col("doc_id_2").as("doc_id")).distinct()
+      docs
+        .filter(Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> "cc", "val" -> "e6"), "test") === "train")
+        .withColumn("quality_score", TF.qualityScore(col("text")))
+        .filter(col("quality_score") >= 0.5)
+        .filter(TF.langId(col("text")) === col("lang"))
+        .join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          TF.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, packSequences,
-    textScrub, textChunk, decontaminate)
+    textScrub, textChunk, decontaminate, pipelineSelect)
 }

@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, WordKGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extensions: registers the custom expressions for SQL users, so
   * `spark.sql("SELECT dot_product(a, b) ...")` works next to the DataFrame
@@ -26,5 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a float/double array"),
       (args: Seq[Expression]) => Sqrt(DotProduct(args(0), args(0)))))
+    e.injectFunction((
+      FunctionIdentifier("word_kgrams"),
+      info("word_kgrams",
+        "word_kgrams(arr, k) - all consecutive k-grams of a string array, space-joined (k a positive integer literal)"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, IntegerType) => WordKGrams(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"word_kgrams: k must be an integer literal, got $other")
+      }))
   }
 }

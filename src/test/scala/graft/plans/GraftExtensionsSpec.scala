@@ -30,6 +30,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) === 5.0)
   }
 
+  test("word_kgrams usable from SQL; non-literal k rejected") {
+    val grams = spark.sql(
+      "SELECT word_kgrams(array('a','b','c','d'), 3) AS g").collect()(0)
+      .getSeq[String](0)
+    assert(grams === Seq("a b c", "b c d"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_kgrams(array('a','b'), cast(rand()*2 as int))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("dot_product participates in codegen over a table") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.5f, 2.0f))).toDF("a", "b")
