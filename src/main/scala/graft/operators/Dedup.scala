@@ -366,14 +366,19 @@ object Dedup {
       maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col("doc_id_1").cast("long").as("src"),
       col("doc_id_2").cast("long").as("dst"))
+    // duplicate edges are tolerated (the min-aggregates absorb them), so no
+    // distinct pass over the edge list
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .persist()
     // Only pair PARTICIPANTS enter the loop: every other document is its
     // own singleton cluster by construction. At corpus scale the near-dup
     // subgraph is a vanishing fraction of the documents table — the bulk
     // of a 100 TB corpus never ships through an iteration shuffle.
-    var labels = und.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // Seeding with min(self, neighbors) IS round one of the propagation as
+    // a single aggregation (no join); the loop then starts at round two.
+    var labels = und.groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
