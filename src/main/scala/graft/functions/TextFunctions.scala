@@ -102,9 +102,16 @@ object TextFunctions {
     "https?://\\S+" -> "<URL>",
     "[0-9]{7,}" -> "<NUM>")
 
-  /** Word-boundary-anchored alternation for a redaction denylist. */
-  def denylistPattern(terms: Seq[String]): String =
+  /** Word-boundary-anchored alternation for a redaction denylist. Terms are
+    * restricted to word characters and spaces: regex metacharacters in a
+    * term would change the pattern's meaning, and the two engines' escape
+    * syntaxes differ (Java's \Q…\E has no RE2 equivalent), so the
+    * restriction is what keeps oracle parity honest. */
+  def denylistPattern(terms: Seq[String]): String = {
+    require(terms.forall(_.matches("[A-Za-z0-9 ]+")),
+      s"denylist terms must be word characters/spaces only, got $terms")
     terms.mkString("\\b(", "|", ")\\b")
+  }
 
   /** Redact structural PII (emails, URLs, long digit runs) and a term
     * denylist from text — the privacy-scrub stage of a training-data

@@ -45,6 +45,11 @@ object Sampling {
     * e.g. Seq("train" -> "cc", "val" -> "e6"), "test" gives
     * 204/26/26 ≈ 80/10/10. */
   def splitAssign(key: Column, bounds: Seq[(String, String)], last: String): Column = {
+    require(bounds.nonEmpty, "splitAssign needs at least one bound")
+    require(bounds.forall(_._2.matches("[0-9a-f]{2}")),
+      s"bounds must be 2-char lowercase hex, got ${bounds.map(_._2)}")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"bounds must ascend (earlier entries shadow later ones): ${bounds.map(_._2)}")
     val h = substring(hashHex(key), 1, 2)
     bounds.foldRight(lit(last): Column) { case ((name, ub), els) =>
       when(h < ub, lit(name)).otherwise(els)
@@ -70,7 +75,8 @@ object Sampling {
     * it. One cumulative-sum window per shard — shards pack in parallel,
     * no global sort. */
   def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
-      budget: Long): DataFrame =
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     df.withColumn("shard", shard)
       .withColumn("n_tokens", tokens.cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(
@@ -80,4 +86,5 @@ object Sampling {
       .withColumn("seq_id",
         floor(col("start_offset").cast("double") / budget).cast("long"))
       .drop("cum")
+  }
 }

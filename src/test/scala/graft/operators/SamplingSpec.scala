@@ -78,6 +78,23 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(again.toSet === packed.toSet)
   }
 
+  test("invalid arguments rejected: unsorted/malformed bounds, bad budget, regex denylist") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("doc_id"), Seq("a" -> "e6", "b" -> "cc"), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("doc_id"), Seq("a" -> "zz9"), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.packGreedy(df, col("doc_id"), col("doc_id"), lit(1), budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TF.denylistPattern(Seq("a.b|c"))
+    }
+  }
+
   test("scrubPii: structural patterns + denylist redact; counts match") {
     import spark.implicits._
     val df = Seq(
