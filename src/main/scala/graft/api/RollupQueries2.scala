@@ -353,7 +353,11 @@ object RollupQueries2 {
       // materialize ONLY the tier (the raw table already exists — the view
       // over the driver's events parquet stands in for metrics_full, exactly
       // the reference shape: rollup CFs are derived, raw is the source)
-      val store = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      // stable per-sfdir path + overwrite (same convention as the IVF
+      // index query): reruns reuse the location instead of leaking one
+      // orphaned temp dir per invocation
+      val store = sys.props("java.io.tmpdir") +
+        "/graft_stored_read_" + dir.replace('/', '_')
       val raw = Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))
       decBasic(raw.filter(col("tenant_id") === "purchase" &&
           !(col("ts_ms") >= missingDay && col("ts_ms") < missingDay + dayMs)), g)

@@ -395,6 +395,17 @@ object Dedup {
       labels = next.select("doc_id", "label")
       iter += 1
     }
+    // propagation moves a component's min label one hop per round, so a
+    // diameter > maxIters chain would exit here with SILENTLY split
+    // clusters — fail loudly instead (raise maxIters, or swap in the
+    // pointer-jumping variant, for adversarial-diameter graphs)
+    if (!converged) {
+      und.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds: " +
+          "component diameter exceeds the iteration budget (propagation " +
+          "needs ~diameter rounds); raise maxIters")
+    }
     und.unpersist()
     nodes.select(col("doc_id").cast("long").as("doc_id"))
       .join(labels, Seq("doc_id"), "left")

@@ -241,6 +241,18 @@ object Preaggregated {
       .agg(array_distinct(flatten(collect_list(col("set_state")))).as("set_state"))
       .withColumn("distinct_count", size(col("set_state")))
 
+  /** Kind → tier-merge algebra, the SINGLE source of truth shared by the
+    * stored cascade ([[graft.streaming.IngestStream]] preaggCascadeFor)
+    * and the read path's missing-day repair
+    * ([[graft.query.MetricsQueryApi]] preaggLadder): gap repair must
+    * produce byte-identical rows to what the cascade would have stored,
+    * which only holds if both dispatch through the same map. */
+  val merges: Map[String, (DataFrame, Granularity) => DataFrame] = Map(
+    "counter" -> counterMerge,
+    "gauge" -> gaugeMerge,
+    "timer" -> timerStateMerge,
+    "set" -> setStateMerge)
+
   /** Tier-1 (finest stored) merge states per kind from parsed payload rows —
     * the kind dispatch the reference performs in
     * RollupRunnable.getRollupComputer (service/RollupRunnable.java:162-178),

@@ -88,6 +88,47 @@ object Retention {
     }.toMap
   }
 
+  /** The error/reject sinks ([[graft.streaming.IngestStream]] writes
+    * `metrics_errors`, `events_errors`, `preagg_errors`): `batch_id=`-only
+    * layout — invalid records can carry null or garbage timestamps, so day
+    * partitioning is impossible and [[enforce]]'s ts_day drops never visit
+    * them. */
+  val errorTables: Seq[String] = Seq("metrics_errors", "events_errors", "preagg_errors")
+
+  /** Age out error-sink batch directories by WRITE time (directory
+    * modification time — the only timestamp an invalid record reliably
+    * has). Default TTL = the finest tier's (diagnostics age with the
+    * rawest data they explain). Without this a deployment with persistent
+    * bad traffic grows one small batch dir per unhealthy micro-batch
+    * forever — the same unbounded-growth class the preagg_raw TTL exists
+    * to prevent. Driver-side, O(batch dirs); schedule it alongside
+    * [[enforce]] (separate entry point because its clock is wall time,
+    * while enforce's `nowMillis` is compared against partition-name days —
+    * specs drive the latter with synthetic epochs that must not touch
+    * freshly written error dirs). Returns dropped batch ids per table. */
+  def enforceErrorSinks(spark: SparkSession, storeDir: String,
+      nowMillis: Long = System.currentTimeMillis(),
+      ttlMillis: Long = Granularity.rollupTiers.head.retentionMillis,
+      tables: Seq[String] = errorTables): Map[String, Seq[Long]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.sorted.flatMap { table =>
+      val root = new Path(s"$storeDir/$table")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) None
+      else {
+        val dropped = fs.globStatus(new Path(root, "batch_id=*")).toSeq.flatMap { st =>
+          if (st.getModificationTime <= nowMillis - ttlMillis) {
+            fs.delete(st.getPath, true)
+            Some(st.getPath.getName.stripPrefix("batch_id=").toLong)
+          } else None
+        }
+        if (fs.globStatus(new Path(root, "batch_id=*")).isEmpty)
+          fs.delete(root, true) // no parquet-less husk for readers to trip on
+        if (dropped.isEmpty) None else Some(table -> dropped.sorted)
+      }
+    }.toMap
+  }
+
   /** After partition drops, remove dirs that no longer hold any partition:
     * first emptied `batch_id=` subdirs (the raw stores' two-level layout),
     * then the table root itself if every partition is gone. A directory of

@@ -36,8 +36,13 @@ object Sampling {
     * 16% of rows). Samples at lower thresholds are strict SUBSETS of
     * samples at higher ones — growing a sample never churns the rows
     * already in it. */
-  def sampleByHash(df: DataFrame, key: Column, hexUpper: String): DataFrame =
+  def sampleByHash(df: DataFrame, key: Column, hexUpper: String): DataFrame = {
+    // md5 hex is lowercase: an uppercase threshold like "C0" would silently
+    // compare against the digit range only (62.5% instead of 75%)
+    require(hexUpper.matches("[0-9a-f]+"),
+      s"hexUpper must be non-empty lowercase hex, got '$hexUpper'")
     df.filter(substring(hashHex(key), 1, hexUpper.length) < lit(hexUpper))
+  }
 
   /** Train/val/test (or any n-way) split assignment by hash prefix.
     * `bounds` are (name, exclusive upper 2-hex bound) in ascending order;
@@ -77,14 +82,17 @@ object Sampling {
   def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // output contract: adds/overwrites shard, n_tokens, start_offset,
+    // seq_id. The scratch column gets an improbable name so a caller's
+    // own "cum" column survives.
     df.withColumn("shard", shard)
       .withColumn("n_tokens", tokens.cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(
+      .withColumn("__pack_cum", sum(col("n_tokens")).over(
         Window.partitionBy(col("shard")).orderBy(order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("start_offset", col("cum") - col("n_tokens"))
+      .withColumn("start_offset", col("__pack_cum") - col("n_tokens"))
       .withColumn("seq_id",
         floor(col("start_offset").cast("double") / budget).cast("long"))
-      .drop("cum")
+      .drop("__pack_cum")
   }
 }

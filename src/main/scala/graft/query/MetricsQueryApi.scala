@@ -310,12 +310,10 @@ object MetricsQueryApi {
       .withColumn("unit", lit("unknown"))
       .withColumn("rollup_type", lit(kind))
 
-  private val preaggMerges: Map[String, (DataFrame, Granularity) => DataFrame] =
-    Map(
-      "counter" -> graft.operators.Preaggregated.counterMerge,
-      "gauge" -> graft.operators.Preaggregated.gaugeMerge,
-      "timer" -> graft.operators.Preaggregated.timerStateMerge,
-      "set" -> graft.operators.Preaggregated.setStateMerge)
+  // single source of truth with the cascade's dispatch — see
+  // Preaggregated.merges (gap repair must agree with what the cascade
+  // stored, which only holds if both use the same map)
+  private def preaggMerges = graft.operators.Preaggregated.merges
 
   /** Recompute a pre-aggregated tier slice from parsed flush rows by
     * replicating the STORED LADDER hop-by-hop (5m tier-1, then each

@@ -116,15 +116,35 @@ object IngestStream {
       .parquet(s"$storeDir/metrics_5m")
   }
 
+  /** Effective epoch window for one micro-batch: the static `[minTs,
+    * maxTs]` bounds tightened by the RELATIVE window when one is
+    * configured. Relative bounds re-evaluate against `now` at EVERY batch —
+    * the reference checks each payload against its own processing time
+    * (JSONMetric.java:28-39 BEFORE/AFTER_CURRENT_COLLECTIONTIME), and a
+    * static lower bound captured at stream start silently ages out: once
+    * the stream outlives `retention - (now₀ - minTs)`, a stale flush can
+    * pass the frozen check yet land on a retention-pruned day. */
+  private[graft] def batchBounds(minTs: Long, maxTs: Long,
+      maxAgeMs: Option[Long], maxFutureMs: Option[Long], now: Long): (Long, Long) =
+    (maxAgeMs.fold(minTs)(a => math.max(minTs, now - a)),
+      maxFutureMs.fold(maxTs)(f => math.min(maxTs, now + f)))
+
   /** Start the ingest stream over a source of JSON lines (file/socket/Kafka
-    * — anything exposing a `value` column). */
+    * — anything exposing a `value` column). `maxAgeMs`/`maxFutureMs` bound
+    * record timestamps RELATIVE to each batch's processing time (see
+    * [[batchBounds]]); `nowMs` is injectable for tests. */
   def start(lines: DataFrame, storeDir: String, checkpointDir: String,
-      minTs: Long = 0L, maxTs: Long = Long.MaxValue): StreamingQuery =
-    withValidity(parseJson(lines), minTs, maxTs)
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      maxAgeMs: Option[Long] = None, maxFutureMs: Option[Long] = None,
+      nowMs: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+    parseJson(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
-      .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, storeDir, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
+        processBatch(withValidity(batch, lo, hi), storeDir, id)
+      }
       .start()
 
   /** Watermarked streaming 5m aggregation — the pure-streaming shape
@@ -200,14 +220,20 @@ object IngestStream {
     } finally cached.unpersist()
   }
 
-  /** Start the events ingest stream over a source of JSON lines. */
+  /** Start the events ingest stream over a source of JSON lines. Epoch
+    * bounds as in [[start]] (static and/or per-batch relative). */
   def startEvents(lines: DataFrame, storeDir: String, checkpointDir: String,
-      minTs: Long = 0L, maxTs: Long = Long.MaxValue): StreamingQuery =
-    withEventValidity(parseEventsJson(lines), minTs, maxTs)
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      maxAgeMs: Option[Long] = None, maxFutureMs: Option[Long] = None,
+      nowMs: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+    parseEventsJson(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
-      .foreachBatch { (batch: DataFrame, id: Long) => processEventsBatch(batch, storeDir, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
+        processEventsBatch(withEventValidity(batch, lo, hi), storeDir, id)
+      }
       .start()
 
   /** The ingested events store as the query surface for
@@ -315,10 +341,11 @@ object IngestStream {
     * day: the recompute rebuilds that day's 5m tier from ONLY the late
     * flush and the cascade dynamic-overwrites the day in the 20m-1440m
     * tiers, silently destroying history their longer TTLs were meant to
-    * keep. Production callers should pass
+    * keep. Streaming callers get this bound from [[startAggregated]]'s
+    * `maxAgeMs` (re-evaluated per batch); direct batch callers pass
     * `minTs = now - Granularity.MIN_5.retentionMillis` (the preagg_raw TTL
-    * horizon); rejects land in `preagg_errors`, like the basic path's
-    * invalid sink. */
+    * horizon) computed at call time. Rejects land in `preagg_errors`, like
+    * the basic path's invalid sink. */
   def processAggregatedBatch(parsed: DataFrame, storeDir: String,
       batchId: Long = 0L, cascade: Boolean = true,
       minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
@@ -362,16 +389,25 @@ object IngestStream {
   /** Start the statsd aggregated-payload ingest stream over JSON lines —
     * the streaming S3 surface (reference: POST /v2.0/:t/ingest/aggregated,
     * HttpAggregatedIngestionHandler → PreaggregateConversions →
-    * preaggregated CFs → RollupService cascade). */
+    * preaggregated CFs → RollupService cascade).
+    *
+    * Production callers should pass
+    * `maxAgeMs = Some(Granularity.MIN_5.retentionMillis)` (the preagg_raw
+    * TTL horizon) rather than a static `minTs`: the relative bound
+    * re-evaluates at every batch ([[batchBounds]]), so the stale-flush
+    * guard keeps tracking retention however long the stream runs. */
   def startAggregated(lines: DataFrame, storeDir: String, checkpointDir: String,
       cascade: Boolean = true,
-      minTs: Long = 0L, maxTs: Long = Long.MaxValue): StreamingQuery =
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      maxAgeMs: Option[Long] = None, maxFutureMs: Option[Long] = None,
+      nowMs: () => Long = () => System.currentTimeMillis()): StreamingQuery =
     graft.operators.Preaggregated.fromAggregatedJson(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processAggregatedBatch(batch, storeDir, id, cascade, minTs, maxTs)
+        val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
+        processAggregatedBatch(batch, storeDir, id, cascade, lo, hi)
       }
       .start()
 
@@ -386,11 +422,7 @@ object IngestStream {
       kinds: Seq[String] = Seq("counter", "gauge", "timer", "set"),
       dirtyDays: Option[Seq[Long]] = None): Unit = {
     import graft.operators.Preaggregated
-    val merges: Map[String, (DataFrame, Granularity) => DataFrame] = Map(
-      "counter" -> Preaggregated.counterMerge,
-      "gauge" -> Preaggregated.gaugeMerge,
-      "timer" -> Preaggregated.timerStateMerge,
-      "set" -> Preaggregated.setStateMerge)
+    val merges = Preaggregated.merges
     // a kind with no tier-1 data (statsd traffic without that section, or a
     // fully-aged-out ladder) is a no-op, not a schema-inference crash
     for (kind <- kinds if hasParquetData(spark, s"$storeDir/preagg_${kind}_5m")) {

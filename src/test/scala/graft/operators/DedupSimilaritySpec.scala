@@ -313,6 +313,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     val singletons = Dedup.connectedComponents(empty, nodes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(singletons === (0L until 6L).map(i => i -> i).toMap)
+    // an iteration budget below the component diameter must fail LOUDLY,
+    // never return silently split clusters
+    val longChain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"),
+        maxIters = 3).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to one cluster
+    val ok = Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"))
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(ok === Seq(0L))
   }
 
   test("contaminationReport flags cross-split duplicates, spares clean and short docs") {

@@ -142,4 +142,34 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
         s"tier ${g.name} day ${(now - d) / 86400000L}d: plannerSkips=$plannerSkips stored=$stored")
     }
   }
+
+  test("error sinks age by write time: old batch dirs dropped, fresh kept, emptied root pruned") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_retention_err").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    // two error batches per sink; make batch 0 look 20 days old
+    for (table <- Retention.errorTables; b <- Seq(0L, 1L)) {
+      Seq(("t1", b)).toDF("tenant_id", "batch")
+        .write.parquet(s"$store/$table/batch_id=$b")
+      if (b == 0L)
+        fs.setTimes(new org.apache.hadoop.fs.Path(s"$store/$table/batch_id=0"),
+          System.currentTimeMillis() - 20L * 86400000L, -1)
+    }
+    val dropped = Retention.enforceErrorSinks(spark, store,
+      ttlMillis = 10L * 86400000L)
+    assert(dropped === Retention.errorTables.map(_ -> Seq(0L)).toMap)
+    for (table <- Retention.errorTables) {
+      val rows = spark.read.parquet(s"$store/$table").collect()
+      assert(rows.map(_.getLong(1)).toSeq === Seq(1L), s"$table keeps only batch 1")
+    }
+    // a second pass with everything expired removes the sink roots entirely
+    // (no parquet-less husk for readers to trip on)
+    val all = Retention.enforceErrorSinks(spark, store, ttlMillis = -1L)
+    assert(all.values.forall(_ === Seq(1L)))
+    for (table <- Retention.errorTables)
+      assert(!Files.exists(Paths.get(s"$store/$table")), s"$table root pruned")
+    // idempotent on an empty store
+    assert(Retention.enforceErrorSinks(spark, store).isEmpty)
+  }
 }

@@ -93,6 +93,13 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException] {
       TF.denylistPattern(Seq("a.b|c"))
     }
+    // md5 hex is lowercase: "C0" would silently sample 62.5% instead of 75%
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByHash(df, col("doc_id"), "C0")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByHash(df, col("doc_id"), "")
+    }
   }
 
   test("scrubPii: structural patterns + denylist redact; counts match") {

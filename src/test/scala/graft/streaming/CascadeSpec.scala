@@ -200,6 +200,37 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     assert(!Files.exists(Paths.get(s"$store/preagg_timer_5m")))
   }
 
+  test("relative epoch window tracks the clock across a long-lived stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = Files.createTempDirectory("graft_casc_relwin").toString
+    val ckpt = Files.createTempDirectory("graft_casc_relwin_ck").toString
+    def flush(ts: Long) =
+      s"""{"tenant_id":"t1","timestamp":$ts,"flushInterval":10000,""" +
+        """"counters":[{"name":"c1","value":100.0,"rate":10.0}]}"""
+    var now = day(20)
+    val mem = MemoryStream[String]
+    val q = IngestStream.startAggregated(mem.toDF(), store, ckpt,
+      cascade = false, maxAgeMs = Some(10L * 86400000L), nowMs = () => now)
+    // 8 days old at the current clock: inside the 10-day window
+    mem.addData(flush(day(12)))
+    q.processAllAvailable()
+    // the clock advances 15 days; a flush of the SAME age-at-write is now
+    // 23 days old. A static minTs captured at stream start would accept
+    // it; the per-batch relative bound must reject it.
+    now = day(35)
+    mem.addData(flush(day(12) + 1000))
+    q.processAllAvailable()
+    q.stop()
+    val rawRows = spark.read.parquet(s"$store/preagg_raw")
+      .select("ts_ms").collect().map(_.getLong(0)).toSet
+    assert(rawRows === Set(day(12)), "only the in-window flush lands in raw")
+    val errs = spark.read.parquet(s"$store/preagg_errors")
+      .select("ts_ms").collect().map(_.getLong(0)).toSet
+    assert(errs === Set(day(12) + 1000), "the aged-out flush is rejected, not dropped")
+  }
+
   test("stale flush outside the epoch window is rejected, not re-dirtying pruned days") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_casc_stale").toString
