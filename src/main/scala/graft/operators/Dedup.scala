@@ -355,15 +355,17 @@ object Dedup {
     * equi-join + one min-aggregate per round, both shuffling on doc_id), to
     * a fixpoint. Rounds needed = graph diameter, and near-dup graphs are
     * unions of small-diameter cliques/chains, so this converges in a
-    * handful of rounds; for adversarial long-chain graphs the
-    * pointer-jumping variant (large-star/small-star, O(log n) rounds —
-    * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
-    * 2014) drops in behind the same signature. Each round's result is
-    * `localCheckpoint`ed to truncate lineage (the plan would otherwise
-    * double per iteration), and convergence is detected with a `limit(1)`
-    * existence probe, not a full count. */
+    * handful of rounds. For adversarial long-chain graphs, rounds beyond
+    * `shortcutAfter` add POINTER JUMPING (label ← label-of-label, the
+    * path-halving step of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): the distance to a component's
+    * minimum then halves per round, so convergence is O(log diameter)
+    * overall while typical clique-shaped graphs never pay the extra join.
+    * Each round's result is `localCheckpoint`ed to truncate lineage (the
+    * plan would otherwise double per iteration), and convergence is
+    * detected with a `limit(1)` existence probe, not a full count. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, shortcutAfter: Int = 4): DataFrame = {
     val fwd = pairs.select(col("doc_id_1").cast("long").as("src"),
       col("doc_id_2").cast("long").as("dst"))
     // duplicate edges are tolerated (the min-aggregates absorb them), so no
@@ -384,12 +386,24 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val msgs = und.join(labels, und("src") === labels("doc_id"))
         .select(und("dst").as("doc_id"), col("label"))
+      val prop = labels.union(msgs)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jumping past the first rounds: label ← label(label). Every
+      // label value is itself a participant's doc_id, so the lookup is a
+      // self-join; min-monotone and component-preserving, it halves the
+      // remaining distance to the component minimum per round.
+      val jumped =
+        if (iter < shortcutAfter) prop
+        else prop.as("p")
+          .join(prop.select(col("doc_id").as("l_id"), col("label").as("l_lab")),
+            col("p.label") === col("l_id"), "left")
+          .select(col("p.doc_id").as("doc_id"),
+            coalesce(col("l_lab"), col("p.label")).as("label"))
       // fold the convergence probe into the same checkpointed pass (carry
       // the previous label alongside the new one) — the probe is then a
       // shuffle-free filter over checkpointed partitions, not a second join
       val next = labels.withColumnRenamed("label", "prev")
-        .join(labels.union(msgs)
-          .groupBy("doc_id").agg(min("label").as("label")), "doc_id")
+        .join(jumped, "doc_id")
         .localCheckpoint()
       converged = next.filter(col("label") < col("prev")).limit(1).count() == 0L
       labels = next.select("doc_id", "label")

@@ -325,6 +325,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     val ok = Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"))
       .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
     assert(ok === Seq(0L))
+    // pointer jumping: a 300-long chain (diameter ≫ maxIters) converges in
+    // O(log diameter) rounds once shortcutting kicks in — plain propagation
+    // would need 300 rounds and throw
+    val chain300 = (0L until 300L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val labels300 = Dedup.connectedComponents(chain300, (0L until 301L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels300.forall(_._2 === 0L), "one component, min-labeled")
   }
 
   test("contaminationReport flags cross-split duplicates, spares clean and short docs") {
