@@ -427,6 +427,25 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Keep-BEST dedup decision per cluster: given [[connectedComponents]]
+    * labels and a per-document goodness column (e.g.
+    * `TextFunctions.qualityScore`), keep each cluster's argmax — the
+    * policy production pipelines actually want (retain the highest-quality
+    * copy, not the lowest id); ties break to the lowest doc_id so the
+    * choice is deterministic. One max-struct aggregation over the labeled
+    * corpus plus a broadcast-friendly keeper join back: no new shuffle
+    * shape beyond the clustering itself. Returns (doc_id, cluster_id,
+    * keep). */
+  def keepBestPerCluster(clusters: DataFrame, goodness: Column): DataFrame = {
+    val keepers = clusters
+      .groupBy("cluster_id")
+      .agg(max(struct(goodness.as("g"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.negid")).as("keeper_doc_id"))
+    clusters.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("keeper_doc_id")).as("keep"))
+  }
+
   /** Cross-split contamination report — the decontamination pass of a
     * training-data pipeline: for every held-out (test) document, how many
     * of its distinct word-`k`-grams also occur anywhere in the training

@@ -334,6 +334,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(labels300.forall(_._2 === 0L), "one component, min-labeled")
   }
 
+  test("keepBestPerCluster: argmax goodness wins, ties to lowest id, singletons kept") {
+    import spark.implicits._
+    // cluster 1: {1,2,3} with qualities 0.2, 0.9, 0.9 → 2 wins (tie with 3)
+    // cluster 5: singleton → kept regardless of quality
+    val clusters = Seq(
+      (1L, 1L, 0.2), (2L, 1L, 0.9), (3L, 1L, 0.9), (5L, 5L, 0.1))
+      .toDF("doc_id", "cluster_id", "quality")
+    val got = Dedup.keepBestPerCluster(clusters, col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 5L -> true))
+  }
+
   test("contaminationReport flags cross-split duplicates, spares clean and short docs") {
     import spark.implicits._
     val leaked = "the quick brown fox jumps over the lazy dog again and again today"
