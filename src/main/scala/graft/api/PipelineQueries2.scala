@@ -21,11 +21,20 @@ object PipelineQueries2 {
     s"""CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE) /
        |        (len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s))) >= $t""".stripMargin
 
-  /** Near-dup CLUSTERS: connected components over the verified minhash
-    * pair graph — the transitive closure a keep-one-per-cluster policy
-    * needs (pairwise keep-lowest can drop both ends of a chain). Oracle:
-    * recursive-CTE reachability from the exact-Jaccard pair set, label =
-    * min reachable doc_id. */
+  /** Identical algebra to the q_text_stats quality_score oracle
+    * (hash-exact there); expects `ws` and `text` in scope. */
+  private val qualitySql =
+    """least(len(ws) / 100.0, 1.0) * 0.5 +
+      |  (1.0 - least(CAST(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) * 5.0, 1.0)) * 0.3 +
+      |  least(CAST(len([w for w in ws if w IN ('the','and','of','to','a','in','is')]) AS DOUBLE) / len(ws) * 10.0, 1.0) * 0.2""".stripMargin
+
+  /** Near-dup CLUSTERS + the keep decision: connected components over the
+    * verified minhash pair graph — the transitive closure a
+    * keep-one-per-cluster policy needs (pairwise keep-lowest can drop both
+    * ends of a chain) — then keep-BEST-per-cluster by quality score (ties
+    * to lowest id). Oracle: recursive-CTE reachability from the
+    * exact-Jaccard pair set, label = min reachable doc_id, keeper = rank-1
+    * by (quality DESC, doc_id). */
   private val dedupClusters = QDef(
     "q_dedup_clusters",
     s"""WITH RECURSIVE sh AS (
@@ -49,16 +58,31 @@ object PipelineQueries2 {
        |         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
        |  GROUP BY d.doc_id
+       |),
+       |q AS (
+       |  SELECT doc_id, $qualitySql AS g
+       |  FROM (SELECT doc_id, text, $wsSql AS ws FROM documents)
+       |),
+       |ranked AS (
+       |  SELECT lab.doc_id, lab.cluster_id,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |             ORDER BY q.g DESC, lab.doc_id) AS rk
+       |  FROM lab JOIN q USING (doc_id)
        |)
        |SELECT doc_id, cluster_id,
-       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-       |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |       rk = 1 AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.8)
       .select("doc_id_1", "doc_id_2")
-    Dedup.connectedComponents(pairs, docs.select("doc_id"))
+    val clusters = Dedup.connectedComponents(pairs, docs.select("doc_id"))
+      .join(docs.select(col("doc_id"),
+        TF.qualityScore(col("text")).as("g")), "doc_id")
+    Dedup.keepBestPerCluster(clusters, col("g"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select("doc_id", "cluster_id", "cluster_size", "keep")
       .orderBy("doc_id")
   }
 
@@ -239,11 +263,6 @@ object PipelineQueries2 {
     val caseSql = TF.langMarkers.map { case (l, _) =>
       s"WHEN h_$l > 0 AND h_$l = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN '$l'"
     }.mkString(" ")
-    // identical algebra to the q_text_stats oracle (hash-exact there)
-    val qualitySql =
-      """least(len(ws) / 100.0, 1.0) * 0.5 +
-        |  (1.0 - least(CAST(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) * 5.0, 1.0)) * 0.3 +
-        |  least(CAST(len([w for w in ws if w IN ('the','and','of','to','a','in','is')]) AS DOUBLE) / len(ws) * 10.0, 1.0) * 0.2""".stripMargin
     QDef(
       "q_pipeline_select",
       s"""WITH sh AS (
