@@ -9,7 +9,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_range_scan", "q_rollup_basic_5m", "q_tpch_q5", "q_units_join", "q_sim_topk")
+      else Seq("q_range_scan", "q_rollup_basic_5m", "q_tpch_q5", "q_units_join",
+        "q_sim_topk", "q_pipeline_select", "q_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

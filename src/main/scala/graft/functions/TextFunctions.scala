@@ -85,6 +85,18 @@ object TextFunctions {
   def stopwordRatio(text: Column): Column =
     markerHits(text, langMarkers.toMap.apply("en")).cast("double") / nWords(text)
 
+  /** Intra-document repetition: fraction of word-k-grams that are repeats
+    * of an earlier gram in the same document (the Gopher-style repetition
+    * facet — boilerplate loops and stutter score high). 0 for docs too
+    * short to form a k-gram. Codegen throughout ([[wordKGrams]] +
+    * `array_distinct`), no shuffle. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val grams = wordKGrams(words(text), k)
+    val n = size(grams)
+    when(n === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / n)
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs with low
     * punctuation and a sane stopword rate. Same algebra in the oracle. */
   def qualityScore(text: Column): Column =
