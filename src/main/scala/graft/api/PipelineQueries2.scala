@@ -311,7 +311,47 @@ object PipelineQueries2 {
     }
   }
 
+  /** Unigram negative log-likelihood under the corpus's own word
+    * distribution — the cheap "perplexity filter" proxy every corpus
+    * pipeline runs (out-of-distribution gibberish scores high, stopword
+    * soup scores low). Each token's -ln p is decimal-snapped BEFORE the
+    * per-doc sum (the q_text_tfidf convention: snapped terms sum exactly,
+    * raw double sums don't); the per-token mean is then a scalar double
+    * division of identical operands on both sides. Corpus-wide stats
+    * (vocab frequencies, total count) arrive via broadcast — two small
+    * dimension joins, no extra shuffle over the token stream. */
+  private val textUnigramNll = QDef(
+    "q_text_unigram_nll",
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(ws) AS word
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
+       |t AS (
+       |  SELECT w.doc_id,
+       |         CAST(-ln(freq.cnt / tot.total) AS DECIMAL(18,9)) AS nll
+       |  FROM w JOIN freq USING (word) CROSS JOIN tot
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens_scored,
+       |       CAST(SUM(nll) AS DOUBLE) AS nll_sum,
+       |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS nll_per_token
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+    val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
+    w.join(broadcast(freq), "word").crossJoin(tot)
+      .withColumn("nll", (-log(col("cnt") / col("total")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_scored"),
+        sum(col("nll")).cast("double").as("nll_sum"))
+      .withColumn("nll_per_token", col("nll_sum") / col("n_tokens_scored"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, packSequences,
-    textScrub, textChunk, decontaminate, pipelineSelect)
+    textScrub, textChunk, decontaminate, pipelineSelect, textUnigramNll)
 }
