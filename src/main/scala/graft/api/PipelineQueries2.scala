@@ -317,9 +317,10 @@ object PipelineQueries2 {
     * soup scores low). Each token's -ln p is decimal-snapped BEFORE the
     * per-doc sum (the q_text_tfidf convention: snapped terms sum exactly,
     * raw double sums don't); the per-token mean is then a scalar double
-    * division of identical operands on both sides. Corpus-wide stats
-    * (vocab frequencies, total count) arrive via broadcast — two small
-    * dimension joins, no extra shuffle over the token stream. */
+    * division of identical operands on both sides. The 1-row total is
+    * broadcast; the vocab-frequency join is left UNHINTED — a 100 TB
+    * corpus's vocabulary (typos, ids, URLs) is itself huge, so whether it
+    * broadcasts is AQE's runtime call, not a hard-coded assumption. */
   private val textUnigramNll = QDef(
     "q_text_unigram_nll",
     s"""WITH w AS (
@@ -341,7 +342,7 @@ object PipelineQueries2 {
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
     val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
     val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
-    w.join(broadcast(freq), "word").crossJoin(tot)
+    w.join(freq, "word").crossJoin(tot)
       .withColumn("nll", (-log(col("cnt") / col("total")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
       .groupBy("doc_id")
