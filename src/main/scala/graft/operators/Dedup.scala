@@ -386,19 +386,24 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val msgs = und.join(labels, und("src") === labels("doc_id"))
         .select(und("dst").as("doc_id"), col("label"))
-      val prop = labels.union(msgs)
+      val prop0 = labels.union(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
       // pointer jumping past the first rounds: label ← label(label). Every
       // label value is itself a participant's doc_id, so the lookup is a
       // self-join; min-monotone and component-preserving, it halves the
-      // remaining distance to the component minimum per round.
+      // remaining distance to the component minimum per round. The
+      // propagation result is checkpointed FIRST — un-materialized, both
+      // sides of the self-join would recompute the join+aggregate.
       val jumped =
-        if (iter < shortcutAfter) prop
-        else prop.as("p")
-          .join(prop.select(col("doc_id").as("l_id"), col("label").as("l_lab")),
-            col("p.label") === col("l_id"), "left")
-          .select(col("p.doc_id").as("doc_id"),
-            coalesce(col("l_lab"), col("p.label")).as("label"))
+        if (iter < shortcutAfter) prop0
+        else {
+          val prop = prop0.localCheckpoint()
+          prop.as("p")
+            .join(prop.select(col("doc_id").as("l_id"), col("label").as("l_lab")),
+              col("p.label") === col("l_id"), "left")
+            .select(col("p.doc_id").as("doc_id"),
+              coalesce(col("l_lab"), col("p.label")).as("label"))
+        }
       // fold the convergence probe into the same checkpointed pass (carry
       // the previous label alongside the new one) — the probe is then a
       // shuffle-free filter over checkpointed partitions, not a second join
@@ -409,16 +414,18 @@ object Dedup {
       labels = next.select("doc_id", "label")
       iter += 1
     }
-    // propagation moves a component's min label one hop per round, so a
-    // diameter > maxIters chain would exit here with SILENTLY split
-    // clusters — fail loudly instead (raise maxIters, or swap in the
-    // pointer-jumping variant, for adversarial-diameter graphs)
+    // a graph that exhausts the budget would exit here with SILENTLY split
+    // clusters — fail loudly instead. With jumping active, 50 rounds cover
+    // diameters ~2^45: hitting this with default arguments means a
+    // degenerate shortcutAfter/maxIters combination or an input bug (e.g.
+    // pair ids outside the nodes set), not a legitimately deep graph.
     if (!converged) {
       und.unpersist()
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds: " +
-          "component diameter exceeds the iteration budget (propagation " +
-          "needs ~diameter rounds); raise maxIters")
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"(pointer jumping after $shortcutAfter): with jumping this " +
+          "bounds diameter at ~2^(maxIters-shortcutAfter) — check the " +
+          "pair/node inputs before raising maxIters")
     }
     und.unpersist()
     nodes.select(col("doc_id").cast("long").as("doc_id"))
@@ -435,11 +442,18 @@ object Dedup {
     * choice is deterministic. One max-struct aggregation over the labeled
     * corpus plus a broadcast-friendly keeper join back: no new shuffle
     * shape beyond the clustering itself. Returns (doc_id, cluster_id,
-    * keep). */
+    * keep).
+    *
+    * A NaN goodness (e.g. a quality ratio over an empty document) is
+    * mapped to null BEFORE ordering: Spark sorts NaN as the LARGEST double
+    * — a degenerate doc would beat every real one — while null sorts
+    * smallest, ranking it last exactly like the SQL oracle's
+    * `ORDER BY g DESC` (where a NULL ratio loses). */
   def keepBestPerCluster(clusters: DataFrame, goodness: Column): DataFrame = {
+    val g = nanvl(goodness, lit(null).cast("double"))
     val keepers = clusters
       .groupBy("cluster_id")
-      .agg(max(struct(goodness.as("g"), (-col("doc_id")).as("negid"))).as("best"))
+      .agg(max(struct(g.as("g"), (-col("doc_id")).as("negid"))).as("best"))
       .select(col("cluster_id"), (-col("best.negid")).as("keeper_doc_id"))
     clusters.join(keepers, "cluster_id")
       .select(col("doc_id"), col("cluster_id"),

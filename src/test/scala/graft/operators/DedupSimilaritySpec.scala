@@ -344,6 +344,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     val got = Dedup.keepBestPerCluster(clusters, col("quality"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got === Map(1L -> false, 2L -> true, 3L -> false, 5L -> true))
+    // NaN goodness (quality ratios over empty docs) must LOSE to any real
+    // score — Spark sorts NaN largest, so unguarded ordering would keep
+    // the degenerate doc; the oracle's ORDER BY g DESC ranks NULL last
+    val withNan = Seq(
+      (1L, 1L, Double.NaN), (2L, 1L, 0.1), (9L, 9L, Double.NaN))
+      .toDF("doc_id", "cluster_id", "quality")
+    val gotNan = Dedup.keepBestPerCluster(withNan, col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gotNan === Map(1L -> false, 2L -> true, 9L -> true),
+      "NaN loses to a real score; an all-NaN singleton still keeps itself")
   }
 
   test("contaminationReport flags cross-split duplicates, spares clean and short docs") {
