@@ -58,4 +58,17 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     Similarity.bruteTopK(df, qs, 10)
   })(Tables.load(spark, dir, "embeddings"))
+
+  invariant("connectedComponents(minhash pairs)")(df => {
+    import org.apache.spark.sql.functions._
+    Dedup.connectedComponents(
+      Dedup.minhashNearDups(df).select("doc_id_1", "doc_id_2"),
+      df.select(col("doc_id")))
+  })(Tables.load(spark, dir, "documents"))
+
+  invariant("contaminationReport")(df => {
+    import org.apache.spark.sql.functions._
+    Dedup.contaminationReport(df,
+      substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8)
+  })(Tables.load(spark, dir, "documents"))
 }
