@@ -141,7 +141,8 @@ object PipelineQueries2 {
        |             ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t
        |)
-       |SELECT shard, doc_id, n_tokens, cum - n_tokens AS start_offset,
+       |SELECT shard, doc_id, n_tokens,
+       |       CAST(cum - n_tokens AS BIGINT) AS start_offset,
        |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
        |FROM c ORDER BY shard, doc_id""".stripMargin) { (s, dir) =>
     Sampling.packGreedy(

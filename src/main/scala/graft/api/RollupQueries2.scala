@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.core.{Granularity, OracleViews, Tables}
+import graft.core.{ArtifactCache, Granularity, OracleViews, Tables}
 import graft.operators.Rollups
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -352,18 +352,19 @@ object RollupQueries2 {
           .drop("sum_sq")
       // materialize ONLY the tier (the raw table already exists — the view
       // over the driver's events parquet stands in for metrics_full, exactly
-      // the reference shape: rollup CFs are derived, raw is the source)
-      // stable per-sfdir path + overwrite (same convention as the IVF
-      // index query): reruns reuse the location instead of leaking one
-      // orphaned temp dir per invocation
-      val store = sys.props("java.io.tmpdir") +
-        "/graft_stored_read_" + dir.replace('/', '_')
-      val raw = Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))
-      decBasic(raw.filter(col("tenant_id") === "purchase" &&
-          !(col("ts_ms") >= missingDay && col("ts_ms") < missingDay + dayMs)), g)
-        .withColumn("ts_day", dayOf(col("bucket_ms")))
-        .write.mode("overwrite").partitionBy("ts_day")
-        .parquet(s"$store/metrics_${g.name}")
+      // the reference shape: rollup CFs are derived, raw is the source).
+      // ArtifactCache: build once per (sfDir, source mtime), atomically
+      // published — reruns and the bench measure the SERVE path, and
+      // concurrent Verify/Bench processes can't clobber each other's store
+      val store = ArtifactCache.cached("stored_read", dir,
+          s"$dir/events.parquet") { buildDir =>
+        val raw = Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))
+        decBasic(raw.filter(col("tenant_id") === "purchase" &&
+            !(col("ts_ms") >= missingDay && col("ts_ms") < missingDay + dayMs)), g)
+          .withColumn("ts_day", dayOf(col("bucket_ms")))
+          .write.mode("overwrite").partitionBy("ts_day")
+          .parquet(s"$buildDir/metrics_${g.name}")
+      }
       graft.query.MetricsQueryApi.getRollupsStored(s, store,
         graft.query.MetricsQueryApi.Params("purchase", "app.purchase.*",
           from = "20240103", to = "20240123", points = Some(200),
@@ -373,6 +374,43 @@ object RollupQueries2 {
         rollupFromRaw = decBasic,
         // range-pushed view: the gap scan's ts bounds reach the parquet scan
         rawOverride = Some(Tables.metricsRange(s, dir, Some((pointsFrom, pointsTo)))))
+        .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
+        .orderBy("metric_name", "bucket_ms")
+    }
+  }
+
+  /** FULL-resolution read — raw samples, not buckets (reference:
+    * RollupType.classOf returns SimpleNumber at FULL, RollupType.java:73-88,
+    * serialized via getFilteredStatsForFullRes,
+    * JSONBasicRollupsOutputSerializer.java:101-106/173-183): an explicit
+    * resolution=FULL query over a short range returns every raw point with
+    * its ACTUAL timestamp; per the reference's raw-sample stat mapping,
+    * sum/average = the value itself and numPoints = 1. This is the
+    * incident-zoom path — through the [[graft.query.MetricsQueryApi]]
+    * facade so datetime parse, glob resolution, stat selection, and the
+    * units join are all exercised on the raw-serve branch. */
+  private val pointsQueryFull = {
+    val from = 1705276800000L // 2024-01-15 00:00 UTC
+    val to = 1705363200000L   // 2024-01-16 00:00 UTC
+    QDef(
+      "q_points_query_full",
+      s"""WITH ${OracleViews.metricsCte}, ${OracleViews.catalogCte}
+         |SELECT m.metric_name, m.ts_ms AS bucket_ms,
+         |       CAST(1 AS BIGINT) AS num_points,
+         |       CAST(m.value AS DOUBLE) AS sum_v,
+         |       CAST(m.value AS DOUBLE) AS average,
+         |       c.unit
+         |FROM metrics m LEFT JOIN catalog c
+         |  ON m.tenant_id = c.tenant_id AND m.metric_name = c.metric_name
+         |WHERE m.tenant_id = 'purchase'
+         |  AND m.ts_ms >= $from AND m.ts_ms < $to
+         |ORDER BY m.metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      graft.query.MetricsQueryApi.getRollups(s, dir,
+        graft.query.MetricsQueryApi.Params("purchase", "app.purchase.*",
+          from = "20240115", to = "20240116",
+          resolution = Some(Granularity.FULL),
+          select = Seq("average", "numPoints", "sum")),
+        nowMillis = pointsNow, maxBatch = 1000000)
         .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
         .orderBy("metric_name", "bucket_ms")
     }
@@ -441,5 +479,5 @@ object RollupQueries2 {
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
-    latestAt, timerApprox60m, setHll1440m, setSalted1440m)
+    pointsQueryFull, latestAt, timerApprox60m, setHll1440m, setSalted1440m)
 }

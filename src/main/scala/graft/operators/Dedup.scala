@@ -337,11 +337,21 @@ object Dedup {
     * an event-time column; output carries the input columns unchanged. */
   def streamingDedupKeepFirst(docs: DataFrame, key: Column, eventTime: Column,
       stateRetention: String = "10 minutes"): DataFrame =
-    docs.withColumn("dedup_key", key)
-      .withColumn("event_ts", eventTime)
-      .withWatermark("event_ts", stateRetention)
-      .dropDuplicatesWithinWatermark("dedup_key")
-      .drop("dedup_key", "event_ts")
+    docs.withColumn("__dedup_key", key)
+      .withColumn("__dedup_ts", eventTime)
+      .withWatermark("__dedup_ts", stateRetention)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__dedup_key", "__dedup_ts")
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. The checkpointed RDD is reachable only through the
+    * `LogicalRDD` leaf of the analyzed plan; without this, every iteration
+    * of a checkpoint-per-round loop leaks one cached label set. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+    }
 
   /** Connected components over a near-duplicate pair graph: every document
     * gets a `cluster_id` = the minimum doc_id reachable from it (documents
@@ -378,9 +388,10 @@ object Dedup {
     // of a 100 TB corpus never ships through an iteration shuffle.
     // Seeding with min(self, neighbors) IS round one of the propagation as
     // a single aggregation (no join); the loop then starts at round two.
-    var labels = und.groupBy(col("src").as("doc_id"))
+    var ckpt = und.groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("label"))
       .localCheckpoint()
+    var labels = ckpt
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -394,15 +405,16 @@ object Dedup {
       // remaining distance to the component minimum per round. The
       // propagation result is checkpointed FIRST — un-materialized, both
       // sides of the self-join would recompute the join+aggregate.
-      val jumped =
-        if (iter < shortcutAfter) prop0
+      val (jumped, propCkpt) =
+        if (iter < shortcutAfter) (prop0, None)
         else {
           val prop = prop0.localCheckpoint()
-          prop.as("p")
+          val j = prop.as("p")
             .join(prop.select(col("doc_id").as("l_id"), col("label").as("l_lab")),
               col("p.label") === col("l_id"), "left")
             .select(col("p.doc_id").as("doc_id"),
               coalesce(col("l_lab"), col("p.label")).as("label"))
+          (j, Some(prop))
         }
       // fold the convergence probe into the same checkpointed pass (carry
       // the previous label alongside the new one) — the probe is then a
@@ -411,6 +423,12 @@ object Dedup {
         .join(jumped, "doc_id")
         .localCheckpoint()
       converged = next.filter(col("label") < col("prev")).limit(1).count() == 0L
+      // `next` is materialized (eager checkpoint + probe): the previous
+      // round's checkpointed blocks are dead weight — release them so
+      // block-manager storage stays O(1) in the iteration count
+      propCkpt.foreach(unpersistLocalCheckpoint)
+      unpersistLocalCheckpoint(ckpt)
+      ckpt = next
       labels = next.select("doc_id", "label")
       iter += 1
     }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * the pipeline. */
 object Multimodal extends Serializable {
 
+  /** One-time per-JVM ImageIO setup: disable the disk cache (executor tmp
+    * churn for nothing on MB-scale in-memory payloads). `lazy val` so the
+    * static global is set once per executor, not reset per row. */
+  @transient private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false); true
+  }
+
   /** Canonical multimodal schema: payload + typed metadata struct. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -76,7 +83,7 @@ object Multimodal extends Serializable {
   private def decodeImage(mediaId: Long, payload: Array[Byte]): Option[MediaFeatures] = {
     if (payload.isEmpty) return None
     try {
-      javax.imageio.ImageIO.setUseCache(false)
+      require(imageIoReady)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
@@ -221,7 +228,7 @@ object Multimodal extends Serializable {
 
     def resizeImage(id: Long, bytes: Array[Byte]): Option[ResizedMedia] =
       try {
-        javax.imageio.ImageIO.setUseCache(false)
+        require(imageIoReady)
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
           .map { img =>
             val (tw, th) = scaled(img.getWidth, img.getHeight)

@@ -117,10 +117,11 @@ object Retention {
       if (!fs.exists(root)) None
       else {
         val dropped = fs.globStatus(new Path(root, "batch_id=*")).toSeq.flatMap { st =>
-          if (st.getModificationTime <= nowMillis - ttlMillis) {
-            fs.delete(st.getPath, true)
-            Some(st.getPath.getName.stripPrefix("batch_id=").toLong)
-          } else None
+          // parse BEFORE deleting: a stray non-numeric dir (batch_id=tmp)
+          // must be skipped, not throw mid-sweep with the run half-applied
+          val id = st.getPath.getName.stripPrefix("batch_id=").toLongOption
+          id.filter(_ => st.getModificationTime <= nowMillis - ttlMillis)
+            .map { batchId => fs.delete(st.getPath, true); batchId }
         }
         if (fs.globStatus(new Path(root, "batch_id=*")).isEmpty)
           fs.delete(root, true) // no parquet-less husk for readers to trip on

@@ -31,10 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_kgrams"),
       info("word_kgrams",
         "word_kgrams(arr, k) - all consecutive k-grams of a string array, space-joined (k a positive integer literal)"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, IntegerType) => WordKGrams(args(0), k)
-        case other => throw new IllegalArgumentException(
-          s"word_kgrams: k must be an integer literal, got $other")
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"word_kgrams requires exactly 2 arguments (arr, k), got ${args.length}")
+        args(1) match {
+          case Literal(k: Int, IntegerType) => WordKGrams(args(0), k)
+          case other => throw new IllegalArgumentException(
+            s"word_kgrams: k must be an integer literal, got $other")
+        }
       }))
   }
 }

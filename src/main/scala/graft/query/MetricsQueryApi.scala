@@ -69,9 +69,21 @@ object MetricsQueryApi {
       catalogOverride: Option[DataFrame] = None): DataFrame = {
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(Tables.catalog(spark, dir)))
-    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
-    // snap with the EFFECTIVE bucket granularity: FULL selection still
-    // buckets at 5m, and an unsnapped start would truncate the first window
+    if (r.g.isFull) {
+      // FULL serves the RAW SAMPLES themselves, not buckets (reference:
+      // RollupType.classOf → SimpleNumber at FULL, RollupType.java:73-88;
+      // serialized via getFilteredStatsForFullRes,
+      // JSONBasicRollupsOutputSerializer.java:101-106, 173-183) — a user
+      // zooming into an incident window gets actual points with their
+      // actual timestamps. No snapping: samples in [from, to) as-is.
+      val raw = Tables.metricsRange(spark, dir, Some((r.fromMs, r.toMs)))
+        .filter(col("tenant_id") === p.tenantId)
+        .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+      return projectStats(rawAsStats(raw), r.select, r.perMetricDefaults)
+        .orderBy("metric_name", "bucket_ms")
+    }
+    val gEff = r.g
+    // snap so an unaligned start doesn't truncate the first window
     val snappedFrom = gEff.snap(r.fromMs)
     val pts = Tables.metricsRange(spark, dir, Some((snappedFrom, r.toMs)))
       .filter(col("tenant_id") === p.tenantId)
@@ -143,6 +155,21 @@ object MetricsQueryApi {
           case u => u
         }
     ResolvedQuery(fromMs, toMs, g, names, select, perMetricDefaults)
+  }
+
+  /** A raw sample as a one-point pseudo-rollup row, per the reference's
+    * FULL-resolution stat mapping (BasicRollupsOutputSerializer.MetricStat
+    * .convertRawSampleToObject, each enum arm): average/min/max/latest/
+    * rate/sum → the sample value, variance → 0, numPoints → 1; the sample's
+    * own timestamp is the row's `bucket_ms`. Expects the joined frame
+    * carrying (tenant_id, metric_name, unit, rollup_type, ts_ms, value). */
+  private def rawAsStats(raw: DataFrame): DataFrame = {
+    val v = col("value").cast("double")
+    raw.select(col("tenant_id"), col("metric_name"), col("unit"),
+      col("rollup_type"), col("ts_ms").as("bucket_ms"),
+      lit(1L).as("num_points"), v.as("sum_v"), v.as("average"),
+      v.as("min_v"), v.as("max_v"), lit(0.0).as("var_v"),
+      v.as("latest_v"), v.as("rate"))
   }
 
   /** Shared stat projection: explicit `select=` keeps exactly those columns;
@@ -229,9 +256,24 @@ object MetricsQueryApi {
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(rawOverride.map(catalogFromRaw)
         .getOrElse(storeCatalog(spark, storeDir))))
+    if (r.g.isFull) {
+      // FULL reads the full-resolution store itself — raw samples with
+      // their own timestamps (the reference's FULL read targets the
+      // full-res CF the same way, RollupType.classOf → SimpleNumber). The
+      // tier/gap machinery below is moot: raw IS the source. `latest` is
+      // legitimate here — a raw sample is its own latest value.
+      val raw = rawOverride.getOrElse(
+          spark.read.parquet(s"$storeDir/metrics_full"))
+        .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
+          col("tenant_id") === p.tenantId)
+        .select("tenant_id", "metric_name", "ts_ms", "value")
+        .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+      return projectStats(rawAsStats(raw), r.select, r.perMetricDefaults)
+        .orderBy("metric_name", "bucket_ms")
+    }
     require(!r.select.contains("latest"),
       "latest is served by the gauge preagg tiers, not the basic rollup store")
-    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
+    val gEff = r.g
     val snappedFrom = gEff.snap(r.fromMs)
     val toMs = r.toMs
     // tail partial bucket: when `to` is not bucket-aligned the stored bucket
@@ -378,7 +420,26 @@ object MetricsQueryApi {
       s"unknown pre-aggregated kind '$kind' (one of ${preaggMerges.keys.mkString(", ")})")
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(preaggStoreCatalog(spark, storeDir, kind)))
-    val gEff = if (r.g.isFull) Granularity.MIN_5 else r.g
+    if (r.g.isFull) {
+      // FULL serves each ingested flush as its own point (the reference's
+      // RollupType.classOf returns the preagg rollup class itself at FULL —
+      // statsd rollups are stored full-resolution and served as ingested).
+      // tier1FromParsed at FULL is the identity bucketing (bucket_ms =
+      // ts_ms), merging only exact-timestamp duplicate flushes — the same
+      // single-slot merge the reference applies on write.
+      val parsed = spark.read.parquet(s"$storeDir/preagg_raw")
+        .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
+          col("tenant_id") === p.tenantId && col("kind") === kind)
+        .join(broadcast(r.names.select("tenant_id", "metric_name")),
+          Seq("tenant_id", "metric_name"), "left_semi")
+      val tier = graft.operators.Preaggregated
+        .tier1FromParsed(parsed, Granularity.FULL)(kind)
+      val agged = preaggToStats(tier, kind)
+        .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
+      return projectStats(agged, r.select, r.perMetricDefaults)
+        .orderBy("metric_name", "bucket_ms")
+    }
+    val gEff = r.g
     val snappedFrom = gEff.snap(r.fromMs)
     val toMs = r.toMs
     val tailStart = if (toMs % gEff.millis == 0) toMs else gEff.snap(toMs)

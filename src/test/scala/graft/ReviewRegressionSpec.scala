@@ -13,13 +13,25 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkSuite {
   private val dir = "/root/testdata/sf0.001"
   private val now = 1706659200000L
 
-  test("FULL-resolution points query snaps its start to the 5m bucket grid") {
-    // 1h window, enough points that GEOMETRIC picks FULL; from NOT 5m-aligned
+  test("FULL-resolution points query serves raw samples, not buckets") {
+    // 1h window, enough points that GEOMETRIC picks FULL; from NOT 5m-aligned.
+    // Reference parity (RollupType.classOf → SimpleNumber at FULL): every
+    // row is a raw sample — its own timestamp, numPoints 1, stats = value.
+    val fromMs = 1704880920000L // 2024-01-10 10:02
+    val toMs = 1704884520000L   // 2024-01-10 11:02
     val df = MetricsQueryApi.getRollups(spark, dir,
       MetricsQueryApi.Params("click", "app.click.*", "10:02 20240110", "11:02 20240110",
-        points = Some(120)), nowMillis = 1704884520000L /* 2024-01-10 11:02 */)
-    df.collect().foreach { r =>
-      assert(r.getAs[Long]("bucket_ms") % Granularity.MIN_5.millis === 0)
+        points = Some(120), select = Seq("average", "numPoints", "sum")),
+      nowMillis = toMs)
+    val raw = Tables.metricsRange(spark, dir, Some((fromMs, toMs)))
+      .filter(col("tenant_id") === "click")
+      .select("ts_ms").collect().map(_.getLong(0)).sorted
+    assert(raw.nonEmpty) // the window must actually exercise the raw branch
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("bucket_ms")).sorted === raw)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("num_points") === 1L)
+      assert(r.getAs[Double]("sum_v") === r.getAs[Double]("average"))
     }
   }
 

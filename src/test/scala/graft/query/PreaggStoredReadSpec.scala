@@ -75,6 +75,25 @@ class PreaggStoredReadSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("FULL resolution serves each ingested flush as its own point") {
+    // reference: RollupType.classOf returns the preagg rollup class itself
+    // at FULL — statsd rollups are stored full-resolution, served as
+    // ingested. Day 1 has 96 counter flushes at 15-min spacing; each must
+    // come back under its own flush timestamp with its own value.
+    val rows = MetricsQueryApi.getPreaggStored(spark, store,
+      MetricsQueryApi.Params("t1", "c.*", from = "20240103", to = "20240104",
+        points = None, resolution = Some(Granularity.FULL),
+        select = Seq("sum")),
+      "counter", nowMillis = now)
+      .collect()
+    assert(rows.length === 96)
+    val got = rows.map(r =>
+      (r.getAs[Long]("bucket_ms"), r.getAs[Double]("sum_v"))).sorted
+    val want = (0 until 96)
+      .map(i => (day0 + i * 900000L, ((i % 5) + 1).toDouble)).sorted
+    assert(got === want)
+  }
+
   test("counter values anchor to hand-computed sums; tail partial bucket is cut, not stale") {
     // bucket [Jan4 00:00, 00:20): flushes i=0 (00:00, value 1) and i=1
     // (00:15, value 2) → stored sum_v = 3

@@ -126,4 +126,27 @@ class StoredReadSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("gauge"))
   }
+
+  test("FULL resolution serves raw samples from metrics_full (latest allowed)") {
+    val (store, _) = buildStores()
+    val rows = MetricsQueryApi.getRollupsStored(spark, store,
+      params(g = Granularity.FULL)
+        .copy(select = Seq("numPoints", "sum", "average", "latest")),
+      nowMillis = now).collect()
+    // every t1 raw point in [from, to), its own timestamp, stats = value
+    val raw = spark.read.parquet(s"$store/metrics_full")
+      .filter(col("tenant_id") === "t1" &&
+        col("ts_ms") >= day0 && col("ts_ms") < day0 + 4 * dayMs)
+      .select("metric_name", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(rows.length === raw.length)
+    val got = rows.map(r => (r.getAs[String]("metric_name"),
+      r.getAs[Long]("bucket_ms"), r.getAs[Double]("sum_v"))).sorted
+    assert(got === raw)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("num_points") === 1L)
+      assert(r.getAs[Double]("latest_v") === r.getAs[Double]("sum_v"))
+      assert(r.getAs[Double]("average") === r.getAs[Double]("sum_v"))
+    }
+  }
 }

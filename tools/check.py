@@ -68,6 +68,13 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # The driver hashes TYPED values: int64 100 vs float64 100.0 is a
+        # hash mismatch even though cells_equal says True. Surface it.
+        dtype_warn = [c for c in got.columns
+                      if got[c].dtype != want[c].dtype]
+        if dtype_warn:
+            pairs = {c: f"{got[c].dtype}!={want[c].dtype}" for c in dtype_warn}
+            print(f"WARN {name}: dtype mismatch (driver hash will FAIL): {pairs}")
         bad = []
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
