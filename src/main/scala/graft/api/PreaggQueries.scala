@@ -254,6 +254,119 @@ object PreaggQueries {
       .orderBy("tenant_id", "metric_name", "ts_ms", "kind", "stat")
   }
 
+  /** STORE-BACKED read of the timer pre-aggregated family — the
+    * kind-dispatched arm of the reference read path
+    * (MetricsRWDelegator.java:79-113 routes a locator's read to its
+    * rollup_type's column family) as a driver-gate query. Timer is the
+    * probe kind because its ladder replay is PATH-DEPENDENT: the stored
+    * percentile merge is an unweighted mean-of-means per hop
+    * (BluefloodTimerRollup.java:242-254), so 5m→20m→60m differs from a
+    * direct 5m→60m — a gap repair that skipped the ladder would hash-fail
+    * here.
+    *
+    * Build (cached per sfDir via [[graft.core.ArtifactCache]], so reruns
+    * measure the serve path): statsd timer payloads constructed per 5m
+    * flush from the error tenant's metrics over integer cents (double sums
+    * of integers are exact in any partition order), pushed through the REAL
+    * ingest (JSON parse → preagg_raw → kind-routed cascade), then one
+    * rolled day is DELIBERATELY dropped from the 60m tier. The facade must
+    * serve covered days from `preagg_timer_60m` and replay the missing day
+    * from `preagg_raw` hop-by-hop. The oracle restates flush construction
+    * and both ladder hops in SQL; per-hop scalar algebra is associative
+    * (sums, min/max, total-time rate) while percentile means are laddered
+    * exactly as stored. Derived doubles snap to DECIMAL(18,6) per the
+    * oracle-parity convention. */
+  private val timerStored = {
+    val fromMs = 1704240000000L  // 2024-01-03 00:00 UTC
+    val toMs = 1704844800000L    // 2024-01-10 00:00 UTC
+    val missingDay = 1704499200000L // 2024-01-06: dropped from the 60m tier
+    val m5 = Granularity.MIN_5.millis
+    val snapSql = (c: String) => s"CAST(CAST($c AS DECIMAL(18,6)) AS DOUBLE)"
+    def hopSql(src: String, g: Granularity): String =
+      s"""SELECT tenant_id, metric_name,
+         |       (bucket_ms // ${g.millis}) * ${g.millis} AS bucket_ms,
+         |       SUM(count) AS count, SUM(sum) AS sum,
+         |       MIN(min) AS min, MAX(max) AS max,
+         |       CASE WHEN SUM(CASE WHEN rate <> 0.0 THEN count / rate ELSE 0.0 END) <> 0.0
+         |            THEN SUM(count) / SUM(CASE WHEN rate <> 0.0 THEN count / rate ELSE 0.0 END)
+         |            ELSE 0.0 END AS rate,
+         |       AVG(p50) AS p50, AVG(p95) AS p95
+         |FROM $src GROUP BY 1, 2, 3""".stripMargin
+    QDef(
+      "q_preagg_timer_stored",
+      s"""WITH ${OracleViews.metricsCte},
+         |cents AS (
+         |  SELECT tenant_id, metric_name, ts_ms, round(value * 100, 0) AS v
+         |  FROM metrics
+         |  WHERE tenant_id = 'error' AND ts_ms >= $fromMs AND ts_ms < $toMs
+         |),
+         |f5 AS (
+         |  SELECT tenant_id, metric_name, (ts_ms // $m5) * $m5 AS bucket_ms,
+         |         COUNT(*) AS count, SUM(v) AS sum, MIN(v) AS min, MAX(v) AS max,
+         |         COUNT(*) / 300.0 AS rate,
+         |         ${snapSql("quantile_cont(v, 0.5)")} AS p50,
+         |         ${snapSql("quantile_cont(v, 0.95)")} AS p95
+         |  FROM cents GROUP BY 1, 2, 3
+         |),
+         |t20 AS (${hopSql("f5", Granularity.MIN_20)}),
+         |t60 AS (${hopSql("t20", Granularity.MIN_60)})
+         |SELECT metric_name, bucket_ms,
+         |       CAST(count AS BIGINT) AS num_points, sum AS sum_v,
+         |       sum / count AS average, min AS min_v, max AS max_v,
+         |       ${snapSql("rate")} AS rate,
+         |       ${snapSql("p50")} AS p50, ${snapSql("p95")} AS p95
+         |FROM t60 ORDER BY metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      val store = graft.core.ArtifactCache.cached("preagg_timer_store", dir,
+          s"$dir/events.parquet") { buildDir =>
+        val per = Tables.metricsRange(s, dir, Some((fromMs, toMs)))
+          .filter(col("tenant_id") === "error")
+          .withColumn("v", round(col("value") * 100, 0))
+          .groupBy(col("tenant_id"), col("metric_name"),
+            Tables.bucketMs(col("ts_ms"), Granularity.MIN_5).as("bucket_ms"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"),
+            percentile(col("v"), array(lit(0.5), lit(0.95))).as("ps"))
+          .withColumn("p50", snap6(col("ps").getItem(0)))
+          .withColumn("p95", snap6(col("ps").getItem(1)))
+          .withColumn("rate", col("cnt") / lit(300.0))
+        val payloads = per
+          .groupBy(col("tenant_id"), col("bucket_ms"))
+          .agg(collect_list(struct(col("metric_name").as("name"),
+            col("cnt").as("count"), col("sum_v").as("sum"),
+            col("min_v").as("min"), col("max_v").as("max"), col("rate"),
+            map(lit("50"), col("p50"), lit("95"), col("p95"))
+              .as("percentiles"))).as("timers"))
+          .select(to_json(struct(col("tenant_id"),
+            col("bucket_ms").as("timestamp"),
+            lit(0L).as("flushInterval"), col("timers"))).as("value"))
+        graft.streaming.IngestStream.processAggregatedBatch(
+          Preaggregated.fromAggregatedJson(payloads), buildDir)
+        // drop one rolled day from the tier the query reads: the facade
+        // must ladder-replay it from preagg_raw, indistinguishably
+        val p = new org.apache.hadoop.fs.Path(
+          s"$buildDir/preagg_timer_60m/ts_day=$missingDay")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.query.MetricsQueryApi.getPreaggStored(s, store,
+        graft.query.MetricsQueryApi.Params("error", "app.error.*",
+          from = "20240103", to = "20240110",
+          resolution = Some(Granularity.MIN_60),
+          select = Seq("numPoints", "sum", "average", "min", "max", "rate",
+            "p50", "p95")),
+        "timer", nowMillis = 1706659200000L, maxBatch = 1000000)
+        .withColumn("rate", snap6(col("rate")))
+        .withColumn("p50", snap6(col("p50")))
+        .withColumn("p95", snap6(col("p95")))
+        .select("metric_name", "bucket_ms", "num_points", "sum_v", "average",
+          "min_v", "max_v", "rate", "p50", "p95")
+        .orderBy("metric_name", "bucket_ms")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
-    counterMerge, timerPmapMerge, gaugeMerge, setStateMerge, preaggIngest)
+    counterMerge, timerPmapMerge, gaugeMerge, setStateMerge, preaggIngest,
+    timerStored)
 }

@@ -40,7 +40,10 @@ object MetricsQueryApi {
   private val statCols: Map[String, String] = Map(
     "average" -> "average", "numPoints" -> "num_points", "sum" -> "sum_v",
     "min" -> "min_v", "max" -> "max_v", "variance" -> "var_v",
-    "latest" -> "latest_v", "rate" -> "rate")
+    "latest" -> "latest_v", "rate" -> "rate",
+    // the reference's MetricStat.PERCENTILE ("percentiles"), flattened to
+    // the two labels the statsd ingest carries — timer family only
+    "p50" -> "p50", "p95" -> "p95")
 
   /** Full read path. `nowMillis` pins both datetime parsing and the
     * retention clock (injectable for tests); `catalogOverride` injects a
@@ -392,7 +395,9 @@ object MetricsQueryApi {
       case "timer" => df.select(keys ++ Seq(
         col("count").as("num_points"), col("sum").as("sum_v"),
         when(col("count") =!= 0, col("sum") / col("count")).as("average"),
-        col("min").as("min_v"), col("max").as("max_v"), col("rate")): _*)
+        col("min").as("min_v"), col("max").as("max_v"), col("rate"),
+        element_at(col("percentiles"), "50").as("p50"),
+        element_at(col("percentiles"), "95").as("p95")): _*)
       case "set" => df.select(keys ++ Seq(
         col("distinct_count").cast("long").as("num_points")): _*)
     }
