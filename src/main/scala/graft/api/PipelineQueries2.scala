@@ -250,6 +250,20 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** The Bloom-broadcast decontamination variant
+    * ([[Dedup.contaminationReportBloom]]): the train-side distinct-gram
+    * table — the exact pass's 100 TB bottleneck artifact — collapses into
+    * a bloom_filter_agg scalar subquery, eliminating the shingle shuffle
+    * join for a bounded false-positive rate. Approximate by design →
+    * rows-only here; DedupSimilaritySpec proves no-false-negatives and
+    * bounds the FP rate against the exact report. */
+  private val decontaminateBloom = QDef.noOracle("q_decontaminate_bloom") { (s, dir) =>
+    Dedup.contaminationReportBloom(Tables.load(s, dir, "documents"),
+        substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8,
+        expectedGrams = 2000000L, fpp = 0.01)
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end training-set materialization: split → quality floor →
     * language confirmation → near-dup drop, composed from the pipeline's
     * own stages — the query a user actually runs to cut a training corpus.
@@ -355,5 +369,6 @@ object PipelineQueries2 {
 
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, packSequences,
-    textScrub, textChunk, decontaminate, pipelineSelect, textUnigramNll)
+    textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
+    textUnigramNll)
 }

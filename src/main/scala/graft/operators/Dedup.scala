@@ -516,6 +516,57 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationReport]]'s 100 TB-scale variant: the train-side
+    * distinct-gram table — the exact pass's dominant artifact and shuffle —
+    * collapses into a BLOOM FILTER built by one partial-aggregating pass
+    * and delivered to the test side as a scalar subquery, so the
+    * shingle equi-join disappears entirely. This is precisely Spark's own
+    * runtime-filter shape (`BloomFilterAggregate` +
+    * `BloomFilterMightContain` under a scalar subquery, as
+    * InjectRuntimeFilter plants them), driven explicitly.
+    *
+    * The trade: `might_contain` false positives inflate `n_shared` and can
+    * flag a clean document, at the configured `fpp`; it can never MISS a
+    * real overlap (no false negatives — the exact report's contaminated
+    * docs are always a subset). DedupSimilaritySpec bounds both directions
+    * against [[contaminationReport]]. `expectedGrams` sizes the filter
+    * (bits ≈ −n·ln(fpp)/ln²2, capped by Spark at
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits unless raised);
+    * undersizing degrades fpp gracefully, never correctness of the
+    * no-false-negative guarantee. */
+  def contaminationReportBloom(docs: DataFrame, isTest: Column, k: Int = 8,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val flagged = docs.withColumn("is_test", isTest)
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("sh"))),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedGrams),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+    val bfPlan = shingleRows(flagged.filter(!col("is_test")), k, distinct = false)
+      .agg(bfAgg.as("bf")) // bloom insertion is idempotent: no distinct pass
+      .queryExecution.analyzed
+    val testGrams = shingleRows(flagged.filter(col("is_test")), k)
+    val hit = ColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bfPlan),
+      ColumnBridge.expression(xxhash64(col("sh")))))
+    val perDoc = testGrams
+      .withColumn("hit", hit) // projection-level: subqueries can't sit inside agg args
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("hit")).as("n_shared"))
+    flagged.filter(col("is_test")).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** 64-bit SimHash per document: weighted majority vote of each word-hash
     * bit (weight = term frequency). */
   def simhash(docs: DataFrame): DataFrame = {

@@ -374,6 +374,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(rep(3L) === ((0L, 0L, false)))
   }
 
+  test("contaminationReportBloom: no false negatives vs exact; FP rate bounded") {
+    import spark.implicits._
+    // documents table: realistic corpus with known near/exact duplicates
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val isTest = col("doc_id") % 5 === 0
+    val exact = Dedup.contaminationReport(docs, isTest, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val bloom = Dedup.contaminationReportBloom(docs, isTest, k = 8,
+      expectedGrams = 200000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(bloom.keySet === exact.keySet)
+    // a Bloom filter can't miss a real member: every exact hit is reported,
+    // n_grams identical, n_shared never undercounts
+    exact.foreach { case (id, (nGrams, nShared, contaminated)) =>
+      assert(bloom(id)._1 === nGrams, s"doc $id n_grams")
+      assert(bloom(id)._2 >= nShared, s"doc $id n_shared undercounted")
+      if (contaminated) assert(bloom(id)._3, s"doc $id false NEGATIVE")
+    }
+    // false positives stay near the configured fpp: among docs the exact
+    // report calls clean, the flagged fraction is small (10x headroom)
+    val clean = exact.filter(!_._2._3).keys.toSeq
+    val falsePos = clean.count(id => bloom(id)._3)
+    assert(clean.nonEmpty)
+    assert(falsePos.toDouble / clean.size <= 0.10,
+      s"$falsePos/${clean.size} clean docs flagged")
+    // and the per-gram overcount is bounded too
+    val extraShared = clean.map(id => bloom(id)._2 - exact(id)._2).sum.toDouble
+    val totalCleanGrams = clean.map(id => exact(id)._1).sum.toDouble
+    assert(extraShared / math.max(1.0, totalCleanGrams) <= 0.05,
+      s"gram-level FP rate $extraShared/$totalCleanGrams")
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi
