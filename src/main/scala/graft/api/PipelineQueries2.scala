@@ -367,8 +367,65 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram negative log-likelihood — one rung up the
+    * perplexity-proxy ladder from [[textUnigramNll]]: each in-context token
+    * scores −ln(λ·c(prev,w)/c(prev·) + (1−λ)·c(w)/N), the Jelinek-Mercer
+    * mixture that backs off to the unigram model for unseen continuations
+    * (λ = 0.75). Catches word-salad that unigram NLL cannot: a document of
+    * common words in impossible ORDER scores high here and low there.
+    *
+    * Shape: the token stream fans to three equi-joins (bigram count,
+    * context count, unigram count) — the honest relational LM-scoring
+    * shape, each co-partitioned on its own key. All model tables stay
+    * UNHINTED like the unigram vocab join: a 100 TB corpus's bigram table
+    * is far larger than its vocabulary, so whether any side broadcasts is
+    * AQE's runtime call. Per-token NLL terms are decimal-snapped before
+    * the per-doc sum (the tfidf/unigram convention); p itself is a scalar
+    * expression over exact integer counts, identical on both sides. Docs
+    * with fewer than two tokens have no bigram and are absent, exactly as
+    * zero-token docs are absent from the unigram report. */
+  private val textBigramNll = {
+    val lam = "0.75"
+    QDef(
+      "q_text_bigram_nll",
+      s"""WITH base AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    [array_to_string(ws[i:i+1], ' ')
+         |     for i in range(1, greatest(len(ws), 1))]) AS bg
+         |  FROM base
+         |),
+         |sp AS (
+         |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS prev,
+         |         split_part(bg, ' ', 2) AS w2
+         |  FROM bg
+         |),
+         |cbg AS (SELECT bg, COUNT(*) AS cnt_bg FROM sp GROUP BY 1),
+         |cctx AS (SELECT prev, COUNT(*) AS cnt_ctx FROM sp GROUP BY 1),
+         |w AS (
+         |  SELECT unnest(ws) AS word FROM base
+         |),
+         |freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
+         |t AS (
+         |  SELECT sp.doc_id,
+         |         CAST(-ln($lam * (cbg.cnt_bg / cctx.cnt_ctx) +
+         |                   (1 - $lam) * (freq.cnt / tot.total))
+         |              AS DECIMAL(18,9)) AS nll
+         |  FROM sp JOIN cbg USING (bg) JOIN cctx USING (prev)
+         |       JOIN freq ON sp.w2 = freq.word CROSS JOIN tot
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams_scored,
+         |       CAST(SUM(nll) AS DOUBLE) AS nll_sum,
+         |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS nll_per_token
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextScoring.bigramNll(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, packSequences,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
-    textUnigramNll)
+    textUnigramNll, textBigramNll)
 }

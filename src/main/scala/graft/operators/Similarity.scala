@@ -37,6 +37,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Majority-label kNN classification over ANY neighbor frame — the
+    * standard downstream consumer of a similarity index (label propagation
+    * / weak annotation over an embedded corpus). `neighbors` is the output
+    * contract of [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]]/[[ivfTopKFromIndex]]
+    * (query_id, rank, vec_id, cos), so the exact baseline and every
+    * approximate index compose with the same vote: join each neighbor's
+    * label, count votes per (query, label), keep the plurality winner —
+    * ties broken toward the SMALLEST label id so the result is total. One
+    * equi-join (neighbor set is k·|queries| rows — tiny next to the corpus)
+    * plus one aggregation; the per-query vote never shuffles the corpus. */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = neighbors
+      .join(labels.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Sign of dot(v, hyperplane_j) for nBits seeded random hyperplanes,
     * packed into band keys of `bandBits` bits each. */
   private def hyperplaneBands(v: Column, dim: Int, nBits: Int, bandBits: Int,

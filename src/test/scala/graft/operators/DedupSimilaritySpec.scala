@@ -407,6 +407,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
       s"gram-level FP rate $extraShared/$totalCleanGrams")
   }
 
+  test("knnClassify: plurality vote, smallest-label tie-break, index-agnostic") {
+    import spark.implicits._
+    // hand-built neighbor frame: q1 votes 2×label7 vs 1×label3 → 7;
+    // q2 votes 1×label5 vs 1×label2 → tie broken to the SMALLER label 2
+    val neighbors = Seq(
+      (1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8), (1L, 3, 12L, 0.7),
+      (2L, 1, 13L, 0.9), (2L, 2, 14L, 0.8))
+      .toDF("query_id", "rank", "vec_id", "cos")
+    val labels = Seq((10L, 7), (11L, 3), (12L, 7), (13L, 5), (14L, 2))
+      .toDF("vec_id", "label")
+    val got = Similarity.knnClassify(neighbors, labels)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((7, 2L)), 2L -> ((2, 1L))))
+    // index-agnostic: the IVF neighbor frame votes through the same code
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val viaIvf = Similarity.knnClassify(Similarity.ivfTopK(emb, qs, 10), emb)
+    assert(viaIvf.collect().length === qs.count())
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi
