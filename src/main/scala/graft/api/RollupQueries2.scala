@@ -416,6 +416,64 @@ object RollupQueries2 {
     }
   }
 
+  /** String/boolean metric lifecycle — the reference's metrics_string CF
+    * end to end (Metric.java:38-61 accepts Object values;
+    * ABasicMetricsRW.java:19 routes strings to their own CF; serialized
+    * `{"value": raw}` at JSONBasicRollupsOutputSerializer.java:107-112):
+    * a MIXED ingest batch is constructed from the error tenant's points —
+    * one third numeric, one third strings (`lvl_N`), the rest booleans —
+    * pushed through the real typed parse
+    * ([[graft.streaming.IngestStream.parseJsonTyped]] /
+    * `processTypedBatch`), which must route numerics into the rollup
+    * pipeline and ONLY the string/boolean rows into `metrics_string`; the
+    * facade ([[graft.query.MetricsQueryApi.getStringPoints]]) then serves
+    * them raw. The oracle restates the classification straight off the
+    * metrics view — a routing bug in either direction changes the row set
+    * and hash-fails. Store build cached per sfDir via
+    * [[graft.core.ArtifactCache]]. */
+  private val stringPoints = {
+    val fromMs = 1704412800000L // 2024-01-05 00:00 UTC
+    val toMs = 1704499200000L   // 2024-01-06 00:00 UTC
+    QDef(
+      "q_string_points",
+      s"""WITH ${OracleViews.metricsCte},
+         |m AS (
+         |  SELECT metric_name, ts_ms,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS m
+         |  FROM metrics
+         |  WHERE tenant_id = 'error' AND ts_ms >= $fromMs AND ts_ms < $toMs
+         |)
+         |SELECT metric_name, ts_ms AS bucket_ms,
+         |       CASE WHEN m % 3 = 1 THEN 'lvl_' || CAST(m % 5 AS VARCHAR)
+         |            WHEN m % 2 = 0 THEN 'true' ELSE 'false' END AS value_str,
+         |       'label' AS unit
+         |FROM m WHERE m % 3 <> 0
+         |ORDER BY metric_name, bucket_ms, value_str""".stripMargin) { (s, dir) =>
+      val store = graft.core.ArtifactCache.cached("string_store", dir,
+          s"$dir/events.parquet") { buildDir =>
+        val m = Tables.metricsRange(s, dir, Some((fromMs, toMs)))
+          .filter(col("tenant_id") === "error")
+          .withColumn("m", round(col("value") * 100, 0).cast("long"))
+        val lines = m.select(to_json(struct(
+          col("tenant_id"), col("metric_name"), col("ts_ms"),
+          when(col("m") % 3 === 0, format_string("%.2f", col("value")))
+            .when(col("m") % 3 === 1,
+              concat(lit("lvl_"), (col("m") % 5).cast("string")))
+            .when(col("m") % 2 === 0, lit("true")).otherwise(lit("false"))
+            .as("value"),
+          lit(86400).as("ttl_seconds"), lit("label").as("unit"))).as("value"))
+        graft.streaming.IngestStream.processTypedBatch(
+          graft.streaming.IngestStream.parseJsonTyped(lines), buildDir)
+      }
+      graft.query.MetricsQueryApi.getStringPoints(s, store,
+        graft.query.MetricsQueryApi.Params("error", "app.error.*",
+          from = "20240105", to = "20240106", points = Some(200)),
+        nowMillis = pointsNow, maxBatch = 1000000)
+        .select("metric_name", "bucket_ms", "value_str", "unit")
+        .orderBy("metric_name", "bucket_ms", "value_str")
+    }
+  }
+
   /** "Current value" lookup: the latest point at-or-before a pinned
     * instant per locator — the gauge-style now-endpoint every TSDB exposes
     * (and the as-of shape training pipelines use for feature snapshots).
@@ -479,5 +537,6 @@ object RollupQueries2 {
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
-    pointsQueryFull, latestAt, timerApprox60m, setHll1440m, setSalted1440m)
+    pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,
+    setSalted1440m)
 }

@@ -54,37 +54,46 @@ object Retention {
   def isExpired(tsDay: Long, g: Granularity, nowMillis: Long): Boolean =
     tsDay + 86400000L <= nowMillis - g.retentionMillis
 
+  /** String/boolean metrics age on their own clock, not the rollup ladder:
+    * the reference's STRING_METRICS_TTL is 365 days (TtlConfig.java:21) —
+    * strings have no coarser tier to graduate into. */
+  val StringMetricsTtlMillis: Long = 365L * 86400000L
+
   /** Drop expired `ts_day=` partitions of every present table; returns the
     * dropped day values per table. Handles both flat day partitioning
     * (`table/ts_day=D`) and the raw store's batch-then-day layout
     * (`metrics_full/batch_id=B/ts_day=D`). Driver-side by design: the work
     * is proportional to the number of partition DIRECTORIES (≤ retention
-    * window in days × batches), never to data volume. */
+    * window in days × batches), never to data volume. `metrics_string`
+    * rides the same sweep with its own fixed TTL. */
   def enforce(spark: SparkSession, storeDir: String, nowMillis: Long,
       tables: Map[String, Granularity] = defaultTables): Map[String, Seq[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    tables.toSeq.sortBy(_._1).flatMap { case (table, g) =>
-      val root = new Path(s"$storeDir/$table")
-      val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) None
-      else {
-        val parts =
-          fs.globStatus(new Path(root, "ts_day=*")) ++
-            fs.globStatus(new Path(root, "*/ts_day=*"))
-        val dropped = parts.toSeq.flatMap { st =>
-          val day = st.getPath.getName.stripPrefix("ts_day=").toLong
-          if (isExpired(day, g, nowMillis)) {
-            fs.delete(st.getPath, true)
-            Some(day)
-          } else None
+    val ladder = tables.toSeq.sortBy(_._1)
+      .map { case (t, g) => (t, g.retentionMillis) }
+    (ladder :+ ("metrics_string" -> StringMetricsTtlMillis)).flatMap {
+      case (table, retentionMillis) =>
+        val root = new Path(s"$storeDir/$table")
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) None
+        else {
+          val parts =
+            fs.globStatus(new Path(root, "ts_day=*")) ++
+              fs.globStatus(new Path(root, "*/ts_day=*"))
+          val dropped = parts.toSeq.flatMap { st =>
+            val day = st.getPath.getName.stripPrefix("ts_day=").toLong
+            if (day + 86400000L <= nowMillis - retentionMillis) {
+              fs.delete(st.getPath, true)
+              Some(day)
+            } else None
+          }
+          // unconditional: a crash between a prior run's partition deletes
+          // and its prune leaves a _SUCCESS-only husk that a dropped-gated
+          // prune would never revisit (later runs find nothing to drop).
+          // O(partition dirs), so running it every enforce costs nothing.
+          pruneEmptied(fs, root)
+          if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
         }
-        // unconditional: a crash between a prior run's partition deletes and
-        // its prune leaves a _SUCCESS-only husk that a dropped-gated prune
-        // would never revisit (later runs find nothing to drop). O(partition
-        // dirs), so running it every enforce costs nothing.
-        pruneEmptied(fs, root)
-        if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
-      }
     }.toMap
   }
 
@@ -93,7 +102,9 @@ object Retention {
     * layout — invalid records can carry null or garbage timestamps, so day
     * partitioning is impossible and [[enforce]]'s ts_day drops never visit
     * them. */
-  val errorTables: Seq[String] = Seq("metrics_errors", "events_errors", "preagg_errors")
+  val errorTables: Seq[String] =
+    Seq("metrics_errors", "events_errors", "preagg_errors",
+      "metrics_string_errors")
 
   /** Age out error-sink batch directories by WRITE time (directory
     * modification time — the only timestamp an invalid record reliably

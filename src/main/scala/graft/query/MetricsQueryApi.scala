@@ -343,6 +343,38 @@ object MetricsQueryApi {
       .orderBy("metric_name", "bucket_ms")
   }
 
+  /** String/boolean metric read — the reference's metrics_string CF serve
+    * path (ABasicMetricsRW.java:19; serialized as `{"value": <raw>}` via
+    * getFilteredStatsForString/Boolean,
+    * JSONBasicRollupsOutputSerializer.java:107-112, 185-197): strings have
+    * NO rollups, so every read returns the raw values with their own
+    * timestamps regardless of the points/resolution request — granularity
+    * selection is a numeric concept the reference never applies here.
+    * Result schema: (tenant_id, metric_name, unit, bucket_ms, value_str);
+    * [[toJsonResponse]] renders value_str as a JSON string, with bare
+    * `true`/`false` passed through as JSON booleans exactly like the
+    * reference's Boolean points. */
+  def getStringPoints(spark: SparkSession, storeDir: String, p: Params,
+      nowMillis: Long = System.currentTimeMillis(),
+      maxBatch: Int = MaxMetricsPerBatchQuery,
+      catalogOverride: Option[DataFrame] = None): DataFrame = {
+    val store = spark.read.parquet(s"$storeDir/metrics_string")
+    val catalog = catalogOverride.getOrElse(
+      store.groupBy(col("tenant_id"), col("metric_name"))
+        .agg(max(col("unit")).as("unit"))
+        .withColumn("rollup_type", lit("string")))
+    val r = resolveQuery(spark, p, nowMillis, maxBatch, catalog)
+    store
+      .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
+        col("tenant_id") === p.tenantId)
+      .select("tenant_id", "metric_name", "ts_ms", "value_str")
+      .join(broadcast(r.names.select("tenant_id", "metric_name", "unit")),
+        Seq("tenant_id", "metric_name"))
+      .select(col("tenant_id"), col("metric_name"), col("unit"),
+        col("ts_ms").as("bucket_ms"), col("value_str"))
+      .orderBy("metric_name", "bucket_ms")
+  }
+
   /** Locator catalog for one pre-aggregated family, derived from the
     * parsed-flush store: statsd payloads carry no unit, and rollup_type is
     * the family itself (the reference's metrics_metadata records the same
@@ -529,7 +561,16 @@ object MetricsQueryApi {
             val own = r.getSeq[String](r.fieldIndex("stat_set"))
             statFields.filter(own.contains)
           } else statFields
-        val stats = fields.map(f => s""""$f": ${jNum(r.getAs[Any](f))}""")
+        val stats = fields.map {
+          // string/boolean points (metrics_string): the reference emits the
+          // raw value under "value" — strings quoted, booleans bare
+          // (getFilteredStatsForString/Boolean)
+          case "value_str" =>
+            val s = r.getAs[String]("value_str")
+            val rendered = if (s == "true" || s == "false") s else jStr(s)
+            s""""value": $rendered"""
+          case f => s""""$f": ${jNum(r.getAs[Any](f))}"""
+        }
         (Seq(s""""timestamp": ${r.getAs[Long]("bucket_ms")}""") ++ stats)
           .mkString("{", ", ", "}")
       }

@@ -57,6 +57,67 @@ object IngestStream {
     lines.select(from_json(col("value").cast("string"), inputSchema).as("m"))
       .select("m.*")
 
+  /** `inputSchema` with an untyped value: the reference accepts numeric,
+    * string, AND boolean metric values in one ingest batch
+    * (Metric.java:38-61 takes Object; the serializer renders String/Boolean
+    * points at JSONBasicRollupsOutputSerializer.java:107-112). `from_json`
+    * coerces JSON numbers/booleans to their literal text, so one parse
+    * serves all three; [[processTypedBatch]] routes on castability. */
+  val typedInputSchema: StructType = StructType(Seq(
+    StructField("tenant_id", StringType),
+    StructField("metric_name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("value", StringType),
+    StructField("ttl_seconds", IntegerType),
+    StructField("unit", StringType)))
+
+  /** Parse mixed-type JSON lines; `value_num` is the ANSI-safe numeric
+    * reading (null for strings/booleans — `try_cast`, never a throw). */
+  def parseJsonTyped(lines: DataFrame): DataFrame =
+    lines.select(from_json(col("value").cast("string"), typedInputSchema).as("m"))
+      .select("m.*")
+      .withColumn("value_num", expr("try_cast(value AS DOUBLE)"))
+
+  /** One mixed-type micro-batch, routed by value type exactly as the
+    * reference splits the basic CFs from metrics_string
+    * (ABasicMetricsRW.java:19 — "metrics_{granularity} & metrics_string
+    * column families"): numeric values take the FULL rollup pipeline
+    * ([[processBatch]]: raw write + dirty-day re-roll + errors sink);
+    * string/boolean values append to the day-partitioned `metrics_string`
+    * store — never rolled (the reference computes no rollups for strings;
+    * they serve at full resolution only, see
+    * [[graft.query.MetricsQueryApi.getStringPoints]]). Invalid string
+    * records (empty name, out-of-window ts) land in the shared errors
+    * sink like their numeric siblings. */
+  def processTypedBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.isEmpty) return
+      val numeric = cached.filter(col("value_num").isNotNull)
+        .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+          col("value_num").as("value"), col("ttl_seconds"), col("unit"))
+      processBatch(
+        withValidity(numeric, minTs, maxTs), storeDir, batchId)
+      val strings = withValidity(
+        cached.filter(col("value_num").isNull)
+          .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+            col("value").as("value_str"), col("ttl_seconds"), col("unit"))
+          .withColumnRenamed("value_str", "value"), minTs, maxTs)
+        .withColumnRenamed("value", "value_str")
+      if (strings.isEmpty) return
+      val badStrings = strings.filter(!col("valid")).drop("valid")
+      if (!badStrings.isEmpty)
+        badStrings.write.mode("overwrite")
+          .parquet(s"$storeDir/metrics_string_errors/batch_id=$batchId")
+      val goodStrings = strings.filter(col("valid")).drop("valid")
+      if (goodStrings.isEmpty) return
+      goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
+    } finally cached.unpersist()
+  }
+
   private def dayOf(c: org.apache.spark.sql.Column) = c - pmod(c, lit(86400000L))
 
   /** One micro-batch: append raw, then recompute 5m rollups for the days

@@ -143,6 +143,22 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("metrics_string ages on its own 365d clock, not the rollup ladder") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_ret_str").toString
+    val oldDay = now - Retention.StringMetricsTtlMillis - 2 * 86400000L
+    val freshDay = day(5) // 24 days old: expired for full(5d), fresh for strings
+    Seq(("t1", "m1", oldDay + 10, "lvl_1", "label"),
+      ("t1", "m1", freshDay + 10, "true", "label"))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value_str", "unit")
+      .withColumn("ts_day", col("ts_ms") - pmod(col("ts_ms"), lit(86400000L)))
+      .write.partitionBy("ts_day").parquet(s"$store/metrics_string")
+    val dropped = Retention.enforce(spark, store, now)
+    assert(dropped("metrics_string") === Seq(oldDay))
+    assert(daysIn(store, "metrics_string") === Set(freshDay),
+      "a day expired on the FULL ladder must survive the string TTL")
+  }
+
   test("error sinks age by write time: old batch dirs dropped, fresh kept, emptied root pruned") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_retention_err").toString

@@ -118,6 +118,18 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
       .forall(_.group(1).toLong % 86400000L == 0))
   }
 
+  test("string/boolean points render as {\"value\": ...}: strings quoted, booleans bare") {
+    import spark.implicits._
+    val rollups = Seq(
+      ("t1", "m.str", "label", 1000L, "lvl_2"),
+      ("t1", "m.str", "label", 2000L, "true"))
+      .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str")
+    val json = MetricsQueryApi.toJsonResponse(rollups)
+    assert(json.contains(""""value": "lvl_2""""), json)
+    assert(json.contains(""""value": true"""), json)
+    assert(!json.contains(""""value": "true""""), "booleans must be bare")
+  }
+
   test("one of points/resolution is mandatory, exclusive") {
     intercept[IllegalArgumentException] {
       MetricsQueryApi.getRollups(spark, dir,

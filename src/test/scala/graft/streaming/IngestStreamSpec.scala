@@ -141,6 +141,34 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter(!org.apache.spark.sql.functions.col("valid")).count() === 1)
   }
 
+  test("typed batch routes numerics to the rollup store, strings/booleans to metrics_string") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_typed").toString
+    val t = 1704067200000L
+    def line(name: String, v: String): String =
+      s"""{"tenant_id":"t1","metric_name":"$name","ts_ms":$t,"value":$v,"ttl_seconds":86400,"unit":"u"}"""
+    val lines = Seq(
+      line("num", "12.5"),            // JSON number → rollup pipeline
+      line("str", "\"lvl_3\""),       // string → metrics_string
+      line("boolmetric", "true"),     // boolean → metrics_string
+      line("late_str", "\"x\"").replace(s""""ts_ms":$t""", s""""ts_ms":${t - 100L * 86400000L}"""))
+      .toDF("value")
+    IngestStream.processTypedBatch(IngestStream.parseJsonTyped(lines), store,
+      minTs = t - 86400000L, maxTs = t + 86400000L)
+    val full = spark.read.parquet(s"$store/metrics_full")
+    assert(full.select("metric_name").as[String].collect().toSet === Set("num"))
+    assert(full.select("value").as[Double].head() === 12.5)
+    val strs = spark.read.parquet(s"$store/metrics_string")
+      .select("metric_name", "value_str").as[(String, String)].collect().toSet
+    assert(strs === Set(("str", "lvl_3"), ("boolmetric", "true")))
+    // an out-of-window string record lands in the string errors sink
+    val errs = spark.read.parquet(s"$store/metrics_string_errors")
+      .select("metric_name").as[String].collect().toSet
+    assert(errs === Set("late_str"))
+    // and the 5m rollup of the numeric arm exists (the pipeline really ran)
+    assert(spark.read.parquet(s"$store/metrics_5m").count() === 1)
+  }
+
   test("watermarked streaming 5m aggregation emits closed windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
