@@ -424,8 +424,48 @@ object PipelineQueries2 {
     }
   }
 
+  /** Corpus length distribution — the token-count histogram every corpus
+    * report opens with (mix monitoring, truncation budgeting). Log2 bins
+    * via the INTEGER-EXACT binary-string length (`length(bin(n))` =
+    * ⌊log2 n⌋+1): a float `floor(ln n / ln 2)` would sit one ulp from the
+    * bin edge at exact powers of two and could round differently across
+    * engines — the string form cannot. One hash aggregation. */
+  private val textLengthHist = QDef(
+    "q_text_length_hist",
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(length(bin(n)) AS INTEGER) AS log2_bin,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+       |FROM t GROUP BY 1, 2
+       |ORDER BY lang, log2_bin""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), TF.tokenCountBpe(col("text")).cast("long").as("n"))
+      .groupBy(col("lang"), length(bin(col("n"))).cast("int").as("log2_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy("lang", "log2_bin")
+  }
+
+  /** Diversity-aware embedding subsample ([[graft.operators.Similarity
+    * .diversitySample]]): uniform per-IVF-cell quota so rare content
+    * regions keep representation a proportional hash sample would dilute.
+    * k-means cells are data-dependent → rows-only; SamplingSpec proves
+    * determinism and the rare-cluster floor. */
+  private val sampleDiverse = QDef.noOracle("q_sample_diverse") { (s, dir) =>
+    graft.operators.Similarity.diversitySample(
+        Tables.load(s, dir, "embeddings"), n = 100)
+      .orderBy("cell", "rn")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, packSequences,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
-    textUnigramNll, textBigramNll)
+    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse)
 }

@@ -145,6 +145,29 @@ object Similarity {
     centroids
   }
 
+  /** Diversity-aware subsample: a UNIFORM per-cell quota over IVF cells —
+    * the embedding-space stratified draw training pipelines use to keep
+    * rare content regions represented (a plain Bernoulli/hash sample is
+    * proportional, so a 0.1% region contributes 0.1% of the sample; this
+    * draw gives every populated cell the same budget). Quota =
+    * ⌈n / nCells⌉ rows per cell, picked in content-hash order so the
+    * result is deterministic and append-stable like
+    * [[Sampling.stratifiedQuota]] (and gets the same WindowGroupLimit
+    * rank pushdown — no full per-cell sort materializes). Returns
+    * (vec_id, cell, rn). Approximate in size: ≤ nCells·⌈n/nCells⌉, less
+    * when cells are thin. */
+  def diversitySample(corpus: DataFrame, n: Int, nCells: Int = 16,
+      iterations: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCells, iterations)
+    val quota = (n + nCells - 1) / nCells
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.operators.Sampling.hashHex(col("vec_id")), col("vec_id"))
+    assignCells(corpus, cents)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .select(col("vec_id"), col("cell"), col("rn"))
+  }
+
   /** Corpus with its max-dot cell assignment and precomputed norm — the
     * row shape stored by [[writeIvfIndex]] and probed by the top-k join. */
   private def assignCells(corpus: DataFrame,

@@ -358,7 +358,15 @@ object MetricsQueryApi {
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,
       catalogOverride: Option[DataFrame] = None): DataFrame = {
-    val store = spark.read.parquet(s"$storeDir/metrics_string")
+    val path = s"$storeDir/metrics_string"
+    if (!IngestStream.hasParquetData(spark, path)) {
+      // a store that ingested no strings serves an empty result, not a
+      // schema-inference crash (same guard discipline as the tier reads)
+      import spark.implicits._
+      return Seq.empty[(String, String, String, Long, String)]
+        .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str")
+    }
+    val store = spark.read.parquet(path)
     val catalog = catalogOverride.getOrElse(
       store.groupBy(col("tenant_id"), col("metric_name"))
         .agg(max(col("unit")).as("unit"))

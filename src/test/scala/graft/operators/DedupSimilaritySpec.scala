@@ -428,6 +428,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(viaIvf.collect().length === qs.count())
   }
 
+  test("diversitySample: deterministic, quota-bounded, keeps rare regions a hash sample dilutes") {
+    import spark.implicits._
+    // 195 vectors along [1,0] (dominant region) + 5 along [0,1] (rare);
+    // ids 0 and 1 sit in the rare cluster so the seeded centroids straddle
+    // both regions and k-means keeps a cell on the rare one
+    def vec(main: Float, alt: Float) = Seq(main, alt)
+    val rows = (0L until 2L).map(i => (i, vec(0.01f * i, 1.0f))) ++
+      (2L until 5L).map(i => (i, vec(0.01f * i, 1.0f))) ++
+      (5L until 200L).map(i => (i, vec(1.0f, 0.001f * (i % 7))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val s1 = Similarity.diversitySample(emb, n = 40, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val s2 = Similarity.diversitySample(emb, n = 40, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(s1 === s2, "content-hash order must make the draw deterministic")
+    assert(s1.length <= 4 * 10 && s1.nonEmpty)
+    s1.groupBy(_._2).foreach { case (_, cell) =>
+      assert(cell.length <= 10, "per-cell quota exceeded") }
+    // every rare-region vector survives: its cell holds 5 ≤ quota rows,
+    // where a proportional 20% hash sample would keep ~1 of them
+    val rare = s1.map(_._1).filter(_ < 5L).toSet
+    assert(rare === Set(0L, 1L, 2L, 3L, 4L),
+      s"rare cluster must be fully represented, got $rare")
+  }
+
   test("bandCountFor derives enough bands for the target miss probability") {
     val bands = Similarity.bandCountFor(0.45, bandBits = 2)
     val p1 = 1.0 - math.acos(0.45) / math.Pi
