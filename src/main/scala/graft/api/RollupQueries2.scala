@@ -404,7 +404,7 @@ object RollupQueries2 {
          |  ON m.tenant_id = c.tenant_id AND m.metric_name = c.metric_name
          |WHERE m.tenant_id = 'purchase'
          |  AND m.ts_ms >= $from AND m.ts_ms < $to
-         |ORDER BY m.metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+         |ORDER BY m.metric_name, bucket_ms, sum_v""".stripMargin) { (s, dir) =>
       graft.query.MetricsQueryApi.getRollups(s, dir,
         graft.query.MetricsQueryApi.Params("purchase", "app.purchase.*",
           from = "20240115", to = "20240116",
@@ -412,7 +412,9 @@ object RollupQueries2 {
           select = Seq("average", "numPoints", "sum")),
         nowMillis = pointsNow, maxBatch = 1000000)
         .select("metric_name", "bucket_ms", "num_points", "sum_v", "average", "unit")
-        .orderBy("metric_name", "bucket_ms")
+        // raw samples can share (metric, ts): order by the value too, per
+        // the ORDER-BY-everything oracle convention
+        .orderBy("metric_name", "bucket_ms", "sum_v")
     }
   }
 
@@ -454,14 +456,20 @@ object RollupQueries2 {
         val m = Tables.metricsRange(s, dir, Some((fromMs, toMs)))
           .filter(col("tenant_id") === "error")
           .withColumn("m", round(col("value") * 100, 0).cast("long"))
-        val lines = m.select(to_json(struct(
-          col("tenant_id"), col("metric_name"), col("ts_ms"),
-          when(col("m") % 3 === 0, format_string("%.2f", col("value")))
-            .when(col("m") % 3 === 1,
-              concat(lit("lvl_"), (col("m") % 5).cast("string")))
-            .when(col("m") % 2 === 0, lit("true")).otherwise(lit("false"))
-            .as("value"),
-          lit(86400).as("ttl_seconds"), lit("label").as("unit"))).as("value"))
+        // each arm serializes its value as the TRUE JSON type (number /
+        // string / boolean) — routing is by JSON type, so a quoted
+        // numeric would legitimately land in the string store
+        def jsonLines(rows: DataFrame, v: Column) =
+          rows.select(to_json(struct(
+            col("tenant_id"), col("metric_name"), col("ts_ms"),
+            v.as("value"),
+            lit(86400).as("ttl_seconds"), lit("label").as("unit"))).as("value"))
+        val lines = jsonLines(m.filter(col("m") % 3 === 0), col("value"))
+          .unionByName(jsonLines(m.filter(col("m") % 3 === 1),
+            concat(lit("lvl_"), (col("m") % 5).cast("string"))))
+          .unionByName(jsonLines(
+            m.filter(col("m") % 3 =!= 0 && col("m") % 3 =!= 1),
+            col("m") % 2 === 0))
         graft.streaming.IngestStream.processTypedBatch(
           graft.streaming.IngestStream.parseJsonTyped(lines), buildDir)
       }

@@ -33,9 +33,32 @@ object ArtifactCache {
 
   private val markerName = "_GRAFT_READY"
 
+  /** Newest mtime under the code location that built the artifact: the
+    * freshness token must change when the BUILD LOGIC changes, not only
+    * when the source data does — otherwise the pre-commit gate would hash
+    * stores built by stale code forever (testdata mtimes never change).
+    * Walking target/classes is a few hundred stats, once per JVM. */
+  private lazy val codeStamp: Long = {
+    try {
+      val loc = getClass.getProtectionDomain.getCodeSource.getLocation
+      val root = new File(loc.toURI)
+      if (root.isFile) root.lastModified
+      else {
+        var newest = root.lastModified
+        def walk(f: File): Unit = {
+          val t = f.lastModified
+          if (t > newest) newest = t
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(walk)
+        }
+        walk(root)
+        newest
+      }
+    } catch { case _: Throwable => 0L }
+  }
+
   private def token(sourceFile: String): String = {
     val f = new File(sourceFile)
-    s"${f.length}:${f.lastModified}"
+    s"${f.length}:${f.lastModified}:$codeStamp"
   }
 
   private def markerMatches(dir: File, tok: String): Boolean = {
@@ -66,12 +89,20 @@ object ArtifactCache {
     Files.write(new File(buildDir, markerName).toPath,
       tok.getBytes(StandardCharsets.UTF_8))
 
-    deleteRecursively(finalDir) // stale or absent; no-op when absent
-    if (buildDir.renameTo(finalDir)) finalDir.getPath
-    else if (markerMatches(finalDir, tok)) {
-      // a concurrent builder published first — use its complete artifact
+    // re-check BEFORE removing the final path: a concurrent builder may
+    // have published a fresh artifact while we built — adopt it rather
+    // than deleting files it may already be serving reads from
+    if (markerMatches(finalDir, tok)) {
       deleteRecursively(buildDir)
       finalDir.getPath
-    } else buildDir.getPath // unremovable stale occupant: serve our own
+    } else {
+      deleteRecursively(finalDir) // stale or absent; no-op when absent
+      if (buildDir.renameTo(finalDir)) finalDir.getPath
+      else if (markerMatches(finalDir, tok)) {
+        // a concurrent builder won the rename race — use its artifact
+        deleteRecursively(buildDir)
+        finalDir.getPath
+      } else buildDir.getPath // unremovable stale occupant: serve our own
+    }
   }
 }

@@ -64,14 +64,18 @@ object Retention {
     * (`table/ts_day=D`) and the raw store's batch-then-day layout
     * (`metrics_full/batch_id=B/ts_day=D`). Driver-side by design: the work
     * is proportional to the number of partition DIRECTORIES (≤ retention
-    * window in days × batches), never to data volume. `metrics_string`
-    * rides the same sweep with its own fixed TTL. */
+    * window in days × batches), never to data volume. `fixedTtlTables`
+    * carries the tables that age on their own clock rather than a
+    * granularity's (default: `metrics_string` at 365d) — a caller scoping
+    * the sweep can scope or clear it the same way as `tables`. */
   def enforce(spark: SparkSession, storeDir: String, nowMillis: Long,
-      tables: Map[String, Granularity] = defaultTables): Map[String, Seq[Long]] = {
+      tables: Map[String, Granularity] = defaultTables,
+      fixedTtlTables: Map[String, Long] =
+        Map("metrics_string" -> StringMetricsTtlMillis)): Map[String, Seq[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val ladder = tables.toSeq.sortBy(_._1)
+    val ladder = tables.toSeq
       .map { case (t, g) => (t, g.retentionMillis) }
-    (ladder :+ ("metrics_string" -> StringMetricsTtlMillis)).flatMap {
+    (ladder ++ fixedTtlTables.toSeq).sortBy(_._1).flatMap {
       case (table, retentionMillis) =>
         val root = new Path(s"$storeDir/$table")
         val fs = root.getFileSystem(conf)
@@ -81,11 +85,11 @@ object Retention {
             fs.globStatus(new Path(root, "ts_day=*")) ++
               fs.globStatus(new Path(root, "*/ts_day=*"))
           val dropped = parts.toSeq.flatMap { st =>
-            val day = st.getPath.getName.stripPrefix("ts_day=").toLong
-            if (day + 86400000L <= nowMillis - retentionMillis) {
-              fs.delete(st.getPath, true)
-              Some(day)
-            } else None
+            // parse first, skip what doesn't parse: a stray ts_day=tmp dir
+            // must not throw mid-sweep with earlier deletions applied
+            st.getPath.getName.stripPrefix("ts_day=").toLongOption
+              .filter(day => day + 86400000L <= nowMillis - retentionMillis)
+              .map { day => fs.delete(st.getPath, true); day }
           }
           // unconditional: a crash between a prior run's partition deletes
           // and its prune leaves a _SUCCESS-only husk that a dropped-gated

@@ -178,10 +178,15 @@ object MetricsQueryApi {
   /** Shared stat projection: explicit `select=` keeps exactly those columns;
     * per-metric defaults keep the union plus a `stat_set` array naming each
     * row's own stats (see the schema contract on [[getRollups]]). */
-  private def projectStats(agged: DataFrame, select: Seq[String],
+  private def projectStats(agged0: DataFrame, select: Seq[String],
       perMetricDefaults: Boolean): DataFrame = {
     val keep = Seq("tenant_id", "metric_name", "unit", "bucket_ms") ++
       select.flatMap(statCols.get).distinct
+    // a selected stat the serving path doesn't carry (p50 on the basic
+    // store, say) degrades to a NULL column, matching preaggToStats'
+    // padding — never an unresolved-column analysis error
+    val agged = keep.filterNot(agged0.columns.contains)
+      .foldLeft(agged0)((d, c) => d.withColumn(c, lit(null).cast("double")))
     if (!perMetricDefaults) agged.select(keep.map(col): _*)
     else {
       // per-row list of this metric's own stat columns, consumed by the
@@ -264,9 +269,16 @@ object MetricsQueryApi {
       // their own timestamps (the reference's FULL read targets the
       // full-res CF the same way, RollupType.classOf → SimpleNumber). The
       // tier/gap machinery below is moot: raw IS the source. `latest` is
-      // legitimate here — a raw sample is its own latest value.
-      val raw = rawOverride.getOrElse(
-          spark.read.parquet(s"$storeDir/metrics_full"))
+      // legitimate here — a raw sample is its own latest value. A
+      // tier-only store (no metrics_full, no rawOverride) serves empty,
+      // not a schema-inference crash.
+      import spark.implicits._
+      val raw = rawOverride.getOrElse {
+          if (IngestStream.hasParquetData(spark, s"$storeDir/metrics_full"))
+            spark.read.parquet(s"$storeDir/metrics_full")
+          else Seq.empty[(String, String, Long, Double)]
+            .toDF("tenant_id", "metric_name", "ts_ms", "value")
+        }
         .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
           col("tenant_id") === p.tenantId)
         .select("tenant_id", "metric_name", "ts_ms", "value")
@@ -363,8 +375,9 @@ object MetricsQueryApi {
       // a store that ingested no strings serves an empty result, not a
       // schema-inference crash (same guard discipline as the tier reads)
       import spark.implicits._
-      return Seq.empty[(String, String, String, Long, String)]
-        .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str")
+      return Seq.empty[(String, String, String, Long, String, Boolean)]
+        .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str",
+          "is_bool")
     }
     val store = spark.read.parquet(path)
     val catalog = catalogOverride.getOrElse(
@@ -375,11 +388,11 @@ object MetricsQueryApi {
     store
       .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
         col("tenant_id") === p.tenantId)
-      .select("tenant_id", "metric_name", "ts_ms", "value_str")
+      .select("tenant_id", "metric_name", "ts_ms", "value_str", "is_bool")
       .join(broadcast(r.names.select("tenant_id", "metric_name", "unit")),
         Seq("tenant_id", "metric_name"))
       .select(col("tenant_id"), col("metric_name"), col("unit"),
-        col("ts_ms").as("bucket_ms"), col("value_str"))
+        col("ts_ms").as("bucket_ms"), col("value_str"), col("is_bool"))
       .orderBy("metric_name", "bucket_ms")
   }
 
@@ -541,7 +554,8 @@ object MetricsQueryApi {
     * serialization step, bounded by MaxMetricsPerBatchQuery. */
   def toJsonResponse(rollups: DataFrame): String = {
     val statFields = rollups.columns
-      .filterNot(Set("tenant_id", "metric_name", "unit", "bucket_ms", "stat_set"))
+      .filterNot(Set("tenant_id", "metric_name", "unit", "bucket_ms",
+        "stat_set", "is_bool"))
     val hasStatSet = rollups.columns.contains("stat_set")
     val byMetric = rollups.collect()
       .groupBy(r => (r.getAs[String]("metric_name"), r.getAs[String]("unit")))
@@ -572,11 +586,14 @@ object MetricsQueryApi {
         val stats = fields.map {
           // string/boolean points (metrics_string): the reference emits the
           // raw value under "value" — strings quoted, booleans bare
-          // (getFilteredStatsForString/Boolean)
+          // (getFilteredStatsForString/Boolean). is_bool carries the
+          // ORIGINAL JSON type: a string metric whose text is "true" stays
+          // a quoted string
           case "value_str" =>
+            val isBool = rollups.columns.contains("is_bool") &&
+              r.getAs[Boolean]("is_bool")
             val s = r.getAs[String]("value_str")
-            val rendered = if (s == "true" || s == "false") s else jStr(s)
-            s""""value": $rendered"""
+            s""""value": ${if (isBool) s else jStr(s)}"""
           case f => s""""$f": ${jNum(r.getAs[Any](f))}"""
         }
         (Seq(s""""timestamp": ${r.getAs[Long]("bucket_ms")}""") ++ stats)

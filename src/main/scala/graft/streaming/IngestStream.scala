@@ -62,7 +62,8 @@ object IngestStream {
     * (Metric.java:38-61 takes Object; the serializer renders String/Boolean
     * points at JSONBasicRollupsOutputSerializer.java:107-112). `from_json`
     * coerces JSON numbers/booleans to their literal text, so one parse
-    * serves all three; [[processTypedBatch]] routes on castability. */
+    * serves all three; [[processTypedBatch]] routes on the original JSON
+    * type recovered by [[parseJsonTyped]]'s variant reading. */
   val typedInputSchema: StructType = StructType(Seq(
     StructField("tenant_id", StringType),
     StructField("metric_name", StringType),
@@ -71,12 +72,28 @@ object IngestStream {
     StructField("ttl_seconds", IntegerType),
     StructField("unit", StringType)))
 
-  /** Parse mixed-type JSON lines; `value_num` is the ANSI-safe numeric
-    * reading (null for strings/booleans — `try_cast`, never a throw). */
+  /** Parse mixed-type JSON lines. Routing must follow the JSON TYPE, not
+    * castability — the reference keeps a string metric whose text happens
+    * to be numeric ("123", "007") a string (Metric.java routes on the
+    * parsed Object's class), and `from_json` into StringType erases that
+    * distinction. The VARIANT reading recovers it:
+    * `schema_of_variant(variant_get(parse_json(line), '$.value'))` is
+    * 'STRING' / 'BOOLEAN' / a numeric type per the original JSON token.
+    * `value_num` is the ANSI-safe numeric reading (try_cast, never a
+    * throw); `is_bool` survives into the string store so the serializer
+    * can render booleans bare and strings quoted. */
   def parseJsonTyped(lines: DataFrame): DataFrame =
-    lines.select(from_json(col("value").cast("string"), typedInputSchema).as("m"))
-      .select("m.*")
+    lines
+      .select(
+        from_json(col("value").cast("string"), typedInputSchema).as("m"),
+        expr("schema_of_variant(variant_get(try_parse_json(cast(value AS STRING)), '$.value'))")
+          .as("vtype"))
+      .select(col("m.*"), col("vtype"))
       .withColumn("value_num", expr("try_cast(value AS DOUBLE)"))
+      .withColumn("is_string_typed",
+        coalesce(col("vtype") === "STRING", lit(false)))
+      .withColumn("is_bool", coalesce(col("vtype") === "BOOLEAN", lit(false)))
+      .drop("vtype")
 
   /** One mixed-type micro-batch, routed by value type exactly as the
     * reference splits the basic CFs from metrics_string
@@ -94,16 +111,20 @@ object IngestStream {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (cached.isEmpty) return
-      val numeric = cached.filter(col("value_num").isNotNull)
+      val isStringKind = col("is_string_typed") || col("is_bool")
+      // numeric arm: everything NOT string/boolean-typed — a numeric-typed
+      // but uncastable value arrives with value null and fails validity
+      // into the errors sink rather than vanishing
+      val numeric = cached.filter(!isStringKind)
         .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
           col("value_num").as("value"), col("ttl_seconds"), col("unit"))
       processBatch(
         withValidity(numeric, minTs, maxTs), storeDir, batchId)
       val strings = withValidity(
-        cached.filter(col("value_num").isNull)
+        cached.filter(isStringKind)
           .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
-            col("value").as("value_str"), col("ttl_seconds"), col("unit"))
-          .withColumnRenamed("value_str", "value"), minTs, maxTs)
+            col("value"), col("ttl_seconds"), col("unit"), col("is_bool")),
+        minTs, maxTs)
         .withColumnRenamed("value", "value_str")
       if (strings.isEmpty) return
       val badStrings = strings.filter(!col("valid")).drop("valid")

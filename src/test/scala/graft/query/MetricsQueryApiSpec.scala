@@ -121,13 +121,17 @@ class MetricsQueryApiSpec extends AnyFunSuite with SparkSuite {
   test("string/boolean points render as {\"value\": ...}: strings quoted, booleans bare") {
     import spark.implicits._
     val rollups = Seq(
-      ("t1", "m.str", "label", 1000L, "lvl_2"),
-      ("t1", "m.str", "label", 2000L, "true"))
-      .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str")
+      ("t1", "m.str", "label", 1000L, "lvl_2", false),
+      ("t1", "m.str", "label", 2000L, "true", true),
+      // a STRING metric whose text happens to be "true": stays quoted —
+      // is_bool carries the original JSON type through the store
+      ("t1", "m.str", "label", 3000L, "true", false))
+      .toDF("tenant_id", "metric_name", "unit", "bucket_ms", "value_str", "is_bool")
     val json = MetricsQueryApi.toJsonResponse(rollups)
     assert(json.contains(""""value": "lvl_2""""), json)
     assert(json.contains(""""value": true"""), json)
-    assert(!json.contains(""""value": "true""""), "booleans must be bare")
+    assert(json.contains(""""value": "true""""),
+      "a string-typed \"true\" must stay quoted")
   }
 
   test("one of points/resolution is mandatory, exclusive") {

@@ -150,7 +150,8 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     val lines = Seq(
       line("num", "12.5"),            // JSON number → rollup pipeline
       line("str", "\"lvl_3\""),       // string → metrics_string
-      line("boolmetric", "true"),     // boolean → metrics_string
+      line("numstr", "\"123\""),      // numeric-LOOKING string stays a string
+      line("boolmetric", "true"),     // boolean → metrics_string, is_bool
       line("late_str", "\"x\"").replace(s""""ts_ms":$t""", s""""ts_ms":${t - 100L * 86400000L}"""))
       .toDF("value")
     IngestStream.processTypedBatch(IngestStream.parseJsonTyped(lines), store,
@@ -159,8 +160,10 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     assert(full.select("metric_name").as[String].collect().toSet === Set("num"))
     assert(full.select("value").as[Double].head() === 12.5)
     val strs = spark.read.parquet(s"$store/metrics_string")
-      .select("metric_name", "value_str").as[(String, String)].collect().toSet
-    assert(strs === Set(("str", "lvl_3"), ("boolmetric", "true")))
+      .select("metric_name", "value_str", "is_bool")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(strs === Set(("str", "lvl_3", false), ("numstr", "123", false),
+      ("boolmetric", "true", true)))
     // an out-of-window string record lands in the string errors sink
     val errs = spark.read.parquet(s"$store/metrics_string_errors")
       .select("metric_name").as[String].collect().toSet
