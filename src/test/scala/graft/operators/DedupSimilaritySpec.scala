@@ -281,9 +281,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
       .filter(p => p._1 != p._2)
       .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
       .distinct
+    // maxLocalEdges = 0 forces the DISTRIBUTED loop — the default would
+    // solve this tiny graph on the driver via the same union-find idea
+    // this test uses as its reference
     val got = Dedup.connectedComponents(
+        pairs.toDF("doc_id_1", "doc_id_2"), (0L until n).toDF("doc_id"),
+        maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // and the fast path must agree with the loop exactly
+    val gotFast = Dedup.connectedComponents(
         pairs.toDF("doc_id_1", "doc_id_2"), (0L until n).toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFast === got, "driver fast path diverged from the loop")
     // independent reference: union-find attaching larger root under smaller,
     // so each component's root IS its minimum member
     val parent = Array.tabulate(n)(identity)
@@ -318,18 +327,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     val longChain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
     val err = intercept[IllegalStateException] {
       Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"),
-        maxIters = 3).collect()
+        maxIters = 3, maxLocalEdges = 0L).collect()
     }
     assert(err.getMessage.contains("did not converge"))
     // and with enough rounds the same chain collapses to one cluster
-    val ok = Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"))
+    val ok = Dedup.connectedComponents(longChain, (0L until 10L).toDF("doc_id"),
+        maxLocalEdges = 0L)
       .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
     assert(ok === Seq(0L))
     // pointer jumping: a 300-long chain (diameter ≫ maxIters) converges in
     // O(log diameter) rounds once shortcutting kicks in — plain propagation
-    // would need 300 rounds and throw
+    // would need 300 rounds and throw (maxLocalEdges = 0 forces the loop)
     val chain300 = (0L until 300L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
-    val labels300 = Dedup.connectedComponents(chain300, (0L until 301L).toDF("doc_id"))
+    val labels300 = Dedup.connectedComponents(chain300, (0L until 301L).toDF("doc_id"),
+        maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels300.forall(_._2 === 0L), "one component, min-labeled")
   }

@@ -61,9 +61,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
 
   invariant("connectedComponents(minhash pairs)")(df => {
     import org.apache.spark.sql.functions._
+    // maxLocalEdges = 0: the DISTRIBUTED loop is the path whose
+    // partition-sensitivity this spec guards (the driver fast path is
+    // trivially layout-independent)
     Dedup.connectedComponents(
       Dedup.minhashNearDups(df).select("doc_id_1", "doc_id_2"),
-      df.select(col("doc_id")))
+      df.select(col("doc_id")), maxLocalEdges = 0L)
   })(Tables.load(spark, dir, "documents"))
 
   invariant("contaminationReport")(df => {
