@@ -425,8 +425,27 @@ object Dedup {
     } finally fwd.unpersist(blocking = false)
   }
 
+  /** Per-round changed-label counts of the last [[connectedComponentsLoop]]
+    * run on this JVM — diagnostic only (specs assert the round input
+    * SHRINKS as components settle; not meaningful under concurrent runs). */
+  @volatile private[graft] var lastActiveCounts: Vector[Long] = Vector.empty
+
   /** The distributed min-label-propagation loop behind
-    * [[connectedComponents]] — see its scaladoc for the algorithm. */
+    * [[connectedComponents]] — see its scaladoc for the algorithm.
+    *
+    * DELTA PROPAGATION: only labels that CHANGED in the previous round
+    * send messages. A min-label once delivered is absorbed by the
+    * neighbor's min-aggregate, so an unchanged sender can only repeat
+    * itself — skipping it is lossless (the classic delta-iteration
+    * argument; Flink's workset iterations are built on it). As components
+    * settle, the per-round join input collapses from |participants| to
+    * |still-active frontier| — on a long-tail graph the last rounds touch
+    * a vanishing sliver of the edge set. NOTE this is deliberately NOT the
+    * "drop edges whose endpoints share a label" prune: same-label dropping
+    * is only sound with the star-rewiring of Kiveris et al.'s
+    * large-star/small-star (the label proves shared membership, not that
+    * the edge is redundant in the REMAINING graph — dropping a bridge this
+    * way can split a component). Sender-side pruning needs no such caveat. */
   private def connectedComponentsLoop(fwd: DataFrame, nodes: DataFrame,
       maxIters: Int, shortcutAfter: Int): DataFrame = {
     // duplicate edges are tolerated (the min-aggregates absorb them), so no
@@ -443,11 +462,15 @@ object Dedup {
       .agg(min(least(col("src"), col("dst"))).as("label"))
       .localCheckpoint()
     var labels = ckpt
+    // the seed assigned every participant a fresh label: all of them send
+    // in round one; thereafter only the previous round's changed rows do
+    var changed = ckpt
+    val activeCounts = Vector.newBuilder[Long]
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val msgs = und.join(labels, und("src") === labels("doc_id"))
-        .select(und("dst").as("doc_id"), col("label"))
+      val msgs = und.join(changed, und("src") === changed("doc_id"))
+        .select(und("dst").as("doc_id"), changed("label"))
       val prop0 = labels.union(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
       // pointer jumping past the first rounds: label ← label(label). Every
@@ -473,7 +496,14 @@ object Dedup {
       val next = labels.withColumnRenamed("label", "prev")
         .join(jumped, "doc_id")
         .localCheckpoint()
-      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0L
+      // full count (not a limit(1) probe): it IS the convergence check, the
+      // next round's sender set sizing, and the shrinkage diagnostic in one
+      // shuffle-free pass over checkpointed partitions
+      val nActive = next.filter(col("label") < col("prev")).count()
+      activeCounts += nActive
+      converged = nActive == 0L
+      changed = next.filter(col("label") < col("prev"))
+        .select("doc_id", "label")
       // `next` is materialized (eager checkpoint + probe): the previous
       // round's checkpointed blocks are dead weight — release them so
       // block-manager storage stays O(1) in the iteration count
@@ -483,6 +513,7 @@ object Dedup {
       labels = next.select("doc_id", "label")
       iter += 1
     }
+    lastActiveCounts = activeCounts.result()
     // a graph that exhausts the budget would exit here with SILENTLY split
     // clusters — fail loudly instead. With jumping active, 50 rounds cover
     // diameters ~2^45: hitting this with default arguments means a

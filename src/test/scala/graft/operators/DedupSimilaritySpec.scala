@@ -163,6 +163,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     // at 0.45 no sign-band plan prunes orthogonal noise (p1 = 0.65 vs 0.5)
     assert(Similarity.bandPlanFor(0.45).isEmpty)
     // at tight thresholds a pruning plan exists and the two paths agree
+    // (0.85 is q_dedup_embed_banded's threshold — pin that it routes banded)
+    assert(Similarity.bandPlanFor(0.85).isDefined)
     val plan9 = Similarity.bandPlanFor(0.9)
     assert(plan9.isDefined)
     assert(Similarity.noiseCandidateFraction(plan9.get._1, plan9.get._2) <= 0.5)
@@ -343,6 +345,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
         maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels300.forall(_._2 === 0L), "one component, min-labeled")
+    // delta propagation: the per-round sender set (changed labels) SHRINKS
+    // as the chain collapses — the converged round is 0 and the late
+    // rounds are a sliver of the peak
+    val active = Dedup.lastActiveCounts
+    info(s"chain-300 per-round active counts: ${active.mkString(", ")}")
+    assert(active.last === 0L, "converged round reports no changes")
+    assert(active.dropRight(1).forall(_ > 0L), "no idle non-final rounds")
+    assert(active.zip(active.tail).forall { case (a, b) => b < a },
+      "round input shrinks monotonically as components settle")
+    assert(active(active.length - 2) < active.max / 3,
+      "late rounds touch a sliver of the peak sender set")
   }
 
   test("keepBestPerCluster: argmax goodness wins, ties to lowest id, singletons kept") {
