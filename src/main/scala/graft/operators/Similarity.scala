@@ -61,19 +61,20 @@ object Similarity {
   }
 
   /** Sign of dot(v, hyperplane_j) for nBits seeded random hyperplanes,
-    * packed into band keys of `bandBits` bits each. */
+    * packed into band keys of `bandBits` bits each — one fused codegen
+    * expression ([[graft.functions.HyperplaneBands]]; the per-plane
+    * literal-array composition it replaces bloated the generated class
+    * past janino's JIT at the ~500-bit tight-threshold band plans). Plane
+    * values come from the same seeded Gaussian stream, so signatures are
+    * bit-identical to the composed form. */
   private def hyperplaneBands(v: Column, dim: Int, nBits: Int, bandBits: Int,
       seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits: Seq[Column] = planes.map { p =>
-      val planeCol = array(p.map(x => lit(x)): _*)
-      when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    val nBands = nBits / bandBits
-    array((0 until nBands).map { b =>
-      (0 until bandBits).map(i => bits(b * bandBits + i) * lit(1L << i)).reduce(_ + _)
-    }: _*)
+    val planes = Array.fill(nBits * dim)(rnd.nextGaussian())
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HyperplaneBands(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        planes, dim, bandBits))
   }
 
   /** LSH-bucketed ANN: candidates share ≥1 sign-band; exact cosine + top-k
