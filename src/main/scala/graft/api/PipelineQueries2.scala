@@ -123,6 +123,30 @@ object PipelineQueries2 {
       .orderBy("lang", "rn")
   }
 
+  /** Source-mixture reweighting: per-source deterministic Bernoulli rates
+    * (src0 kept at 0.9, src1 at 0.5, src2 at 0.25, everything else at
+    * 0.05) — the designed-mix downsampling of [[Sampling.weightedMixture]].
+    * The oracle applies the SAME hash-prefix thresholds, generated by the
+    * same [[Sampling.rateToHexUpper]] so the two sides cannot drift. */
+  private val sampleWeighted = {
+    val rates = Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
+    val caseSql = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN '$s' THEN '${Sampling.rateToHexUpper(r)}'" }
+      .mkString(" ")
+    QDef(
+      "q_sample_weighted",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |      CASE source $caseSql
+         |           ELSE '${Sampling.rateToHexUpper(0.05)}' END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.weightedMixture(Tables.load(s, dir, "documents"),
+          col("source"), col("doc_id"), rates, defaultRate = 0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Concat-and-slice sequence packing: shard by doc_id mod 8, concatenate
     * in doc order, slice the token stream into 512-token sequences; each
     * doc reports the sequence its first token lands in. Per-shard
@@ -465,7 +489,7 @@ object PipelineQueries2 {
   }
 
   val defs: Seq[QDef] = Seq(
-    dedupClusters, sampleSplit, sampleStratified, packSequences,
+    dedupClusters, sampleSplit, sampleStratified, sampleWeighted, packSequences,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse)
 }

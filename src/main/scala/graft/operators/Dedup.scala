@@ -30,6 +30,62 @@ object Dedup {
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("doc_id"))
 
+  /** SPAN-level exact dedup, the C4 policy at word-tile granularity:
+    * "discard all but one of any [span] occurring more than once in the
+    * data set" (Raffel et al., JMLR 2020 §2.2 — C4 uses three-sentence
+    * spans; this corpus has no sentence structure, so spans are
+    * non-overlapping k-word tiles). Unlike whole-document dedup
+    * ([[exactGroups]]) this removes REPEATED PASSAGES — boilerplate
+    * headers, license blocks, navigation chrome — from otherwise unique
+    * documents.
+    *
+    * Corpus-wide keep rule: a tile's FIRST occurrence (lowest
+    * (doc_id, tile_no)) survives; every other occurrence is dropped and
+    * the document's text is rebuilt from its surviving tiles in order.
+    * Returns (doc_id, n_tiles, n_kept, clean_text) for EVERY input
+    * document (docs shorter than k words: 0 tiles, empty clean_text).
+    *
+    * Scale shape: tile extraction is partition-local (posexplode + slice,
+    * all codegen); the keep rule is one min-struct aggregation on the tile
+    * key — partial map-side combine absorbs boilerplate skew (a tile
+    * repeated millions of times pre-aggregates to one row per map task,
+    * the exact hot-key profile this op exists to remove) — plus one
+    * equi-join back; reconstruction re-shuffles by doc_id. No window over
+    * the tile key: a sort-based window has no partial aggregation, so the
+    * hottest boilerplate tile would serialize through one task. */
+  def tileDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"tile width must be >= 1, got $k")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val tiles = base
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tiles", (size(col("ws")) / k).cast("int"))
+      .filter(col("n_tiles") >= 1)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), col("n_tiles"))).as("tile_no"))
+      .select(col("doc_id"), col("tile_no"),
+        array_join(slice(col("ws"), (col("tile_no") - 1) * k + 1, lit(k)), " ")
+          .as("tile"))
+    val keepers = tiles.groupBy("tile")
+      .agg(min(struct(col("doc_id"), col("tile_no"))).as("first"))
+      .select(col("tile"), col("first.doc_id").as("keep_doc"),
+        col("first.tile_no").as("keep_no"))
+    val marked = tiles.join(keepers, "tile")
+      .withColumn("keep",
+        col("doc_id") === col("keep_doc") && col("tile_no") === col("keep_no"))
+    val rebuilt = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tiles"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      array_join(
+        sort_array(collect_list(when(col("keep"),
+          struct(col("tile_no"), col("tile"))))).getField("tile"),
+        " ").as("clean_text"))
+    base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Position-keyed word-k-shingles per doc: one codegen'd
     * [[graft.functions.WordKGrams]] pass over the split array, exploded
     * with positions — ZERO shuffle (the window-`lead` form this replaces

@@ -44,6 +44,36 @@ object Sampling {
     df.filter(substring(hashHex(key), 1, hexUpper.length) < lit(hexUpper))
   }
 
+  /** 8-hex-digit exclusive upper bound whose keep probability under a
+    * uniform 32-bit hash prefix is (as close as representable to) `rate`.
+    * rate ≥ 1 maps to "g" — lexicographically above every hex digit, so
+    * the `< bound` filter keeps ALL rows (an "ffffffff" bound would lose
+    * the single top hash value). */
+  def rateToHexUpper(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g"
+    else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Per-stratum deterministic Bernoulli downsampling — source-mixture
+    * reweighting: each stratum (source domain, language, quality bucket)
+    * keeps rows at its own rate, turning the corpus's NATURAL mix into a
+    * designed one (the per-source weighting every published pretraining
+    * recipe applies — upweight curated sources by downsampling the rest).
+    * Selection is by content hash, so it is reproducible, append-stable,
+    * and NESTED across rates like [[sampleByHash]]: lowering a stratum's
+    * rate only removes rows, never churns the kept set. A stratum absent
+    * from `rates` keeps `defaultRate`. Pure filter — zero shuffle at any
+    * scale. */
+  def weightedMixture(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thresh = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(rateToHexUpper(defaultRate)): Column) {
+        case (els, (s, r)) => when(stratum === s, lit(rateToHexUpper(r))).otherwise(els)
+      }
+    df.filter(substring(hashHex(key), 1, 8) < thresh)
+  }
+
   /** Train/val/test (or any n-way) split assignment by hash prefix.
     * `bounds` are (name, exclusive upper 2-hex bound) in ascending order;
     * rows above every bound get `last`. Fractions quantize to 1/256 —

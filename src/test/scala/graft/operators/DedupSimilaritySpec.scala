@@ -78,6 +78,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("tileDedup: first corpus-wide occurrence of a 5-word tile survives, docs rebuild") {
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon"       // shared tile
+    val tB = "zeta eta theta iota kappa"            // doc 0 only
+    val tC = "lambda mu nu xi omicron"              // doc 1 only
+    val docs = Seq(
+      (0L, s"$tA $tB"),          // 2 tiles, both first occurrences
+      (1L, s"$tA $tC"),          // loses tA to doc 0, keeps tC
+      (2L, "pi rho sigma tau"),  // 4 words < k: no tiles
+      (3L, s"$tC $tC")           // intra-doc repeat: loses its 2nd tile AND
+                                 // tile 1 to doc 1 (earlier doc_id)
+    ).toDF("doc_id", "text")
+    val got = Dedup.tileDedup(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) === ((2L, 2L, s"$tA $tB")))
+    assert(got(1L) === ((2L, 1L, tC)))
+    assert(got(2L) === ((0L, 0L, "")))
+    assert(got(3L) === ((2L, 0L, "")))
+    // partial trailing tile is not a tile: 7 words -> 1 tile
+    val trail = Dedup.tileDedup(Seq((9L, s"$tB one two")).toDF("doc_id", "text"))
+      .collect().head
+    assert((trail.getLong(1), trail.getString(3)) === ((1L, tB)))
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val g = Dedup.exactGroups(docs, col("text"))

@@ -36,6 +36,34 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(s80.size / 8000.0 - 0x80 / 256.0) < 0.02)
   }
 
+  test("weightedMixture: per-stratum rates, nesting, degenerate bounds") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (s"src${i % 4}", i))
+    val df = rows.toDF("source", "doc_id")
+    def kept(rates: Map[String, Double], dflt: Double) =
+      Sampling.weightedMixture(df, col("source"), col("doc_id"), rates, dflt)
+        .select("source", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    // rate 1.0 keeps EVERY row of its stratum (the "g" bound), 0.0 none
+    val k = kept(Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5), 0.25)
+    val bySrc = k.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("src0", 0) === 1000)
+    assert(!bySrc.contains("src1"))
+    assert(math.abs(bySrc("src2") / 1000.0 - 0.5) < 0.05)
+    assert(math.abs(bySrc("src3") / 1000.0 - 0.25) < 0.05) // defaultRate
+    // nesting: halving a stratum's rate only removes rows
+    val hi = kept(Map("src2" -> 0.5), 1.0).toSet
+    val lo = kept(Map("src2" -> 0.25), 1.0).toSet
+    assert(lo.subsetOf(hi))
+    // pure function of (stratum, key): layout-independent
+    val again = Sampling.weightedMixture(df.repartition(11), col("source"),
+      col("doc_id"), Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5), 0.25)
+      .select("source", "doc_id").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(again.toSet === k.toSet)
+    assert(Sampling.rateToHexUpper(0.5) === "80000000")
+    intercept[IllegalArgumentException](Sampling.rateToHexUpper(-0.1))
+  }
+
   test("stratifiedQuota: exact per-stratum quotas, dense 1-based ranks") {
     import spark.implicits._
     val rows = (0L until 5L).map(i => ("small", i)) ++
