@@ -147,6 +147,34 @@ object PipelineQueries2 {
     }
   }
 
+  /** Token-budget corpus selection: the greedy quality-ordered prefix
+    * holding the best ~12k of the corpus's ~27k BPE tokens. The oracle IS
+    * the naive global-sort cumulative window; the engine reproduces it
+    * with [[Sampling.selectByTokenBudget]]'s two-phase histogram cutoff
+    * (no global sort — only the boundary quality-bucket pays a window). */
+  private val selectBudget = QDef(
+    "q_select_budget",
+    s"""WITH q AS (
+       |  SELECT doc_id, $qualitySql AS quality,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+       |  FROM (SELECT doc_id, text, $wsSql AS ws FROM documents)
+       |),
+       |c AS (
+       |  SELECT doc_id, quality, tokens,
+       |         sum(tokens) OVER (ORDER BY quality DESC, doc_id
+       |             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q
+       |)
+       |SELECT doc_id, quality, tokens FROM c
+       |WHERE CAST(cum - tokens AS BIGINT) < 12000
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.selectByTokenBudget(Tables.load(s, dir, "documents"),
+        TF.qualityScore(col("text")), TF.tokenCountBpe(col("text")),
+        budget = 12000L)
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-slice sequence packing: shard by doc_id mod 8, concatenate
     * in doc order, slice the token stream into 512-token sequences; each
     * doc reports the sequence its first token lands in. Per-shard
@@ -489,7 +517,8 @@ object PipelineQueries2 {
   }
 
   val defs: Seq[QDef] = Seq(
-    dedupClusters, sampleSplit, sampleStratified, sampleWeighted, packSequences,
+    dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
+    selectBudget, packSequences,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse)
 }

@@ -101,6 +101,58 @@ object Sampling {
         row_number().over(Window.partitionBy(strata).orderBy(hashHex(key), key)))
       .filter(col("rn") <= quota)
 
+  /** Quality-greedy corpus selection under a GLOBAL token budget: the
+    * "curate the best N tokens" pretraining step. Semantics are the greedy
+    * prefix of the (quality DESC, doc_id) order — a document is kept iff
+    * the tokens of all strictly-better documents sum below `budget` (the
+    * boundary document may overflow it, as a real packer would finish the
+    * doc).
+    *
+    * A naive implementation is a GLOBAL sort + an unpartitioned cumulative
+    * window — one task owns the whole corpus. Instead: quality buckets
+    * (monotone floor, clamped ends, so bucket order ⊇ quality order and
+    * equal qualities share a bucket), per-bucket token sums to the driver
+    * (≤ nBuckets rows), cutoff arithmetic there, then whole buckets keep
+    * or drop by a pure filter and ONLY the single boundary bucket pays an
+    * exact in-bucket cumulative window (~corpus/nBuckets rows). Selection
+    * is bit-identical to the global sort for ANY quality distribution;
+    * a pathologically skewed one only grows the boundary bucket (remedy:
+    * quantile bucket edges — same two-phase shape). */
+  def selectByTokenBudget(docs: DataFrame, quality: Column, tokens: Column,
+      budget: Long, nBuckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        quality.cast("double").as("quality"), tokens.cast("long").as("tokens"))
+      .withColumn("bucket",
+        least(greatest(floor(col("quality") * nBuckets), lit(0)),
+          lit(nBuckets - 1)).cast("int"))
+    val sums = base.groupBy("bucket").agg(sum("tokens").as("btok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    val cumBefore = sums.map { case (bk, t) => val r = (bk, acc); acc += t; r }.toMap
+    val wholeBuckets = sums.collect {
+      case (bk, t) if cumBefore(bk) + t <= budget => bk
+    }
+    val boundary = sums.collectFirst {
+      case (bk, t) if cumBefore(bk) < budget && cumBefore(bk) + t > budget => bk
+    }
+    val whole = base.filter(col("bucket").isin(wholeBuckets.toSeq: _*))
+    val out = boundary match {
+      case None => whole
+      case Some(bk) =>
+        val w = Window.partitionBy("bucket")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = base.filter(col("bucket") === bk)
+          .withColumn("cum", sum("tokens").over(w))
+          .filter(lit(cumBefore(bk)) + col("cum") - col("tokens") < budget)
+          .drop("cum")
+        whole.unionByName(edge)
+    }
+    out.select("doc_id", "quality", "tokens")
+  }
+
   /** Concat-and-slice sequence packing — the LLM-pretraining layout: within
     * each shard, documents are concatenated in `order` and the token stream
     * is sliced into `budget`-token sequences; each document is labeled with

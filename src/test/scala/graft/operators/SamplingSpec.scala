@@ -64,6 +64,34 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](Sampling.rateToHexUpper(-0.1))
   }
 
+  test("selectByTokenBudget == global greedy prefix; boundary, ties, degenerate budgets") {
+    import spark.implicits._
+    // qualities engineered with exact ties and values outside [0,1] (the
+    // clamped end-buckets), token counts irregular
+    val rows = (0L until 400L).map { i =>
+      val q = (i % 7).toDouble / 5.0 - 0.2 // ties galore, range [-0.2, 1.0]
+      (i, q, 10L + i % 37)
+    }
+    val df = rows.toDF("doc_id", "q", "t")
+    def reference(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, q, _) => (-q, id) }
+        .iterator.takeWhile { case (_, _, t) => val in = acc < budget; acc += t; in }
+        .map(_._1).toSet
+    }
+    // deliberately low nBuckets so whole-bucket AND boundary paths engage
+    for (budget <- Seq(0L, 1L, 500L, 2000L, 5000L, 100000L)) {
+      val got = Sampling.selectByTokenBudget(df, col("q"), col("t"), budget,
+          nBuckets = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === reference(budget), s"budget=$budget")
+    }
+    // layout-independent
+    val a = Sampling.selectByTokenBudget(df.repartition(13), col("q"), col("t"),
+      2000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === reference(2000L))
+  }
+
   test("stratifiedQuota: exact per-stratum quotas, dense 1-based ranks") {
     import spark.implicits._
     val rows = (0L until 5L).map(i => ("small", i)) ++
