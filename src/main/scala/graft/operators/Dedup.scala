@@ -253,17 +253,24 @@ object Dedup {
     minhashSignatures(docs, k, numHashes, maxShingleDf)
       .write.mode("overwrite").parquet(path)
 
-  /** LSH band candidates from a signature table: band the signature,
-    * equi-join on (band, key). */
-  def minhashCandidates(sig: DataFrame, numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+  /** Band-key rows (doc_id, band, key) of a signature table — the shared
+    * LSH bucketing of [[minhashCandidates]] and [[incrementalNearDups]]. */
+  private def bandKeyRows(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rowsPer = numHashes / bands
     val bandKeyCols = (0 until bands).map { bnd =>
       xxhash64(concat_ws(",",
         (0 until rowsPer).map(r => col(s"m${bnd * rowsPer + r}").cast("string")): _*))
     }
-    val bandsDf = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
+  }
+
+  /** LSH band candidates from a signature table: band the signature,
+    * equi-join on (band, key). */
+  def minhashCandidates(sig: DataFrame, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val bandsDf = bandKeyRows(sig, numHashes, bands)
     bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -331,6 +338,53 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame =
     verifyJaccard(minhashCandidates(sig, numHashes, bands), docs, k, threshold)
+
+  /** INCREMENTAL near-dup detection — the daily-crawl workflow: which of
+    * the NEW batch's documents near-duplicate the existing corpus or each
+    * other. The standing corpus participates only through its persisted
+    * signature table ([[writeMinhashSignatures]]) — its text is never
+    * re-shingled wholesale: new signatures band-join against old ones
+    * (new×old) and against themselves (new×new), then exact verification
+    * shingles ONLY the participant documents (a semi-join prunes `allDocs`
+    * to candidate ids before any text processing). Per increment the cost
+    * is O(|new| + |old signatures| + |candidates|), not O(|corpus|) — the
+    * property that makes rolling dedup tractable at 100 TB.
+    *
+    * Returns (doc_id_1, doc_id_2, jaccard ≥ threshold) for pairs with at
+    * least one NEW endpoint, id-ordered. A re-crawled document present on
+    * both sides never pairs with itself. Old×old pairs are by definition
+    * already known (they were new when first seen) and are not re-emitted.
+    * After the run, append the new batch's signatures to the store to
+    * close the loop. */
+  def incrementalNearDups(
+      newDocs: DataFrame,
+      oldSig: DataFrame,
+      allDocs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val nb = bandKeyRows(minhashSignatures(newDocs, k, numHashes, None),
+      numHashes, bands)
+    val ob = bandKeyRows(oldSig, numHashes, bands)
+    val newNew = nb.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    val newOld = nb.as("a")
+      .join(ob.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
+    val cands = newNew.union(newOld).distinct()
+    val ids = cands.select(col("doc_id_1").as("doc_id"))
+      .union(cands.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val touched = allDocs.join(ids, Seq("doc_id"), "left_semi")
+    verifyJaccard(cands, touched, k, threshold)
+  }
 
   /** Exact n-gram Jaccard over all pairs — the small-corpus baseline the
     * LSH path approximates. Pair generation via shingle-explode equi-join

@@ -78,6 +78,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incrementalNearDups == full-corpus pairs touching the new batch; no self-pairs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = toSet(Dedup.minhashNearDups(docs))
+      .filter { case (_, b, _) => b >= 400 } // a < b: touching-new ⇔ b ≥ 400
+    val oldSig = Dedup.minhashSignatures(docs.filter(col("doc_id") < 400))
+    val inc = toSet(Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") >= 400), oldSig, docs))
+    assert(inc === full)
+    assert(full.nonEmpty)
+    // a re-crawled doc (present in BOTH the store and the new batch) must
+    // not pair with itself; its genuine pairs still surface
+    val sigAll = Dedup.minhashSignatures(docs) // store already holds everything
+    val again = toSet(Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") >= 400), sigAll, docs))
+    assert(!again.exists { case (a, b, _) => a == b })
+    assert(again === toSet(Dedup.minhashNearDups(docs))
+      .filter { case (a, b, _) => a >= 400 || b >= 400 })
+  }
+
   test("tileDedup: first corpus-wide occurrence of a 5-word tile survives, docs rebuild") {
     import spark.implicits._
     val tA = "alpha beta gamma delta epsilon"       // shared tile

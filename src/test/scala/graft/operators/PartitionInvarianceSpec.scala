@@ -74,4 +74,14 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     Dedup.contaminationReport(df,
       substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8)
   })(Tables.load(spark, dir, "documents"))
+
+  invariant("tileDedup")(df => Dedup.tileDedup(df, k = 5))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("selectByTokenBudget")(df => {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    Sampling.selectByTokenBudget(df, TF.qualityScore(col("text")),
+      TF.tokenCountBpe(col("text")), budget = 12000L)
+  })(Tables.load(spark, dir, "documents"))
 }
