@@ -45,4 +45,41 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSuite {
     // input columns pass through unchanged, helper columns dropped
     assert(spark.table("dedup_out").columns.toSeq === Seq("doc_id", "text", "ts_ms"))
   }
+
+  test("DocumentStream: rolling incremental near-dup across batches, replay-idempotent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val store = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_docstream_ck").toString
+    // 30 distinct words; one-word edits keep 3-shingle jaccard ≈ 27/29 ≥ 0.8
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val tailEdit = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val headEdit = "yy " + (2 to 30).map(i => s"w$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"u$i").mkString(" ")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = DocumentStream.start(mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    // batch 0: near-dups 1≈2 inside the batch, 9 unrelated
+    mem.addData((1L, base), (2L, tailEdit), (9L, unrelated))
+    q.processAllAvailable()
+    // batch 1: 3 near-dups BOTH standing docs — the cross-store case
+    mem.addData((3L, headEdit))
+    q.processAllAvailable()
+    q.stop()
+
+    def pairSet = DocumentStream.pairsStore(spark, store)
+      .select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // at-least-once replay: rerunning batch 1 with the store already
+    // holding doc 3 (and its signatures) must converge to the same pairs
+    DocumentStream.processDocumentBatch(
+      Seq((3L, headEdit)).toDF("doc_id", "text"), store, batchId = 1L)
+    assert(pairSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // the signature store grew with the corpus (4 docs, 4 signature rows)
+    assert(spark.read.parquet(s"$store/signatures").count() === 4L)
+  }
 }
