@@ -108,13 +108,18 @@ case class DotProduct(left: Expression, right: Expression)
   * double), bit i of band b is hyperplane b·bandBits+i, and a degenerate
   * vector (length ≠ plane dim, or any null element — every dot NULL, so
   * every `when(dot >= 0, 1)` takes the otherwise-0 arm) yields all-zero
-  * keys, NaN dots likewise sign to 0. */
+  * keys, NaN dots likewise sign to 0. When the plane count is not a
+  * multiple of bandBits the leftover hyperplanes are ignored (the composed
+  * form never packed them into any band either). */
 case class HyperplaneBands(child: Expression, planes: Array[Double],
     dim: Int, bandBits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private def nBits: Int = planes.length / dim
   private def nBands: Int = nBits / bandBits
+  // bits actually packed; looping to nBits would index keys(nBands) when
+  // bandBits does not divide nBits
+  private def usedBits: Int = nBands * bandBits
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
 
@@ -145,7 +150,7 @@ case class HyperplaneBands(child: Expression, planes: Array[Double],
     if (!degenerate) {
       val f = isFloat
       var b = 0
-      while (b < nBits) {
+      while (b < usedBits) {
         var acc = 0.0
         val off = b * dim
         var j = 0
@@ -180,7 +185,7 @@ case class HyperplaneBands(child: Expression, planes: Array[Double],
          |  if ($v.isNullAt($i)) $deg = true;
          |}
          |if (!$deg) {
-         |  for (int $b = 0; $b < $nBits; $b++) {
+         |  for (int $b = 0; $b < $usedBits; $b++) {
          |    double $acc = 0.0;
          |    for (int $j = 0; $j < $dim; $j++) {
          |      $acc += $planesRef[$b * $dim + $j] * (double) $v.$get($j);

@@ -266,18 +266,22 @@ object Dedup {
       posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
   }
 
-  /** LSH band candidates from a signature table: band the signature,
-    * equi-join on (band, key). */
-  def minhashCandidates(sig: DataFrame, numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
-    val bandsDf = bandKeyRows(sig, numHashes, bands)
+  /** The LSH candidate self-join shape — one place, so a future change to
+    * the candidate join (e.g. a hot-bucket cap) lands on every caller at
+    * once. Emits id-ordered pairs, NOT deduplicated (multi-band collisions
+    * repeat a pair; callers distinct). */
+  private def bandSelfJoin(bandsDf: DataFrame): DataFrame =
     bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .distinct()
-  }
+
+  /** LSH band candidates from a signature table: band the signature,
+    * equi-join on (band, key). */
+  def minhashCandidates(sig: DataFrame, numHashes: Int = 128,
+      bands: Int = 32): DataFrame =
+    bandSelfJoin(bandKeyRows(sig, numHashes, bands)).distinct()
 
   /** Exact-Jaccard verification of candidate pairs against the corpus's
     * full (unpruned) shingle sets. */
@@ -367,11 +371,7 @@ object Dedup {
     val nb = bandKeyRows(minhashSignatures(newDocs, k, numHashes, None),
       numHashes, bands)
     val ob = bandKeyRows(oldSig, numHashes, bands)
-    val newNew = nb.as("a")
-      .join(nb.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    val newNew = bandSelfJoin(nb)
     val newOld = nb.as("a")
       .join(ob.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -571,6 +571,11 @@ object Dedup {
     var ckpt = und.groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("label"))
       .localCheckpoint()
+    // the seed pass materialized und's own cache — fwd's blocks are dead
+    // weight from here on (every loop read goes through und); release them
+    // now rather than at the caller's finally, or peak storage during the
+    // iterations is 3× the edge list instead of 2×
+    fwd.unpersist(blocking = false)
     var labels = ckpt
     // the seed assigned every participant a fresh label: all of them send
     // in round one; thereafter only the previous round's changed rows do

@@ -114,41 +114,51 @@ object Sampling {
     * equal qualities share a bucket), per-bucket token sums to the driver
     * (≤ nBuckets rows), cutoff arithmetic there, then whole buckets keep
     * or drop by a pure filter and ONLY the single boundary bucket pays an
-    * exact in-bucket cumulative window (~corpus/nBuckets rows). Selection
+    * exact in-bucket cumulative prefix (~corpus/nBuckets rows). Selection
     * is bit-identical to the global sort for ANY quality distribution;
     * a pathologically skewed one only grows the boundary bucket (remedy:
-    * quantile bucket edges — same two-phase shape). */
+    * quantile bucket edges — same two-phase shape).
+    *
+    * NULL quality lands in bucket 0 and orders after every real quality
+    * (worst); NULL tokens count as 0. A bucket that exhausts the budget
+    * EXACTLY is routed through the boundary prefix, not kept whole — a
+    * zero-token document ordered after the exhausting mass has a
+    * strictly-better prefix equal to the budget and must drop. */
   def selectByTokenBudget(docs: DataFrame, quality: Column, tokens: Column,
       budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-        quality.cast("double").as("quality"), tokens.cast("long").as("tokens"))
+        quality.cast("double").as("quality"),
+        coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
       .withColumn("bucket",
-        least(greatest(floor(col("quality") * nBuckets), lit(0)),
-          lit(nBuckets - 1)).cast("int"))
+        coalesce(least(greatest(floor(col("quality") * nBuckets), lit(0)),
+          lit(nBuckets - 1)).cast("int"), lit(0)))
     val sums = base.groupBy("bucket").agg(sum("tokens").as("btok"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L
     val cumBefore = sums.map { case (bk, t) => val r = (bk, acc); acc += t; r }.toMap
     val wholeBuckets = sums.collect {
-      case (bk, t) if cumBefore(bk) + t <= budget => bk
+      case (bk, t) if cumBefore(bk) + t < budget => bk
     }
     val boundary = sums.collectFirst {
-      case (bk, t) if cumBefore(bk) < budget && cumBefore(bk) + t > budget => bk
+      case (bk, t) if cumBefore(bk) < budget && cumBefore(bk) + t >= budget => bk
     }
-    val whole = base.filter(col("bucket").isin(wholeBuckets.toSeq: _*))
+    // one scan of the (regex-heavy) projection serves both arms: whole
+    // buckets pass the final filter unconditionally, the boundary bucket
+    // by its in-bucket prefix. The window shuffles only kept rows and each
+    // bucket partition is ~corpus/nBuckets.
     val out = boundary match {
-      case None => whole
+      case None => base.filter(col("bucket").isin(wholeBuckets.toSeq: _*))
       case Some(bk) =>
         val w = Window.partitionBy("bucket")
           .orderBy(col("quality").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val edge = base.filter(col("bucket") === bk)
+        base.filter(col("bucket").isin((wholeBuckets.toSeq :+ bk): _*))
           .withColumn("cum", sum("tokens").over(w))
-          .filter(lit(cumBefore(bk)) + col("cum") - col("tokens") < budget)
+          .filter(col("bucket") =!= bk ||
+            lit(cumBefore(bk)) + col("cum") - col("tokens") < budget)
           .drop("cum")
-        whole.unionByName(edge)
     }
     out.select("doc_id", "quality", "tokens")
   }

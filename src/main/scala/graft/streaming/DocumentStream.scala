@@ -64,7 +64,17 @@ object DocumentStream {
       }
       .start()
 
-  /** All near-dup findings so far (doc_id_1, doc_id_2, jaccard, batch_id). */
+  /** All near-dup findings so far (doc_id_1, doc_id_2, jaccard, batch_id).
+    * Before the first non-empty batch commits there is no parquet yet —
+    * serve an empty frame with the store's schema, not a crash (same
+    * contract as every other store reader; see
+    * [[IngestStream.hasParquetData]]). */
   def pairsStore(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/pairs")
+    if (IngestStream.hasParquetData(spark, s"$storeDir/pairs"))
+      spark.read.parquet(s"$storeDir/pairs")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double, Int)]
+        .toDF("doc_id_1", "doc_id_2", "jaccard", "batch_id")
+    }
 }

@@ -91,4 +91,54 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkSuite {
       spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
     assert(!parsed.columns.contains("_corrupt_record"), s"unparseable: $json")
   }
+
+  test("HyperplaneBands ignores leftover planes when bandBits does not divide nBits") {
+    import spark.implicits._
+    // nBits = 5, bandBits = 2 → 2 bands from planes 0..3; plane 4 unused.
+    // Planes chosen so signs are unambiguous: plane j = (+1,+1) for even j,
+    // (-1,+0.5) for odd j. v = (1, 0.5): dots +1.5, -0.75, +1.5, -0.75,
+    // +1.5 → bits 1,0,1,0 → bands [0b01, 0b01] = [1, 1].
+    val planes = Array(1.0, 1.0, -1.0, 0.5, 1.0, 1.0, -1.0, 0.5, 1.0, 1.0)
+    def bandsOf(vec: Seq[Double], bandBits: Int): Seq[Long] = {
+      val df = Seq(Tuple1(vec)).toDF("v")
+      val c = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HyperplaneBands(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+          planes, 2, bandBits))
+      df.select(c.as("b")).collect()(0).getSeq[Long](0)
+    }
+    // formerly ArrayIndexOutOfBoundsException (loop ran to nBits writing
+    // keys(nBands)); composed-form semantics drop the leftover plane
+    assert(bandsOf(Seq(1.0, 0.5), 2) === Seq(1L, 1L))
+    // divisible case unchanged: 5 bands of 1 bit each
+    assert(bandsOf(Seq(1.0, 0.5), 1) === Seq(1L, 0L, 1L, 0L, 1L))
+  }
+
+  test("selectByTokenBudget drops zero-token docs past exact budget exhaustion; null-safe") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // one bucket, tokens 50+50 exhaust budget=100 exactly; doc 3 has zero
+    // tokens and sorts after them — its strictly-better prefix equals the
+    // budget, so the greedy rule drops it (formerly whole-bucket-kept)
+    val df = Seq((1L, 0.5, 50L), (2L, 0.5, 50L), (3L, 0.5, 0L))
+      .toDF("doc_id", "q", "t")
+    val got = Sampling.selectByTokenBudget(df, col("q"), col("t"), 100L,
+      nBuckets = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+    // null quality/tokens: worst bucket + zero tokens, not an NPE
+    val withNulls = Seq((1L, Some(0.9), Some(60L)), (2L, None, None),
+        (3L, Some(0.1), Some(60L)))
+      .toDF("doc_id", "q", "t")
+    val sel = Sampling.selectByTokenBudget(withNulls, col("q"), col("t"), 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel === Set(1L, 3L)) // null-q doc is worst; budget exhausts before it
+  }
+
+  test("DocumentStream.pairsStore serves empty before the first batch commits") {
+    val store = Files.createTempDirectory("graft_empty_pairs").toString
+    val df = graft.streaming.DocumentStream.pairsStore(spark, store)
+    assert(df.columns.toSeq ===
+      Seq("doc_id_1", "doc_id_2", "jaccard", "batch_id"))
+    assert(df.count() === 0L)
+  }
 }
