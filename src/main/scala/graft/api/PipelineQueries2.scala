@@ -205,6 +205,39 @@ object PipelineQueries2 {
       .orderBy("shard", "doc_id")
   }
 
+  /** Token-balanced export sharding: the corpus laid out in content-hash
+    * order and cut into 2000-token shards at document boundaries — the
+    * write layout of a training-set export. The oracle IS the naive global
+    * cumulative window over (md5(doc_id), doc_id) order; the engine
+    * reproduces it with [[Sampling.shardByTokens]]'s hash-prefix runs (no
+    * global sort). Every arithmetic column is CAST to BIGINT on the oracle
+    * side — DuckDB's window SUM yields HUGEINT, which otherwise
+    * materializes as float64 and hash-mismatches (the q_pack_sequences
+    * lesson). */
+  private val shardAssign = QDef(
+    "q_shard_assign",
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, tokens,
+       |         sum(tokens) OVER (ORDER BY h, doc_id
+       |             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST((cum - tokens) // 2000 AS BIGINT) AS shard_id,
+       |       CAST(cum - tokens AS BIGINT) AS start_offset, tokens
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.shardByTokens(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        key = col("doc_id"), tokens = TF.tokenCountBpe(col("text")),
+        tokensPerShard = 2000L)
+      .orderBy("doc_id")
+  }
+
   /** PII scrub: structural patterns (emails, URLs, long digit runs) plus a
     * term denylist, as a chain of codegen'd replace-alls; n_redactions
     * counts matches per pattern on the original text. */
@@ -518,7 +551,7 @@ object PipelineQueries2 {
 
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
-    selectBudget, packSequences,
+    selectBudget, packSequences, shardAssign,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse)
 }

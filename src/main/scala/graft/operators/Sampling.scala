@@ -171,6 +171,55 @@ object Sampling {
     * `budget` spans sequences, exactly as a pretraining packer would split
     * it. One cumulative-sum window per shard — shards pack in parallel,
     * no global sort. */
+  /** Token-balanced EXPORT sharding — the write-layout step between corpus
+    * selection and shard files on disk: documents are laid out in a
+    * deterministic hash order (a content-hash "shuffle", so adjacent docs
+    * are unrelated and every shard is an unbiased slice of the corpus) and
+    * the token stream is cut into `tokensPerShard`-token shards at DOCUMENT
+    * boundaries — a doc belongs to the shard its first token lands in,
+    * mirroring [[packGreedy]]'s seq_id convention one level up.
+    *
+    * The naive form is a GLOBAL ORDER BY + an unpartitioned cumulative
+    * window. Instead, the same two-phase shape as [[selectByTokenBudget]]:
+    * the hash-prefix (first `prefixChars` hex chars) splits the order into
+    * 16^prefixChars contiguous runs, per-run token sums go to the driver
+    * (≤ 16^prefixChars rows), each run's base offset is computed there, and
+    * the exact cumulative sum runs as a PER-RUN window — identical output
+    * to the global window, no global sort. 100 TB: raise `prefixChars` so
+    * each run (~corpus/16^n) fits a task comfortably; assignment stays
+    * bit-identical because run order ⊂ hash order by construction.
+    *
+    * NULL tokens count 0. A snapshot layout, not append-stable: new docs
+    * land anywhere in hash order and shift offsets after them — re-shard
+    * per export (cheap: two narrow scans), don't increment.
+    *
+    * Returns (doc_id, shard_id, start_offset, tokens). */
+  def shardByTokens(docs: DataFrame, key: Column, tokens: Column,
+      tokensPerShard: Long, prefixChars: Int = 2): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be positive, got $tokensPerShard")
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars must be in [1, 8], got $prefixChars")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        hashHex(key).as("__shard_h"),
+        coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
+      .withColumn("__shard_run", substring(col("__shard_h"), 1, prefixChars))
+    val sums = base.groupBy("__shard_run").agg(sum("tokens").as("rtok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val runBase = sums.map { case (g, t) => val r = (g, acc); acc += t; r }
+    val baseMap = map(runBase.flatMap { case (g, o) => Seq(lit(g), lit(o)) }: _*)
+    val w = Window.partitionBy("__shard_run")
+      .orderBy(col("__shard_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("start_offset",
+        element_at(baseMap, col("__shard_run")) +
+          sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("shard_id", expr(s"start_offset div $tokensPerShard"))
+      .select("doc_id", "shard_id", "start_offset", "tokens")
+  }
+
   def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

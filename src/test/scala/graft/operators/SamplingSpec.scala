@@ -92,6 +92,48 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(a === reference(2000L))
   }
 
+  test("shardByTokens == global hash-order window; balanced; null-safe") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, 5L + i % 23))
+    val df = rows.toDF("doc_id", "t")
+    val perShard = 200L
+    // naive reference: global (md5(doc_id), doc_id) order, running sum
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md5.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    var acc = 0L
+    val expect = rows.sortBy { case (id, _) => (h(id), id) }.map { case (id, t) =>
+      val off = acc; acc += t; (id, off / perShard, off, t)
+    }.toSet
+    for (prefixChars <- Seq(1, 2)) {
+      val got = Sampling.shardByTokens(df, col("doc_id"), col("t"), perShard,
+          prefixChars)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === expect, s"prefixChars=$prefixChars")
+    }
+    // layout-independent
+    val again = Sampling.shardByTokens(df.repartition(17), col("doc_id"),
+        col("t"), perShard)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again === expect)
+    // balance: every shard's tokens fit perShard + one doc's overhang
+    val maxDoc = rows.map(_._2).max
+    val byShard = expect.groupBy(_._2).view.mapValues(_.toSeq.map(_._4).sum)
+    byShard.foreach { case (sid, tot) =>
+      assert(tot <= perShard + maxDoc, s"shard $sid holds $tot tokens")
+    }
+    // null tokens count 0 and do not advance the offset
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)))
+      .toDF("doc_id", "t")
+    val n = Sampling.shardByTokens(withNull, col("doc_id"), col("t"), 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(n(2L) === 0L)
+    assert(n.values.sum === 20L)
+  }
+
   test("stratifiedQuota: exact per-stratum quotas, dense 1-based ranks") {
     import spark.implicits._
     val rows = (0L until 5L).map(i => ("small", i)) ++
