@@ -25,21 +25,25 @@ object Bench {
       SparkEntry.queries.get("q_rollup_basic_5m").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_tpch_q5").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (local A/B
+    // iteration on a regression; driver leaves it unset → full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Artifact pre-build: these gate queries prove a store LIFECYCLE —
     // first invocation builds a per-sfDir artifact (ArtifactCache), later
     // ones serve from it. Timing the one-off build (which a recompile
     // invalidates) would misstate the serve path the design optimizes, so
     // build untimed here; the timed samples below all hit the READY store.
-    // Build cost stays observable: Verify exercises it every run.
-    try {
-      Seq("q_points_query_stored", "q_string_points",
-          "q_preagg_timer_stored", "q_sim_ivf_index")
-        .foreach(n => SparkEntry.queries.get(n).foreach(_(spark, sfDir).count()))
-    } catch { case _: Throwable => }
-    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (local A/B
-    // iteration on a regression; driver leaves it unset → full suite).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Build cost stays observable: Verify exercises it every run. Each
+    // pre-build fails independently so one broken store can't silently
+    // push its build cost into the others' timed samples.
+    Seq("q_points_query_stored", "q_string_points",
+        "q_preagg_timer_stored", "q_sim_ivf_index")
+      .filter(n => only.forall(_.contains(n)))
+      .foreach { n =>
+        try SparkEntry.queries.get(n).foreach(_(spark, sfDir).count())
+        catch { case _: Throwable => }
+      }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     val samples: Map[String, Seq[Double]] = (1 to runs).flatMap { _ =>

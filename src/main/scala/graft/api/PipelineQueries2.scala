@@ -156,8 +156,8 @@ object PipelineQueries2 {
     "q_select_budget",
     s"""WITH q AS (
        |  SELECT doc_id, $qualitySql AS quality,
-       |         CAST(len(regexp_extract_all(lower(text),
-       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+       |         COALESCE(CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT), 0) AS tokens
        |  FROM (SELECT doc_id, text, $wsSql AS ws FROM documents)
        |),
        |c AS (
@@ -218,8 +218,8 @@ object PipelineQueries2 {
     "q_shard_assign",
     s"""WITH t AS (
        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-       |         CAST(len(regexp_extract_all(lower(text),
-       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+       |         COALESCE(CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT), 0) AS tokens
        |  FROM documents
        |),
        |c AS (

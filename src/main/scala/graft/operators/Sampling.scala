@@ -171,6 +171,23 @@ object Sampling {
     * `budget` spans sequences, exactly as a pretraining packer would split
     * it. One cumulative-sum window per shard — shards pack in parallel,
     * no global sort. */
+  def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    // output contract: adds/overwrites shard, n_tokens, start_offset,
+    // seq_id. The scratch column gets an improbable name so a caller's
+    // own "cum" column survives.
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__pack_cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_offset", col("__pack_cum") - col("n_tokens"))
+      .withColumn("seq_id",
+        floor(col("start_offset").cast("double") / budget).cast("long"))
+      .drop("__pack_cum")
+  }
+
   /** Token-balanced EXPORT sharding — the write-layout step between corpus
     * selection and shard files on disk: documents are laid out in a
     * deterministic hash order (a content-hash "shuffle", so adjacent docs
@@ -218,22 +235,5 @@ object Sampling {
           sum(col("tokens")).over(w) - col("tokens"))
       .withColumn("shard_id", expr(s"start_offset div $tokensPerShard"))
       .select("doc_id", "shard_id", "start_offset", "tokens")
-  }
-
-  def packGreedy(df: DataFrame, shard: Column, order: Column, tokens: Column,
-      budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    // output contract: adds/overwrites shard, n_tokens, start_offset,
-    // seq_id. The scratch column gets an improbable name so a caller's
-    // own "cum" column survives.
-    df.withColumn("shard", shard)
-      .withColumn("n_tokens", tokens.cast("long"))
-      .withColumn("__pack_cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("shard")).orderBy(order)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("start_offset", col("__pack_cum") - col("n_tokens"))
-      .withColumn("seq_id",
-        floor(col("start_offset").cast("double") / budget).cast("long"))
-      .drop("__pack_cum")
   }
 }
