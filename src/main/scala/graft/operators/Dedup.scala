@@ -56,7 +56,54 @@ object Dedup {
   def tileDedup(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"tile width must be >= 1, got $k")
     val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val tiles = base
+    val tiles = tileRows(base, k)
+    val keepers = tiles.groupBy("tile")
+      .agg(min(struct(col("doc_id"), col("tile_no"))).as("first"))
+      .select(col("tile"), col("first.doc_id").as("keep_doc"),
+        col("first.tile_no").as("keep_no"))
+    val marked = tiles.join(keepers, "tile")
+      .withColumn("keep",
+        col("doc_id") === col("keep_doc") && col("tile_no") === col("keep_no"))
+    rebuildFromMarked(base, marked)
+  }
+
+  /** DF-THRESHOLD span removal — the boilerplate rule of CCNet/RefinedWeb
+    * (Wenzek et al. 2020 §3.1 drop paragraphs duplicated across shards;
+    * Penedo et al. 2023 §4.2 line-level "appears in ≥ N documents"):
+    * a k-word tile found in `minDf` or more DISTINCT documents is
+    * boilerplate and is dropped from EVERY document — including its first
+    * occurrence, which is the policy difference from [[tileDedup]]'s
+    * keep-one rule. Repeated chrome (headers, license blocks, navigation)
+    * carries no training signal in any copy; a genuinely quoted passage
+    * (df < minDf) survives everywhere.
+    *
+    * Same scale shape as [[tileDedup]]: partition-local tile extraction;
+    * the df census is count(DISTINCT doc) per tile — two-phase hash
+    * aggregation with map-side partial dedup of (tile, doc) pairs, so a
+    * tile repeated many times WITHIN one doc costs one row per map task.
+    * The hot set (df ≥ minDf) is by construction the small tail of the
+    * census; the mark-back join broadcasts it when AQE sees it small. At
+    * 100 TB swap the census for approx_count_distinct if a ±2% df
+    * threshold is acceptable — the join shape is unchanged. */
+  def tileDedupDf(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    require(k >= 1, s"tile width must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val tiles = tileRows(base, k)
+    val hot = tiles.groupBy("tile")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("tile"), lit(true).as("__hot"))
+    val marked = tiles.join(hot, Seq("tile"), "left")
+      .withColumn("keep", col("__hot").isNull)
+    rebuildFromMarked(base, marked)
+  }
+
+  /** Non-overlapping k-word tiles per doc: (doc_id, tile_no, tile),
+    * 1-based tile_no, trailing partial tile discarded. Partition-local
+    * (posexplode + slice, all codegen). */
+  private def tileRows(base: DataFrame, k: Int): DataFrame =
+    base
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("n_tiles", (size(col("ws")) / k).cast("int"))
       .filter(col("n_tiles") >= 1)
@@ -65,13 +112,11 @@ object Dedup {
       .select(col("doc_id"), col("tile_no"),
         array_join(slice(col("ws"), (col("tile_no") - 1) * k + 1, lit(k)), " ")
           .as("tile"))
-    val keepers = tiles.groupBy("tile")
-      .agg(min(struct(col("doc_id"), col("tile_no"))).as("first"))
-      .select(col("tile"), col("first.doc_id").as("keep_doc"),
-        col("first.tile_no").as("keep_no"))
-    val marked = tiles.join(keepers, "tile")
-      .withColumn("keep",
-        col("doc_id") === col("keep_doc") && col("tile_no") === col("keep_no"))
+
+  /** Rebuild (doc_id, n_tiles, n_kept, clean_text) for EVERY input doc
+    * from per-tile keep marks; docs shorter than k words get 0 tiles and
+    * empty clean_text. */
+  private def rebuildFromMarked(base: DataFrame, marked: DataFrame): DataFrame = {
     val rebuilt = marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_tiles"),
       sum(col("keep").cast("long")).as("n_kept"),

@@ -125,6 +125,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert((trail.getLong(1), trail.getString(3)) === ((1L, tB)))
   }
 
+  test("tileDedupDf: df-threshold drops boilerplate from ALL docs, intra-doc repeats survive") {
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon"       // in docs 0 and 1: df=2
+    val tB = "zeta eta theta iota kappa"            // doc 0 only
+    val tC = "lambda mu nu xi omicron"              // doc 3 twice: df=1
+    val docs = Seq(
+      (0L, s"$tA $tB"),
+      (1L, s"$tA"),
+      (3L, s"$tC $tC")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tileDedupDf(docs, k = 5, minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // tA dropped everywhere — INCLUDING its first occurrence in doc 0
+    assert(got(0L) === ((2L, 1L, tB)))
+    assert(got(1L) === ((1L, 0L, "")))
+    // intra-doc repetition is df=1: both copies survive (tileDedup would
+    // keep only the first)
+    assert(got(3L) === ((2L, 2L, s"$tC $tC")))
+    // minDf=3 spares the df=2 tile everywhere
+    val lax = Dedup.tileDedupDf(docs, k = 5, minDf = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lax === Map(0L -> 2L, 1L -> 1L, 3L -> 2L))
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val g = Dedup.exactGroups(docs, col("text"))
