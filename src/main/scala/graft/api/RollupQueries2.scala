@@ -542,9 +542,52 @@ object RollupQueries2 {
       .orderBy("tenant_id", "metric_name", "bucket_ms")
   }
 
+  /** Rolling z-score anomaly scan ([[graft.operators.Anomaly]]): every
+    * purchase-tenant point scored against its series' trailing 7-day
+    * window (population mean/std from exact-DECIMAL sums; current point
+    * excluded from its own baseline), z and an is_anomaly verdict at
+    * 2.5 sigma with a 5-point minimum history. The oracle restates the
+    * identical window frame and scalar double math in DuckDB. */
+  private val metricAnomaly = {
+    val winMs = 7L * 86400000L
+    val th = 2.5
+    val minP = 5
+    QDef(
+      "q_metric_anomaly",
+      s"""WITH ${OracleViews.metricsCte},
+         |z AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |               RANGE BETWEEN $winMs PRECEDING AND 1 PRECEDING)
+         |),
+         |sc AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, n_win,
+         |         s / n_win AS mean_win,
+         |         sqrt(greatest(q / n_win - (s / n_win) * (s / n_win), 0)) AS std_win
+         |  FROM z WHERE n_win >= $minP
+         |)
+         |SELECT tenant_id, metric_name, ts_ms, value, n_win, mean_win, std_win,
+         |       CASE WHEN std_win > 0 THEN (value - mean_win) / std_win END AS z,
+         |       (std_win > 0 AND abs(value - mean_win) > $th * std_win) AS is_anomaly
+         |FROM sc
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+      graft.operators.Anomaly.rollingZScores(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+          windowMs = winMs, threshold = th, minPoints = minP)
+        .filter(col("n_win") >= minP)
+        .select("tenant_id", "metric_name", "ts_ms", "value", "n_win",
+          "mean_win", "std_win", "z", "is_anomaly")
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
     pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,
-    setSalted1440m)
+    setSalted1440m, metricAnomaly)
 }
