@@ -66,6 +66,48 @@ object DiscoveryQueries {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization over the raw event stream (24h gap):
+    * per-user session summaries with exact-DECIMAL value sums. See
+    * [[graft.operators.Sessionize]]. */
+  private val sessionize = {
+    val gapMs = 86400000L
+    QDef(
+      "q_sessionize",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events
+         |),
+         |m AS (
+         |  SELECT user_id, ts_ms, event_id, value,
+         |         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+         |  FROM e
+         |),
+         |s AS (
+         |  SELECT user_id, ts_ms, value,
+         |         SUM(CASE WHEN prev IS NULL OR ts_ms - prev > $gapMs THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS session_no
+         |  FROM m
+         |)
+         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         |       min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       max(ts_ms) - min(ts_ms) AS duration_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val tsMs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+        case _ => unix_millis(col("ts").cast("timestamp"))
+      }
+      graft.operators.Sessionize.sessions(
+          ev.select(col("user_id"), tsMs.as("ts_ms"), col("event_id"),
+            col("value")),
+          gapMs)
+        .orderBy("user_id", "session_no")
+    }
+  }
+
   /** F1 graphite datetime grammar: the parsed `from`/`until` literals feed
     * the range filter — a daily count per tenant between
     * parse("00:00_20240110-5d") = Jan 5 and parse("00:00_20240110+10d") =
@@ -133,5 +175,6 @@ object DiscoveryQueries {
     }
   }
 
-  val defs: Seq[QDef] = Seq(globSearch, tokenBrowse, eventSearch, datetimeRange, resolutionSelect)
+  val defs: Seq[QDef] = Seq(globSearch, tokenBrowse, eventSearch, sessionize,
+    datetimeRange, resolutionSelect)
 }
