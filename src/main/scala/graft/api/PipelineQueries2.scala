@@ -549,9 +549,20 @@ object PipelineQueries2 {
       .orderBy("cell", "rn")
   }
 
+  /** BPE vocabulary induction over the corpus ([[graft.operators.Bpe]]):
+    * 30 merges learned from the documents word census. Iterative global
+    * argmax per round — not SQL-expressible, so rows-only here; BpeSpec
+    * proves merge-by-merge equality with the reference algorithm
+    * (Sennrich et al. 2016) and layout invariance. */
+  private val bpeMerges = QDef.noOracle("q_bpe_merges") { (s, dir) =>
+    graft.operators.Bpe.learnMerges(
+        Tables.load(s, dir, "documents"), nMerges = 30)
+      .orderBy("merge_rank")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, packSequences, shardAssign,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
-    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse)
+    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges)
 }
