@@ -43,12 +43,14 @@ object Anomaly {
       .orderBy(col("ts_ms"))
       .rangeBetween(-windowMs, -1L)
     points
-      .withColumn("n_win", count(lit(1)).over(w))
-      .withColumn("__s",
-        sum(col("value").cast("decimal(28,2)")).over(w).cast("double"))
-      .withColumn("__q",
+      // all three aggregates in ONE projection so they land in a single
+      // Window node (one pass over the sorted partition, not three)
+      .select(col("*"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("value").cast("decimal(28,2)")).over(w).cast("double")
+          .as("__s"),
         sum((col("value") * col("value")).cast("decimal(38,8)")).over(w)
-          .cast("double"))
+          .cast("double").as("__q"))
       .withColumn("mean_win",
         when(col("n_win") > 0, col("__s") / col("n_win")))
       .withColumn("std_win",
