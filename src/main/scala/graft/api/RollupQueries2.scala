@@ -585,9 +585,37 @@ object RollupQueries2 {
     }
   }
 
+  /** Per-series derivative / perSecond rate over the counter tenants
+    * ([[graft.operators.Series.derivatives]]): Graphite's
+    * nonNegativeDerivative family with counter-reset detection, engine-side.
+    * Oracle restates the identical lag window and scalar double math. */
+  private val seriesRate = QDef(
+    "q_series_rate",
+    s"""WITH ${OracleViews.metricsCte},
+       |d AS (
+       |  SELECT tenant_id, metric_name, ts_ms, value,
+       |         lag(value) OVER w AS pv, lag(ts_ms) OVER w AS pt
+       |  FROM metrics WHERE tenant_id IN ('click', 'view')
+       |  WINDOW w AS (PARTITION BY tenant_id, metric_name
+       |               ORDER BY ts_ms, value)
+       |)
+       |SELECT tenant_id, metric_name, ts_ms, value,
+       |       CASE WHEN pv IS NOT NULL THEN value - pv END AS delta_v,
+       |       COALESCE(value - pv < 0, FALSE) AS is_reset,
+       |       CASE WHEN value - pv >= 0 THEN value - pv END AS nn_delta,
+       |       CASE WHEN value - pv >= 0 AND ts_ms - pt > 0
+       |            THEN (value - pv) / ((ts_ms - pt) / 1000.0) END AS rate_per_s
+       |FROM d ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Series.derivatives(
+          Tables.metrics(s, dir)
+            .filter(col("tenant_id").isin("click", "view")))
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
     pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,
-    setSalted1440m, metricAnomaly)
+    setSalted1440m, metricAnomaly, seriesRate)
 }
