@@ -56,12 +56,8 @@ object DiscoveryQueries {
       |  AND regexp_matches(props, '"k": 1[0-9]\}')
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
-    val tsMs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts").cast("timestamp"))
-    }
     Discovery.eventSearch(
-      ev.withColumn("ts_ms", tsMs), 1704844800000L, 1705708800000L, "\"k\": 1[0-9]\\}")
+      ev.withColumn("ts_ms", Tables.tsMsCol(ev)), 1704844800000L, 1705708800000L, "\"k\": 1[0-9]\\}")
       .select("event_id", "ts_ms", "event_type", "props")
       .orderBy("event_id")
   }
@@ -96,13 +92,9 @@ object DiscoveryQueries {
          |FROM s GROUP BY user_id, session_no
          |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
-      val tsMs = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-        case _ => unix_millis(col("ts").cast("timestamp"))
-      }
       graft.operators.Sessionize.sessions(
-          ev.select(col("user_id"), tsMs.as("ts_ms"), col("event_id"),
-            col("value")),
+          ev.select(col("user_id"), Tables.tsMsCol(ev).as("ts_ms"),
+            col("event_id"), col("value")),
           gapMs)
         .orderBy("user_id", "session_no")
     }

@@ -68,16 +68,24 @@ object Tables {
           col("ts").cast("timestamp") < timestamp_millis(lit(t)))
       case None => ev
     }
-    val tsMs =
-      if (isNanoLong) expr("ts div 1000000")
-      else unix_millis(col("ts").cast("timestamp"))
     filtered.select(
       col("event_type").as("tenant_id"),
       concat(lit("app."), col("event_type"), lit(".user_"),
         col("user_id").cast("string")).as("metric_name"),
-      tsMs.as("ts_ms"),
+      tsMsCol(ev).as("ts_ms"),
       col("value"))
   }
+
+  /** Epoch-millis column for a raw `events` frame, handling the parquet
+    * TIMESTAMP(NANOS) → LongType nanos form (integer `div` keeps the full
+    * 64-bit precision; a double division would lose bits above 2^53).
+    * The single home of this conversion — every events consumer routes
+    * through it. */
+  def tsMsCol(ev: DataFrame): Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
 
   /** Derived metric catalog (reference keeps this in a metadata CF + ES
     * discovery index — types/MetricMetadata.java:22-31, ElasticIO.java:49-94;

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * this from the served points, e.g. a Graphite `stdev`/`offset` alert
   * expression over a trailing window).
   *
-  * Each point is scored against the TRAILING window `(ts - windowMs, ts)`
-  * of its own series — the current point is excluded from its baseline, so
-  * a lone spike cannot inflate the std it is judged against.
+  * Each point is scored against the TRAILING window `[ts - windowMs, ts)`
+  * of its own series — left bound inclusive (`rangeBetween(-windowMs, -1)`
+  * keeps the point exactly windowMs old), current point excluded, so a
+  * lone spike cannot inflate the std it is judged against.
   *
   * Oracle-parity discipline (api/QDef.scala): window sums accumulate in
   * exact DECIMAL on both engines; mean/std/z are then scalar IEEE-double

@@ -117,18 +117,18 @@ object Bpe {
       perWord.withColumn("syms", charSyms(col("word")))) {
       case (df, (l, r)) => df.withColumn("syms", bpeMerge(col("syms"), l, r))
     }
-    encoded.groupBy("doc_id").agg(
+    val grouped = encoded.groupBy("doc_id").agg(
       flatten(sort_array(collect_list(struct(col("__pos"), col("syms"))))
         .getField("syms")).as("tokens"))
+    // keep EVERY input doc: a text with zero normalized words encodes to
+    // an empty token array, not a missing row (same contract as the tile
+    // rebuild path)
+    docs.select(col("doc_id")).join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
-  /** Release the storage behind a `localCheckpoint()`ed frame (the
-    * [[Dedup.connectedComponents]] loop discipline — without it every
-    * round leaks one cached symbol table). */
   private def unpersistLocal(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-    }
+    Dedup.unpersistLocalCheckpoint(df)
 }

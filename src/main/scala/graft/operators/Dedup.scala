@@ -502,7 +502,7 @@ object Dedup {
     * DataFrame. The checkpointed RDD is reachable only through the
     * `LogicalRDD` leaf of the analyzed plan; without this, every iteration
     * of a checkpoint-per-round loop leaks one cached label set. */
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+  private[operators] def unpersistLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)

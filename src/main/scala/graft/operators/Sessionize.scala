@@ -9,8 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the watermark can bind to it). */
 case class SessEvent(user_id: Long, ets: java.sql.Timestamp, value: Double)
 
-/** The open-session state kept per user between micro-batches. */
-case class OpenSession(start: Long, last: Long, n_events: Long, sum_value: Double)
+/** The open-session state kept per user between micro-batches. Value sums
+  * accumulate as CENTS (each value snapped to 2 decimals, HALF_UP — the
+  * same rounding as the batch path's DECIMAL(28,2) cast) so the emitted
+  * sum is exact and independent of arrival order across micro-batches. */
+case class OpenSession(start: Long, last: Long, n_events: Long, sum_cents: Long)
 
 /** A finished session (gap elapsed, proven by the event-time watermark). */
 case class ClosedSession(user_id: Long, session_start: Long, session_end: Long,
@@ -85,45 +88,49 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update(gapMs))
   }
 
-  /** Per-user state transition. Batch events fold in event-time order:
-    * an event inside `[start - gap, last + gap]` of the open session joins
-    * it (start/end widen for out-of-order arrivals the watermark let in);
-    * an event past `last + gap` closes the open session and opens a new
-    * one; an event OLDER than `start - gap` is a watermark-admitted stray
-    * from a prior, already-emitted time range — it closes immediately as
-    * its own single-event session rather than corrupting the open one. */
+  /** The batch path's DECIMAL(28,2) rounding (HALF_UP), as integer cents. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** Per-user state transition: SEGMENT MERGE over the open session plus
+    * the batch's events. Each watermark-admitted event is a singleton
+    * segment; the open session is one segment; sorted by start time,
+    * adjacent segments merge when their gap is within `gapMs` — exactly
+    * the batch gap-split over the union, so an out-of-order arrival that
+    * BRIDGES two runs merges them instead of being emitted as a stray.
+    * Every merged segment except the last closes; the last stays open in
+    * the state store. (A stray that bridges into a range whose session
+    * was ALREADY emitted cannot retract it — the inherent append-mode
+    * limit; the watermark bounds how often that can happen.) */
   private def update(gapMs: Long)(user: Long, batch: Iterator[SessEvent],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      Iterator.single(ClosedSession(user, s.start, s.last, s.n_events, s.sum_value))
+      Iterator.single(
+        ClosedSession(user, s.start, s.last, s.n_events, s.sum_cents / 100.0))
     } else {
-      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      var open = state.getOption
-      for (e <- batch.toSeq.sortBy(_.ets.getTime)) {
-        val t = e.ets.getTime
-        open match {
-          case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
-            open = Some(OpenSession(math.min(s.start, t), math.max(s.last, t),
-              s.n_events + 1, s.sum_value + e.value))
-          case Some(s) if t > s.last + gapMs =>
-            closed += ClosedSession(user, s.start, s.last, s.n_events, s.sum_value)
-            open = Some(OpenSession(t, t, 1L, e.value))
-          case Some(_) => // stray older than start - gap
-            closed += ClosedSession(user, t, t, 1L, e.value)
-          case None =>
-            open = Some(OpenSession(t, t, 1L, e.value))
-        }
+      val segs = (state.getOption.toSeq ++
+        batch.map(e => OpenSession(e.ets.getTime, e.ets.getTime, 1L,
+          cents(e.value)))).sortBy(s => (s.start, s.last))
+      if (segs.isEmpty) return Iterator.empty
+      val merged = segs.tail.foldLeft(Vector(segs.head)) { (acc, s) =>
+        val cur = acc.last
+        if (s.start - cur.last <= gapMs)
+          acc.init :+ OpenSession(cur.start, math.max(cur.last, s.last),
+            cur.n_events + s.n_events, cur.sum_cents + s.sum_cents)
+        else acc :+ s
       }
-      open.foreach { s =>
-        state.update(s)
-        // must stay ahead of the watermark or the state API rejects it;
-        // an already-expired session then times out on the next batch
-        state.setTimeoutTimestamp(
-          math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-      }
-      closed.iterator
+      val open = merged.last
+      state.update(open)
+      // must stay ahead of the watermark or the state API rejects it; an
+      // already-expired session then times out on the next batch
+      state.setTimeoutTimestamp(
+        math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
+      merged.init.iterator.map(s =>
+        ClosedSession(user, s.start, s.last, s.n_events, s.sum_cents / 100.0))
     }
   }
 }

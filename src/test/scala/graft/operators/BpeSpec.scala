@@ -106,6 +106,15 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(enc(1L)._2 <= encHalf(1L) && encHalf(1L) <= enc0(1L))
   }
 
+  test("encode keeps docs whose text normalizes to zero words") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low"), (2L, "!!!"), (3L, "")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === 0L && got(3L) === 0L)
+  }
+
   test("training is layout-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

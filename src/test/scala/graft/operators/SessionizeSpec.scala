@@ -111,6 +111,37 @@ class SessionizeSpec extends AnyFunSuite with SparkSuite {
     assert(!closed.exists(c => c._1 == 1L && c._2 == base && c._3 > base + 9000))
   }
 
+  test("streaming: out-of-order arrival bridges runs instead of emitting a stray") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val mem = MemoryStream[(Long, Long, Double)]
+    // generous watermark so the late events are admitted
+    val out = Sessionize.streamingSessions(
+      mem.toDF().toDF("user_id", "ts_ms", "value"), gap, "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("sess_bridge").outputMode("append").start()
+    // batch 1: session opens at t=100s
+    mem.addData((1L, base + 100000, 1.0))
+    q.processAllAvailable()
+    // batch 2: t=85s (older than start - gap) PLUS t=92s which bridges it
+    // into the open session — one merged session {85s..100s}, no stray
+    mem.addData((1L, base + 85000, 2.0), (1L, base + 92000, 3.0))
+    q.processAllAvailable()
+    // flush far in the future to close everything
+    mem.addData((1L, base + 10000000L, 0.0)); q.processAllAvailable()
+    mem.addData((1L, base + 20000000L, 0.0)); q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_bridge")
+      .filter(col("session_start") < base + 1000000L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(closed ===
+      Set((base + 85000L, base + 100000L, 3L, 6.0)),
+      "the three events form ONE session spanning 85s-100s")
+  }
+
   test("streaming: batch result equals batch sessionize on the same closed range") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -136,16 +167,18 @@ class SessionizeSpec extends AnyFunSuite with SparkSuite {
 
     val streamed = spark.table("sess_eq")
       .filter(col("user_id") =!= 99L)
-      .select("user_id", "session_start", "session_end", "n_events")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
       .toSet
     val batch = Sessionize.sessions(
         evs.zipWithIndex.map { case ((u, t, v), i) => (u, t, i.toLong, v) }
           .toDF("user_id", "ts_ms", "event_id", "value"), gap)
-      .select("user_id", "session_start", "session_end", "n_events")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
       .toSet
     assert(streamed === batch,
-      "every closed streaming session matches the batch sessionization")
+      "every closed streaming session matches the batch sessionization, sums included")
   }
 }
