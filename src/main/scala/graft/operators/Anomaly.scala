@@ -1,8 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One metric point in the streaming scorer. */
+case class AnomalyEv(tenant_id: String, metric_name: String,
+    ets: java.sql.Timestamp, value: Double)
+
+/** Per-series trailing-window state: the points still inside any future
+  * admissible event's window. */
+case class SeriesWindowState(points: List[(Long, Double)])
+
+/** A scored point emitted by the streaming scorer — the streaming twin of
+  * [[Anomaly.rollingZScores]]'s output row. */
+case class ScoredPoint(tenant_id: String, metric_name: String, ts_ms: Long,
+    value: Double, n_win: Long, mean_win: Option[Double],
+    std_win: Option[Double], z: Option[Double], is_anomaly: Boolean)
 
 /** Rolling z-score anomaly detection over the metric-point stream — the
   * alerting-side consumer of the ingest pipeline (the reference stops at
@@ -72,4 +87,91 @@ object Anomaly {
       threshold: Double = 3.0, minPoints: Int = 5): DataFrame =
     rollingZScores(points, windowMs, threshold, minPoints)
       .filter(col("is_anomaly"))
+
+  /** STREAMING scorer — the alerting consumer: every arriving point is
+    * scored IMMEDIATELY against its series' trailing window and emitted
+    * (append mode; no watermark wait, since a point's baseline is entirely
+    * in its past). `flatMapGroupsWithState` keeps, per series, only the
+    * points still inside some future admissible event's window: anything
+    * older than `watermark − windowMs` is evicted each batch, and a series
+    * quiet past its window times out and drops its state entirely — state
+    * is bounded by (windowMs + watermark delay) × arrival rate per ACTIVE
+    * series.
+    *
+    * Scoring matches the batch operator exactly on in-order feeds: the
+    * same [ts − windowMs, ts) frame, sums through exact decimal (cents /
+    * 1e-8-scaled squares, the DECIMAL(28,2)/(38,8) batch semantics), same
+    * guards. A watermark-admitted out-of-order point scores against the
+    * retained window content — correct for its own baseline; points
+    * already scored are never retracted (append-mode limit). */
+  def streamingZScores(points: DataFrame, windowMs: Long,
+      threshold: Double = 3.0, minPoints: Int = 5,
+      watermarkDelay: String = "0 seconds"): Dataset[ScoredPoint] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        timestamp_millis(col("ts_ms").cast("long")).as("ets"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ets", watermarkDelay)
+      .as[AnomalyEv]
+      .groupByKey(e => (e.tenant_id, e.metric_name))
+      .flatMapGroupsWithState[SeriesWindowState, ScoredPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        scoreBatch(windowMs, threshold, minPoints))
+  }
+
+  private def scoreBatch(windowMs: Long, threshold: Double, minPoints: Int)(
+      key: (String, String), batch: Iterator[AnomalyEv],
+      state: GroupState[SeriesWindowState]): Iterator[ScoredPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var pts = state.getOption.map(_.points).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPoint]
+      for (e <- batch.toSeq.sortBy(_.ets.getTime)) {
+        val t = e.ets.getTime
+        out += scoreOne(key, t, e.value, pts, windowMs, threshold, minPoints)
+        pts = (t -> e.value) :: pts
+      }
+      val evictBelow = state.getCurrentWatermarkMs() - windowMs
+      pts = pts.filter(_._1 >= evictBelow)
+      if (pts.isEmpty) state.remove()
+      else {
+        state.update(SeriesWindowState(pts))
+        state.setTimeoutTimestamp(math.max(
+          pts.map(_._1).max + windowMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
+
+  /** Exact-decimal window stats over the retained points — the same
+    * DECIMAL(28,2) value / DECIMAL(38,8) square accumulation and scalar
+    * double math as the batch operator. */
+  private def scoreOne(key: (String, String), t: Long, v: Double,
+      pts: List[(Long, Double)], windowMs: Long, threshold: Double,
+      minPoints: Int): ScoredPoint = {
+    val win = pts.filter { case (pt, _) => pt >= t - windowMs && pt < t }
+    val n = win.size.toLong
+    if (n == 0)
+      ScoredPoint(key._1, key._2, t, v, 0L, None, None, None, is_anomaly = false)
+    else {
+      val s = win.map { case (_, pv) =>
+        java.math.BigDecimal.valueOf(pv).setScale(2, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_)).doubleValue()
+      val q = win.map { case (_, pv) =>
+        java.math.BigDecimal.valueOf(pv * pv)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_)).doubleValue()
+      val mean = s / n
+      val std = math.sqrt(math.max(q / n - mean * mean, 0.0))
+      val z = if (n >= minPoints && std > 0) Some((v - mean) / std) else None
+      val anom = n >= minPoints && std > 0 && math.abs(v - mean) > std * threshold
+      ScoredPoint(key._1, key._2, t, v, n, Some(mean), Some(std), z, anom)
+    }
+  }
 }

@@ -21,6 +21,27 @@ object Export {
       .option("compression", "gzip")
       .json(outDir)
 
+  /** Materialize a training-set export as token-balanced shard files:
+    * [[Sampling.shardByTokens]] computes the (doc → shard) layout, this
+    * writes one directory per shard (`shard_id=N/`), each holding the
+    * shard's docs with their offsets — the files a data loader streams.
+    * `partitionBy` makes the shard the physical unit: a 1000-executor
+    * write produces every shard in parallel, and a reader opens exactly
+    * the shards it owns. Returns the shard count. */
+  def writeShards(docs: DataFrame, outDir: String,
+      tokensPerShard: Long): Long = {
+    val assign = Sampling.shardByTokens(docs,
+      key = col("doc_id"),
+      tokens = graft.functions.TextFunctions.tokenCountBpe(col("text")),
+      tokensPerShard = tokensPerShard)
+    docs.join(assign, "doc_id")
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .select("shard_id").distinct().count()
+  }
+
   /** Backfill: read an exported full-res dump and rebuild a rollup tier
     * from it (recompute-from-source, idempotent). */
   def backfillFromExport(spark: SparkSession, exportDir: String,

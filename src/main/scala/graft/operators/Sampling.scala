@@ -74,6 +74,31 @@ object Sampling {
     df.filter(substring(hashHex(key), 1, 8) < thresh)
   }
 
+  /** Temperature-scaled mixture rates — computes WHAT to feed
+    * [[weightedMixture]]: per-stratum keep rates ∝ share^(alpha − 1),
+    * normalized so the rarest stratum keeps `maxRate`. alpha = 1 is the
+    * natural mix (every rate = maxRate); alpha → 0 flattens toward the
+    * uniform-over-strata mix (rates inversely proportional to share) —
+    * the standard temperature sampling of multilingual/multi-source
+    * pretraining (Conneau & Lample 2019 §3.1, p_i ∝ share_i^alpha).
+    * One tiny census aggregation; the math is driver-side doubles and the
+    * result is a plain Map, so downstream selection stays a pure filter. */
+  def temperatureRates(df: DataFrame, stratum: Column, alpha: Double,
+      maxRate: Double = 1.0): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(maxRate > 0.0 && maxRate <= 1.0,
+      s"maxRate must be in (0,1], got $maxRate")
+    val counts = df.groupBy(stratum.cast("string").as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureRates needs a non-empty frame")
+    val total = counts.map(_._2).sum.toDouble
+    val raw = counts.map { case (s, n) =>
+      s -> math.pow(n / total, alpha - 1.0)
+    }
+    val top = raw.map(_._2).max
+    raw.map { case (s, w) => s -> math.min(w / top * maxRate, 1.0) }.toMap
+  }
+
   /** Train/val/test (or any n-way) split assignment by hash prefix.
     * `bounds` are (name, exclusive upper 2-hex bound) in ascending order;
     * rows above every bound get `last`. Fractions quantize to 1/256 —

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,6 +55,61 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(w10.getAs[Long]("n_win") === 5L)
     assert(!w10.isNullAt(w10.fieldIndex("z")))
     assert(w10.getAs[Boolean]("is_anomaly"))
+  }
+
+  test("streaming scorer equals the batch operator on an in-order feed") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 60).map { i =>
+      ("t", if (i % 2 == 0) "a" else "b", base + i * 1000L,
+        math.floor(rng.nextDouble() * 1000) / 4.0) // .25 steps: exact cents
+    }
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val q = Anomaly.streamingZScores(
+        mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        windowMs = 10000L, threshold = 2.0, minPoints = 4)
+      .writeStream.format("memory").queryName("zs_out")
+      .outputMode("append").start()
+    rows.grouped(17).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getLong(2)) ->
+        ((r.getLong(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7),
+          r.getBoolean(8)))
+    val streamed = spark.table("zs_out").collect().map(key).toMap
+    val batch = Anomaly.rollingZScores(
+        rows.toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        windowMs = 10000L, threshold = 2.0, minPoints = 4)
+      .select("tenant_id", "metric_name", "ts_ms", "value", "n_win",
+        "mean_win", "std_win", "z", "is_anomaly")
+      .collect().map(key).toMap
+    assert(streamed.size === 60 && streamed === batch)
+  }
+
+  test("streaming scorer: window continues across batches, spike flagged on arrival") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val q = Anomaly.streamingZScores(
+        mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        windowMs = 60000L, threshold = 3.0, minPoints = 5)
+      .writeStream.format("memory").queryName("zs_spike")
+      .outputMode("append").start()
+    mem.addData((0 until 10).map(i => ("t", "m", base + i * 1000L, 10.0 + i % 3)): _*)
+    q.processAllAvailable()
+    // the spike arrives in a LATER batch: its baseline lives in state
+    mem.addData(("t", "m", base + 10000L, 500.0))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("zs_spike").filter(col("is_anomaly"))
+      .collect().map(_.getLong(2)).toSet
+    assert(flagged === Set(base + 10000L))
   }
 
   test("series score independently and match a local reference") {

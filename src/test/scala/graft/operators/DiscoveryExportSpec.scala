@@ -51,6 +51,30 @@ class DiscoveryExportSpec extends AnyFunSuite with SparkSuite {
     rebuilt.zip(direct).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("writeShards materializes the token-balanced layout, one dir per shard") {
+    val tmp = Files.createTempDirectory("graft_shards").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val nShards = Export.writeShards(docs, tmp, tokensPerShard = 2000L)
+    assert(nShards >= 2, s"expected multiple shards, got $nShards")
+    // physical layout: one shard_id=N directory per shard
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(dirs.length.toLong === nShards)
+    val back = spark.read.parquet(tmp)
+    // every doc exactly once, assignments identical to the operator's
+    assert(back.count() === docs.count())
+    val expect = graft.operators.Sampling.shardByTokens(docs,
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.tokenCountBpe(
+          org.apache.spark.sql.functions.col("text")), 2000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-column inference narrows shard_id to int on read-back
+    val got = back.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("shard_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("incremental cascade tiers equal direct aggregation") {
     val store = Files.createTempDirectory("graft_cascade").toString
     val pts = Tables.metrics(spark, dir)

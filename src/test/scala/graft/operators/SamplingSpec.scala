@@ -134,6 +134,34 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(n.values.sum === 20L)
   }
 
+  test("temperatureRates: alpha=1 natural, alpha=0 uniform-over-strata, monotone") {
+    import spark.implicits._
+    // shares: a=1000/1310, b=300/1310, c=10/1310
+    val df = (Seq.fill(1000)("a") ++ Seq.fill(300)("b") ++ Seq.fill(10)("c"))
+      .toDF("src")
+    val r1 = Sampling.temperatureRates(df, col("src"), alpha = 1.0)
+    assert(r1.values.forall(_ === 1.0), "alpha=1 keeps the natural mix")
+    val r0 = Sampling.temperatureRates(df, col("src"), alpha = 0.0)
+    // rates inverse to share, rarest pegged at maxRate: expected kept
+    // counts n_s * r_s equal across strata
+    assert(r0("c") === 1.0)
+    assert(math.abs(1000 * r0("a") - 10 * r0("c")) < 1e-6)
+    assert(math.abs(300 * r0("b") - 10 * r0("c")) < 1e-6)
+    // intermediate alpha: rarer stratum never keeps at a lower rate
+    val rh = Sampling.temperatureRates(df, col("src"), alpha = 0.5)
+    assert(rh("c") >= rh("b") && rh("b") >= rh("a"))
+    assert(rh("a") > r0("a"), "alpha=0.5 downweights the head less than alpha=0")
+    // feeds weightedMixture: expected kept mass matches share^alpha mix
+    val kept = Sampling.weightedMixture(
+        df.withColumn("doc_id", monotonically_increasing_id()),
+        col("src"), col("doc_id"), r0, defaultRate = 0.0)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each stratum should keep ≈ 10 rows (uniform-over-strata target)
+    assert(kept("c") === 10L)
+    assert(kept.getOrElse("a", 0L) >= 2L && kept("a") <= 30L)
+  }
+
   test("stratifiedQuota: exact per-stratum quotas, dense 1-based ranks") {
     import spark.implicits._
     val rows = (0L until 5L).map(i => ("small", i)) ++
