@@ -108,6 +108,8 @@ object Anomaly {
       threshold: Double = 3.0, minPoints: Int = 5,
       watermarkDelay: String = "0 seconds"): Dataset[ScoredPoint] = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(minPoints >= 2, s"minPoints must be >= 2, got $minPoints")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
     val spark = points.sparkSession
     import spark.implicits._
     points
@@ -151,7 +153,12 @@ object Anomaly {
 
   /** Exact-decimal window stats over the retained points — the same
     * DECIMAL(28,2) value / DECIMAL(38,8) square accumulation and scalar
-    * double math as the batch operator. */
+    * double math as the batch operator. Each score is an O(window) rescan
+    * with two BigDecimal snaps per point: the price of exact stats under
+    * out-of-order arrivals (pre-snapped integer state would overflow a
+    * Long on the square term for large values, where the batch
+    * DECIMAL(38,8) does not). Series too hot for that should score
+    * against the 5m rollup tier, which the batch operator serves. */
   private def scoreOne(key: (String, String), t: Long, v: Double,
       pts: List[(Long, Double)], windowMs: Long, threshold: Double,
       minPoints: Int): ScoredPoint = {

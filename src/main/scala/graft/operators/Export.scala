@@ -24,22 +24,35 @@ object Export {
   /** Materialize a training-set export as token-balanced shard files:
     * [[Sampling.shardByTokens]] computes the (doc → shard) layout, this
     * writes one directory per shard (`shard_id=N/`), each holding the
-    * shard's docs with their offsets — the files a data loader streams.
-    * `partitionBy` makes the shard the physical unit: a 1000-executor
-    * write produces every shard in parallel, and a reader opens exactly
-    * the shards it owns. Returns the shard count. */
+    * shard's docs with their stream offsets (`shard_offset` — prefixed so
+    * it cannot collide with a caller's own packing columns). `partitionBy`
+    * makes the shard the physical unit: a 1000-executor write produces
+    * every shard in parallel, and a reader opens exactly its shards.
+    *
+    * Returns max(shard_id) + 1. A document longer than `tokensPerShard`
+    * spans shards, so an id in 0..count-1 may have NO directory (its
+    * token range lies inside one long doc) — loaders must enumerate the
+    * `shard_id=` directories, not the id range. The count comes from a
+    * driver-side directory listing, not a read-back job. */
   def writeShards(docs: DataFrame, outDir: String,
       tokensPerShard: Long): Long = {
     val assign = Sampling.shardByTokens(docs,
-      key = col("doc_id"),
-      tokens = graft.functions.TextFunctions.tokenCountBpe(col("text")),
-      tokensPerShard = tokensPerShard)
+        key = col("doc_id"),
+        tokens = graft.functions.TextFunctions.tokenCountBpe(col("text")),
+        tokensPerShard = tokensPerShard)
+      .select(col("doc_id"), col("shard_id"),
+        col("start_offset").as("shard_offset"))
     docs.join(assign, "doc_id")
       .write.mode("overwrite")
       .partitionBy("shard_id")
       .parquet(outDir)
-    docs.sparkSession.read.parquet(outDir)
-      .select("shard_id").distinct().count()
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    val ids = fs.listStatus(path)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard_id="))
+      .map(_.getPath.getName.stripPrefix("shard_id=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** Backfill: read an exported full-res dump and rebuild a rollup tier

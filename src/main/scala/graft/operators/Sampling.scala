@@ -88,7 +88,12 @@ object Sampling {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(maxRate > 0.0 && maxRate <= 1.0,
       s"maxRate must be in (0,1], got $maxRate")
-    val counts = df.groupBy(stratum.cast("string").as("__s")).count()
+    // NULL strata are excluded from the census (and from `total`): they
+    // carry no share and fall to weightedMixture's defaultRate downstream;
+    // a null map key would NPE weightedMixture's threshold sort.
+    val counts = df.select(stratum.cast("string").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy("__s").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(counts.nonEmpty, "temperatureRates needs a non-empty frame")
     val total = counts.map(_._2).sum.toDouble

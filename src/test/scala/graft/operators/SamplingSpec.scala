@@ -136,9 +136,12 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
 
   test("temperatureRates: alpha=1 natural, alpha=0 uniform-over-strata, monotone") {
     import spark.implicits._
-    // shares: a=1000/1310, b=300/1310, c=10/1310
-    val df = (Seq.fill(1000)("a") ++ Seq.fill(300)("b") ++ Seq.fill(10)("c"))
+    // shares: a=1000/1310, b=300/1310, c=10/1310; null strata are ignored
+    val df = (Seq.fill(1000)(Some("a")) ++ Seq.fill(300)(Some("b")) ++
+      Seq.fill(10)(Some("c")) ++ Seq.fill(7)(Option.empty[String]))
       .toDF("src")
+    assert(Sampling.temperatureRates(df, col("src"), 0.5).keySet ===
+      Set("a", "b", "c"))
     val r1 = Sampling.temperatureRates(df, col("src"), alpha = 1.0)
     assert(r1.values.forall(_ === 1.0), "alpha=1 keeps the natural mix")
     val r0 = Sampling.temperatureRates(df, col("src"), alpha = 0.0)
