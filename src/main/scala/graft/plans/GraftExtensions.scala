@@ -1,10 +1,11 @@
 package graft.plans
 
-import graft.functions.{DotProduct, WordKGrams}
+import graft.functions.{BpeMergePair, DotProduct, WordKGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extensions: registers the custom expressions for SQL users, so
   * `spark.sql("SELECT dot_product(a, b) ...")` works next to the DataFrame
@@ -38,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(k: Int, IntegerType) => WordKGrams(args(0), k)
           case other => throw new IllegalArgumentException(
             s"word_kgrams: k must be an integer literal, got $other")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bpe_merge"),
+      info("bpe_merge",
+        "bpe_merge(syms, l, r) - one BPE merge: every adjacent (l, r) pair in a string array fuses to l||r, greedy left-to-right (l, r string literals)"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3) throw new IllegalArgumentException(
+          s"bpe_merge requires exactly 3 arguments (syms, l, r), got ${args.length}")
+        (args(1), args(2)) match {
+          case (Literal(l: UTF8String, StringType), Literal(r: UTF8String, StringType)) =>
+            BpeMergePair(args(0), l.toString, r.toString)
+          case other => throw new IllegalArgumentException(
+            s"bpe_merge: l and r must be string literals, got $other")
         }
       }))
   }

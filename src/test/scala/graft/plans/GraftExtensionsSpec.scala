@@ -41,6 +41,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("bpe_merge usable from SQL; wrong arity and non-literal pair rejected") {
+    val merged = spark.sql(
+      "SELECT bpe_merge(array('a','b','a','b','c'), 'a', 'b') AS m").collect()(0)
+      .getSeq[String](0)
+    assert(merged === Seq("ab", "ab", "c"))
+    val arity = intercept[Exception] {
+      spark.sql("SELECT bpe_merge(array('a'), 'a')").collect()
+    }
+    assert(arity.getMessage.contains("3 arguments"))
+    val lit = intercept[Exception] {
+      spark.sql("SELECT bpe_merge(array('a','b'), concat('a',''), 'b')").collect()
+    }
+    assert(lit.getMessage.contains("string literals"))
+  }
+
   test("dot_product participates in codegen over a table") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.5f, 2.0f))).toDF("a", "b")
