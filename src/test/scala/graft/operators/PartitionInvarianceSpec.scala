@@ -84,4 +84,21 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     Sampling.selectByTokenBudget(df, TF.qualityScore(col("text")),
       TF.tokenCountBpe(col("text")), budget = 12000L)
   })(Tables.load(spark, dir, "documents"))
+
+  invariant("tileDedupDf")(df => Dedup.tileDedupDf(df, k = 5, minDf = 2))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("rollingZScores")(df =>
+    Anomaly.rollingZScores(df, windowMs = 7L * 86400000L, threshold = 2.5))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.derivatives")(df => Series.derivatives(df))(
+    Tables.metrics(spark, dir))
+
+  invariant("Sessionize.sessions")(df => {
+    import org.apache.spark.sql.functions._
+    Sessionize.sessions(
+      df.select(col("user_id"), Tables.tsMsCol(df).as("ts_ms"),
+        col("event_id"), col("value")), gapMs = 86400000L)
+  })(Tables.load(spark, dir, "events"))
 }
