@@ -88,6 +88,33 @@ object Demo {
           org.apache.spark.sql.functions.lit("demo").as("source")).as("meta"))
     graft.operators.Multimodal.extractFeatures(media).show()
 
+    println("== 9. monitoring: perSecond rates -> rolling z-score anomalies ==")
+    val rates = graft.operators.Series.derivatives(
+        pts.filter(col("tenant_id") === "purchase"))
+      .filter(col("rate_per_s").isNotNull)
+      .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+        col("rate_per_s").as("value"))
+    graft.operators.Anomaly.anomalies(rates,
+        windowMs = 14L * 86400000L, threshold = 2.5, minPoints = 5)
+      .select("metric_name", "ts_ms", "value", "mean_win", "std_win", "z")
+      .show(5, truncate = false)
+
+    println("== 10. sessionization: gap-based user sessions over the event stream ==")
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    graft.operators.Sessionize.sessions(
+        ev.select(col("user_id"), graft.core.Tables.tsMsCol(ev).as("ts_ms"),
+          col("event_id"), col("value")), gapMs = 86400000L)
+      .orderBy(col("n_events").desc)
+      .show(5)
+
+    println("== 11. tokenizer training: BPE merges learned from the corpus ==")
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, nMerges = 8)
+    merges.show(8, truncate = false)
+    println("   one merge step via SQL:")
+    spark.sql(
+      "SELECT bpe_merge(array('l','o','w','</w>'), 'o', 'w') AS merged").show()
+
     spark.stop()
   }
 }
