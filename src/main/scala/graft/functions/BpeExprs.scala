@@ -16,19 +16,23 @@ object BpeExprUtil {
     * with the fused symbol ab: the single-merge step of byte-pair encoding
     * (Sennrich et al., ACL 2016, Algorithm 1). Overlaps resolve leftward —
     * `a a a` under merge (a,a) becomes `aa a` — exactly the reference
-    * algorithm's scan order. */
+    * algorithm's scan order. Null elements (reachable via the SQL
+    * registration with arbitrary arrays) never match a merge side and pass
+    * through unchanged — read via isNullAt, since UnsafeArrayData's
+    * getUTF8String is undefined on null slots. */
   def mergePair(arr: ArrayData, a: UTF8String, b: UTF8String,
       ab: UTF8String): ArrayData = {
     val n = arr.numElements()
     val buf = new java.util.ArrayList[Any](n)
+    def at(i: Int): UTF8String =
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i)
     var i = 0
     while (i < n) {
-      if (i < n - 1 && a.equals(arr.getUTF8String(i)) &&
-          b.equals(arr.getUTF8String(i + 1))) {
+      if (i < n - 1 && a.equals(at(i)) && b.equals(at(i + 1))) {
         buf.add(ab)
         i += 2
       } else {
-        buf.add(arr.getUTF8String(i))
+        buf.add(at(i))
         i += 1
       }
     }
@@ -54,7 +58,13 @@ case class BpeMergePair(child: Expression, left: String, right: String)
   @transient private lazy val rightU8 = UTF8String.fromString(right)
   @transient private lazy val fusedU8 = UTF8String.fromString(left + right)
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // propagate the child's containsNull: null elements pass through the
+  // merge untouched, so promising a null-free result would let downstream
+  // codegen skip isNullAt checks and dereference a null slot
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

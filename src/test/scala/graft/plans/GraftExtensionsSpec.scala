@@ -54,6 +54,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT bpe_merge(array('a','b'), concat('a',''), 'b')").collect()
     }
     assert(lit.getMessage.contains("string literals"))
+    // null elements pass through unmerged (and the result type admits them)
+    val withNull = spark.sql(
+      "SELECT bpe_merge(array('a', CAST(NULL AS STRING), 'a', 'b'), 'a', 'b') AS m")
+    assert(withNull.schema("m").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true))
+    assert(withNull.collect()(0).getSeq[String](0) === Seq("a", null, "ab"))
   }
 
   test("dot_product participates in codegen over a table") {
