@@ -613,9 +613,71 @@ object RollupQueries2 {
         .orderBy("tenant_id", "metric_name", "ts_ms", "value")
   }
 
+  /** Correlated-metric incident scan ([[graft.operators.Series.correlatedSeries]]):
+    * every series Pearson-correlated against the busiest purchase series
+    * over aligned 60m bucket means (≥ 5 common buckets). Accumulators are
+    * per-term DECIMAL(38,8)-snapped sums on both sides; the r formula and
+    * the bucket mean are scalar double. The target pick (most populated
+    * buckets, ties to smallest name) is itself relational — no driver
+    * collect. Day buckets: the synthetic per-user series are ~13 points
+    * over 30 days, so finer buckets share too few to correlate. */
+  private val seriesCorr = {
+    val bMs = 86400000L
+    val minB = 5
+    QDef(
+      "q_series_corr",
+      s"""WITH ${OracleViews.metricsCte},
+         |b AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS bx
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |tgt AS (
+         |  SELECT metric_name FROM b WHERE tenant_id = 'purchase'
+         |  GROUP BY metric_name ORDER BY COUNT(*) DESC, metric_name LIMIT 1
+         |),
+         |t AS (
+         |  SELECT b.metric_name AS tgt_name, bucket_ms, bx AS ty
+         |  FROM b JOIN tgt USING (metric_name)
+         |),
+         |a AS (
+         |  SELECT t.tgt_name, b.tenant_id, b.metric_name,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common,
+         |         CAST(SUM(CAST(b.bx AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(t.ty AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(b.bx * t.ty AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(b.bx * b.bx AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(t.ty * t.ty AS DECIMAL(38,8))) AS DOUBLE) AS syy
+         |  FROM b JOIN t USING (bucket_ms) WHERE b.metric_name <> t.tgt_name
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT tgt_name, tenant_id, metric_name, n_common,
+         |       CASE WHEN n_common * sxx - sx * sx > 0
+         |             AND n_common * syy - sy * sy > 0
+         |            THEN (n_common * sxy - sx * sy) /
+         |                 sqrt((n_common * sxx - sx * sx) *
+         |                      (n_common * syy - sy * sy)) END AS r
+         |FROM a WHERE n_common >= $minB
+         |ORDER BY tenant_id, metric_name""".stripMargin) { (s, dir) =>
+      val pts = Tables.metrics(s, dir)
+      val busiest = pts
+        .filter(col("tenant_id") === "purchase")
+        .groupBy(col("metric_name"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(bMs))).cast("long")
+            .as("__bucket"))
+        .agg(count(lit(1)).as("__np"))
+        .groupBy("metric_name").agg(count(lit(1)).as("__nb"))
+        .orderBy(col("__nb").desc, col("metric_name")).limit(1)
+        .select("metric_name")
+      graft.operators.Series.correlatedSeries(pts, busiest, bMs, minB)
+        .orderBy("tenant_id", "metric_name")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
     pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,
-    setSalted1440m, metricAnomaly, seriesRate)
+    setSalted1440m, metricAnomaly, seriesRate, seriesCorr)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Per-series time-derivative operators — the Graphite-family transforms
   * (`derivative`, `nonNegativeDerivative`, `perSecond`) a monitoring UI
@@ -44,5 +45,64 @@ object Series {
         when(col("nn_delta").isNotNull && col("ts_ms") - col("__pt") > 0,
           col("nn_delta") / ((col("ts_ms") - col("__pt")) / lit(1000.0))))
       .drop("__pv", "__pt")
+  }
+
+  /** Pearson correlation of every series against each target series over
+    * aligned time buckets — the "what moved with this metric" incident scan
+    * (Graphite leaves this to the dashboard; engine-side it is one
+    * aggregation pass instead of downloading every series).
+    *
+    * `targets` is a small frame with a `metric_name` column (one row per
+    * target series — literal names or a computed pick such as the busiest
+    * series). Both sides are bucket-averaged at `bucketMs` (exact-DECIMAL
+    * sum / count, the rollup mean recipe), then for each (target, series)
+    * pair with ≥ `minBuckets` common buckets:
+    *
+    *   r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²))
+    *
+    * with every accumulator an exact DECIMAL(38,8) sum (per-term snapped,
+    * so the result is partition-order invariant) and the final formula
+    * scalar double — NULL when either side has zero variance. Self-pairs
+    * are excluded.
+    *
+    * Scale shape: one corpus shuffle for the bucket aggregation; the
+    * target bucket table is |targets|×|buckets| rows — broadcast, so the
+    * per-series pass never shuffles on bucket; the final per-series
+    * aggregation combines map-side. Never an all-pairs series join. */
+  def correlatedSeries(points: DataFrame, targets: DataFrame, bucketMs: Long,
+      minBuckets: Int = 5): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(minBuckets >= 2, s"minBuckets must be at least 2, got $minBuckets")
+    val dec = DecimalType(38, 8)
+    def bucketMean(pts: DataFrame, keys: Seq[String], out: String) = pts
+      .groupBy((keys.map(col) :+
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms")): _*)
+      .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double") /
+        count(lit(1))).as(out))
+    val b = bucketMean(points, Seq("tenant_id", "metric_name"), "bx")
+    // join targets BEFORE the bucket agg: at scale the target branch is a
+    // broadcast-filtered scan + negligible agg, not a second corpus shuffle
+    val t = bucketMean(
+      points.join(broadcast(targets.select(col("metric_name").as("tgt_name"))),
+        col("metric_name") === col("tgt_name")),
+      Seq("tgt_name"), "ty")
+    val agg = b.join(broadcast(t), Seq("bucket_ms"))
+      .filter(col("metric_name") =!= col("tgt_name"))
+      .groupBy(col("tgt_name"), col("tenant_id"), col("metric_name"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(col("bx").cast(dec)).cast("double").as("sx"),
+        sum(col("ty").cast(dec)).cast("double").as("sy"),
+        sum((col("bx") * col("ty")).cast(dec)).cast("double").as("sxy"),
+        sum((col("bx") * col("bx")).cast(dec)).cast("double").as("sxx"),
+        sum((col("ty") * col("ty")).cast(dec)).cast("double").as("syy"))
+    val vx = col("n_common") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_common") * col("syy") - col("sy") * col("sy")
+    agg.filter(col("n_common") >= minBuckets)
+      .withColumn("r", when(vx > 0 && vy > 0,
+        (col("n_common") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(vx * vy)))
+      .select("tgt_name", "tenant_id", "metric_name", "n_common", "r")
   }
 }

@@ -47,6 +47,75 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(got(("a", 0L, 1.0)) === ((null, null)))
   }
 
+  private def localPearson(xy: Seq[(Double, Double)]): Double = {
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map { case (a, b) => a * b }.sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("correlatedSeries: matches a local Pearson reference; self and " +
+    "zero-variance and short series excluded") {
+    import spark.implicits._
+    val tgtVals = (0 to 9).map(_.toDouble)
+    val noisy = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+    val rows =
+      tgtVals.zipWithIndex.map { case (v, i) => ("t", "tgt", i * 1000L, v) } ++
+      // two points per bucket averaging to 2b+1: exercises the bucket mean
+      (0 to 9).flatMap(b => Seq(
+        ("t", "pos", b * 1000L, 2.0 * b),
+        ("t", "pos", b * 1000L + 500L, 2.0 * b + 2.0))) ++
+      (0 to 9).map(b => ("t", "neg", b * 1000L, 10.0 - b)) ++
+      noisy.zipWithIndex.map { case (v, i) => ("t", "noisy", i * 1000L, v) } ++
+      (0 to 9).map(b => ("t", "const", b * 1000L, 5.0)) ++
+      (0 to 2).map(b => ("t", "short", b * 1000L, b * 3.0))
+    val targets = Seq("tgt").toDF("metric_name")
+    val got = Series.correlatedSeries(pts(rows), targets,
+        bucketMs = 1000L, minBuckets = 5)
+      .collect()
+      .map(r => r.getString(2) -> ((r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set("pos", "neg", "noisy", "const"))
+    assert(got("pos")._1 === 10L)
+    assert(math.abs(got("pos")._2.asInstanceOf[Double] - 1.0) < 1e-9)
+    assert(math.abs(got("neg")._2.asInstanceOf[Double] + 1.0) < 1e-9)
+    val ref = localPearson(noisy.zip(tgtVals))
+    assert(math.abs(got("noisy")._2.asInstanceOf[Double] - ref) < 1e-7)
+    assert(got("const")._2 === null) // zero variance -> null, not NaN
+  }
+
+  test("correlatedSeries: multiple targets keyed by tgt_name; only common " +
+    "buckets pair; layout-invariant") {
+    import spark.implicits._
+    // offset keeps half of b's buckets unshared with a
+    val rows = (0 to 9).map(b => ("t", "a", b * 1000L, b * 1.0)) ++
+      (5 to 14).map(b => ("t", "b", b * 1000L, 30.0 - 2.0 * b))
+    val targets = Seq("a", "b").toDF("metric_name")
+    val run = Series.correlatedSeries(pts(rows).repartition(7), targets,
+      bucketMs = 1000L, minBuckets = 2)
+    val got = run.collect()
+      .map(r => (r.getString(0), r.getString(2)) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set(("a", "b"), ("b", "a")))
+    assert(got(("a", "b"))._1 === 5L) // buckets 5..9 only
+    assert(math.abs(got(("a", "b"))._2 + 1.0) < 1e-9)
+    assert(got(("a", "b")) === got(("b", "a")))
+    val again = Series.correlatedSeries(pts(rows).repartition(3), targets,
+      bucketMs = 1000L, minBuckets = 2).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      Series.correlatedSeries(pts(rows), targets, bucketMs = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Series.correlatedSeries(pts(rows), targets, 1000L, minBuckets = 1)
+    }
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
