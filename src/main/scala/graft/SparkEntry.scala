@@ -10,9 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QDef] =
-    RollupQueries.defs ++ RollupQueries2.defs ++ PreaggQueries.defs ++
-      DiscoveryQueries.defs ++ PipelineQueries.defs ++ PipelineQueries2.defs ++
-      TpchQueries.defs
+    RollupQueries.defs ++ RollupQueries2.defs ++ SeriesQueries.defs ++
+      PreaggQueries.defs ++ DiscoveryQueries.defs ++ PipelineQueries.defs ++
+      PipelineQueries2.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5m basic rollup — the engine's core operation. */

@@ -1,0 +1,140 @@
+package graft.api
+
+import graft.core.{OracleViews, Tables}
+import graft.operators.{Anomaly, Series}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gate queries for the series-analytics surface ([[graft.operators.Series]]
+  * selectors/reports and [[graft.operators.Anomaly]]'s seasonal scorer) —
+  * the dashboard-facing operations a monitoring product layers on the
+  * engine's served points. Oracle-parity per [[QDef]]'s scaladoc. */
+object SeriesQueries {
+
+  /** Top-5 series per tenant by whole-range mean
+    * ([[Series.topSeries]], Graphite's highestAverage): exact-DECIMAL
+    * mean, ties to smallest name, rank restated as a DuckDB row_number. */
+  private val topk = QDef(
+    "q_series_topk",
+    s"""WITH ${OracleViews.metricsCte},
+       |a AS (
+       |  SELECT tenant_id, metric_name,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+       |           AS stat_value
+       |  FROM metrics GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT tenant_id, metric_name, stat_value,
+       |         CAST(row_number() OVER (PARTITION BY tenant_id
+       |           ORDER BY stat_value DESC, metric_name) AS INT) AS rk
+       |  FROM a
+       |)
+       |SELECT tenant_id, metric_name, stat_value, rk FROM r
+       |WHERE rk <= 5 ORDER BY tenant_id, rk""".stripMargin) { (s, dir) =>
+    Series.topSeries(Tables.metrics(s, dir), k = 5, stat = "mean")
+      .orderBy("tenant_id", "rk")
+  }
+
+  /** Per-series completeness / gap report at day buckets
+    * ([[Series.completenessReport]]): integer bucket arithmetic on both
+    * sides, scalar-double completeness ratio. */
+  private val gaps = {
+    val bMs = 86400000L
+    QDef(
+      "q_series_gaps",
+      s"""WITH ${OracleViews.metricsCte},
+         |p AS (
+         |  SELECT DISTINCT tenant_id, metric_name,
+         |         CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms
+         |  FROM metrics
+         |),
+         |g AS (
+         |  SELECT tenant_id, metric_name,
+         |         min(bucket_ms) AS first_ms, max(bucket_ms) AS last_ms,
+         |         CAST(count(*) AS BIGINT) AS n_present
+         |  FROM p GROUP BY 1, 2
+         |)
+         |SELECT tenant_id, metric_name, first_ms, last_ms,
+         |       (last_ms - first_ms) // $bMs + 1 AS n_expected, n_present,
+         |       (last_ms - first_ms) // $bMs + 1 - n_present AS n_missing,
+         |       CAST(n_present AS DOUBLE) /
+         |         CAST((last_ms - first_ms) // $bMs + 1 AS DOUBLE)
+         |         AS completeness
+         |FROM g ORDER BY tenant_id, metric_name""".stripMargin) { (s, dir) =>
+      Series.completenessReport(Tables.metrics(s, dir), bMs)
+        .orderBy("tenant_id", "metric_name")
+    }
+  }
+
+  /** Seasonal (hour-of-day) anomaly scan over per-tenant hourly sums
+    * ([[Anomaly.seasonalZScores]]): the input series is itself a rollup
+    * (the operator's documented 100 TB shape — score the tier, not raw
+    * points); leave-one-out baselines restated in SQL via the same
+    * snapped-term subtraction. */
+  private val seasonal = {
+    val hourMs = 3600000L
+    val dayMs = 86400000L
+    val th = 2.5
+    val minP = 10
+    QDef(
+      "q_seasonal_anomaly",
+      s"""WITH ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT tenant_id, 'tenant.' || tenant_id AS metric_name,
+         |         CAST(ts_ms - ts_ms % $hourMs AS BIGINT) AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |p AS (
+         |  SELECT *, (ts_ms % $dayMs) // $hourMs AS phase FROM h
+         |),
+         |st AS (
+         |  SELECT tenant_id, metric_name, phase,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS q
+         |  FROM p GROUP BY 1, 2, 3
+         |),
+         |j AS (
+         |  SELECT p.tenant_id, p.metric_name, p.ts_ms, p.value, p.phase,
+         |         st.n - 1 AS n_base,
+         |         CASE WHEN st.n - 1 > 0 THEN
+         |           (st.s - CAST(CAST(p.value AS DECIMAL(28,2)) AS DOUBLE))
+         |             / (st.n - 1) END AS mean_base,
+         |         CASE WHEN st.n - 1 > 0 THEN st.q -
+         |           CAST(CAST(p.value * p.value AS DECIMAL(38,8)) AS DOUBLE)
+         |           END AS q_rest
+         |  FROM p JOIN st USING (tenant_id, metric_name, phase)
+         |),
+         |sc AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, phase, n_base,
+         |         mean_base,
+         |         CASE WHEN n_base > 0 THEN sqrt(greatest(
+         |           q_rest / n_base - mean_base * mean_base, 0)) END AS std_base
+         |  FROM j
+         |)
+         |SELECT tenant_id, metric_name, ts_ms, value, phase, n_base,
+         |       mean_base, std_base,
+         |       CASE WHEN n_base >= $minP AND std_base > 0
+         |            THEN (value - mean_base) / std_base END AS z,
+         |       (n_base >= $minP AND std_base > 0 AND
+         |        abs(value - mean_base) > std_base * $th) AS is_anomaly
+         |FROM sc
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
+      val hourly = Tables.metrics(s, dir)
+        .groupBy(col("tenant_id"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(hourMs))).cast("long")
+            .as("ts_ms"))
+        .agg(sum(col("value").cast(DecimalType(28, 2))).cast("double")
+          .as("value"))
+        .withColumn("metric_name", concat(lit("tenant."), col("tenant_id")))
+      Anomaly.seasonalZScores(hourly, periodMs = dayMs, phaseMs = hourMs,
+          threshold = th, minPoints = minP)
+        .select("tenant_id", "metric_name", "ts_ms", "value", "phase",
+          "n_base", "mean_base", "std_base", "z", "is_anomaly")
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(topk, gaps, seasonal)
+}

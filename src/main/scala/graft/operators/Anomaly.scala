@@ -88,6 +88,65 @@ object Anomaly {
     rollingZScores(points, windowMs, threshold, minPoints)
       .filter(col("is_anomaly"))
 
+  /** SEASONAL z-score: each point scored against its series' historical
+    * distribution for the SAME phase of the period — "is this 3pm unusual
+    * for 3pm", the cyclic complement to [[rollingZScores]]'s trailing
+    * window (which would flag every normal morning ramp on a diurnal
+    * series). Default period/phase = day/hour: 24 hour-of-day baselines
+    * per series.
+    *
+    * The baseline is leave-one-out: per (series, phase) the exact DECIMAL
+    * totals n/S/Q accumulate once, then each point subtracts its OWN
+    * snapped contribution — `mean = (S − x̂)/(n−1)`,
+    * `var = (Q − x̂²)/(n−1) − mean²` — so a lone spike cannot inflate the
+    * std it is judged against (same self-exclusion contract as the
+    * trailing scorer, without its per-point window pass). All subtractions
+    * happen on the same snapped terms both engines accumulated, keeping
+    * the scalar-double finish bit-identical to a DuckDB restatement.
+    *
+    * Scale shape: a groupBy and an equi-join on the identical
+    * (tenant, metric, phase) key — the join reuses the aggregation's
+    * partitioning, and the stats side is |series|×|phases| rows (AQE
+    * broadcasts it when small). No window node at all: phases of a series
+    * score in parallel even within one hot series. */
+  def seasonalZScores(points: DataFrame, periodMs: Long = 86400000L,
+      phaseMs: Long = 3600000L, threshold: Double = 3.0,
+      minPoints: Int = 5): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(phaseMs > 0 && periodMs % phaseMs == 0,
+      s"phaseMs must divide periodMs, got $phaseMs / $periodMs")
+    require(minPoints >= 2, s"minPoints must be >= 2, got $minPoints")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val phase = expr(s"pmod(ts_ms, ${periodMs}L) div ${phaseMs}L")
+    val withPhase = points.withColumn("phase", phase)
+    val exact = withPhase
+      .groupBy(col("tenant_id"), col("metric_name"), col("phase"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("__s"),
+        sum((col("value") * col("value")).cast("decimal(38,8)"))
+          .cast("double").as("__q"))
+    val x = col("value").cast("decimal(28,2)").cast("double")
+    val xx = (col("value") * col("value")).cast("decimal(38,8)").cast("double")
+    withPhase
+      .join(exact, Seq("tenant_id", "metric_name", "phase"))
+      .withColumn("n_base", col("__n") - 1L)
+      .withColumn("mean_base",
+        when(col("n_base") > 0, (col("__s") - x) / col("n_base")))
+      .withColumn("std_base",
+        when(col("n_base") > 0, sqrt(greatest(
+          (col("__q") - xx) / col("n_base") -
+            col("mean_base") * col("mean_base"),
+          lit(0.0)))))
+      .withColumn("z",
+        when(col("n_base") >= minPoints && col("std_base") > 0,
+          (col("value") - col("mean_base")) / col("std_base")))
+      .withColumn("is_anomaly",
+        col("n_base") >= minPoints && col("std_base") > 0 &&
+          abs(col("value") - col("mean_base")) > col("std_base") * threshold)
+      .drop("__n", "__s", "__q")
+  }
+
   /** STREAMING scorer — the alerting consumer: every arriving point is
     * scored IMMEDIATELY against its series' trailing window and emitted
     * (append mode; no watermark wait, since a point's baseline is entirely

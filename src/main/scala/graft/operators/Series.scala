@@ -105,4 +105,73 @@ object Series {
           sqrt(vx * vy)))
       .select("tgt_name", "tenant_id", "metric_name", "n_common", "r")
   }
+
+  /** Top-k series per tenant by a whole-range statistic — Graphite's
+    * `highestAverage` / `highestMax` / `highestCurrent` selector family
+    * (and the `lowest*` family via `ascending = true`), engine-side: the
+    * dashboard asks "which 10 series matter" without downloading any.
+    *
+    * `stat`: mean | sum | max | min | count. mean/sum accumulate in exact
+    * DECIMAL(28,2) then finish as scalar double (the rollup recipe), so
+    * ranking is partition-order invariant; ties break by metric_name for a
+    * total order. Output: tenant_id, metric_name, stat_value, rk (1-based).
+    *
+    * Scale shape: one shuffle with map-side partial aggregation, then a
+    * per-tenant rank that Catalyst rewrites to WindowGroupLimit — each
+    * partition keeps only its local top-k before the window sorts, so no
+    * tenant's full series list ever sorts in one place. */
+  def topSeries(points: DataFrame, k: Int, stat: String = "mean",
+      ascending: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val statCol = stat match {
+      case "mean" => sum(col("value").cast(DecimalType(28, 2))).cast("double")
+        ./(count(lit(1)))
+      case "sum" => sum(col("value").cast(DecimalType(28, 2))).cast("double")
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "count" => count(lit(1)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"stat must be one of mean|sum|max|min|count, got '$other'")
+    }
+    val ord =
+      if (ascending) col("stat_value").asc else col("stat_value").desc
+    points.groupBy(col("tenant_id"), col("metric_name"))
+      .agg(statCol.as("stat_value"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("tenant_id").orderBy(ord, col("metric_name"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-series completeness report over `bucketMs` buckets — which series
+    * have holes, and how big: for each series, the populated-bucket count
+    * vs the bucket span between its first and last point. The engine-side
+    * answer to the reference's delayed-metric bookkeeping
+    * (blueflood-core rollup/SlotKey + delayed-locator tracking): instead
+    * of maintaining per-slot dirty state, derive the gap report from the
+    * data itself on demand.
+    *
+    * Output per series: first_ms / last_ms (bucket-aligned), n_expected
+    * (span / bucketMs + 1), n_present, n_missing, completeness (double in
+    * (0, 1]). Scale shape: per-(series, bucket) distinct collapses
+    * map-side, then one tiny per-series aggregate — a single shuffle. */
+  def completenessReport(points: DataFrame, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    points
+      .select(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .distinct()
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(
+        min(col("bucket_ms")).as("first_ms"),
+        max(col("bucket_ms")).as("last_ms"),
+        count(lit(1)).as("n_present"))
+      .withColumn("n_expected",
+        expr(s"((last_ms - first_ms) div ${bucketMs}L) + 1L"))
+      .withColumn("n_missing", col("n_expected") - col("n_present"))
+      .withColumn("completeness",
+        col("n_present").cast("double") / col("n_expected").cast("double"))
+      .select("tenant_id", "metric_name", "first_ms", "last_ms",
+        "n_expected", "n_present", "n_missing", "completeness")
+  }
 }

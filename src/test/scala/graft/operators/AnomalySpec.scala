@@ -57,6 +57,69 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(w10.getAs[Boolean]("is_anomaly"))
   }
 
+  test("seasonalZScores: phases isolate (a square wave never alerts); " +
+    "spike flagged against its own phase only") {
+    val hour = 3600000L
+    val day = 86400000L
+    // 20 days, two active hours per day: hour 3 ~ 100, hour 15 ~ 10, both
+    // jittered so baselines have variance. A trailing-window scorer would
+    // flag every swing; the seasonal scorer must flag none of them.
+    val square = (0 until 20).flatMap { d =>
+      Seq(("t", "m", d * day + 3 * hour, 100.0 + d % 3),
+        ("t", "m", d * day + 15 * hour, 10.0 + d % 3))
+    }
+    val calm = Anomaly.seasonalZScores(points(square),
+      periodMs = day, phaseMs = hour, threshold = 2.5, minPoints = 5)
+    assert(calm.filter(col("is_anomaly")).count() === 0L)
+    val phases = calm.select("phase").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(phases === Set(3L, 15L))
+    // plant a spike at hour 15 of day 20: judged vs hour-15's ~10s, not
+    // hour-3's 100s (against the pooled baseline it would sit INSIDE the
+    // spread and never flag)
+    val spiked = square :+ (("t", "m", 20 * day + 15 * hour, 60.0))
+    val flagged = Anomaly.seasonalZScores(points(spiked),
+        periodMs = day, phaseMs = hour, threshold = 2.5, minPoints = 5)
+      .filter(col("is_anomaly")).collect()
+    assert(flagged.map(_.getAs[Long]("ts_ms")).toSeq ===
+      Seq(20 * day + 15 * hour))
+    val f = flagged.head
+    assert(f.getAs[Long]("n_base") === 20L)        // its phase only
+    // hour-15 mean, self excluded: (20*10 + sum(d%3 for d<20)) / 20
+    assert(f.getAs[Double]("mean_base") === 10.95)
+  }
+
+  test("seasonalZScores: leave-one-out baseline and guards") {
+    val hour = 3600000L
+    val day = 86400000L
+    // one phase, constant 10s plus one 1000: the outlier's OWN baseline is
+    // the constants (std 0 -> guarded null z); each constant's baseline
+    // includes the outlier and scores non-null
+    val rows = (0 until 6).map(d => ("t", "m", d * day, 10.0)) :+
+      (("t", "m", 6 * day, 1000.0))
+    val got = Anomaly.seasonalZScores(points(rows),
+      periodMs = day, phaseMs = hour, threshold = 3.0, minPoints = 5)
+    val out = got.filter(col("ts_ms") === 6 * day).collect().head
+    assert(out.getAs[Long]("n_base") === 6L)
+    assert(out.getAs[Double]("mean_base") === 10.0)
+    assert(out.getAs[Double]("std_base") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("z")))
+    assert(!out.getAs[Boolean]("is_anomaly"))
+    val c = got.filter(col("ts_ms") === 0L).collect().head
+    assert(c.getAs[Long]("n_base") === 6L)
+    assert(c.getAs[Double]("mean_base") === (5 * 10.0 + 1000.0) / 6)
+    assert(!c.isNullAt(c.fieldIndex("z")))
+    // below minPoints: n_base = 2 < 5 -> null z, never anomalous
+    val short = (0 until 3).map(d => ("t", "s", d * day, d * 100.0))
+    val sgot = Anomaly.seasonalZScores(points(short),
+      periodMs = day, phaseMs = hour, threshold = 3.0, minPoints = 5)
+    assert(sgot.filter(col("z").isNotNull).count() === 0L)
+    assert(sgot.filter(col("is_anomaly")).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Anomaly.seasonalZScores(points(rows), periodMs = day, phaseMs = 7000L)
+    }
+  }
+
   test("streaming scorer equals the batch operator on an in-order feed") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

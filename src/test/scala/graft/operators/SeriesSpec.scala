@@ -116,6 +116,49 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("topSeries: per-tenant ranks, tie-break by name, stats, ascending") {
+    val rows = Seq(
+      ("a", "m1", 0L, 10.0), ("a", "m1", 1000L, 20.0),   // mean 15, max 20
+      ("a", "m2", 0L, 30.0),                             // mean 30
+      ("a", "m3", 0L, 15.0), ("a", "m3", 1000L, 15.0),   // mean 15: ties m1
+      ("b", "x", 0L, 1.0))
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> r.getString(1)).toMap
+    val top = ranks(Series.topSeries(pts(rows), k = 2))
+    assert(top === Map(("a", 1) -> "m2", ("a", 2) -> "m1", ("b", 1) -> "x"))
+    val bottom = ranks(Series.topSeries(pts(rows), k = 1, ascending = true))
+    assert(bottom === Map(("a", 1) -> "m1", ("b", 1) -> "x")) // 15 tie -> m1
+    val byCount = ranks(Series.topSeries(pts(rows), k = 1, stat = "count"))
+    assert(byCount(("a", 1)) === "m1") // 2 points, ties m3 -> name order
+    val byMax = Series.topSeries(pts(rows), k = 1, stat = "max")
+      .filter(col("tenant_id") === "a").collect().head
+    assert(byMax.getString(1) === "m2" && byMax.getDouble(2) === 30.0)
+    intercept[IllegalArgumentException] { Series.topSeries(pts(rows), 0) }
+    intercept[IllegalArgumentException] {
+      Series.topSeries(pts(rows), 1, stat = "median")
+    }
+  }
+
+  test("completenessReport: gap accounting at bucket granularity") {
+    val day = 86400000L
+    val rows = Seq(
+      // present days 0,1,4 of a 5-day span; two points on day 0 collapse
+      ("t", "gappy", 100L, 1.0), ("t", "gappy", 200L, 2.0),
+      ("t", "gappy", day + 1L, 3.0), ("t", "gappy", 4 * day + 5L, 4.0),
+      ("t", "solid", 0L, 1.0), ("t", "solid", day, 1.0),
+      ("t", "single", 7 * day + 3L, 9.0))
+    val got = Series.completenessReport(pts(rows), day).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))))
+      .toMap
+    assert(got("gappy") === ((0L, 4 * day, 5L, 3L, 2L, 0.6)))
+    assert(got("solid") === ((0L, day, 2L, 2L, 0L, 1.0)))
+    assert(got("single") === ((7 * day, 7 * day, 1L, 1L, 0L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Series.completenessReport(pts(rows), 0L)
+    }
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
