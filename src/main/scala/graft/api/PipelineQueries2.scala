@@ -560,9 +560,66 @@ object PipelineQueries2 {
       .orderBy("merge_rank")
   }
 
+  /** Multinomial Naive Bayes language ID, trained on the content-hash
+    * train split and applied to the held-out docs — model training AS a
+    * relational query ([[graft.operators.TextScoring.naiveBayes]]). The
+    * oracle restates train/score/smooth/argmax wholesale in SQL: per-token
+    * add-1 terms and the prior snap to DECIMAL(18,9) on both sides, so the
+    * exact decimal total makes the argmax (ties to smallest lang)
+    * hash-identical. */
+  private val textNbLang = QDef(
+    "q_text_nb_lang",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $wsSql AS ws,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+       |  FROM documents
+       |),
+       |tok AS (SELECT lang AS label, unnest(ws) AS word FROM base WHERE h < 'cc'),
+       |wc AS (SELECT label, word, COUNT(*) AS cnt_wk FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT label, COUNT(*) AS cnt_k FROM tok GROUP BY 1),
+       |pr AS (SELECT lang AS label, COUNT(*) AS n_docs
+       |       FROM base WHERE h < 'cc' GROUP BY 1),
+       |nt AS (SELECT SUM(n_docs) AS n_train FROM pr),
+       |vocab AS (SELECT DISTINCT word FROM tok),
+       |vs AS (SELECT COUNT(*) AS v_size FROM vocab),
+       |terms AS (
+       |  SELECT v.word, ct.label,
+       |         CAST(ln((COALESCE(wc.cnt_wk, 0) + 1) /
+       |                 (ct.cnt_k + vs.v_size)) AS DECIMAL(18,9)) AS term
+       |  FROM vocab v CROSS JOIN ct CROSS JOIN vs
+       |  LEFT JOIN wc ON wc.label = ct.label AND wc.word = v.word
+       |),
+       |prior AS (
+       |  SELECT label, CAST(ln(n_docs / nt.n_train) AS DECIMAL(18,9)) AS p
+       |  FROM pr CROSS JOIN nt
+       |),
+       |st AS (SELECT doc_id, unnest(ws) AS word FROM base WHERE h >= 'cc'),
+       |sums AS (
+       |  SELECT st.doc_id, t.label, COUNT(*) AS n_terms,
+       |         SUM(t.term) AS term_sum
+       |  FROM st JOIN terms t USING (word) GROUP BY 1, 2
+       |),
+       |fin AS (
+       |  SELECT s.doc_id, s.label, s.n_terms, s.term_sum + p.p AS total,
+       |         row_number() OVER (PARTITION BY s.doc_id
+       |           ORDER BY s.term_sum + p.p DESC, s.label) AS rn
+       |  FROM sums s JOIN prior p USING (label)
+       |)
+       |SELECT doc_id, label AS pred_lang, n_terms AS n_scored_tokens,
+       |       CAST(total AS DOUBLE) AS score
+       |FROM fin WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val split = Sampling.splitAssign(col("doc_id"), Seq("train" -> "cc"), "score")
+    graft.operators.TextScoring.naiveBayes(
+        docs.filter(split === "train"), docs.filter(split === "score"))
+      .withColumnRenamed("pred_label", "pred_lang")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, packSequences, shardAssign,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
-    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges)
+    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges,
+    textNbLang)
 }

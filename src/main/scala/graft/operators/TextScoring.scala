@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -22,6 +23,74 @@ import org.apache.spark.sql.types.DecimalType
   * DECIMAL(18,9) before the per-doc sum (the tfidf/unigram oracle-parity
   * convention: snapped terms sum exactly in any partition order). */
 object TextScoring {
+
+  /** Multinomial Naive Bayes language classifier, trained AND applied
+    * relationally — the classic lightweight quality/routing annotator of a
+    * curation pipeline (the fastText-style supervised labeler's exact
+    * precursor; McCallum & Nigam 1998). No model file, no UDF: the model IS
+    * three aggregate tables and scoring is one equi-join.
+    *
+    * Train on `train` (columns doc_id, text, plus the `labelCol` class):
+    * per-class token counts with add-1 smoothing over the train vocabulary,
+    * class priors from document counts. Score `score` (doc_id, text): each
+    * in-vocabulary token votes ln((c(w,k)+1)/(c(k)+V)) for every class k;
+    * out-of-vocabulary tokens are ignored (they shift every class equally
+    * under shared smoothing, so dropping them preserves the argmax and
+    * keeps the score table dense). Per-token terms and the prior snap to
+    * DECIMAL(18,9) before the exact decimal sum (the unigram-NLL
+    * oracle-parity convention — partition-order invariant), so the argmax
+    * is total: ties break toward the smallest class label.
+    *
+    * Output: (doc_id, pred_label, n_scored_tokens, score) — one row per
+    * scored doc with ≥1 in-vocabulary token (zero-token docs are absent,
+    * as in the NLL reports); `score` is the winning class's joint
+    * log-likelihood as a scalar double.
+    *
+    * Scale shape: the model tables aggregate map-side off one token pass
+    * over the train split; the dense (word × class) term table is V·K rows
+    * — K is single digits, so it stays joinable-by-AQE-broadcast far past
+    * 100 TB corpora (vocabulary grows ~log of corpus size). Scoring is one
+    * unhinted equi-join on word + one per-doc aggregation: the score split
+    * shuffles once. Never a per-class pass over the corpus. */
+  def naiveBayes(train: DataFrame, score: DataFrame,
+      labelCol: String = "lang"): DataFrame = {
+    val dec = DecimalType(18, 9)
+    val tokens = train.select(col(labelCol).as("label"),
+      explode(TF.words(col("text"))).as("word"))
+    val wc = tokens.groupBy("label", "word").agg(count(lit(1)).as("cnt_wk"))
+    val classTotals = tokens.groupBy("label")
+      .agg(count(lit(1)).as("cnt_k"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTrain = broadcast(priors.agg(sum("n_docs").as("n_train")))
+    val vocab = tokens.select("word").distinct()
+    val vSize = broadcast(vocab.agg(count(lit(1)).as("v_size")))
+    // dense V×K term table: absent (word, class) pairs still carry the
+    // smoothed floor ln(1/(c(k)+V)) — scoring then needs only ONE join
+    val terms = vocab.crossJoin(classTotals).crossJoin(vSize)
+      .join(wc, Seq("label", "word"), "left")
+      .select(col("word"), col("label"),
+        log((coalesce(col("cnt_wk"), lit(0L)) + lit(1)) /
+          (col("cnt_k") + col("v_size"))).cast(dec).as("term"))
+    val priorTerm = priors.crossJoin(nTrain)
+      .select(col("label"),
+        log(col("n_docs") / col("n_train")).cast(dec).as("prior"))
+    val scored = score
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .join(terms, "word")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("term_sum"))
+      .join(broadcast(priorTerm), "label")
+      .withColumn("total", col("term_sum") + col("prior"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("total").desc, col("label").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("n_terms").as("n_scored_tokens"),
+        col("total").cast("double").as("score"))
+  }
 
   /** Per-document interpolated bigram NLL: (doc_id, n_bigrams_scored,
     * nll_sum, nll_per_token). Docs with fewer than two tokens have no
