@@ -114,23 +114,32 @@ object Similarity {
       struct(dot(v, litVec(c)).as("s"), lit(i).as("c"))
     }: _*)
 
-  /** Distributed spherical-k-means training (Lloyd iterations). Centroids
-    * are the only driver-side state (nCells × dim doubles, broadcast back
-    * each iteration — the standard distributed k-means shape); assignment
-    * and mean updates are DataFrame ops. Init is the first nCells vectors
-    * by vec_id (deterministic). Train on a SAMPLE at scale — centroid
-    * quality converges long before the full corpus is seen; assignment of
-    * the full corpus happens once, in [[writeIvfIndex]]. */
-  def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16,
-      iterations: Int = 3): Array[Array[Double]] = {
+  /** cell-scored struct array under MIN-L2 assignment: argmin ‖v − c‖²
+    * restated as argmax dot(v, c) − ‖c‖²/2 (the ‖v‖² term is
+    * per-row-constant, so it cannot move the argmax). */
+  private def cellStructsL2(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct((dot(v, litVec(c)) - lit(0.5 * c.map(x => x * x).sum)).as("s"),
+        lit(i).as("c"))
+    }: _*)
+
+  /** Shared distributed Lloyd loop: `l2 = false` assigns by max dot
+    * (spherical, the IVF metric), `l2 = true` by min L2 (the PQ
+    * reconstruction metric). Mean update and deterministic first-k init
+    * are common. */
+  private def lloyd(corpus: DataFrame, k: Int, iterations: Int,
+      l2: Boolean): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
-      .orderBy("vec_id").limit(nCells)
+      .orderBy("vec_id").limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     for (_ <- 1 to iterations) {
+      val structs =
+        if (l2) cellStructsL2(col("embedding"), centroids)
+        else cellStructs(col("embedding"), centroids)
       val assigned = corpus.withColumn("cell",
-        array_max(cellStructs(col("embedding"), centroids)).getField("c"))
+        array_max(structs).getField("c"))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
@@ -145,6 +154,17 @@ object Similarity {
     }
     centroids
   }
+
+  /** Distributed spherical-k-means training (Lloyd iterations). Centroids
+    * are the only driver-side state (nCells × dim doubles, broadcast back
+    * each iteration — the standard distributed k-means shape); assignment
+    * and mean updates are DataFrame ops. Init is the first nCells vectors
+    * by vec_id (deterministic). Train on a SAMPLE at scale — centroid
+    * quality converges long before the full corpus is seen; assignment of
+    * the full corpus happens once, in [[writeIvfIndex]]. */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16,
+      iterations: Int = 3): Array[Array[Double]] =
+    lloyd(corpus, nCells, iterations, l2 = false)
 
   /** Diversity-aware subsample: a UNIFORM per-cell quota over IVF cells —
     * the embedding-space stratified draw training pipelines use to keep
@@ -413,4 +433,226 @@ object Similarity {
       case None =>
         embeddingNearDupsBlocked(corpus, threshold, blocks)
     }
+
+  /** SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means the
+    * embeddings into `nCells` clusters, then compare pairs ONLY within a
+    * cluster — semantic near-dups land in the same cell with overwhelming
+    * probability, so the n² comparison mass drops to Σ|cell|² ≈ n²/nCells
+    * while staying exact-cosine-verified on everything it does compare.
+    * Next to [[embeddingNearDups]] this trades the banded path's per-pair
+    * recall GUARANTEE for a fixed compute budget that holds at ANY
+    * threshold (sign-LSH cannot prune below t ≈ 0.8 — see that scaladoc;
+    * cells prune at every t). The paper's own recall argument applies:
+    * duplicates are near-identical vectors, and near-identical vectors
+    * share an argmax cell unless they straddle a Voronoi boundary.
+    *
+    * Same deterministic training as the IVF path ([[trainIvfCentroids]] —
+    * init by vec_id, fixed iterations), so output is reproducible and
+    * layout-invariant. Within-cell pairing reuses the block-partitioned
+    * exact join restricted per cell: the join key is (cell, block-pair),
+    * so one hot cell shards across `blocks`² tasks instead of serializing
+    * on a single executor. Returns (vec_id_1, vec_id_2, cos ≥ threshold),
+    * id-ordered. */
+  def semanticNearDups(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      iterations: Int = 3, blocks: Int = 4): DataFrame =
+    semanticNearDupsWithCentroids(corpus,
+      trainIvfCentroids(corpus, nCells, iterations), threshold, blocks)
+
+  /** [[semanticNearDups]] under caller-supplied centroids — the shared core
+    * that lets [[semDedupDecisions]] train once for both the pair pass and
+    * the centroid-cosine goodness pass. */
+  def semanticNearDupsWithCentroids(corpus: DataFrame,
+      cents: Array[Array[Double]], threshold: Double,
+      blocks: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = assignCells(corpus, cents)
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val blockPairs = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      .toDF("b1", "b2")
+    val left = e.join(broadcast(blockPairs), col("blk") === col("b1"))
+      .select(col("cell"), col("b1"), col("b2"), col("vec_id").as("vec_id_1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+    val right = e.join(broadcast(blockPairs), col("blk") === col("b2"))
+      .select(col("cell"), col("b1"), col("b2"), col("vec_id").as("vec_id_2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+    left.join(right, Seq("cell", "b1", "b2"))
+      .filter(col("b1") =!= col("b2") || col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cos", cosineSnappedPre(col("e1"), col("e2"), col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_id_1"), col("vec_id_2")).as("vec_id_1"),
+        greatest(col("vec_id_1"), col("vec_id_2")).as("vec_id_2"), col("cos"))
+  }
+
+  /** Full SemDeDup keep/drop decisions: [[semanticNearDups]] pairs →
+    * transitive closure ([[Dedup.connectedComponents]]) → keep ONE member
+    * per duplicate group — the paper's §3 policy: retain the example with
+    * the LOWEST cosine to its cluster centroid (the least prototypical
+    * copy preserves the most diversity), restated as
+    * [[Dedup.keepBestPerCluster]] with goodness = −centroid_cos (ties to
+    * lowest vec_id). Returns (vec_id, cluster_id, keep) over the whole
+    * corpus — singletons keep themselves.
+    *
+    * The centroid cosine is a free byproduct of assignment (the argmax
+    * dot, normalized), so the decision pass adds one aggregate + one
+    * broadcast-scale join over the pair-participant subgraph — the corpus
+    * itself is touched exactly twice (train sample + assignment). */
+  def semDedupDecisions(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      iterations: Int = 3, blocks: Int = 4): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCells, iterations)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val scored = corpus
+      .withColumn("best", array_max(cellStructs(col("embedding"), cents)))
+      .select(col("vec_id").as("doc_id"),
+        (col("best.s") / (norm(col("embedding")) *
+          element_at(litVec(centNorms), col("best.c") + 1)))
+          .as("centroid_cos"))
+    val pairs = semanticNearDupsWithCentroids(corpus, cents, threshold, blocks)
+      .select(col("vec_id_1").as("doc_id_1"), col("vec_id_2").as("doc_id_2"))
+    val clusters = Dedup.connectedComponents(
+      pairs, corpus.select(col("vec_id").as("doc_id")))
+    Dedup.keepBestPerCluster(
+        clusters.join(scored, "doc_id"), -col("centroid_cos"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+  }
+
+  // ---- Product quantization (Jégou et al. 2011) ---------------------------
+
+  /** Per-subspace PQ codebooks: the embedding splits into `m` contiguous
+    * dsub = dim/m subvectors; each subspace gets its own `ksub`-codeword
+    * min-L2 k-means (the reconstruction metric — spherical assignment
+    * would bias toward large-norm codewords). Returns [m][ksub][dsub].
+    * Deterministic (first-ksub init per subspace); train on a SAMPLE at
+    * 100 TB, exactly like [[trainIvfCentroids]]. */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+      ksub: Int = 16, iterations: Int = 3): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      lloyd(corpus.select(col("vec_id"),
+          slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+        ksub, iterations, l2 = true)
+    }.toArray
+  }
+
+  private def pqCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def pqExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** Vector → m codeword indices under `cb` ([[graft.functions.PqEncode]]). */
+  def pqEncode(v: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val (m, ksub, dsub) = (cb.length, cb(0).length, cb(0)(0).length)
+    pqCol(graft.functions.PqEncode(pqExpr(v), cb.flatten.flatten,
+      cb.flatten.map(cw => 0.5 * cw.map(x => x * x).sum), m, ksub, dsub))
+  }
+
+  /** Query → flattened m·ksub ADC lookup table ([[graft.functions.PqLut]]). */
+  def pqLut(v: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val (m, ksub, dsub) = (cb.length, cb(0).length, cb(0)(0).length)
+    pqCol(graft.functions.PqLut(pqExpr(v), cb.flatten.flatten, m, ksub, dsub))
+  }
+
+  /** PQ-compressed ANN: encode the corpus once (dim floats → m codes —
+    * 64-dim float32 at m=8 is a 32× scan-payload reduction), score every
+    * (row, query) with the m-lookup ADC kernel ([[graft.functions.PqAdc]]),
+    * keep the top rerank·k approximate candidates per query, then
+    * exact-rerank ONLY that shortlist against the true embeddings. The
+    * decisive 100 TB property: the corpus-wide stage touches codes+norm
+    * only — full vectors are fetched for |queries|·rerank·k rows, never
+    * scanned. Approximate ranking snaps to DECIMAL(18,9) with vec_id
+    * tie-break (deterministic shortlist); output is the shared ANN
+    * contract (query_id, rank, vec_id, cos), so [[knnClassify]] and the
+    * recall specs compose unchanged. */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int, rerank: Int = 4): DataFrame =
+    pqScan(corpus
+        .select(col("vec_id"), pqEncode(col("embedding"), cb).as("codes"),
+          norm(col("embedding")).as("nrm")),
+      corpus, queries, cb, k, rerank)
+
+  /** Shared ADC-scan + exact-rerank core: `enc` is the compressed
+    * (vec_id, codes, nrm) relation — inline-encoded or read from a
+    * persisted index; `corpus` supplies true embeddings for the shortlist
+    * rerank only. */
+  private def pqScan(enc: DataFrame, corpus: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
+    val q = queries
+      .select(col("query_id"), pqLut(col("query_vec"), cb).as("lut"),
+        norm(col("query_vec")).as("qnrm"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        (pqCol(graft.functions.PqAdc(pqExpr(col("codes")), pqExpr(col("lut")))) /
+          (col("qnrm") * col("nrm")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerank)
+      .select("query_id", "vec_id")
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("query_vec"),
+        norm(col("query_vec")).as("qnrm"))), "query_id")
+      .withColumn("cos", cosineSnappedPre(
+        col("query_vec"), col("embedding"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Train + encode + scan in one call — the inline query shape (mirror of
+    * [[ivfTopK]]). At scale, persist with [[writePqIndex]] and serve with
+    * [[pqTopKFromIndex]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+      iterations: Int = 3): DataFrame =
+    pqTopKWithCodebooks(corpus, queries,
+      trainPqCodebooks(corpus, dim, m, ksub, iterations), k, rerank)
+
+  /** Persist the PQ index: `path/codebooks` = the m·ksub codewords,
+    * `path/codes` = (vec_id, codes, nrm) — the compressed corpus the ADC
+    * scan reads INSTEAD of the embeddings table (the artifact is ~m·4 B +
+    * 8 B per vector vs dim·4 B raw). Codebook training on a
+    * `trainFraction` sample, full-corpus encoding exactly once — the
+    * [[writeIvfIndex]] lifecycle. */
+  def writePqIndex(corpus: DataFrame, path: String, dim: Int = 64, m: Int = 8,
+      ksub: Int = 16, iterations: Int = 3, trainFraction: Double = 1.0,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed)
+    val cb = trainPqCodebooks(trainSet, dim, m, ksub, iterations)
+    cb.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus
+      .select(col("vec_id"), pqEncode(col("embedding"), cb).as("codes"),
+        norm(col("embedding")).as("nrm"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve PQ ANN from a persisted index: codebooks load driver-side
+    * (m·ksub·dsub doubles — tiny), the corpus-wide stage scans the
+    * compressed `codes` artifact, and `corpus` (the raw embeddings) is
+    * touched only by the rerank join on the shortlist. Identical output
+    * to [[pqTopKWithCodebooks]] under the same codebooks. */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
+      .toArray
+    pqScan(spark.read.parquet(s"$path/codes"), corpus, queries, cb, k, rerank)
+  }
 }
