@@ -136,5 +136,124 @@ object SeriesQueries {
     }
   }
 
-  val defs: Seq[QDef] = Seq(topk, gaps, seasonal)
+  /** Trailing 10-minute moving stats per series ([[Series.movingStats]],
+    * Graphite's movingAverage-over-time family): one fused range-frame
+    * window, exact-DECIMAL mean, restated verbatim in DuckDB (identical
+    * frame and peer semantics). Scoped to one tenant's counters — the
+    * dashboard shape (smooth the series you're looking at, not the
+    * corpus). */
+  private val movingAvg = {
+    val wMs = 600000L
+    QDef(
+      "q_series_moving_avg",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name, ts_ms, value,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+         |         / COUNT(*) OVER w AS mavg,
+         |       MAX(value) OVER w AS mmax,
+         |       MIN(value) OVER w AS mmin
+         |FROM metrics
+         |WHERE tenant_id = 'purchase'
+         |WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |             RANGE BETWEEN $wMs PRECEDING AND CURRENT ROW)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+      Series.movingStats(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), wMs)
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
+  /** Cross-series aggregation under a glob ([[Series.aggregateSeries]],
+    * Graphite's sumSeries/averageSeries): all purchase-app series collapse
+    * into one synthetic hourly mean series. The glob `app.purchase.*`
+    * restates as a LIKE prefix in DuckDB; exact-DECIMAL mean. */
+  private val seriesAgg = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_agg",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, 'agg.mean.app.purchase.*' AS metric_name,
+         |       CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+         |         AS value,
+         |       COUNT(DISTINCT metric_name) AS n_series
+         |FROM metrics
+         |WHERE metric_name LIKE 'app.purchase.%'
+         |GROUP BY 1, 3
+         |ORDER BY tenant_id, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.aggregateSeries(Tables.metrics(s, dir), "app.purchase.*",
+          "mean", bMs)
+        .orderBy("tenant_id", "bucket_ms")
+    }
+  }
+
+  /** Incident annotation — the bucketed time-range join
+    * ([[graft.operators.TimeJoin.within]]): every purchase-series anomaly
+    * (the q_metric_anomaly scan) pairs with the error events that fired
+    * within ±1 h of it, cross-tenant. The oracle restates the z-scan
+    * verbatim and the range join as a BETWEEN predicate — same pairs, so
+    * the bucketed equi-join rewrite is hash-proven against the naive
+    * form. */
+  private val anomalyEvents = {
+    val winMs = 7L * 86400000L
+    val th = 2.5
+    val minP = 5
+    val wMs = 3600000L
+    QDef(
+      "q_anomaly_events",
+      s"""WITH ${OracleViews.metricsCte},
+         |z AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |               RANGE BETWEEN $winMs PRECEDING AND 1 PRECEDING)
+         |),
+         |sc AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, n_win,
+         |         s / n_win AS mean_win,
+         |         sqrt(greatest(q / n_win - (s / n_win) * (s / n_win), 0)) AS std_win
+         |  FROM z WHERE n_win >= $minP
+         |),
+         |a AS (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         (value - mean_win) / std_win AS z
+         |  FROM sc
+         |  WHERE std_win > 0 AND abs(value - mean_win) > $th * std_win
+         |),
+         |e AS (
+         |  SELECT metric_name AS event_name, ts_ms AS event_ts,
+         |         value AS event_value
+         |  FROM metrics WHERE tenant_id = 'error'
+         |)
+         |SELECT a.tenant_id, a.metric_name, a.ts_ms, a.z,
+         |       e.event_name, e.event_ts, e.event_value,
+         |       e.event_ts - a.ts_ms AS dt_ms
+         |FROM a JOIN e
+         |  ON e.event_ts BETWEEN a.ts_ms - $wMs AND a.ts_ms + $wMs
+         |ORDER BY tenant_id, metric_name, ts_ms, z, event_name, event_ts,
+         |         event_value""".stripMargin) { (s, dir) =>
+      val anoms = Anomaly.rollingZScores(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+          windowMs = winMs, threshold = th, minPoints = minP)
+        .filter(col("is_anomaly"))
+        .select(col("tenant_id"), col("metric_name"), col("ts_ms"), col("z"))
+      val events = Tables.metrics(s, dir)
+        .filter(col("tenant_id") === "error")
+        .select(col("metric_name").as("event_name"),
+          col("ts_ms").as("event_ts"), col("value").as("event_value"))
+      graft.operators.TimeJoin.within(anoms, "ts_ms", events, "event_ts", wMs)
+        .withColumn("dt_ms", col("event_ts") - col("ts_ms"))
+        .select("tenant_id", "metric_name", "ts_ms", "z", "event_name",
+          "event_ts", "event_value", "dt_ms")
+        .orderBy("tenant_id", "metric_name", "ts_ms", "z", "event_name",
+          "event_ts", "event_value")
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
+    anomalyEvents)
 }

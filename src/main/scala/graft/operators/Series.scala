@@ -142,6 +142,73 @@ object Series {
       .filter(col("rk") <= k)
   }
 
+  /** Cross-SERIES aggregation under a metric glob — Graphite's
+    * `sumSeries`/`averageSeries`/`maxSeries` combinators (one synthetic
+    * series from many): series matching `glob` within a tenant collapse
+    * per `bucketMs` time bucket into a single output series named
+    * `agg.<stat>.<glob>`. Bucketing (rather than exact-ts alignment)
+    * is what makes the combinator meaningful over real, slightly-skewed
+    * ingest timelines; `n_series` reports how many distinct series fed
+    * each bucket, so a dashboard can flag partial coverage.
+    *
+    * mean/sum accumulate in exact DECIMAL(28,2) and finish as scalar
+    * double (the rollup recipe, partition-order invariant).
+    *
+    * Scale shape: the glob prunes at the scan (a `rlike` on the name —
+    * with a stored metric catalog the name set resolves first and
+    * semi-joins in, [[graft.operators.Discovery]]'s shape), then ONE
+    * map-side-combining aggregation; never a per-series pass. */
+  def aggregateSeries(points: DataFrame, glob: String, stat: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val dec = DecimalType(28, 2)
+    val statCol = stat match {
+      case "mean" => sum(col("value").cast(dec)).cast("double") / count(lit(1))
+      case "sum" => sum(col("value").cast(dec)).cast("double")
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case other => throw new IllegalArgumentException(
+        s"stat must be one of mean|sum|max|min, got '$other'")
+    }
+    points
+      .filter(col("metric_name")
+        .rlike(graft.core.GlobPattern.toAnchoredRegex(glob)))
+      .groupBy(col("tenant_id"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg(statCol.as("value"),
+        count_distinct(col("metric_name")).as("n_series"))
+      .withColumn("metric_name", lit(s"agg.$stat.$glob"))
+      .select("tenant_id", "metric_name", "bucket_ms", "value", "n_series")
+  }
+
+  /** Per-point trailing moving statistics over a TIME window — Graphite's
+    * `movingAverage(series, 'NNs')` / `movingMax` / `movingMin` family,
+    * engine-side and fused: mean (exact-DECIMAL sum / count, the rollup
+    * recipe), max, min, and the window population in ONE range-frame
+    * Window node per series. The range frame is [ts − windowMs, ts]
+    * inclusive of the current point; duplicate-timestamp peers are all in
+    * frame (SQL range-frame peer semantics — identical in the oracle), so
+    * output needs no tie-break to be deterministic.
+    *
+    * Scale shape: series smooth independently and in parallel (partition
+    * by locator, no cross-series shuffle — the [[derivatives]] /
+    * [[Anomaly.rollingZScores]] contract), and all four stats share one
+    * sort, one frame scan. Runs equally over raw points or a rollup tier
+    * (`value` is whatever stat the tier serves). */
+  def movingStats(points: DataFrame, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val w = Window.partitionBy("tenant_id", "metric_name")
+      .orderBy(col("ts_ms")).rangeBetween(-windowMs, 0)
+    points.select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+      col("value"),
+      count(lit(1)).over(w).as("n_window"),
+      (sum(col("value").cast(DecimalType(28, 2))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("mavg"),
+      max(col("value")).over(w).as("mmax"),
+      min(col("value")).over(w).as("mmin"))
+  }
+
   /** Per-series completeness report over `bucketMs` buckets — which series
     * have holes, and how big: for each series, the populated-bucket count
     * vs the bucket span between its first and last point. The engine-side
