@@ -188,6 +188,89 @@ object SeriesQueries {
     }
   }
 
+  /** Week-over-week self-comparison at daily buckets
+    * ([[Series.timeShiftCompare]], Graphite's timeShift + delta panel):
+    * the shifted lookup restates as the same point-pinned RANGE frame in
+    * DuckDB; delta/ratio are scalar-double over identical inputs. */
+  private val timeshift = {
+    val bMs = 86400000L
+    val shiftMs = 7L * 86400000L
+    QDef(
+      "q_series_timeshift",
+      s"""WITH ${OracleViews.metricsCte},
+         |b AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+         |           AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |s AS (
+         |  SELECT tenant_id, metric_name, bucket_ms, value,
+         |         MAX(value) OVER (PARTITION BY tenant_id, metric_name
+         |           ORDER BY bucket_ms RANGE BETWEEN $shiftMs PRECEDING
+         |           AND $shiftMs PRECEDING) AS shifted_value
+         |  FROM b
+         |)
+         |SELECT tenant_id, metric_name, bucket_ms, value, shifted_value,
+         |       value - shifted_value AS delta,
+         |       CASE WHEN shifted_value <> 0 THEN value / shifted_value END
+         |         AS ratio
+         |FROM s
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.timeShiftCompare(Tables.metrics(s, dir), bMs, shiftMs, "mean")
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
+  /** Per-series running total ([[Series.integral]], Graphite's integral):
+    * the exact-DECIMAL running-sum frame restated verbatim in DuckDB.
+    * Scoped to one tenant — the dashboard shape. */
+  private val integral = QDef(
+    "q_series_integral",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ts_ms, value,
+       |       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+       |         PARTITION BY tenant_id, metric_name
+       |         ORDER BY ts_ms, value
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         AS cumsum
+       |FROM metrics
+       |WHERE tenant_id = 'purchase'
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+    Series.integral(Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"))
+      .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
+  /** Cross-series p90 under a glob at daily buckets
+    * ([[Series.quantileOfSeries]], Graphite's percentileOfSeries): exact
+    * interpolated percentile over per-series bucket means, snapped to
+    * DECIMAL(18,6) on both sides (quantile_cont ≡ Spark percentile). */
+  private val quantile = {
+    val bMs = 86400000L
+    QDef(
+      "q_series_quantile",
+      s"""WITH ${OracleViews.metricsCte},
+         |b AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+         |           AS v
+         |  FROM metrics
+         |  WHERE metric_name LIKE 'app.%.%'
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT tenant_id, 'quantile.0.9.app.*.*' AS metric_name, bucket_ms,
+         |       CAST(CAST(quantile_cont(v, 0.9) AS DECIMAL(18,6)) AS DOUBLE)
+         |         AS qvalue,
+         |       CAST(COUNT(*) AS BIGINT) AS n_series
+         |FROM b GROUP BY 1, 3
+         |ORDER BY tenant_id, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.quantileOfSeries(Tables.metrics(s, dir), "app.*.*", 0.9, bMs)
+        .orderBy("tenant_id", "bucket_ms")
+    }
+  }
+
   /** Incident annotation — the bucketed time-range join
     * ([[graft.operators.TimeJoin.within]]): every purchase-series anomaly
     * (the q_metric_anomaly scan) pairs with the error events that fired
@@ -255,5 +338,5 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents)
+    anomalyEvents, timeshift, integral, quantile)
 }

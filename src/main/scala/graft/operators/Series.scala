@@ -209,6 +209,113 @@ object Series {
       min(col("value")).over(w).as("mmin"))
   }
 
+  /** Fixed-offset self-comparison — Graphite's `timeShift` composed with a
+    * delta/ratio panel (the week-over-week dashboard): each series'
+    * `bucketMs`-bucket statistic is compared against its own value
+    * `shiftMs` earlier. Output per bucket: value, shifted_value (null when
+    * the shifted bucket has no data), delta = value − shifted_value, ratio
+    * = value / shifted_value (null on missing or zero base).
+    *
+    * The shifted lookup is NOT a self-join: a range-frame window pinned to
+    * exactly [ts − shiftMs, ts − shiftMs] reads the one bucket at the
+    * offset (bucket starts are unique per series after the aggregation, so
+    * `max` over the frame is a point lookup). The window partitions by the
+    * same keys as the bucket aggregation, so Catalyst reuses the exchange —
+    * the whole comparison costs ONE shuffle + a per-series sort, where the
+    * naive self-join would shuffle the bucket table twice more.
+    *
+    * mean/sum accumulate in exact DECIMAL(28,2) and finish as scalar
+    * double (the rollup recipe, partition-order invariant). */
+  def timeShiftCompare(points: DataFrame, bucketMs: Long, shiftMs: Long,
+      stat: String = "mean"): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(shiftMs > 0 && shiftMs % bucketMs == 0,
+      s"shiftMs must be a positive multiple of bucketMs, got $shiftMs")
+    val dec = DecimalType(28, 2)
+    val statCol = stat match {
+      case "mean" => sum(col("value").cast(dec)).cast("double") / count(lit(1))
+      case "sum" => sum(col("value").cast(dec)).cast("double")
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case other => throw new IllegalArgumentException(
+        s"stat must be one of mean|sum|max|min, got '$other'")
+    }
+    val w = Window.partitionBy("tenant_id", "metric_name")
+      .orderBy(col("bucket_ms")).rangeBetween(-shiftMs, -shiftMs)
+    points
+      .groupBy(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg(statCol.as("value"))
+      .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
+        col("value"), max(col("value")).over(w).as("shifted_value"))
+      .withColumn("delta", col("value") - col("shifted_value"))
+      .withColumn("ratio",
+        when(col("shifted_value") =!= 0, col("value") / col("shifted_value")))
+  }
+
+  /** Per-series running total — Graphite's `integral()`: the cumulative
+    * sum of each series' values in time order (turning a rate series back
+    * into a counter, plotting cumulative spend, etc.).
+    *
+    * The accumulator is an exact DECIMAL(28,2) running sum finished as
+    * scalar double, so the prefix at every row is independent of both
+    * partition layout AND the tie order among equal-(ts, value) rows
+    * (exact addition commutes; a double running sum would not). Ordering
+    * ties on ts_ms break by value for a total, layout-invariant frame.
+    *
+    * Scale shape: one window per series (partition by locator) — series
+    * accumulate independently and in parallel, no cross-series shuffle;
+    * the running-sum frame is a single forward scan per series. */
+  def integral(points: DataFrame): DataFrame = {
+    val w = Window.partitionBy("tenant_id", "metric_name")
+      .orderBy(col("ts_ms"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+      col("value"),
+      sum(col("value").cast(DecimalType(28, 2))).over(w).cast("double")
+        .as("cumsum"))
+  }
+
+  /** Cross-series quantile under a metric glob — Graphite's
+    * `percentileOfSeries`: per time bucket, the p-th percentile across the
+    * per-series bucket means of every series matching `glob` (the "p95 of
+    * all API servers" panel). Output: one synthetic series
+    * `quantile.<p>.<glob>` with per-bucket qvalue and the contributing
+    * series count.
+    *
+    * Exact linear-interpolation percentile, snapped to DECIMAL(18,6) on
+    * both engine and oracle sides (the [[QDef]] percentile-parity rule).
+    * Per-series means use the exact-DECIMAL recipe first, so the
+    * percentile's input multiset is bit-identical regardless of layout.
+    *
+    * Scale shape: the glob prunes at the scan; two map-side-combining
+    * aggregations (series-bucket means, then per-bucket percentile). The
+    * percentile group fan-in is the matching-series count — bounded by the
+    * glob, not the corpus; for a glob matching millions of series swap
+    * `percentile` for `approx_percentile` (same shape, sketch merge). */
+  def quantileOfSeries(points: DataFrame, glob: String, p: Double,
+      bucketMs: Long): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0, 1], got $p")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val dec = DecimalType(28, 2)
+    points
+      .filter(col("metric_name")
+        .rlike(graft.core.GlobPattern.toAnchoredRegex(glob)))
+      .groupBy(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg((sum(col("value").cast(dec)).cast("double") / count(lit(1)))
+        .as("v"))
+      .groupBy(col("tenant_id"), col("bucket_ms"))
+      .agg(
+        percentile(col("v"), lit(p)).cast(DecimalType(18, 6)).cast("double")
+          .as("qvalue"),
+        count(lit(1)).as("n_series"))
+      .withColumn("metric_name", lit(s"quantile.$p.$glob"))
+      .select("tenant_id", "metric_name", "bucket_ms", "qvalue", "n_series")
+  }
+
   /** Per-series completeness report over `bucketMs` buckets — which series
     * have holes, and how big: for each series, the populated-bucket count
     * vs the bucket span between its first and last point. The engine-side

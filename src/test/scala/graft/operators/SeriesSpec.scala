@@ -159,6 +159,67 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("timeShiftCompare: point lookup at the shift offset; missing and " +
+    "zero bases null; arg guards") {
+    val b = 1000L
+    val rows = Seq(
+      // buckets 0,1,3 present; bucket 3 compares to bucket 1 (shift 2)
+      ("t", "m", 0L, 4.0), ("t", "m", 10L, 6.0), // bucket 0 mean 5
+      ("t", "m", b + 1L, 10.0),                  // bucket 1
+      ("t", "m", 3 * b + 2L, 25.0),              // bucket 3
+      ("t", "z", 0L, 0.0), ("t", "z", 2 * b, 7.0)) // zero base -> null ratio
+    val got = Series.timeShiftCompare(pts(rows), b, 2 * b).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> ((
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))))
+      .toMap
+    assert(got(("m", 0L)) === ((null, null, null)))      // nothing 2 back
+    assert(got(("m", b)) === ((null, null, null)))
+    assert(got(("m", 3 * b)) === ((10.0, 15.0, 2.5)))    // vs bucket 1
+    assert(got(("z", 2 * b)) === ((0.0, 7.0, null)))     // base 0: no ratio
+    intercept[IllegalArgumentException] {
+      Series.timeShiftCompare(pts(rows), b, b + 1) // not a multiple
+    }
+    intercept[IllegalArgumentException] {
+      Series.timeShiftCompare(pts(rows), b, 2 * b, stat = "median")
+    }
+  }
+
+  test("integral: per-series exact running sum, ties commute, " +
+    "series independent") {
+    val rows = Seq(
+      ("t", "a", 0L, 1.5), ("t", "a", 1000L, 2.5), ("t", "a", 2000L, -1.0),
+      ("t", "a", 3000L, 3.0), ("t", "a", 3000L, 3.0), // duplicate row
+      ("t", "b", 0L, 100.0))
+    val got = Series.integral(pts(rows)).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sorted.toSeq }
+    assert(got("a") === Seq(1.5, 4.0, 3.0, 6.0, 9.0).sorted)
+    assert(got("b") === Seq(100.0))
+  }
+
+  test("quantileOfSeries: interpolated percentile across per-series bucket " +
+    "means; glob prunes; n_series counts") {
+    val b = 1000L
+    val rows = Seq(
+      // four matching series in bucket 0 with means 1,2,3,4 -> p50 = 2.5
+      ("t", "app.x.1", 0L, 1.0),
+      ("t", "app.x.2", 0L, 2.0),
+      ("t", "app.x.3", 100L, 2.0), ("t", "app.x.3", 200L, 4.0), // mean 3
+      ("t", "app.x.4", 0L, 4.0),
+      ("t", "other.y", 0L, 1000.0)) // pruned by the glob
+    val got = Series.quantileOfSeries(pts(rows), "app.*", 0.5, b).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(1) === "quantile.0.5.app.*")
+    assert(r.getDouble(3) === 2.5)
+    assert(r.getLong(4) === 4L)
+    intercept[IllegalArgumentException] {
+      Series.quantileOfSeries(pts(rows), "app.*", 1.5, b)
+    }
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
