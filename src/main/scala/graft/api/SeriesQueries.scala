@@ -271,6 +271,69 @@ object SeriesQueries {
     }
   }
 
+  /** EWMA forecast bands over per-tenant hourly sums
+    * ([[Anomaly.ewmaBands]], the holtWinters-family aberration detector):
+    * the inherently SEQUENTIAL recurrence runs in the codegen
+    * [[graft.functions.EwmaScan]] on the engine side and as a recursive
+    * CTE on the oracle side — one iteration per time rank, all series in
+    * lockstep. Both engines fold the identical doubles in the identical
+    * order (α and β = 1 − α are interpolated from the same Scala doubles),
+    * so every smoothed level, deviation, and band double hashes equal with
+    * no snapping. Input = hourly per-tenant sums (the q_seasonal_anomaly
+    * shape: score a rollup, not raw points). */
+  private val ewma = {
+    val hourMs = 3600000L
+    val alpha = 0.3
+    val beta = 1.0 - alpha // the same double EwmaScan derives from alpha
+    val k = 3.0
+    val minP = 24
+    QDef(
+      "q_series_ewma",
+      s"""WITH RECURSIVE ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT tenant_id, 'tenant.' || tenant_id AS metric_name,
+         |         CAST(ts_ms - ts_ms % $hourMs AS BIGINT) AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |p AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY tenant_id,
+         |    metric_name ORDER BY ts_ms) AS INT) AS rn FROM h
+         |),
+         |rec AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, rn,
+         |         value AS s, CAST(0.0 AS DOUBLE) AS d,
+         |         CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS dp
+         |  FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.tenant_id, p.metric_name, p.ts_ms, p.value, p.rn,
+         |         $alpha * p.value + $beta * r.s,
+         |         $alpha * abs(p.value - r.s) + $beta * r.d,
+         |         r.s, r.d
+         |  FROM p JOIN rec r ON p.tenant_id = r.tenant_id
+         |    AND p.metric_name = r.metric_name AND p.rn = r.rn + 1
+         |)
+         |SELECT tenant_id, metric_name, rn, ts_ms, value,
+         |       s AS ewma, d AS dev, sp AS s_prev, dp AS d_prev,
+         |       sp + $k * dp AS upper, sp - $k * dp AS lower,
+         |       COALESCE(rn > $minP AND dp > 0
+         |         AND abs(value - sp) > $k * dp, FALSE) AS is_aberrant
+         |FROM rec
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
+      val hourly = Tables.metrics(s, dir)
+        .groupBy(col("tenant_id"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(hourMs))).cast("long")
+            .as("ts_ms"))
+        .agg(sum(col("value").cast(DecimalType(28, 2))).cast("double")
+          .as("value"))
+        .withColumn("metric_name", concat(lit("tenant."), col("tenant_id")))
+      Anomaly.ewmaBands(hourly, alpha, k, minP)
+        .select("tenant_id", "metric_name", "rn", "ts_ms", "value",
+          "ewma", "dev", "s_prev", "d_prev", "upper", "lower", "is_aberrant")
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
   /** Incident annotation — the bucketed time-range join
     * ([[graft.operators.TimeJoin.within]]): every purchase-series anomaly
     * (the q_metric_anomaly scan) pairs with the error events that fired
@@ -338,5 +401,5 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents, timeshift, integral, quantile)
+    anomalyEvents, timeshift, integral, quantile, ewma)
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Runtime helper for [[EwmaScan]] — a plain static method so generated Java
+  * calls it directly (the [[TextExprUtil]] pattern; the loop itself JIT
+  * compiles, and eval ≡ codegen by construction). */
+object SeriesExprUtil {
+
+  /** Exponentially-weighted scan over a time-sorted series:
+    *
+    *   s_0 = x_0,               d_0 = 0
+    *   s_t = α·x_t + β·s_{t−1}, d_t = α·|x_t − s_{t−1}| + β·d_{t−1}
+    *
+    * (β = 1 − α precomputed by the caller so both engines share the exact
+    * double). Emits per element the POST-update state (s, d) and the
+    * PRE-update state (sp, dp — null at t=0): the forecast a point is
+    * judged against must not include the point itself.
+    *
+    * `arr` is ARRAY<STRUCT<...>>; the value sits at `valueIdx` of each
+    * `nFields`-wide struct. A null element or null value yields a null
+    * result (the [[VectorExprs.DotProduct]] contract — never invent a
+    * number where the input was incomplete). */
+  def ewmaScan(arr: ArrayData, alpha: Double, beta: Double, nFields: Int,
+      valueIdx: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var s = 0.0
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val e = arr.getStruct(i, nFields)
+      if (e.isNullAt(valueIdx)) return null
+      val x = e.getDouble(valueIdx)
+      if (i == 0) {
+        s = x
+        d = 0.0
+        out(i) = new GenericInternalRow(Array[Any](s, d, null, null))
+      } else {
+        val sp = s
+        val dp = d
+        s = alpha * x + beta * sp
+        d = alpha * math.abs(x - sp) + beta * dp
+        out(i) = new GenericInternalRow(Array[Any](s, d, sp, dp))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sequential EWMA state scan over one series' collected points, as a single
+  * codegen'd expression — the kernel of [[graft.operators.Anomaly.ewmaBands]]
+  * (Graphite's holtWintersForecast/holtWintersAberration family, single
+  * exponential smoothing + EWMA absolute deviation).
+  *
+  * Exists because the recurrence s_t = α·x_t + β·s_{t−1} is inherently
+  * sequential — no window frame or relational aggregate expresses it, and
+  * the closed form (a sum of α·β^(t−i)·x_i terms) underflows/overflows β^t
+  * past a few thousand points. The alternatives are a Scala UDF over the
+  * collected array (per-row serialization of the whole series) or
+  * `mapGroups` (leaves Tungsten rows entirely); this expression runs the
+  * fold in place over the already-collected ArrayData.
+  *
+  * Input: ARRAY<STRUCT<..., value: DOUBLE, ...>> sorted by the caller
+  * (sort_array on a (ts, value) struct). Output: equal-length
+  * ARRAY<STRUCT<s, d, sp, dp>> — positionally zip-able with the input, so
+  * one `posexplode(arrays_zip(...))` restores rows with ZERO extra shuffle.
+  */
+case class EwmaScan(child: Expression, alpha: Double)
+    extends UnaryExpression {
+  require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+
+  /** 1 − α computed ONCE here: the oracle SQL interpolates this exact
+    * double, so both engines run the identical recurrence. */
+  val beta: Double = 1.0 - alpha
+
+  private lazy val (nFields: Int, valueIdx: Int) = child.dataType match {
+    case ArrayType(st: StructType, _) =>
+      (st.size, st.fieldIndex("value"))
+    case _ => (0, 0)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("value") &&
+          st(st.fieldIndex("value")).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ewma_scan needs ARRAY<STRUCT<..., value: DOUBLE>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("d", DoubleType, nullable = false),
+    StructField("sp", DoubleType, nullable = true),
+    StructField("dp", DoubleType, nullable = true))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SeriesExprUtil.ewmaScan(v.asInstanceOf[ArrayData], alpha, beta,
+      nFields, valueIdx)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.SeriesExprUtil.ewmaScan(
+         |    $c, ${alpha}D, ${beta}D, $nFields, $valueIdx);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EwmaScan =
+    copy(child = newChild)
+}

@@ -88,6 +88,64 @@ object Anomaly {
     rollingZScores(points, windowMs, threshold, minPoints)
       .filter(col("is_anomaly"))
 
+  /** EWMA forecast bands + aberration flags — Graphite's
+    * `holtWintersForecast` / `holtWintersConfidenceBands` /
+    * `holtWintersAberration` family, reduced to single exponential
+    * smoothing with an EWMA absolute-deviation band (the classic
+    * statsd/Kale "ewma + dev" detector): per point,
+    *
+    *   forecast  = s_{t−1}            (the smoothed level BEFORE the point)
+    *   band      = forecast ± k·d_{t−1}
+    *   aberrant  ⇔ rn > minPoints ∧ d_{t−1} > 0 ∧ |x_t − forecast| > k·d_{t−1}
+    *
+    * where s/d follow [[graft.functions.EwmaScan]]'s recurrence. Judging
+    * against the PRE-update state means a spike can't absorb itself into
+    * the band it is tested on; `minPoints` suppresses flags until the
+    * level has burned in. Complements [[rollingZScores]]: the EWMA level
+    * tracks trends (no fixed window to age out of), and the deviation
+    * band adapts at the same exponential rate.
+    *
+    * Output per point: rn (1-based time rank), value, ewma (s), dev (d),
+    * s_prev / d_prev (null at rn=1), upper / lower bands, is_aberrant.
+    *
+    * Scale shape: one shuffle (groupBy locator), then the sequential
+    * recurrence runs inside the codegen'd [[graft.functions.EwmaScan]]
+    * over each series' collected points — series scan independently and
+    * in parallel; the per-series array is bounded by the queried range
+    * (the [[rollingZScores]] contract: at 100 TB score a rollup tier, not
+    * raw points). posexplode(arrays_zip(...)) restores rows with zero
+    * further shuffle. */
+  def ewmaBands(points: DataFrame, alpha: Double = 0.3, k: Double = 3.0,
+      minPoints: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scan = ColumnBridge.column(graft.functions.EwmaScan(
+      ColumnBridge.expression(col("__pts")), alpha))
+    points
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+        .as("__pts"))
+      .withColumn("__st", scan)
+      .select(col("tenant_id"), col("metric_name"),
+        posexplode(arrays_zip(col("__pts"), col("__st"))).as(Seq("__i", "__z")))
+      .select(
+        col("tenant_id"), col("metric_name"),
+        (col("__i") + 1).cast("int").as("rn"),
+        col("__z.__pts.ts_ms").as("ts_ms"),
+        col("__z.__pts.value").as("value"),
+        col("__z.__st.s").as("ewma"),
+        col("__z.__st.d").as("dev"),
+        col("__z.__st.sp").as("s_prev"),
+        col("__z.__st.dp").as("d_prev"))
+      .withColumn("upper", col("s_prev") + lit(k) * col("d_prev"))
+      .withColumn("lower", col("s_prev") - lit(k) * col("d_prev"))
+      .withColumn("is_aberrant", coalesce(
+        col("rn") > minPoints && col("d_prev") > 0 &&
+          abs(col("value") - col("s_prev")) > lit(k) * col("d_prev"),
+        lit(false)))
+  }
+
   /** SEASONAL z-score: each point scored against its series' historical
     * distribution for the SAME phase of the period — "is this 3pm unusual
     * for 3pm", the cyclic complement to [[rollingZScores]]'s trailing

@@ -204,4 +204,82 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
       assert(got((m, ts)) === ((n, em, es)), s"$m@$ts")
     }
   }
+
+  /** Local reference for [[Anomaly.ewmaBands]]'s recurrence. */
+  private def localEwma(xs: Seq[Double], alpha: Double)
+      : Seq[(Double, Double, Option[Double], Option[Double])] = {
+    val beta = 1.0 - alpha
+    xs.zipWithIndex.foldLeft(
+      (List.empty[(Double, Double, Option[Double], Option[Double])],
+        0.0, 0.0)) {
+      case ((acc, s, d), (x, i)) =>
+        if (i == 0) (acc :+ ((x, 0.0, None, None)), x, 0.0)
+        else {
+          val ns = alpha * x + beta * s
+          val nd = alpha * math.abs(x - s) + beta * d
+          (acc :+ ((ns, nd, Some(s), Some(d))), ns, nd)
+        }
+    }._1
+  }
+
+  test("ewmaBands: matches the local fold bit-for-bit, in time order") {
+    val alpha = 0.25
+    val xs = Seq(10.0, 12.5, 9.0, 11.0, 30.0, 10.5, 10.0, 9.5)
+    val rows = xs.zipWithIndex.map { case (v, i) => ("t", "m", i * 1000L, v) }
+    val got = Anomaly.ewmaBands(points(rows), alpha, k = 3.0, minPoints = 2)
+      .orderBy("ts_ms").collect()
+    val want = localEwma(xs, alpha)
+    got.zip(want).foreach { case (r, (s, d, sp, dp)) =>
+      assert(r.getDouble(5) === s, s"ewma@rn=${r.getInt(2)}")
+      assert(r.getDouble(6) === d, s"dev@rn=${r.getInt(2)}")
+      assert((if (r.isNullAt(7)) None else Some(r.getDouble(7))) === sp)
+      assert((if (r.isNullAt(8)) None else Some(r.getDouble(8))) === dp)
+    }
+  }
+
+  test("ewmaBands: planted spike flagged against the PRE-spike band; " +
+    "constant series never flags; minPoints gates") {
+    val base = (0 until 30).map(i => ("t", "m", i * 1000L, 10.0 + (i % 2)))
+    val spike = ("t", "m", 30000L, 500.0)
+    val flat = (0 until 30).map(i => ("t", "flat", i * 1000L, 7.0))
+    val got = Anomaly.ewmaBands(points(base ++ Seq(spike) ++ flat),
+        alpha = 0.3, k = 3.0, minPoints = 5)
+      .select("metric_name", "ts_ms", "is_aberrant").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(got(("m", 30000L)))
+    // alternating 10/11 settles: late steady points unflagged
+    assert((20 to 29).forall(i => !got(("m", i * 1000L))))
+    // flat series: dev 0 forever -> d_prev > 0 never holds
+    assert(flat.forall { case (_, _, ts, _) => !got(("flat", ts)) })
+    // early points inside the burn-in window can't flag
+    assert((0 to 5).forall(i => !got(("m", i * 1000L))))
+  }
+
+  test("ewmaBands: layout-invariant and series-independent") {
+    val rows = (0 until 40).map(i =>
+      ("t", s"m${i % 3}", (i / 3) * 1000L, (i * 37 % 11).toDouble))
+    val a = Anomaly.ewmaBands(points(rows), 0.3, 3.0, 3)
+      .orderBy("metric_name", "ts_ms").collect().toSeq
+    val b = Anomaly.ewmaBands(points(rows).repartition(7), 0.3, 3.0, 3)
+      .orderBy("metric_name", "ts_ms").collect().toSeq
+    assert(a === b)
+  }
+
+  test("ewmaBands: arg guards; alpha=1 degenerates to last-value forecast") {
+    intercept[IllegalArgumentException] {
+      Anomaly.ewmaBands(points(Seq(("t", "m", 0L, 1.0))), alpha = 0.3, k = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.EwmaScan(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), 0.0)
+    }
+    // alpha=1: s_t = x_t exactly, so s_prev is the previous raw value
+    val xs = Seq(5.0, 8.0, 2.0)
+    val got = Anomaly.ewmaBands(
+        points(xs.zipWithIndex.map { case (v, i) => ("t", "m", i * 1000L, v) }),
+        alpha = 1.0, k = 2.0, minPoints = 1)
+      .orderBy("ts_ms").collect()
+    assert(got.map(_.getDouble(5)).toSeq === xs)
+    assert(got.drop(1).map(_.getDouble(7)).toSeq === xs.dropRight(1))
+  }
 }
