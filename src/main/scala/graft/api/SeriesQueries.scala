@@ -334,6 +334,96 @@ object SeriesQueries {
     }
   }
 
+  /** Per-series least-squares trend + capacity forecast
+    * ([[Series.linearTrend]], Graphite's linearRegression/timeToReach):
+    * the full OLS restated in SQL over the identical per-term-snapped
+    * DECIMAL(38,8) accumulators; slope/intercept/r²/forecast/reach are
+    * scalar doubles over those exact sums on both sides. */
+  private val trend = {
+    val horizonS = 604800.0
+    val horizonMin = horizonS / 60.0 // the same double the operator derives
+    val th = 500.0
+    QDef(
+      "q_series_trend",
+      s"""WITH ${OracleViews.metricsCte},
+         |t0 AS (
+         |  SELECT tenant_id, metric_name, MIN(ts_ms) AS min_ms
+         |  FROM metrics GROUP BY 1, 2
+         |),
+         |j AS (
+         |  SELECT m.tenant_id, m.metric_name, t0.min_ms,
+         |         (m.ts_ms - t0.min_ms) // 60000 AS dt_min,
+         |         CAST((m.ts_ms - t0.min_ms) // 60000 AS DECIMAL(19,0)) AS dt,
+         |         CAST(CAST(m.value AS DECIMAL(18,2)) * 100
+         |           AS DECIMAL(19,0)) AS vc
+         |  FROM metrics m JOIN t0 USING (tenant_id, metric_name)
+         |),
+         |a AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         MIN(min_ms) AS min_ms,
+         |         MAX(dt_min) AS t_max_min,
+         |         CAST(SUM(dt_min) AS DOUBLE) AS st,
+         |         CAST(SUM(vc) AS DOUBLE) / 100.0 AS sv,
+         |         CAST(SUM(dt * dt) AS DOUBLE) AS stt,
+         |         CAST(SUM(dt * vc) AS DOUBLE) / 100.0 AS stv,
+         |         CAST(SUM(vc * vc) AS DOUBLE) / 10000.0 AS svv
+         |  FROM j GROUP BY 1, 2
+         |),
+         |f AS (
+         |  SELECT tenant_id, metric_name, n, min_ms, t_max_min, st, sv, svv,
+         |         n * stt - st * st AS var_t,
+         |         n * svv - sv * sv AS var_v,
+         |         n * stv - st * sv AS cov,
+         |         CASE WHEN n * stt - st * st > 0
+         |              THEN (n * stv - st * sv) / (n * stt - st * st) END
+         |           AS slope_per_min
+         |  FROM a
+         |),
+         |g AS (
+         |  SELECT *, (sv - slope_per_min * st) / n AS intercept FROM f
+         |)
+         |SELECT tenant_id, metric_name, n, t_max_min,
+         |       slope_per_min / 60.0 AS slope_per_s,
+         |       slope_per_min * 1440.0 AS slope_per_d, intercept,
+         |       CASE WHEN var_t > 0 AND var_v > 0
+         |            THEN (cov * cov) / (var_t * var_v) END AS r2,
+         |       intercept + slope_per_min * (t_max_min + $horizonMin)
+         |         AS forecast_value,
+         |       CASE WHEN slope_per_min <> 0 THEN
+         |         min_ms + ($th - intercept) / slope_per_min * 60000.0 END
+         |         AS reach_ts_ms
+         |FROM g
+         |ORDER BY tenant_id, metric_name""".stripMargin) { (s, dir) =>
+      Series.linearTrend(Tables.metrics(s, dir), horizonS, th)
+        .orderBy("tenant_id", "metric_name")
+    }
+  }
+
+  /** Per-series p95 outlier clamp ([[Series.clampOutliers]], Graphite's
+    * removeAbovePercentile + the clamped variant): series percentile
+    * snapped to DECIMAL(18,6) on both sides, then a plain comparison
+    * join-back. */
+  private val clamp = QDef(
+    "q_series_clamp",
+    s"""WITH ${OracleViews.metricsCte},
+       |q AS (
+       |  SELECT tenant_id, metric_name,
+       |         CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6))
+       |           AS DOUBLE) AS p_value
+       |  FROM metrics WHERE tenant_id = 'purchase' GROUP BY 1, 2
+       |)
+       |SELECT m.tenant_id, m.metric_name, m.ts_ms, m.value, q.p_value,
+       |       LEAST(m.value, q.p_value) AS clamped,
+       |       m.value > q.p_value AS is_outlier
+       |FROM metrics m JOIN q USING (tenant_id, metric_name)
+       |WHERE m.tenant_id = 'purchase'
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+    Series.clampOutliers(
+        Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), 0.95)
+      .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
   /** Incident annotation — the bucketed time-range join
     * ([[graft.operators.TimeJoin.within]]): every purchase-series anomaly
     * (the q_metric_anomaly scan) pairs with the error events that fired
@@ -401,5 +491,5 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents, timeshift, integral, quantile, ewma)
+    anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp)
 }

@@ -316,6 +316,105 @@ object Series {
       .select("tenant_id", "metric_name", "bucket_ms", "qvalue", "n_series")
   }
 
+  /** Per-series least-squares trend + capacity forecast — Graphite's
+    * `linearRegression` and `timeToReach`: fit value = intercept +
+    * slope·t (t in seconds since the series' own first point) over the
+    * queried range, then project.
+    *
+    * Output per series: n, t_max_s (last point's offset), slope_per_s,
+    * intercept, r2 (null when either t or value has zero variance),
+    * forecast_value = intercept + slope·(t_max + horizon), and
+    * reach_ts_ms = the absolute epoch-ms (double) at which the fitted
+    * line crosses `threshold` (null for a flat fit; in the past when the
+    * line already crossed it).
+    *
+    * Numeric discipline — stricter than the [[correlatedSeries]] recipe,
+    * because regression terms defeat per-term snapping: t·value products
+    * over ms offsets terminate EXACTLY at the snap scale's tie digit
+    * (k·v/86400000 can end "…5" at the 9th decimal), and Spark
+    * (exact-value HALF_UP) and DuckDB (scaled-double round) resolve such
+    * ties differently. So nothing fractional is ever snapped: every
+    * accumulator is an exact INTEGER-valued decimal — whole MINUTES since
+    * the series' first point (trend time is minute-truncated; for a
+    * multi-day fit that is semantically free), values in cents — products
+    * and sums stay exact, every decimal→double cast is scale-0 AND
+    * bounded < 2^53 (DuckDB's int128→double cast is not correctly rounded
+    * above that; minute units keep n·dt² ≤ ~1e13 even for million-point
+    * series), and all unit scaling (cents→value, per-minute→per-second/
+    * day slopes) happens afterward in identical scalar-double
+    * expressions. Per-series relative time also keeps epoch² out of
+    * every exact type. */
+  def linearTrend(points: DataFrame, horizonS: Double,
+      threshold: Double): DataFrame = {
+    require(horizonS >= 0, s"horizonS must be non-negative, got $horizonS")
+    val t0 = points.groupBy(col("tenant_id"), col("metric_name"))
+      .agg(min(col("ts_ms")).as("min_ms"))
+    val dtMin = expr("(ts_ms - min_ms) div 60000L")
+    val dtDec = dtMin.cast(DecimalType(19, 0))
+    val vCents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast(DecimalType(19, 0))
+    val agg = points
+      .join(t0, Seq("tenant_id", "metric_name"))
+      .withColumn("__dtm", dtMin)
+      .withColumn("__dt", dtDec)
+      .withColumn("__vc", vCents)
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("min_ms")).as("min_ms"),
+        max(col("__dtm")).as("t_max_min"),
+        sum(col("__dtm")).cast("double").as("st"),
+        sum(col("__vc")).cast("double").as("sv_c"),
+        sum(col("__dt") * col("__dt")).cast("double").as("stt"),
+        sum(col("__dt") * col("__vc")).cast("double").as("stv_c"),
+        sum(col("__vc") * col("__vc")).cast("double").as("svv_c"))
+      .withColumn("sv", col("sv_c") / lit(100.0))
+      .withColumn("stv", col("stv_c") / lit(100.0))
+      .withColumn("svv", col("svv_c") / lit(10000.0))
+    val varT = col("n") * col("stt") - col("st") * col("st")
+    val varV = col("n") * col("svv") - col("sv") * col("sv")
+    val cov = col("n") * col("stv") - col("st") * col("sv")
+    agg
+      .withColumn("slope_per_min", when(varT > 0, cov / varT))
+      .withColumn("intercept",
+        (col("sv") - col("slope_per_min") * col("st")) / col("n"))
+      .withColumn("slope_per_s", col("slope_per_min") / lit(60.0))
+      .withColumn("slope_per_d", col("slope_per_min") * lit(1440.0))
+      .withColumn("r2", when(varT > 0 && varV > 0,
+        (cov * cov) / (varT * varV)))
+      .withColumn("forecast_value",
+        col("intercept") + col("slope_per_min") *
+          (col("t_max_min") + lit(horizonS / 60.0)))
+      .withColumn("reach_ts_ms", when(col("slope_per_min") =!= 0,
+        col("min_ms") + (lit(threshold) - col("intercept")) /
+          col("slope_per_min") * lit(60000.0)))
+      .select("tenant_id", "metric_name", "n", "t_max_min", "slope_per_s",
+        "slope_per_d", "intercept", "r2", "forecast_value", "reach_ts_ms")
+  }
+
+  /** Per-series percentile clamp / outlier filter — Graphite's
+    * `removeAbovePercentile` family with the clamped variant kept too:
+    * each point is compared against ITS OWN series' exact p-th percentile
+    * over the queried range. Output adds p_value (the series percentile,
+    * DECIMAL(18,6)-snapped — the [[QDef]] percentile-parity rule),
+    * clamped (min(value, p_value)), and is_outlier (value > p_value);
+    * callers drop or clamp as policy dictates.
+    *
+    * Scale shape: one per-series exact-percentile aggregation, then a
+    * join back on the identical key — exchange reuse, one corpus shuffle;
+    * the percentile group fan-in is one series' range, the same bound as
+    * every window operator here. At unbounded fan-in swap `percentile`
+    * for `approx_percentile` (sketch merge, same shape). */
+  def clampOutliers(points: DataFrame, p: Double): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0, 1], got $p")
+    val q = points.groupBy(col("tenant_id"), col("metric_name"))
+      .agg(percentile(col("value"), lit(p)).cast(DecimalType(18, 6))
+        .cast("double").as("p_value"))
+    points.join(q, Seq("tenant_id", "metric_name"))
+      .withColumn("clamped", least(col("value"), col("p_value")))
+      .withColumn("is_outlier", col("value") > col("p_value"))
+  }
+
   /** Per-series completeness report over `bucketMs` buckets — which series
     * have holes, and how big: for each series, the populated-bucket count
     * vs the bucket span between its first and last point. The engine-side

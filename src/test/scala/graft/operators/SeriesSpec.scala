@@ -220,6 +220,51 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("linearTrend: exact fit on a noiseless line; forecast and " +
+    "time-to-reach extrapolate it; degenerate series null out") {
+    val minMs = 1000000L
+    // value = 10 + 2 * (minutes since first point): slope 2/min, r2 = 1
+    val line = (0 to 9).map(i =>
+      ("t", "line", minMs + i * 60000L, 10.0 + 2.0 * i))
+    val single = Seq(("t", "single", 5000L, 42.0))
+    val got = Series.linearTrend(pts(line ++ single),
+        horizonS = 600.0, threshold = 100.0).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val l = got("line")
+    assert(l.getLong(2) === 10L)                  // n
+    assert(l.getLong(3) === 9L)                   // t_max_min
+    assert(l.getDouble(4) === 2.0 / 60.0)         // slope_per_s
+    assert(l.getDouble(5) === 2.0 * 1440.0)       // slope_per_d
+    assert(l.getDouble(6) === 10.0)               // intercept
+    assert(l.getDouble(7) === 1.0)                // r2
+    // forecast at t_max + 10 min: 10 + 2*19 = 48
+    assert(l.getDouble(8) === 48.0)
+    // value 100 reached at t = 45 min after the first point
+    assert(l.getDouble(9) === minMs + 45 * 60000.0)
+    val s = got("single")                         // varT = 0: no fit
+    assert(s.isNullAt(4) && s.isNullAt(6) && s.isNullAt(7) && s.isNullAt(9))
+    intercept[IllegalArgumentException] {
+      Series.linearTrend(pts(line), horizonS = -1.0, threshold = 0.0)
+    }
+  }
+
+  test("clampOutliers: per-series percentile clamp; other series " +
+    "unaffected") {
+    val rows = (1 to 10).map(i => ("t", "a", i * 1000L, i.toDouble)) ++
+      Seq(("t", "b", 0L, 1000.0))
+    // p50 over 1..10 interpolates to 5.5
+    val got = Series.clampOutliers(pts(rows), 0.5).collect()
+      .map(r => (r.getString(1), r.getDouble(3)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(got(("a", 10.0)) === ((5.5, 5.5, true)))
+    assert(got(("a", 5.0)) === ((5.5, 5.0, false)))
+    assert(got(("b", 1000.0)) === ((1000.0, 1000.0, false)))
+    intercept[IllegalArgumentException] {
+      Series.clampOutliers(pts(rows), -0.1)
+    }
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
