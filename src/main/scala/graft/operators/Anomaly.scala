@@ -19,6 +19,17 @@ case class ScoredPoint(tenant_id: String, metric_name: String, ts_ms: Long,
     value: Double, n_win: Long, mean_win: Option[Double],
     std_win: Option[Double], z: Option[Double], is_anomaly: Boolean)
 
+/** Per-series EWMA recurrence state for the streaming band scorer — O(1)
+  * per series (the whole appeal of the exponential family online). */
+case class EwmaState(rn: Int, s: Double, d: Double, lastTs: Long)
+
+/** A band-scored point emitted by the streaming EWMA scorer — the
+  * streaming twin of [[Anomaly.ewmaBands]]'s output row. */
+case class EwmaPoint(tenant_id: String, metric_name: String, ts_ms: Long,
+    value: Double, rn: Int, ewma: Double, dev: Double,
+    s_prev: Option[Double], d_prev: Option[Double],
+    upper: Option[Double], lower: Option[Double], is_aberrant: Boolean)
+
 /** Rolling z-score anomaly detection over the metric-point stream — the
   * alerting-side consumer of the ingest pipeline (the reference stops at
   * serving rollups; any monitoring product layered on it computes exactly
@@ -144,6 +155,86 @@ object Anomaly {
         col("rn") > minPoints && col("d_prev") > 0 &&
           abs(col("value") - col("s_prev")) > lit(k) * col("d_prev"),
         lit(false)))
+  }
+
+  /** STREAMING EWMA band scorer — the alerting twin of [[ewmaBands]]:
+    * every arriving point is judged against its series' pre-update
+    * (s, d) state and emitted immediately (append mode), then folded in.
+    * State is THREE DOUBLES + a timestamp per series — the O(1)-state
+    * property is why the exponential family is the classic online
+    * detector (vs [[streamingZScores]]' retained window).
+    *
+    * Identical recurrence and flag condition as the batch operator
+    * (alpha·x + beta·s etc., beta = 1 − alpha computed once), points
+    * folded in (ts, value) order within each micro-batch — bit-identical
+    * to [[ewmaBands]] on in-order feeds. A point older than the last
+    * folded timestamp is SKIPPED (an EWMA cannot fold retroactively);
+    * the batch operator over the stored points remains the exhaustive
+    * pass, the same streaming-then-recompute discipline as the cascade.
+    * A series quiet for `stateTtlMs` of event time times out and drops
+    * its state; its next point restarts at rn = 1. */
+  def streamingEwmaBands(points: DataFrame, alpha: Double = 0.3,
+      k: Double = 3.0, minPoints: Int = 5,
+      watermarkDelay: String = "0 seconds",
+      stateTtlMs: Long = 86400000L): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(k > 0, s"k must be positive, got $k")
+    require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    require(stateTtlMs > 0, s"stateTtlMs must be positive, got $stateTtlMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        timestamp_millis(col("ts_ms").cast("long")).as("ets"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ets", watermarkDelay)
+      .as[AnomalyEv]
+      .groupByKey(e => (e.tenant_id, e.metric_name))
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        ewmaScoreBatch(alpha, k, minPoints, stateTtlMs))
+  }
+
+  private def ewmaScoreBatch(alpha: Double, k: Double, minPoints: Int,
+      stateTtlMs: Long)(
+      key: (String, String), batch: Iterator[AnomalyEv],
+      state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val beta = 1.0 - alpha
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+      for (e <- batch.toSeq.sortBy(e => (e.ets.getTime, e.value))) {
+        val t = e.ets.getTime
+        val x = e.value
+        st match {
+          case None =>
+            out += EwmaPoint(key._1, key._2, t, x, 1, x, 0.0,
+              None, None, None, None, is_aberrant = false)
+            st = Some(EwmaState(1, x, 0.0, t))
+          case Some(EwmaState(rn, sp, dp, lastTs)) =>
+            if (t >= lastTs) { // late points skip: no retroactive folding
+              val s = alpha * x + beta * sp
+              val d = alpha * math.abs(x - sp) + beta * dp
+              val rn2 = rn + 1
+              out += EwmaPoint(key._1, key._2, t, x, rn2, s, d,
+                Some(sp), Some(dp), Some(sp + k * dp), Some(sp - k * dp),
+                is_aberrant =
+                  rn2 > minPoints && dp > 0 && math.abs(x - sp) > k * dp)
+              st = Some(EwmaState(rn2, s, d, t))
+            }
+        }
+      }
+      st.foreach { v =>
+        state.update(v)
+        state.setTimeoutTimestamp(math.max(
+          v.lastTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
   }
 
   /** SEASONAL z-score: each point scored against its series' historical

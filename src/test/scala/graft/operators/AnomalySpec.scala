@@ -205,6 +205,48 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming EWMA equals the batch operator across micro-batches; " +
+    "cross-batch spike flagged on arrival; late point skipped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 50).map { i =>
+      ("t", if (i % 2 == 0) "a" else "b", base + i * 1000L,
+        math.floor(rng.nextDouble() * 1000) / 4.0)
+    } :+ (("t", "a", base + 60000L, 5000.0)) // spike in the last batch
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val q = Anomaly.streamingEwmaBands(
+        mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        alpha = 0.3, k = 3.0, minPoints = 5)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    rows.grouped(13).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    // a point older than the folded frontier: skipped, no output row
+    mem.addData(("t", "a", base - 5000L, 999.0))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getLong(2)) ->
+        ((r.getInt(4), r.getDouble(5), r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7),
+          if (r.isNullAt(8)) null else r.getDouble(8),
+          if (r.isNullAt(9)) null else r.getDouble(9),
+          if (r.isNullAt(10)) null else r.getDouble(10),
+          r.getBoolean(11)))
+    val streamed = spark.table("ewma_out").collect().map(key).toMap
+    val batch = Anomaly.ewmaBands(
+        rows.toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        alpha = 0.3, k = 3.0, minPoints = 5)
+      .select("tenant_id", "metric_name", "ts_ms", "value", "rn", "ewma",
+        "dev", "s_prev", "d_prev", "upper", "lower", "is_aberrant")
+      .collect().map(key).toMap
+    assert(streamed.size === 51) // late point produced nothing
+    assert(streamed === batch)
+    // the cross-batch spike was flagged on arrival
+    assert(streamed(("a", base + 60000L))._8)
+  }
+
   /** Local reference for [[Anomaly.ewmaBands]]'s recurrence. */
   private def localEwma(xs: Seq[Double], alpha: Double)
       : Seq[(Double, Double, Option[Double], Option[Double])] = {
