@@ -219,10 +219,12 @@ object Series {
     * The shifted lookup is NOT a self-join: a range-frame window pinned to
     * exactly [ts − shiftMs, ts − shiftMs] reads the one bucket at the
     * offset (bucket starts are unique per series after the aggregation, so
-    * `max` over the frame is a point lookup). The window partitions by the
-    * same keys as the bucket aggregation, so Catalyst reuses the exchange —
-    * the whole comparison costs ONE shuffle + a per-series sort, where the
-    * naive self-join would shuffle the bucket table twice more.
+    * `max` over the frame is a point lookup). The corpus shuffles once for
+    * the bucket aggregation; the window's (tenant, metric) exchange then
+    * carries only the bucketed table (one row per series-bucket), where
+    * the naive self-join would hash-join that table against itself with
+    * two more build/probe exchanges and lose the missing-bucket rows
+    * without an outer join.
     *
     * mean/sum accumulate in exact DECIMAL(28,2) and finish as scalar
     * double (the rollup recipe, partition-order invariant). */
