@@ -101,4 +101,25 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
       df.select(col("user_id"), Tables.tsMsCol(df).as("ts_ms"),
         col("event_id"), col("value")), gapMs = 86400000L)
   })(Tables.load(spark, dir, "events"))
+
+  invariant("Series.timeShiftCompare")(df =>
+    Series.timeShiftCompare(df, 86400000L, 7L * 86400000L))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.integral")(df => Series.integral(df))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.quantileOfSeries")(df =>
+    Series.quantileOfSeries(df, "app.*.*", 0.9, 86400000L))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.linearTrend")(df =>
+    Series.linearTrend(df, horizonS = 604800.0, threshold = 500.0))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.clampOutliers")(df => Series.clampOutliers(df, 0.95))(
+    Tables.metrics(spark, dir))
+
+  invariant("Anomaly.ewmaBands")(df => Anomaly.ewmaBands(df))(
+    Tables.metrics(spark, dir))
 }
