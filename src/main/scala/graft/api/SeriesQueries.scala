@@ -2,6 +2,7 @@ package graft.api
 
 import graft.core.{OracleViews, Tables}
 import graft.operators.{Anomaly, Series}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -490,6 +491,77 @@ object SeriesQueries {
     }
   }
 
+  /** Shared shape of the two as-of gate queries: every purchase point
+    * against its own series' most recent COMPLETED 60m baseline mean
+    * ([[graft.operators.TimeJoin.asOf]] — the "current value vs last
+    * finished window" enrichment). The baseline for the hour starting at
+    * B becomes available at B + 60m, so points in a series' first hour
+    * have no baseline (left-join nulls exercised). The oracle is DuckDB's
+    * native `ASOF LEFT JOIN` — the union+window rewrite is hash-proven
+    * against the engine-native operator, including tie (point exactly at
+    * a completion instant → inclusive match) and no-match rows. */
+  private def asofPlan(s: SparkSession, dir: String,
+      withinMs: Option[Long]): DataFrame = {
+    val m = Tables.metrics(s, dir).filter(col("tenant_id") === "purchase")
+    val right = m.groupBy(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(3600000L)) + 3600000L)
+          .as("baseline_ms"))
+      .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double") /
+        count(lit(1))).as("baseline_avg"))
+    graft.operators.TimeJoin.asOf(m, "ts_ms", right, "baseline_ms",
+        Seq("tenant_id", "metric_name"), withinMs)
+      .withColumn("delta", col("value") - col("baseline_avg"))
+      .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
+  private def asofOracle(mask: Option[Long]): String = {
+    val proj = mask match {
+      case None => """baseline_ms, baseline_avg, value - baseline_avg AS delta"""
+      case Some(w) =>
+        s"""CASE WHEN ts_ms - baseline_ms <= $w THEN baseline_ms END AS baseline_ms,
+           |       CASE WHEN ts_ms - baseline_ms <= $w THEN baseline_avg END AS baseline_avg,
+           |       CASE WHEN ts_ms - baseline_ms <= $w THEN value - baseline_avg END AS delta""".stripMargin
+    }
+    s"""WITH ${OracleViews.metricsCte},
+       |b AS (
+       |  SELECT tenant_id, metric_name,
+       |         ts_ms - (ts_ms % 3600000) + 3600000 AS baseline_ms,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+       |           AS baseline_avg
+       |  FROM metrics WHERE tenant_id = 'purchase' GROUP BY 1, 2, 3
+       |),
+       |l AS (
+       |  SELECT tenant_id, metric_name, ts_ms, value
+       |  FROM metrics WHERE tenant_id = 'purchase'
+       |),
+       |j AS (
+       |  SELECT l.tenant_id, l.metric_name, l.ts_ms, l.value,
+       |         b.baseline_ms, b.baseline_avg
+       |  FROM l ASOF LEFT JOIN b
+       |    ON l.tenant_id = b.tenant_id AND l.metric_name = b.metric_name
+       |   AND l.ts_ms >= b.baseline_ms
+       |)
+       |SELECT tenant_id, metric_name, ts_ms, value,
+       |       $proj
+       |FROM j ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /** Unbounded as-of (per-key window arm). */
+  private val asofBaseline = QDef("q_asof_baseline", asofOracle(None)) {
+    (s, dir) => asofPlan(s, dir, None)
+  }
+
+  /** Bounded as-of (time-bucket-sharded arm, lookback ≤ 2 h): series gaps
+    * longer than the tolerance surface as nulls, proving the bucketed
+    * rewrite's post-filter against the oracle's masked ASOF result. */
+  private val asofWithin = {
+    val w = 7200000L
+    QDef("q_asof_within", asofOracle(Some(w))) { (s, dir) =>
+      asofPlan(s, dir, Some(w))
+    }
+  }
+
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp)
+    anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp,
+    asofBaseline, asofWithin)
 }

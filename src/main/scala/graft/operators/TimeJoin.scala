@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded time-distance join — the "what ELSE happened around then"
@@ -46,5 +47,96 @@ object TimeJoin {
     lb.join(rb, (keys :+ "__b").toSeq)
       .filter(abs(col(leftTs) - col(rightTs)) <= withinMs)
       .drop("__b")
+  }
+
+  /** As-of join: each left row picks up the single right row with the
+    * GREATEST `rightTs` ≤ its `leftTs` (per `keys`; inclusive at equality,
+    * matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`). Left-join
+    * semantics: unmatched left rows keep null right columns. The classic
+    * "latest observation carried forward" enrichment — current point vs
+    * last completed baseline, trade vs latest quote, event vs most recent
+    * deploy.
+    *
+    * Spark has no native as-of join, and the naive `rank-over-inequality-
+    * join` form fans every left row out across its whole candidate
+    * history. This is the UNION rewrite instead: both sides merge into
+    * one stream ordered by (ts, side) and a running `last(right_state)`
+    * window carries each right row forward to the left rows after it —
+    * zero join, one shuffle, each row shipped once.
+    *
+    * `withinMs = None` partitions the window by `keys` alone (exact
+    * unbounded lookback; a key's full history sorts together — right when
+    * keys are fine-grained, e.g. per-series). `withinMs = Some(w)` bounds
+    * the lookback to `leftTs − rightTs ≤ w` and SHARDS the window by the
+    * ⌊ts/w⌋ bucket as well: right rows replicate into their own and the
+    * next bucket (2×), so every in-window candidate is present in the
+    * left row's bucket partition, and no key ever sorts its history in
+    * one task — skew is bounded by the densest single window, the same
+    * 100 TB shape as [[within]]. (The overall-greatest candidate ≤ ts in
+    * the partition is in-window iff ANY in-window candidate exists, so
+    * the post-filter loses nothing.)
+    *
+    * Right rows are first deduplicated to one per (`keys`, `rightTs`) by
+    * greatest payload struct — the as-of contract needs a unique
+    * right-side timestamp, and a deterministic total order keeps the
+    * result layout-invariant when the input violates that. Column
+    * contract mirrors [[within]]: `leftTs`/`rightTs` distinct names,
+    * right payload names must not collide with left columns. */
+  def asOf(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keys: Seq[String],
+      withinMs: Option[Long] = None): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct names, both were '$leftTs'")
+    withinMs.foreach(w => require(w > 0, s"withinMs must be positive, got $w"))
+    val payload = right.columns.filterNot((keys :+ rightTs).contains).toSeq
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val k = keys.map(col)
+    // One row per (keys, rightTs): greatest payload struct — deterministic
+    // under duplicate right timestamps (struct comparison is a total order
+    // over the payload fields); map-side combine keeps it one cheap pass.
+    val rUniq = right.groupBy(k :+ col(rightTs): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(k ++ Seq(col(rightTs).as("__ts"),
+        struct(col(rightTs).as("__rts"), col("__p")).as("__state")): _*)
+    val stateType = rUniq.schema("__state").dataType
+    // Bucket key = the bucket-start millis itself (integer math only; the
+    // neighbor bucket is `+ w`, so no division ever happens).
+    def bucket(c: Column, w: Long) = (c - pmod(c, lit(w))).cast("long")
+    // Tag 0 sorts right rows before left rows at equal ts → inclusive match.
+    val (lU, rU, partCols) = withinMs match {
+      case None =>
+        (left.select(k ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+            lit(null).cast(stateType).as("__state"),
+            struct(left.columns.map(col): _*).as("__lrow")): _*),
+          rUniq.select(k ++ Seq(col("__ts"), lit(0).as("__tag"), col("__state"),
+            lit(null).cast(left.schema).as("__lrow")): _*),
+          k)
+      case Some(w) =>
+        (left.select(k ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+            lit(null).cast(stateType).as("__state"),
+            struct(left.columns.map(col): _*).as("__lrow"),
+            bucket(col(leftTs), w).as("__b")): _*),
+          rUniq.withColumn("__off", explode(array(lit(0L), lit(w))))
+            .select(k ++ Seq(col("__ts"), lit(0).as("__tag"), col("__state"),
+              lit(null).cast(left.schema).as("__lrow"),
+              (bucket(col("__ts"), w) + col("__off")).as("__b")): _*),
+          k :+ col("__b"))
+    }
+    val win = Window.partitionBy(partCols: _*).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__state"), ignoreNulls = true).over(win)
+    val matched = withinMs match {
+      case None => matchedRaw
+      case Some(w) =>
+        when(col("__ts") - matchedRaw.getField("__rts") <= w, matchedRaw)
+    }
+    lU.unionByName(rU)
+      .withColumn("__m", matched)
+      .filter(col("__tag") === 1)
+      .select(col("__lrow.*") +:
+        col("__m.__rts").as(rightTs) +:
+        payload.map(c => col(s"__m.__p.$c").as(c)): _*)
   }
 }

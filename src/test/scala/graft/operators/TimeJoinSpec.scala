@@ -65,4 +65,111 @@ class TimeJoinSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       TimeJoin.within(d, "ts", d.withColumnRenamed("ts", "ts2"), "ts2", 0L))
   }
+
+  // ---- asOf -------------------------------------------------------------
+
+  /** Local reference: greatest rts ≤ ts per key (inclusive), None if the
+    * match is older than the tolerance. */
+  private def naiveAsof(l: Seq[(String, Long, String)],
+      r: Seq[(String, Long, String)], w: Option[Long]) =
+    l.map { case (k, ts, ln) =>
+      val cand = r.filter(x => x._1 == k && x._2 <= ts &&
+        w.forall(ts - x._2 <= _))
+      val m = if (cand.isEmpty) None else Some(cand.maxBy(_._2))
+      (k, ts, ln, m.map(_._2), m.map(_._3))
+    }.sorted
+
+  private def sparkAsof(l: Seq[(String, Long, String)],
+      r: Seq[(String, Long, String)], w: Option[Long]) = {
+    import spark.implicits._
+    TimeJoin.asOf(l.toDF("k", "ts", "l_name"),
+        "ts", r.toDF("k", "rts", "r_name"), "rts", Seq("k"), w)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.getString(4))))
+      .toSeq.sorted
+  }
+
+  test("asOf ≡ local reference: inclusive tie, no-match null, gaps") {
+    val l = Seq(("a", 10L, "p1"), ("a", 5L, "p2"), ("a", 9L, "p3"),
+      ("b", 7L, "p4"), ("c", 100L, "p5"))
+    val r = Seq(("a", 9L, "x"), ("a", 10L, "y"), ("a", 1L, "z"),
+      ("b", 99L, "q"))
+    assert(sparkAsof(l, r, None) === naiveAsof(l, r, None))
+    // p1 matches rts=10 exactly (inclusive), p3 matches 9, p2 matches 1,
+    // p4/p5 unmatched
+    assert(sparkAsof(l, r, None).find(_._3 == "p1").get._5 === Some("y"))
+  }
+
+  test("asOf bounded ≡ unbounded + tolerance mask; gap rows null out") {
+    val l = Seq.tabulate(40)(i => ("k", i * 10L, s"p$i"))
+    val r = Seq(("k", 5L, "early"), ("k", 205L, "late"))
+    for (w <- Seq(Some(30L), Some(100L), Some(1000L)))
+      assert(sparkAsof(l, r, w) === naiveAsof(l, r, w))
+  }
+
+  test("asOf randomized equivalence, both arms") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(120)(i =>
+      (s"k${rnd.nextInt(4)}", rnd.between(0L, 500L), s"l$i"))
+    // distinct (key, rts): the as-of contract
+    val r = rnd.shuffle(
+      for (k <- 0 until 4; t <- 0 until 500 by 7)
+        yield (s"k$k", t.toLong, s"r$k-$t")).take(150)
+    assert(sparkAsof(l, r, None) === naiveAsof(l, r, None))
+    assert(sparkAsof(l, r, Some(21L)) === naiveAsof(l, r, Some(21L)))
+  }
+
+  test("asOf bucket-boundary exactness (ts at bucket edges, Δt = w)") {
+    val w = 100L
+    val l = Seq(("k", 200L, "edge"), ("k", 100L, "onb"), ("k", 299L, "in"))
+    val r = Seq(("k", 100L, "x"), ("k", 200L, "y"))
+    // Δt = w exactly is IN (ts=200 vs rts=100 under w=100 → but rts=200
+    // is newer and wins); drop rts=200 to force the Δt=w case
+    assert(sparkAsof(l, r, Some(w)) === naiveAsof(l, r, Some(w)))
+    val r2 = Seq(("k", 100L, "x"))
+    assert(sparkAsof(l, r2, Some(w)) === naiveAsof(l, r2, Some(w)))
+  }
+
+  test("asOf duplicate right timestamps resolve deterministically (max struct)") {
+    import spark.implicits._
+    val l = Seq(("k", 10L, "p")).toDF("k", "ts", "l_name")
+    val r = Seq(("k", 5L, "aa"), ("k", 5L, "zz")).toDF("k", "rts", "r_name")
+    val got = TimeJoin.asOf(l, "ts", r, "rts", Seq("k"))
+      .select("r_name").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("zz")) // greatest payload struct
+    val got2 = TimeJoin.asOf(l, "ts",
+        r.repartition(7), "rts", Seq("k")) // layout-invariant
+      .select("r_name").collect().map(_.getString(0)).toSeq
+    assert(got2 === Seq("zz"))
+  }
+
+  test("asOf layout invariance (partitioning must not change the result)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val l = Seq.tabulate(60)(i =>
+      (s"k${rnd.nextInt(3)}", rnd.between(0L, 300L), s"l$i"))
+    val r = rnd.shuffle(for (k <- 0 until 3; t <- 0 until 300 by 11)
+      yield (s"k$k", t.toLong, s"r$k-$t")).take(50)
+    def run(lp: Int, rp: Int) =
+      TimeJoin.asOf(l.toDF("k", "ts", "l_name").repartition(lp), "ts",
+          r.toDF("k", "rts", "r_name").repartition(rp), "rts",
+          Seq("k"), Some(40L))
+        .collect().map(_.toSeq).toSet
+    assert(run(1, 1) === run(13, 5))
+  }
+
+  test("asOf argument guards") {
+    import spark.implicits._
+    val d = Seq((1L, "a")).toDF("ts", "n")
+    val r = Seq((1L, "b")).toDF("rts", "n") // payload collides with left 'n'
+    intercept[IllegalArgumentException](
+      TimeJoin.asOf(d, "ts", d, "ts", Nil))
+    intercept[IllegalArgumentException](
+      TimeJoin.asOf(d, "ts", r, "rts", Nil))
+    intercept[IllegalArgumentException](
+      TimeJoin.asOf(d, "ts", r.withColumnRenamed("n", "m"), "rts", Nil,
+        Some(0L)))
+  }
 }
