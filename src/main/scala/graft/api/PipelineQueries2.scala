@@ -616,10 +616,76 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling (Xie et al. 2023), end to end: fit the
+    * target (lang = 'en') and raw unigram models in one token census
+    * ([[graft.operators.TextScoring.dsirWeights]]), score every
+    * non-target pool doc by its importance log-weight, then draw k = 100
+    * docs without replacement ∝ exp(logw) via the deterministic
+    * content-hash Gumbel-top-k ([[Sampling.gumbelTopK]]). The oracle
+    * restates the whole chain — smoothing, snapped ln terms, the hash
+    * uniform, the decimal Gumbel key, the rank — so every logw and
+    * gumbel_key double is hash-checked. */
+  private val sampleDsir = QDef(
+    "q_sample_dsir",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, (lang = 'en') AS is_t, $wsSql AS ws
+       |  FROM documents
+       |),
+       |w AS (SELECT doc_id, is_t, unnest(ws) AS word FROM base),
+       |c AS (
+       |  SELECT word, COUNT(*) AS cnt_r,
+       |         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+       |  FROM w GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt_r) AS DOUBLE) AS tot_r,
+       |         CAST(SUM(cnt_t) AS DOUBLE) AS tot_t,
+       |         CAST(COUNT(*) AS DOUBLE) AS vocab
+       |  FROM c
+       |),
+       |t AS (
+       |  SELECT w.doc_id,
+       |         CAST(ln(((c.cnt_t + 1) / (tot.tot_t + tot.vocab)) /
+       |                 ((c.cnt_r + 1) / (tot.tot_r + tot.vocab)))
+       |              AS DECIMAL(18,9)) AS term
+       |  FROM w JOIN c USING (word) CROSS JOIN tot
+       |),
+       |lw AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens_scored,
+       |         CAST(SUM(term) AS DOUBLE) AS logw
+       |  FROM t GROUP BY 1
+       |),
+       |sc AS (
+       |  SELECT b.doc_id, b.lang, b.source, lw.n_tokens_scored, lw.logw,
+       |         CAST(lw.logw AS DECIMAL(28,9)) +
+       |         CAST(-ln(-ln((CAST(concat('0x',
+       |                substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6))
+       |              AS BIGINT) + 0.5) / 16777216.0))
+       |              AS DECIMAL(18,9)) AS gk
+       |  FROM base b JOIN lw USING (doc_id) WHERE NOT b.is_t
+       |),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id) AS rk
+       |  FROM sc
+       |)
+       |SELECT doc_id, lang, source, n_tokens_scored, logw,
+       |       CAST(rk AS BIGINT) AS rk, CAST(gk AS DOUBLE) AS gumbel_key
+       |FROM r WHERE rk <= 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val lw = graft.operators.TextScoring.dsirWeights(docs, col("lang") === "en")
+    val pool = docs.filter(col("lang") =!= "en")
+      .select("doc_id", "lang", "source")
+      .join(lw, "doc_id")
+    Sampling.gumbelTopK(pool, "doc_id", "logw", 100)
+      .select("doc_id", "lang", "source", "n_tokens_scored", "logw",
+        "rk", "gumbel_key")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, packSequences, shardAssign,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges,
-    textNbLang)
+    textNbLang, sampleDsir)
 }

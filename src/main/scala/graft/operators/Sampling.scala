@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic corpus sampling, split assignment, and sequence packing —
   * the selection stages of a training-data pipeline.
@@ -130,6 +131,42 @@ object Sampling {
     df.withColumn("rn",
         row_number().over(Window.partitionBy(strata).orderBy(hashHex(key), key)))
       .filter(col("rn") <= quota)
+
+  /** Deterministic Gumbel-top-k: sample `k` rows WITHOUT replacement with
+    * probability ∝ exp(weightCol) — the resampling step of DSIR
+    * importance sampling (Xie et al. 2023; the Gumbel-max trick: adding
+    * i.i.d. Gumbel noise to log-weights and taking the top-k draws a
+    * weighted sample). "Noise" here is the content-hash uniform
+    * u = (h₂₄ + ½) / 16²⁴ from the row's id — the same no-rand() policy
+    * as every sampler in this object, so the draw is a pure function of
+    * (id, weight): rerun- and append-stable, and a DuckDB oracle can
+    * state the identical selection.
+    *
+    * The sort key is exact decimal arithmetic — the weight re-snapped to
+    * DECIMAL(28,9) plus the snapped Gumbel g = −ln(−ln u) — so the
+    * ranking is total (ties break by id) and partition-order invariant.
+    * Output: input columns + `gumbel_key` (double) + `rk` (1-based
+    * BIGINT rank ≤ k).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit — every
+    * partition keeps only its local top-k before the single-task final
+    * rank sees anything, so the global window touches O(partitions · k)
+    * rows, not the corpus. */
+  def gumbelTopK(df: DataFrame, id: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h24 = conv(substring(hashHex(col(id)), 1, 6), 16, 10).cast("long")
+    val u = (h24.cast("double") + lit(0.5)) / lit(16777216.0)
+    val key = col(weightCol).cast(DecimalType(28, 9)) +
+      (-log(-log(u))).cast(DecimalType(18, 9))
+    df.withColumn("__gk", key)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("__gk").desc, col(id)))
+          .cast("long"))
+      .filter(col("rk") <= k)
+      .withColumn("gumbel_key", col("__gk").cast("double"))
+      .drop("__gk")
+  }
 
   /** Quality-greedy corpus selection under a GLOBAL token budget: the
     * "curate the best N tokens" pretraining step. Semantics are the greedy

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -117,5 +117,44 @@ object TextScoring {
       .agg(count(lit(1)).as("n_bigrams_scored"),
         sum(col("nll")).cast("double").as("nll_sum"))
       .withColumn("nll_per_token", col("nll_sum") / col("n_bigrams_scored"))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under the TARGET distribution
+    * (the rows where `isTarget` holds — the Wikipedia-like slice you want
+    * more of) than under the RAW corpus distribution. Both are add-1-
+    * smoothed unigram bag-of-words models over the shared corpus
+    * vocabulary, fit in ONE token pass (the raw count and the
+    * target-conditional count are two aggregates of the same census);
+    * per-token terms ln(p_target(w) / p_raw(w)) snap to DECIMAL(18,9)
+    * before the exact per-doc sum (the unigram-NLL oracle-parity
+    * convention). Every token seen anywhere in the corpus has a raw count
+    * ≥ 1 and a smoothed target probability > 0, so no term is infinite.
+    *
+    * Output: (doc_id, n_tokens_scored, logw) for every doc with ≥ 1
+    * token — logw > 0 reads "more target-like than the corpus average".
+    * Compose with [[Sampling.gumbelTopK]] for the paper's Gumbel-top-k
+    * resampling step. Scale shape: one token census with map-side
+    * partials, one UNHINTED vocab equi-join (AQE decides broadcast, as
+    * in the NLL scorers), one broadcast 1-row totals frame. */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), isTarget.as("__t"),
+      explode(TF.words(col("text"))).as("word"))
+    val counts = base.groupBy("word").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"))
+    val tot = broadcast(counts.agg(
+      sum("cnt_r").cast("double").as("tot_r"),
+      sum("cnt_t").cast("double").as("tot_t"),
+      count(lit(1)).cast("double").as("vocab")))
+    base.join(counts, "word").crossJoin(tot)
+      .withColumn("term",
+        log(((col("cnt_t") + 1) / (col("tot_t") + col("vocab"))) /
+          ((col("cnt_r") + 1) / (col("tot_r") + col("vocab"))))
+          .cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_scored"),
+        sum(col("term")).cast("double").as("logw"))
   }
 }
