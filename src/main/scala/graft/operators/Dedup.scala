@@ -839,21 +839,40 @@ object Dedup {
     * ALL of whose agreeing bands are hot — degenerate-clique members, not
     * organic near-dups. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None): DataFrame =
+    hammingNearDups(simhash(docs), "doc_id", "simhash", maxDist, maxBucket)
+
+  /** Generic 64-bit-hash Hamming near-dup pairs at distance ≤ maxDist —
+    * the pigeonhole band join extracted from [[simhashNearDups]] so any
+    * 64-bit locality-preserving fingerprint (SimHash over words,
+    * [[Multimodal.perceptualHash]] over pixels) shares one scale shape:
+    * split into maxDist+1 bands, a pair within distance must agree
+    * exactly on ≥ 1 band (equi-join per band), then the exact
+    * `bit_count(xor)` filter. `maxBucket` caps hot (band, key) buckets —
+    * identical payloads put their whole clique in every band bucket,
+    * quadratic without the cap ([[capBuckets]]).
+    *
+    * Output: (<id>_1, <id>_2, hamming) with id_1 < id_2, each qualifying
+    * pair once. */
+  def hammingNearDups(hashes: DataFrame, id: String, hash: String,
+      maxDist: Int, maxBucket: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 64), got $maxDist")
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sh = simhash(docs)
-    val banded0 = sh.select(col("doc_id"), col("simhash"),
+    val banded0 = hashes.select(col(id), col(hash),
       posexplode(array((0 until nBands).map { b =>
-        shiftrightunsigned(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))
+        // the last band absorbs the 64 % nBands leftover bits
+        val w = if (b == nBands - 1) 64 - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftrightunsigned(col(hash), b * width).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "key")))
     val banded = maxBucket.fold(banded0)(capBuckets(banded0, Seq("band", "key"), _))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as(s"${id}_1"), col(s"b.$id").as(s"${id}_2"),
+        bit_count(col(s"a.$hash").bitwiseXOR(col(s"b.$hash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -286,4 +286,175 @@ object Multimodal extends Serializable {
       }
       .toDF()
   }
+
+  final case class MediaHash(media_id: Long, phash: Long, real_decode: Boolean)
+
+  /** DCT pHash of a decoded image: box-downsample the luminance to 32×32,
+    * 2-D DCT-II, keep the low-frequency 8×8 block, bit i = coeff_i >
+    * median of the 64 — the classic perceptual fingerprint (Zauner 2010;
+    * the shape/structure hash behind image dedup pipelines). Small pixel
+    * edits (noise, mild brightness, re-encode) flip few low-frequency
+    * signs → small Hamming distance; distinct images differ in ~32 bits. */
+  private def phashImage(payload: Array[Byte]): Option[Long] = {
+    if (payload.isEmpty) return None
+    try {
+      require(imageIoReady)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val n = 32
+      val w = img.getWidth
+      val h = img.getHeight
+      // box filter: each 32×32 cell averages its pixel block, sampled on
+      // a ≤8×8 grid within the cell — total reads ≤ 32·32·64 = 65,536,
+      // the file's bounded-per-payload-work discipline (one huge image
+      // can't stall its partition); cells map to ≥1 pixel via floor bounds
+      val gray = Array.ofDim[Double](n, n)
+      var cy = 0
+      while (cy < n) {
+        val y0 = cy * h / n
+        val y1 = math.max(y0 + 1, (cy + 1) * h / n)
+        val sy = math.max(1, (y1 - y0) / 8)
+        var cx = 0
+        while (cx < n) {
+          val x0 = cx * w / n
+          val x1 = math.max(x0 + 1, (cx + 1) * w / n)
+          val sx = math.max(1, (x1 - x0) / 8)
+          var sum = 0.0
+          var cnt = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              cnt += 1
+              x += sx
+            }
+            y += sy
+          }
+          gray(cy)(cx) = sum / cnt
+          cx += 1
+        }
+        cy += 1
+      }
+      // separable 2-D DCT-II of the low 8×8 block only: O(8·8·32·32)
+      val cos = Array.tabulate(8, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      val coeffs = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) {
+              acc += gray(y)(x) * cos(u)(y) * cos(v)(x)
+              x += 1
+            }
+            y += 1
+          }
+          coeffs(u * 8 + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = coeffs.sorted
+      val median = (sorted(31) + sorted(32)) / 2.0
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (coeffs(i) > median) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** 64-bit avalanche of the byte checksum (murmur3 fmix64) — the stub
+    * fingerprint for undecodable payloads: identical bytes collide
+    * (exact dups still pair up), any byte change scatters ~32 bits (no
+    * false near-dups from adjacent checksums). */
+  private def stubHash(payload: Array[Byte]): Long = {
+    var k = byteChecksum(payload)
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
+  /** Per-media 64-bit perceptual hash: REAL DCT pHash for decodable
+    * image mimes (`real_decode = true`), the avalanche stub otherwise —
+    * total, partition-local, no shuffle. Feed to [[imageNearDups]] /
+    * [[Dedup.hammingNearDups]] for the banded near-dup join. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val mime =
+      if (media.columns.contains("meta")) col("meta.mime")
+      else lit(null).cast("string")
+    media.select(col("media_id"), col("payload"), mime.as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, m) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val real = m != null && m.startsWith("image/")
+        val ph = if (real) phashImage(b) else None
+        MediaHash(id, ph.getOrElse(stubHash(b)), ph.isDefined)
+      })
+      .toDF()
+  }
+
+  /** Image near-duplicate pairs: pHash + the pigeonhole Hamming band join
+    * ([[Dedup.hammingNearDups]]) at distance ≤ maxDist (pHash convention:
+    * ≤ 10 of 64 ≈ same image re-encoded/resized/lightly edited). Scale
+    * shape: hash is one partition-local pass over payload bytes; the pair
+    * join is banded, never all-pairs; `maxBucket` caps degenerate
+    * identical-image cliques. */
+  def imageNearDups(media: DataFrame, maxDist: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame =
+    Dedup.hammingNearDups(perceptualHash(media), "media_id", "phash",
+      maxDist, maxBucket)
+
+  /** Deterministic raster rendering of a float-vector column as a
+    * `side`×`side` grayscale PNG media table (min-max normalized per
+    * vector) — a REAL-codec fixture generator: it turns any embedding
+    * table into image payloads whose visual similarity mirrors the
+    * vectors', so the image-dedup path can be driven end-to-end (render →
+    * ImageIO decode → DCT pHash → banded pair join) from plain parquet.
+    * Partition-local, no shuffle. Vectors shorter than side² are
+    * zero-padded; null/empty vectors render black. */
+  def vectorsAsPngMedia(df: DataFrame, id: String, vec: String,
+      side: Int): DataFrame = {
+    require(side >= 2, s"side must be >= 2, got $side")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(vec).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (mid, v0) =>
+        val v = if (v0 == null) Array.emptyFloatArray else v0
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        if (v.nonEmpty) {
+          var mn = Float.MaxValue
+          var mx = Float.MinValue
+          v.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+          val range = if (mx > mn) (mx - mn).toDouble else 1.0
+          var i = 0
+          while (i < side * side) {
+            val g =
+              if (i < v.length) ((v(i) - mn) / range * 255.0).toInt max 0 min 255
+              else 0
+            img.setRGB(i % side, i / side, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val bytes = buf.toByteArray
+        (mid, bytes, ("image/png", bytes.length.toLong, "render"))
+      })
+      .toDF("media_id", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
 }
