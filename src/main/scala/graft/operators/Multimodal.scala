@@ -416,6 +416,189 @@ object Multimodal extends Serializable {
     Dedup.hammingNearDups(perceptualHash(media), "media_id", "phash",
       maxDist, maxBucket)
 
+  /** Spectral audio fingerprint of a decoded payload: mono-mix to 16-bit
+    * PCM, average-downsample toward a ~4 kHz analysis rate, split the
+    * captured signal into 8 time segments, measure 8 log-spaced band
+    * energies (100–1800 Hz Goertzel filters) per segment, bit =
+    * energy > median of the 64 — the time–frequency sign signature of the
+    * Haitsma–Kalker (2002) audio-fingerprint family, median-normalized so
+    * amplitude scaling and mild noise flip few bits. Work is bounded by
+    * the same ≤65,536-frame capture as [[decodeAudio]]. */
+  /** The analyzer's 8 log-spaced band centers (100–1800 Hz); shared with
+    * [[vectorsAsWavMedia]] so rendered cells land exactly on analysis
+    * bands. */
+  private[operators] val afpBands: Array[Double] =
+    Array.tabulate(8)(b => 100.0 * math.pow(1.512, b))
+
+  private def afpAudio(payload: Array[Byte]): Option[Long] = {
+    if (payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val ch = fmt.getChannels
+        val frameSize = 2 * ch
+        val maxFrames = 65536
+        // mono mix + average-downsample by `dec` toward ~4 kHz
+        val dec = math.max(1, math.round(fmt.getSampleRate / 4000.0).toInt)
+        val rate = fmt.getSampleRate / dec
+        val samples = new Array[Double](maxFrames / dec + 1)
+        var nOut = 0
+        var acc = 0.0
+        var accN = 0
+        var framesRead = 0
+        val buf = new Array[Byte](frameSize * 4096)
+        var eof = false
+        while (!eof && framesRead < maxFrames) {
+          val r = pcm.read(buf)
+          if (r <= 0) eof = true
+          else {
+            var f = 0
+            val nf = r / frameSize
+            while (f < nf && framesRead < maxFrames) {
+              var mono = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameSize + 2 * c
+                val s = ((buf(off + 1): Int) << 8) | (buf(off) & 0xff)
+                mono += s / 32768.0
+                c += 1
+              }
+              acc += mono / ch
+              accN += 1
+              if (accN == dec) {
+                samples(nOut) = acc / dec; nOut += 1; acc = 0.0; accN = 0
+              }
+              f += 1
+              framesRead += 1
+            }
+          }
+        }
+        if (nOut < 64) return None // too short for 8 segments of analysis
+        val segLen = nOut / 8
+        val bands = afpBands
+        val energies = new Array[Double](64)
+        var seg = 0
+        while (seg < 8) {
+          var b = 0
+          while (b < 8) {
+            // Goertzel at band frequency over this segment
+            val w = 2.0 * math.Pi * math.min(bands(b), rate / 2.0 - 1.0) / rate
+            val coeff = 2.0 * math.cos(w)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var i = seg * segLen
+            val end = i + segLen
+            while (i < end) {
+              s0 = samples(i) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            energies(seg * 8 + b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            b += 1
+          }
+          seg += 1
+        }
+        val sorted = energies.sorted
+        val median = (sorted(31) + sorted(32)) / 2.0
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (energies(i) > median) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-media 64-bit audio fingerprint: REAL spectral signature for
+    * decodable audio mimes (`real_decode = true`), the avalanche stub
+    * otherwise — the audio twin of [[perceptualHash]]. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val mime =
+      if (media.columns.contains("meta")) col("meta.mime")
+      else lit(null).cast("string")
+    media.select(col("media_id"), col("payload"), mime.as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, m) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val real = m != null && m.startsWith("audio/")
+        val fp = if (real) afpAudio(b) else None
+        MediaHash(id, fp.getOrElse(stubHash(b)), fp.isDefined)
+      })
+      .toDF()
+  }
+
+  /** Audio near-duplicate pairs: spectral fingerprint + the pigeonhole
+    * Hamming band join — same scale shape as [[imageNearDups]]. */
+  def audioNearDups(media: DataFrame, maxDist: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame =
+    Dedup.hammingNearDups(audioFingerprint(media), "media_id", "phash",
+      maxDist, maxBucket)
+
+  /** Deterministic time–frequency rendering of a float-vector column as
+    * mono 16-bit WAV media — the audio twin of [[vectorsAsPngMedia]]:
+    * component k plays a tone at analysis band k % 8 ([[afpBands]])
+    * during time segment k / 8 of a 1-second, 4 kHz clip (a poor-man's
+    * inverse spectrogram), so each component maps to exactly one of the
+    * fingerprint's 64 time–frequency energy cells and vector similarity
+    * becomes fingerprint similarity. Peak-normalized; the audio-dedup
+    * path runs end-to-end from plain parquet through the REAL javax.sound
+    * codec. Partition-local, no shuffle. */
+  def vectorsAsWavMedia(df: DataFrame, id: String, vec: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(vec).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (mid, v0) =>
+        val v = if (v0 == null) Array.emptyFloatArray else v0
+        val rate = 4000
+        val n = rate // 1 second
+        val segLen = n / 8
+        val wave = new Array[Double](n)
+        var k = 0
+        while (k < v.length && k < 64) {
+          val f = afpBands(k % 8)
+          val start = (k / 8) * segLen
+          var i = start
+          while (i < start + segLen) {
+            wave(i) += v(k) * math.sin(2.0 * math.Pi * f * (i - start) / rate)
+            i += 1
+          }
+          k += 1
+        }
+        var peak = 1e-9
+        wave.foreach(x => if (math.abs(x) > peak) peak = math.abs(x))
+        val pcmBytes = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = math.max(-32767, math.min(32767,
+            math.round(wave(i) / peak * 32000.0).toInt))
+          pcmBytes(2 * i) = (s & 0xff).toByte
+          pcmBytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val afmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcmBytes), afmt, n.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        val bytes = buf.toByteArray
+        (mid, bytes, ("audio/wav", bytes.length.toLong, "render"))
+      })
+      .toDF("media_id", "payload", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+
   /** Deterministic raster rendering of a float-vector column as a
     * `side`×`side` grayscale PNG media table (min-max normalized per
     * vector) — a REAL-codec fixture generator: it turns any embedding
