@@ -561,7 +561,90 @@ object SeriesQueries {
     }
   }
 
+  /** Render-side triangle downsampling ([[Series.downsampleTriangle]],
+    * the LTTB family): every purchase series decimated to ≤ 20 points.
+    * The oracle restates the whole pipeline — rank bucketing, exact-
+    * DECIMAL centroids, lag/lead anchors with endpoint fallback, the
+    * double area expression, the per-bucket argmax — so the selection is
+    * hash-proven point for point. */
+  private val lttb = {
+    val b = 20
+    QDef(
+      "q_series_lttb",
+      s"""WITH ${OracleViews.metricsCte},
+         |base AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CAST(row_number() OVER w AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY tenant_id, metric_name)
+         |           AS BIGINT) AS n
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name
+         |               ORDER BY ts_ms, value)
+         |),
+         |ends AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST(CASE WHEN rn = 1 THEN 0 ELSE ${b - 1} END AS INT)
+         |           AS bucket,
+         |         ts_ms, value
+         |  FROM base WHERE rn = 1 OR rn = n
+         |),
+         |mid AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, rn, n,
+         |         CAST(1 + ((rn - 2) * ${b - 2}) // (n - 2) AS INT) AS bucket
+         |  FROM base WHERE rn > 1 AND rn < n
+         |),
+         |fl AS (
+         |  SELECT tenant_id, metric_name,
+         |         MAX(CASE WHEN rn = 1 THEN ts_ms END) AS f_ts,
+         |         MAX(CASE WHEN rn = 1 THEN value END) AS f_v,
+         |         MAX(CASE WHEN rn = n THEN ts_ms END) AS l_ts,
+         |         MAX(CASE WHEN rn = n THEN value END) AS l_v
+         |  FROM base GROUP BY 1, 2
+         |),
+         |cent AS (
+         |  SELECT tenant_id, metric_name, bucket,
+         |         CAST(SUM(CAST(ts_ms AS DECIMAL(28,0))) AS DOUBLE)
+         |           / COUNT(*) AS ct,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(*) AS cv
+         |  FROM mid GROUP BY 1, 2, 3
+         |),
+         |anch AS (
+         |  SELECT c.tenant_id, c.metric_name, c.bucket,
+         |         COALESCE(lag(ct) OVER wb, CAST(f_ts AS DOUBLE)) AS a1_ts,
+         |         COALESCE(lag(cv) OVER wb, f_v) AS a1_v,
+         |         COALESCE(lead(ct) OVER wb, CAST(l_ts AS DOUBLE)) AS a2_ts,
+         |         COALESCE(lead(cv) OVER wb, l_v) AS a2_v
+         |  FROM cent c JOIN fl USING (tenant_id, metric_name)
+         |  WINDOW wb AS (PARTITION BY c.tenant_id, c.metric_name
+         |                ORDER BY c.bucket)
+         |),
+         |scored AS (
+         |  SELECT m.tenant_id, m.metric_name, m.bucket, m.ts_ms, m.value,
+         |         abs((a.a1_ts - CAST(m.ts_ms AS DOUBLE)) * (a.a2_v - m.value) -
+         |             (a.a2_ts - CAST(m.ts_ms AS DOUBLE)) * (a.a1_v - m.value))
+         |           AS area
+         |  FROM mid m JOIN anch a USING (tenant_id, metric_name, bucket)
+         |),
+         |win AS (
+         |  SELECT *, row_number() OVER (
+         |           PARTITION BY tenant_id, metric_name, bucket
+         |           ORDER BY area DESC, ts_ms, value) AS rk
+         |  FROM scored
+         |)
+         |SELECT tenant_id, metric_name, bucket, ts_ms, value
+         |FROM win WHERE rk = 1
+         |UNION ALL
+         |SELECT tenant_id, metric_name, bucket, ts_ms, value FROM ends
+         |ORDER BY tenant_id, metric_name, bucket, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.downsampleTriangle(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), b)
+          .orderBy("tenant_id", "metric_name", "bucket", "ts_ms", "value")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp,
-    asofBaseline, asofWithin)
+    asofBaseline, asofWithin, lttb)
 }

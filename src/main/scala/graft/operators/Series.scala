@@ -449,4 +449,80 @@ object Series {
       .select("tenant_id", "metric_name", "first_ms", "last_ms",
         "n_expected", "n_present", "n_missing", "completeness")
   }
+
+  /** Triangle-area downsampling to ≤ `buckets` points per series — the
+    * render-side decimation behind "draw this 100k-point series as 800
+    * pixels" (the LTTB family, Steinarsson 2013). Endpoints are always
+    * kept; the middle points split into `buckets − 2` equal-count
+    * buckets, and each bucket keeps the point spanning the LARGEST
+    * triangle with its neighbor buckets' centroids (the first/last
+    * middle buckets anchor to the exact endpoint, as canonical LTTB
+    * does). Anchoring to the neighbor CENTROID instead of the previously
+    * SELECTED point removes strict LTTB's sequential bucket chain — every
+    * bucket's argmax computes independently, so series AND buckets
+    * parallelize, at a selection quality the LTTB literature's parallel
+    * variants accept (MinMaxLTTB, plotly-resampler).
+    *
+    * Oracle-parity: bucket assignment is pure integer math on the
+    * row_number; centroids are exact-DECIMAL sums finished as scalar
+    * doubles; the area is one fixed double expression over those, so the
+    * per-bucket argmax is bit-identical (ties → smallest ts, then value).
+    * Scale shape: one shuffle to (series)-partition the windows; the
+    * centroid table is B rows per series, its lag/lead window reuses the
+    * same exchange, and the argmax rank compiles to WindowGroupLimit.
+    * Empty middle buckets (sparse series) are simply absent; their
+    * neighbors anchor one centroid further away via the lag/lead over
+    * PRESENT buckets. */
+  def downsampleTriangle(points: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    val ser = Seq("tenant_id", "metric_name")
+    val wOrd = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("ts_ms"), col("value"))
+    val base = points.select(col("tenant_id"), col("metric_name"),
+        col("ts_ms"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(ser.map(col): _*)))
+    val ends = base
+      .filter(col("rn") === 1 || col("rn") === col("n"))
+      .withColumn("bucket",
+        when(col("rn") === 1, lit(0)).otherwise(lit(buckets - 1)).cast("int"))
+    val mid = base.filter(col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("bucket",
+        expr(s"CAST(1 + ((rn - 2) * ${buckets - 2}) div (n - 2) AS INT)"))
+    val fl = base.groupBy(ser.map(col): _*).agg(
+      max(when(col("rn") === 1, col("ts_ms"))).as("f_ts"),
+      max(when(col("rn") === 1, col("value"))).as("f_v"),
+      max(when(col("rn") === col("n"), col("ts_ms"))).as("l_ts"),
+      max(when(col("rn") === col("n"), col("value"))).as("l_v"))
+    val cent = mid.groupBy((ser :+ "bucket").map(col): _*).agg(
+      (sum(col("ts_ms").cast(DecimalType(28, 0))).cast("double") /
+        count(lit(1))).as("ct"),
+      (sum(col("value").cast(DecimalType(28, 2))).cast("double") /
+        count(lit(1))).as("cv"))
+    val wB = Window.partitionBy(ser.map(col): _*).orderBy(col("bucket"))
+    val anch = cent.join(fl, ser)
+      .withColumn("a1_ts",
+        coalesce(lag("ct", 1).over(wB), col("f_ts").cast("double")))
+      .withColumn("a1_v",
+        coalesce(lag("cv", 1).over(wB), col("f_v")))
+      .withColumn("a2_ts",
+        coalesce(lead("ct", 1).over(wB), col("l_ts").cast("double")))
+      .withColumn("a2_v",
+        coalesce(lead("cv", 1).over(wB), col("l_v")))
+      .select((ser :+ "bucket").map(col) ++
+        Seq(col("a1_ts"), col("a1_v"), col("a2_ts"), col("a2_v")): _*)
+    val wA = Window.partitionBy((ser :+ "bucket").map(col): _*)
+      .orderBy(col("area").desc, col("ts_ms"), col("value"))
+    val winners = mid.join(anch, ser :+ "bucket")
+      .withColumn("area",
+        abs((col("a1_ts") - col("ts_ms").cast("double")) *
+            (col("a2_v") - col("value")) -
+          (col("a2_ts") - col("ts_ms").cast("double")) *
+            (col("a1_v") - col("value"))))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+    winners.select((ser ++ Seq("bucket", "ts_ms", "value")).map(col): _*)
+      .unionByName(ends.select(
+        (ser ++ Seq("bucket", "ts_ms", "value")).map(col): _*))
+  }
 }

@@ -265,6 +265,37 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("downsampleTriangle: endpoints kept, ≤ buckets points, spike " +
+    "survives, layout-invariant, tiny-series edges") {
+    val rnd = new scala.util.Random(17)
+    // dense sawtooth + one huge spike mid-series
+    val dense = (0 until 500).map { i =>
+      val v = if (i == 237) 900.0 else 10.0 + (i % 7) + rnd.nextDouble()
+      ("t", "dense", i * 1000L, v)
+    }
+    val tiny = Seq(("t", "one", 0L, 1.0), ("t", "two", 0L, 1.0),
+      ("t", "two", 1000L, 2.0))
+    val got = Series.downsampleTriangle(pts(dense ++ tiny), 20)
+    val byS = got.collect().groupBy(_.getString(1))
+    // dense: exactly 20 points (500 points, all 18 middle buckets populated)
+    assert(byS("dense").length === 20)
+    val ts = byS("dense").map(_.getLong(3)).sorted
+    assert(ts.head === 0L && ts.last === 499000L) // endpoints
+    assert(byS("dense").exists(_.getDouble(4) === 900.0), "spike must survive")
+    // n=1 → single point in bucket 0; n=2 → both endpoints
+    assert(byS("one").map(r => (r.getInt(2), r.getLong(3))).toSeq === Seq((0, 0L)))
+    assert(byS("two").map(_.getInt(2)).sorted.toSeq === Seq(0, 19))
+    // one point per (series, bucket)
+    val dup = got.collect().groupBy(r => (r.getString(1), r.getInt(2)))
+      .filter(_._2.length > 1)
+    assert(dup.isEmpty, s"duplicate buckets: ${dup.keys}")
+    // layout invariance
+    val again = Series.downsampleTriangle(pts(dense ++ tiny).repartition(13), 20)
+    assert(got.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](
+      Series.downsampleTriangle(pts(tiny), 2))
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
