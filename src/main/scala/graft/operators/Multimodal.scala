@@ -295,6 +295,12 @@ object Multimodal extends Serializable {
     * the shape/structure hash behind image dedup pipelines). Small pixel
     * edits (noise, mild brightness, re-encode) flip few low-frequency
     * signs → small Hamming distance; distinct images differ in ~32 bits. */
+  /** The 8×32 DCT-II cosine basis, constant for the fixed 32×32 grid —
+    * built once per JVM, not per payload. */
+  @transient private lazy val dctTable: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / 64.0))
+
   private def phashImage(payload: Array[Byte]): Option[Long] = {
     if (payload.isEmpty) return None
     try {
@@ -313,12 +319,12 @@ object Multimodal extends Serializable {
       while (cy < n) {
         val y0 = cy * h / n
         val y1 = math.max(y0 + 1, (cy + 1) * h / n)
-        val sy = math.max(1, (y1 - y0) / 8)
+        val sy = math.max(1, (y1 - y0 + 7) / 8) // ceil: ≤8 samples per axis
         var cx = 0
         while (cx < n) {
           val x0 = cx * w / n
           val x1 = math.max(x0 + 1, (cx + 1) * w / n)
-          val sx = math.max(1, (x1 - x0) / 8)
+          val sx = math.max(1, (x1 - x0 + 7) / 8)
           var sum = 0.0
           var cnt = 0
           var y = y0
@@ -339,8 +345,7 @@ object Multimodal extends Serializable {
         cy += 1
       }
       // separable 2-D DCT-II of the low 8×8 block only: O(8·8·32·32)
-      val cos = Array.tabulate(8, n)((u, x) =>
-        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      val cos = dctTable
       val coeffs = new Array[Double](64)
       var u = 0
       while (u < 8) {
@@ -416,6 +421,12 @@ object Multimodal extends Serializable {
     Dedup.hammingNearDups(perceptualHash(media), "media_id", "phash",
       maxDist, maxBucket)
 
+  /** The analyzer's 8 log-spaced band centers (100–1800 Hz); shared with
+    * [[vectorsAsWavMedia]] so rendered cells land exactly on analysis
+    * bands. */
+  private[operators] val afpBands: Array[Double] =
+    Array.tabulate(8)(b => 100.0 * math.pow(1.512, b))
+
   /** Spectral audio fingerprint of a decoded payload: mono-mix to 16-bit
     * PCM, average-downsample toward a ~4 kHz analysis rate, split the
     * captured signal into 8 time segments, measure 8 log-spaced band
@@ -424,12 +435,6 @@ object Multimodal extends Serializable {
     * Haitsma–Kalker (2002) audio-fingerprint family, median-normalized so
     * amplitude scaling and mild noise flip few bits. Work is bounded by
     * the same ≤65,536-frame capture as [[decodeAudio]]. */
-  /** The analyzer's 8 log-spaced band centers (100–1800 Hz); shared with
-    * [[vectorsAsWavMedia]] so rendered cells land exactly on analysis
-    * bands. */
-  private[operators] val afpBands: Array[Double] =
-    Array.tabulate(8)(b => 100.0 * math.pow(1.512, b))
-
   private def afpAudio(payload: Array[Byte]): Option[Long] = {
     if (payload.isEmpty) return None
     try {

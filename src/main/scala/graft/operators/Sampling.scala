@@ -137,7 +137,7 @@ object Sampling {
     * importance sampling (Xie et al. 2023; the Gumbel-max trick: adding
     * i.i.d. Gumbel noise to log-weights and taking the top-k draws a
     * weighted sample). "Noise" here is the content-hash uniform
-    * u = (h₂₄ + ½) / 16²⁴ from the row's id — the same no-rand() policy
+    * u = (h₂₄ + ½) / 2²⁴ from the row's id — the same no-rand() policy
     * as every sampler in this object, so the draw is a pure function of
     * (id, weight): rerun- and append-stable, and a DuckDB oracle can
     * state the identical selection.

@@ -487,8 +487,11 @@ object Series {
       .withColumn("bucket",
         when(col("rn") === 1, lit(0)).otherwise(lit(buckets - 1)).cast("int"))
     val mid = base.filter(col("rn") > 1 && col("rn") < col("n"))
+      // rn is IntegerType (row_number): widen BEFORE the multiply, like the
+      // oracle's BIGINT rn — ANSI would overflow on a ~119M-point series
       .withColumn("bucket",
-        expr(s"CAST(1 + ((rn - 2) * ${buckets - 2}) div (n - 2) AS INT)"))
+        expr(s"CAST(1 + ((CAST(rn AS BIGINT) - 2) * ${buckets - 2}L)" +
+          s" div (n - 2) AS INT)"))
     val fl = base.groupBy(ser.map(col): _*).agg(
       max(when(col("rn") === 1, col("ts_ms"))).as("f_ts"),
       max(when(col("rn") === 1, col("value"))).as("f_v"),

@@ -89,9 +89,9 @@ object TimeJoin {
       s"leftTs and rightTs must be distinct names, both were '$leftTs'")
     withinMs.foreach(w => require(w > 0, s"withinMs must be positive, got $w"))
     val payload = right.columns.filterNot((keys :+ rightTs).contains).toSeq
-    val collide = payload.toSet.intersect(left.columns.toSet)
+    val collide = (payload.toSet + rightTs).intersect(left.columns.toSet)
     require(collide.isEmpty,
-      s"right payload columns collide with left: ${collide.mkString(", ")}")
+      s"right-side output columns collide with left: ${collide.mkString(", ")}")
     val k = keys.map(col)
     // One row per (keys, rightTs): greatest payload struct — deterministic
     // under duplicate right timestamps (struct comparison is a total order
