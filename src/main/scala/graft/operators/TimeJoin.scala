@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Bounded time-distance join — the "what ELSE happened around then"
   * primitive behind incident annotation (anomaly ↔ deploy/error events),
@@ -138,5 +139,87 @@ object TimeJoin {
       .select(col("__lrow.*") +:
         col("__m.__rts").as(rightTs) +:
         payload.map(c => col(s"__m.__p.$c").as(c)): _*)
+  }
+
+  final case class AsofEv(tenant_id: String, metric_name: String,
+      ets: java.sql.Timestamp, tag: Int, value: Double)
+  final case class AsofState(rights: List[(Long, Double)])
+  final case class EnrichedPoint(tenant_id: String, metric_name: String,
+      ts_ms: Long, value: Double, baseline_ms: Option[Long],
+      baseline: Option[Double], delta: Option[Double])
+
+  /** Streaming twin of the bounded [[asOf]] — latest-observation
+    * enrichment ON ARRIVAL (the alerting shape: each point is compared
+    * against its series' freshest baseline the moment it lands, instead
+    * of in the batch recompute). `left` and `right` are two keyed streams
+    * with columns (tenant_id, metric_name, ts_ms, value); each left
+    * point emits once, enriched with the greatest right `ts_ms` ≤ its
+    * own within `withinMs` (inclusive at equality, right-before-left at
+    * ties — the batch tag order), or nulls when none qualifies.
+    *
+    * State per series is only the rights still able to match a future
+    * left: rights older than `watermark − withinMs` are EVICTED each
+    * batch (a future left has ts ≥ watermark, so those can never be
+    * within the window again — the [[Dedup.streamingDedupKeepFirst]]
+    * bounded-state discipline), and series quiet past their last right's
+    * matchable horizon time out entirely. On an in-order feed the
+    * emitted enrichment is bit-identical to the batch operator; late
+    * left points enrich against the retained rights (never a FUTURE
+    * right), late rights apply to lefts after them — the
+    * recompute-from-source batch pass remains the exhaustive answer,
+    * like every streaming twin here. */
+  def streamingAsOf(left: DataFrame, right: DataFrame, withinMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[EnrichedPoint] = {
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val spark = left.sparkSession
+    import spark.implicits._
+    def shape(df: DataFrame, tag: Int) = df
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        timestamp_millis(col("ts_ms").cast("long")).as("ets"),
+        lit(tag).as("tag"), col("value").cast("double").as("value"))
+      .withWatermark("ets", watermarkDelay)
+    shape(left, 1).unionByName(shape(right, 0))
+      .as[AsofEv]
+      .groupByKey(e => (e.tenant_id, e.metric_name))
+      .flatMapGroupsWithState[AsofState, EnrichedPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        enrichBatch(withinMs))
+  }
+
+  private def enrichBatch(withinMs: Long)(
+      key: (String, String), batch: Iterator[AsofEv],
+      state: GroupState[AsofState]): Iterator[EnrichedPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var rights = state.getOption.map(_.rights).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedPoint]
+      // event-time order, rights before lefts at equal ts — the batch
+      // operator's (ts, tag) sort
+      for (e <- batch.toSeq.sortBy(x => (x.ets.getTime, x.tag))) {
+        val t = e.ets.getTime
+        if (e.tag == 0) rights = (t -> e.value) :: rights
+        else {
+          val cand = rights.filter(r => r._1 <= t && t - r._1 <= withinMs)
+          // greatest rts; duplicate rts resolve to greatest value, the
+          // batch dedup's max-payload-struct policy
+          val best =
+            if (cand.isEmpty) None else Some(cand.maxBy(identity))
+          out += EnrichedPoint(key._1, key._2, t, e.value,
+            best.map(_._1), best.map(_._2), best.map(e.value - _._2))
+        }
+      }
+      val evictBelow = state.getCurrentWatermarkMs() - withinMs
+      rights = rights.filter(_._1 >= evictBelow)
+      if (rights.isEmpty) state.remove()
+      else {
+        state.update(AsofState(rights))
+        state.setTimeoutTimestamp(math.max(
+          rights.map(_._1).max + withinMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
   }
 }

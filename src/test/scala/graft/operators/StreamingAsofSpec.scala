@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TimeJoin.streamingAsOf]] — on-arrival latest-baseline enrichment must
+  * match the batch bounded as-of on in-order feeds, across micro-batches,
+  * with bounded state. */
+class StreamingAsofSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val base = 1704067200000L
+  private val w = 60000L // 1 min tolerance
+
+  /** (tag, ts_ms, value): tag 0 = right (baseline), 1 = left (point). */
+  private def run(batches: Seq[Seq[(Int, Long, Double)]]): Seq[(Long, Option[Long], Option[Double])] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Double, Int)]
+    val all = mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value", "tag")
+    val enriched = TimeJoin.streamingAsOf(
+      all.filter($"tag" === 1).drop("tag"),
+      all.filter($"tag" === 0).drop("tag"), w)
+    val name = s"asof_out_${System.nanoTime()}"
+    val q = enriched.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    for (b <- batches) {
+      mem.addData(b.map { case (tag, ts, v) => ("t", "m", ts, v, tag) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name).collect().map { r =>
+      (r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }.toSeq.sortBy(_._1)
+  }
+
+  test("≡ batch bounded asOf on an in-order feed split across batches") {
+    val rights = Seq(
+      (0, base, 10.0), (0, base + 30000, 20.0), (0, base + 120000, 30.0))
+    val lefts = Seq(
+      (1, base - 1000, 1.0),      // before any baseline -> nulls
+      (1, base, 2.0),             // tie: matches baseline AT base (inclusive)
+      (1, base + 40000, 3.0),     // matches base+30000
+      (1, base + 100000, 4.0),    // base+30000 is 70s old -> out of window
+      (1, base + 130000, 5.0))    // matches base+120000 (cross-batch)
+    val all = (rights ++ lefts).sortBy(_._2)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val got = run(Seq(b1, b2))
+
+    // batch reference
+    val lDf = lefts.map { case (_, ts, v) => ("t", "m", ts, v) }
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val rDf = rights.map { case (_, ts, v) => ("t", "m", ts, v) }
+      .toDF("tenant_id", "metric_name", "baseline_ms", "baseline")
+    val want = TimeJoin.asOf(lDf, "ts_ms", rDf, "baseline_ms",
+        Seq("tenant_id", "metric_name"), Some(w))
+      .collect().map { r =>
+        (r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      }.toSeq.sortBy(_._1)
+    assert(got === want)
+    // spot checks: the semantics themselves
+    assert(got.head._2 === None)
+    assert(got(1)._2 === Some(base)) // inclusive tie
+    assert(got(3)._2 === None)       // window expired
+    assert(got(4)._2 === Some(base + 120000))
+  }
+
+  test("cross-batch state: baseline from batch 1 enriches a batch-2 point") {
+    val got = run(Seq(
+      Seq((0, base, 7.0)),
+      Seq((1, base + 10000, 9.0))))
+    assert(got === Seq((base + 10000, Some(base), Some(7.0))))
+  }
+
+  test("no-baseline series emits nulls and never blocks") {
+    val got = run(Seq(Seq((1, base, 1.0), (1, base + 1000, 2.0))))
+    assert(got.forall(_._2.isEmpty))
+    assert(got.size === 2)
+  }
+}
