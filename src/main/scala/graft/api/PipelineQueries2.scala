@@ -175,6 +175,20 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** The quantile-bucketed arm of the same selection
+    * ([[Sampling.selectByTokenBudgetQuantile]], the skew remedy): SAME
+    * oracle as q_select_budget — the quantile edges steer only work
+    * placement, so the driver hash-proves the two bucketings select the
+    * identical greedy prefix. */
+  private val selectBudgetQuantile = QDef(
+    "q_select_budget_q",
+    selectBudget.oracle.get) { (s, dir) =>
+    Sampling.selectByTokenBudgetQuantile(Tables.load(s, dir, "documents"),
+        TF.qualityScore(col("text")), TF.tokenCountBpe(col("text")),
+        budget = 12000L)
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-slice sequence packing: shard by doc_id mod 8, concatenate
     * in doc order, slice the token stream into 512-token sequences; each
     * doc reports the sequence its first token lands in. Per-shard
@@ -684,7 +698,7 @@ object PipelineQueries2 {
 
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
-    selectBudget, packSequences, shardAssign,
+    selectBudget, selectBudgetQuantile, packSequences, shardAssign,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges,
     textNbLang, sampleDsir)

@@ -193,14 +193,53 @@ object Sampling {
     * strictly-better prefix equal to the budget and must drop. */
   def selectByTokenBudget(docs: DataFrame, quality: Column, tokens: Column,
       budget: Long, nBuckets: Int = 1024): DataFrame = {
-    require(budget >= 0, s"budget must be >= 0, got $budget")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    selectWithBuckets(docs, quality, tokens, budget,
+      coalesce(least(greatest(floor(col("quality") * nBuckets), lit(0)),
+        lit(nBuckets - 1)).cast("int"), lit(0)))
+  }
+
+  /** [[selectByTokenBudget]] with QUANTILE bucket edges — the documented
+    * remedy for pathological quality skew: fixed-width buckets collapse
+    * when the corpus's quality mass concentrates in a narrow range (one
+    * boundary bucket ≈ the whole corpus pays the exact window), while
+    * edges at the observed quality quantiles keep every bucket
+    * ≈ corpus/nBuckets REGARDLESS of the distribution. The selection is
+    * bit-identical to the fixed-width form and the global sort: exactness
+    * needs only a monotone bucketing in which equal qualities share a
+    * bucket, which `q > edge` threshold chains guarantee — the edges
+    * (from approx_percentile, layout-dependent) steer only WORK
+    * placement, never membership. nBuckets is intentionally modest: the
+    * edge comparisons compile into a when-chain, and 64 quantile buckets
+    * bound the boundary bucket tighter than 1024 uniform ones ever do
+    * under skew. */
+  def selectByTokenBudgetQuantile(docs: DataFrame, quality: Column,
+      tokens: Column, budget: Long, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 256,
+      s"nBuckets must be in [1, 256], got $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val edges: Seq[Double] =
+      if (probs.isEmpty) Nil
+      else Option(docs.select(quality.cast("double").as("q"))
+          .agg(percentile_approx(col("q"), lit(probs.toArray), lit(10000)))
+          .head().getSeq[Double](0)) // null on an empty/all-null corpus
+        .map(_.toSeq.distinct.sorted).getOrElse(Nil)
+    // descending threshold chain: equal qualities take the same branch,
+    // nulls fall through to bucket 0 (worst), monotone by construction
+    val bucket = edges.zipWithIndex.reverse
+      .foldLeft(lit(0): Column) { case (rest, (e, i)) =>
+        when(col("quality") > lit(e), lit(i + 1)).otherwise(rest)
+      }.cast("int")
+    selectWithBuckets(docs, quality, tokens, budget, bucket)
+  }
+
+  private def selectWithBuckets(docs: DataFrame, quality: Column,
+      tokens: Column, budget: Long, bucket: Column): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
         quality.cast("double").as("quality"),
         coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
-      .withColumn("bucket",
-        coalesce(least(greatest(floor(col("quality") * nBuckets), lit(0)),
-          lit(nBuckets - 1)).cast("int"), lit(0)))
+      .withColumn("bucket", bucket)
     val sums = base.groupBy("bucket").agg(sum("tokens").as("btok"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L

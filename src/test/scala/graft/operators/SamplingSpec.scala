@@ -92,6 +92,41 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(a === reference(2000L))
   }
 
+  test("selectByTokenBudgetQuantile ≡ fixed-width ≡ global greedy under " +
+    "pathological skew, where uniform buckets collapse") {
+    import spark.implicits._
+    // all qualities crammed into [0.99990, 0.99997]: every fixed-width
+    // bucket but one is empty, the quantile edges still split the mass
+    val rows = (0L until 300L).map { i =>
+      (i, 0.9999 + (i % 8).toDouble * 1e-8, 10L + i % 13)
+    }
+    val df = rows.toDF("doc_id", "q", "t")
+    def reference(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, q, _) => (-q, id) }
+        .iterator.takeWhile { case (_, _, t) => val in = acc < budget; acc += t; in }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 700L, 2500L, 100000L)) {
+      val fixed = Sampling.selectByTokenBudget(df, col("q"), col("t"), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val quant = Sampling.selectByTokenBudgetQuantile(df, col("q"), col("t"),
+          budget, nBuckets = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fixed === reference(budget), s"fixed budget=$budget")
+      assert(quant === reference(budget), s"quantile budget=$budget")
+    }
+    // null quality → worst, both arms; layout invariance of the quantile arm
+    val withNull = rows.toDF("doc_id", "q", "t")
+      .withColumn("q", when(col("doc_id") === 7L, lit(null)).otherwise(col("q")))
+    val qn = Sampling.selectByTokenBudgetQuantile(withNull, col("q"), col("t"),
+      700L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!qn.contains(7L))
+    val re = Sampling.selectByTokenBudgetQuantile(df.repartition(11), col("q"),
+      col("t"), 2500L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re === reference(2500L))
+  }
+
   test("shardByTokens == global hash-order window; balanced; null-safe") {
     import spark.implicits._
     val rows = (0L until 300L).map(i => (i, 5L + i % 23))
