@@ -115,6 +115,41 @@ object Demo {
     spark.sql(
       "SELECT bpe_merge(array('l','o','w','</w>'), 'o', 'w') AS merged").show()
 
+    println("== 12. as-of join: every point vs its last completed 60m baseline ==")
+    val purchase = pts.filter(col("tenant_id") === "purchase")
+    val baseline = purchase.groupBy(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - org.apache.spark.sql.functions.pmod(col("ts_ms"),
+          org.apache.spark.sql.functions.lit(3600000L)) + 3600000L)
+          .as("baseline_ms"))
+      .agg(org.apache.spark.sql.functions.avg("value").as("baseline_avg"))
+    graft.operators.TimeJoin.asOf(purchase, "ts_ms", baseline, "baseline_ms",
+        Seq("tenant_id", "metric_name"), withinMs = Some(7200000L))
+      .filter(col("baseline_avg").isNotNull)
+      .withColumn("delta", col("value") - col("baseline_avg"))
+      .show(5, truncate = false)
+
+    println("== 13. DSIR: importance-resample the pool toward the 'en' slice ==")
+    val w = graft.operators.TextScoring.dsirWeights(docs, col("lang") === "en")
+    graft.operators.Sampling.gumbelTopK(
+        docs.filter(col("lang") =!= "en").select("doc_id", "lang")
+          .join(w, "doc_id"), "doc_id", "logw", 5)
+      .select("doc_id", "lang", "logw", "rk")
+      .orderBy("rk").show(5)
+
+    println("== 14. media dedup: embeddings -> PNGs -> DCT pHash -> near-dup pairs ==")
+    val cloned = emb.select("vec_id", "embedding").limit(50).unionByName(
+      emb.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+        .limit(3))
+    graft.operators.Multimodal.imageNearDups(
+        graft.operators.Multimodal.vectorsAsPngMedia(cloned, "vec_id",
+          "embedding", 8), maxDist = 10)
+      .show(5)
+
+    println("== 15. render decimation: 20-point triangle downsample per series ==")
+    graft.operators.Series.downsampleTriangle(purchase, buckets = 20)
+      .filter(col("metric_name") === "app.purchase.user_10")
+      .orderBy("bucket").show(20)
+
     spark.stop()
   }
 }
