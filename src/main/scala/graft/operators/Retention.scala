@@ -145,6 +145,97 @@ object Retention {
     }.toMap
   }
 
+  /** Compacted batch dirs get ids offset far above any streaming batch id
+    * (checkpoint ids count micro-batches from 0), so a future ingest batch
+    * can never collide with — and silently overwrite — a compaction. */
+  val CompactIdBase: Long = 1L << 40
+
+  /** Compact a two-level raw table (`<table>/batch_id=B/ts_day=D`): one
+    * small batch dir per micro-batch is the write-optimized shape, but
+    * after months of streaming a day's data is smeared across thousands
+    * of tiny files — the classic small-file problem that kills scan
+    * throughput at 100 TB. This folds every numeric batch dir into ONE
+    * new `batch_id=` dir (id ≥ [[CompactIdBase]]), repartitioned by
+    * ts_day with `maxRecordsPerFile` bounding file sizes, then deletes
+    * the originals. Readers' union view is unchanged.
+    *
+    * Crash safety (plain-FS multi-dir ops cannot be atomic): a
+    * `_compact_manifest` written BEFORE any destructive step records the
+    * new id and the dirs to be replaced; [[recoverCompaction]] — also run
+    * at the start of every compact — completes a crashed run whose new
+    * dir landed (deletes the listed originals) or rolls back one that
+    * didn't (removes the temp). Like [[enforce]], this is a driver-side
+    * offline maintenance pass: run it (or at least recovery) before
+    * serving reads, since the post-rename pre-delete window shows both
+    * copies. Returns the new batch id, or None when fewer than
+    * `minBatchDirs` numeric batch dirs exist (non-numeric strays are left
+    * untouched). */
+  def compactRaw(spark: SparkSession, storeDir: String, table: String,
+      maxRecordsPerFile: Long = 5000000L, minBatchDirs: Int = 2): Option[Long] = {
+    require(minBatchDirs >= 2, s"minBatchDirs must be >= 2, got $minBatchDirs")
+    val root = new Path(s"$storeDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    recoverCompaction(spark, storeDir, table)
+    val batches = fs.globStatus(new Path(root, "batch_id=*")).toSeq
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("batch_id=").toLongOption
+          .map(_ -> st.getPath)
+      }.sortBy(_._1)
+    if (batches.size < minBatchDirs) return None
+    val newId = math.max(CompactIdBase, batches.map(_._1).max + 1)
+    val manifest = new Path(root, "_compact_manifest")
+    val out = fs.create(manifest, true)
+    out.write((newId +: batches.map(_._2.getName))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val tmp = new Path(root, s".compact_tmp_$newId")
+    // basePath keeps partition discovery rooted at the table (multiple
+    // batch dirs otherwise trip CONFLICTING_DIRECTORY_STRUCTURES); the
+    // batch_id partition column that brings along is dropped on rewrite
+    spark.read.option("basePath", root.toString)
+      .parquet(batches.map(_._2.toString): _*)
+      .drop("batch_id")
+      .repartition(org.apache.spark.sql.functions.col("ts_day"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("ts_day")
+      .parquet(tmp.toString)
+    // a failed rename must NOT fall through to deleting the originals
+    require(fs.rename(tmp, new Path(root, s"batch_id=$newId")),
+      s"compaction rename failed: $tmp -> batch_id=$newId")
+    batches.foreach { case (_, p) => fs.delete(p, true) }
+    fs.delete(manifest, false)
+    Some(newId)
+  }
+
+  /** Finish or undo a crashed [[compactRaw]]: with a manifest present,
+    * either the new batch dir landed (→ delete the listed originals, the
+    * compaction is effectively done) or it didn't (→ drop the temp dir;
+    * the originals are untouched). Either way the manifest is consumed.
+    * No-op without a manifest. */
+  def recoverCompaction(spark: SparkSession, storeDir: String,
+      table: String): Unit = {
+    val root = new Path(s"$storeDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(root, "_compact_manifest")
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    lines match {
+      case idLine :: oldDirs if idLine.toLongOption.isDefined =>
+        val newId = idLine.toLong
+        val newDir = new Path(root, s"batch_id=$newId")
+        val tmp = new Path(root, s".compact_tmp_$newId")
+        if (fs.exists(newDir))
+          oldDirs.foreach(d => fs.delete(new Path(root, d), true))
+        else if (fs.exists(tmp)) fs.delete(tmp, true)
+      case _ => // unreadable manifest: nothing destructive without a plan
+    }
+    fs.delete(manifest, false)
+  }
+
   /** After partition drops, remove dirs that no longer hold any partition:
     * first emptied `batch_id=` subdirs (the raw stores' two-level layout),
     * then the table root itself if every partition is gone. A directory of
