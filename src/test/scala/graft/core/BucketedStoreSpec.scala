@@ -1,0 +1,64 @@
+package graft.core
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BucketedStore]] — the write-once co-location contract: per-series
+  * aggregation and same-bucketing joins must plan WITHOUT a shuffle
+  * Exchange, and results must equal the unbucketed path exactly. */
+class BucketedStoreSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** Count shuffle exchanges in the (possibly adaptive) physical plan —
+    * toString renders the full tree including AQE's inner plan, where
+    * child traversal of AdaptiveSparkPlanExec would see nothing. */
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private lazy val pts = Tables.metrics(spark, "/root/testdata/sf0.001")
+
+  test("per-series aggregation off the bucketed table plans with zero shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    BucketedStore.write(pts, "bucketed_metrics_spec", s"$dir/t", nBuckets = 8)
+    val t = BucketedStore.table(spark, "bucketed_metrics_spec")
+    val agg = t.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    assert(shuffles(agg) === 0, agg.queryExecution.executedPlan.toString)
+    // ... and the numbers match the plain path
+    val plain = pts.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = agg.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === plain)
+    // the unbucketed plan DOES shuffle — the contrast that proves the point
+    assert(shuffles(plain0) >= 1)
+  }
+
+  private lazy val plain0 = pts.groupBy("tenant_id", "metric_name")
+    .agg(count(lit(1)).as("n"))
+
+  test("same-bucketing self-join plans with zero shuffles; " +
+    "re-register restores the clustering after a catalog drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed2").toString
+    BucketedStore.write(pts, "bucketed_join_spec", s"$dir/t", nBuckets = 8)
+    val a = BucketedStore.table(spark, "bucketed_join_spec")
+      .groupBy("tenant_id", "metric_name").agg(max("value").as("mx"))
+    val b = BucketedStore.table(spark, "bucketed_join_spec")
+      .groupBy("tenant_id", "metric_name").agg(min("value").as("mn"))
+    val joined = a.join(b, Seq("tenant_id", "metric_name"))
+    assert(shuffles(joined) === 0, joined.queryExecution.executedPlan.toString)
+    assert(joined.count() === pts.select("tenant_id", "metric_name").distinct().count())
+
+    // simulate catalog loss: drop the table entry, re-register, re-check
+    spark.sql("DROP TABLE bucketed_join_spec")
+    BucketedStore.register(spark, "bucketed_join_spec", s"$dir/t", nBuckets = 8)
+    val re = BucketedStore.table(spark, "bucketed_join_spec")
+      .groupBy("tenant_id", "metric_name").agg(count(lit(1)).as("n"))
+    assert(shuffles(re) === 0, re.queryExecution.executedPlan.toString)
+    assert(re.agg(sum("n")).head().getLong(0) === pts.count())
+  }
+}
