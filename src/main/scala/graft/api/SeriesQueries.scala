@@ -644,7 +644,20 @@ object SeriesQueries {
     }
   }
 
+  /** Strict canonical LTTB ([[Series.lttbExact]], the codegen
+    * [[graft.functions.LttbScan]] chain). The sequential selected-point
+    * recurrence has no tractable SQL restatement (a recursive CTE over
+    * buckets × argmax joins), so this registers rows-only; SeriesSpec
+    * pins the selection against a local reference implementation
+    * point-for-point, and the centroid-anchored variant carries the full
+    * oracle (q_series_lttb). */
+  private val lttbExact = QDef.noOracle("q_series_lttb_exact") { (s, dir) =>
+    Series.lttbExact(
+        Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), 20)
+      .orderBy("tenant_id", "metric_name", "bucket", "ts_ms", "value")
+  }
+
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp,
-    asofBaseline, asofWithin, lttb)
+    asofBaseline, asofWithin, lttb, lttbExact)
 }

@@ -52,6 +52,84 @@ object SeriesExprUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** Canonical LTTB (Steinarsson 2013 §4.2) over one series' time-sorted
+    * points: endpoints always selected; the middle n−2 points split into
+    * B−2 equal-count buckets; walking left to right, each bucket keeps
+    * the point forming the largest triangle with the PREVIOUSLY SELECTED
+    * point and the NEXT bucket's centroid (the final point for the last
+    * bucket) — the sequential chain the relational centroid-anchored
+    * variant ([[graft.operators.Series.downsampleTriangle]]) trades away.
+    * Ties keep the earliest point. n ≤ B selects everything.
+    *
+    * Returns per element STRUCT<sel: BOOLEAN, bucket: INT> (bucket −1 for
+    * unselected), positionally zip-able with the input. Null element or
+    * null value → null result. */
+  def lttbScan(arr: ArrayData, buckets: Int, nFields: Int, tsIdx: Int,
+      valueIdx: Int): ArrayData = {
+    val n = arr.numElements()
+    val ts = new Array[Double](n)
+    val vs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val e = arr.getStruct(i, nFields)
+      if (e.isNullAt(tsIdx) || e.isNullAt(valueIdx)) return null
+      ts(i) = e.getLong(tsIdx).toDouble
+      vs(i) = e.getDouble(valueIdx)
+      i += 1
+    }
+    val sel = new Array[Int](n) // output bucket, -1 = dropped
+    java.util.Arrays.fill(sel, -1)
+    if (n <= buckets) {
+      i = 0
+      while (i < n) { sel(i) = i; i += 1 }
+    } else {
+      val m = buckets - 2 // middle buckets
+      sel(0) = 0
+      sel(n - 1) = buckets - 1
+      def lo(k: Int): Int = 1 + (k.toLong * (n - 2) / m).toInt
+      var a = 0 // previously selected index
+      var k = 0
+      while (k < m) {
+        val start = lo(k)
+        val end = lo(k + 1) // exclusive
+        // next anchor: centroid of bucket k+1, or the final point
+        var cx = ts(n - 1)
+        var cy = vs(n - 1)
+        if (k + 1 < m) {
+          val ns = lo(k + 1)
+          val ne = lo(k + 2)
+          var sx = 0.0
+          var sy = 0.0
+          var j = ns
+          while (j < ne) { sx += ts(j); sy += vs(j); j += 1 }
+          cx = sx / (ne - ns)
+          cy = sy / (ne - ns)
+        }
+        var best = start
+        var bestArea = -1.0
+        var j = start
+        while (j < end) {
+          val area = math.abs(
+            (ts(a) - ts(j)) * (cy - vs(j)) - (cx - ts(j)) * (vs(a) - vs(j)))
+          if (area > bestArea) { bestArea = area; best = j }
+          j += 1
+        }
+        sel(best) = k + 1
+        a = best
+        k += 1
+      }
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](sel(i) >= 0,
+        if (sel(i) >= 0) sel(i) else -1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Sequential EWMA state scan over one series' collected points, as a single
@@ -121,5 +199,66 @@ case class EwmaScan(child: Expression, alpha: Double)
   }
 
   override protected def withNewChildInternal(newChild: Expression): EwmaScan =
+    copy(child = newChild)
+}
+
+/** Exact sequential LTTB selection over one series' collected points, as a
+  * single codegen'd expression — the strict-chain companion of the
+  * relational centroid-anchored [[graft.operators.Series.downsampleTriangle]].
+  * Exists for the same reason as [[EwmaScan]]: "largest triangle with the
+  * previously SELECTED point" is an inherently sequential recurrence over
+  * buckets that no window frame expresses; running it in place over the
+  * already-collected ArrayData keeps the operator one aggregation + one
+  * posexplode, zero extra shuffle.
+  *
+  * Input: ARRAY<STRUCT<ts_ms: LONG, value: DOUBLE, ...>> sorted by the
+  * caller. Output: equal-length ARRAY<STRUCT<sel, bucket>>. */
+case class LttbScan(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+
+  private lazy val (nFields: Int, tsIdx: Int, valueIdx: Int) =
+    child.dataType match {
+      case ArrayType(st: StructType, _) =>
+        (st.size, st.fieldIndex("ts_ms"), st.fieldIndex("value"))
+      case _ => (0, 0, 0)
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("ts_ms") &&
+          st(st.fieldIndex("ts_ms")).dataType == LongType &&
+          st.fieldNames.contains("value") &&
+          st(st.fieldIndex("value")).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lttb_scan needs ARRAY<STRUCT<..., ts_ms: LONG, value: DOUBLE>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sel", BooleanType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SeriesExprUtil.lttbScan(v.asInstanceOf[ArrayData], buckets, nFields,
+      tsIdx, valueIdx)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.SeriesExprUtil.lttbScan(
+         |    $c, $buckets, $nFields, $tsIdx, $valueIdx);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LttbScan =
     copy(child = newChild)
 }

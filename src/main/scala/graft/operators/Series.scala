@@ -528,4 +528,31 @@ object Series {
       .unionByName(ends.select(
         (ser ++ Seq("bucket", "ts_ms", "value")).map(col): _*))
   }
+
+  /** STRICT canonical LTTB ([[graft.functions.LttbScan]]): the sequential
+    * previously-selected-point chain, run as one codegen scan over each
+    * series' collected points (the [[Anomaly.ewmaBands]] collect +
+    * posexplode shape — one aggregation, zero extra shuffle). Per-series
+    * memory is the series length: right for render-sized series or the
+    * rollup tiers; for raw corpora beyond that, [[downsampleTriangle]]'s
+    * centroid-anchored form is the scale path and this is its quality
+    * reference. Output: the selected points only, with their bucket. */
+  def lttbExact(points: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scan = ColumnBridge.column(graft.functions.LttbScan(
+      ColumnBridge.expression(col("__pts")), buckets))
+    points
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+        .as("__pts"))
+      .withColumn("__sel", scan)
+      .select(col("tenant_id"), col("metric_name"),
+        explode(arrays_zip(col("__pts"), col("__sel"))).as("__z"))
+      .filter(col("__z.__sel.sel"))
+      .select(col("tenant_id"), col("metric_name"),
+        col("__z.__sel.bucket").as("bucket"),
+        col("__z.__pts.ts_ms").as("ts_ms"),
+        col("__z.__pts.value").as("value"))
+  }
 }

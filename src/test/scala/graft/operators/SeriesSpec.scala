@@ -296,6 +296,51 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       Series.downsampleTriangle(pts(tiny), 2))
   }
 
+  test("lttbExact ≡ local canonical LTTB; spike survives; n ≤ B keeps all; " +
+    "layout-invariant") {
+    // local reference: Steinarsson 2013 §4.2, the strict selected-point chain
+    def reference(p: Seq[(Long, Double)], b: Int): Seq[Int] = {
+      val n = p.length
+      if (n <= b) return p.indices.toSeq
+      val m = b - 2
+      def lo(k: Int) = 1 + (k.toLong * (n - 2) / m).toInt
+      var a = 0
+      val out = scala.collection.mutable.ArrayBuffer(0)
+      for (k <- 0 until m) {
+        val (cx, cy) =
+          if (k + 1 < m) {
+            val s = (lo(k + 1) until lo(k + 2)).map(p)
+            (s.map(_._1.toDouble).sum / s.size, s.map(_._2).sum / s.size)
+          } else (p(n - 1)._1.toDouble, p(n - 1)._2)
+        val best = (lo(k) until lo(k + 1)).maxBy { j =>
+          (math.abs((p(a)._1 - p(j)._1) * (cy - p(j)._2) -
+            (cx - p(j)._1) * (p(a)._2 - p(j)._2)), -j)
+        }
+        out += best
+        a = best
+      }
+      out += (n - 1)
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(23)
+    val series = (0 until 300).map(i =>
+      (i * 1000L, if (i == 111) 500.0 else 5.0 + rnd.nextDouble() * 3))
+    val df = pts(series.map { case (t, v) => ("t", "m", t, v) })
+    val got = Series.lttbExact(df, 20).collect()
+      .map(r => (r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    val want = reference(series, 20).map(series).sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.exists(_._2 === 500.0), "spike must survive")
+    // n ≤ B: everything kept
+    val tiny = pts(Seq(("t", "s", 0L, 1.0), ("t", "s", 1000L, 2.0)))
+    assert(Series.lttbExact(tiny, 20).count() === 2)
+    // layout invariance
+    val again = Series.lttbExact(df.repartition(7), 20).collect()
+      .map(r => (r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(again.toSeq === want)
+    intercept[IllegalArgumentException](Series.lttbExact(df, 2))
+  }
+
   test("composes with rollingZScores: rate anomalies flag") {
     // jittered ramp so the baseline rate has nonzero variance
     val rows = (0L until 20L).map(t => ("t", "m", t * 1000L, t * 10.0 + t % 3)) :+
