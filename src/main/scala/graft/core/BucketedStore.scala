@@ -42,10 +42,25 @@ object BucketedStore {
   }
 
   /** Re-register an existing bucketed table after a catalog restart (the
-    * files carry no bucket spec; the catalog entry does). Idempotent. */
+    * files carry no bucket spec; the catalog entry does). `nBuckets` MUST
+    * equal the count the table was written with — the files are hashed
+    * into that many buckets, and advertising a different clustering would
+    * let joins elide exchanges against a layout that doesn't match,
+    * silently dropping rows. An already-registered table is validated
+    * against the requested spec (mismatch throws) rather than silently
+    * kept. */
   def register(spark: SparkSession, tableName: String, path: String,
       nBuckets: Int = 64): Unit = {
-    if (!spark.catalog.tableExists(tableName)) {
+    if (spark.catalog.tableExists(tableName)) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .bucketSpec
+      require(spec.exists(s => s.numBuckets == nBuckets &&
+          s.bucketColumnNames == bucketCols),
+        s"table $tableName already registered with bucket spec $spec, " +
+          s"requested $nBuckets buckets on $bucketCols")
+    } else {
       val df = spark.read.parquet(path)
       val schemaDdl = df.schema.toDDL
       spark.sql(

@@ -167,23 +167,40 @@ object Retention {
     * didn't (removes the temp). Like [[enforce]], this is a driver-side
     * offline maintenance pass: run it (or at least recovery) before
     * serving reads, since the post-rename pre-delete window shows both
-    * copies. Returns the new batch id, or None when fewer than
-    * `minBatchDirs` numeric batch dirs exist (non-numeric strays are left
-    * untouched). */
+    * copies. Prior compactions (id ≥ [[CompactIdBase]]) are never
+    * re-folded — each run is O(new small files), not O(table) — and by
+    * default the newest small dir is also skipped (a live streaming
+    * commit may still be filling it; set `assumeQuiesced = true` from an
+    * offline window to fold it too). Returns the new batch id, or None
+    * when fewer than `minBatchDirs` foldable dirs remain (non-numeric
+    * strays are left untouched). */
   def compactRaw(spark: SparkSession, storeDir: String, table: String,
-      maxRecordsPerFile: Long = 5000000L, minBatchDirs: Int = 2): Option[Long] = {
+      maxRecordsPerFile: Long = 5000000L, minBatchDirs: Int = 2,
+      assumeQuiesced: Boolean = false): Option[Long] = {
     require(minBatchDirs >= 2, s"minBatchDirs must be >= 2, got $minBatchDirs")
     val root = new Path(s"$storeDir/$table")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     recoverCompaction(spark, storeDir, table)
-    val batches = fs.globStatus(new Path(root, "batch_id=*")).toSeq
+    val all = fs.globStatus(new Path(root, "batch_id=*")).toSeq
       .flatMap { st =>
         st.getPath.getName.stripPrefix("batch_id=").toLongOption
           .map(_ -> st.getPath)
       }.sortBy(_._1)
+    // Fold only the per-micro-batch dirs (id < CompactIdBase): re-reading
+    // a prior compaction would make every maintenance run an O(full
+    // table) rewrite instead of an O(new small files) fold. Unless the
+    // caller asserts the writer is quiesced, also leave the NEWEST small
+    // dir alone — it is the one a live streaming commit may still be
+    // filling, and deleting it after a partial read would lose the
+    // writer's later files silently.
+    val small = all.filter(_._1 < CompactIdBase)
+    val batches =
+      if (assumeQuiesced) small
+      else if (small.isEmpty) small
+      else small.init
     if (batches.size < minBatchDirs) return None
-    val newId = math.max(CompactIdBase, batches.map(_._1).max + 1)
+    val newId = math.max(CompactIdBase, all.map(_._1).max + 1)
     val manifest = new Path(root, "_compact_manifest")
     val out = fs.create(manifest, true)
     out.write((newId +: batches.map(_._2.getName))

@@ -224,14 +224,21 @@ object Sampling {
           .agg(percentile_approx(col("q"), lit(probs.toArray), lit(10000)))
           .head().getSeq[Double](0)) // null on an empty/all-null corpus
         .map(_.toSeq.distinct.sorted).getOrElse(Nil)
-    // descending threshold chain: equal qualities take the same branch,
-    // nulls fall through to bucket 0 (worst), monotone by construction
-    val bucket = edges.zipWithIndex.reverse
+    selectWithBuckets(docs, quality, tokens, budget, quantileBucket(edges))
+  }
+
+  /** Descending threshold chain over ascending `edges`: the LARGEST edge
+    * must be the OUTERMOST when (foldLeft over ascending order nests each
+    * earlier edge inside the next), so the top quality range gets the top
+    * bucket — folding the reversed list instead would make the smallest
+    * edge outermost and collapse everything above it into bucket 1. Equal
+    * qualities take the same branch; nulls fall through to bucket 0
+    * (worst); monotone by construction. */
+  private[operators] def quantileBucket(edges: Seq[Double]): Column =
+    edges.zipWithIndex
       .foldLeft(lit(0): Column) { case (rest, (e, i)) =>
         when(col("quality") > lit(e), lit(i + 1)).otherwise(rest)
       }.cast("int")
-    selectWithBuckets(docs, quality, tokens, budget, bucket)
-  }
 
   private def selectWithBuckets(docs: DataFrame, quality: Column,
       tokens: Column, budget: Long, bucket: Column): DataFrame = {

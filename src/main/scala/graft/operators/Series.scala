@@ -536,13 +536,17 @@ object Series {
     * memory is the series length: right for render-sized series or the
     * rollup tiers; for raw corpora beyond that, [[downsampleTriangle]]'s
     * centroid-anchored form is the scale path and this is its quality
-    * reference. Output: the selected points only, with their bucket. */
+    * reference. Null-valued points are dropped BEFORE the scan (the
+    * expression's whole-array-null contract would otherwise erase the
+    * entire series over one bad point). Output: the selected points
+    * only, with their bucket. */
   def lttbExact(points: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 3, s"buckets must be >= 3, got $buckets")
     import org.apache.spark.sql.graft.ColumnBridge
     val scan = ColumnBridge.column(graft.functions.LttbScan(
       ColumnBridge.expression(col("__pts")), buckets))
     points
+      .filter(col("ts_ms").isNotNull && col("value").isNotNull)
       .groupBy(col("tenant_id"), col("metric_name"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
         .as("__pts"))

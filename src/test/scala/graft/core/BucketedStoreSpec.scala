@@ -24,16 +24,18 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     BucketedStore.write(pts, "bucketed_metrics_spec", s"$dir/t", nBuckets = 8)
     val t = BucketedStore.table(spark, "bucketed_metrics_spec")
-    val agg = t.groupBy("tenant_id", "metric_name")
-      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    // exact-DECIMAL value sums: double sums would differ by partition
+    // order between the two layouts, masking (or faking) a routing bug
+    def perSeries(df: DataFrame) = df.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).as("s"))
+    val agg = perSeries(t)
     assert(shuffles(agg) === 0, agg.queryExecution.executedPlan.toString)
-    // ... and the numbers match the plain path
-    val plain = pts.groupBy("tenant_id", "metric_name")
-      .agg(count(lit(1)).as("n"), sum("value").as("s"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val got = agg.collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(got === plain)
+    // ... and both count AND content match the plain path
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3))).toMap
+    assert(toMap(agg) === toMap(perSeries(pts)))
     // the unbucketed plan DOES shuffle — the contrast that proves the point
     assert(shuffles(plain0) >= 1)
   }
@@ -60,5 +62,12 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSuite {
       .groupBy("tenant_id", "metric_name").agg(count(lit(1)).as("n"))
     assert(shuffles(re) === 0, re.queryExecution.executedPlan.toString)
     assert(re.agg(sum("n")).head().getLong(0) === pts.count())
+    // a mismatched re-register must FAIL LOUDLY: advertising the wrong
+    // bucket count would elide exchanges against a non-matching layout
+    intercept[IllegalArgumentException](
+      BucketedStore.register(spark, "bucketed_join_spec", s"$dir/t",
+        nBuckets = 64))
+    // matching spec is idempotent
+    BucketedStore.register(spark, "bucketed_join_spec", s"$dir/t", nBuckets = 8)
   }
 }

@@ -36,7 +36,7 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     writeBatch(root, 1, b1)
     val before = tableRows(root)
     val got = Retention.compactRaw(spark, store, "metrics_full",
-      maxRecordsPerFile = 10)
+      maxRecordsPerFile = 10, assumeQuiesced = true)
     assert(got === Some(Retention.CompactIdBase))
     // one batch dir remains, day partitions preserved inside it
     val dirs = fs.globStatus(new Path(root, "batch_id=*")).map(_.getPath.getName)
@@ -48,14 +48,38 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     val files = fs.globStatus(
       new Path(root, s"batch_id=${Retention.CompactIdBase}/ts_day=*/*.parquet"))
     assert(files.length >= 9)
-    // no manifest left behind; single dir → second compact is a no-op
+    // no manifest left behind; nothing small left → second compact no-ops
+    // (and never re-folds the compacted mega-dir: O(new files), not O(table))
     assert(!fs.exists(new Path(root, "_compact_manifest")))
-    assert(Retention.compactRaw(spark, store, "metrics_full") === None)
-    // a later compaction (after more batches land) keeps ids increasing
+    assert(Retention.compactRaw(spark, store, "metrics_full",
+      assumeQuiesced = true) === None)
+    // a later round (after more batches land) keeps ids increasing and
+    // folds ONLY the new small dirs alongside the standing compacted one
     writeBatch(root, 7, b0.take(5))
-    val again = Retention.compactRaw(spark, store, "metrics_full")
+    writeBatch(root, 8, b1.take(4))
+    val again = Retention.compactRaw(spark, store, "metrics_full",
+      assumeQuiesced = true)
     assert(again === Some(Retention.CompactIdBase + 1))
-    assert(tableRows(root).size === before.size + 5)
+    assert(tableRows(root).size === before.size + 9)
+    assert(fs.exists(new Path(root, s"batch_id=${Retention.CompactIdBase}")),
+      "prior compaction must not be rewritten")
+  }
+
+  test("default (non-quiesced) mode spares the newest small dir — the one " +
+    "a live streaming commit may still be filling") {
+    val store = java.nio.file.Files.createTempDirectory("graft_compact5").toString
+    val root = s"$store/metrics_full"
+    writeBatch(root, 0, Seq(("m", 0L, 1L, 1.0)))
+    writeBatch(root, 1, Seq(("m", 0L, 2L, 2.0)))
+    writeBatch(root, 2, Seq(("m", 0L, 3L, 3.0)))
+    val before = tableRows(root)
+    assert(Retention.compactRaw(spark, store, "metrics_full").isDefined)
+    assert(fs.exists(new Path(root, "batch_id=2")), "newest dir untouched")
+    assert(!fs.exists(new Path(root, "batch_id=0")))
+    assert(!fs.exists(new Path(root, "batch_id=1")))
+    assert(tableRows(root) === before)
+    // only two dirs (compacted + newest): nothing foldable now
+    assert(Retention.compactRaw(spark, store, "metrics_full") === None)
   }
 
   test("non-numeric stray batch dirs are left untouched and uncounted") {
@@ -64,9 +88,11 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     writeBatch(root, 0, Seq(("m", 0L, 1L, 1.0)))
     fs.mkdirs(new Path(root, "batch_id=tmp"))
     // only one numeric dir → no compaction
-    assert(Retention.compactRaw(spark, store, "metrics_full") === None)
+    assert(Retention.compactRaw(spark, store, "metrics_full",
+      assumeQuiesced = true) === None)
     writeBatch(root, 1, Seq(("m", 0L, 2L, 2.0)))
-    assert(Retention.compactRaw(spark, store, "metrics_full").isDefined)
+    assert(Retention.compactRaw(spark, store, "metrics_full",
+      assumeQuiesced = true).isDefined)
     assert(fs.exists(new Path(root, "batch_id=tmp")))
   }
 
@@ -104,6 +130,7 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(!fs.exists(new Path(root, "_compact_manifest")))
     assert(tableRows(root).size === 2)
     // and a fresh compact now succeeds (recovery is run inside it too)
-    assert(Retention.compactRaw(spark, store, "metrics_full").isDefined)
+    assert(Retention.compactRaw(spark, store, "metrics_full",
+      assumeQuiesced = true).isDefined)
   }
 }

@@ -127,6 +127,24 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(re === reference(2500L))
   }
 
+  test("quantileBucket actually SPREADS the mass (the when-chain must check " +
+    "the largest edge first, or everything collapses into bucket 1)") {
+    import spark.implicits._
+    val df = (0 until 800).map(i => i * 0.001 + 0.1).toDF("quality")
+    val edges = (1 until 8).map(k => 0.1 + k * 0.1) // 7 ascending edges
+    val counts = df.withColumn("b", Sampling.quantileBucket(edges))
+      .groupBy("b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // uniform data over 8 equal ranges → every bucket holds ~100 docs
+    assert(counts.keySet === (0 to 7).toSet, s"got $counts")
+    assert(counts.values.max <= 110, s"collapsed distribution: $counts")
+    // top quality lands in the TOP bucket
+    val top = df.agg(max("quality")).head().getDouble(0)
+    val topB = Seq(top).toDF("quality")
+      .select(Sampling.quantileBucket(edges)).head().getInt(0)
+    assert(topB === 7)
+  }
+
   test("shardByTokens == global hash-order window; balanced; null-safe") {
     import spark.implicits._
     val rows = (0L until 300L).map(i => (i, 5L + i % 23))
