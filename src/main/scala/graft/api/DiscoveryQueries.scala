@@ -100,6 +100,23 @@ object DiscoveryQueries {
     }
   }
 
+  /** [[sessionize]] served by Spark's NATIVE session_window aggregation
+    * ([[graft.operators.Sessionize.sessionsNative]]) — SAME oracle: the
+    * built-in's boundary-INCLUSIVE window merge equals the lag
+    * formulation's `diff ≤ gap` rule exactly, and the driver hash-proves
+    * it (the boundary cases are pinned in SessionizeSpec). */
+  private val sessionizeNative = QDef(
+    "q_sessionize_native",
+    sessionize.oracle.get) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    graft.operators.Sessionize.sessionsNative(
+        ev.select(col("user_id"), Tables.tsMsCol(ev).as("ts_ms"),
+          col("event_id"), col("value")),
+        gapMs = 86400000L)
+      .orderBy("user_id", "session_no")
+  }
+
+
   /** F1 graphite datetime grammar: the parsed `from`/`until` literals feed
     * the range filter — a daily count per tenant between
     * parse("00:00_20240110-5d") = Jan 5 and parse("00:00_20240110+10d") =
@@ -168,5 +185,6 @@ object DiscoveryQueries {
   }
 
   val defs: Seq[QDef] = Seq(globSearch, tokenBrowse, eventSearch, sessionize,
+    sessionizeNative,
     datetimeRange, resolutionSelect)
 }

@@ -69,6 +69,37 @@ object Sessionize {
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
         sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
 
+  /** [[sessions]] through Spark's NATIVE `session_window` aggregation —
+    * same summaries, zero custom session logic: Catalyst's
+    * UpdatingSessionsExec merges each user's overlapping event windows in
+    * one aggregation pass (no lag window + running sum). The built-in
+    * merges two events when the next start falls on or before the
+    * previous window's end (ts + gap) — INCLUSIVE at the boundary, so
+    * diff ≤ gap merges, exactly the lag-based split's rule (pinned by
+    * the diff == gap / diff == gap+1 boundary cases in SessionizeSpec).
+    * `session_no` (the lag formulation's output) is recovered by ranking
+    * each user's sessions by start — a per-user window over session
+    * COUNTS, not events. */
+  def sessionsNative(events: DataFrame, gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    events
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(col("ts_ms")),
+          s"$gapMs milliseconds").as("__sw"))
+      .agg(
+        min(col("ts_ms")).as("session_start"),
+        max(col("ts_ms")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .withColumn("session_no",
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("session_start")))
+          .cast("long"))
+      .select("user_id", "session_no", "session_start", "session_end",
+        "n_events", "duration_ms", "sum_value")
+  }
+
   /** Streaming sessionization: append-mode stream of [[ClosedSession]]s.
     * `events` needs (user_id, ts_ms, value); `watermarkDelay` bounds how
     * late an event may arrive and still join its session. */

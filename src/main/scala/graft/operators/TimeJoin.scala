@@ -141,6 +141,37 @@ object TimeJoin {
         payload.map(c => col(s"__m.__p.$c").as(c)): _*)
   }
 
+  /** Streaming twin of [[within]] via Spark's NATIVE stream-stream
+    * interval join — both sides watermarked, the |Δt| ≤ w predicate
+    * expressed as a time-range condition on the event-time columns so
+    * the state store evicts rows as the watermarks pass them (the
+    * bounded-state property is built into the join operator; no custom
+    * state code at all). Emits exactly the batch operator's pairs as
+    * both watermarks admit them. Column contract mirrors [[within]]:
+    * shared `keys`, distinct `leftTs`/`rightTs` names, no other
+    * collisions. */
+  def streamingWithin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, withinMs: Long, keys: Seq[String] = Nil,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct names, both were '$leftTs'")
+    val l = left
+      .withColumn("__lev", timestamp_millis(col(leftTs).cast("long")))
+      .withWatermark("__lev", watermarkDelay)
+    val r0 = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+    val r = r0
+      .withColumn("__rev", timestamp_millis(col(rightTs).cast("long")))
+      .withWatermark("__rev", watermarkDelay)
+    val keyCond = keys.map(k => col(k) === col(s"__r_$k"))
+    val rangeCond =
+      col("__rev") >= col("__lev") - expr(s"INTERVAL $withinMs MILLISECONDS") &&
+        col("__rev") <= col("__lev") + expr(s"INTERVAL $withinMs MILLISECONDS")
+    l.join(r, (keyCond :+ rangeCond).reduce(_ && _))
+      .drop("__lev", "__rev")
+      .drop(keys.map(k => s"__r_$k"): _*)
+  }
+
   final case class AsofEv(tenant_id: String, metric_name: String,
       ets: java.sql.Timestamp, tag: Int, value: Double)
   final case class AsofState(rights: List[(Long, Double)])

@@ -67,6 +67,31 @@ class SessionizeSpec extends AnyFunSuite with SparkSuite {
     assert(again === expect.map { case (k, v) => k -> v._3 })
   }
 
+  test("sessionsNative ≡ sessions, including diff == gap exactly on the " +
+    "boundary (the +1ms inclusivity adjustment)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val random = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.between(0L, 200000L), i.toLong,
+        rnd.nextDouble() * 10))
+    // boundary cases: diff == gap (must MERGE, as the lag split does) and
+    // diff == gap + 1 (must split)
+    val edge = Seq(
+      (9L, 0L, 900L, 1.0), (9L, gap, 901L, 1.0),          // merge
+      (8L, 0L, 800L, 1.0), (8L, gap + 1, 801L, 1.0))      // split
+    val df = (random ++ edge).toDF("user_id", "ts_ms", "event_id", "value")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(Sessionize.sessionsNative(df, gap)) ===
+      rows(Sessionize.sessions(df, gap)))
+    val nine = Sessionize.sessionsNative(df, gap)
+      .filter(col("user_id") === 9L).collect()
+    assert(nine.length === 1, "diff == gap must merge")
+    val eight = Sessionize.sessionsNative(df, gap)
+      .filter(col("user_id") === 8L).collect()
+    assert(eight.length === 2, "diff == gap + 1 must split")
+  }
+
   test("streaming: sessions close via event-time timeout, continue across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -81,4 +81,34 @@ class StreamingAsofSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(_._2.isEmpty))
     assert(got.size === 2)
   }
+
+  test("streamingWithin (native interval join) ≡ batch within across batches") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[(String, Long, String)]
+    val rMem = MemoryStream[(String, Long, String)]
+    val lDf = lMem.toDF().toDF("k", "l_ts", "l_name")
+    val rDf = rMem.toDF().toDF("k", "r_ts", "r_name")
+    val joined = TimeJoin.streamingWithin(lDf, "l_ts", rDf, "r_ts", 100L,
+      keys = Seq("k"))
+    val name = s"within_out_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    val lRows = Seq(("a", 1000L, "p1"), ("a", 1099L, "p2"), ("b", 1000L, "p3"),
+      ("a", 5000L, "p4"))
+    val rRows = Seq(("a", 900L, "x"), ("a", 1100L, "y"), ("b", 1050L, "z"),
+      ("a", 5101L, "q"))
+    // split across two batches, in event-time order (a 0s watermark
+    // rightly drops rows arriving behind a prior batch's maximum)
+    lMem.addData(lRows.take(3): _*); rMem.addData(rRows.take(3): _*)
+    q.processAllAvailable()
+    lMem.addData(lRows.drop(3): _*); rMem.addData(rRows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("l_name", "r_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (for ((k1, t1, n1) <- lRows; (k2, t2, n2) <- rRows
+      if k1 == k2 && math.abs(t1 - t2) <= 100L) yield (n1, n2)).toSet
+    assert(got === want)
+    assert(want === Set(("p1", "x"), ("p1", "y"), ("p2", "y"), ("p3", "z")))
+  }
 }
