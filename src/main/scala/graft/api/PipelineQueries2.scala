@@ -696,9 +696,34 @@ object PipelineQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Exact heavy hitters through the Misra–Gries two-pass
+    * ([[graft.operators.TextScoring.heavyHitters]]): tokens with corpus
+    * frequency ≥ 900. The oracle is the NAIVE full census + HAVING — the
+    * sketch-then-verify path must reproduce it bit-for-bit, which is the
+    * whole point: candidates beyond the true hitters die on their exact
+    * counts, and the MG deviation bound makes missing one impossible. */
+  private val textHeavyTokens = QDef(
+    "q_text_heavy_tokens",
+    s"""WITH w AS (
+       |  SELECT unnest(ws) AS key
+       |  FROM (SELECT $wsSql AS ws FROM documents)
+       |)
+       |SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM w WHERE key <> ''
+       |GROUP BY key HAVING COUNT(*) >= 900
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.operators.TextScoring.heavyHitters(
+        Tables.load(s, dir, "documents")
+          .select(explode(TF.words(col("text"))).as("word"))
+          .filter(col("word") =!= ""),
+        col("word"), minCount = 900L)
+      .orderBy("key")
+  }
+
   val defs: Seq[QDef] = Seq(
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, selectBudgetQuantile, packSequences, shardAssign,
+    textHeavyTokens,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
     textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges,
     textNbLang, sampleDsir)

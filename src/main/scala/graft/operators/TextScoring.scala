@@ -138,6 +138,44 @@ object TextScoring {
     * resampling step. Scale shape: one token census with map-side
     * partials, one UNHINTED vocab equi-join (AQE decides broadcast, as
     * in the NLL scorers), one broadcast 1-row totals frame. */
+  /** EXACT heavy hitters without a full-cardinality shuffle — the two-pass
+    * sketch-then-verify census for key spaces too large to group (every
+    * token/URL/ngram of a 100 TB corpus): pass 1 summarizes the keys
+    * through the mergeable Misra–Gries aggregator
+    * ([[graft.agg.MisraGriesAggregator]], capacity m chosen so N/m <
+    * minCount — the MG deviation bound then guarantees every true heavy
+    * hitter survives as a candidate); pass 2 exact-counts ONLY the ≤ m
+    * candidates via a broadcast semi-join and filters to `minCount`. The
+    * output is therefore exact and layout-invariant even though the
+    * sketch contents aren't: extra candidates are filtered by their exact
+    * counts, missing ones are impossible. Only O(m) state ever crosses
+    * the wire; the full key space never shuffles.
+    *
+    * `capacityCap` bounds driver/executor memory; a minCount too small
+    * for the cap (m would need to exceed it) throws rather than silently
+    * weakening the guarantee. Output: (key, cnt) with cnt ≥ minCount. */
+  def heavyHitters(df: DataFrame, key: Column, minCount: Long,
+      capacityCap: Int = 100000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val keyed = df.select(key.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = keyed.count()
+    val mNeeded = n / minCount + 1
+    require(mNeeded <= capacityCap,
+      s"minCount=$minCount over $n rows needs MG capacity $mNeeded > " +
+        s"cap $capacityCap — raise minCount or capacityCap")
+    val m = math.max(1L, mNeeded).toInt
+    val candidates: Array[String] = keyed.as[String]
+      .select(new graft.agg.MisraGriesAggregator(m).toColumn)
+      .head()
+    val candDf = candidates.toSeq.toDF("key")
+    keyed.join(broadcast(candDf), Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val base = docs.select(col("doc_id"), isTarget.as("__t"),
       explode(TF.words(col("text"))).as("word"))
