@@ -142,10 +142,11 @@ object TextScoring {
     * sketch-then-verify census for key spaces too large to group (every
     * token/URL/ngram of a 100 TB corpus): pass 1 summarizes the keys
     * through the mergeable Misra–Gries aggregator
-    * ([[graft.agg.MisraGriesAggregator]], capacity m chosen so N/m <
-    * minCount — the MG deviation bound then guarantees every true heavy
-    * hitter survives as a candidate); pass 2 exact-counts ONLY the ≤ m
-    * candidates via a broadcast semi-join and filters to `minCount`. The
+    * ([[graft.agg.MisraGriesAggregator]]) at `capacityCap`, measuring N
+    * in the same pass; N/capacityCap < minCount is then verified — the
+    * MG deviation bound under it guarantees every true heavy hitter
+    * survives as a candidate; pass 2 exact-counts ONLY the bounded
+    * candidate set via a broadcast semi-join and filters to `minCount`. The
     * output is therefore exact and layout-invariant even though the
     * sketch contents aren't: extra candidates are filtered by their exact
     * counts, missing ones are impossible. Only O(m) state ever crosses
@@ -161,15 +162,18 @@ object TextScoring {
       .filter(col("key").isNotNull)
     val spark = df.sparkSession
     import spark.implicits._
-    val n = keyed.count()
+    // ONE sketch pass at full capacity returns (candidates, N) together —
+    // sketching wider than the bound needs only tightens it, and the
+    // guarantee is validated from the N the same pass measured. Two
+    // corpus passes total (sketch, exact-verify); the upstream projection
+    // recomputes per pass, the registry's accepted fan-out tradeoff.
+    val (candidates, n) = keyed.as[String]
+      .select(new graft.agg.MisraGriesAggregator(capacityCap).toColumn)
+      .head()
     val mNeeded = n / minCount + 1
     require(mNeeded <= capacityCap,
       s"minCount=$minCount over $n rows needs MG capacity $mNeeded > " +
         s"cap $capacityCap — raise minCount or capacityCap")
-    val m = math.max(1L, mNeeded).toInt
-    val candidates: Array[String] = keyed.as[String]
-      .select(new graft.agg.MisraGriesAggregator(m).toColumn)
-      .head()
     val candDf = candidates.toSeq.toDF("key")
     keyed.join(broadcast(candDf), Seq("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))

@@ -146,29 +146,41 @@ object TimeJoin {
     * expressed as a time-range condition on the event-time columns so
     * the state store evicts rows as the watermarks pass them (the
     * bounded-state property is built into the join operator; no custom
-    * state code at all). Emits exactly the batch operator's pairs as
-    * both watermarks admit them. Column contract mirrors [[within]]:
-    * shared `keys`, distinct `leftTs`/`rightTs` names, no other
-    * collisions. */
+    * state code at all). Spark rejects stream-stream joins without an
+    * equality predicate, so the batch rewrite's ⌊ts/w⌋ BUCKET key rides
+    * along as the equi-column (left probes its 3 neighbor buckets, right
+    * keeps its own — the same 3× fan-out as batch): keyless pairing
+    * works, and with `keys` the state additionally shards by them. Emits
+    * exactly the batch operator's pairs as both watermarks admit them.
+    * Column contract mirrors [[within]]: shared `keys`, distinct
+    * `leftTs`/`rightTs` names, no other collisions. */
   def streamingWithin(left: DataFrame, leftTs: String, right: DataFrame,
       rightTs: String, withinMs: Long, keys: Seq[String] = Nil,
       watermarkDelay: String = "0 seconds"): DataFrame = {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     require(leftTs != rightTs,
       s"leftTs and rightTs must be distinct names, both were '$leftTs'")
+    def bucket(c: Column) = (c - pmod(c, lit(withinMs))).cast("long")
     val l = left
       .withColumn("__lev", timestamp_millis(col(leftTs).cast("long")))
+      .withColumn("__off", explode(array(lit(-withinMs), lit(0L), lit(withinMs))))
+      .withColumn("__lb", bucket(col(leftTs)) + col("__off"))
+      .drop("__off")
       .withWatermark("__lev", watermarkDelay)
     val r0 = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
     val r = r0
       .withColumn("__rev", timestamp_millis(col(rightTs).cast("long")))
+      .withColumn("__rb", bucket(col(rightTs)))
       .withWatermark("__rev", watermarkDelay)
-    val keyCond = keys.map(k => col(k) === col(s"__r_$k"))
+    val keyCond = keys.map(k => col(k) === col(s"__r_$k")) :+
+      (col("__lb") === col("__rb"))
     val rangeCond =
       col("__rev") >= col("__lev") - expr(s"INTERVAL $withinMs MILLISECONDS") &&
         col("__rev") <= col("__lev") + expr(s"INTERVAL $withinMs MILLISECONDS")
+    // no residual filter needed: the event-time range condition IS the
+    // |Δt| ≤ w predicate, and each pair shares exactly one probe bucket
     l.join(r, (keyCond :+ rangeCond).reduce(_ && _))
-      .drop("__lev", "__rev")
+      .drop("__lev", "__rev", "__lb", "__rb")
       .drop(keys.map(k => s"__r_$k"): _*)
   }
 

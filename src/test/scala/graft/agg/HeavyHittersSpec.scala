@@ -22,8 +22,10 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     val m = 64
     for (parts <- Seq(1, 7, 32); seed <- Seq(1, 9)) {
       val shuffled = new scala.util.Random(seed).shuffle(data)
-      val cands = shuffled.toDF("key").repartition(parts).as[String]
-        .select(new MisraGriesAggregator(m).toColumn).head().toSet
+      val (candArr, total) = shuffled.toDF("key").repartition(parts).as[String]
+        .select(new MisraGriesAggregator(m).toColumn).head()
+      val cands = candArr.toSet
+      assert(total === n.toLong, "N must be measured in the same pass")
       assert(cands.size <= m)
       val truth = data.groupBy(identity).map { case (k, v) => k -> v.size }
       val mustKeep = truth.filter(_._2 > n / m).keySet

@@ -111,4 +111,28 @@ class StreamingAsofSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
     assert(want === Set(("p1", "x"), ("p1", "y"), ("p2", "y"), ("p3", "z")))
   }
+
+  test("streamingWithin KEYLESS: the bucket equi-key satisfies Spark's " +
+    "equality requirement; pairs ≡ naive predicate, each exactly once") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[(Long, String)]
+    val rMem = MemoryStream[(Long, String)]
+    val joined = TimeJoin.streamingWithin(
+      lMem.toDF().toDF("l_ts", "l_name"), "l_ts",
+      rMem.toDF().toDF("r_ts", "r_name"), "r_ts", 100L)
+    val name = s"within_keyless_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    // boundary pairs: Δt = 100 in, Δt = 101 out, cross-bucket neighbors
+    val lRows = Seq((1000L, "a"), (1099L, "b"), (1200L, "c"))
+    val rRows = Seq((900L, "x"), (1100L, "y"), (1301L, "z"))
+    lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("l_name", "r_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val want = (for ((t1, n1) <- lRows; (t2, n2) <- rRows
+      if math.abs(t1 - t2) <= 100L) yield (n1, n2)).sorted
+    assert(got === want) // sorted SEQ: duplicates would fail the comparison
+  }
 }
