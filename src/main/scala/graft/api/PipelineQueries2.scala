@@ -720,7 +720,99 @@ object PipelineQueries2 {
       .orderBy("key")
   }
 
+  /** BM25 ranked retrieval over the corpus ([[TextScoring.bm25TopK]]):
+    * the top-15 documents for a 4-term query mixing one rare term (`dup`,
+    * df≈5% — high idf) with three common ones — the relevance ranking the
+    * reference's Elasticsearch discovery tier computes, done relationally.
+    * The oracle states the identical Lucene-variant BM25 algebra: exact
+    * integer tf/df/dl/N/Σdl everywhere, one scalar double expression per
+    * term with identical operand order on both sides, DECIMAL(18,9) snap
+    * before the exact per-doc sum (ln() may differ by an ulp across libm;
+    * products of logs never terminate at the snap's tie digit). */
+  private val textBm25 = {
+    val terms = Seq("dup", "join", "scan", "stream")
+    val inList = terms.map("'" + _ + "'").mkString(", ")
+    QDef(
+      "q_text_bm25",
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(ws) AS word
+         |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+         |),
+         |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM wf GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |              CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wf
+         |       WHERE word IN ($inList) GROUP BY 1, 2),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM wf
+         |       WHERE word IN ($inList) GROUP BY 1),
+         |t AS (
+         |  SELECT tf.doc_id,
+         |         CAST(ln(1.0 + (st.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+         |                        / (CAST(df.df AS DOUBLE) + 0.5))
+         |              * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |              / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |                   0.75 * CAST(dl.dl AS DOUBLE) / (st.sum_dl / st.n_docs)))
+         |              AS DECIMAL(18,9)) AS ts
+         |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+         |       CAST(SUM(ts) AS DOUBLE) AS score
+         |FROM t GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 15""".stripMargin) { (s, dir) =>
+      graft.operators.TextScoring.bm25TopK(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+        terms, k = 15)
+    }
+  }
+
+  /** Exact maximal shared word spans ([[Dedup.sharedSpans]]): every ≥20-word
+    * verbatim run shared by a document pair, via positional-3-gram diagonal
+    * islands with the df ≤ 50 boilerplate prune. The oracle states the
+    * identical algebra (same gram positions, same prune, same
+    * gaps-and-islands window) — all-integer output, no FP anywhere.
+    * DuckDB's 1-based array positions shift to the engine's 0-based word
+    * offsets at the end (diagonals and islands are shift-invariant). */
+  private val dedupSpans = QDef(
+    "q_dedup_spans",
+    s"""WITH w AS (
+       |  SELECT doc_id, ws FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         array_to_string(ws[i:i+2], ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM w)
+       |),
+       |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+       |gp AS (SELECT g.* FROM g JOIN df USING (gram) WHERE df.df <= 50),
+       |m AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+       |  FROM gp a JOIN gp b USING (gram) WHERE a.doc_id < b.doc_id
+       |),
+       |i AS (
+       |  SELECT d1, d2, p1, p2,
+       |         p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2
+       |                                 ORDER BY p1) AS isl
+       |  FROM m
+       |),
+       |r AS (
+       |  SELECT d1, d2,
+       |         CAST(min(p1) - 1 AS INTEGER) AS start_1,
+       |         CAST(min(p2) - 1 AS INTEGER) AS start_2,
+       |         CAST(count(*) + 2 AS BIGINT) AS len_words
+       |  FROM i GROUP BY d1, d2, p1 - p2, isl
+       |)
+       |SELECT d1 AS doc_id_1, d2 AS doc_id_2, start_1, start_2, len_words
+       |FROM r WHERE len_words >= 20
+       |ORDER BY doc_id_1, doc_id_2, start_1, start_2""".stripMargin) { (s, dir) =>
+    Dedup.sharedSpans(Tables.load(s, dir, "documents"),
+        k = 3, minWords = 20, maxDf = 50L)
+      .orderBy("doc_id_1", "doc_id_2", "start_1", "start_2")
+  }
+
   val defs: Seq[QDef] = Seq(
+    textBm25, dedupSpans,
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, selectBudgetQuantile, packSequences, shardAssign,
     textHeavyTokens,

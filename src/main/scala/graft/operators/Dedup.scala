@@ -474,6 +474,61 @@ object Dedup {
     verifyJaccard(candidates, docs, k, threshold)
   }
 
+  /** EXACT maximal shared word spans between document pairs — the
+    * relational form of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, which uses a
+    * suffix array): every maximal run of ≥ `minWords` consecutive words
+    * two documents share, with its start offset in each. Whole-doc
+    * near-dup measures (Jaccard, MinHash) cannot see a long verbatim
+    * quote inside otherwise-different documents; this is the operator
+    * that finds it — the remove-the-span (not drop-the-doc) dedup policy
+    * of modern corpus curation.
+    *
+    * Algorithm: anchor on positional k-grams ([[posShingleRows]]) instead
+    * of a suffix array — a shared span of `w` words is exactly a run of
+    * `w−k+1` shared k-grams at consecutive positions on one DIAGONAL
+    * (p1−p2 constant), so after the gram equi-join, classic
+    * gaps-and-islands per (pair, diagonal) recovers every maximal span
+    * exactly: island = p1 − row_number() over (pair, diag | order p1),
+    * span length = island size + k − 1. Grams in more than `maxDf`
+    * documents (boilerplate phrases — precisely the join keys whose
+    * bucket is quadratic in df) are dropped from the join; a span
+    * composed ENTIRELY of such grams is not reported, which is the
+    * content-defined noise filter a span-dedup pass wants anyway, stated
+    * deterministically so the oracle applies the identical rule.
+    *
+    * Scale shape: one zero-shuffle gram pass, a distinct+count df
+    * aggregate on the same gram key the candidate join shuffles anyway,
+    * the pruned equi-join (never a cartesian), and one window whose
+    * partitions are single (pair, diagonal) match lists — bounded by
+    * per-pair overlap, never corpus-sized. Output starts are 0-based
+    * word offsets into the normalized token stream.
+    *
+    * Reference corollary: blueflood has no text tier; this extends the
+    * training-pipeline surface alongside [[minhashNearDups]]. */
+  def sharedSpans(docs: DataFrame, k: Int = 3, minWords: Int = 20,
+      maxDf: Long = 50L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minWords >= k, s"minWords must be >= k=$k, got $minWords")
+    val g = posShingleRows(docs, k)
+    val dfs = g.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val rare = g.join(dfs.filter(col("df") <= maxDf).select("sh"), "sh")
+    val m = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    m.withColumn("isl", col("p1") - row_number().over(w))
+      .groupBy("d1", "d2", "diag", "isl")
+      .agg(min("p1").as("start_1"), min("p2").as("start_2"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("len_words"))
+      .filter(col("len_words") >= minWords)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        col("start_1"), col("start_2"), col("len_words"))
+  }
+
   /** Streaming exact dedup — the ingest-time member of the dedup family:
     * first arrival of each key wins, duplicates arriving within
     * `stateRetention` of it are dropped, and the key's state is EVICTED

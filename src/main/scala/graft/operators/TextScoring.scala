@@ -199,4 +199,63 @@ object TextScoring {
       .agg(count(lit(1)).as("n_tokens_scored"),
         sum(col("term")).cast("double").as("logw"))
   }
+
+  /** Okapi BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+    * relevance; the scoring function behind Lucene/Elasticsearch — the
+    * engine the reference delegates its discovery tier to,
+    * blueflood-elasticsearch `ElasticIO.java`): score every document
+    * against a small bag-of-terms query and keep the top `k`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene variant
+    * whose +1 keeps idf positive even for terms in most documents.
+    *
+    * Oracle parity: tf/df/dl/N/Σdl are exact integer aggregates; each
+    * per-term score is one scalar IEEE double expression over them
+    * (identical operand order on both sides), snapped to DECIMAL(18,9)
+    * before the per-doc sum — the tfidf/NLL convention, so the sum is
+    * partition-order invariant and the (score DESC, doc_id) top-k is
+    * total. |score| ≤ terms·idfmax ≈ 10² keeps the snap far inside the
+    * 2^53 decimal→double-exact window.
+    *
+    * Scale shape: the only corpus-wide passes are the token explode and
+    * two map-side-combining aggregations (per-doc length, per-(doc,term)
+    * tf restricted to the ≤ tens of query terms — the `isin` filter prunes
+    * the exploded stream before anything shuffles). The df and corpus-stat
+    * tables are ≤ |terms| and 1 row — broadcast; the dl join co-partitions
+    * with tf on doc_id. The top-k is TakeOrderedAndProject: per-partition
+    * heaps, never a global sort. Nothing here holds state proportional to
+    * the vocabulary or the corpus on any single node. */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val w = docs.select(idCol.as("doc_id"), explode(TF.words(textCol)).as("word"))
+      .filter(col("word") =!= "")
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum("dl").cast("double").as("sum_dl")))
+    val qw = w.filter(col("word").isin(terms: _*))
+    val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // df falls out of tf for free (one row per containing doc) — no third
+    // corpus pass
+    val dfr = broadcast(tf.groupBy("word").agg(count(lit(1)).as("df")))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val termScore = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / (col("sum_dl") / col("n_docs"))))
+    tf.join(dfr, "word")
+      .join(dl, "doc_id")
+      .crossJoin(st)
+      .withColumn("ts", termScore.cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(col("ts")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

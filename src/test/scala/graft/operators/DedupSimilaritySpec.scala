@@ -556,4 +556,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     // tight thresholds need far fewer bands than loose ones
     assert(Similarity.bandCountFor(0.9, bandBits = 2) < bands)
   }
+
+  test("sharedSpans: planted verbatim quote found exactly; maximality; no sub-spans") {
+    import spark.implicits._
+    val quote = (0 until 25).map(i => s"q$i").mkString(" ") // 25 unique words
+    val d = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),       // quote at offset 3
+      (2L, s"one two $quote three"),                        // quote at offset 2
+      (3L, "totally unrelated content with no overlap here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // exactly ONE maximal span (never its sub-runs), at the right offsets
+    assert(spans.toSeq === Seq((1L, 2L, 3, 2, 25L)),
+      s"expected the single maximal 25-word span, got ${spans.toSeq}")
+  }
+
+  test("sharedSpans: two disjoint shared runs in one pair emit two spans; shorter-than-min absent") {
+    import spark.implicits._
+    val run1 = (0 until 20).map(i => s"a$i").mkString(" ")
+    val run2 = (0 until 22).map(i => s"b$i").mkString(" ")
+    val short = (0 until 10).map(i => s"c$i").mkString(" ") // below minWords
+    val d = Seq(
+      (1L, s"$run1 xfiller yfiller $run2 zfiller $short"),
+      (2L, s"$short prefix $run2 middle words $run1"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 50L)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).sorted
+    assert(spans.length === 2, s"expected run1+run2 only, got ${spans.toSeq}")
+    assert(spans.map(_._3).toSeq === Seq(20L, 22L))
+  }
+
+  test("sharedSpans: boilerplate gram prune drops spans made only of hot grams") {
+    import spark.implicits._
+    val boiler = (0 until 25).map(i => s"h$i").mkString(" ")
+    // the same 25-word run in 12 docs: with maxDf=10 every gram is hot →
+    // no spans at all; with maxDf=50 all 66 pairs report it
+    val d = (1L to 12L).map(i => (i, s"doc$i unique$i $boiler")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 10L).count() === 0L)
+    assert(Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 50L).count() === 66L)
+  }
 }

@@ -32,4 +32,40 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     // backoff keeps p < 1 and finite
     rep.values.foreach(v => assert(!v.isInfinite && v > 0))
   }
+
+  test("bm25TopK: rare-term doc outranks common-term doc; tf saturates; dl normalizes") {
+    import org.apache.spark.sql.functions.col
+    // 20 background docs mention "common"; exactly one mentions "rare"
+    val bg = (0L until 20L).map(i => (i, "common filler words here"))
+    val docs = (bg ++ Seq(
+      (100L, "rare filler words here"),          // one rare hit
+      (101L, "common common filler words here"), // tf=2 of a common term
+      (102L, "common filler words here and then many many more words to dilute length")
+    )).toDF("doc_id", "text")
+    val top = TextScoring.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("rare", "common"), k = 30).collect()
+    val score = top.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    // idf dominance: the unique "rare" hit beats every common-only doc
+    assert(top.head.getLong(0) === 100L, s"rare-term doc should rank first: ${top.toSeq}")
+    // tf monotonicity with saturation: tf=2 > tf=1 at equal dl
+    assert(score(101L) > score(0L))
+    // length normalization: same tf in a longer doc scores lower
+    assert(score(102L) < score(0L))
+    // determinism: equal docs tie exactly and order by doc_id
+    val bgRows = top.filter(r => r.getLong(0) < 20L)
+    assert(bgRows.map(_.getAs[Double]("score")).distinct.length === 1)
+    assert(bgRows.map(_.getLong(0)).toSeq === bgRows.map(_.getLong(0)).toSeq.sorted)
+  }
+
+  test("bm25TopK: k limits output; docs matching no term are absent") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val top = TextScoring.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("alpha"), k = 1).collect()
+    assert(top.length === 1)
+    val all = TextScoring.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("alpha"), k = 10).collect()
+    assert(all.map(_.getLong(0)).toSet === Set(1L, 2L), "gamma-only doc absent")
+  }
 }
