@@ -811,8 +811,139 @@ object PipelineQueries2 {
       .orderBy("doc_id_1", "doc_id_2", "start_1", "start_2")
   }
 
+  /** Span-removal dedup ([[Dedup.removeSharedSpans]]): the corpus
+    * rewritten with every later copy of a ≥20-word shared span scrubbed
+    * (doc_id_2 loses its copy — keep-lowest-id), the rest of each document
+    * intact. The oracle reuses the q_dedup_spans span algebra, explodes
+    * each losing range into 1-based word positions (DISTINCT unions
+    * overlaps — the same set the engine's interval merge covers), and
+    * reassembles with an ordered string_agg; the engine reassembles by
+    * slicing the word array around the merged ranges. Both emit the
+    * normalized token stream re-joined with single spaces. */
+  private val dedupSpanScrub = QDef(
+    "q_dedup_span_scrub",
+    s"""WITH w AS (
+       |  SELECT doc_id, ws FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         array_to_string(ws[i:i+2], ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM w)
+       |),
+       |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+       |gp AS (SELECT g.* FROM g JOIN df USING (gram) WHERE df.df <= 50),
+       |m AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+       |  FROM gp a JOIN gp b USING (gram) WHERE a.doc_id < b.doc_id
+       |),
+       |i AS (
+       |  SELECT d1, d2, p1, p2,
+       |         p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2
+       |                                 ORDER BY p1) AS isl
+       |  FROM m
+       |),
+       |r AS (
+       |  SELECT d1, d2, min(p2) AS sp2, count(*) + 2 AS len_words
+       |  FROM i GROUP BY d1, d2, p1 - p2, isl
+       |),
+       |rp AS (
+       |  SELECT DISTINCT doc_id, CAST(u AS INTEGER) AS pos
+       |  FROM (SELECT d2 AS doc_id, unnest(range(sp2, sp2 + len_words)) AS u
+       |        FROM r WHERE len_words >= 20)
+       |),
+       |wp AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i] AS word
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w)
+       |),
+       |keep AS (
+       |  SELECT wp.doc_id, wp.pos, wp.word
+       |  FROM wp LEFT JOIN rp ON wp.doc_id = rp.doc_id AND wp.pos = rp.pos
+       |  WHERE rp.pos IS NULL
+       |),
+       |agg AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+       |  FROM keep GROUP BY doc_id
+       |),
+       |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rp GROUP BY 1)
+       |SELECT w.doc_id,
+       |       CAST(coalesce(nr.n, 0) AS BIGINT) AS n_words_removed,
+       |       coalesce(a.clean_text, '') AS clean_text
+       |FROM w LEFT JOIN nr ON w.doc_id = nr.doc_id
+       |       LEFT JOIN agg a ON w.doc_id = a.doc_id
+       |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.removeSharedSpans(Tables.load(s, dir, "documents"),
+        k = 3, minWords = 20, maxDf = 50L)
+      .orderBy("doc_id")
+  }
+
+  /** Exact phrase search with KWIC context ([[TextScoring.phraseSearch]]):
+    * every occurrence of a 3-word phrase with 4 words of context each
+    * side. The engine matches the phrase as ONE codegen 3-gram equality
+    * (zero shuffle, no posting-list join); the oracle does the same with
+    * DuckDB array slices. Both report 0-based word offsets; context
+    * windows clamp identically at document edges. */
+  private val textKwic = QDef(
+    "q_text_kwic",
+    s"""WITH w AS (
+       |  SELECT doc_id, ws FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos1, ws,
+       |         array_to_string(ws[i:i+2], ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM w)
+       |)
+       |SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+       |       coalesce(array_to_string(ws[greatest(pos1-4,1):pos1-1], ' '), '') AS before,
+       |       coalesce(array_to_string(ws[pos1+3:pos1+6], ' '), '') AS after
+       |FROM g WHERE gram = 'stream table hash'
+       |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    graft.operators.TextScoring.phraseSearch(
+        Tables.load(s, dir, "documents"), "stream table hash", ctx = 4)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Windowed-PMI collocations ([[TextScoring.pmiPairs]]): the top-50
+    * word pairs by pointwise mutual information within 3 tokens, ≥5
+    * co-occurrences. The engine generates pairs as (first,last) of
+    * codegen (j+1)-grams — no positional self-join; the oracle USES the
+    * positional self-join, so the two independently-derived pair sets
+    * must agree exactly. Counts exact; pmi is one identical scalar double
+    * expression snapped to DECIMAL(18,9) on both sides. */
+  private val textPmi = QDef(
+    "q_text_pmi",
+    s"""WITH w AS (
+       |  SELECT doc_id, ws FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |wp AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i] AS word
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w)
+       |),
+       |wpf AS (SELECT * FROM wp WHERE word <> ''),
+       |p2 AS (
+       |  SELECT least(a.word, b.word) AS u, greatest(a.word, b.word) AS v
+       |  FROM wpf a JOIN wpf b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+       |),
+       |pc AS (SELECT u, v, COUNT(*) AS c_uv FROM p2 GROUP BY 1, 2),
+       |wc AS (SELECT word, COUNT(*) AS c_w FROM wpf GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(SUM(c_uv) AS DOUBLE) FROM pc) AS t_p,
+       |               (SELECT CAST(SUM(c_w) AS DOUBLE) FROM wc) AS t_w)
+       |SELECT u, v, CAST(c_uv AS BIGINT) AS c_uv,
+       |       CAST(CAST(ln((CAST(c_uv AS DOUBLE) / t_p) /
+       |              ((CAST(cu.c_w AS DOUBLE) / t_w) *
+       |               (CAST(cv.c_w AS DOUBLE) / t_w)))
+       |            AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+       |FROM pc JOIN wc cu ON pc.u = cu.word JOIN wc cv ON pc.v = cv.word
+       |CROSS JOIN tot
+       |WHERE c_uv >= 5
+       |ORDER BY pmi DESC, u, v
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.operators.TextScoring.pmiPairs(
+      Tables.load(s, dir, "documents"), maxDist = 3, minCount = 5L, k = 50)
+  }
+
   val defs: Seq[QDef] = Seq(
-    textBm25, dedupSpans,
+    textBm25, dedupSpans, dedupSpanScrub, textKwic, textPmi,
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, selectBudgetQuantile, packSequences, shardAssign,
     textHeavyTokens,

@@ -529,6 +529,77 @@ object Dedup {
         col("start_1"), col("start_2"), col("len_words"))
   }
 
+  /** The remove-the-span dedup policy over [[sharedSpans]]: rewrite the
+    * corpus with every LATER copy of a shared span scrubbed out (the
+    * keep-lowest-doc-id convention of [[exactGroups]] /
+    * keep-best-per-cluster — `doc_id_1 < doc_id_2`, so doc_id_2 loses its
+    * copy), leaving the rest of each document intact. This is the policy
+    * Lee et al. actually apply (cut the duplicated substring, keep the
+    * document) — whole-doc dropping throws away the unique remainder.
+    *
+    * Output: (doc_id, n_words_removed, clean_text) for EVERY input
+    * document; `clean_text` is the NORMALIZED token stream re-joined with
+    * single spaces (span offsets are positions in that stream, so the
+    * rewrite is exact there; carrying raw-text byte offsets through
+    * [[graft.functions.TextFunctions.normalized]] would be a different,
+    * lossier contract). Docs that lose every word emit `""`.
+    *
+    * Shape: overlapping removal ranges union via one interval-merge window
+    * over the SPAN table (tiny — pairs that share ≥ minWords runs), kept
+    * gaps derive from the merged ranges by lag + one tail join, and the
+    * rewrite itself is per-row: a handful of `slice`s of the word array
+    * flattened and re-joined. The corpus-wide pass is a map — only span
+    * participants touch a shuffle, and only their interval lists (not
+    * their words) go through it. */
+  def removeSharedSpans(docs: DataFrame, k: Int = 3, minWords: Int = 20,
+      maxDf: Long = 50L): DataFrame = {
+    val rem = sharedSpans(docs, k, minWords, maxDf)
+      .select(col("doc_id_2").as("doc_id"),
+        col("start_2").cast("long").as("s"),
+        (col("start_2").cast("long") + col("len_words")).as("e"))
+    // union overlapping/adjacent [s,e) ranges: gaps-and-islands on the
+    // running max end
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = rem
+      .withColumn("fresh",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum("fresh").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // kept gaps: before each merged range, plus the tail after the last
+    val w2 = Window.partitionBy("doc_id").orderBy("s")
+    val interior = merged
+      .withColumn("ks", coalesce(lag("e", 1).over(w2), lit(0L)))
+      .withColumn("klen", col("s") - col("ks"))
+      .filter(col("klen") > 0)
+      .select("doc_id", "ks", "klen")
+    val tail = merged.groupBy("doc_id").agg(max("e").as("ks"))
+      .join(base.select(col("doc_id"), size(col("ws")).cast("long").as("nw")),
+        "doc_id")
+      .withColumn("klen", col("nw") - col("ks"))
+      .filter(col("klen") > 0)
+      .select("doc_id", "ks", "klen")
+    val keeps = interior.unionByName(tail)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ks"), col("klen")))).as("kp"))
+    val removed = merged.groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("n_removed"))
+    base
+      .join(removed, Seq("doc_id"), "left")
+      .join(keeps, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("n_removed").isNull, array_join(col("ws"), " "))      // untouched
+          .when(col("kp").isNull, lit(""))                             // fully removed
+          .otherwise(array_join(flatten(transform(col("kp"),
+            g => slice(col("ws"), g("ks").cast("int") + 1,
+              g("klen").cast("int")))), " ")))
+      .select(col("doc_id"),
+        coalesce(col("n_removed"), lit(0L)).as("n_words_removed"),
+        col("clean_text"))
+  }
+
   /** Streaming exact dedup — the ingest-time member of the dedup family:
     * first arrival of each key wins, duplicates arriving within
     * `stateRetention` of it are dropped, and the key's state is EVICTED

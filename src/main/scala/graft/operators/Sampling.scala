@@ -218,13 +218,20 @@ object Sampling {
     require(nBuckets >= 1 && nBuckets <= 256,
       s"nBuckets must be in [1, 256], got $nBuckets")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // one materialized pass computes the (regex-heavy) quality/token
+    // projection; the quantile probe, the bucket sums, and the final
+    // selection all reuse it instead of re-running the scoring
+    // expressions — and the 64-way bucket when-chain compares against the
+    // stored double, not 64 inlined copies of the scoring expr (Catalyst's
+    // CollapseProject would otherwise duplicate it into every branch).
+    val base = projectBase(docs, quality, tokens).localCheckpoint()
     val edges: Seq[Double] =
       if (probs.isEmpty) Nil
-      else Option(docs.select(quality.cast("double").as("q"))
-          .agg(percentile_approx(col("q"), lit(probs.toArray), lit(10000)))
+      else Option(base
+          .agg(percentile_approx(col("quality"), lit(probs.toArray), lit(10000)))
           .head().getSeq[Double](0)) // null on an empty/all-null corpus
         .map(_.toSeq.distinct.sorted).getOrElse(Nil)
-    selectWithBuckets(docs, quality, tokens, budget, quantileBucket(edges))
+    selectProjected(base.withColumn("bucket", quantileBucket(edges)), budget)
   }
 
   /** Descending threshold chain over ascending `edges`: the LARGEST edge
@@ -240,13 +247,22 @@ object Sampling {
         when(col("quality") > lit(e), lit(i + 1)).otherwise(rest)
       }.cast("int")
 
+  private def projectBase(docs: DataFrame, quality: Column,
+      tokens: Column): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      quality.cast("double").as("quality"),
+      coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
+
   private def selectWithBuckets(docs: DataFrame, quality: Column,
-      tokens: Column, budget: Long, bucket: Column): DataFrame = {
+      tokens: Column, budget: Long, bucket: Column): DataFrame =
+    // same one-materialized-pass discipline as the quantile arm: the sums
+    // pass and the final selection both reuse the stored projection
+    selectProjected(projectBase(docs, quality, tokens).localCheckpoint()
+      .withColumn("bucket", bucket), budget)
+
+  /** `base` must carry (doc_id, quality, tokens, bucket). */
+  private def selectProjected(base: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-        quality.cast("double").as("quality"),
-        coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
-      .withColumn("bucket", bucket)
     val sums = base.groupBy("bucket").agg(sum("tokens").as("btok"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L

@@ -258,4 +258,77 @@ object TextScoring {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact phrase search with keyword-in-context (KWIC) output — the
+    * concordance view every corpus-inspection UI needs: each occurrence of
+    * `phrase` (as consecutive normalized words) with up to `ctx` words of
+    * context on each side. ZERO shuffle end to end: the phrase is one
+    * [[graft.functions.WordKGrams]] codegen pass (a p-word phrase is
+    * exactly a p-gram equality — no positional self-join of posting
+    * lists), the filter prunes to matches before anything else runs, and
+    * context is two `slice`s of the already-in-hand word array. `pos` is
+    * the 0-based word offset ([[Dedup.sharedSpans]] convention). */
+  def phraseSearch(docs: DataFrame, phrase: String, ctx: Int = 5): DataFrame = {
+    val toks = phrase.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").filter(_.nonEmpty)
+    require(toks.nonEmpty, "phrase must contain at least one word")
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val p = toks.length
+    val base = docs.select(col("doc_id"), TF.words(col("text")).as("ws"))
+    val hits =
+      if (p == 1) base.select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("pos", "sh")))
+      else base.select(col("doc_id"), col("ws"),
+        posexplode(TF.wordKGrams(col("ws"), p)).as(Seq("pos", "sh")))
+    hits.filter(col("sh") === toks.mkString(" "))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("ws"),
+          greatest(col("pos") - ctx, lit(0)) + 1,
+          least(col("pos"), lit(ctx))), " ").as("before"),
+        array_join(slice(col("ws"), col("pos") + p + 1, lit(ctx)), " ").as("after"))
+  }
+
+  /** Windowed pointwise mutual information — the collocation detector of
+    * classic corpus linguistics (Church & Hanks 1990): for unordered word
+    * pairs co-occurring within `maxDist` tokens,
+    * pmi = ln( (c_uv/T_p) / ((c_u/T_w)·(c_v/T_w)) ), keeping pairs seen
+    * ≥ `minCount` times, top `k` by (pmi DESC, u, v).
+    *
+    * Pair generation is shuffle-free: a pair at distance j is exactly the
+    * (first, last) words of a (j+1)-gram, so `maxDist` codegen gram
+    * passes replace the positional self-join (which would shuffle every
+    * token row by doc). Only the (u,v) count aggregation shuffles, and it
+    * map-side combines. All counts are exact integers; pmi is one scalar
+    * double expression over them, snapped to DECIMAL(18,9) so the ranking
+    * is engine- and partition-order-invariant; the top-k is
+    * TakeOrderedAndProject. */
+  def pmiPairs(docs: DataFrame, maxDist: Int = 3, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val base = docs.select(TF.words(col("text")).as("ws"))
+    val pairs = (1 to maxDist).map { j =>
+      base.select(explode(TF.wordKGrams(col("ws"), j + 1)).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"))
+    }.reduce(_ unionByName _)
+      .select(least(col("w1"), col("w2")).as("u"),
+        greatest(col("w1"), col("w2")).as("v"))
+      .filter(col("u") =!= "")
+    val pc = pairs.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+    val wc = base.select(explode(col("ws")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = broadcast(pc.agg(sum("c_uv").cast("double").as("t_p"))
+      .crossJoin(wc.agg(sum("c_w").cast("double").as("t_w"))))
+    val pmi = log((col("c_uv").cast("double") / col("t_p")) /
+      ((col("c_u").cast("double") / col("t_w")) *
+        (col("c_v").cast("double") / col("t_w"))))
+    pc.filter(col("c_uv") >= minCount)
+      .join(wc.withColumnRenamed("w", "u").withColumnRenamed("c_w", "c_u"), "u")
+      .join(wc.withColumnRenamed("w", "v").withColumnRenamed("c_w", "c_v"), "v")
+      .crossJoin(tot)
+      .withColumn("pmi", pmi.cast(DecimalType(18, 9)).cast("double"))
+      .select("u", "v", "c_uv", "pmi")
+      .orderBy(col("pmi").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }

@@ -596,4 +596,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 10L).count() === 0L)
     assert(Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 50L).count() === 66L)
   }
+
+  test("removeSharedSpans: later copy scrubbed, earlier kept; untouched docs normalized") {
+    import spark.implicits._
+    val quote = (0 until 25).map(i => s"q$i").mkString(" ")
+    val d = Seq(
+      (1L, s"Alpha, beta gamma $quote delta!"),
+      (2L, s"one two $quote three"),
+      (3L, "totally unrelated content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(d, k = 3, minWords = 20, maxDf = 50L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) === (0L, s"alpha beta gamma $quote delta"), "keeper normalized, intact")
+    assert(out(2L) === (25L, "one two three"), "loser's span cut, remainder re-joined")
+    assert(out(3L) === (0L, "totally unrelated content"))
+  }
+
+  test("removeSharedSpans: overlapping losses from two partners merge — union, not double-count") {
+    import spark.implicits._
+    val r = (0 until 40).map(i => s"r$i")
+    val d = Seq(
+      (1L, r.take(30).mkString(" ")),        // shares [0,30) with doc 3
+      (2L, r.drop(20).mkString(" ")),        // shares [20,40) with doc 3
+      (3L, r.mkString(" ")))                 // loses both → union [0,40)
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(d, k = 3, minWords = 20, maxDf = 50L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(out(1L)._1 === 0L && out(2L)._1 === 0L, "earlier docs keep their copies")
+    assert(out(3L) === (40L, ""), s"union of overlapping ranges, fully emptied: ${out(3L)}")
+  }
 }

@@ -68,4 +68,57 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
       Seq("alpha"), k = 10).collect()
     assert(all.map(_.getLong(0)).toSet === Set(1L, 2L), "gamma-only doc absent")
   }
+
+  test("phraseSearch: positions, edge-clamped context, multiple hits, normalization") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Quick, brown fox! and later a quick brown fox again"),
+      (3L, "no match here")).toDF("doc_id", "text")
+    val hits = TextScoring.phraseSearch(docs, "Quick BROWN fox", ctx = 2)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(hits.toSeq === Seq(
+      (1L, 1, "the", "jumps over"),          // left context clamps to 1 word
+      (2L, 0, "", "and later"),              // phrase at doc start: empty before
+      (2L, 6, "later a", "again")),          // trailing context clamps
+      s"got ${hits.toSeq}")
+  }
+
+  test("phraseSearch: single-word phrase works; absent phrase yields empty") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val one = TextScoring.phraseSearch(docs, "beta", ctx = 1).collect()
+    assert(one.map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq
+      === Seq((1, "alpha", "gamma")))
+    assert(TextScoring.phraseSearch(docs, "delta epsilon").collect().isEmpty)
+  }
+
+  test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
+    import org.apache.spark.sql.functions.col
+    // "zig zag" always adjacent and seen only together; m0 is twice as
+    // frequent (diluting every pair it joins); f/g fillers pair below
+    // minCount and drop out
+    val docs = (0L until 30L).map { i =>
+      (i, s"m0 f$i zig zag g$i m0")
+    }.toDF("doc_id", "text")
+    val top = TextScoring.pmiPairs(docs, maxDist = 2, minCount = 5L, k = 5).collect()
+    assert(top.head.getString(0) === "zag" && top.head.getString(1) === "zig",
+      s"planted collocation should rank first: ${top.toSeq}")
+    // pair beyond maxDist never counted: f$i (pos 1) .. m0 (pos 4) is dist 3
+    val far = TextScoring.pmiPairs(docs, maxDist = 2, minCount = 1L, k = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!far.contains(("f0", "g0")) && !far.contains(("g0", "f0")),
+      "distance-4 pair must be outside the window")
+    // cross-validate the gram-based pair counts against a naive positional count
+    val naive = docs.collect().flatMap { r =>
+      val ws = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+      for (i <- ws.indices; j <- (i + 1) to math.min(i + 2, ws.length - 1))
+        yield if (ws(i) <= ws(j)) (ws(i), ws(j)) else (ws(j), ws(i))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val engine = TextScoring.pmiPairs(docs, maxDist = 2, minCount = 1L, k = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(engine === naive.filter(_._2 >= 1L),
+      "gram-derived pair counts must equal the positional-join definition")
+  }
 }
