@@ -39,7 +39,7 @@ object Bench {
     // push its build cost into the others' timed samples.
     Seq("q_points_query_stored", "q_string_points",
         "q_preagg_timer_stored", "q_sim_ivf_index", "q_dedup_incremental",
-        "q_sim_pq")
+        "q_sim_pq", "q_text_bm25_index")
       .filter(n => only.forall(_.contains(n)))
       .foreach { n =>
         try SparkEntry.queries.get(n).foreach(_(spark, sfDir).count())

@@ -767,6 +767,24 @@ object PipelineQueries2 {
     }
   }
 
+  /** BM25 served from the persisted inverted index
+    * ([[TextScoring.writeTextIndex]] / [[TextScoring.bm25TopKFromIndex]]):
+    * SAME oracle as q_text_bm25 — the index is an access path, not a
+    * semantics change, so the driver hash-proves the bucket-pruned serve
+    * returns exactly the corpus-scan answer. Index build cached per sfDir
+    * via ArtifactCache; Bench pre-builds it so the timed samples measure
+    * the pruned serve path. */
+  private val textBm25Index = QDef(
+    "q_text_bm25_index",
+    textBm25.oracle.get) { (s, dir) =>
+    val path = graft.core.ArtifactCache.cached("text_index", dir,
+      s"$dir/documents.parquet")(p =>
+      graft.operators.TextScoring.writeTextIndex(
+        Tables.load(s, dir, "documents"), p))
+    graft.operators.TextScoring.bm25TopKFromIndex(s, path,
+      Seq("dup", "join", "scan", "stream"), k = 15)
+  }
+
   /** Exact maximal shared word spans ([[Dedup.sharedSpans]]): every ≥20-word
     * verbatim run shared by a document pair, via positional-3-gram diagonal
     * islands with the df ≤ 50 boilerplate prune. The oracle states the
@@ -943,7 +961,7 @@ object PipelineQueries2 {
   }
 
   val defs: Seq[QDef] = Seq(
-    textBm25, dedupSpans, dedupSpanScrub, textKwic, textPmi,
+    textBm25, textBm25Index, dedupSpans, dedupSpanScrub, textKwic, textPmi,
     dedupClusters, sampleSplit, sampleStratified, sampleWeighted,
     selectBudget, selectBudgetQuantile, packSequences, shardAssign,
     textHeavyTokens,

@@ -241,6 +241,16 @@ object TextScoring {
     // df falls out of tf for free (one row per containing doc) — no third
     // corpus pass
     val dfr = broadcast(tf.groupBy("word").agg(count(lit(1)).as("df")))
+    scoreBm25(tf.join(dfr, "word").join(dl, "doc_id").crossJoin(st), k1, b, k)
+  }
+
+  /** The shared BM25 scoring tail: `joined` carries (doc_id, tf, df, dl,
+    * n_docs, sum_dl) with exact-integer counts and double corpus stats;
+    * per-term scores snap to DECIMAL(18,9), the per-doc sum is exact, the
+    * top-k is TakeOrderedAndProject. Single source of the score algebra so
+    * the inline and index-serving paths CANNOT drift. */
+  private def scoreBm25(joined: DataFrame, k1: Double, b: Double,
+      k: Int): DataFrame = {
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val dfD = col("df").cast("double")
@@ -248,15 +258,72 @@ object TextScoring {
       (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val termScore = idf * (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / (col("sum_dl") / col("n_docs"))))
-    tf.join(dfr, "word")
-      .join(dl, "doc_id")
-      .crossJoin(st)
+    joined
       .withColumn("ts", termScore.cast(DecimalType(18, 9)))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"),
         sum(col("ts")).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  private def wordBucket(word: Column, nBuckets: Int): Column =
+    pmod(xxhash64(word), lit(nBuckets.toLong)).cast("int")
+
+  /** Persisted inverted index — the artifact that makes BM25 a SERVING
+    * operation instead of a corpus scan (the Lucene segment analog;
+    * mirror of [[Similarity.writeIvfIndex]]'s build-once / prune-on-read
+    * lifecycle). `path/postings` holds (word, doc_id, tf, dl) PARTITIONED
+    * BY a word-hash bucket, so a query's terms reduce the read to their
+    * buckets at the parquet-pruning layer — ~|terms|/nBuckets of the
+    * index, regardless of corpus size. Document length is DENORMALIZED
+    * into the postings (the Lucene norms trick): serving never joins a
+    * corpus-sized doclen table. `path/stats` carries (n_docs, sum_dl,
+    * n_buckets) — one row; the reader takes nBuckets from it so writer
+    * and reader cannot disagree on the bucket function. */
+  def writeTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id")
+      .withColumn("wb", wordBucket(col("word"), nBuckets))
+      .select("wb", "word", "doc_id", "tf", "dl")
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/postings")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 top-k from a persisted [[writeTextIndex]] index: the
+    * postings scan is statically pruned to the query terms' hash-bucket
+    * partitions (plus a pushed `word IN` filter inside them), df falls
+    * out of the pruned postings, and the score algebra is byte-identical
+    * to [[bm25TopK]] (shared [[scoreBm25]]). Nothing here reads text or
+    * scales with corpus size except the ≤|terms| pruned posting lists. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val nDocs = stats.getAs[Long]("n_docs")
+    val sumDl = stats.getAs[Long]("sum_dl")
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    // evaluate the bucket function through Spark itself so it is the
+    // writer's function by construction
+    import spark.implicits._
+    val buckets = terms.toDF("word")
+      .select(wordBucket(col("word"), nBuckets)).distinct()
+      .collect().map(_.getInt(0))
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("wb").isin(buckets.toSeq: _*) &&
+        col("word").isin(terms: _*))
+    val dfr = broadcast(post.groupBy("word").agg(count(lit(1)).as("df")))
+    val joined = post.join(dfr, "word")
+      .withColumn("n_docs", lit(nDocs).cast("double"))
+      .withColumn("sum_dl", lit(sumDl).cast("double"))
+    scoreBm25(joined, k1, b, k)
   }
 
   /** Exact phrase search with keyword-in-context (KWIC) output — the

@@ -94,6 +94,24 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     assert(TextScoring.phraseSearch(docs, "delta epsilon").collect().isEmpty)
   }
 
+  test("text index: bm25TopKFromIndex == bm25TopK exactly, including scores") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("dup", "join", "scan", "stream")
+    TextScoring.writeTextIndex(docs, dir, nBuckets = 8)
+    val inline = TextScoring.bm25TopK(docs, col("doc_id"), col("text"), terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val served = TextScoring.bm25TopKFromIndex(spark, dir, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(served.toSeq === inline.toSeq,
+      "index serve must return the exact corpus-scan answer")
+    // the pruned read touches only the query terms' bucket partitions
+    val allBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("wb="))
+    assert(allBuckets > 4, "corpus vocabulary should spread over >4 buckets")
+  }
+
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
     import org.apache.spark.sql.functions.col
     // "zig zag" always adjacent and seen only together; m0 is twice as
