@@ -413,8 +413,11 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    // the new batch's signatures feed three join scans (self-join twice,
+    // new×old once); materialize the tiny band-key table once instead of
+    // re-running the 128-minhash shingle pass per scan
     val nb = bandKeyRows(minhashSignatures(newDocs, k, numHashes, None),
-      numHashes, bands)
+      numHashes, bands).localCheckpoint()
     val ob = bandKeyRows(oldSig, numHashes, bands)
     val newNew = bandSelfJoin(nb)
     val newOld = nb.as("a")
@@ -986,7 +989,13 @@ object Dedup {
       s"maxDist must be in [0, 64), got $maxDist")
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val banded0 = hashes.select(col(id), col(hash),
+    // materialize the (id, hash) table once: it is tiny (one long per
+    // item) but its LINEAGE is the full fingerprint computation — for
+    // media inputs a codec decode + DSP per payload — and the plan below
+    // evaluates it up to four times (hot-bucket census, cap anti-join,
+    // both sides of the band self-join)
+    val mat = hashes.select(col(id), col(hash)).localCheckpoint()
+    val banded0 = mat.select(col(id), col(hash),
       posexplode(array((0 until nBands).map { b =>
         // the last band absorbs the 64 % nBands leftover bits
         val w = if (b == nBands - 1) 64 - b * width else width
