@@ -150,6 +150,17 @@ object Demo {
       .filter(col("metric_name") === "app.purchase.user_10")
       .orderBy("bucket").show(20)
 
+    println("== 16. corpus search: persisted inverted index -> BM25 + KWIC ==")
+    val corpusDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_demo_idx").toString
+    graft.operators.TextScoring.writeTextIndex(corpusDocs, idx)
+    println("   BM25 top-5 for {dup, join} served from the bucket-pruned index:")
+    graft.operators.TextScoring.bm25TopKFromIndex(spark, idx,
+      Seq("dup", "join"), k = 5).show(5, truncate = false)
+    println("   concordance (KWIC) for the phrase 'stream table hash':")
+    graft.operators.TextScoring.phraseSearch(corpusDocs, "stream table hash", ctx = 3)
+      .orderBy("doc_id", "pos").show(5, truncate = false)
+
     spark.stop()
   }
 }

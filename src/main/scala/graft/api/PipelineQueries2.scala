@@ -729,8 +729,12 @@ object PipelineQueries2 {
     * term with identical operand order on both sides, DECIMAL(18,9) snap
     * before the exact per-doc sum (ln() may differ by an ulp across libm;
     * products of logs never terminate at the snap's tie digit). */
+  /** The gate's BM25 query terms — shared by q_text_bm25, its oracle SQL,
+    * and q_text_bm25_index so the three can never desynchronize. */
+  private val bm25Terms = Seq("dup", "join", "scan", "stream")
+
   private val textBm25 = {
-    val terms = Seq("dup", "join", "scan", "stream")
+    val terms = bm25Terms
     val inList = terms.map("'" + _ + "'").mkString(", ")
     QDef(
       "q_text_bm25",
@@ -781,8 +785,7 @@ object PipelineQueries2 {
       s"$dir/documents.parquet")(p =>
       graft.operators.TextScoring.writeTextIndex(
         Tables.load(s, dir, "documents"), p))
-    graft.operators.TextScoring.bm25TopKFromIndex(s, path,
-      Seq("dup", "join", "scan", "stream"), k = 15)
+    graft.operators.TextScoring.bm25TopKFromIndex(s, path, bm25Terms, k = 15)
   }
 
   /** Exact maximal shared word spans ([[Dedup.sharedSpans]]): every ≥20-word

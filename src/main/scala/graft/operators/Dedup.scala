@@ -564,12 +564,17 @@ object Dedup {
     // running max end
     val w = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // materialize once: `merged` is tiny (span participants only) but its
+    // lineage is the whole span-detection pipeline, and three branches
+    // below consume it (the hammingNearDups/incrementalNearDups
+    // materialize-once discipline)
     val merged = rem
       .withColumn("fresh",
         when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
       .withColumn("grp", sum("fresh").over(w))
       .groupBy("doc_id", "grp")
       .agg(min("s").as("s"), max("e").as("e"))
+      .localCheckpoint()
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     // kept gaps: before each merged range, plus the tail after the last
     val w2 = Window.partitionBy("doc_id").orderBy("s")

@@ -226,9 +226,18 @@ object TextScoring {
     * with tf on doc_id. The top-k is TakeOrderedAndProject: per-partition
     * heaps, never a global sort. Nothing here holds state proportional to
     * the vocabulary or the corpus on any single node. */
+  /** Query terms normalized the way [[graft.functions.TextFunctions.words]]
+    * normalizes the corpus (lowercase, punctuation → space), so "Dup" or
+    * "stream," match the token stream instead of silently scoring zero —
+    * the [[phraseSearch]] convention. */
+  private def normTerms(terms: Seq[String]): Seq[String] =
+    terms.flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ")).filter(_.nonEmpty).distinct
+
   def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
-      terms: Seq[String], k: Int,
+      terms0: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = normTerms(terms0)
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val w = docs.select(idCol.as("doc_id"), explode(TF.words(textCol)).as("word"))
       .filter(col("word") =!= "")
@@ -285,7 +294,9 @@ object TextScoring {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
-    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // one tokenization pass serves the postings join AND the stats write
+    // (dl is one row per doc — tiny to materialize)
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     tf.join(dl, "doc_id")
       .withColumn("wb", wordBucket(col("word"), nBuckets))
@@ -303,8 +314,9 @@ object TextScoring {
     * to [[bm25TopK]] (shared [[scoreBm25]]). Nothing here reads text or
     * scales with corpus size except the ≤|terms| pruned posting lists. */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String], k: Int,
+      terms0: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = normTerms(terms0)
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
     val stats = spark.read.parquet(s"$path/stats").head()
     val nDocs = stats.getAs[Long]("n_docs")
@@ -381,9 +393,14 @@ object TextScoring {
       .select(least(col("w1"), col("w2")).as("u"),
         greatest(col("w1"), col("w2")).as("v"))
       .filter(col("u") =!= "")
+    // materialize the two aggregates once: pc feeds both the totals and
+    // the scoring join (its lineage is the maxDist corpus-wide gram
+    // passes), wc feeds the totals and BOTH endpoint joins
     val pc = pairs.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+      .localCheckpoint()
     val wc = base.select(explode(col("ws")).as("w")).filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint()
     val tot = broadcast(pc.agg(sum("c_uv").cast("double").as("t_p"))
       .crossJoin(wc.agg(sum("c_w").cast("double").as("t_w"))))
     val pmi = log((col("c_uv").cast("double") / col("t_p")) /

@@ -122,4 +122,22 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
 
   invariant("Anomaly.ewmaBands")(df => Anomaly.ewmaBands(df))(
     Tables.metrics(spark, dir))
+
+  invariant("TextScoring.bm25TopK")(df => {
+    import org.apache.spark.sql.functions.col
+    TextScoring.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("dup", "join", "scan", "stream"), k = 20)
+  })(Tables.load(spark, dir, "documents"))
+
+  invariant("Dedup.sharedSpans")(df =>
+    Dedup.sharedSpans(df, k = 3, minWords = 20, maxDf = 50L))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("Dedup.removeSharedSpans")(df =>
+    Dedup.removeSharedSpans(df, k = 3, minWords = 20, maxDf = 50L))(
+    Tables.load(spark, dir, "documents"))
+
+  invariant("TextScoring.pmiPairs")(df =>
+    TextScoring.pmiPairs(df, maxDist = 3, minCount = 5L, k = 50))(
+    Tables.load(spark, dir, "documents"))
 }
