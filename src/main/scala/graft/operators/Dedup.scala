@@ -516,6 +516,10 @@ object Dedup {
     val g = posShingleRows(docs, k)
     val dfs = g.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
+    // NOT checkpointed: `rare` is a corpus-scale positional-gram stream
+    // (measured ~20% faster materialized at sf0.1, but a multi-TB local
+    // storage burst at target scale — the recompute is two codegen gram
+    // passes, the cheap side of that trade; cf. minhashNearDups)
     val rare = g.join(dfs.filter(col("df") <= maxDf).select("sh"), "sh")
     val m = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
