@@ -290,7 +290,26 @@ object TextScoring {
     * corpus-sized doclen table. `path/stats` carries (n_docs, sum_dl,
     * n_buckets) — one row; the reader takes nBuckets from it so writer
     * and reader cannot disagree on the bucket function. */
-  def writeTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+  def writeTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    appendTextIndex(docs, path, batchId = 0L, nBuckets = nBuckets)
+
+  /** Fold one document batch into the index — INCREMENTAL maintenance,
+    * the [[graft.streaming.DocumentStream]] discipline applied to search:
+    * the batch's postings and stats land under their own `batch_id=N`
+    * partition with overwrite, so a foreachBatch at-least-once REPLAY
+    * rewrites the same partition instead of double-counting, and no
+    * existing batch is ever read or rewritten (per-batch cost is
+    * O(|batch|), never O(|corpus|)). The serving read discovers
+    * batch_id/wb as nested partitions, so term-bucket pruning spans every
+    * batch; per-term df and the summed corpus stats stay exact because
+    * postings and stats rows are disjoint across batches. Feed the stream
+    * through [[graft.operators.Dedup.streamingDedupKeepFirst]] (or any
+    * exact-once keying) first — a doc_id re-ingested in a LATER batch
+    * would legitimately count twice, exactly as two copies in a corpus
+    * would. `nBuckets` must match the index's existing batches; the
+    * reader enforces it. */
+  def appendTextIndex(docs: DataFrame, path: String, batchId: Long,
+      nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -301,10 +320,12 @@ object TextScoring {
     tf.join(dl, "doc_id")
       .withColumn("wb", wordBucket(col("word"), nBuckets))
       .select("wb", "word", "doc_id", "tf", "dl")
-      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$path/postings/batch_id=$batchId")
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
         lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats/batch_id=$batchId")
   }
 
   /** Serve BM25 top-k from a persisted [[writeTextIndex]] index: the
@@ -318,10 +339,16 @@ object TextScoring {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = normTerms(terms0)
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
-    val stats = spark.read.parquet(s"$path/stats").head()
+    // one row per appended batch: corpus stats are their exact sums
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+        min("n_buckets").as("nb_min"), max("n_buckets").as("nb_max"))
+      .head()
     val nDocs = stats.getAs[Long]("n_docs")
     val sumDl = stats.getAs[Long]("sum_dl")
-    val nBuckets = stats.getAs[Int]("n_buckets")
+    val nBuckets = stats.getAs[Int]("nb_max")
+    require(stats.getAs[Int]("nb_min") == nBuckets,
+      "index batches were written with different nBuckets — rebuild")
     // evaluate the bucket function through Spark itself so it is the
     // writer's function by construction
     import spark.implicits._

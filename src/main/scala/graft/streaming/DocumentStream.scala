@@ -64,6 +64,24 @@ object DocumentStream {
       }
       .start()
 
+  /** Streaming search-index maintenance: fold each arriving document batch
+    * into a [[graft.operators.TextScoring.writeTextIndex]]-layout inverted
+    * index ([[graft.operators.TextScoring.appendTextIndex]] — batch-id
+    * partitioned, replay-idempotent), so
+    * [[graft.operators.TextScoring.bm25TopKFromIndex]] serves BM25 over
+    * everything ingested so far. Compose with [[start]]'s rolling dedup
+    * upstream when re-crawled doc_ids are possible — the index counts
+    * every row it is handed, exactly as a corpus with copies would. */
+  def startSearchIndex(docs: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextScoring.appendTextIndex(batch, indexDir, id)
+      }
+      .start()
+
   /** All near-dup findings so far (doc_id_1, doc_id_2, jaccard, batch_id).
     * Before the first non-empty batch commits there is no parquet yet —
     * serve an empty frame with the store's schema, not a crash (same

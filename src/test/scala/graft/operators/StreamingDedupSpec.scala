@@ -82,4 +82,33 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSuite {
     // the signature store grew with the corpus (4 docs, 4 signature rows)
     assert(spark.read.parquet(s"$store/signatures").count() === 4L)
   }
+
+  test("DocumentStream.startSearchIndex: BM25 over a growing corpus == batch index") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidx_ck").toString
+    val docs = Seq(
+      (1L, "spark shuffles the join keys"),
+      (2L, "a join without shuffle is a broadcast join"),
+      (3L, "nothing relevant here at all"),
+      (4L, "shuffle shuffle join"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocumentStream.startSearchIndex(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt)
+    mem.addData(docs.take(2): _*); q.processAllAvailable()
+    mem.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.TextScoring
+      .bm25TopKFromIndex(spark, idx, Seq("join", "shuffle"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_sidx_one").toString
+    graft.operators.TextScoring.writeTextIndex(docs.toDF("doc_id", "text"), oneShot)
+    val direct = graft.operators.TextScoring
+      .bm25TopKFromIndex(spark, oneShot, Seq("join", "shuffle"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(streamed === direct,
+      "stream-folded index must serve the one-shot batch answer exactly")
+  }
 }

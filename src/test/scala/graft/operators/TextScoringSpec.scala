@@ -107,9 +107,28 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     assert(served.toSeq === inline.toSeq,
       "index serve must return the exact corpus-scan answer")
     // the pruned read touches only the query terms' bucket partitions
-    val allBuckets = new java.io.File(s"$dir/postings").listFiles()
+    val allBuckets = new java.io.File(s"$dir/postings/batch_id=0").listFiles()
       .count(_.getName.startsWith("wb="))
     assert(allBuckets > 4, "corpus vocabulary should spread over >4 buckets")
+  }
+
+  test("text index: incremental batches == one-shot index; replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("dup", "join", "scan", "stream")
+    def serve(p: String) = TextScoring.bm25TopKFromIndex(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // corpus folded in as three disjoint batches
+    val inc = java.nio.file.Files.createTempDirectory("graft_idx_inc").toString
+    for (b <- 0L until 3L)
+      TextScoring.appendTextIndex(docs.filter(col("doc_id") % 3 === b), inc, b)
+    val one = java.nio.file.Files.createTempDirectory("graft_idx_one").toString
+    TextScoring.writeTextIndex(docs, one)
+    assert(serve(inc) === serve(one),
+      "batch-appended index must serve the one-shot answer exactly")
+    // at-least-once replay: rewriting batch 1's partition changes nothing
+    TextScoring.appendTextIndex(docs.filter(col("doc_id") % 3 === 1L), inc, 1L)
+    assert(serve(inc) === serve(one), "replayed batch must not double-count")
   }
 
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
