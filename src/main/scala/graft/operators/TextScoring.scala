@@ -283,15 +283,27 @@ object TextScoring {
     * operation instead of a corpus scan (the Lucene segment analog;
     * mirror of [[Similarity.writeIvfIndex]]'s build-once / prune-on-read
     * lifecycle). `path/postings` holds (word, doc_id, tf, dl) PARTITIONED
-    * BY a word-hash bucket, so a query's terms reduce the read to their
-    * buckets at the parquet-pruning layer — ~|terms|/nBuckets of the
-    * index, regardless of corpus size. Document length is DENORMALIZED
-    * into the postings (the Lucene norms trick): serving never joins a
-    * corpus-sized doclen table. `path/stats` carries (n_docs, sum_dl,
-    * n_buckets) — one row; the reader takes nBuckets from it so writer
-    * and reader cannot disagree on the bucket function. */
-  def writeTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    * BY (batch_id, word-hash bucket), so a query's terms reduce the read
+    * to their buckets at the parquet-pruning layer — ~|terms|/nBuckets of
+    * the index, regardless of corpus size. Document length is
+    * DENORMALIZED into the postings (the Lucene norms trick): serving
+    * never joins a corpus-sized doclen table. `path/stats` carries
+    * (n_docs, sum_dl, n_buckets) — ONE ROW PER APPENDED BATCH; the reader
+    * sums them and takes nBuckets from them so writer and reader cannot
+    * disagree on the bucket function.
+    *
+    * This is a FULL REBUILD: any existing index at `path` — including
+    * batches appended by [[appendTextIndex]] — is removed first, so a
+    * rebuild can never leave stale batch partitions summing into the
+    * serve. */
+  def writeTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    for (sub <- Seq("postings", "stats")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
     appendTextIndex(docs, path, batchId = 0L, nBuckets = nBuckets)
+  }
 
   /** Fold one document batch into the index — INCREMENTAL maintenance,
     * the [[graft.streaming.DocumentStream]] discipline applied to search:
@@ -311,21 +323,39 @@ object TextScoring {
   def appendTextIndex(docs: DataFrame, path: String, batchId: Long,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // guard against appending next to a flat pre-batch layout (a bare
+    // wb=* child under postings/): Spark partition discovery would see
+    // conflicting partition columns and make the whole index unreadable
+    // AFTER the append succeeded — fail the write instead
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(conf)
+    if (fs.exists(postingsPath) &&
+      fs.listStatus(postingsPath).exists(_.getPath.getName.startsWith("wb=")))
+      throw new IllegalStateException(
+        s"$path/postings has a flat wb= layout (no batch_id level); " +
+          "rebuild with writeTextIndex before appending")
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
     // one tokenization pass serves the postings join AND the stats write
     // (dl is one row per doc — tiny to materialize)
     val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // stats FIRST: if the process dies between the two writes, the index
+    // under-serves (the batch's docs are counted in the corpus stats but
+    // their postings are absent — scores dampen slightly) instead of
+    // over-serving with df/tf rows whose mass is missing from n_docs /
+    // sum_dl (inflated idf, skewed length norm). A replay of the same
+    // batchId repairs either way (both writes are per-batch overwrites).
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats/batch_id=$batchId")
     tf.join(dl, "doc_id")
       .withColumn("wb", wordBucket(col("word"), nBuckets))
       .select("wb", "word", "doc_id", "tf", "dl")
       .write.mode("overwrite").partitionBy("wb")
       .parquet(s"$path/postings/batch_id=$batchId")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/stats/batch_id=$batchId")
   }
 
   /** Serve BM25 top-k from a persisted [[writeTextIndex]] index: the

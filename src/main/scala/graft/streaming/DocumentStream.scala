@@ -71,14 +71,26 @@ object DocumentStream {
     * [[graft.operators.TextScoring.bm25TopKFromIndex]] serves BM25 over
     * everything ingested so far. Compose with [[start]]'s rolling dedup
     * upstream when re-crawled doc_ids are possible — the index counts
-    * every row it is handed, exactly as a corpus with copies would. */
+    * every row it is handed, exactly as a corpus with copies would.
+    *
+    * `checkpointDir` and `indexDir` share ONE lifetime: replay idempotency
+    * keys on the checkpoint's batch ids, so resetting the checkpoint
+    * against a surviving index restarts ids at 0 and mixes the re-ingested
+    * corpus with stale later batches. To restart from scratch, wipe both
+    * (or rebuild with `writeTextIndex`, which truncates the index). */
   def startSearchIndex(docs: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.TextScoring.appendTextIndex(batch, indexDir, id)
+        // persist: the append tokenizes the batch for dl and again for tf
+        // (and isEmpty is a third scan) — the processDocumentBatch pattern
+        val cached = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!cached.isEmpty)
+            graft.operators.TextScoring.appendTextIndex(cached, indexDir, id)
+        } finally cached.unpersist()
       }
       .start()
 

@@ -597,6 +597,66 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Dedup.sharedSpans(d, k = 3, minWords = 20, maxDf = 50L).count() === 66L)
   }
 
+  test("sharedSpans: equals brute-force maximal diagonal runs on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    for (iter <- 1 to 10) {
+      val k = 3
+      val minWords = 4 + rnd.nextInt(3) // 4..6, ≥ k
+      val base = Array.fill(12 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length)))
+      val docs = (0L until (3L + rnd.nextInt(2))).map { i =>
+        val own = Array.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        val words =
+          if (i > 0 && rnd.nextBoolean()) { // plant a verbatim slice of doc 0
+            val s = rnd.nextInt(base.length - 5)
+            val slice = base.slice(s, s + 5 + rnd.nextInt(base.length - s - 4))
+            val at = rnd.nextInt(own.length)
+            own.take(at) ++ slice ++ own.drop(at)
+          } else own
+        (i, if (i == 0) base.mkString(" ") else words.mkString(" "))
+      }
+      val got = Dedup.sharedSpans(docs.toDF("doc_id", "text"),
+          k, minWords, maxDf = 10000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+        .toSet
+      // brute force: every start-maximal equal diagonal run of ≥ minWords
+      val ws = docs.map { case (id, t) => id -> t.split(" ") }.toMap
+      val expect = (for {
+        i <- ws.keys.toSeq; j <- ws.keys.toSeq if i < j
+        a = ws(i); b = ws(j)
+        ai <- a.indices; bj <- b.indices
+        if a(ai) == b(bj) &&
+          (ai == 0 || bj == 0 || a(ai - 1) != b(bj - 1)) // maximal start
+      } yield {
+        var l = 0
+        while (ai + l < a.length && bj + l < b.length && a(ai + l) == b(bj + l)) l += 1
+        (i, j, ai, bj, l.toLong)
+      }).filter(_._5 >= minWords).toSet
+      assert(got === expect, s"iter=$iter minWords=$minWords docs=$docs")
+    }
+  }
+
+  test("removeSharedSpans: token conservation — kept + removed == original, every doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Array("x", "y", "z", "w")
+    val docs = (0L until 12L).map { i =>
+      (i, Array.fill(15 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val out = Dedup.removeSharedSpans(docs.toDF("doc_id", "text"),
+        k = 3, minWords = 5, maxDf = 10000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet === docs.map(_._1).toSet, "every input doc must appear")
+    docs.foreach { case (id, text) =>
+      val orig = text.split(" ").length
+      val (removed, clean) = out(id)
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + removed === orig, s"doc $id: $kept kept + $removed removed != $orig")
+    }
+  }
+
   test("removeSharedSpans: later copy scrubbed, earlier kept; untouched docs normalized") {
     import spark.implicits._
     val quote = (0 until 25).map(i => s"q$i").mkString(" ")

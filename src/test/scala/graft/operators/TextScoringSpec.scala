@@ -129,6 +129,13 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     // at-least-once replay: rewriting batch 1's partition changes nothing
     TextScoring.appendTextIndex(docs.filter(col("doc_id") % 3 === 1L), inc, 1L)
     assert(serve(inc) === serve(one), "replayed batch must not double-count")
+    // rebuild TRUNCATES: writeTextIndex over the multi-batch index must
+    // not leave stale batch partitions summing into the serve
+    TextScoring.writeTextIndex(docs.filter(col("doc_id") < 100), inc)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_idx_fresh").toString
+    TextScoring.writeTextIndex(docs.filter(col("doc_id") < 100), fresh)
+    assert(serve(inc) === serve(fresh),
+      "rebuild over an incremental index must equal a fresh build")
   }
 
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
