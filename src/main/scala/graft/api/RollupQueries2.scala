@@ -675,7 +675,42 @@ object RollupQueries2 {
     }
   }
 
+  /** Two-series arithmetic ([[graft.operators.Series.seriesRatio]]): the
+    * daily click-through rate — click volume over view volume per day
+    * bucket, Graphite's divideSeries. Exact DECIMAL(28,2) bucket sums on
+    * both sides; the ratio is one scalar double division; buckets missing
+    * a side or with a zero denominator emit NULL (full-outer + safe-div,
+    * the reference's F6 convention). */
+  private val seriesRatioQ = {
+    val bMs = 86400000L
+    QDef(
+      "q_series_ratio",
+      s"""WITH ${OracleViews.metricsCte},
+         |n AS (
+         |  SELECT CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS num_sum
+         |  FROM metrics WHERE tenant_id = 'click' GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS den_sum
+         |  FROM metrics WHERE tenant_id = 'view' GROUP BY 1
+         |)
+         |SELECT COALESCE(n.bucket_ms, d.bucket_ms) AS bucket_ms,
+         |       n.num_sum, d.den_sum,
+         |       CASE WHEN d.den_sum <> 0 THEN n.num_sum / d.den_sum END AS ratio
+         |FROM n FULL JOIN d ON n.bucket_ms = d.bucket_ms
+         |ORDER BY bucket_ms""".stripMargin) { (s, dir) =>
+      graft.operators.Series.seriesRatio(Tables.metrics(s, dir),
+          num = col("tenant_id") === "click",
+          den = col("tenant_id") === "view",
+          bucketMs = bMs)
+        .orderBy("bucket_ms")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
+    seriesRatioQ,
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
     pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,

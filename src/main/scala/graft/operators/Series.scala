@@ -559,4 +559,33 @@ object Series {
         col("__z.__pts.ts_ms").as("ts_ms"),
         col("__z.__pts.value").as("value"))
   }
+
+  /** Aligned two-series arithmetic — the Graphite `divideSeries` /
+    * `asPercent` family (the click-through-rate / error-rate query every
+    * monitoring user writes): bucket both slices of the point stream,
+    * full-outer join on the bucket, safe-divide. `num` / `den` are row
+    * predicates selecting each side (a tenant, a metric glob via
+    * [[graft.core.GlobPattern]], any column predicate). A bucket present
+    * on only one side still emits (its ratio NULL — Graphite's null
+    * semantics); a zero denominator yields NULL, never a div-by-zero
+    * (reference Util.java safe-division convention, F6).
+    *
+    * Oracle parity: bucket sums accumulate in DECIMAL(28,2) exactly (the
+    * q_series_corr convention); the ratio is one scalar double division
+    * of the exact sums. Shape: two map-side-combining aggregations off
+    * one scan lineage and a full-outer join on the (already aggregated,
+    * one-row-per-bucket) sides — nothing here is wider than the bucket
+    * count. */
+  def seriesRatio(points: DataFrame, num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    def side(p: org.apache.spark.sql.Column, out: String) = points.filter(p)
+      .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+        .as("bucket_ms"))
+      .agg(sum(col("value").cast(DecimalType(28, 2))).cast("double").as(out))
+    side(num, "num_sum")
+      .join(side(den, "den_sum"), Seq("bucket_ms"), "full_outer")
+      .withColumn("ratio",
+        when(col("den_sum") =!= 0.0, col("num_sum") / col("den_sum")))
+  }
 }

@@ -354,4 +354,27 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       .select("ts_ms").collect().map(_.getLong(0)).toSet
     assert(flagged === Set(20000L))
   }
+
+  test("seriesRatio: aligned division; one-sided buckets and zero denominators are NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket 0: 6/3; bucket 100: num only; bucket 200: den only;
+    // bucket 300: denominator sums to zero
+    val pts = Seq(
+      ("a", "m", 10L, 2.0), ("a", "m", 20L, 4.0), ("b", "m", 30L, 3.0),
+      ("a", "m", 110L, 5.0),
+      ("b", "m", 210L, 7.0),
+      ("a", "m", 310L, 9.0), ("b", "m", 320L, 1.5), ("b", "m", 330L, -1.5))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val out = Series.seriesRatio(pts,
+        num = col("tenant_id") === "a", den = col("tenant_id") === "b",
+        bucketMs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(0L) === (Some(6.0), Some(3.0), Some(2.0)))
+    assert(out(100L) === (Some(5.0), None, None), "missing denominator -> NULL ratio")
+    assert(out(200L) === (None, Some(7.0), None), "missing numerator -> NULL ratio")
+    assert(out(300L) === (Some(9.0), Some(0.0), None), "zero denominator -> NULL, not Inf")
+    assert(out.keySet === Set(0L, 100L, 200L, 300L), "full outer keeps one-sided buckets")
+  }
 }
