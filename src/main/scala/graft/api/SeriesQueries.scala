@@ -282,14 +282,18 @@ object SeriesQueries {
     * so every smoothed level, deviation, and band double hashes equal with
     * no snapping. Input = hourly per-tenant sums (the q_seasonal_anomaly
     * shape: score a rollup, not raw points). */
-  private val ewma = {
-    val hourMs = 3600000L
-    val alpha = 0.3
-    val beta = 1.0 - alpha // the same double EwmaScan derives from alpha
-    val k = 3.0
-    val minP = 24
-    QDef(
-      "q_series_ewma",
+  private def ewmaHourly(s: SparkSession, dir: String,
+      hourMs: Long): DataFrame =
+    Tables.metrics(s, dir)
+      .groupBy(col("tenant_id"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(hourMs))).cast("long")
+          .as("ts_ms"))
+      .agg(sum(col("value").cast(DecimalType(28, 2))).cast("double")
+        .as("value"))
+      .withColumn("metric_name", concat(lit("tenant."), col("tenant_id")))
+
+  private def ewmaOracleSql(hourMs: Long, alpha: Double, beta: Double,
+      k: Double, minP: Int): String =
       s"""WITH RECURSIVE ${OracleViews.metricsCte},
          |h AS (
          |  SELECT tenant_id, 'tenant.' || tenant_id AS metric_name,
@@ -320,18 +324,38 @@ object SeriesQueries {
          |       COALESCE(rn > $minP AND dp > 0
          |         AND abs(value - sp) > $k * dp, FALSE) AS is_aberrant
          |FROM rec
-         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
-      val hourly = Tables.metrics(s, dir)
-        .groupBy(col("tenant_id"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(hourMs))).cast("long")
-            .as("ts_ms"))
-        .agg(sum(col("value").cast(DecimalType(28, 2))).cast("double")
-          .as("value"))
-        .withColumn("metric_name", concat(lit("tenant."), col("tenant_id")))
-      Anomaly.ewmaBands(hourly, alpha, k, minP)
-        .select("tenant_id", "metric_name", "rn", "ts_ms", "value",
-          "ewma", "dev", "s_prev", "d_prev", "upper", "lower", "is_aberrant")
-        .orderBy("tenant_id", "metric_name", "ts_ms")
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin
+
+  private val ewma = {
+    val hourMs = 3600000L
+    val alpha = 0.3
+    val beta = 1.0 - alpha // the same double EwmaScan derives from alpha
+    val k = 3.0
+    val minP = 24
+    QDef("q_series_ewma", ewmaOracleSql(hourMs, alpha, beta, k, minP)) {
+      (s, dir) =>
+        Anomaly.ewmaBands(ewmaHourly(s, dir, hourMs), alpha, k, minP)
+          .select("tenant_id", "metric_name", "rn", "ts_ms", "value",
+            "ewma", "dev", "s_prev", "d_prev", "upper", "lower", "is_aberrant")
+          .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
+  /** The SEGMENTED (unbounded, O(1)-task-memory) EWMA fold
+    * ([[Anomaly.ewmaBandsSegmented]]) against the IDENTICAL recursive-CTE
+    * oracle as q_series_ewma — the q_text_bm25_index discipline: two
+    * engine access paths, one oracle, so the streaming fold is hash-proven
+    * bit-equal to both the collect_list scan and DuckDB's recurrence. */
+  private val ewmaSeg = {
+    val hourMs = 3600000L
+    val alpha = 0.3
+    val beta = 1.0 - alpha
+    val k = 3.0
+    val minP = 24
+    QDef("q_series_ewma_seg", ewmaOracleSql(hourMs, alpha, beta, k, minP)) {
+      (s, dir) =>
+        Anomaly.ewmaBandsSegmented(ewmaHourly(s, dir, hourMs), alpha, k, minP)
+          .orderBy("tenant_id", "metric_name", "ts_ms")
     }
   }
 
@@ -645,19 +669,127 @@ object SeriesQueries {
   }
 
   /** Strict canonical LTTB ([[Series.lttbExact]], the codegen
-    * [[graft.functions.LttbScan]] chain). The sequential selected-point
-    * recurrence has no tractable SQL restatement (a recursive CTE over
-    * buckets × argmax joins), so this registers rows-only; SeriesSpec
-    * pins the selection against a local reference implementation
-    * point-for-point, and the centroid-anchored variant carries the full
-    * oracle (q_series_lttb). */
-  private val lttbExact = QDef.noOracle("q_series_lttb_exact") { (s, dir) =>
-    Series.lttbExact(
-        Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), 20)
-      .orderBy("tenant_id", "metric_name", "bucket", "ts_ms", "value")
+    * [[graft.functions.LttbScan]] chain), HASH-PROVEN against a DuckDB
+    * restatement of the full sequential selection — the q_series_ewma
+    * recursive-CTE discipline applied to the previously-selected-point
+    * recurrence. Bucket boundaries restate `lo(k) = 1 + (k·(n−2)) div m`
+    * directly (never the floor-division dual, which disagrees off exact
+    * multiples); candidates and centroid terms carry in per-bucket LISTs
+    * ordered by point index, with `list_reduce` folding the centroid sums
+    * in exactly the engine loop's left-to-right order (a plain SUM could
+    * reassociate); the recursion then walks buckets k = 0..m−1, each step
+    * list_reduce-folding the bucket's candidates against the PREVIOUS
+    * step's selected point and the precomputed next-bucket anchor with the
+    * identical double area expression, strict `>` keeping the earliest
+    * point on ties, exactly like the codegen scan. n ≤ B series short-cut
+    * to select-everything on both sides. Every selected (bucket, ts,
+    * value) hashes equal. */
+  private val lttbExact = {
+    val b = 20
+    QDef(
+      "q_series_lttb_exact",
+      s"""WITH RECURSIVE ${OracleViews.metricsCte},
+         |base AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+         |         CAST(count(*) OVER (PARTITION BY tenant_id, metric_name)
+         |           AS BIGINT) AS n
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name
+         |               ORDER BY ts_ms, value)
+         |),
+         |small AS (
+         |  SELECT tenant_id, metric_name, CAST(idx AS INT) AS bucket,
+         |         ts_ms, value
+         |  FROM base WHERE n <= $b
+         |),
+         |big AS (SELECT * FROM base WHERE n > $b),
+         |ser AS (SELECT tenant_id, metric_name, MAX(n) AS n
+         |        FROM big GROUP BY 1, 2),
+         |lastp AS (
+         |  SELECT tenant_id, metric_name, CAST(ts_ms AS DOUBLE) AS lx,
+         |         value AS ly
+         |  FROM big WHERE idx = n - 1
+         |),
+         |bkt AS (
+         |  SELECT s.tenant_id, s.metric_name, k.k,
+         |         1 + (k.k * (s.n - 2)) // ${b - 2} AS lo,
+         |         1 + ((k.k + 1) * (s.n - 2)) // ${b - 2} AS hi
+         |  FROM ser s CROSS JOIN
+         |    (SELECT unnest(range(0, ${b - 2})) AS k) k
+         |),
+         |binfo AS (
+         |  SELECT bb.tenant_id, bb.metric_name, bb.k,
+         |         list(struct_pack(idx := p.idx,
+         |                          tx := CAST(p.ts_ms AS DOUBLE),
+         |                          ty := p.value, rts := p.ts_ms)
+         |              ORDER BY p.idx) AS cand,
+         |         list_reduce(list(CAST(p.ts_ms AS DOUBLE) ORDER BY p.idx),
+         |                     (a, x) -> a + x) / COUNT(*) AS cx,
+         |         list_reduce(list(p.value ORDER BY p.idx),
+         |                     (a, x) -> a + x) / COUNT(*) AS cy
+         |  FROM bkt bb JOIN big p USING (tenant_id, metric_name)
+         |  WHERE p.idx >= bb.lo AND p.idx < bb.hi
+         |  GROUP BY 1, 2, 3
+         |),
+         |anch AS (
+         |  SELECT bb.tenant_id, bb.metric_name, bb.k, bb.cand,
+         |         COALESCE(nx.cx, l.lx) AS ax, COALESCE(nx.cy, l.cy2) AS ay
+         |  FROM binfo bb
+         |  LEFT JOIN (SELECT tenant_id, metric_name, k - 1 AS k, cx, cy
+         |             FROM binfo) nx
+         |    USING (tenant_id, metric_name, k)
+         |  JOIN (SELECT tenant_id, metric_name, lx, ly AS cy2 FROM lastp) l
+         |    USING (tenant_id, metric_name)
+         |),
+         |rec AS (
+         |  SELECT f.tenant_id, f.metric_name, -1 AS k,
+         |         CAST(f.ts_ms AS DOUBLE) AS sx, f.value AS sy,
+         |         0 AS bucket, f.ts_ms AS sel_ts, f.value AS sel_v
+         |  FROM big f WHERE f.idx = 0
+         |  UNION ALL
+         |  SELECT tenant_id, metric_name, k,
+         |         best.tx AS sx, best.ty AS sy,
+         |         k + 1 AS bucket, best.rts AS sel_ts, best.ty AS sel_v
+         |  FROM (
+         |    SELECT a.tenant_id, a.metric_name, a.k,
+         |           list_reduce(a.cand, (bst, c) -> CASE WHEN
+         |               abs((r.sx - c.tx) * (a.ay - c.ty) -
+         |                   (a.ax - c.tx) * (r.sy - c.ty)) >
+         |               abs((r.sx - bst.tx) * (a.ay - bst.ty) -
+         |                   (a.ax - bst.tx) * (r.sy - bst.ty))
+         |             THEN c ELSE bst END) AS best
+         |    FROM rec r
+         |    JOIN anch a ON a.tenant_id = r.tenant_id
+         |      AND a.metric_name = r.metric_name AND a.k = r.k + 1
+         |  )
+         |),
+         |selmid AS (
+         |  SELECT tenant_id, metric_name, CAST(bucket AS INT) AS bucket,
+         |         sel_ts AS ts_ms, sel_v AS value
+         |  FROM rec WHERE k >= 0
+         |),
+         |ends AS (
+         |  SELECT tenant_id, metric_name, CAST(0 AS INT) AS bucket,
+         |         ts_ms, value
+         |  FROM big WHERE idx = 0
+         |  UNION ALL
+         |  SELECT tenant_id, metric_name, CAST(${b - 1} AS INT) AS bucket,
+         |         ts_ms, value
+         |  FROM big WHERE idx = n - 1
+         |)
+         |SELECT * FROM small
+         |UNION ALL SELECT * FROM selmid
+         |UNION ALL SELECT * FROM ends
+         |ORDER BY tenant_id, metric_name, bucket, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.lttbExact(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), b)
+          .orderBy("tenant_id", "metric_name", "bucket", "ts_ms", "value")
+    }
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents, timeshift, integral, quantile, ewma, trend, clamp,
-    asofBaseline, asofWithin, lttb, lttbExact)
+    anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg, trend,
+    clamp, asofBaseline, asofWithin, lttb, lttbExact)
 }

@@ -23,6 +23,10 @@ case class ScoredPoint(tenant_id: String, metric_name: String, ts_ms: Long,
   * per series (the whole appeal of the exponential family online). */
 case class EwmaState(rn: Int, s: Double, d: Double, lastTs: Long)
 
+/** One raw metric point for the segmented batch scorers' typed fold. */
+case class SeriesPoint(tenant_id: String, metric_name: String,
+    ts_ms: Long, value: Double)
+
 /** A band-scored point emitted by the streaming EWMA scorer — the
   * streaming twin of [[Anomaly.ewmaBands]]'s output row. */
 case class EwmaPoint(tenant_id: String, metric_name: String, ts_ms: Long,
@@ -125,18 +129,36 @@ object Anomaly {
     * in parallel; the per-series array is bounded by the queried range
     * (the [[rollingZScores]] contract: at 100 TB score a rollup tier, not
     * raw points). posexplode(arrays_zip(...)) restores rows with zero
-    * further shuffle. */
+    * further shuffle.
+    *
+    * The bounded-series contract is ENFORCED, not just documented: a
+    * series longer than `maxPointsPerSeries` fails the job with a
+    * descriptive error instead of silently collecting an OOM-sized array
+    * into one task. Callers on unbounded raw history use
+    * [[ewmaBandsSegmented]] (identical output, O(1) task memory) or the
+    * O(1)-state [[streamingEwmaBands]]. */
   def ewmaBands(points: DataFrame, alpha: Double = 0.3, k: Double = 3.0,
-      minPoints: Int = 5): DataFrame = {
+      minPoints: Int = 5, maxPointsPerSeries: Int = 1 << 20): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    require(maxPointsPerSeries >= 1,
+      s"maxPointsPerSeries must be >= 1, got $maxPointsPerSeries")
     import org.apache.spark.sql.graft.ColumnBridge
     val scan = ColumnBridge.column(graft.functions.EwmaScan(
       ColumnBridge.expression(col("__pts")), alpha))
     points
       .groupBy(col("tenant_id"), col("metric_name"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
-        .as("__pts"))
+        .as("__pts0"))
+      .withColumn("__pts",
+        when(size(col("__pts0")) <= maxPointsPerSeries, col("__pts0"))
+          .otherwise(raise_error(concat(
+            lit("ewmaBands: series "), col("tenant_id"), lit("."),
+            col("metric_name"),
+            lit(s" exceeds maxPointsPerSeries=$maxPointsPerSeries — use " +
+              "ewmaBandsSegmented (unbounded, same output) or score a " +
+              "rollup tier")))))
+      .drop("__pts0")
       .withColumn("__st", scan)
       .select(col("tenant_id"), col("metric_name"),
         posexplode(arrays_zip(col("__pts"), col("__st"))).as(Seq("__i", "__z")))
@@ -155,6 +177,88 @@ object Anomaly {
         col("rn") > minPoints && col("d_prev") > 0 &&
           abs(col("value") - col("s_prev")) > lit(k) * col("d_prev"),
         lit(false)))
+  }
+
+  /** UNBOUNDED twin of [[ewmaBands]] — identical output (the recurrence
+    * folds the same doubles in the same order, so every emitted ewma/dev/
+    * band bit matches), but the series is never materialized as one array
+    * in one row: points repartition by locator, sort within partitions by
+    * (locator, ts, value) — the exact order [[ewmaBands]]' sort_array
+    * imposes — and a single streaming fold walks each partition with O(1)
+    * state per series (three doubles + a rank), emitting as it goes. Task
+    * memory is a sort spill buffer, independent of series length: two
+    * years of raw points on one locator stream through where the
+    * collect_list form would OOM the task.
+    *
+    * What this does NOT remove is the single-task TIME serialization of
+    * one hot series — inherent to an exact sequential recurrence (the
+    * reference's analog: a rollup never materializes a series in one
+    * place but each slot still processes serially,
+    * RollupHandler.java:357-371). An approximate parallel-prefix over
+    * per-chunk affine maps (s is linear in s_in; compose (β^n, Σαβ^i·x))
+    * would parallelize within a series but reassociates the float fold —
+    * the bit-parity contract with [[ewmaBands]] and the q_series_ewma
+    * oracle is worth more here than intra-series parallelism, and the
+    * throughput answer for live feeds is [[streamingEwmaBands]].
+    *
+    * One contract divergence, by necessity: [[ewmaBands]] inherits
+    * [[graft.functions.EwmaScan]]'s whole-series-null rule (any null value
+    * erases that series from the output); a streaming fold cannot
+    * retroactively unemit, so a null value here FAILS with a descriptive
+    * error — filter or impute upstream. */
+  def ewmaBandsSegmented(points: DataFrame, alpha: Double = 0.3,
+      k: Double = 3.0, minPoints: Int = 5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(k > 0, s"k must be positive, got $k")
+    require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    points
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        col("ts_ms").cast("long").as("ts_ms"),
+        when(col("value").isNotNull, col("value").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("ewmaBandsSegmented: null value in series "),
+            col("tenant_id"), lit("."), col("metric_name"),
+            lit(" — filter upstream (ewmaBands drops the whole series)"))))
+          .as("value"))
+      .repartition(col("tenant_id"), col("metric_name"))
+      .sortWithinPartitions("tenant_id", "metric_name", "ts_ms", "value")
+      .as[SeriesPoint]
+      .mapPartitions { it =>
+        var curT: String = null
+        var curM: String = null
+        var rn = 0
+        var s = 0.0
+        var d = 0.0
+        it.map { p =>
+          if (p.tenant_id != curT || p.metric_name != curM) {
+            curT = p.tenant_id; curM = p.metric_name; rn = 0
+          }
+          rn += 1
+          val x = p.value
+          if (rn == 1) {
+            s = x; d = 0.0
+            EwmaPoint(p.tenant_id, p.metric_name, p.ts_ms, x, 1, s, d,
+              None, None, None, None, is_aberrant = false)
+          } else {
+            val sp = s
+            val dp = d
+            s = alpha * x + beta * sp
+            d = alpha * math.abs(x - sp) + beta * dp
+            EwmaPoint(p.tenant_id, p.metric_name, p.ts_ms, x, rn, s, d,
+              Some(sp), Some(dp), Some(sp + k * dp), Some(sp - k * dp),
+              is_aberrant =
+                rn > minPoints && dp > 0 && math.abs(x - sp) > k * dp)
+          }
+        }
+      }
+      .toDF()
+      .select(col("tenant_id"), col("metric_name"), col("rn"), col("ts_ms"),
+        col("value"), col("ewma"), col("dev"), col("s_prev"), col("d_prev"),
+        col("upper"), col("lower"), col("is_aberrant"))
   }
 
   /** STREAMING EWMA band scorer — the alerting twin of [[ewmaBands]]:

@@ -334,6 +334,12 @@ object Sampling {
     * to the global window, no global sort. 100 TB: raise `prefixChars` so
     * each run (~corpus/16^n) fits a task comfortably; assignment stays
     * bit-identical because run order ⊂ hash order by construction.
+    * `prefixChars` is capped at 4 (65,536 runs — a run per task far past
+    * 100 TB; wider would make the driver census itself the bottleneck).
+    * Run bases re-enter the plan as a literal `map()` lookup while the
+    * run count stays expression-sized (≤ [[MaxLiteralRuns]]), and as a
+    * BROADCAST JOIN against the offsets frame above that — a thousands-
+    * entry literal map would crush codegen long before the driver hurt.
     *
     * NULL tokens count 0. A snapshot layout, not append-stable: new docs
     * land anywhere in hash order and shift offsets after them — re-shard
@@ -344,8 +350,10 @@ object Sampling {
       tokensPerShard: Long, prefixChars: Int = 2): DataFrame = {
     require(tokensPerShard > 0,
       s"tokensPerShard must be positive, got $tokensPerShard")
-    require(prefixChars >= 1 && prefixChars <= 8,
-      s"prefixChars must be in [1, 8], got $prefixChars")
+    require(prefixChars >= 1 && prefixChars <= 4,
+      s"prefixChars must be in [1, 4], got $prefixChars")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
         hashHex(key).as("__shard_h"),
         coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
@@ -354,15 +362,31 @@ object Sampling {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val runBase = sums.map { case (g, t) => val r = (g, acc); acc += t; r }
-    val baseMap = map(runBase.flatMap { case (g, o) => Seq(lit(g), lit(o)) }: _*)
+    val withBase =
+      if (runBase.length <= MaxLiteralRuns) {
+        val baseMap =
+          map(runBase.flatMap { case (g, o) => Seq(lit(g), lit(o)) }: _*)
+        base.withColumn("__run_base",
+          element_at(baseMap, col("__shard_run")))
+      } else
+        // broadcast-join arm: every run present in `base` is present in
+        // `runBase` by construction, so the inner equi-join is lossless;
+        // the broadcast preserves base's distribution, so the per-run
+        // window below still needs no extra shuffle
+        base.join(
+          broadcast(runBase.toSeq.toDF("__shard_run", "__run_base")),
+          "__shard_run")
     val w = Window.partitionBy("__shard_run")
       .orderBy(col("__shard_h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
+    withBase
       .withColumn("start_offset",
-        element_at(baseMap, col("__shard_run")) +
-          sum(col("tokens")).over(w) - col("tokens"))
+        col("__run_base") + sum(col("tokens")).over(w) - col("tokens"))
       .withColumn("shard_id", expr(s"start_offset div $tokensPerShard"))
       .select("doc_id", "shard_id", "start_offset", "tokens")
   }
+
+  /** Run-count ceiling for [[shardByTokens]]'s literal-map arm; more runs
+    * than this switch the base-offset lookup to a broadcast join. */
+  val MaxLiteralRuns: Int = 4096
 }

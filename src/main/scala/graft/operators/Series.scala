@@ -536,12 +536,19 @@ object Series {
     * memory is the series length: right for render-sized series or the
     * rollup tiers; for raw corpora beyond that, [[downsampleTriangle]]'s
     * centroid-anchored form is the scale path and this is its quality
-    * reference. Null-valued points are dropped BEFORE the scan (the
+    * reference. The render-sized contract is ENFORCED: a series longer
+    * than `maxPointsPerSeries` fails with a descriptive error instead of
+    * collecting an OOM-sized array into one task (an LTTB input is a
+    * chart query by definition — an unbounded one is a caller bug).
+    * Null-valued points are dropped BEFORE the scan (the
     * expression's whole-array-null contract would otherwise erase the
     * entire series over one bad point). Output: the selected points
     * only, with their bucket. */
-  def lttbExact(points: DataFrame, buckets: Int): DataFrame = {
+  def lttbExact(points: DataFrame, buckets: Int,
+      maxPointsPerSeries: Int = 1 << 20): DataFrame = {
     require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    require(maxPointsPerSeries >= 1,
+      s"maxPointsPerSeries must be >= 1, got $maxPointsPerSeries")
     import org.apache.spark.sql.graft.ColumnBridge
     val scan = ColumnBridge.column(graft.functions.LttbScan(
       ColumnBridge.expression(col("__pts")), buckets))
@@ -549,7 +556,15 @@ object Series {
       .filter(col("ts_ms").isNotNull && col("value").isNotNull)
       .groupBy(col("tenant_id"), col("metric_name"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
-        .as("__pts"))
+        .as("__pts0"))
+      .withColumn("__pts",
+        when(size(col("__pts0")) <= maxPointsPerSeries, col("__pts0"))
+          .otherwise(raise_error(concat(
+            lit("lttbExact: series "), col("tenant_id"), lit("."),
+            col("metric_name"),
+            lit(s" exceeds maxPointsPerSeries=$maxPointsPerSeries — " +
+              "decimate a rollup tier, or use downsampleTriangle")))))
+      .drop("__pts0")
       .withColumn("__sel", scan)
       .select(col("tenant_id"), col("metric_name"),
         explode(arrays_zip(col("__pts"), col("__sel"))).as("__z"))
@@ -575,7 +590,13 @@ object Series {
     * of the exact sums. Shape: two map-side-combining aggregations off
     * one scan lineage and a full-outer join on the (already aggregated,
     * one-row-per-bucket) sides — nothing here is wider than the bucket
-    * count. */
+    * count.
+    *
+    * Bucketing assumes epoch-positive ts_ms (every store in this engine):
+    * `pmod` floors, so a NEGATIVE ts_ms would land one bucket lower here
+    * than under the q_series_ratio oracle's truncating `%` — the repo-wide
+    * Series bucketing convention, stated here because the divergence is
+    * otherwise silent. */
   def seriesRatio(points: DataFrame, num: org.apache.spark.sql.Column,
       den: org.apache.spark.sql.Column, bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")

@@ -324,17 +324,22 @@ object TextScoring {
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     // guard against appending next to a flat pre-batch layout (a bare
-    // wb=* child under postings/): Spark partition discovery would see
+    // wb=* child under postings/, or stats parquet files directly under
+    // stats/ with no batch_id level): Spark partition discovery would see
     // conflicting partition columns and make the whole index unreadable
     // AFTER the append succeeded — fail the write instead
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postingsPath.getFileSystem(conf)
-    if (fs.exists(postingsPath) &&
-      fs.listStatus(postingsPath).exists(_.getPath.getName.startsWith("wb=")))
-      throw new IllegalStateException(
-        s"$path/postings has a flat wb= layout (no batch_id level); " +
-          "rebuild with writeTextIndex before appending")
+    for (sub <- Seq("postings", "stats")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("wb=") || (st.isFile && n.endsWith(".parquet"))
+      })
+        throw new IllegalStateException(
+          s"$path/$sub has a flat pre-batch layout (no batch_id level); " +
+            "rebuild with writeTextIndex before appending")
+    }
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
     // one tokenization pass serves the postings join AND the stats write
@@ -375,6 +380,13 @@ object TextScoring {
         min("n_buckets").as("nb_min"), max("n_buckets").as("nb_max"))
       .head()
     val nDocs = stats.getAs[Long]("n_docs")
+    // an index whose every appended batch held zero tokens is a degenerate
+    // artifact (sum_dl is NULL, postings are empty dirs): fail with intent
+    // instead of NPE-ing in the unbox below
+    if (nDocs == 0L || stats.isNullAt(stats.fieldIndex("sum_dl")))
+      throw new IllegalStateException(
+        s"text index at $path holds no indexed tokens (n_docs=$nDocs) — " +
+          "rebuild with writeTextIndex over a non-empty corpus")
     val sumDl = stats.getAs[Long]("sum_dl")
     val nBuckets = stats.getAs[Int]("nb_max")
     require(stats.getAs[Int]("nb_min") == nBuckets,

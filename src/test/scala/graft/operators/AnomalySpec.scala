@@ -307,6 +307,59 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
   }
 
+  test("ewmaBandsSegmented == ewmaBands bit-for-bit on random multi-series " +
+    "input (every double, null, and flag)") {
+    val rng = new scala.util.Random(20260814L)
+    // 7 series, irregular timestamps, awkward doubles, one-point and
+    // two-point series among them
+    val rows = (0 until 7).flatMap { si =>
+      val n = Seq(1, 2, 13, 40, 97, 200, 64)(si)
+      var ts = rng.nextInt(1000).toLong
+      (0 until n).map { _ =>
+        ts += 1 + rng.nextInt(90000)
+        (s"t${si % 3}", s"m$si", ts, rng.nextDouble() * 1e3 - 500.0)
+      }
+    }
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("tenant_id", "metric_name", "ts_ms")
+      .select("tenant_id", "metric_name", "rn", "ts_ms", "value", "ewma",
+        "dev", "s_prev", "d_prev", "upper", "lower", "is_aberrant")
+      .collect().map(_.toSeq).toSeq
+    for (alpha <- Seq(0.3, 0.05, 1.0)) {
+      val a = dump(Anomaly.ewmaBands(points(rows), alpha, 3.0, 5))
+      val b = dump(Anomaly.ewmaBandsSegmented(points(rows), alpha, 3.0, 5))
+      assert(a === b, s"alpha=$alpha")
+    }
+    // layout-invariance of the segmented fold (repartition upstream)
+    val c = dump(Anomaly.ewmaBandsSegmented(points(rows).repartition(11),
+      0.3, 3.0, 5))
+    assert(c === dump(Anomaly.ewmaBands(points(rows), 0.3, 3.0, 5)))
+  }
+
+  test("bounded-series contract enforced: over-long series fails ewmaBands " +
+    "with intent; segmented fold rejects null values descriptively") {
+    val rows = (0 until 20).map(i => ("t", "m", i * 1000L, i.toDouble))
+    val e = intercept[Exception] {
+      Anomaly.ewmaBands(points(rows), 0.3, 3.0, 5, maxPointsPerSeries = 10)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("maxPointsPerSeries")), chain(e))
+    // within the bound: unchanged
+    assert(Anomaly.ewmaBands(points(rows), 0.3, 3.0, 5,
+      maxPointsPerSeries = 20).count() === 20L)
+    // segmented: a null value cannot retroactively unemit — must fail loud
+    import spark.implicits._
+    val withNull = Seq(("t", "m", 0L, Some(1.0)), ("t", "m", 1000L, None))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val e2 = intercept[Exception] {
+      Anomaly.ewmaBandsSegmented(withNull).collect()
+    }
+    assert(chain(e2).exists(_.contains("null value")), chain(e2))
+  }
+
   test("ewmaBands: arg guards; alpha=1 degenerates to last-value forecast") {
     intercept[IllegalArgumentException] {
       Anomaly.ewmaBands(points(Seq(("t", "m", 0L, 1.0))), alpha = 0.3, k = 0.0)

@@ -185,6 +185,40 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(n(2L) === 0L)
     assert(n.values.sum === 20L)
+    // prefixChars out of the [1, 4] guard
+    intercept[IllegalArgumentException] {
+      Sampling.shardByTokens(df, col("doc_id"), col("t"), perShard, 5)
+    }
+  }
+
+  test("shardByTokens wide-prefix arm: > MaxLiteralRuns runs take the " +
+    "broadcast join, output still == global hash-order window") {
+    import spark.implicits._
+    // enough docs that 4-hex-char prefixes yield > 4096 distinct runs
+    // (deterministic: md5 prefixes of 0..5999)
+    val rows = (0L until 6000L).map(i => (i, 3L + i % 17))
+    val df = rows.toDF("doc_id", "t")
+    val perShard = 500L
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md5.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val nRuns = rows.map { case (id, _) => h(id).take(4) }.distinct.size
+    assert(nRuns > Sampling.MaxLiteralRuns,
+      s"fixture must exceed the literal-map ceiling, got $nRuns runs")
+    var acc = 0L
+    val expect = rows.sortBy { case (id, _) => (h(id), id) }.map { case (id, t) =>
+      val off = acc; acc += t; (id, off / perShard, off, t)
+    }.toSet
+    val plan = Sampling.shardByTokens(df, col("doc_id"), col("t"), perShard,
+      prefixChars = 4)
+    assert(plan.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "wide-prefix arm must map run bases via a broadcast join, not a " +
+        "multi-thousand-entry literal map")
+    val got = plan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
   }
 
   test("temperatureRates: alpha=1 natural, alpha=0 uniform-over-strata, monotone") {

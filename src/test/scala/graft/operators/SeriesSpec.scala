@@ -339,6 +339,16 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(3), r.getDouble(4))).sortBy(_._1)
     assert(again.toSeq === want)
     intercept[IllegalArgumentException](Series.lttbExact(df, 2))
+    // render-sized contract enforced: an over-long series fails with
+    // intent instead of collecting an unbounded array into one task
+    val e = intercept[Exception] {
+      Series.lttbExact(df, 20, maxPointsPerSeries = 100).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("maxPointsPerSeries")), msgs)
+    assert(Series.lttbExact(df, 20, maxPointsPerSeries = 300).count() === 20L)
   }
 
   test("composes with rollingZScores: rate anomalies flag") {

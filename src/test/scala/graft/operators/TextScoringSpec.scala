@@ -138,6 +138,38 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
       "rebuild over an incremental index must equal a fresh build")
   }
 
+  test("text index guards: degenerate (all-empty-text) index fails with " +
+    "intent; flat stats layout blocks append like flat postings") {
+    import org.apache.spark.sql.functions.col
+    // an index whose only batch held zero tokens: serving must raise a
+    // descriptive error, not NPE on the NULL sum_dl unbox
+    val empty = java.nio.file.Files.createTempDirectory("graft_idx_empty").toString
+    TextScoring.writeTextIndex(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), empty)
+    val e = intercept[IllegalStateException] {
+      TextScoring.bm25TopKFromIndex(spark, empty, Seq("anything"), k = 5)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // a legacy layout with stats parquet directly under stats/ (no
+    // batch_id level) must fail the append — partition discovery over
+    // mixed levels would make the index unreadable AFTER the write
+    val legacy = java.nio.file.Files.createTempDirectory("graft_idx_flat").toString
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    TextScoring.writeTextIndex(docs, legacy)
+    // simulate the flat stats layout: hoist batch 0's stats files up a level
+    val statsDir = new java.io.File(s"$legacy/stats")
+    val batchDir = new java.io.File(statsDir, "batch_id=0")
+    batchDir.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(statsDir, f.getName).toPath)
+    }
+    batchDir.delete()
+    val e2 = intercept[IllegalStateException] {
+      TextScoring.appendTextIndex(docs, legacy, batchId = 1L)
+    }
+    assert(e2.getMessage.contains("stats"), e2.getMessage)
+  }
+
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
     import org.apache.spark.sql.functions.col
     // "zig zag" always adjacent and seen only together; m0 is twice as
