@@ -359,6 +359,84 @@ object SeriesQueries {
     }
   }
 
+  /** Additive Holt-Winters bands over per-tenant hourly sums
+    * ([[Anomaly.holtWintersBands]], Graphite's real holtWintersForecast
+    * family — level + trend + 24-phase seasonality on hourly buckets, with
+    * seasonal deviations): the triple recurrence restated as a DuckDB
+    * recursive CTE whose state carries the per-phase seasonal/deviation
+    * arrays as length-24 LISTs (front = the phase entry from one season
+    * ago; step = drop-front-append, `sarr[2:] || [s]`). Every emitted
+    * level/trend/seasonal/dev/forecast/band double hashes equal with no
+    * snapping: both engines fold identical doubles in identical order (the
+    * complements 1−α, 1−β, 1−γ interpolate from the very Scala doubles
+    * [[graft.functions.HwScan]] derives). */
+  private val holtWinters = {
+    val hourMs = 3600000L
+    val season = 24
+    val alpha = 0.1
+    val bt = 0.0035
+    val g = 0.1
+    val ia = 1.0 - alpha
+    val ib = 1.0 - bt
+    val ig = 1.0 - g
+    val k = 3.0
+    val minP = 24
+    QDef(
+      "q_series_holtwinters",
+      s"""WITH RECURSIVE ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT tenant_id, 'tenant.' || tenant_id AS metric_name,
+         |         CAST(ts_ms - ts_ms % $hourMs AS BIGINT) AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |p AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY tenant_id,
+         |    metric_name ORDER BY ts_ms) AS INT) AS rn FROM h
+         |),
+         |rec AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, rn,
+         |         value AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS d,
+         |         CAST(NULL AS DOUBLE) AS f, CAST(NULL AS DOUBLE) AS dpre,
+         |         list_transform(range($season), i -> CAST(0.0 AS DOUBLE))
+         |           AS sarr,
+         |         list_transform(range($season), i -> CAST(0.0 AS DOUBLE))
+         |           AS darr
+         |  FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT tenant_id, metric_name, ts_ms, value, rn, l, b, s, d,
+         |         f, dpre, sarr[2:] || [s], darr[2:] || [d]
+         |  FROM (
+         |    SELECT p.tenant_id, p.metric_name, p.ts_ms, p.value, p.rn,
+         |           $alpha * (p.value - r.sarr[1]) + $ia * (r.l + r.b) AS l,
+         |           $bt * ($alpha * (p.value - r.sarr[1])
+         |             + $ia * (r.l + r.b) - r.l) + $ib * r.b AS b,
+         |           $g * (p.value - ($alpha * (p.value - r.sarr[1])
+         |             + $ia * (r.l + r.b))) + $ig * r.sarr[1] AS s,
+         |           $g * abs(p.value - (r.l + r.b + r.sarr[1]))
+         |             + $ig * r.darr[1] AS d,
+         |           r.l + r.b + r.sarr[1] AS f,
+         |           r.darr[1] AS dpre,
+         |           r.sarr AS sarr, r.darr AS darr
+         |    FROM p JOIN rec r ON p.tenant_id = r.tenant_id
+         |      AND p.metric_name = r.metric_name AND p.rn = r.rn + 1
+         |  )
+         |)
+         |SELECT tenant_id, metric_name, rn, ts_ms, value, l AS level,
+         |       b AS trend, s AS seasonal, d AS dev, f AS forecast,
+         |       dpre AS dev_used, f + $k * dpre AS upper,
+         |       f - $k * dpre AS lower,
+         |       COALESCE(rn > $minP AND dpre > 0
+         |         AND abs(value - f) > $k * dpre, FALSE) AS is_aberrant
+         |FROM rec
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
+      Anomaly.holtWintersBands(ewmaHourly(s, dir, hourMs), season,
+          alpha, bt, g, k, minP)
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
   /** Per-series least-squares trend + capacity forecast
     * ([[Series.linearTrend]], Graphite's linearRegression/timeToReach):
     * the full OLS restated in SQL over the identical per-term-snapped
@@ -790,6 +868,6 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
-    anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg, trend,
-    clamp, asofBaseline, asofWithin, lttb, lttbExact)
+    anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
+    holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact)
 }

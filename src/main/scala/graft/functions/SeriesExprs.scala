@@ -53,6 +53,72 @@ object SeriesExprUtil {
     new GenericArrayData(out)
   }
 
+  /** Additive triple-exponential (Holt-Winters) scan over a time-sorted
+    * series — the full-seasonality member of the family [[ewmaScan]]
+    * reduces (Winters 1960; Graphite's holtWintersForecast/
+    * holtWintersConfidenceBands/holtWintersAberration). State per series:
+    * level l, trend b, and per-phase seasonal/deviation arrays of length
+    * `season` (phase of element i = i mod season):
+    *
+    *   i = 0:  l = x₀, b = 0, s₀ = 0, d₀ = 0, forecast null
+    *   i ≥ 1:  f  = l + b + s⁻            (s⁻/d⁻ = phase entries from one
+    *           l' = α·(x − s⁻) + (1−α)·(l + b)        season ago; 0 until
+    *           b' = β·(l' − l) + (1−β)·b             the first wrap — the
+    *           s' = γ·(x − l') + (1−γ)·s⁻        zero-seasonal cold start)
+    *           d' = γ·|x − f| + (1−γ)·d⁻
+    *
+    * Deviations are SEASONAL (d tracks |x − f| per phase), so the band a
+    * point is judged against is "how noisy is this hour-of-day", Graphite's
+    * confidence-band semantics. Derived complements (ia = 1−α …) are
+    * computed ONCE by the caller and interpolated into the oracle, the
+    * [[ewmaScan]] discipline. Emits per element the post-update
+    * (l, b, s, d) plus the PRE-update forecast f and deviation d⁻ the
+    * point was judged against (null at i = 0). Null element/value → null
+    * result. */
+  def hwScan(arr: ArrayData, alpha: Double, ia: Double, bt: Double,
+      ib: Double, g: Double, ig: Double, season: Int, nFields: Int,
+      valueIdx: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val seas = new Array[Double](season)
+    val dev = new Array[Double](season)
+    var l = 0.0
+    var b = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val e = arr.getStruct(i, nFields)
+      if (e.isNullAt(valueIdx)) return null
+      val x = e.getDouble(valueIdx)
+      val ph = i % season
+      val spre = seas(ph)
+      val dpre = dev(ph)
+      if (i == 0) {
+        l = x
+        b = 0.0
+        val sNew = g * (x - l) + ig * spre // == 0.0, kept for op parity
+        seas(ph) = sNew
+        dev(ph) = 0.0
+        out(i) = new GenericInternalRow(
+          Array[Any](l, b, sNew, 0.0, null, null))
+      } else {
+        val f = l + b + spre
+        val lNew = alpha * (x - spre) + ia * (l + b)
+        val bNew = bt * (lNew - l) + ib * b
+        val sNew = g * (x - lNew) + ig * spre
+        val dNew = g * math.abs(x - f) + ig * dpre
+        l = lNew
+        b = bNew
+        seas(ph) = sNew
+        dev(ph) = dNew
+        out(i) = new GenericInternalRow(
+          Array[Any](lNew, bNew, sNew, dNew, f, dpre))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Canonical LTTB (Steinarsson 2013 §4.2) over one series' time-sorted
     * points: endpoints always selected; the middle n−2 points split into
     * B−2 equal-count buckets; walking left to right, each bucket keeps
@@ -199,6 +265,76 @@ case class EwmaScan(child: Expression, alpha: Double)
   }
 
   override protected def withNewChildInternal(newChild: Expression): EwmaScan =
+    copy(child = newChild)
+}
+
+/** Sequential additive Holt-Winters scan over one series' collected points
+  * — [[EwmaScan]]'s triple-exponential sibling ([[SeriesExprUtil.hwScan]]
+  * for the recurrence). Same existence argument: the level/trend/seasonal
+  * recurrences are inherently sequential and per-phase state rules out any
+  * window-frame restatement; running the fold in place over the collected
+  * ArrayData keeps [[graft.operators.Anomaly.holtWintersBands]] one
+  * aggregation + one posexplode. The derived complements (ia/ib/ig) are
+  * vals so the oracle interpolates the IDENTICAL doubles.
+  *
+  * Input: ARRAY<STRUCT<..., value: DOUBLE>> sorted by the caller. Output:
+  * equal-length ARRAY<STRUCT<l, b, s, d, f, dp>> (f/dp null at the first
+  * element), positionally zip-able with the input. */
+case class HwScan(child: Expression, alpha: Double, beta: Double,
+    gamma: Double, season: Int) extends UnaryExpression {
+  require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+  require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+  require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1], got $gamma")
+  require(season >= 1, s"season must be >= 1, got $season")
+
+  val ia: Double = 1.0 - alpha
+  val ib: Double = 1.0 - beta
+  val ig: Double = 1.0 - gamma
+
+  private lazy val (nFields: Int, valueIdx: Int) = child.dataType match {
+    case ArrayType(st: StructType, _) =>
+      (st.size, st.fieldIndex("value"))
+    case _ => (0, 0)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("value") &&
+          st(st.fieldIndex("value")).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hw_scan needs ARRAY<STRUCT<..., value: DOUBLE>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", DoubleType, nullable = false),
+    StructField("b", DoubleType, nullable = false),
+    StructField("s", DoubleType, nullable = false),
+    StructField("d", DoubleType, nullable = false),
+    StructField("f", DoubleType, nullable = true),
+    StructField("dp", DoubleType, nullable = true))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SeriesExprUtil.hwScan(v.asInstanceOf[ArrayData], alpha, ia, beta, ib,
+      gamma, ig, season, nFields, valueIdx)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.SeriesExprUtil.hwScan(
+         |    $c, ${alpha}D, ${ia}D, ${beta}D, ${ib}D, ${gamma}D, ${ig}D,
+         |    $season, $nFields, $valueIdx);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HwScan =
     copy(child = newChild)
 }
 

@@ -179,6 +179,77 @@ object Anomaly {
         lit(false)))
   }
 
+  /** Additive triple-exponential (Holt-Winters) forecast bands — the FULL
+    * Graphite `holtWintersForecast` / `holtWintersConfidenceBands` /
+    * `holtWintersAberration` semantics that [[ewmaBands]] reduces to single
+    * smoothing: level + trend + a per-phase seasonal term, with SEASONAL
+    * deviations, so a diurnal series' morning ramp is forecast instead of
+    * flagged and the band width is "how noisy is this hour-of-day"
+    * ([[graft.functions.HwScan]] for the exact recurrence; Graphite
+    * defaults α=0.1, β=0.0035 — graphite-web functions.py
+    * holtWintersAnalysis — kept as this operator's defaults).
+    *
+    * Cold start: seasonal/deviation terms are zero until their phase's
+    * first wrap (the first season behaves like pure Holt level+trend and,
+    * with `minPoints` ≥ season, can never flag) — deterministic and
+    * oracle-restatable, unlike backfitting a warm-up season.
+    *
+    * Per point: rn, value, level, trend, seasonal, dev (post-update),
+    * forecast = l+b+s⁻ (pre-update, null at rn=1), dev_used = d⁻ (the
+    * judging deviation), upper/lower = forecast ± k·d⁻, is_aberrant ⇔
+    * rn > minPoints ∧ d⁻ > 0 ∧ |value − forecast| > k·d⁻.
+    *
+    * Same scale shape and ENFORCED bounded-series contract as
+    * [[ewmaBands]]: one groupBy shuffle, the sequential fold in codegen
+    * over each collected series, maxPointsPerSeries failing loud. Input
+    * buckets must arrive at a REGULAR cadence for phases to mean anything
+    * — feed a rollup tier (gaps shift every later phase, as in any
+    * positional seasonal model). */
+  def holtWintersBands(points: DataFrame, season: Int,
+      alpha: Double = 0.1, beta: Double = 0.0035, gamma: Double = 0.1,
+      k: Double = 3.0, minPoints: Int = 0,
+      maxPointsPerSeries: Int = 1 << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minPoints >= 0, s"minPoints must be >= 0, got $minPoints")
+    require(maxPointsPerSeries >= 1,
+      s"maxPointsPerSeries must be >= 1, got $maxPointsPerSeries")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scan = ColumnBridge.column(graft.functions.HwScan(
+      ColumnBridge.expression(col("__pts")), alpha, beta, gamma, season))
+    points
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+        .as("__pts0"))
+      .withColumn("__pts",
+        when(size(col("__pts0")) <= maxPointsPerSeries, col("__pts0"))
+          .otherwise(raise_error(concat(
+            lit("holtWintersBands: series "), col("tenant_id"), lit("."),
+            col("metric_name"),
+            lit(s" exceeds maxPointsPerSeries=$maxPointsPerSeries — " +
+              "score a rollup tier")))))
+      .drop("__pts0")
+      .withColumn("__st", scan)
+      .select(col("tenant_id"), col("metric_name"),
+        posexplode(arrays_zip(col("__pts"), col("__st"))).as(Seq("__i", "__z")))
+      .select(
+        col("tenant_id"), col("metric_name"),
+        (col("__i") + 1).cast("int").as("rn"),
+        col("__z.__pts.ts_ms").as("ts_ms"),
+        col("__z.__pts.value").as("value"),
+        col("__z.__st.l").as("level"),
+        col("__z.__st.b").as("trend"),
+        col("__z.__st.s").as("seasonal"),
+        col("__z.__st.d").as("dev"),
+        col("__z.__st.f").as("forecast"),
+        col("__z.__st.dp").as("dev_used"))
+      .withColumn("upper", col("forecast") + lit(k) * col("dev_used"))
+      .withColumn("lower", col("forecast") - lit(k) * col("dev_used"))
+      .withColumn("is_aberrant", coalesce(
+        col("rn") > minPoints && col("dev_used") > 0 &&
+          abs(col("value") - col("forecast")) > lit(k) * col("dev_used"),
+        lit(false)))
+  }
+
   /** UNBOUNDED twin of [[ewmaBands]] — identical output (the recurrence
     * folds the same doubles in the same order, so every emitted ewma/dev/
     * band bit matches), but the series is never materialized as one array

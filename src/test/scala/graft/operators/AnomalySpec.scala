@@ -307,6 +307,97 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
   }
 
+  /** Local reference for [[Anomaly.holtWintersBands]]'s triple recurrence. */
+  private def localHw(xs: Seq[Double], season: Int, alpha: Double,
+      bt: Double, g: Double): Seq[(Double, Double, Double, Double,
+      Option[Double], Option[Double])] = {
+    val (ia, ib, ig) = (1.0 - alpha, 1.0 - bt, 1.0 - g)
+    val seas = Array.fill(season)(0.0)
+    val dev = Array.fill(season)(0.0)
+    var l = 0.0
+    var b = 0.0
+    xs.zipWithIndex.map { case (x, i) =>
+      val ph = i % season
+      val spre = seas(ph)
+      val dpre = dev(ph)
+      if (i == 0) {
+        l = x; b = 0.0
+        val sN = g * (x - l) + ig * spre
+        seas(ph) = sN; dev(ph) = 0.0
+        (l, b, sN, 0.0, None, None)
+      } else {
+        val f = l + b + spre
+        val lN = alpha * (x - spre) + ia * (l + b)
+        val bN = bt * (lN - l) + ib * b
+        val sN = g * (x - lN) + ig * spre
+        val dN = g * math.abs(x - f) + ig * dpre
+        l = lN; b = bN; seas(ph) = sN; dev(ph) = dN
+        (lN, bN, sN, dN, Some(f), Some(dpre))
+      }
+    }
+  }
+
+  test("holtWintersBands: matches the local triple-smoothing fold " +
+    "bit-for-bit; seasonal forecast learns the cycle") {
+    val season = 12
+    val rng = new scala.util.Random(4242L)
+    val xs = (0 until 8 * season).map(i =>
+      100.0 + 40.0 * math.sin(2 * math.Pi * (i % season) / season) +
+        rng.nextDouble())
+    val rows = xs.zipWithIndex.map { case (v, i) => ("t", "m", i * 1000L, v) }
+    val got = Anomaly.holtWintersBands(points(rows), season).orderBy("ts_ms")
+      .select("rn", "level", "trend", "seasonal", "dev", "forecast",
+        "dev_used")
+      .collect()
+    val want = localHw(xs, season, 0.1, 0.0035, 0.1)
+    got.zip(want).foreach { case (r, (l, b, s, d, f, dp)) =>
+      assert(r.getDouble(1) === l, s"level@rn=${r.getInt(0)}")
+      assert(r.getDouble(2) === b, s"trend@rn=${r.getInt(0)}")
+      assert(r.getDouble(3) === s, s"seasonal@rn=${r.getInt(0)}")
+      assert(r.getDouble(4) === d, s"dev@rn=${r.getInt(0)}")
+      assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) === f)
+      assert((if (r.isNullAt(6)) None else Some(r.getDouble(6))) === dp)
+    }
+    // learning: with Graphite's slow γ=0.1 the forecast error shrinks
+    // season over season; with a fast γ it collapses to the noise floor
+    def mae(rs: Array[org.apache.spark.sql.Row], from: Int, to: Int) = {
+      val sl = rs.filter(r => r.getInt(0) > from && r.getInt(0) <= to)
+      sl.map(r => math.abs(xs(r.getInt(0) - 1) - r.getDouble(5))).sum / sl.length
+    }
+    assert(mae(got, 6 * season, 8 * season) < mae(got, season, 3 * season),
+      "forecast error must shrink as seasons accumulate")
+    val fast = Anomaly.holtWintersBands(points(rows), season, gamma = 0.5)
+      .orderBy("ts_ms")
+      .select("rn", "level", "trend", "seasonal", "dev", "forecast",
+        "dev_used").collect()
+    assert(mae(fast, 6 * season, 8 * season) < 2.0,
+      "fast-gamma forecast should reach the noise floor")
+  }
+
+  test("holtWintersBands: off-phase spike flags, the periodic peak does " +
+    "not (what rollingZScores cannot separate); first season cannot flag") {
+    val season = 24
+    val n = 6 * season
+    val spikeAt = 5 * season + 3
+    val xs = (0 until n).map { i =>
+      val base = 100.0 + 50.0 * math.sin(2 * math.Pi * (i % season) / season)
+      // mild phase-stable noise so deviations are nonzero but tight
+      val noise = ((i * 2654435761L) % 97).toDouble / 97.0 - 0.5
+      if (i == spikeAt) base + 400.0 else base + noise
+    }
+    val rows = xs.zipWithIndex.map { case (v, i) => ("t", "m", i * 3600000L, v) }
+    val got = Anomaly.holtWintersBands(points(rows), season, gamma = 0.5,
+        minPoints = season)
+      .select("rn", "is_aberrant").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(got(spikeAt + 1), "planted off-phase spike must flag")
+    // the recurring daily peak (phase season/4) is forecast, not flagged
+    val peaks = (2 until 5).map(c => c * season + season / 4 + 1)
+    peaks.foreach(rn => assert(!got(rn), s"periodic peak at rn=$rn flagged"))
+    // first season: dev_used = 0 -> structurally cannot flag
+    (1 to season).foreach(rn => assert(!got(rn), s"cold-start flag at $rn"))
+  }
+
   test("ewmaBandsSegmented == ewmaBands bit-for-bit on random multi-series " +
     "input (every double, null, and flag)") {
     val rng = new scala.util.Random(20260814L)
