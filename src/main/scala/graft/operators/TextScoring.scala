@@ -407,6 +407,126 @@ object TextScoring {
     scoreBm25(joined, k1, b, k)
   }
 
+  /** Fold a streamed index's accumulated `batch_id=` dirs into one
+    * compacted batch per subtree — [[Retention.compactRaw]]'s maintenance
+    * discipline applied to the search artifact: continuous
+    * [[appendTextIndex]] maintenance otherwise grows postings dirs (and
+    * one-row stats files) forever, and at 100 TB the per-batch dir count,
+    * not data size, becomes the listing/planning cost of every serve.
+    * Postings fold into `postings/batch_id=<newId>` re-partitioned by
+    * `wb` (term-bucket pruning spans the compacted dir exactly as before);
+    * stats re-sum into ONE exact row (same totals — counts are integers).
+    * Serving output is hash-identical by construction: the postings ROWS
+    * are unchanged and the reader sums stats rows.
+    *
+    * Crash safety (two subtree renames cannot be atomic): a
+    * `_compact_manifest` at the index root records the new id and folded
+    * dirs BEFORE anything destructive; the STATS rename is the commit
+    * point (postings land first — an index with a new postings dir but no
+    * new stats row is the recognizable in-flight state).
+    * [[recoverTextIndexCompaction]] — also run at the start of every
+    * compact — rolls the in-flight state back or completes a committed
+    * one. Like compactRaw this is an offline maintenance pass: run it (or
+    * at least recovery) before serving, since the post-commit pre-delete
+    * window shows both copies. Prior compactions (id ≥
+    * [[Retention.CompactIdBase]]) are never re-folded, and without
+    * `assumeQuiesced` the newest small dir — the one a live streaming
+    * commit may still be filling — is spared. Returns the new batch id,
+    * or None when fewer than `minBatchDirs` foldable dirs exist. */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      minBatchDirs: Int = 2, assumeQuiesced: Boolean = false): Option[Long] = {
+    require(minBatchDirs >= 2, s"minBatchDirs must be >= 2, got $minBatchDirs")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "stats"))) return None
+    recoverTextIndexCompaction(spark, path)
+    def ids(sub: String): Seq[Long] =
+      fs.globStatus(new Path(s"$path/$sub", "batch_id=*")).toSeq
+        .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+    val all = (ids("postings") ++ ids("stats")).distinct.sorted
+    val small0 = all.filter(_ < Retention.CompactIdBase)
+    val small =
+      if (assumeQuiesced || small0.isEmpty) small0 else small0.init
+    if (small.size < minBatchDirs) return None
+    val newId = math.max(Retention.CompactIdBase, all.max + 1)
+    val manifest = new Path(root, "_compact_manifest")
+    val out = fs.create(manifest, true)
+    out.write((newId +: small.map(id => s"batch_id=$id"))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    // stats fold: exact integer re-sums, uniform bucket function enforced
+    val statsDirs = small.map(id => s"$path/stats/batch_id=$id")
+      .filter(p => fs.exists(new Path(p)))
+    val st = spark.read.option("basePath", s"$path/stats")
+      .parquet(statsDirs: _*)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+        min("n_buckets").as("nb_min"), max("n_buckets").as("nb_max"))
+      .head()
+    require(st.getAs[Int]("nb_min") == st.getAs[Int]("nb_max"),
+      "index batches were written with different nBuckets — rebuild instead")
+    import spark.implicits._
+    val folded = Seq((st.getAs[Long]("n_docs"),
+        Option(st.getAs[java.lang.Long]("sum_dl")).map(_.longValue()),
+        st.getAs[Int]("nb_max")))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+    val pTmp = new Path(s"$path/postings", s".compact_tmp_$newId")
+    val sTmp = new Path(s"$path/stats", s".compact_tmp_$newId")
+    val postingsDirs = small.map(id => s"$path/postings/batch_id=$id")
+      .filter(p => fs.exists(new Path(p)))
+    val hasPostings = postingsDirs.exists(p =>
+      fs.globStatus(new Path(p, "wb=*/*.parquet")).nonEmpty)
+    if (hasPostings)
+      spark.read.option("basePath", s"$path/postings")
+        .parquet(postingsDirs: _*)
+        .drop("batch_id")
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(pTmp.toString)
+    folded.coalesce(1).write.mode("overwrite").parquet(sTmp.toString)
+    if (hasPostings)
+      require(fs.rename(pTmp, new Path(s"$path/postings", s"batch_id=$newId")),
+        s"postings rename failed: $pTmp")
+    // COMMIT POINT — a visible stats/batch_id=<newId> means the fold landed
+    require(fs.rename(sTmp, new Path(s"$path/stats", s"batch_id=$newId")),
+      s"stats rename failed: $sTmp")
+    for (sub <- Seq("postings", "stats"); id <- small)
+      fs.delete(new Path(s"$path/$sub/batch_id=$id"), true)
+    fs.delete(manifest, false)
+    Some(newId)
+  }
+
+  /** Finish or undo a crashed [[compactTextIndex]]: with a manifest
+    * present, the STATS rename having landed means the fold committed
+    * (→ delete the listed originals under both subtrees and any leftover
+    * temps); otherwise roll back (→ drop the new postings dir if its
+    * rename raced ahead, plus both temps — the originals are untouched).
+    * Either way the manifest is consumed. No-op without a manifest. */
+  def recoverTextIndexCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(root, "_compact_manifest")
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    lines match {
+      case idLine :: oldDirs if idLine.toLongOption.isDefined =>
+        val newId = idLine.toLong
+        val committed = fs.exists(new Path(s"$path/stats/batch_id=$newId"))
+        if (committed)
+          for (sub <- Seq("postings", "stats"); d <- oldDirs)
+            fs.delete(new Path(s"$path/$sub/$d"), true)
+        else
+          fs.delete(new Path(s"$path/postings/batch_id=$newId"), true)
+        for (sub <- Seq("postings", "stats"))
+          fs.delete(new Path(s"$path/$sub/.compact_tmp_$newId"), true)
+      case _ => // unreadable manifest: nothing destructive without a plan
+    }
+    fs.delete(manifest, false)
+  }
+
   /** Exact phrase search with keyword-in-context (KWIC) output — the
     * concordance view every corpus-inspection UI needs: each occurrence of
     * `phrase` (as consecutive normalized words) with up to `ctx` words of
