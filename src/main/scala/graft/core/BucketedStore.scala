@@ -77,4 +77,66 @@ object BucketedStore {
     * read the clustering from the catalog and skip their Exchange. */
   def table(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** Ensure a DAY-PARTITIONED, hash-clustered external table exists for
+    * `schema` (which must carry a `ts_day` column — it becomes the
+    * partition spec; everything else stays a data column). This is the
+    * incremental-maintenance variant of [[write]]: partitioning by day
+    * gives the same dirty-day dynamic-overwrite discipline as the plain
+    * 5m tier, while the CLUSTERED BY spec makes every per-series
+    * aggregation/join off the table Exchange-free — bucket files are
+    * per-partition-dir, but the bucket→hash-space mapping is global, so
+    * the clustering holds across any set of day partitions a query reads.
+    * An existing table is validated against the requested spec (mismatch
+    * throws), the [[register]] rule. */
+  def registerPartitioned(spark: SparkSession, tableName: String,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      nBuckets: Int = 64): Unit = {
+    require(schema.fieldNames.contains("ts_day"),
+      s"schema must carry the ts_day partition column, got ${schema.toDDL}")
+    if (spark.catalog.tableExists(tableName)) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .bucketSpec
+      require(spec.exists(s => s.numBuckets == nBuckets &&
+          s.bucketColumnNames == bucketCols),
+        s"table $tableName already registered with bucket spec $spec, " +
+          s"requested $nBuckets buckets on $bucketCols")
+    } else {
+      val dataCols = schema.fields.filter(_.name != "ts_day")
+      val ts = schema(schema.fieldIndex("ts_day"))
+      val ddl = org.apache.spark.sql.types.StructType(dataCols :+ ts).toDDL
+      spark.sql(
+        s"""CREATE TABLE $tableName ($ddl)
+           |USING parquet
+           |PARTITIONED BY (ts_day)
+           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |SORTED BY (tenant_id, metric_name, bucket_ms)
+           |INTO $nBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
+  /** Overwrite exactly the day partitions present in `slice` (which must
+    * carry ts_day) — the cascade's dynamic-overwrite discipline routed
+    * through the bucketed layout: `insertInto` writes THROUGH the
+    * catalog's bucket spec, so each rewritten day lands hash-clustered and
+    * per-file sorted without the caller repeating the spec. Column order
+    * is realigned to the table positionally (insertInto's contract), with
+    * the partition column last. Dynamic mode must be set via the SESSION
+    * conf for the duration of the insert — `insertInto` ignores the
+    * per-write option, and static mode would silently truncate every
+    * partition NOT in the slice; the prior conf value is restored. */
+  def overwriteDays(spark: SparkSession, slice: DataFrame,
+      tableName: String): Unit = {
+    val cols = spark.table(tableName).columns
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try slice.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .insertInto(tableName)
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

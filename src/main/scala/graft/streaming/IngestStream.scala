@@ -386,6 +386,32 @@ object IngestStream {
     }
   }
 
+  /** OPTIONAL bucketed arm of the cascade for the 5m tier — the
+    * dashboard-facing hot read path (the reference's most-read table,
+    * CassandraModel.java metrics_5m): mirror the freshly rolled 5m days
+    * into a day-partitioned, hash-clustered catalog table
+    * ([[graft.core.BucketedStore.registerPartitioned]]), so every
+    * per-series aggregation / window / self-join a fleet of dashboards
+    * runs against the tier plans with ZERO shuffle Exchange — the series
+    * co-location is paid once here, at write time, instead of per query.
+    *
+    * Same dirty-day discipline as the plain tier: with `dirtyDays` given
+    * only those partitions rewrite (dynamic overwrite THROUGH the bucket
+    * spec); None mirrors the whole tier. Call after [[rollDirtyDays]] /
+    * [[rollupCascadeFor]] with the same day list. The plain parquet tier
+    * remains the source of truth (and the cascade's input); this is a
+    * serving layout, rebuildable from it at any time. */
+  def mirrorBucketed5m(spark: SparkSession, storeDir: String,
+      tableName: String, path: String, nBuckets: Int = 64,
+      dirtyDays: Option[Seq[Long]] = None): Unit = {
+    if (!hasParquetData(spark, s"$storeDir/metrics_5m")) return
+    val tier = spark.read.parquet(s"$storeDir/metrics_5m")
+    graft.core.BucketedStore.registerPartitioned(
+      spark, tableName, path, tier.schema, nBuckets)
+    val slice = dirtyDays.fold(tier)(d => tier.filter(col("ts_day").isin(d: _*)))
+    graft.core.BucketedStore.overwriteDays(spark, slice, tableName)
+  }
+
   /** Persist the per-kind tier-1 (5m) pre-aggregated state tables from
     * parsed statsd payload rows ([[graft.operators.Preaggregated
     * .fromAggregatedJson]]), day-partitioned like the basic tiers.

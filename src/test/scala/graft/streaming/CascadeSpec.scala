@@ -68,6 +68,70 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     assert(t1440.toSeq === direct.toSeq)
   }
 
+  test("bucketed 5m mirror: dirty-day maintenance writes THROUGH the bucket " +
+    "spec; per-series reads plan with zero Exchange and match the plain tier") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_casc_bkt").toString
+    val tdir = Files.createTempDirectory("graft_casc_bkt_t").toString
+    def write5m(points: Seq[(String, String, Long, Double)]): Unit =
+      Rollups.basicFromRaw(
+          points.toDF("tenant_id", "metric_name", "ts_ms", "value"), Granularity.MIN_5)
+        .withColumn("ts_day", col("bucket_ms") - pmod(col("bucket_ms"), lit(86400000L)))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$store/metrics_5m")
+    val base = Seq(
+      ("t1", "m1", day(0) + 10000, 1.0), ("t1", "m1", day(0) + 20000, 3.0),
+      ("t2", "m2", day(0) + 40000, 2.0), ("t1", "m1", day(1) + 10000, 5.0),
+      ("t2", "m2", day(1) + 70000, 4.0), ("t1", "m1", day(2) + 10000, 9.0))
+    write5m(base)
+    IngestStream.mirrorBucketed5m(spark, store, "bucketed_5m_spec",
+      s"$tdir/t", nBuckets = 8)
+    val t = graft.core.BucketedStore.table(spark, "bucketed_5m_spec")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange (hash|range)partitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // the whole point: a per-series stored-read aggregation over the hot
+    // tier plans WITHOUT any shuffle Exchange
+    val agg = t.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sum_v").cast("decimal(38,8)")).as("s"),
+        max("max_v").as("mx"))
+    assert(shuffles(agg) === 0, agg.queryExecution.executedPlan.toString)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("tenant_id", "metric_name", "bucket_ms", "num_points",
+        "sum_v", "avg_v", "min_v", "max_v", "var_v", "ts_day")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val plain = spark.read.parquet(s"$store/metrics_5m")
+    assert(rows(t) === rows(plain), "mirror must hold the exact tier rows")
+    // ... while the same aggregation over the plain tier pays a shuffle
+    assert(shuffles(plain.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"))) >= 1)
+
+    // incremental maintenance: a late point dirties day 0 only; the mirror
+    // rewrites exactly that partition (still bucketed), other days' files
+    // are byte-for-byte untouched
+    val before1 = partitionState(tdir, "t", day(1))
+    val before2 = partitionState(tdir, "t", day(2))
+    val late = ("t1", "m1", day(0) + 30000, 11.0)
+    write5m(base :+ late)
+    IngestStream.mirrorBucketed5m(spark, store, "bucketed_5m_spec",
+      s"$tdir/t", nBuckets = 8, dirtyDays = Some(Seq(day(0))))
+    assert(partitionState(tdir, "t", day(1)) === before1)
+    assert(partitionState(tdir, "t", day(2)) === before2)
+    assert(rows(graft.core.BucketedStore.table(spark, "bucketed_5m_spec"))
+      === rows(spark.read.parquet(s"$store/metrics_5m")))
+    // the refreshed table still plans shuffle-free
+    val agg2 = graft.core.BucketedStore.table(spark, "bucketed_5m_spec")
+      .groupBy("tenant_id", "metric_name").agg(count(lit(1)).as("n"))
+    assert(shuffles(agg2) === 0, agg2.queryExecution.executedPlan.toString)
+    // a mismatched re-register fails loudly (the BucketedStore.register rule)
+    intercept[IllegalArgumentException] {
+      IngestStream.mirrorBucketed5m(spark, store, "bucketed_5m_spec",
+        s"$tdir/t", nBuckets = 64)
+    }
+  }
+
   test("cascade variance is numerically stable at huge means (never negative)") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_casc_stable").toString
