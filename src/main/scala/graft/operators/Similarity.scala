@@ -256,6 +256,11 @@ object Similarity {
       centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("centroids", "assignments")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
     val cents = centroids.getOrElse {
       val trainSet =
         if (trainFraction >= 1.0) corpus
@@ -265,23 +270,88 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeIvfAssignments(corpus, path, cents, batchId = 0L)
+  }
+
+  private def writeIvfAssignments(corpus: DataFrame, path: String,
+      cents: Array[Array[Double]], batchId: Long): Unit =
     assignCells(corpus, cents)
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assignments")
+      .parquet(s"$path/assignments/batch_id=$batchId")
+
+  /** The persisted centroid model, driver-side (nCells × dim — tiny). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Fold a corpus batch into an EXISTING IVF index — the
+    * [[graft.operators.TextScoring.appendTextIndex]] lifecycle for ANN:
+    * new rows are assigned under the index's FROZEN centroid model and
+    * land in their own `batch_id=N` dir (cell partitions nested inside,
+    * so probed-cell pruning spans every batch), overwritten on replay.
+    * Per-append cost is O(|batch|), never O(|corpus|) — no retraining, no
+    * re-assignment of standing rows, and the serve path
+    * ([[ivfTopKFromIndex]]) is unchanged.
+    *
+    * The price of the frozen model is DRIFT: as appended data moves away
+    * from the trained distribution, cells get lopsided and probed-cell
+    * candidate quality decays — the index still returns exact cosines
+    * over the candidates it reads, but recall vs the true top-k sags.
+    * Probe it with [[ivfRecallProbe]] on a query sample after appending;
+    * when recall drops below your floor, REBUILD ([[writeIvfIndex]]
+    * retrains and re-assigns — this append refuses to run against a
+    * legacy flat layout for the same reason the text index does). */
+  def appendIvfIndex(corpus: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = corpus.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val aPath = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val fs = aPath.getFileSystem(conf)
+    if (fs.exists(aPath) &&
+      fs.listStatus(aPath).exists(_.getPath.getName.startsWith("cell=")))
+      throw new IllegalStateException(
+        s"$path/assignments has a flat cell= layout (no batch_id level); " +
+          "rebuild with writeIvfIndex before appending")
+    writeIvfAssignments(corpus, path, loadIvfCentroids(spark, path), batchId)
+  }
+
+  /** Sampled recall-drift probe for a persisted IVF index: the fraction of
+    * the EXACT top-k (computed over the index's own stored embeddings — no
+    * external corpus needed) that the probed serve path reproduces,
+    * averaged over `queries`. This is the rebuild signal for the
+    * append-under-frozen-centroids lifecycle: run it on a query sample
+    * after appends and rebuild when it crosses below your floor. Cost: one
+    * exact pass over the assignments for |queries| broadcast rows — size
+    * the sample, not the corpus. */
+  def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4): Double = {
+    val corpus = spark.read.parquet(s"$path/assignments")
+      .select("vec_id", "embedding")
+    recallOverlap(bruteTopK(corpus, queries, k),
+      ivfTopKFromIndex(spark, path, queries, k, nProbe))
+  }
+
+  /** Mean overlap of `served` with `exact` on (query_id, vec_id) — the
+    * shared recall metric of the drift probes and the recall-floor specs. */
+  private def recallOverlap(exact: DataFrame, served: DataFrame): Double = {
+    val e = exact.select("query_id", "vec_id")
+    val hit = e.join(served.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id")).count()
+    val tot = e.count()
+    if (tot == 0) 1.0 else hit.toDouble / tot
   }
 
   /** Serve ANN top-k from a persisted IVF index: centroids load
     * driver-side (nCells × dim — tiny), the probed-cell set is collected
     * (bounded by nCells, never by |queries|) and pushed into the
     * assignments scan as a static partition filter, so parquet reads only
-    * the probed cells. Identical output to [[ivfTopKWithCentroids]] over
-    * the same corpus and centroids. */
+    * the probed cells — across every appended batch. Identical output to
+    * [[ivfTopKWithCentroids]] over the same corpus and centroids. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").select("centroid").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val centroids = loadIvfCentroids(spark, path)
     val queryCells = queryProbes(queries, centroids, nProbe)
     // distinct probed cells ⊆ {0..nCells-1}: O(nCells) driver rows
     val probed = queryCells.select("cell").distinct().collect()
@@ -626,6 +696,11 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("codebooks", "codes")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed)
@@ -634,25 +709,63 @@ object Similarity {
       sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    writePqCodes(corpus, path, cb, batchId = 0L)
+  }
+
+  private def writePqCodes(corpus: DataFrame, path: String,
+      cb: Array[Array[Array[Double]]], batchId: Long): Unit =
     corpus
       .select(col("vec_id"), pqEncode(col("embedding"), cb).as("codes"),
         norm(col("embedding")).as("nrm"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+      .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
 
-  /** Serve PQ ANN from a persisted index: codebooks load driver-side
-    * (m·ksub·dsub doubles — tiny), the corpus-wide stage scans the
-    * compressed `codes` artifact, and `corpus` (the raw embeddings) is
-    * touched only by the rerank join on the shortlist. Identical output
-    * to [[pqTopKWithCodebooks]] under the same codebooks. */
-  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      rerank: Int = 4): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+  /** The persisted codebooks, driver-side ([m][ksub][dsub] — tiny). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
       .orderBy("sub", "code").collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
       .toArray
-    pqScan(spark.read.parquet(s"$path/codes"), corpus, queries, cb, k, rerank)
+
+  /** Fold a corpus batch into an EXISTING PQ index — encode under the
+    * FROZEN codebooks into the batch's own `codes/batch_id=N` dir
+    * (replay-overwritten), the [[appendIvfIndex]] lifecycle. Same drift
+    * contract: quantization error grows as appended data leaves the
+    * trained distribution; probe with [[pqRecallProbe]] and rebuild
+    * ([[writePqIndex]]) below your floor. Refuses a legacy flat `codes`
+    * layout for the partition-discovery reason the text index documents. */
+  def appendPqIndex(corpus: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = corpus.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = cPath.getFileSystem(conf)
+    if (fs.exists(cPath) && fs.listStatus(cPath).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$path/codes has a flat pre-batch layout (no batch_id level); " +
+          "rebuild with writePqIndex before appending")
+    writePqCodes(corpus, path, loadPqCodebooks(spark, path), batchId)
   }
+
+  /** Sampled recall-drift probe for a persisted PQ index (vs the exact
+    * top-k over `corpus`, which must be the indexed rows) — the rebuild
+    * signal for [[appendPqIndex]]'s frozen-codebook lifecycle. */
+  def pqRecallProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      rerank: Int = 4): Double =
+    recallOverlap(bruteTopK(corpus, queries, k),
+      pqTopKFromIndex(spark, path, corpus, queries, k, rerank))
+
+  /** Serve PQ ANN from a persisted index: codebooks load driver-side
+    * (m·ksub·dsub doubles — tiny), the corpus-wide stage scans the
+    * compressed `codes` artifact (all appended batches), and `corpus`
+    * (the raw embeddings) is touched only by the rerank join on the
+    * shortlist. Identical output to [[pqTopKWithCodebooks]] under the
+    * same codebooks. */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame =
+    pqScan(spark.read.parquet(s"$path/codes").drop("batch_id"),
+      corpus, queries, loadPqCodebooks(spark, path), k, rerank)
 }

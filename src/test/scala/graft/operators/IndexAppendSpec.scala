@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The IVF/PQ index refresh lifecycle: [[Similarity.appendIvfIndex]] /
+  * [[Similarity.appendPqIndex]] fold new rows under the FROZEN model and
+  * must serve exactly what a rebuild under the same model serves; the
+  * recall-drift probes are the rebuild signal when the appended
+  * distribution leaves the trained one. */
+class IndexAppendSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001",
+    "embeddings").select("vec_id", "embedding")
+  private lazy val qs = emb.filter(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("IVF append == rebuild under the same centroids, exactly; replay " +
+    "idempotent; legacy flat layout serves but refuses appends") {
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 3 === 0)
+    val pathA = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/ivf"
+    Similarity.writeIvfIndex(old, pathA, nCells = 16)
+    Similarity.appendIvfIndex(fresh, pathA, batchId = 1L)
+    // rebuild the SAME corpus under the SAME (frozen) model
+    val cents = Similarity.loadIvfCentroids(spark, pathA)
+    val pathB = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString + "/ivf"
+    Similarity.writeIvfIndex(emb, pathB, centroids = Some(cents))
+    val appended = toSet(Similarity.ivfTopKFromIndex(spark, pathA, qs, 10))
+    assert(appended === toSet(Similarity.ivfTopKFromIndex(spark, pathB, qs, 10)),
+      "append must serve exactly the rebuild-under-same-model answer")
+    assert(appended.nonEmpty)
+    // at-least-once replay of the same batch changes nothing
+    Similarity.appendIvfIndex(fresh, pathA, batchId = 1L)
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, pathA, qs, 10)) === appended)
+    // a rebuild TRUNCATES appended batches (no stale assignments double-serve)
+    Similarity.writeIvfIndex(emb, pathA, centroids = Some(cents))
+    assert(fs.globStatus(new Path(s"$pathA/assignments", "batch_id=*"))
+      .map(_.getPath.getName).toSeq === Seq("batch_id=0"))
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, pathA, qs, 10)) === appended)
+    // legacy flat layout (pre-batch): reads fine, appends refuse
+    val flat = java.nio.file.Files.createTempDirectory("graft_ivf_flat").toString + "/ivf"
+    Similarity.writeIvfIndex(old, flat, centroids = Some(cents))
+    for (st <- fs.globStatus(new Path(s"$flat/assignments/batch_id=0", "cell=*")))
+      fs.rename(st.getPath, new Path(s"$flat/assignments", st.getPath.getName))
+    fs.delete(new Path(s"$flat/assignments/batch_id=0"), true)
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, flat, qs, 10)) ===
+      toSet(Similarity.ivfTopKWithCentroids(old, qs, cents, 10)),
+      "flat legacy layout must keep serving")
+    val e = intercept[IllegalStateException] {
+      Similarity.appendIvfIndex(fresh, flat, batchId = 1L)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
+  test("planted drift: stale-model recall sags, the probe reports it, a " +
+    "retrained rebuild restores it") {
+    val rng = new scala.util.Random(60613L)
+    val dim = 8
+    def vec(active: Range): Seq[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian() * 0.05)
+      for (i <- active) v(i) += 1.0 + rng.nextGaussian() * 0.3
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // trained region: axes 0-3; drifted region: axes 4-7 (near-orthogonal)
+    val oldRows = (0L until 300L).map(i => (i, vec(0 until 4)))
+    val newRows = (1000L until 1300L).map(i => (i, vec(4 until 8)))
+    val old = oldRows.toDF("vec_id", "embedding")
+    val drifted = newRows.toDF("vec_id", "embedding")
+    val all = (oldRows ++ newRows).toDF("vec_id", "embedding")
+    val dq = newRows.filter(_._1 % 10 == 0)
+      .toDF("query_id", "query_vec")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString + "/ivf"
+    Similarity.writeIvfIndex(old, path, nCells = 8)
+    Similarity.appendIvfIndex(drifted, path, batchId = 1L)
+    val stale = Similarity.ivfRecallProbe(spark, path, dq, k = 10, nProbe = 2)
+    // retrain on the full corpus and re-assign
+    Similarity.writeIvfIndex(all, path, nCells = 8)
+    val retrained = Similarity.ivfRecallProbe(spark, path, dq, k = 10, nProbe = 2)
+    assert(retrained >= 0.9,
+      s"retrained model must serve the planted region well, got $retrained")
+    assert(stale < retrained,
+      s"drift must be visible to the probe: stale=$stale retrained=$retrained")
+    assert(stale < 0.9, s"planted drift should sag stale recall, got $stale")
+  }
+
+  test("PQ append == frozen-codebook encoding of the full corpus, exactly; " +
+    "probe reports a sane recall") {
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_app").toString + "/pq"
+    Similarity.writePqIndex(old, path)
+    Similarity.appendPqIndex(fresh, path, batchId = 1L)
+    val cb = Similarity.loadPqCodebooks(spark, path)
+    val served = toSet(Similarity.pqTopKFromIndex(spark, path, emb, qs, 10))
+    assert(served === toSet(Similarity.pqTopKWithCodebooks(emb, qs, cb, 10)),
+      "append must serve exactly the inline frozen-codebook answer")
+    assert(served.nonEmpty)
+    // replay idempotent
+    Similarity.appendPqIndex(fresh, path, batchId = 1L)
+    assert(toSet(Similarity.pqTopKFromIndex(spark, path, emb, qs, 10)) === served)
+    val recall = Similarity.pqRecallProbe(spark, path, emb, qs, k = 10)
+    assert(recall >= 0.5 && recall <= 1.0, s"probe out of range: $recall")
+    // legacy flat codes layout refuses appends
+    val flat = java.nio.file.Files.createTempDirectory("graft_pq_flat").toString + "/pq"
+    Similarity.writePqIndex(old, flat)
+    for (st <- fs.globStatus(new Path(s"$flat/codes/batch_id=0", "*")))
+      fs.rename(st.getPath, new Path(s"$flat/codes", st.getPath.getName))
+    fs.delete(new Path(s"$flat/codes/batch_id=0"), true)
+    val e = intercept[IllegalStateException] {
+      Similarity.appendPqIndex(fresh, flat, batchId = 1L)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+}

@@ -83,9 +83,11 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     val inline = Similarity.pqTopKWithCodebooks(emb, queries, cb, 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(fromIdx === inline)
-    // the compressed artifact really is codes, not vectors
+    // the compressed artifact really is codes, not vectors (batch_id is
+    // the append lifecycle's partition level, not data)
     val codes = spark.read.parquet(s"$path/codes")
-    assert(codes.columns.sorted === Array("codes", "nrm", "vec_id"))
+    assert(codes.drop("batch_id").columns.sorted ===
+      Array("codes", "nrm", "vec_id"))
   }
 
   test("degenerate vectors yield null codes, not wrong numbers") {
