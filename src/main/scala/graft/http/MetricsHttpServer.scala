@@ -1,0 +1,509 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.Granularity
+import graft.operators.Discovery
+import graft.query.MetricsQueryApi
+import graft.streaming.IngestStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+
+/** REST facade over the engine — the reference's `blueflood-http` surface
+  * (ingest route table `HttpMetricsIngestionServer.java:108-127`, query
+  * route table `HttpMetricDataQueryServer.java:70-86`) re-expressed as a
+  * thin JDK `HttpServer` in front of the LIBRARY API. Deliberately a
+  * facade: every data operation is the same call the gate queries prove —
+  * [[IngestStream.parseJsonTyped]]/[[IngestStream.processTypedBatch]] for
+  * writes, [[MetricsQueryApi]] stored reads (kind-routed exactly like the
+  * reference's rollup_type dispatch, `MetricsRWDelegator.java:79-113`),
+  * [[Discovery]] for search — so HTTP adds routing, per-record error
+  * responses, and status-code semantics, never a second data path.
+  *
+  * Routes (reference parity):
+  *  - `POST /v2.0/:tenant/ingest` — array of `{metricName, metricValue,
+  *    collectionTime, ttlInSeconds, unit}` (`JSONMetric.java:24-41`)
+  *  - `POST /v2.0/:tenant/ingest/multi` — same, each record carries
+  *    `tenantId` (`JSONMetricScoped`)
+  *  - `POST /v2.0/:tenant/ingest/aggregated` — statsd payload
+  *    (`AggregatedPayload.java:37-176`)
+  *  - `POST /v2.0/:tenant/events` — `{what, when, data, tags}`
+  *    (`HttpEventsIngestionHandler`; mapped onto the engine's event store
+  *    columns: what→event_type, when→ts_ms, data/tags→props)
+  *  - `GET /v2.0/:tenant/views/:metricName?from&to&points|resolution&select`
+  *    (`HttpRollupsQueryHandler.java:115-161`), kind-routed basic / preagg
+  *    family / string store
+  *  - `POST /v2.0/:tenant/views?...` — body = JSON array of metric names
+  *    (`HttpMultiRollupsQueryHandler`, batch cap O2)
+  *  - `GET /v2.0/:tenant/metrics/search?query=` (`HttpMetricsIndexHandler`)
+  *  - `GET /v2.0/:tenant/metric_name/search?query=`
+  *    (`HttpMetricNamesHandler`)
+  *  - `GET /v2.0/:tenant/events/getEvents?from&until&tags`
+  *    (`HttpEventsQueryHandler.java:29-75`)
+  *
+  * Ingest status semantics (`HttpMetricsIngestionHandler.java:134-238`):
+  * all records valid → 200; SOME invalid → the valid ones persist and the
+  * response is 207 Multi-Status with a per-record `{"errors": [{tenantId,
+  * metricName, source, message, timestamp}…]}` array (`ErrorResponse
+  * .java`); ALL invalid → 400 with the same array; unparseable body → 400.
+  * Invalid rows additionally land in the store's errors sink, so the
+  * response and the audit trail cannot disagree.
+  *
+  * Timestamps in `from`/`to`/`until` accept the engine's full Graphite
+  * datetime grammar ([[graft.core.DateTimeParser]]) — plain numbers are
+  * epoch SECONDS, the Graphite convention.
+  *
+  * Scale note: this is the single-node serving veneer (the reference's
+  * Netty handlers are the same shape); the DATA plane underneath is the
+  * distributed engine, and bulk ingest at 100 TB enters through the
+  * Structured Streaming sources, not per-request POSTs. */
+final class MetricsHttpServer(spark: SparkSession, storeDir: String,
+    port: Int = 0, maxAgeMs: Long = 3L * 3600 * 1000,
+    maxFutureMs: Long = 10L * 60 * 1000,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  import MetricsHttpServer._
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val batchId = new AtomicLong(nowMs())
+
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      val method = ex.getRequestMethod
+      (segs.toList, method) match {
+        case ("v2.0" :: tenant :: "ingest" :: rest, "POST")
+            if rest.isEmpty || rest == List("multi") =>
+          ingest(ex, tenant, scoped = rest.nonEmpty)
+        case ("v2.0" :: tenant :: "ingest" :: "aggregated" :: rest, "POST")
+            if rest.isEmpty || rest == List("multi") =>
+          ingestAggregated(ex, tenant, multi = rest.nonEmpty)
+        case ("v2.0" :: tenant :: "events" :: Nil, "POST") =>
+          ingestEvent(ex, tenant)
+        case ("v2.0" :: tenant :: "views" :: name :: Nil, "GET") =>
+          views(ex, tenant, Seq(name))
+        case ("v2.0" :: tenant :: "views" :: Nil, "POST") =>
+          val names = parseStringArray(readBody(ex))
+          if (names.isEmpty)
+            sendJson(ex, 400, errJson("body must be a JSON array of metric names"))
+          else views(ex, tenant, names.get)
+        case ("v2.0" :: tenant :: "metrics" :: "search" :: Nil, "GET") =>
+          metricsSearch(ex, tenant)
+        case ("v2.0" :: tenant :: "metric_name" :: "search" :: Nil, "GET") =>
+          metricNameSearch(ex, tenant)
+        case ("v2.0" :: tenant :: "events" :: "getEvents" :: Nil, "GET") =>
+          getEvents(ex, tenant)
+        case (_, m) if m != "GET" && m != "POST" =>
+          sendJson(ex, 405, errJson("method not allowed"))
+        case _ =>
+          sendJson(ex, 404, errJson("unknown route"))
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        sendJson(ex, 400, errJson(Option(e.getMessage).getOrElse("bad request")))
+      case e: Throwable =>
+        sendJson(ex, 500, errJson(Option(e.getMessage).getOrElse("internal error")))
+    } finally ex.close()
+  }
+
+  // ---- ingest ------------------------------------------------------------
+
+  /** Reference wire shape → canonical engine lines, SPARK-side: the body
+    * array parses once with `metricValue` as a VARIANT so the original
+    * JSON type survives (a quoted "007" stays a string metric, exactly the
+    * reference's Object-typed routing, Metric.java:38-61), then each
+    * record re-renders as one canonical JSON line for
+    * [[IngestStream.parseJsonTyped]]. */
+  private def ingest(ex: HttpExchange, tenant: String, scoped: Boolean): Unit = {
+    val body = readBody(ex)
+    val lines =
+      try {
+        import spark.implicits._
+        val recs = Seq(body).toDF("body")
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "array<struct<tenantId:string, metricName:string, " +
+                "metricValue:variant, collectionTime:bigint, " +
+                "ttlInSeconds:int, unit:string>>"))).as("r"))
+        recs.select(to_json(struct(
+          (if (scoped) coalesce(col("r.tenantId"), lit(tenant))
+           else lit(tenant)).as("tenant_id"),
+          col("r.metricName").as("metric_name"),
+          col("r.collectionTime").as("ts_ms"),
+          col("r.metricValue").as("value"),
+          col("r.ttlInSeconds").as("ttl_seconds"),
+          col("r.unit").as("unit"))).as("value"))
+      } catch {
+        case _: Throwable =>
+          sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
+    val parsed = IngestStream.parseJsonTyped(lines)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (parsed.isEmpty) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
+      val now = nowMs()
+      val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
+        Some(maxAgeMs), Some(maxFutureMs), now)
+      val errors = ingestErrorRows(parsed, lo, hi)
+      val nTotal = parsed.count()
+      if (errors.length.toLong == nTotal) {
+        sendJson(ex, 400, errorsJson(errors)); return
+      }
+      IngestStream.processTypedBatch(parsed, storeDir,
+        batchId.incrementAndGet(), lo, hi)
+      if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
+      else sendJson(ex, 200, """{}""")
+    } finally parsed.unpersist()
+  }
+
+  /** First failing constraint per invalid record — the reference's
+    * bean-validation error array (`JSONMetric.java:24-41` constraints;
+    * per-record array shape `ErrorResponse.java`). Bounded by the request
+    * body, never by the store. */
+  private def ingestErrorRows(parsed: DataFrame, lo: Long,
+      hi: Long): Array[(String, String, String, String, Option[Long])] = {
+    val src = when(col("metric_name").isNull ||
+        length(col("metric_name")) === 0, lit("metricName"))
+      .when(col("value").isNull ||
+        (!col("is_string_typed") && !col("is_bool") &&
+          col("value_num").isNull), lit("metricValue"))
+      .when(col("ts_ms").isNull || !col("ts_ms").between(lo, hi),
+        lit("collectionTime"))
+      .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
+        lit("ttlInSeconds"))
+    parsed.withColumn("__src", src)
+      .filter(col("__src").isNotNull)
+      .select("tenant_id", "metric_name", "ts_ms", "__src")
+      .collect()
+      .map { r =>
+        val source = r.getString(3)
+        val msg = source match {
+          case "metricName" => "may not be empty"
+          case "metricValue" => "is not a valid number"
+          case "collectionTime" =>
+            s"out of bounds: must be within [$lo, $hi]"
+          case _ => "must be positive"
+        }
+        (Option(r.getString(0)).getOrElse(""),
+          Option(r.getString(1)).getOrElse(""), source, msg,
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }
+  }
+
+  private def ingestAggregated(ex: HttpExchange, tenant: String,
+      multi: Boolean): Unit = {
+    val body = readBody(ex)
+    import spark.implicits._
+    // single payload or an array of payloads — one line each for the
+    // engine's statsd parser
+    val lines0 = if (multi) parseJsonObjects(body) else Some(Seq(body))
+    val lines = lines0 match {
+      case Some(ls) if ls.nonEmpty => ls
+      case _ => sendJson(ex, 400, errJson("Cannot parse content")); return
+    }
+    val parsed = graft.operators.Preaggregated
+      .fromAggregatedJson(lines.toDF("value"))
+      // the single-tenant route scopes every record to the path tenant
+      .withColumn("tenant_id",
+        if (multi) coalesce(col("tenant_id"), lit(tenant)) else lit(tenant))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (parsed.isEmpty) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
+      val now = nowMs()
+      val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
+        Some(maxAgeMs), Some(maxFutureMs), now)
+      val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
+      val bad = parsed.filter(!inWindow)
+        .select("tenant_id", "metric_name", "ts_ms").collect()
+        .map(r => (Option(r.getString(0)).getOrElse(""),
+          Option(r.getString(1)).getOrElse(""), "timestamp",
+          s"out of bounds: must be within [$lo, $hi]",
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val nTotal = parsed.count()
+      if (bad.length.toLong == nTotal) {
+        sendJson(ex, 400, errorsJson(bad)); return
+      }
+      IngestStream.processAggregatedBatch(parsed, storeDir,
+        batchId.incrementAndGet(), cascade = true, lo, hi)
+      if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
+      else sendJson(ex, 200, """{}""")
+    } finally parsed.unpersist()
+  }
+
+  private def ingestEvent(ex: HttpExchange, tenant: String): Unit = {
+    val body = readBody(ex)
+    import spark.implicits._
+    // reference event fields (Event.java): what/when/data/tags → the
+    // engine's event store columns
+    val lines = Seq(body).toDF("body")
+      .select(from_json(col("body"), org.apache.spark.sql.types.DataType
+        .fromDDL("struct<what:string, when:bigint, data:string, tags:string>"))
+        .as("e"))
+      .select(to_json(struct(
+        lit(tenant).as("tenant_id"),
+        abs(xxhash64(col("e.what"), col("e.when"), coalesce(col("e.data"),
+          lit("")))).as("event_id"),
+        col("e.when").as("ts_ms"),
+        col("e.what").as("event_type"),
+        lit(null).cast("double").as("value"),
+        concat_ws(" ", coalesce(col("e.data"), lit("")),
+          coalesce(col("e.tags"), lit(""))).as("props"))).as("value"))
+    val parsed = IngestStream.parseEventsJson(lines)
+    val now = nowMs()
+    val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
+      Some(maxAgeMs), Some(maxFutureMs), now)
+    val validated = IngestStream.withEventValidity(parsed, lo, hi)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (validated.isEmpty || !validated.filter(!col("valid")).isEmpty) {
+        sendJson(ex, 400, errJson("invalid event")); return
+      }
+      IngestStream.processEventsBatch(validated, storeDir,
+        batchId.incrementAndGet())
+      sendJson(ex, 200, """{}""")
+    } finally validated.unpersist()
+  }
+
+  // ---- query -------------------------------------------------------------
+
+  /** Kind-routed stored read — the reference resolves each locator's
+    * rollup_type from the metadata cache and reads the matching column
+    * family (`MetricsRWDelegator.java:79-113`); here the exact metric
+    * names probe the preagg/string catalogs and fall back to basic. A
+    * multi-name request joins the names into one `{a,b}` glob (the
+    * engine's GlobPattern supports alternation), keeping the read ONE
+    * library call under the O2 batch cap. */
+  private def views(ex: HttpExchange, tenant: String,
+      names: Seq[String]): Unit = {
+    val q = queryParams(ex)
+    val (from, to) = (q.get("from"), q.get("to")) match {
+      case (Some(f), Some(t)) => (f, t)
+      case _ => sendJson(ex, 400, errJson("from and to are required")); return
+    }
+    val points = q.get("points").map(_.toInt)
+    val resolution = q.get("resolution").map(r =>
+      Granularity.all.find(_.name.equalsIgnoreCase(r)).getOrElse(
+        throw new IllegalArgumentException(s"unknown resolution '$r'")))
+    val select = q.get("select").toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+    if (points.isEmpty == resolution.isEmpty) {
+      sendJson(ex, 400, errJson("exactly one of points= or resolution= required"))
+      return
+    }
+    val glob =
+      if (names.size == 1) names.head
+      else s"{${names.mkString(",")}}"
+    val p = MetricsQueryApi.Params(tenant, glob, from, to, points,
+      resolution, select)
+    val now = nowMs()
+    val kind = routeKind(tenant, names)
+    val frame = kind match {
+      case "string" =>
+        MetricsQueryApi.getStringPoints(spark, storeDir, p, now)
+      case "basic" =>
+        MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
+      case k =>
+        MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
+    }
+    sendJson(ex, 200, MetricsQueryApi.toJsonResponse(frame))
+  }
+
+  /** The family a views read routes to: probe the preagg catalog (kind is
+    * its own rollup_type), then the string store, else basic. Exact-name
+    * probes over tiny distinct catalogs — the facade's analog of the
+    * reference's metadata-cache lookup. */
+  private def routeKind(tenant: String, names: Seq[String]): String = {
+    val nameCol = col("metric_name").isin(names: _*) &&
+      col("tenant_id") === tenant
+    if (IngestStream.hasParquetData(spark, s"$storeDir/preagg_raw")) {
+      val kinds = spark.read.parquet(s"$storeDir/preagg_raw")
+        .filter(nameCol).select("kind").distinct().collect()
+        .map(_.getString(0))
+      if (kinds.length == 1) return kinds.head
+      if (kinds.length > 1) throw new IllegalArgumentException(
+        "metrics span multiple pre-aggregated kinds; query them separately")
+    }
+    if (IngestStream.hasParquetData(spark, s"$storeDir/metrics_string") &&
+      !spark.read.parquet(s"$storeDir/metrics_string").filter(nameCol).isEmpty)
+      "string"
+    else "basic"
+  }
+
+  private def metricsSearch(ex: HttpExchange, tenant: String): Unit = {
+    val q = queryParams(ex).get("query") match {
+      case Some(v) => v
+      case None => sendJson(ex, 400, errJson("query= is required")); return
+    }
+    val rows = Discovery.globSearch(
+        MetricsQueryApi.storeCatalog(spark, storeDir), tenant, q)
+      .collect()
+    val body = rows.map(r =>
+      s"""{"metric": ${jStr(r.getString(0))}, "unit": ${jStr(
+        Option(r.getString(1)).getOrElse("unknown"))}}""").mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
+  }
+
+  private def metricNameSearch(ex: HttpExchange, tenant: String): Unit = {
+    val q = queryParams(ex).get("query") match {
+      case Some(v) => v
+      case None => sendJson(ex, 400, errJson("query= is required")); return
+    }
+    val rows = Discovery.metricNameBrowse(
+        MetricsQueryApi.storeCatalog(spark, storeDir), tenant, q)
+      .collect()
+    val body = rows.map(r =>
+      s"""{${jStr(r.getString(0))}: ${r.getBoolean(1)}}""")
+      .mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
+  }
+
+  private def getEvents(ex: HttpExchange, tenant: String): Unit = {
+    val q = queryParams(ex)
+    val now = nowMs()
+    val fromMs = q.get("from").map(graft.core.DateTimeParser.parseMillis(_, now))
+      .getOrElse(0L)
+    val untilMs = q.get("until").map(graft.core.DateTimeParser.parseMillis(_, now))
+      .getOrElse(now)
+    val tags = q.getOrElse("tags", "")
+    if (!IngestStream.hasParquetData(spark, s"$storeDir/events")) {
+      sendJson(ex, 200, "[]"); return
+    }
+    val rows = Discovery.eventSearch(
+        IngestStream.eventsStore(spark, storeDir)
+          .filter(col("tenant_id") === tenant),
+        fromMs, untilMs, java.util.regex.Pattern.quote(tags))
+      .collect()
+    val body = rows.map { r =>
+      val props = r.getAs[String]("props")
+      s"""{"what": ${jStr(r.getAs[String]("event_type"))}, """ +
+        s""""when": ${r.getAs[Long]("ts_ms")}, """ +
+        s""""data": ${jStr(Option(props).getOrElse(""))}}"""
+    }.mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
+  }
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}
+
+object MetricsHttpServer {
+
+  /** `{"errors": [...]}` — the reference's per-record error array
+    * (`ErrorResponse.java`: tenantId/metricName/source/message/timestamp). */
+  private[http] def errorsJson(
+      errs: Seq[(String, String, String, String, Option[Long])]): String =
+    errs.map { case (t, m, src, msg, ts) =>
+      s"""{"tenantId": ${jStr(t)}, "metricName": ${jStr(m)}, """ +
+        s""""source": ${jStr(src)}, "message": ${jStr(msg)}, """ +
+        s""""timestamp": ${ts.map(_.toString).getOrElse("null")}}"""
+    }.mkString("""{"errors": [""", ", ", "]}")
+
+  private[http] def errJson(msg: String): String =
+    s"""{"errors": [{"message": ${jStr(msg)}}]}"""
+
+  private[http] def jStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Minimal JSON string-array reader for the multi-views body (names are
+    * metric identifiers — quoted strings with standard escapes). */
+  private[http] def parseStringArray(body: String): Option[Seq[String]] = {
+    val t = body.trim
+    if (!t.startsWith("[") || !t.endsWith("]")) return None
+    val inner = t.substring(1, t.length - 1).trim
+    if (inner.isEmpty) return Some(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    var ok = true
+    while (i < inner.length && ok) {
+      val c = inner.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < inner.length) {
+          sb.append(inner.charAt(i + 1)); i += 1
+        } else if (c == '"') {
+          out += sb.toString; sb.clear(); inStr = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inStr = true
+        case ',' | ' ' | '\t' | '\n' | '\r' => // separators
+        case _ => ok = false
+      }
+      i += 1
+    }
+    if (ok && !inStr) Some(out.toSeq) else None
+  }
+
+  /** Split a JSON array of OBJECTS into per-object strings (multi
+    * aggregated payloads) — depth-tracked, string-aware. */
+  private[http] def parseJsonObjects(body: String): Option[Seq[String]] = {
+    val t = body.trim
+    if (!t.startsWith("[") || !t.endsWith("]")) return None
+    val inner = t.substring(1, t.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = -1
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += inner.substring(start, i + 1); start = -1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth == 0 && !inStr) Some(out.toSeq) else None
+  }
+}

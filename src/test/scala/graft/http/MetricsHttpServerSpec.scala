@@ -1,0 +1,187 @@
+package graft.http
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** The REST facade — reference route/status/shape parity over the library
+  * API: ingest returns per-record error arrays (200/207/400 exactly like
+  * HttpMetricsIngestionHandler), views serve the stored read kind-routed,
+  * discovery and events round-trip. */
+class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+  private val now = 1704067200000L // 2024-01-01 00:00 UTC, injectable clock
+
+  private def startServer(): (MetricsHttpServer, String, String) = {
+    val store = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val srv = new MetricsHttpServer(spark, store, nowMs = () => now)
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.boundPort}", store)
+  }
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build(), HttpResponse.BodyHandlers.ofString())
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("ingest -> views round trip; status codes and per-record errors " +
+    "match the reference contract") {
+    val (srv, base, store) = startServer()
+    try {
+      // all-valid batch -> 200, persisted
+      val t0 = now - 600000L
+      val ok = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "app.req.count", "metricValue": 12.5,
+           |  "collectionTime": $t0, "ttlInSeconds": 172800, "unit": "req"},
+           | {"metricName": "app.req.count", "metricValue": 14.0,
+           |  "collectionTime": ${t0 + 60000}, "ttlInSeconds": 172800,
+           |  "unit": "req"},
+           | {"metricName": "app.mode", "metricValue": "active",
+           |  "collectionTime": $t0, "unit": "state"}]""".stripMargin)
+      assert(ok.statusCode() === 200, ok.body())
+      // numeric landed in the rollup store, string in the string store
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 2)
+      assert(spark.read.parquet(s"$store/metrics_string").count() === 1)
+
+      // FULL-resolution read returns the raw points via the wire shape
+      val view = get(s"$base/v2.0/acme/views/app.req.count" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
+      assert(view.statusCode() === 200, view.body())
+      assert(view.body().contains(""""metric": "app.req.count""""))
+      assert(view.body().contains(s""""timestamp": $t0"""))
+      // string metric serves quoted raw values
+      val sview = get(s"$base/v2.0/acme/views/app.mode" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
+      assert(sview.statusCode() === 200, sview.body())
+      assert(sview.body().contains(""""value": "active""""), sview.body())
+
+      // mixed batch -> 207 with the error array; the valid record persists
+      val mixed = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "app.req.count", "metricValue": 20.0,
+           |  "collectionTime": ${t0 + 120000}},
+           | {"metricName": "", "metricValue": 1.0, "collectionTime": $t0},
+           | {"metricName": "app.stale", "metricValue": 2.0,
+           |  "collectionTime": ${now - 100L * 86400000L}}]""".stripMargin)
+      assert(mixed.statusCode() === 207, mixed.body())
+      assert(mixed.body().contains(""""source": "metricName""""))
+      assert(mixed.body().contains(""""source": "collectionTime""""))
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 3)
+      // the rejects are ALSO in the audit sink
+      assert(spark.read.parquet(s"$store/metrics_errors").count() === 2)
+
+      // all-invalid -> 400; nothing persisted
+      val bad = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "", "metricValue": 1.0, "collectionTime": $t0}]""")
+      assert(bad.statusCode() === 400, bad.body())
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 3)
+
+      // unparseable body -> 400
+      assert(post(s"$base/v2.0/acme/ingest", "not json").statusCode() === 400)
+
+      // unknown route -> 404; wrong method -> 405
+      assert(get(s"$base/v2.0/acme/nope").statusCode() === 404)
+      assert(post(s"$base/v2.0/acme/views/app.req.count?from=0&to=1&points=1",
+        "x").statusCode() === 404)
+    } finally srv.stop()
+  }
+
+  test("multi-tenant ingest scopes per record; multi-views POST batches " +
+    "names into one read") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 600000L
+      val r = post(s"$base/v2.0/ignored/ingest/multi",
+        s"""[{"tenantId": "a", "metricName": "m.one", "metricValue": 1.0,
+           |  "collectionTime": $t0},
+           | {"tenantId": "b", "metricName": "m.two", "metricValue": 2.0,
+           |  "collectionTime": $t0}]""".stripMargin)
+      assert(r.statusCode() === 200, r.body())
+      val viewA = get(s"$base/v2.0/a/views/m.one" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
+      assert(viewA.body().contains(""""metric": "m.one""""), viewA.body())
+      // tenant b cannot see tenant a's metric (P4)
+      val viewCross = get(s"$base/v2.0/b/views/m.one" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
+      assert(!viewCross.body().contains(""""values": [{"""), viewCross.body())
+      // multi-views body
+      post(s"$base/v2.0/a/ingest",
+        s"""[{"metricName": "m.three", "metricValue": 3.0,
+           |  "collectionTime": $t0}]""".stripMargin)
+      val multi = post(s"$base/v2.0/a/views?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=full",
+        """["m.one", "m.three"]""")
+      assert(multi.statusCode() === 200, multi.body())
+      assert(multi.body().contains(""""metric": "m.one""""))
+      assert(multi.body().contains(""""metric": "m.three""""))
+    } finally srv.stop()
+  }
+
+  test("aggregated statsd ingest routes to the preagg ladder and serves " +
+    "kind-routed views") {
+    val (srv, base, store) = startServer()
+    try {
+      val t0 = now - 300000L
+      val payload =
+        s"""{"tenantId": "acme", "timestamp": $t0, "flushInterval": 10000,
+           | "counters": [{"name": "hits", "value": 42.0, "rate": 4.2}],
+           | "gauges": [{"name": "depth", "latest": 7.5}]}""".stripMargin
+      val r = post(s"$base/v2.0/acme/ingest/aggregated", payload)
+      assert(r.statusCode() === 200, r.body())
+      assert(spark.read.parquet(s"$store/preagg_raw").count() >= 2)
+      // kind-routed read: counter family default stats (numPoints, sum)
+      val view = get(s"$base/v2.0/acme/views/hits" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full&select=sum")
+      assert(view.statusCode() === 200, view.body())
+      assert(view.body().contains(""""sum_v": 42.0"""), view.body())
+      // stale flush -> 400 with a timestamp error
+      val stale = post(s"$base/v2.0/acme/ingest/aggregated",
+        s"""{"tenantId": "acme", "timestamp": ${now - 100L * 86400000L},
+           | "counters": [{"name": "old", "value": 1.0, "rate": 0.1}]}""".stripMargin)
+      assert(stale.statusCode() === 400, stale.body())
+      assert(stale.body().contains(""""source": "timestamp""""))
+    } finally srv.stop()
+  }
+
+  test("discovery + events endpoints round-trip") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 600000L
+      post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "app.req.count", "metricValue": 1.0,
+           |  "collectionTime": $t0, "unit": "req"},
+           | {"metricName": "app.req.errors", "metricValue": 2.0,
+           |  "collectionTime": $t0, "unit": "req"},
+           | {"metricName": "db.conn.open", "metricValue": 3.0,
+           |  "collectionTime": $t0}]""".stripMargin)
+      val search = get(s"$base/v2.0/acme/metrics/search?query=app.req.*")
+      assert(search.statusCode() === 200)
+      assert(search.body().contains(""""metric": "app.req.count""""))
+      assert(search.body().contains(""""metric": "app.req.errors""""))
+      assert(!search.body().contains("db.conn.open"))
+      // token browse: next level under app.*
+      val browse = get(s"$base/v2.0/acme/metric_name/search?query=app.*")
+      assert(browse.statusCode() === 200)
+      assert(browse.body().contains(""""app.req": false"""), browse.body())
+      // events: ingest then search by tag
+      val ev = post(s"$base/v2.0/acme/events",
+        s"""{"what": "deploy", "when": $t0, "data": "build 42",
+           | "tags": "release"}""".stripMargin)
+      assert(ev.statusCode() === 200, ev.body())
+      val found = get(s"$base/v2.0/acme/events/getEvents" +
+        s"?from=${t0 / 1000 - 10}&until=${now / 1000}&tags=release")
+      assert(found.statusCode() === 200)
+      assert(found.body().contains(""""what": "deploy""""), found.body())
+      val miss = get(s"$base/v2.0/acme/events/getEvents" +
+        s"?from=${t0 / 1000 - 10}&until=${now / 1000}&tags=hotfix")
+      assert(!miss.body().contains("deploy"))
+    } finally srv.stop()
+  }
+}
