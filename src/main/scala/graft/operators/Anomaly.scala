@@ -27,6 +27,18 @@ case class EwmaState(rn: Int, s: Double, d: Double, lastTs: Long)
 case class SeriesPoint(tenant_id: String, metric_name: String,
     ts_ms: Long, value: Double)
 
+/** Per-series Holt-Winters state for the streaming band scorer — O(season)
+  * per series (level, trend, and the two per-phase circular arrays). */
+case class HwState(rn: Int, l: Double, b: Double, seas: List[Double],
+    dev: List[Double], lastTs: Long)
+
+/** A band-scored point emitted by the streaming Holt-Winters scorer — the
+  * streaming twin of [[Anomaly.holtWintersBands]]'s output row. */
+case class HwPoint(tenant_id: String, metric_name: String, ts_ms: Long,
+    value: Double, rn: Int, level: Double, trend: Double, seasonal: Double,
+    dev: Double, forecast: Option[Double], dev_used: Option[Double],
+    upper: Option[Double], lower: Option[Double], is_aberrant: Boolean)
+
 /** A band-scored point emitted by the streaming EWMA scorer — the
   * streaming twin of [[Anomaly.ewmaBands]]'s output row. */
 case class EwmaPoint(tenant_id: String, metric_name: String, ts_ms: Long,
@@ -248,6 +260,102 @@ object Anomaly {
         col("rn") > minPoints && col("dev_used") > 0 &&
           abs(col("value") - col("forecast")) > lit(k) * col("dev_used"),
         lit(false)))
+  }
+
+  /** STREAMING Holt-Winters band scorer — the alerting twin of
+    * [[holtWintersBands]], completing the family ([[streamingEwmaBands]]
+    * is the single-smoothing sibling): every arriving point is judged
+    * against its series' pre-update (forecast, seasonal deviation) state
+    * and emitted immediately (append mode), then folded in. State is
+    * O(season) per series — level, trend, and the two per-phase arrays —
+    * still constant in STREAM LENGTH, the property that matters online.
+    *
+    * Identical recurrence, op order, and flag condition as the batch
+    * operator (the [[graft.functions.HwScan]] scaladoc recurrence with the
+    * same precomputed complements), points folded in (ts, value) order
+    * within each micro-batch — bit-identical to [[holtWintersBands]] on
+    * in-order feeds. PHASE IS ARRIVAL-ORDINAL (i mod season), exactly like
+    * the batch scan, so feed a regular-cadence rollup stream; a point
+    * older than the last folded timestamp is SKIPPED (no retroactive
+    * folding — the [[streamingEwmaBands]] discipline, with the batch
+    * operator over the stored points as the exhaustive pass). A series
+    * quiet for `stateTtlMs` of event time drops its state and restarts at
+    * rn = 1. */
+  def streamingHoltWintersBands(points: DataFrame, season: Int,
+      alpha: Double = 0.1, beta: Double = 0.0035, gamma: Double = 0.1,
+      k: Double = 3.0, minPoints: Int = 0,
+      watermarkDelay: String = "0 seconds",
+      stateTtlMs: Long = 86400000L): Dataset[HwPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1], got $gamma")
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(k > 0, s"k must be positive, got $k")
+    require(minPoints >= 0, s"minPoints must be >= 0, got $minPoints")
+    require(stateTtlMs > 0, s"stateTtlMs must be positive, got $stateTtlMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        timestamp_millis(col("ts_ms").cast("long")).as("ets"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ets", watermarkDelay)
+      .as[AnomalyEv]
+      .groupByKey(e => (e.tenant_id, e.metric_name))
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        hwScoreBatch(season, alpha, beta, gamma, k, minPoints, stateTtlMs))
+  }
+
+  private def hwScoreBatch(season: Int, alpha: Double, bt: Double,
+      g: Double, k: Double, minPoints: Int, stateTtlMs: Long)(
+      key: (String, String), batch: Iterator[AnomalyEv],
+      state: GroupState[HwState]): Iterator[HwPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (ia, ib, ig) = (1.0 - alpha, 1.0 - bt, 1.0 - g)
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[HwPoint]
+      for (e <- batch.toSeq.sortBy(e => (e.ets.getTime, e.value))) {
+        val t = e.ets.getTime
+        val x = e.value
+        st match {
+          case None =>
+            val seas = List.fill(season)(0.0)
+            val dev = List.fill(season)(0.0)
+            // i = 0: l = x, b = 0; seasonal/dev update to exactly 0.0 (the
+            // HwScan cold-start identity), phase 0 entry rotates through
+            out += HwPoint(key._1, key._2, t, x, 1, x, 0.0, 0.0, 0.0,
+              None, None, None, None, is_aberrant = false)
+            st = Some(HwState(1, x, 0.0, seas.tail :+ 0.0, dev.tail :+ 0.0, t))
+          case Some(HwState(rn, l, b, seas, dev, lastTs)) =>
+            if (t >= lastTs) { // late points skip: no retroactive folding
+              val spre = seas.head
+              val dpre = dev.head
+              val f = l + b + spre
+              val lN = alpha * (x - spre) + ia * (l + b)
+              val bN = bt * (lN - l) + ib * b
+              val sN = g * (x - lN) + ig * spre
+              val dN = g * math.abs(x - f) + ig * dpre
+              val rn2 = rn + 1
+              out += HwPoint(key._1, key._2, t, x, rn2, lN, bN, sN, dN,
+                Some(f), Some(dpre), Some(f + k * dpre), Some(f - k * dpre),
+                is_aberrant =
+                  rn2 > minPoints && dpre > 0 && math.abs(x - f) > k * dpre)
+              st = Some(HwState(rn2, lN, bN, seas.tail :+ sN, dev.tail :+ dN, t))
+            }
+        }
+      }
+      st.foreach { v =>
+        state.update(v)
+        state.setTimeoutTimestamp(math.max(
+          v.lastTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
   }
 
   /** UNBOUNDED twin of [[ewmaBands]] — identical output (the recurrence

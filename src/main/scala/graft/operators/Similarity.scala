@@ -317,6 +317,87 @@ object Similarity {
     writeIvfAssignments(corpus, path, loadIvfCentroids(spark, path), batchId)
   }
 
+  /** Fold an appended ANN index's accumulated `batch_id=` dirs into one —
+    * [[graft.operators.TextScoring.compactTextIndex]]'s maintenance
+    * discipline for [[appendIvfIndex]]/[[appendPqIndex]] artifacts: at
+    * scale the DIR COUNT, not bytes, becomes the listing cost of every
+    * probe. Unlike the text index there is no stats subtree, so ONE
+    * atomic rename is the whole commit — the manifest (at the index root,
+    * `_compact_<sub>_manifest`) exists to make the post-rename original
+    * deletes recoverable. `sub` is `"assignments"` (re-partitioned by
+    * cell, preserving probe pruning) or `"codes"` (flat). Serving is
+    * row-identical by construction. Prior compactions (id ≥
+    * [[Retention.CompactIdBase]]) never re-fold; the newest small dir is
+    * spared unless `assumeQuiesced`. Returns the new batch id, or None
+    * when fewer than `minBatchDirs` foldable dirs exist. Run
+    * [[recoverAnnCompaction]] (or this, which runs it first) before
+    * serving after a crash. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String, minBatchDirs: Int = 2,
+      assumeQuiesced: Boolean = false): Option[Long] = {
+    require(sub == "assignments" || sub == "codes",
+      s"sub must be 'assignments' or 'codes', got '$sub'")
+    require(minBatchDirs >= 2, s"minBatchDirs must be >= 2, got $minBatchDirs")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/$sub")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    recoverAnnCompaction(spark, path, sub)
+    val all = fs.globStatus(new Path(root, "batch_id=*")).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+      .sorted
+    val small0 = all.filter(_ < Retention.CompactIdBase)
+    val small =
+      if (assumeQuiesced || small0.isEmpty) small0 else small0.init
+    if (small.size < minBatchDirs) return None
+    val newId = math.max(Retention.CompactIdBase, all.max + 1)
+    val manifest = new Path(path, s"_compact_${sub}_manifest")
+    val out = fs.create(manifest, true)
+    out.write((newId +: small.map(id => s"batch_id=$id"))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val tmp = new Path(root, s".compact_tmp_$newId")
+    val folded = spark.read.option("basePath", root.toString)
+      .parquet(small.map(id => s"$root/batch_id=$id"): _*)
+      .drop("batch_id")
+    val w =
+      if (sub == "assignments")
+        folded.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+      else folded.write.mode("overwrite")
+    w.parquet(tmp.toString)
+    // COMMIT POINT — one rename, atomic on a real filesystem
+    require(fs.rename(tmp, new Path(root, s"batch_id=$newId")),
+      s"compaction rename failed: $tmp")
+    small.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+    fs.delete(manifest, false)
+    Some(newId)
+  }
+
+  /** Finish or undo a crashed [[compactAnnIndex]]: the new dir having
+    * landed means committed (→ delete the listed originals); otherwise
+    * drop the temp. Manifest consumed either way; no-op without one. */
+  def recoverAnnCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(path, s"_compact_${sub}_manifest")
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    lines match {
+      case idLine :: oldDirs if idLine.toLongOption.isDefined =>
+        val newId = idLine.toLong
+        if (fs.exists(new Path(s"$path/$sub/batch_id=$newId")))
+          oldDirs.foreach(d => fs.delete(new Path(s"$path/$sub/$d"), true))
+        else fs.delete(new Path(s"$path/$sub/.compact_tmp_$newId"), true)
+      case _ => // unreadable manifest: nothing destructive without a plan
+    }
+    fs.delete(manifest, false)
+  }
+
   /** Sampled recall-drift probe for a persisted IVF index: the fraction of
     * the EXACT top-k (computed over the index's own stored embeddings — no
     * external corpus needed) that the probed serve path reproduces,

@@ -247,6 +247,58 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(streamed(("a", base + 60000L))._8)
   }
 
+  test("streaming Holt-Winters equals the batch operator across " +
+    "micro-batches; off-phase spike flagged on arrival; late point skipped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val season = 6
+    val rows = (0 until 60).flatMap { i =>
+      Seq("a", "b").map { m =>
+        val amp = if (m == "a") 50.0 else 20.0
+        val v = 100.0 + amp * math.sin(2 * math.Pi * (i % season) / season) +
+          ((i * 2654435761L) % 89).toDouble / 89.0
+        ("t", m, base + i * 60000L, v)
+      }
+    } :+ (("t", "a", base + 60 * 60000L, 700.0)) // off-phase spike, last batch
+    val mem = MemoryStream[(String, String, Long, Double)]
+    // two series share each timestamp: a batch boundary between the pair
+    // would watermark the sibling row out at delay 0 — one bucket of
+    // allowed lateness keeps it admissible (normal multi-series practice)
+    val q = Anomaly.streamingHoltWintersBands(
+        mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        season, gamma = 0.5, minPoints = season,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    rows.grouped(17).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    // a point older than the folded frontier: skipped, no output row
+    mem.addData(("t", "a", base - 5000L, 999.0))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getLong(2)) ->
+        ((r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8),
+          if (r.isNullAt(9)) null else r.getDouble(9),
+          if (r.isNullAt(10)) null else r.getDouble(10),
+          if (r.isNullAt(11)) null else r.getDouble(11),
+          if (r.isNullAt(12)) null else r.getDouble(12),
+          r.getBoolean(13)))
+    val streamed = spark.table("hw_out").collect().map(key).toMap
+    val batch = Anomaly.holtWintersBands(
+        rows.toDF("tenant_id", "metric_name", "ts_ms", "value"),
+        season, gamma = 0.5, minPoints = season)
+      .select("tenant_id", "metric_name", "ts_ms", "value", "rn", "level",
+        "trend", "seasonal", "dev", "forecast", "dev_used", "upper", "lower",
+        "is_aberrant")
+      .collect().map(key).toMap
+    assert(streamed.size === 121) // late point produced nothing
+    assert(streamed === batch)
+    // the cross-batch off-phase spike was flagged on arrival
+    assert(streamed(("a", base + 60 * 60000L))._10)
+  }
+
   /** Local reference for [[Anomaly.ewmaBands]]'s recurrence. */
   private def localEwma(xs: Seq[Double], alpha: Double)
       : Seq[(Double, Double, Option[Double], Option[Double])] = {

@@ -95,6 +95,66 @@ class IndexAppendSpec extends AnyFunSuite with SparkSuite {
     assert(stale < 0.9, s"planted drift should sag stale recall, got $stale")
   }
 
+  test("ANN index compaction: batch dirs fold to one, serving is " +
+    "row-identical, both crash halves recover") {
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val mid = emb.filter(col("vec_id") % 3 === 1)
+    val last = emb.filter(col("vec_id") % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString + "/ivf"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 === 0), path,
+      nCells = 16)
+    Similarity.appendIvfIndex(mid, path, batchId = 1L)
+    Similarity.appendIvfIndex(last, path, batchId = 2L)
+    val before = toSet(Similarity.ivfTopKFromIndex(spark, path, qs, 10))
+    val got = Similarity.compactAnnIndex(spark, path, "assignments",
+      assumeQuiesced = true)
+    assert(got === Some(Retention.CompactIdBase))
+    assert(fs.globStatus(new Path(s"$path/assignments", "batch_id=*"))
+      .map(_.getPath.getName).toSeq ===
+      Seq(s"batch_id=${Retention.CompactIdBase}"))
+    // cell partitions preserved inside the compacted dir (probe pruning)
+    assert(fs.globStatus(new Path(
+      s"$path/assignments/batch_id=${Retention.CompactIdBase}", "cell=*"))
+      .nonEmpty)
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, path, qs, 10)) === before)
+    assert(Similarity.compactAnnIndex(spark, path, "assignments",
+      assumeQuiesced = true) === None)
+    // crash ROLLBACK half: manifest present, new dir absent → temp dropped,
+    // originals intact
+    Similarity.appendIvfIndex(mid, path, batchId = 7L)
+    Similarity.appendIvfIndex(last, path, batchId = 8L)
+    val rollbackId = Retention.CompactIdBase + 1
+    fs.mkdirs(new Path(s"$path/assignments/.compact_tmp_$rollbackId"))
+    var out = fs.create(new Path(path, "_compact_assignments_manifest"), true)
+    out.write(s"$rollbackId\nbatch_id=7\nbatch_id=8".getBytes("UTF-8"))
+    out.close()
+    Similarity.recoverAnnCompaction(spark, path, "assignments")
+    assert(fs.exists(new Path(s"$path/assignments/batch_id=7")))
+    assert(!fs.exists(new Path(s"$path/assignments/.compact_tmp_$rollbackId")))
+    // crash FORWARD half: new dir landed, originals not yet deleted
+    val fwd = Similarity.compactAnnIndex(spark, path, "assignments",
+      assumeQuiesced = true)
+    assert(fwd === Some(rollbackId))
+    Similarity.appendIvfIndex(mid, path, batchId = 9L)
+    out = fs.create(new Path(path, "_compact_assignments_manifest"), true)
+    out.write(s"$rollbackId\nbatch_id=9".getBytes("UTF-8"))
+    out.close()
+    Similarity.recoverAnnCompaction(spark, path, "assignments")
+    assert(!fs.exists(new Path(s"$path/assignments/batch_id=9")),
+      "forward recovery must delete the listed originals")
+
+    // codes subtree: same discipline, flat layout
+    val pq = java.nio.file.Files.createTempDirectory("graft_pq_cmp").toString + "/pq"
+    Similarity.writePqIndex(old, pq)
+    Similarity.appendPqIndex(mid, pq, batchId = 1L)
+    val pqCorpus = emb.filter(col("vec_id") % 3 =!= 2)
+    val pqBefore = toSet(Similarity.pqTopKFromIndex(spark, pq, pqCorpus, qs, 10))
+    assert(Similarity.compactAnnIndex(spark, pq, "codes",
+      assumeQuiesced = true) === Some(Retention.CompactIdBase))
+    assert(toSet(Similarity.pqTopKFromIndex(spark, pq, pqCorpus, qs, 10))
+      === pqBefore)
+  }
+
   test("PQ append == frozen-codebook encoding of the full corpus, exactly; " +
     "probe reports a sane recall") {
     val old = emb.filter(col("vec_id") % 3 =!= 0)
