@@ -161,6 +161,55 @@ object Demo {
     graft.operators.TextScoring.phraseSearch(corpusDocs, "stream table hash", ctx = 3)
       .orderBy("doc_id", "pos").show(5, truncate = false)
 
+    println("== 17. Holt-Winters: seasonal forecast bands over hourly sums ==")
+    val hourly = pts
+      .groupBy(col("tenant_id"),
+        (col("ts_ms") - org.apache.spark.sql.functions.pmod(col("ts_ms"),
+          org.apache.spark.sql.functions.lit(3600000L))).cast("long")
+          .as("ts_ms"))
+      .agg(org.apache.spark.sql.functions.sum("value").as("value"))
+      .withColumn("metric_name",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("tenant."), col("tenant_id")))
+    graft.operators.Anomaly.holtWintersBands(hourly, season = 24,
+        gamma = 0.5, minPoints = 24)
+      .filter(col("is_aberrant"))
+      .select("metric_name", "ts_ms", "value", "forecast", "upper", "lower")
+      .show(5, truncate = false)
+
+    println("== 18. REST facade: ingest with per-record errors, then query ==")
+    val httpStore = java.nio.file.Files.createTempDirectory("graft_demo_http")
+      .toString
+    val nowFixed = 1704067200000L
+    val srv = new graft.http.MetricsHttpServer(spark, httpStore,
+      nowMs = () => nowFixed)
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val t0 = nowFixed - 600000L
+      val mixed = post("/v2.0/acme/ingest",
+        s"""[{"metricName": "app.req.count", "metricValue": 12.5,
+           |  "collectionTime": $t0, "unit": "req"},
+           | {"metricName": "", "metricValue": 1.0, "collectionTime": $t0}]"""
+          .stripMargin)
+      println(s"   POST /ingest (1 valid + 1 invalid) -> ${mixed.statusCode()}")
+      println(s"   ${mixed.body()}")
+      val view = get(s"/v2.0/acme/views/app.req.count?from=${t0 / 1000 - 10}" +
+        s"&to=${nowFixed / 1000}&resolution=full")
+      println(s"   GET /views -> ${view.statusCode()}: ${view.body().take(220)}")
+    } finally srv.stop()
+
     spark.stop()
   }
 }

@@ -70,12 +70,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val batchId = new AtomicLong(nowMs())
+  private val pool = Executors.newFixedThreadPool(4)
 
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.setExecutor(pool)
   server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+
+  /** Stop the listener AND the worker pool — the pool's threads are
+    * non-daemon, so leaving them running keeps the JVM alive after the
+    * caller is done with the server. */
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
   def boundPort: Int = server.getAddress.getPort
 
   private def handle(ex: HttpExchange): Unit = {
