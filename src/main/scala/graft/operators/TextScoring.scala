@@ -407,6 +407,61 @@ object TextScoring {
     scoreBm25(joined, k1, b, k)
   }
 
+  /** Gopher-family repetition quality signals (Rae et al. 2021, Table A1's
+    * repetition filters) — the standard curation gate for
+    * degenerate/boilerplate text that length/stopword facets miss: per
+    * document,
+    *
+    *   top-n-gram char fraction  = occurrences(most frequent n-gram) ·
+    *                               chars(n-gram) / chars(doc)
+    *   dup-n-gram char mass      = Σ over n-grams occurring ≥ 2 of
+    *                               occurrences · chars(n-gram) / chars(doc)
+    *
+    * over the engine's normalized text ([[graft.functions.TextFunctions
+    * .normalized]]). The dup signal counts OCCURRENCE MASS (every repeat
+    * occurrence's characters), not the paper's covered-character variant —
+    * mass is monotone in it, needs no per-doc interval union, and keeps the
+    * whole operator three relational aggregates (an exact covered-chars
+    * variant would compose [[Dedup]]'s interval-union machinery). Ties for
+    * the top gram break lexicographically, so every fraction is a single
+    * deterministic division of exact integers — hash-oracle-able with no
+    * snapping.
+    *
+    * Scale shape: one codegen k-gram pass + one map-side-combining
+    * (doc, gram) count per requested n — all passes independent and linear;
+    * the top-1 rank compiles to WindowGroupLimit (partitions keep local
+    * top-1); the per-n one-row-per-doc results join back on doc_id.
+    * Docs shorter than n words (no grams) score 0.0, as does a doc with no
+    * repeated n-gram. */
+  def repetitionSignals(docs: DataFrame, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
+    def gramCounts(n: Int) = docs.select(col("doc_id"),
+        explode(TF.wordKGrams(TF.words(col("text")), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("doc_id"),
+      length(TF.normalized(col("text"))).cast("double").as("__len"))
+    val tops = topNs.map { n =>
+      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+      gramCounts(n)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"),
+          (col("c") * length(col("g"))).cast("double").as(s"__top$n"))
+    }
+    val dups = dupNs.map { n =>
+      gramCounts(n).filter(col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(sum(col("c") * length(col("g"))).cast("double").as(s"__dup$n"))
+    }
+    (tops ++ dups).foldLeft(lens)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+      .select(col("doc_id") +: (
+        topNs.map(n => coalesce(col(s"__top$n") / col("__len"), lit(0.0))
+          .as(s"top${n}gram_frac")) ++
+        dupNs.map(n => coalesce(col(s"__dup$n") / col("__len"), lit(0.0))
+          .as(s"dup${n}gram_frac"))): _*)
+  }
+
   /** Fold a streamed index's accumulated `batch_id=` dirs into one
     * compacted batch per subtree — [[Retention.compactRaw]]'s maintenance
     * discipline applied to the search artifact: continuous

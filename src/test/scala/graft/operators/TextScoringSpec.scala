@@ -170,6 +170,46 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     assert(e2.getMessage.contains("stats"), e2.getMessage)
   }
 
+  test("repetitionSignals: degenerate loops score high, clean text low, " +
+    "short/no-repeat docs zero; fractions match a local census") {
+    import org.apache.spark.sql.functions.col
+    val loop = (1 to 30).map(_ => "buy cheap pills now").mkString(" ")
+    val clean = "the quick brown fox jumps over a lazy dog while nine " +
+      "crows watch from seven tall pines near the old stone bridge"
+    val docs = Seq(
+      (1L, loop), (2L, clean), (3L, "one two"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextScoring.repetitionSignals(docs, topNs = Seq(2),
+        dupNs = Seq(5)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // local census for doc 1: "pills now buy cheap" etc — compute directly
+    def census(text: String, n: Int): (Double, Double) = {
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+        .filter(_.nonEmpty)
+      val len = ws.mkString(" ").length.toDouble
+      if (ws.length < n || len == 0) return (0.0, 0.0)
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val (tg, tc) = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      val dup = counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }
+        .sum.toDouble
+      (tc * tg.length / len, dup / len)
+    }
+    for (id <- Seq(1L, 2L, 3L)) {
+      val text = Seq(loop, clean, "one two")(id.toInt - 1)
+      val (t2, _) = census(text, 2)
+      val (_, d5) = census(text, 5)
+      assert(got(id)._1 === t2, s"top2 doc $id")
+      assert(got(id)._2 === d5, s"dup5 doc $id")
+    }
+    // the degenerate loop maxes out; clean prose stays near zero
+    assert(got(1L)._2 > 0.9, s"loop dup5=${got(1L)._2}")
+    assert(got(2L)._1 < 0.2 && got(2L)._2 === 0.0, s"clean=${got(2L)}")
+    // too short for 5-grams and the empty doc: zeros, present in output
+    assert(got(3L)._2 === 0.0)
+    assert(got(4L) === ((0.0, 0.0)))
+  }
+
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
     import org.apache.spark.sql.functions.col
     // "zig zag" always adjacent and seen only together; m0 is twice as
