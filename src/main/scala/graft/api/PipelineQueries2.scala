@@ -568,10 +568,93 @@ object PipelineQueries2 {
     * argmax per round — not SQL-expressible, so rows-only here; BpeSpec
     * proves merge-by-merge equality with the reference algorithm
     * (Sennrich et al. 2016) and layout invariance. */
-  private val bpeMerges = QDef.noOracle("q_bpe_merges") { (s, dir) =>
-    graft.operators.Bpe.learnMerges(
-        Tables.load(s, dir, "documents"), nMerges = 30)
-      .orderBy("merge_rank")
+  /** BPE vocabulary induction ([[graft.operators.Bpe.learnMerges]],
+    * Sennrich ACL'16 Algorithm 1), HASH-PROVEN: the driver-paced merge
+    * loop restates as ONE DuckDB recursive CTE whose state is a single row
+    * carrying the whole symbol table as a LIST (one element per census
+    * word). Each round is pure scalar list algebra replicating the engine
+    * exactly — weighted adjacent-pair census via list comprehensions,
+    * argmax by (count DESC, l, r) as a list_reduce fold (total order, so
+    * fold order is irrelevant), and the greedy left-to-right
+    * non-overlapping merge as a single `replace()` pass over a
+    * TWO-SPACE-delimited symbol string: the match consumes one space of
+    * each double separator and the replacement restores it, so scan-
+    * continues-after-replacement is exactly [[graft.functions
+    * .BpeMergePair]]'s skip-past-merged-pair rule (symbols are [a-z0-9</>]
+    * — never a space — so token boundaries cannot be crossed). Early-stop
+    * below minCount on both sides. */
+  private val bpeMerges = {
+    val nMerges = 30
+    val minCount = 2
+    QDef(
+      "q_bpe_merges",
+      s"""WITH RECURSIVE census AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest($wsSql) AS w FROM documents
+         |  ) WHERE len(w) > 0 GROUP BY w
+         |),
+         |init AS (
+         |  SELECT list(struct_pack(
+         |    s := '  ' || array_to_string(
+         |           [w[i] for i in range(1, len(w) + 1)] || ['</w>'],
+         |           '  ') || '  ',
+         |    c := c)) AS tbl
+         |  FROM census
+         |),
+         |rec AS (
+         |  SELECT 0 AS r, tbl, CAST(NULL AS VARCHAR) AS lhs,
+         |         CAST(NULL AS VARCHAR) AS rhs,
+         |         CAST(NULL AS VARCHAR) AS merged,
+         |         CAST(NULL AS BIGINT) AS n
+         |  FROM init
+         |  UNION ALL
+         |  SELECT r + 1 AS r,
+         |         [struct_pack(
+         |            s := replace(e.s, ' ' || lhs || '  ' || rhs || ' ',
+         |                         ' ' || lhs || rhs || ' '),
+         |            c := e.c) for e in tbl] AS tbl,
+         |         lhs, rhs, lhs || rhs AS merged, n
+         |  FROM (
+         |    SELECT r, tbl, best.l AS lhs, best.r AS rhs,
+         |           CAST(best.n AS BIGINT) AS n
+         |    FROM (
+         |      SELECT r, tbl,
+         |             list_reduce(scored, (b, p) -> CASE WHEN p.n > b.n
+         |                 OR (p.n = b.n AND (p.l < b.l
+         |                     OR (p.l = b.l AND p.r < b.r)))
+         |               THEN p ELSE b END) AS best
+         |      FROM (
+         |        SELECT r, tbl,
+         |               [struct_pack(l := string_split(d, ' ')[1],
+         |                  r := string_split(d, ' ')[2],
+         |                  n := list_sum([pw.c for pw in allp
+         |                                 if pw.l || ' ' || pw.r = d]))
+         |                for d in list_distinct([p.l || ' ' || p.r
+         |                                        for p in allp])] AS scored
+         |        FROM (
+         |          SELECT r, tbl,
+         |                 flatten([
+         |                   [struct_pack(
+         |                      l := string_split(trim(e.s), '  ')[i],
+         |                      r := string_split(trim(e.s), '  ')[i + 1],
+         |                      c := e.c)
+         |                    for i in range(1,
+         |                      len(string_split(trim(e.s), '  ')))]
+         |                   for e in tbl]) AS allp
+         |          FROM rec WHERE r < $nMerges
+         |        )
+         |      ) WHERE len(scored) > 0
+         |    )
+         |  ) WHERE n >= $minCount
+         |)
+         |SELECT CAST(r AS INTEGER) AS merge_rank, lhs, rhs, merged,
+         |       n AS pair_count
+         |FROM rec WHERE r >= 1
+         |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.learnMerges(
+          Tables.load(s, dir, "documents"), nMerges = nMerges)
+        .orderBy("merge_rank")
+    }
   }
 
   /** Multinomial Naive Bayes language ID, trained on the content-hash
