@@ -347,10 +347,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       if (kinds.length > 1) throw new IllegalArgumentException(
         "metrics span multiple pre-aggregated kinds; query them separately")
     }
-    if (IngestStream.hasParquetData(spark, s"$storeDir/metrics_string") &&
-      !spark.read.parquet(s"$storeDir/metrics_string").filter(nameCol).isEmpty)
-      "string"
-    else "basic"
+    val inString =
+      IngestStream.hasParquetData(spark, s"$storeDir/metrics_string") &&
+        !spark.read.parquet(s"$storeDir/metrics_string").filter(nameCol).isEmpty
+    val inBasic =
+      IngestStream.hasParquetData(spark, s"$storeDir/metrics_full") &&
+        !spark.read.parquet(s"$storeDir/metrics_full").filter(nameCol).isEmpty
+    if (inString && inBasic) throw new IllegalArgumentException(
+      "metrics span the string and numeric families; query them separately")
+    if (inString) "string" else "basic"
   }
 
   private def metricsSearch(ex: HttpExchange, tenant: String): Unit = {

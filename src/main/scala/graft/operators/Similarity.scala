@@ -126,7 +126,16 @@ object Similarity {
   /** Shared distributed Lloyd loop: `l2 = false` assigns by max dot
     * (spherical, the IVF metric), `l2 = true` by min L2 (the PQ
     * reconstruction metric). Mean update and deterministic first-k init
-    * are common. */
+    * are common.
+    *
+    * The mean update accumulates in EXACT DECIMAL (float components carry
+    * < 8 significant decimal digits; the (28,10) snap is deterministic),
+    * so training is BIT-DETERMINISTIC under any partitioning — a plain
+    * `avg(double)` varies in the last ulp with partition order, and one
+    * flipped ulp can flip a boundary vector's cell, cascading into
+    * different centroids, assignments, and served neighbors on identical
+    * data. Every derived artifact (IVF cells, PQ codebooks, diversity
+    * strata) inherits layout-invariance from this. */
   private def lloyd(corpus: DataFrame, k: Int, iterations: Int,
       l2: Boolean): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
@@ -142,7 +151,9 @@ object Similarity {
         array_max(structs).getField("c"))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double") / count(lit(1))).as("m"))
         .collect().groupBy(_.getAs[Int]("cell"))
       centroids = centroids.indices.map { c =>
         updated.get(c) match {

@@ -462,6 +462,60 @@ object TextScoring {
           .as(s"dup${n}gram_frac"))): _*)
   }
 
+  /** PAPER-EXACT covered-character duplicated-n-gram fraction — the
+    * Rae et al. covered variant that [[repetitionSignals]]'s dup columns
+    * approximate by occurrence mass: the fraction of normalized characters
+    * lying inside AT LEAST ONE occurrence of an n-gram that occurs ≥ 2
+    * times in the document. Overlapping occurrences count their characters
+    * once — the per-doc interval-union discipline of the span-removal
+    * rewrite ([[Dedup]]'s merged-intervals shape), in character space:
+    * each duplicated-gram occurrence spans [start(first word),
+    * end(last word)); a running max-end window merges overlaps exactly
+    * (all integer arithmetic, so the single closing division is the only
+    * double — hash-oracle-able unsnapped).
+    *
+    * Scale shape: one offsets window + one gram count + two co-partitioned
+    * joins back on (doc_id, position) + one union window — everything
+    * keyed by doc_id, linear, no cross-doc shuffle beyond the counts. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TF.words(col("text"))).as(Seq("pos", "w")))
+    val wOff = Window.partitionBy("doc_id").orderBy("pos")
+    val offs = toks
+      .withColumn("start", coalesce(
+        sum(length(col("w")) + 1).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)).cast("long"),
+        lit(0L)))
+      .withColumn("end", col("start") + length(col("w")))
+    val grams = docs.select(col("doc_id"),
+      posexplode(TF.wordKGrams(TF.words(col("text")), n))
+        .as(Seq("gpos", "g")))
+    val dupOcc = grams.join(
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("doc_id", "g"),
+      Seq("doc_id", "g"))
+    val iv = dupOcc
+      .join(offs.select(col("doc_id"), col("pos").as("gpos"),
+        col("start")), Seq("doc_id", "gpos"))
+      .join(offs.select(col("doc_id"),
+        (col("pos") - (n - 1)).as("gpos"), col("end")), Seq("doc_id", "gpos"))
+    val wIv = Window.partitionBy("doc_id").orderBy(col("start"), col("end"))
+    val covered = iv
+      .withColumn("prev_max_end", coalesce(
+        max(col("end")).over(wIv.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("covered", greatest(
+        col("end") - greatest(col("start"), col("prev_max_end")), lit(0L)))
+      .groupBy("doc_id").agg(sum(col("covered")).as("cov"))
+    docs.select(col("doc_id"),
+        length(TF.normalized(col("text"))).cast("double").as("__len"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cov").cast("double") / col("__len"), lit(0.0))
+          .as(s"dup${n}gram_covered_frac"))
+  }
+
   /** Fold a streamed index's accumulated `batch_id=` dirs into one
     * compacted batch per subtree — [[Retention.compactRaw]]'s maintenance
     * discipline applied to the search artifact: continuous

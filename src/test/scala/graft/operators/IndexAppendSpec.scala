@@ -155,6 +155,23 @@ class IndexAppendSpec extends AnyFunSuite with SparkSuite {
       === pqBefore)
   }
 
+  test("k-means training is bit-deterministic under adversarial " +
+    "repartitioning (exact-decimal mean update)") {
+    val a = Similarity.trainIvfCentroids(emb, nCells = 16, iterations = 3)
+    val b = Similarity.trainIvfCentroids(emb.repartition(17),
+      nCells = 16, iterations = 3)
+    val c = Similarity.trainIvfCentroids(emb.repartition(3, col("vec_id")),
+      nCells = 16, iterations = 3)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "centroids must not depend on partition layout")
+    assert(a.map(_.toSeq).toSeq === c.map(_.toSeq).toSeq)
+    val p1 = Similarity.trainPqCodebooks(emb, dim = 64, m = 8, ksub = 16)
+    val p2 = Similarity.trainPqCodebooks(emb.repartition(13), dim = 64,
+      m = 8, ksub = 16)
+    assert(p1.map(_.map(_.toSeq).toSeq).toSeq ===
+      p2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("PQ append == frozen-codebook encoding of the full corpus, exactly; " +
     "probe reports a sane recall") {
     val old = emb.filter(col("vec_id") % 3 =!= 0)

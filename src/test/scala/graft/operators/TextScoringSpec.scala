@@ -210,6 +210,47 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     assert(got(4L) === ((0.0, 0.0)))
   }
 
+  test("dupNgramCoverage: covered chars counted ONCE under overlap; " +
+    "matches a local interval-union census; bounded by occurrence mass") {
+    import org.apache.spark.sql.functions.col
+    // "x a b c d e x a b c d e ..." : overlapping duplicated 5-grams chain
+    val loop = (1 to 8).map(_ => "alpha beta gamma delta").mkString(" ")
+    val clean = "one lonely sentence with entirely unique words here okay"
+    val docs = Seq((1L, loop), (2L, clean)).toDF("doc_id", "text")
+    val got = TextScoring.dupNgramCoverage(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local reference: exact interval union over duplicated 5-grams
+    def census(text: String): Double = {
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      val len = ws.mkString(" ").length.toDouble
+      if (ws.length < 5) return 0.0
+      val starts = ws.scanLeft(0)((a, w) => a + w.length + 1)
+      val grams = ws.sliding(5).toSeq.zipWithIndex
+        .map { case (g, i) => (g.mkString(" "), i) }
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).values.flatten
+      val ivs = dup.map { case (_, i) =>
+        (starts(i), starts(i + 4) + ws(i + 4).length)
+      }.toSeq.sorted
+      var cov = 0L
+      var maxEnd = 0L
+      for ((s, e) <- ivs) {
+        cov += math.max(0L, e - math.max(s, maxEnd))
+        maxEnd = math.max(maxEnd, e)
+      }
+      cov / len
+    }
+    assert(got(1L) === census(loop))
+    assert(got(2L) === census(clean))
+    // the fully periodic doc is (almost) fully covered; clean doc is 0
+    assert(got(1L) > 0.95, s"loop coverage=${got(1L)}")
+    assert(got(2L) === 0.0)
+    // covered ≤ occurrence mass (the repetitionSignals dup column)
+    val mass = TextScoring.repetitionSignals(docs, topNs = Seq(2),
+      dupNs = Seq(5)).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) <= mass(1L) + 1e-12)
+  }
+
   test("pmiPairs: planted collocation tops the ranking; window bound respected; gram pairs == positional join") {
     import org.apache.spark.sql.functions.col
     // "zig zag" always adjacent and seen only together; m0 is twice as
