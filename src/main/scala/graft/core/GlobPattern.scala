@@ -56,6 +56,16 @@ object GlobPattern {
   /** Anchored variant for whole-name matching via `rlike`. */
   def toAnchoredRegex(glob: String): String = "^" + toRegex(glob) + "$"
 
+  /** Escape a literal name so it matches only ITSELF under [[toRegex]] —
+    * for building globs from user-supplied exact locators (a metric
+    * literally named `lat,p99` must not become the alternation
+    * `lat|p99`). Every non-alphanumeric char is backslash-escaped; the
+    * translator forwards `\\X` verbatim and Java regex treats an escaped
+    * punctuation char as that literal. */
+  def escapeLiteral(s: String): String =
+    s.flatMap(c =>
+      if (c.isLetterOrDigit || c == '_') c.toString else s"\\$c")
+
   def matches(glob: String, s: String): Boolean =
     java.util.regex.Pattern.compile(toAnchoredRegex(glob)).matcher(s).matches()
 }

@@ -72,6 +72,20 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private val batchId = new AtomicLong(nowMs())
   private val pool = Executors.newFixedThreadPool(4)
 
+  /** Ingest writes serialize: two concurrent batches dirtying the same day
+    * would dynamic-overwrite the same 5m/preagg partitions and clobber
+    * each other's files mid-job. The reference serializes per-shard writes
+    * through its processor chain the same way; reads stay concurrent. */
+  private val writeLock = new Object
+
+  /** (tenant, metric) → family, the facade's analog of the reference's
+    * rollup_type metadata cache (MetadataCache in the ingest/read path):
+    * the family of a locator is immutable once ingested, so a cached probe
+    * never needs invalidation and views routing stays O(1) per request
+    * instead of re-scanning the stores. */
+  private val familyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   server.setExecutor(pool)
   server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
 
@@ -103,10 +117,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         case ("v2.0" :: tenant :: "views" :: name :: Nil, "GET") =>
           views(ex, tenant, Seq(name))
         case ("v2.0" :: tenant :: "views" :: Nil, "POST") =>
-          val names = parseStringArray(readBody(ex))
-          if (names.isEmpty)
-            sendJson(ex, 400, errJson("body must be a JSON array of metric names"))
-          else views(ex, tenant, names.get)
+          parseStringArray(readBody(ex)) match {
+            case None => sendJson(ex, 400,
+              errJson("body must be a JSON array of metric names"))
+            case Some(Nil) => sendJson(ex, 400,
+              errJson("at least one metric name is required"))
+            case Some(names)
+                if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
+              // the reference's O2 batch cap, HttpMultiRollupsQueryHandler
+              sendJson(ex, 400, errJson(
+                s"batch too large: ${names.size} metrics > " +
+                  s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
+            case Some(names) => views(ex, tenant, names)
+          }
         case ("v2.0" :: tenant :: "metrics" :: "search" :: Nil, "GET") =>
           metricsSearch(ex, tenant)
         case ("v2.0" :: tenant :: "metric_name" :: "search" :: Nil, "GET") =>
@@ -168,12 +191,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         Some(maxAgeMs), Some(maxFutureMs), now)
       val errors = ingestErrorRows(parsed, lo, hi)
       val nTotal = parsed.count()
-      if (errors.length.toLong == nTotal) {
-        sendJson(ex, 400, errorsJson(errors)); return
+      // the batch processes even when EVERY record is invalid: the errors
+      // sink must hold the rejects the response reports (the documented
+      // response==audit-trail contract), and processTypedBatch writes no
+      // data rows for an all-invalid batch
+      writeLock.synchronized {
+        IngestStream.processTypedBatch(parsed, storeDir,
+          batchId.incrementAndGet(), lo, hi)
       }
-      IngestStream.processTypedBatch(parsed, storeDir,
-        batchId.incrementAndGet(), lo, hi)
-      if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
+      if (errors.length.toLong == nTotal) sendJson(ex, 400, errorsJson(errors))
+      else if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
       else sendJson(ex, 200, """{}""")
     } finally parsed.unpersist()
   }
@@ -244,12 +271,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           s"out of bounds: must be within [$lo, $hi]",
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
       val nTotal = parsed.count()
-      if (bad.length.toLong == nTotal) {
-        sendJson(ex, 400, errorsJson(bad)); return
+      writeLock.synchronized {
+        IngestStream.processAggregatedBatch(parsed, storeDir,
+          batchId.incrementAndGet(), cascade = true, lo, hi)
       }
-      IngestStream.processAggregatedBatch(parsed, storeDir,
-        batchId.incrementAndGet(), cascade = true, lo, hi)
-      if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
+      if (bad.length.toLong == nTotal) sendJson(ex, 400, errorsJson(bad))
+      else if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
       else sendJson(ex, 200, """{}""")
     } finally parsed.unpersist()
   }
@@ -282,8 +309,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       if (validated.isEmpty || !validated.filter(!col("valid")).isEmpty) {
         sendJson(ex, 400, errJson("invalid event")); return
       }
-      IngestStream.processEventsBatch(validated, storeDir,
-        batchId.incrementAndGet())
+      writeLock.synchronized {
+        IngestStream.processEventsBatch(validated, storeDir,
+          batchId.incrementAndGet())
+      }
       sendJson(ex, 200, """{}""")
     } finally validated.unpersist()
   }
@@ -314,9 +343,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       sendJson(ex, 400, errJson("exactly one of points= or resolution= required"))
       return
     }
+    // names are EXACT locators here, never patterns: escape them so a
+    // metric literally named "lat,p99" or "a*b" resolves to itself, not to
+    // an alternation / wildcard over other tenants' luck
+    val esc = names.map(graft.core.GlobPattern.escapeLiteral)
     val glob =
-      if (names.size == 1) names.head
-      else s"{${names.mkString(",")}}"
+      if (esc.size == 1) esc.head
+      else s"{${esc.mkString(",")}}"
     val p = MetricsQueryApi.Params(tenant, glob, from, to, points,
       resolution, select)
     val now = nowMs()
@@ -332,30 +365,48 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     sendJson(ex, 200, MetricsQueryApi.toJsonResponse(frame))
   }
 
-  /** The family a views read routes to: probe the preagg catalog (kind is
-    * its own rollup_type), then the string store, else basic. Exact-name
-    * probes over tiny distinct catalogs — the facade's analog of the
-    * reference's metadata-cache lookup. */
+  /** The family a views read routes to — the facade's analog of the
+    * reference's rollup_type metadata cache: a locator's family resolves
+    * by store probe ONCE and is cached (families are immutable once
+    * ingested). A request mixing families fails loud — the reference
+    * serves each locator from its own column family; a single library
+    * call cannot, and silently dropping the minority family would be a
+    * lying 200. */
   private def routeKind(tenant: String, names: Seq[String]): String = {
-    val nameCol = col("metric_name").isin(names: _*) &&
-      col("tenant_id") === tenant
+    val fams = names.flatMap { n =>
+      val k = (tenant, n)
+      Option(familyCache.get(k)).orElse {
+        val f = probeFamily(tenant, n)
+        // only KNOWN locators cache — a never-ingested name may arrive
+        // later under any family and must not be pinned by an early probe
+        f.foreach(familyCache.put(k, _))
+        f
+      }
+    }.distinct
+    if (fams.size > 1) throw new IllegalArgumentException(
+      s"metrics span families (${fams.mkString(", ")}); query them separately")
+    // unknown locators ride along with the known family (they serve empty
+    // downstream, as in the reference); all-unknown requests read basic
+    fams.headOption.getOrElse("basic")
+  }
+
+  /** One store probe for one locator: preagg kinds first (kind = its own
+    * rollup_type), then the string store, then basic; None for a locator
+    * no store knows. */
+  private def probeFamily(tenant: String, name: String): Option[String] = {
+    val nameCol = col("metric_name") === name && col("tenant_id") === tenant
     if (IngestStream.hasParquetData(spark, s"$storeDir/preagg_raw")) {
       val kinds = spark.read.parquet(s"$storeDir/preagg_raw")
         .filter(nameCol).select("kind").distinct().collect()
         .map(_.getString(0))
-      if (kinds.length == 1) return kinds.head
-      if (kinds.length > 1) throw new IllegalArgumentException(
-        "metrics span multiple pre-aggregated kinds; query them separately")
+      if (kinds.length >= 1) return Some(kinds.min)
     }
-    val inString =
-      IngestStream.hasParquetData(spark, s"$storeDir/metrics_string") &&
-        !spark.read.parquet(s"$storeDir/metrics_string").filter(nameCol).isEmpty
-    val inBasic =
-      IngestStream.hasParquetData(spark, s"$storeDir/metrics_full") &&
-        !spark.read.parquet(s"$storeDir/metrics_full").filter(nameCol).isEmpty
-    if (inString && inBasic) throw new IllegalArgumentException(
-      "metrics span the string and numeric families; query them separately")
-    if (inString) "string" else "basic"
+    def nonEmptyIn(table: String): Boolean =
+      IngestStream.hasParquetData(spark, s"$storeDir/$table") &&
+        !spark.read.parquet(s"$storeDir/$table").filter(nameCol).isEmpty
+    if (nonEmptyIn("metrics_string")) Some("string")
+    else if (nonEmptyIn("metrics_full")) Some("basic")
+    else None
   }
 
   private def metricsSearch(ex: HttpExchange, tenant: String): Unit = {

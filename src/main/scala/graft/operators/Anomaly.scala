@@ -145,10 +145,14 @@ object Anomaly {
     *
     * The bounded-series contract is ENFORCED, not just documented: a
     * series longer than `maxPointsPerSeries` fails the job with a
-    * descriptive error instead of silently collecting an OOM-sized array
-    * into one task. Callers on unbounded raw history use
-    * [[ewmaBandsSegmented]] (identical output, O(1) task memory) or the
-    * O(1)-state [[streamingEwmaBands]]. */
+    * descriptive error instead of silently violating the contract. The
+    * check necessarily runs AFTER collect_list materializes the array, so
+    * it upgrades the failure mode in the band where collection survives;
+    * a series so large that the collection buffer itself OOMs still dies
+    * opaquely — which is why the real unbounded answers are
+    * [[ewmaBandsSegmented]] (identical output, O(1) task memory) and the
+    * O(1)-state [[streamingEwmaBands]], and the guard exists to catch the
+    * misuse early rather than to make it safe. */
   def ewmaBands(points: DataFrame, alpha: Double = 0.3, k: Double = 3.0,
       minPoints: Int = 5, maxPointsPerSeries: Int = 1 << 20): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -212,8 +216,12 @@ object Anomaly {
     * rn > minPoints ∧ d⁻ > 0 ∧ |value − forecast| > k·d⁻.
     *
     * Same scale shape and ENFORCED bounded-series contract as
-    * [[ewmaBands]]: one groupBy shuffle, the sequential fold in codegen
-    * over each collected series, maxPointsPerSeries failing loud. Input
+    * [[ewmaBands]] (including its caveat: the size check runs after
+    * collection, so it catches misuse early rather than making unbounded
+    * input safe — [[streamingHoltWintersBands]] is the O(season)-state
+    * unbounded answer): one groupBy shuffle, the sequential fold in
+    * codegen over each collected series, maxPointsPerSeries failing loud.
+    * Input
     * buckets must arrive at a REGULAR cadence for phases to mean anything
     * — feed a rollup tier (gaps shift every later phase, as in any
     * positional seasonal model). */

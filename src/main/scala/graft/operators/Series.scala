@@ -537,9 +537,11 @@ object Series {
     * rollup tiers; for raw corpora beyond that, [[downsampleTriangle]]'s
     * centroid-anchored form is the scale path and this is its quality
     * reference. The render-sized contract is ENFORCED: a series longer
-    * than `maxPointsPerSeries` fails with a descriptive error instead of
-    * collecting an OOM-sized array into one task (an LTTB input is a
-    * chart query by definition — an unbounded one is a caller bug).
+    * than `maxPointsPerSeries` fails with a descriptive error (the check
+    * runs after collection, so it converts contract violations into loud
+    * failures where collection survives; an LTTB input is a chart query
+    * by definition — an unbounded one is a caller bug, and
+    * [[downsampleTriangle]] is the scale path).
     * Null-valued points are dropped BEFORE the scan (the
     * expression's whole-array-null contract would otherwise erase the
     * entire series over one bad point). Output: the selected points

@@ -267,11 +267,10 @@ object Similarity {
       centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    for (sub <- Seq("centroids", "assignments")) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      p.getFileSystem(conf).delete(p, true)
-    }
+    // train FIRST: Lloyd is the failure-prone phase, and an interrupted
+    // rebuild must leave the standing index serveable. Only then truncate
+    // the assignments subtree (so batches appended by appendIvfIndex can
+    // never stale-serve next to the fresh batch 0) and write.
     val cents = centroids.getOrElse {
       val trainSet =
         if (trainFraction >= 1.0) corpus
@@ -281,6 +280,9 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val aPath = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(aPath, true)
     writeIvfAssignments(corpus, path, cents, batchId = 0L)
   }
 
@@ -788,11 +790,7 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    for (sub <- Seq("codebooks", "codes")) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      p.getFileSystem(conf).delete(p, true)
-    }
+    // train-first / truncate-late, the writeIvfIndex rebuild discipline
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed)
@@ -801,6 +799,9 @@ object Similarity {
       sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(cPath, true)
     writePqCodes(corpus, path, cb, batchId = 0L)
   }
 

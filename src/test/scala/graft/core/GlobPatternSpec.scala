@@ -45,4 +45,21 @@ class GlobPatternSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GlobPattern.toRegex("a[bc"))
     intercept[IllegalArgumentException](GlobPattern.toRegex("a{b,c"))
   }
+
+  test("escapeLiteral: metachar-bearing names match only themselves") {
+    for (name <- Seq("lat,p99", "a*b", "q?x", "m{1,2}", "s[0]", "a!b",
+        "c^d", "back\\slash", "app.req.count")) {
+      val esc = GlobPattern.escapeLiteral(name)
+      assert(GlobPattern.matches(esc, name), s"$name must match itself")
+      assert(!GlobPattern.matches(esc, name + "x"))
+      assert(!GlobPattern.matches(s"{$esc,other}", "lat"),
+        "escaped comma must not split into alternatives")
+    }
+    // and inside a brace group built from escaped names
+    val g = s"{${GlobPattern.escapeLiteral("lat,p99")},${GlobPattern.escapeLiteral("x")}}"
+    assert(GlobPattern.matches(g, "lat,p99"))
+    assert(GlobPattern.matches(g, "x"))
+    assert(!GlobPattern.matches(g, "lat"))
+    assert(!GlobPattern.matches(g, "p99"))
+  }
 }

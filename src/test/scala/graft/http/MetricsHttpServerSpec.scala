@@ -150,6 +150,52 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("review hardening: empty/oversized multi-views 400; glob metachars " +
+    "in names stay literal; mixed families fail loud; all-invalid ingest " +
+    "still writes the audit sink") {
+    val (srv, base, store) = startServer()
+    try {
+      val t0 = now - 600000L
+      // a metric whose NAME contains glob metacharacters must resolve to
+      // itself, never to an alternation over other metrics
+      post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "lat,p99", "metricValue": 1.5,
+           |  "collectionTime": $t0},
+           | {"metricName": "lat", "metricValue": 99.0,
+           |  "collectionTime": $t0},
+           | {"metricName": "p99", "metricValue": 77.0,
+           |  "collectionTime": $t0}]""".stripMargin)
+      val v = get(s"$base/v2.0/acme/views/lat,p99" +
+        s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
+      assert(v.statusCode() === 200, v.body())
+      assert(v.body().contains(""""metric": "lat,p99""""), v.body())
+      assert(!v.body().contains(""""metric": "lat""") ||
+        !v.body().contains("99.0"), v.body())
+      // empty multi-views body and an oversized batch both 400
+      assert(post(s"$base/v2.0/acme/views?from=0&to=1&points=1", "[]")
+        .statusCode() === 400)
+      val big = (1 to 101).map(i => s""""m$i"""").mkString("[", ",", "]")
+      val capped = post(s"$base/v2.0/acme/views?from=0&to=1&points=1", big)
+      assert(capped.statusCode() === 400, capped.body())
+      assert(capped.body().contains("batch too large"))
+      // mixed families in one request fail loud instead of dropping data
+      post(s"$base/v2.0/acme/ingest/aggregated",
+        s"""{"tenantId": "acme", "timestamp": $t0,
+           | "counters": [{"name": "hits", "value": 1.0, "rate": 0.1}]}"""
+          .stripMargin)
+      val mixed = post(s"$base/v2.0/acme/views?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=full", """["hits", "lat"]""")
+      assert(mixed.statusCode() === 400, mixed.body())
+      assert(mixed.body().contains("families"), mixed.body())
+      // all-invalid ingest: 400 AND the rejects land in the audit sink
+      val bad = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "", "metricValue": 1.0, "collectionTime": $t0}]""")
+      assert(bad.statusCode() === 400)
+      assert(spark.read.parquet(s"$store/metrics_errors").count() >= 1,
+        "the 400 response's rejects must also be in the errors sink")
+    } finally srv.stop()
+  }
+
   test("discovery + events endpoints round-trip") {
     val (srv, base, _) = startServer()
     try {
