@@ -59,12 +59,16 @@ object GlobPattern {
   /** Escape a literal name so it matches only ITSELF under [[toRegex]] —
     * for building globs from user-supplied exact locators (a metric
     * literally named `lat,p99` must not become the alternation
-    * `lat|p99`). Every non-alphanumeric char is backslash-escaped; the
-    * translator forwards `\\X` verbatim and Java regex treats an escaped
-    * punctuation char as that literal. */
+    * `lat|p99`). Only ASCII punctuation is escaped: every glob
+    * metacharacter is ASCII, and chars ≥ 0x80 must pass through UNTOUCHED
+    * — escaping them would split surrogate pairs (a `\\` before each half
+    * of an astral-plane char builds a regex that can never match the
+    * original name). The translator forwards `\\X` verbatim and Java
+    * regex treats an escaped punctuation char as that literal. */
   def escapeLiteral(s: String): String =
     s.flatMap(c =>
-      if (c.isLetterOrDigit || c == '_') c.toString else s"\\$c")
+      if (c.isLetterOrDigit || c == '_' || c >= 0x80) c.toString
+      else s"\\$c")
 
   def matches(glob: String, s: String): Boolean =
     java.util.regex.Pattern.compile(toAnchoredRegex(glob)).matcher(s).matches()

@@ -70,7 +70,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val batchId = new AtomicLong(nowMs())
-  private val pool = Executors.newFixedThreadPool(4)
+  private val pool = Executors.newFixedThreadPool(8)
 
   /** Ingest writes serialize: two concurrent batches dirtying the same day
     * would dynamic-overwrite the same 5m/preagg partitions and clobber
@@ -80,9 +80,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   /** (tenant, metric) → family, the facade's analog of the reference's
     * rollup_type metadata cache (MetadataCache in the ingest/read path):
-    * the family of a locator is immutable once ingested, so a cached probe
-    * never needs invalidation and views routing stays O(1) per request
-    * instead of re-scanning the stores. */
+    * views routing stays O(1) per request between writes instead of
+    * re-scanning the stores. Families are NOT assumed immutable — every
+    * ingest through this server clears the cache (writes serialize, so
+    * the clear is cheap and racy probes cannot outlive the data they
+    * observed); external writers feeding the same store should bounce the
+    * facade or accept eventual re-probe on its next ingest. */
   private val familyCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -198,6 +201,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       writeLock.synchronized {
         IngestStream.processTypedBatch(parsed, storeDir,
           batchId.incrementAndGet(), lo, hi)
+        familyCache.clear() // new data may give a locator its first family
       }
       if (errors.length.toLong == nTotal) sendJson(ex, 400, errorsJson(errors))
       else if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
@@ -274,6 +278,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       writeLock.synchronized {
         IngestStream.processAggregatedBatch(parsed, storeDir,
           batchId.incrementAndGet(), cascade = true, lo, hi)
+        familyCache.clear()
       }
       if (bad.length.toLong == nTotal) sendJson(ex, 400, errorsJson(bad))
       else if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
@@ -373,16 +378,24 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * call cannot, and silently dropping the minority family would be a
     * lying 200. */
   private def routeKind(tenant: String, names: Seq[String]): String = {
-    val fams = names.flatMap { n =>
-      val k = (tenant, n)
-      Option(familyCache.get(k)).orElse {
-        val f = probeFamily(tenant, n)
-        // only KNOWN locators cache — a never-ingested name may arrive
-        // later under any family and must not be pinned by an early probe
-        f.foreach(familyCache.put(k, _))
-        f
-      }
-    }.distinct
+    val cached = names.flatMap(n =>
+      Option(familyCache.get((tenant, n))).map(n -> _)).toMap
+    val missing = names.filterNot(cached.contains)
+    val probed = if (missing.isEmpty) Map.empty[String, Set[String]]
+      else probeFamilies(tenant, missing)
+    // a locator living in MORE THAN ONE store is ambiguous — serving one
+    // family's rows with a 200 would silently hide the others'
+    probed.collectFirst { case (n, fs) if fs.size > 1 =>
+      throw new IllegalArgumentException(
+        s"metric '$n' has data in multiple families (${fs.mkString(", ")})" +
+          "; resolve the ingest conflict before querying")
+    }
+    val fresh = probed.collect { case (n, fs) if fs.size == 1 => n -> fs.head }
+    // only KNOWN single-family locators cache (a never-ingested name may
+    // arrive later under any family); every ingest clears the cache, so a
+    // pinned family can never outlive the data that justified it
+    fresh.foreach { case (n, f) => familyCache.put((tenant, n), f) }
+    val fams = (cached.values ++ fresh.values).toSeq.distinct
     if (fams.size > 1) throw new IllegalArgumentException(
       s"metrics span families (${fams.mkString(", ")}); query them separately")
     // unknown locators ride along with the known family (they serve empty
@@ -390,23 +403,23 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     fams.headOption.getOrElse("basic")
   }
 
-  /** One store probe for one locator: preagg kinds first (kind = its own
-    * rollup_type), then the string store, then basic; None for a locator
-    * no store knows. */
-  private def probeFamily(tenant: String, name: String): Option[String] = {
-    val nameCol = col("metric_name") === name && col("tenant_id") === tenant
-    if (IngestStream.hasParquetData(spark, s"$storeDir/preagg_raw")) {
-      val kinds = spark.read.parquet(s"$storeDir/preagg_raw")
-        .filter(nameCol).select("kind").distinct().collect()
-        .map(_.getString(0))
-      if (kinds.length >= 1) return Some(kinds.min)
-    }
-    def nonEmptyIn(table: String): Boolean =
-      IngestStream.hasParquetData(spark, s"$storeDir/$table") &&
-        !spark.read.parquet(s"$storeDir/$table").filter(nameCol).isEmpty
-    if (nonEmptyIn("metrics_string")) Some("string")
-    else if (nonEmptyIn("metrics_full")) Some("basic")
-    else None
+  /** ONE batched probe for all uncached locators: ≤ 3 scans total (isin
+    * pushdown over preagg_raw / metrics_string / metrics_full), returning
+    * EVERY family each name has data in — multi-membership is the
+    * caller's ambiguity signal, not silently collapsed. */
+  private def probeFamilies(tenant: String,
+      names: Seq[String]): Map[String, Set[String]] = {
+    val nameCol = col("metric_name").isin(names: _*) &&
+      col("tenant_id") === tenant
+    def hits(table: String, famCol: org.apache.spark.sql.Column) =
+      if (!IngestStream.hasParquetData(spark, s"$storeDir/$table")) Nil
+      else spark.read.parquet(s"$storeDir/$table").filter(nameCol)
+        .select(col("metric_name"), famCol.as("fam")).distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    val all = hits("preagg_raw", col("kind")) ++
+      hits("metrics_string", lit("string")) ++
+      hits("metrics_full", lit("basic"))
+    all.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
   }
 
   private def metricsSearch(ex: HttpExchange, tenant: String): Unit = {

@@ -268,22 +268,25 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // train FIRST: Lloyd is the failure-prone phase, and an interrupted
-    // rebuild must leave the standing index serveable. Only then truncate
-    // the assignments subtree (so batches appended by appendIvfIndex can
-    // never stale-serve next to the fresh batch 0) and write.
+    // rebuild must leave the standing index serveable. The destructive
+    // phase (model overwrite + assignments truncation + rewrite) cannot
+    // be atomic across two subtrees, and a crash inside it would pair a
+    // new model with stale rows — a SILENTLY-wrong index. The rebuild
+    // marker converts that window to a loud failure: readers and appends
+    // refuse while it exists, and only the completed rebuild removes it.
     val cents = centroids.getOrElse {
       val trainSet =
         if (trainFraction >= 1.0) corpus
         else corpus.sample(withReplacement = false, trainFraction, seed)
       trainIvfCentroids(trainSet, nCells, iterations)
     }
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val aPath = new org.apache.hadoop.fs.Path(s"$path/assignments")
-    aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(aPath, true)
-    writeIvfAssignments(corpus, path, cents, batchId = 0L)
+    withRebuildMarker(spark, path) {
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      deleteSubtree(spark, s"$path/assignments")
+      writeIvfAssignments(corpus, path, cents, batchId = 0L)
+    }
   }
 
   private def writeIvfAssignments(corpus: DataFrame, path: String,
@@ -293,12 +296,51 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments/batch_id=$batchId")
 
+  private val RebuildMarker = "_REBUILD_IN_PROGRESS"
+
+  /** Run the destructive phase of an index rebuild under a marker file:
+    * present ⇒ the model and the row artifact may be from DIFFERENT
+    * builds, so [[requireNotRebuilding]] fails serving/appends loud
+    * instead of letting a crash window serve silently-wrong neighbors.
+    * The marker is removed only when the phase completes. */
+  private def withRebuildMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String)(body: => Unit): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, RebuildMarker)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
+    body
+    fs.delete(m, false)
+  }
+
+  /** Loud-failure guard for a crashed rebuild (see [[withRebuildMarker]]). */
+  private def requireNotRebuilding(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, RebuildMarker)
+    if (m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m))
+      throw new IllegalStateException(
+        s"index at $path has an interrupted rebuild (marker $RebuildMarker)" +
+          " — its model and rows may disagree; rerun the rebuild")
+  }
+
+  /** Delete an artifact subtree, FAILING when the filesystem declines —
+    * a swallowed false return would leave stale batch dirs serving next
+    * to the fresh rebuild. */
+  private def deleteSubtree(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      require(fs.delete(p, true), s"failed to delete $path during rebuild")
+  }
+
   /** The persisted centroid model, driver-side (nCells × dim — tiny). */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Array[Double]] =
+      path: String): Array[Array[Double]] = {
+    requireNotRebuilding(spark, path)
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell").select("centroid").collect()
       .map(_.getSeq[Double](0).toArray)
+  }
 
   /** Fold a corpus batch into an EXISTING IVF index — the
     * [[graft.operators.TextScoring.appendTextIndex]] lifecycle for ANN:
@@ -790,19 +832,21 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // train-first / truncate-late, the writeIvfIndex rebuild discipline
+    // train-first / marker-guarded destructive phase, the writeIvfIndex
+    // rebuild discipline (a new-codebooks/stale-codes pairing decodes to
+    // outright wrong distances — the marker makes the window loud)
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed)
     val cb = trainPqCodebooks(trainSet, dim, m, ksub, iterations)
-    cb.zipWithIndex.flatMap { case (sub, j) =>
-      sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
-    }.toSeq.toDF("sub", "code", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    val cPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(cPath, true)
-    writePqCodes(corpus, path, cb, batchId = 0L)
+    withRebuildMarker(spark, path) {
+      cb.zipWithIndex.flatMap { case (sub, j) =>
+        sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+      }.toSeq.toDF("sub", "code", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      deleteSubtree(spark, s"$path/codes")
+      writePqCodes(corpus, path, cb, batchId = 0L)
+    }
   }
 
   private def writePqCodes(corpus: DataFrame, path: String,
@@ -814,12 +858,14 @@ object Similarity {
 
   /** The persisted codebooks, driver-side ([m][ksub][dsub] — tiny). */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Array[Array[Double]]] =
+      path: String): Array[Array[Array[Double]]] = {
+    requireNotRebuilding(spark, path)
     spark.read.parquet(s"$path/codebooks")
       .orderBy("sub", "code").collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
       .toArray
+  }
 
   /** Fold a corpus batch into an EXISTING PQ index — encode under the
     * FROZEN codebooks into the batch's own `codes/batch_id=N` dir

@@ -48,13 +48,14 @@ class GlobPatternSpec extends AnyFunSuite {
 
   test("escapeLiteral: metachar-bearing names match only themselves") {
     for (name <- Seq("lat,p99", "a*b", "q?x", "m{1,2}", "s[0]", "a!b",
-        "c^d", "back\\slash", "app.req.count")) {
+        "c^d", "back\\slash", "app.req.count", "caf\u00e9.\ud83d\ude00")) {
       val esc = GlobPattern.escapeLiteral(name)
       assert(GlobPattern.matches(esc, name), s"$name must match itself")
       assert(!GlobPattern.matches(esc, name + "x"))
-      assert(!GlobPattern.matches(s"{$esc,other}", "lat"),
-        "escaped comma must not split into alternatives")
     }
+    // wildcards stay literal: "a*b" must not match "aXXb"
+    assert(!GlobPattern.matches(GlobPattern.escapeLiteral("a*b"), "aXXb"))
+    assert(!GlobPattern.matches(GlobPattern.escapeLiteral("q?x"), "qZx"))
     // and inside a brace group built from escaped names
     val g = s"{${GlobPattern.escapeLiteral("lat,p99")},${GlobPattern.escapeLiteral("x")}}"
     assert(GlobPattern.matches(g, "lat,p99"))

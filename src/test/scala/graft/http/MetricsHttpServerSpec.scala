@@ -169,8 +169,9 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         s"?from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full")
       assert(v.statusCode() === 200, v.body())
       assert(v.body().contains(""""metric": "lat,p99""""), v.body())
-      assert(!v.body().contains(""""metric": "lat""") ||
-        !v.body().contains("99.0"), v.body())
+      // exactly ONE metric in the response: neither "lat" nor "p99" leaked
+      // in through a comma-split alternation
+      assert("\"metric\": ".r.findAllIn(v.body()).length === 1, v.body())
       // empty multi-views body and an oversized batch both 400
       assert(post(s"$base/v2.0/acme/views?from=0&to=1&points=1", "[]")
         .statusCode() === 400)

@@ -155,6 +155,28 @@ class IndexAppendSpec extends AnyFunSuite with SparkSuite {
       === pqBefore)
   }
 
+  test("interrupted rebuild fails serving and appends LOUD (marker left " +
+    "behind), and a completed rebuild clears it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_mk").toString + "/ivf"
+    Similarity.writeIvfIndex(emb, path, nCells = 8)
+    assert(!fs.exists(new Path(path, "_REBUILD_IN_PROGRESS")),
+      "completed rebuild must clear its marker")
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, path, qs, 5)).nonEmpty)
+    // simulate a crash inside the destructive phase: marker present means
+    // model and rows may be from different builds — never serve silently
+    fs.create(new Path(path, "_REBUILD_IN_PROGRESS"), true).close()
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKFromIndex(spark, path, qs, 5)
+    }
+    assert(e.getMessage.contains("interrupted rebuild"), e.getMessage)
+    intercept[IllegalStateException] {
+      Similarity.appendIvfIndex(emb.limit(5), path, batchId = 9L)
+    }
+    // a rerun of the rebuild repairs and clears
+    Similarity.writeIvfIndex(emb, path, nCells = 8)
+    assert(toSet(Similarity.ivfTopKFromIndex(spark, path, qs, 5)).nonEmpty)
+  }
+
   test("k-means training is bit-deterministic under adversarial " +
     "repartitioning (exact-decimal mean update)") {
     val a = Similarity.trainIvfCentroids(emb, nCells = 16, iterations = 3)
