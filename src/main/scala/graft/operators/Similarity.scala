@@ -135,7 +135,9 @@ object Similarity {
     * flipped ulp can flip a boundary vector's cell, cascading into
     * different centroids, assignments, and served neighbors on identical
     * data. Every derived artifact (IVF cells, PQ codebooks, diversity
-    * strata) inherits layout-invariance from this. */
+    * strata) inherits layout-invariance from this. Measured cost on the
+    * gate corpus: ~0.4-1.0 s per inline-training query (3-run medians) —
+    * bit-determinism of a persisted index is worth more than the ulp. */
   private def lloyd(corpus: DataFrame, k: Int, iterations: Int,
       l2: Boolean): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
