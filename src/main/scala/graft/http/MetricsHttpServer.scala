@@ -82,15 +82,27 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * rollup_type metadata cache (MetadataCache in the ingest/read path):
     * views routing stays O(1) per request between writes instead of
     * re-scanning the stores. Families are NOT assumed immutable — every
-    * ingest through this server clears the cache (writes serialize, so
-    * the clear is cheap and racy probes cannot outlive the data they
-    * observed); external writers feeding the same store should bounce the
-    * facade or accept eventual re-probe on its next ingest. */
+    * ingest through this server clears the cache AND bumps
+    * [[storeGeneration]] (both inside [[writeLock]]); a probe only caches
+    * its result if the generation is unchanged under the lock, so a probe
+    * that read the pre-ingest store can never re-insert a stale entry
+    * after the clear. External writers feeding the same store should
+    * bounce the facade or accept eventual re-probe on its next ingest. */
   private val familyCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Bumped (under [[writeLock]]) by every ingest that can change what a
+    * store probe would observe — the cache-coherence fence for
+    * [[routeKind]]'s probe-then-put. */
+  private val storeGeneration = new AtomicLong(0L)
+
   server.setExecutor(pool)
   server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
+  // operational counters (reference: Instrumentation.java meters, exposed
+  // through its JMX/graphite reporters) — out-of-band of the /v2.0 API
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    try sendJson(ex, 200, graft.core.Instrumentation.global.snapshotJson())
+    finally ex.close())
 
   def start(): Unit = server.start()
 
@@ -104,7 +116,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** Whether THIS exchange already sent a response — tracked per worker
+    * thread (handlers are synchronous, one exchange per thread at a time);
+    * HttpExchange.setAttribute would NOT work here: the JDK shares the
+    * attribute map across all exchanges of the context, so one response
+    * would mark every later request as already-sent. */
+  private val sentFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   private def handle(ex: HttpExchange): Unit = {
+    sentFlag.set(java.lang.Boolean.FALSE)
     try {
       val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       val method = ex.getRequestMethod
@@ -145,10 +167,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           sendJson(ex, 404, errJson("unknown route"))
       }
     } catch {
+      // IAE carries OUR validation messages (routeKind/param checks) — safe
+      // to echo. Anything else is an internal failure: clients get a
+      // generic body (raw Spark/Hadoop messages can leak filesystem paths),
+      // the real exception goes to the server log. If a handler already
+      // responded before throwing, don't attempt a second send.
       case e: IllegalArgumentException =>
-        sendJson(ex, 400, errJson(Option(e.getMessage).getOrElse("bad request")))
+        if (!responseSent(ex))
+          sendJson(ex, 400, errJson(Option(e.getMessage).getOrElse("bad request")))
       case e: Throwable =>
-        sendJson(ex, 500, errJson(Option(e.getMessage).getOrElse("internal error")))
+        System.err.println(s"[MetricsHttpServer] 500 on " +
+          s"${ex.getRequestMethod} ${ex.getRequestURI}: $e")
+        if (!responseSent(ex)) sendJson(ex, 500, errJson("internal error"))
     } finally ex.close()
   }
 
@@ -202,6 +232,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         IngestStream.processTypedBatch(parsed, storeDir,
           batchId.incrementAndGet(), lo, hi)
         familyCache.clear() // new data may give a locator its first family
+        storeGeneration.incrementAndGet()
       }
       if (errors.length.toLong == nTotal) sendJson(ex, 400, errorsJson(errors))
       else if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
@@ -279,6 +310,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         IngestStream.processAggregatedBatch(parsed, storeDir,
           batchId.incrementAndGet(), cascade = true, lo, hi)
         familyCache.clear()
+        storeGeneration.incrementAndGet()
       }
       if (bad.length.toLong == nTotal) sendJson(ex, 400, errorsJson(bad))
       else if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
@@ -381,6 +413,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val cached = names.flatMap(n =>
       Option(familyCache.get((tenant, n))).map(n -> _)).toMap
     val missing = names.filterNot(cached.contains)
+    // snapshot BEFORE probing: results only cache if no ingest bumped the
+    // generation between the probe's store read and the put (checked under
+    // writeLock, where every bump happens) — a stale probe finishing after
+    // an ingest's clear must not re-insert what it observed pre-ingest
+    val genAtProbe = storeGeneration.get()
     val probed = if (missing.isEmpty) Map.empty[String, Set[String]]
       else probeFamilies(tenant, missing)
     // a locator living in MORE THAN ONE store is ambiguous — serving one
@@ -392,9 +429,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     }
     val fresh = probed.collect { case (n, fs) if fs.size == 1 => n -> fs.head }
     // only KNOWN single-family locators cache (a never-ingested name may
-    // arrive later under any family); every ingest clears the cache, so a
-    // pinned family can never outlive the data that justified it
-    fresh.foreach { case (n, f) => familyCache.put((tenant, n), f) }
+    // arrive later under any family); the generation re-check closes the
+    // probe/clear race the plain clear-on-ingest protocol left open
+    if (fresh.nonEmpty) writeLock.synchronized {
+      if (storeGeneration.get() == genAtProbe)
+        fresh.foreach { case (n, f) => familyCache.put((tenant, n), f) }
+    }
     val fams = (cached.values ++ fresh.values).toSeq.distinct
     if (fams.size > 1) throw new IllegalArgumentException(
       s"metrics span families (${fams.mkString(", ")}); query them separately")
@@ -403,23 +443,36 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     fams.headOption.getOrElse("basic")
   }
 
-  /** ONE batched probe for all uncached locators: ≤ 3 scans total (isin
-    * pushdown over preagg_raw / metrics_string / metrics_full), returning
-    * EVERY family each name has data in — multi-membership is the
-    * caller's ambiguity signal, not silently collapsed. */
+  /** ONE batched probe for all uncached locators, against the persisted
+    * catalog dimension the ingest path maintains ([[IngestStream
+    * .metricCatalog]] — the reference's metrics_metadata CF): a metadata
+    * read of O(distinct locators) rows, never a data-table scan, returning
+    * EVERY family each name is known under — multi-membership is the
+    * caller's ambiguity signal, not silently collapsed. Stores predating
+    * the catalog fall back to probing the raw tables themselves (isin
+    * pushdown over preagg_raw / metrics_string / metrics_full — correct,
+    * but three table scans at 100 TB, which is exactly why the catalog
+    * exists). */
   private def probeFamilies(tenant: String,
       names: Seq[String]): Map[String, Set[String]] = {
     val nameCol = col("metric_name").isin(names: _*) &&
       col("tenant_id") === tenant
-    def hits(table: String, famCol: org.apache.spark.sql.Column) =
-      if (!IngestStream.hasParquetData(spark, s"$storeDir/$table")) Nil
-      else spark.read.parquet(s"$storeDir/$table").filter(nameCol)
-        .select(col("metric_name"), famCol.as("fam")).distinct()
-        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
-    val all = hits("preagg_raw", col("kind")) ++
-      hits("metrics_string", lit("string")) ++
-      hits("metrics_full", lit("basic"))
-    all.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+    IngestStream.metricCatalog(spark, storeDir) match {
+      case Some(catalog) =>
+        catalog.filter(nameCol).select("metric_name", "family")
+          .collect().map(r => r.getString(0) -> r.getString(1))
+          .groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+      case None =>
+        def hits(table: String, famCol: org.apache.spark.sql.Column) =
+          if (!IngestStream.hasParquetData(spark, s"$storeDir/$table")) Nil
+          else spark.read.parquet(s"$storeDir/$table").filter(nameCol)
+            .select(col("metric_name"), famCol.as("fam")).distinct()
+            .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+        val all = hits("preagg_raw", col("kind")) ++
+          hits("metrics_string", lit("string")) ++
+          hits("metrics_full", lit("basic"))
+        all.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+    }
   }
 
   private def metricsSearch(ex: HttpExchange, tenant: String): Unit = {
@@ -490,9 +543,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         }
       }.toMap
 
+  private def responseSent(ex: HttpExchange): Boolean =
+    sentFlag.get().booleanValue()
+
   private def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    // mark BEFORE the headers go out: a failure mid-send must still count
+    // as "responded" so the catch-all never double-sends
+    sentFlag.set(java.lang.Boolean.TRUE)
+    graft.core.Instrumentation.global.inc(s"http.responses.$status")
     ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.getResponseBody.close()
@@ -539,8 +599,28 @@ object MetricsHttpServer {
     while (i < inner.length && ok) {
       val c = inner.charAt(i)
       if (inStr) {
-        if (c == '\\' && i + 1 < inner.length) {
-          sb.append(inner.charAt(i + 1)); i += 1
+        if (c == '\\') {
+          // standard JSON escapes — appending the next char raw would turn
+          // a body name containing an escaped newline or a hex-escaped
+          // char into the LITERAL 'n' / 'uXXXX', silently querying a
+          // nonexistent metric with a 200
+          if (i + 1 >= inner.length) ok = false
+          else inner.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/' => sb.append('/'); i += 1
+            case 'b' => sb.append('\b'); i += 1
+            case 'f' => sb.append('\f'); i += 1
+            case 'n' => sb.append('\n'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'u' if i + 5 < inner.length =>
+              val hex = inner.substring(i + 2, i + 6)
+              if (hex.forall(h => Character.digit(h, 16) >= 0)) {
+                sb.append(Integer.parseInt(hex, 16).toChar); i += 5
+              } else ok = false
+            case _ => ok = false // not a legal JSON escape
+          }
         } else if (c == '"') {
           out += sb.toString; sb.clear(); inStr = false
         } else sb.append(c)

@@ -564,21 +564,32 @@ object TextScoring {
     out.write((newId +: small.map(id => s"batch_id=$id"))
       .mkString("\n").getBytes("UTF-8"))
     out.close()
-    // stats fold: exact integer re-sums, uniform bucket function enforced
+    // stats fold: exact integer re-sums, uniform bucket function enforced.
+    // Every foldable id CAN lack a stats dir (postings-only batches from an
+    // interrupted rollback): reading an empty path list would throw AFTER
+    // the manifest landed, wedging the index in a compaction that can never
+    // succeed — fold a zero-row frame instead (readers sum stats rows, so
+    // an empty folded dir contributes nothing, and the stats rename still
+    // serves as the commit point).
     val statsDirs = small.map(id => s"$path/stats/batch_id=$id")
       .filter(p => fs.exists(new Path(p)))
-    val st = spark.read.option("basePath", s"$path/stats")
-      .parquet(statsDirs: _*)
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
-        min("n_buckets").as("nb_min"), max("n_buckets").as("nb_max"))
-      .head()
-    require(st.getAs[Int]("nb_min") == st.getAs[Int]("nb_max"),
-      "index batches were written with different nBuckets — rebuild instead")
     import spark.implicits._
-    val folded = Seq((st.getAs[Long]("n_docs"),
-        Option(st.getAs[java.lang.Long]("sum_dl")).map(_.longValue()),
-        st.getAs[Int]("nb_max")))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+    val folded =
+      if (statsDirs.isEmpty)
+        Seq.empty[(Long, Option[Long], Int)].toDF("n_docs", "sum_dl", "n_buckets")
+      else {
+        val st = spark.read.option("basePath", s"$path/stats")
+          .parquet(statsDirs: _*)
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+            min("n_buckets").as("nb_min"), max("n_buckets").as("nb_max"))
+          .head()
+        require(st.getAs[Int]("nb_min") == st.getAs[Int]("nb_max"),
+          "index batches were written with different nBuckets — rebuild instead")
+        Seq((st.getAs[Long]("n_docs"),
+            Option(st.getAs[java.lang.Long]("sum_dl")).map(_.longValue()),
+            st.getAs[Int]("nb_max")))
+          .toDF("n_docs", "sum_dl", "n_buckets")
+      }
     val pTmp = new Path(s"$path/postings", s".compact_tmp_$newId")
     val sTmp = new Path(s"$path/stats", s".compact_tmp_$newId")
     val postingsDirs = small.map(id => s"$path/postings/batch_id=$id")

@@ -204,13 +204,23 @@ object MetricsQueryApi {
 
   /** Catalog over an engine store (a directory produced by
     * [[graft.streaming.IngestStream]]): distinct locators plus their ingested
-    * unit. In production this is a maintained dimension upserted at ingest
-    * (reference: metrics_metadata CF + the ES discovery index, SURVEY §1.1);
-    * deriving it here reads only the name/unit columns of the raw store.
-    * rollup_type is `basic` — the pre-aggregated families live in their own
-    * kind-routed tables. */
+    * unit. Served from the PERSISTED catalog dimension the ingest path
+    * maintains ([[graft.streaming.IngestStream.metricCatalog]] — the
+    * reference's metrics_metadata CF + ES discovery index, SURVEY §1.1)
+    * whenever the store has one: a metadata read of O(distinct locators)
+    * rows, covering ALL ingested families like the reference's ES index
+    * (one row per locator even when it spans families — `rollup_type`
+    * takes the lexicographic min, ambiguity being the read path's problem
+    * to flag, [[graft.http.MetricsHttpServer]] routeKind). Stores written
+    * before the catalog existed (or via raw [[graft.streaming.IngestStream
+    * .writeRaw]]) fall back to deriving basic locators by scanning the
+    * name/unit columns of the raw store. */
   def storeCatalog(spark: SparkSession, storeDir: String): DataFrame =
-    catalogFromRaw(spark.read.parquet(s"$storeDir/metrics_full"))
+    graft.streaming.IngestStream.metricCatalog(spark, storeDir)
+      .map(_.groupBy(col("tenant_id"), col("metric_name"))
+        .agg(max(col("unit")).as("unit"),
+          min(col("family")).as("rollup_type")))
+      .getOrElse(catalogFromRaw(spark.read.parquet(s"$storeDir/metrics_full")))
 
   private def catalogFromRaw(raw: DataFrame): DataFrame = {
     val unitCol =
@@ -261,6 +271,7 @@ object MetricsQueryApi {
       catalogOverride: Option[DataFrame] = None,
       rollupFromRaw: (DataFrame, Granularity) => DataFrame = Rollups.basicFromRaw,
       rawOverride: Option[DataFrame] = None): DataFrame = {
+    graft.core.Instrumentation.global.inc("query.reads.basic")
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(rawOverride.map(catalogFromRaw)
         .getOrElse(storeCatalog(spark, storeDir))))
@@ -370,6 +381,7 @@ object MetricsQueryApi {
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,
       catalogOverride: Option[DataFrame] = None): DataFrame = {
+    graft.core.Instrumentation.global.inc("query.reads.string")
     val path = s"$storeDir/metrics_string"
     if (!IngestStream.hasParquetData(spark, path)) {
       // a store that ingested no strings serves an empty result, not a
@@ -476,6 +488,7 @@ object MetricsQueryApi {
       catalogOverride: Option[DataFrame] = None): DataFrame = {
     require(preaggMerges.contains(kind),
       s"unknown pre-aggregated kind '$kind' (one of ${preaggMerges.keys.mkString(", ")})")
+    graft.core.Instrumentation.global.inc(s"query.reads.$kind")
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(preaggStoreCatalog(spark, storeDir, kind)))
     if (r.g.isFull) {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.{Granularity, Tables}
+import graft.core.{Granularity, Instrumentation, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -128,18 +128,62 @@ object IngestStream {
         .withColumnRenamed("value", "value_str")
       if (strings.isEmpty) return
       val badStrings = strings.filter(!col("valid")).drop("valid")
-      if (!badStrings.isEmpty)
+      val nBadStrings = badStrings.count()
+      if (nBadStrings > 0) {
+        Instrumentation.global.inc("ingest.rows.errors.string", nBadStrings)
         badStrings.write.mode("overwrite")
           .parquet(s"$storeDir/metrics_string_errors/batch_id=$batchId")
+      }
       val goodStrings = strings.filter(col("valid")).drop("valid")
-      if (goodStrings.isEmpty) return
+      val nGoodStrings = goodStrings.count()
+      if (nGoodStrings == 0) return
+      Instrumentation.global.inc("ingest.rows.metrics_string", nGoodStrings)
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
+      writeCatalog(goodStrings, storeDir, batchId, src = "string",
+        familyCol = lit("string"))
     } finally cached.unpersist()
   }
 
   private def dayOf(c: org.apache.spark.sql.Column) = c - pmod(c, lit(86400000L))
+
+  /** Maintain the persisted locator catalog — the reference's
+    * `metrics_metadata` CF + ES discovery index, written by the ingest
+    * path's metadata analyzer (IncomingMetricMetadataAnalyzer.java:36-121)
+    * rather than derived by scanning the data tables: one tiny parquet dir
+    * per (source, batch) holding the batch's DISTINCT
+    * (tenant_id, metric_name, family, unit) rows. At 100 TB this is what
+    * makes "which family/unit is this locator" a metadata read instead of
+    * three raw-table scans; per batch it costs one map-side-combined
+    * aggregate over rows already cached in memory. The `src=` level keeps
+    * concurrently running typed/preagg streams' batch ids from colliding.
+    * Like the reference's locator index, entries outlive retention-pruned
+    * data (a name stays discoverable until the catalog is rebuilt). */
+  private def writeCatalog(rows: DataFrame, storeDir: String, batchId: Long,
+      src: String, familyCol: org.apache.spark.sql.Column): Unit = {
+    val unitCol = if (rows.columns.contains("unit")) col("unit")
+                  else lit(null).cast("string")
+    rows.select(col("tenant_id"), col("metric_name"),
+        familyCol.as("family"), unitCol.as("unit"))
+      .groupBy("tenant_id", "metric_name", "family")
+      .agg(max("unit").as("unit"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
+  }
+
+  /** The persisted locator catalog, deduplicated across batches: one row
+    * per (tenant_id, metric_name, family) with the max ingested unit —
+    * None when the store predates the catalog (callers fall back to
+    * deriving locators from the raw tables). Size is O(distinct locators),
+    * broadcastable; readers prune nothing because there is nothing to
+    * prune. */
+  def metricCatalog(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!hasParquetData(spark, s"$storeDir/metric_catalog")) None
+    else Some(spark.read.parquet(s"$storeDir/metric_catalog")
+      .groupBy("tenant_id", "metric_name", "family")
+      .agg(max("unit").as("unit")))
 
   /** One micro-batch: append raw, then recompute 5m rollups for the days
     * this batch touched. Pure DataFrame ops; executors do all data work
@@ -161,20 +205,30 @@ object IngestStream {
       // (HttpMetricsIngestionHandler error responses, ErrorResponse.java).
       // Only written when non-empty: an empty parquet dir per healthy batch
       // would break schema inference for readers of the sink.
+      Instrumentation.global.inc("ingest.batches")
       val invalid = cached.filter(!col("valid")).drop("valid")
-      if (!invalid.isEmpty)
+      val nInvalid = invalid.count()
+      if (nInvalid > 0) {
+        Instrumentation.global.inc("ingest.rows.errors", nInvalid)
         invalid.write.mode("overwrite")
           .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
+      }
       val valid = cached.filter(col("valid")).drop("valid")
       // an all-invalid batch writes nothing: an empty batch_id partition
       // would be dead weight (and an all-empty store breaks schema inference)
       if (valid.isEmpty) return
       writeRaw(valid, storeDir, batchId)
-      val dirtyDays = valid
-        .select(dayOf(col("ts_ms")).as("ts_day"))
-        .distinct().collect().map(_.getLong(0))
-      if (dirtyDays.isEmpty) return
-      rollDirtyDays(spark, storeDir, dirtyDays)
+      writeCatalog(valid, storeDir, batchId, src = "numeric",
+        familyCol = lit("basic"))
+      // one aggregate serves both the dirty-day list AND the rows-written
+      // meter — instrumentation must never add a Spark action of its own
+      val dayCounts = valid
+        .groupBy(dayOf(col("ts_ms")).as("ts_day")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (dayCounts.isEmpty) return
+      Instrumentation.global.inc("ingest.rows.metrics_full",
+        dayCounts.map(_._2).sum)
+      rollDirtyDays(spark, storeDir, dayCounts.map(_._1))
     } finally cached.unpersist()
   }
 
@@ -196,6 +250,8 @@ object IngestStream {
     rolled.write.mode("overwrite").partitionBy("ts_day")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$storeDir/metrics_5m")
+    Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
+      storeDir, "basic", Granularity.MIN_5, dirtyDays.toSeq))
   }
 
   /** Effective epoch window for one micro-batch: the static `[minTs,
@@ -291,11 +347,16 @@ object IngestStream {
     try {
       if (cached.isEmpty) return
       val invalid = cached.filter(!col("valid")).drop("valid")
-      if (!invalid.isEmpty)
+      val nInvalid = invalid.count()
+      if (nInvalid > 0) {
+        Instrumentation.global.inc("ingest.rows.errors.events", nInvalid)
         invalid.write.mode("overwrite")
           .parquet(s"$storeDir/events_errors/batch_id=$batchId")
+      }
       val valid = cached.filter(col("valid")).drop("valid")
-      if (valid.isEmpty) return
+      val nValid = valid.count()
+      if (nValid == 0) return
+      Instrumentation.global.inc("ingest.rows.events", nValid)
       valid.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/events/batch_id=$batchId")
@@ -382,6 +443,8 @@ object IngestStream {
       val w = merged.write.mode("overwrite").partitionBy("ts_day")
       (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
         .parquet(s"$storeDir/metrics_${g.name}")
+      Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
+        storeDir, "basic", g, dirtyDays.getOrElse(Nil)))
       finerName = s"metrics_${g.name}"
     }
   }
@@ -463,19 +526,30 @@ object IngestStream {
       if (cached0.isEmpty) return
       // 3VL-safe: a null ts_ms must read as out-of-window, not NULL (which
       // would vanish from both the store and the errors sink)
+      Instrumentation.global.inc("ingest.batches.preagg")
       val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
       val rejected = cached0.filter(!inWindow)
-      if (!rejected.isEmpty)
+      val nRejected = rejected.count()
+      if (nRejected > 0) {
+        Instrumentation.global.inc("ingest.rows.errors.preagg", nRejected)
         rejected.write.mode("overwrite")
           .parquet(s"$storeDir/preagg_errors/batch_id=$batchId")
+      }
       val cached = cached0.filter(inWindow)
       if (cached.isEmpty) return
       cached.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/preagg_raw/batch_id=$batchId")
-      val dirtyDays = cached
-        .select(dayOf(col("ts_ms")).as("ts_day")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      writeCatalog(cached, storeDir, batchId, src = "preagg",
+        familyCol = col("kind"))
+      // one aggregate for dirty days + the rows-written meter (see
+      // processBatch: instrumentation never adds its own action)
+      val dayCounts = cached
+        .groupBy(dayOf(col("ts_ms")).as("ts_day")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      Instrumentation.global.inc("ingest.rows.preagg_raw",
+        dayCounts.map(_._2).sum)
+      val dirtyDays = dayCounts.map(_._1).toSeq
       val raw = spark.read.parquet(s"$storeDir/preagg_raw")
         .filter(col("ts_day").isin(dirtyDays: _*))
       // presence is judged on the dirty-day slice of the FULL store, not on
@@ -484,11 +558,14 @@ object IngestStream {
       val present = presentKinds(raw)
       graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
         .foreach { case (kind, df) =>
-          if (present(kind))
+          if (present(kind)) {
             df.withColumn("ts_day", dayOf(col("bucket_ms")))
               .write.mode("overwrite").partitionBy("ts_day")
               .option("partitionOverwriteMode", "dynamic")
               .parquet(s"$storeDir/preagg_${kind}_5m")
+            Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
+              storeDir, kind, Granularity.MIN_5, dirtyDays))
+          }
         }
       if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(dirtyDays))
     } finally cached0.unpersist()
@@ -551,6 +628,8 @@ object IngestStream {
           val w = merged.write.mode("overwrite").partitionBy("ts_day")
           (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
             .parquet(s"$storeDir/preagg_${kind}_${g.name}")
+          Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
+            storeDir, kind, g, dirtyDays.getOrElse(Nil)))
           finerName = s"preagg_${kind}_${g.name}"
         }
       }

@@ -197,6 +197,50 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("multi-views body decodes standard JSON escapes; /metrics exposes " +
+    "engine counters; 500s never echo internals") {
+    // parseStringArray: escapes decode per JSON, not raw-append. The \u
+    // case is concatenated in — Scala itself pre-processes \uXXXX in
+    // source, so a literal would never reach the parser as an escape.
+    val uEsc = """["c\""" + """u0041d"]"""
+    assert(MetricsHttpServer.parseStringArray(
+      """["a\nb", "q\"w", "s\\t", "x\/y"]""") ===
+      Some(Seq("a\nb", "q\"w", "s\\t", "x/y")))
+    assert(MetricsHttpServer.parseStringArray(uEsc) === Some(Seq("cAd")))
+    // illegal escape / truncated unicode → parse failure, not silent garble
+    assert(MetricsHttpServer.parseStringArray("""["a\qb"]""") === None)
+    assert(MetricsHttpServer.parseStringArray("""["a\""" + """u00"]""") === None)
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 600000L
+      // a metric name with an escaped quote round-trips ingest → multi-views
+      val r = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "od\\"d", "metricValue": 1.0,
+           |  "collectionTime": $t0}]""".stripMargin)
+      assert(r.statusCode() === 200, r.body())
+      val multi = post(s"$base/v2.0/acme/views?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=full", """["od\"d"]""")
+      assert(multi.statusCode() === 200, multi.body())
+      assert(multi.body().contains(""""metric": "od\"d""""), multi.body())
+      // /metrics: engine counters visible after the above traffic
+      val m = get(s"$base/metrics")
+      assert(m.statusCode() === 200)
+      assert(m.body().contains(""""ingest.batches""""), m.body())
+      assert(m.body().contains(""""http.responses.200""""), m.body())
+    } finally srv.stop()
+    // an internal failure must yield a GENERIC 500 body — a views read
+    // against a store with no data tables throws AnalysisException
+    // (PATH_NOT_FOUND names the store path — exactly what must NOT leak)
+    val (srv2, base2, store2) = startServer()
+    try {
+      val e = get(s"$base2/v2.0/acme/views/x?from=0&to=1&points=10")
+      assert(e.statusCode() === 500, e.body())
+      assert(e.body() === """{"errors": [{"message": "internal error"}]}""",
+        e.body())
+      assert(!e.body().contains(store2), "store path leaked to the client")
+    } finally srv2.stop()
+  }
+
   test("discovery + events endpoints round-trip") {
     val (srv, base, _) = startServer()
     try {

@@ -75,6 +75,28 @@ class TextIndexCompactionSpec extends AnyFunSuite with SparkSuite {
     assert(TextScoring.compactTextIndex(spark, idx) === None)
   }
 
+  test("postings-only foldable dirs (no stats side) compact instead of " +
+    "wedging the index") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_tic5").toString
+    TextScoring.appendTextIndex(docs.filter(col("doc_id") % 2 === 0), idx, 0L)
+    TextScoring.appendTextIndex(docs.filter(col("doc_id") % 2 === 1), idx, 1L)
+    // strip the stats side of every foldable id (an interrupted rollback
+    // can leave this shape); the stats/ dir itself remains
+    fs.delete(new Path(s"$idx/stats/batch_id=0"), true)
+    fs.delete(new Path(s"$idx/stats/batch_id=1"), true)
+    val got = TextScoring.compactTextIndex(spark, idx, assumeQuiesced = true)
+    assert(got === Some(Retention.CompactIdBase),
+      "an empty stats fold must not abort the compaction after the manifest")
+    val cdir = s"batch_id=${Retention.CompactIdBase}"
+    assert(batchDirs(idx, "postings") === Seq(cdir))
+    // the commit marker landed (zero-row folded stats) and the manifest
+    // was consumed — the index is compact, not wedged mid-recovery
+    assert(batchDirs(idx, "stats") === Seq(cdir))
+    assert(!fs.exists(new Path(idx, "_compact_manifest")))
+    assert(TextScoring.compactTextIndex(spark, idx,
+      assumeQuiesced = true) === None)
+  }
+
   test("recovery completes a crash AFTER the stats rename (commit point): " +
     "originals deleted, serve identical") {
     val idx = java.nio.file.Files.createTempDirectory("graft_tic3").toString
