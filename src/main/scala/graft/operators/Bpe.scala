@@ -58,14 +58,131 @@ object Bpe {
   /** Learn `nMerges` merges; stops early when the best pair's weighted
     * count falls below `minCount` (merging hapax pairs memorizes noise).
     * Returns the ordered merge table
-    * (merge_rank, lhs, rhs, merged, pair_count). */
+    * (merge_rank, lhs, rhs, merged, pair_count).
+    *
+    * Hybrid execution: the merge statistics live on the DISTINCT-WORD
+    * census, whose size follows vocabulary growth (Heaps' law), not corpus
+    * size — for most corpora it fits one machine even when the corpus is
+    * 100 TB. When the census has ≤ `driverMaxWords` rows it collects once
+    * (the corpus-sized pass is the census either way, persisted so neither
+    * arm pays it twice) and the merge loop runs driver-side with
+    * incremental pair accounting (Sennrich's fast variant: only words
+    * containing the merged pair update) — the distributed loop's ~2 Spark
+    * jobs per round were pure scheduling overhead at this size. Above the
+    * threshold (massively multilingual / byte-level vocabularies) the
+    * distributed per-round census loop below takes over. Both arms share
+    * the argmax order (count desc, then lexicographic pair — symbols are
+    * ASCII, so driver String order equals Spark's UTF8 binary order) and
+    * the greedy left-to-right merge ([[BpeExprUtil.mergePair]] semantics),
+    * so results are bit-identical — BpeSpec proves arm equality and the
+    * q_bpe_merges recursive-CTE oracle hashes the driver arm. */
   def learnMerges(docs: DataFrame, nMerges: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, driverMaxWords: Int = 1 << 20): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val census = wordCensus(docs)
+    val census0 = wordCensus(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = census0.select(col("word"), col("cnt"))
+        .limit(driverMaxWords + 1).collect()
+      if (probe.length <= driverMaxWords) {
+        val merges = learnMergesDriver(
+          probe.map(r => (r.getString(0), r.getLong(1))), nMerges, minCount)
+        merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      } else
+        // still inside the persist scope: the distributed arm's initial
+        // symbol table materializes (and lineage-truncates) off the cache,
+        // so the corpus pass is not paid a second time
+        learnMergesDistributed(census0, nMerges, minCount)
+    } finally census0.unpersist()
+  }
+
+  /** Driver arm of [[learnMerges]]: exact incremental pair accounting.
+    * `pairWords` uses lazy deletion — a word index may linger under pairs
+    * its rewrite removed, so occurrence is re-checked before processing. */
+  private def learnMergesDriver(words: Array[(String, Long)], nMerges: Int,
+      minCount: Long): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      words.map { case (w, _) => (w.map(_.toString) :+ Eow).toArray }
+    val cnt = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def account(i: Int, sign: Long): Unit = {
+      val s = syms(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pairCount.getOrElse(p, 0L) + sign * cnt(i)
+        if (nv == 0L) pairCount.remove(p) else pairCount(p) = nv
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    def containsPair(s: Array[String], l: String, r: String): Boolean = {
+      var j = 0
+      while (j < s.length - 1) {
+        if (s(j) == l && s(j + 1) == r) return true
+        j += 1
+      }
+      false
+    }
+    // greedy left-to-right, overlaps resolve leftward — BpeExprUtil.mergePair
+    def mergeGreedy(s: Array[String], l: String, r: String,
+        lr: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+          out += lr; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    syms.indices.foreach(account(_, 1L))
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // argmax by (n desc, l asc, r asc) — the distributed arm's sort order
+      var bl: String = null; var br: String = null; var bn = 0L
+      for ((p, nv) <- pairCount)
+        if (nv > bn || (nv == bn && bl != null &&
+            (p._1 < bl || (p._1 == bl && p._2 < br))))
+          { bl = p._1; br = p._2; bn = nv }
+      if (bl == null || bn < minCount) done = true
+      else {
+        out += ((rank, bl, br, bl + br, bn))
+        val lr = bl + br
+        for (i <- pairWords.getOrElse((bl, br), mutable.HashSet.empty)
+             if containsPair(syms(i), bl, br)) {
+          account(i, -1L)
+          syms(i) = mergeGreedy(syms(i), bl, br, lr)
+          account(i, 1L)
+        }
+        pairWords.remove((bl, br))
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed arm of [[learnMerges]] — per-round relational pair census
+    * + codegen rewrite (see the object scaladoc's distribution shape). */
+  private def learnMergesDistributed(census: DataFrame, nMerges: Int,
+      minCount: Long): DataFrame = {
+    val spark = census.sparkSession
+    import spark.implicits._
     var syms = initialSymbols(census).localCheckpoint()
+    // LAZY checkpoints between rounds: an eager localCheckpoint per merge
+    // ran a second job per round just to materialize blocks — at 30-ish
+    // rounds of a small symbol table, half the wall clock was job
+    // scheduling, not data. A lazy checkpoint materializes as a side
+    // effect of the NEXT round's census job (one job per round total).
+    // The previous round's blocks must outlive that materialization —
+    // truncated lineage reads them — so unpersist is deferred until after
+    // the census has run (`prev`).
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var rank = 1
@@ -74,6 +191,9 @@ object Bpe {
       val top = pairCensus(syms)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      // syms is materialized now; its parent's blocks are dead weight
+      prev.foreach(unpersistLocal)
+      prev = None
       if (top.isEmpty || top(0).getLong(2) < minCount) {
         done = true
       } else {
@@ -82,12 +202,13 @@ object Bpe {
         merges += ((rank, l, r, l + r, n))
         val next = syms
           .withColumn("syms", bpeMerge(col("syms"), l, r))
-          .localCheckpoint()
-        unpersistLocal(syms)
+          .localCheckpoint(eager = false)
+        prev = Some(syms)
         syms = next
         rank += 1
       }
     }
+    prev.foreach(unpersistLocal)
     unpersistLocal(syms)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }

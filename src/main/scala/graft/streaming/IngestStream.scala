@@ -185,6 +185,122 @@ object IngestStream {
       .groupBy("tenant_id", "metric_name", "family")
       .agg(max("unit").as("unit")))
 
+  /** Fold the catalog's per-micro-batch dirs — a 5-second-trigger stream
+    * writes one tiny dir per batch (~17k/day), the same small-file growth
+    * [[graft.operators.Retention.compactRaw]] exists for, but worse per
+    * byte because every dir is a few rows. Each `src=` subtree folds
+    * independently into ONE distinct-row dir (id ≥
+    * [[graft.operators.Retention.CompactIdBase]]); the fold is the same
+    * aggregation [[metricCatalog]] applies on read, so the reader's view
+    * is unchanged. Crash safety reuses the raw-compaction discipline
+    * verbatim (per-src `_compact_manifest` +
+    * [[graft.operators.Retention.recoverCompaction]], which is layout-
+    * agnostic below the batch_id level). Non-quiesced mode spares each
+    * src's newest small dir — its stream may still be committing. Returns
+    * the new id per folded src. */
+  def compactCatalog(spark: SparkSession, storeDir: String,
+      minBatchDirs: Int = 2, assumeQuiesced: Boolean = false): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Retention
+    require(minBatchDirs >= 2, s"minBatchDirs must be >= 2, got $minBatchDirs")
+    val root = new Path(s"$storeDir/metric_catalog")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.globStatus(new Path(root, "src=*")).toSeq.flatMap { srcSt =>
+      val srcPath = srcSt.getPath
+      val srcTable = s"metric_catalog/${srcPath.getName}"
+      Retention.recoverCompaction(spark, storeDir, srcTable)
+      val all = fs.globStatus(new Path(srcPath, "batch_id=*")).toSeq
+        .flatMap(st => st.getPath.getName.stripPrefix("batch_id=")
+          .toLongOption.map(_ -> st.getPath))
+        .sortBy(_._1)
+      val small = all.filter(_._1 < Retention.CompactIdBase)
+      val batches =
+        if (assumeQuiesced || small.isEmpty) small else small.init
+      if (batches.size < minBatchDirs) None
+      else {
+        val newId = math.max(Retention.CompactIdBase, all.map(_._1).max + 1)
+        val manifest = new Path(srcPath, "_compact_manifest")
+        val out = fs.create(manifest, true)
+        out.write((newId +: batches.map(_._2.getName))
+          .mkString("\n").getBytes("UTF-8"))
+        out.close()
+        val tmp = new Path(srcPath, s".compact_tmp_$newId")
+        spark.read.option("basePath", srcPath.toString)
+          .parquet(batches.map(_._2.toString): _*)
+          .groupBy("tenant_id", "metric_name", "family")
+          .agg(max("unit").as("unit"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, new Path(srcPath, s"batch_id=$newId")),
+          s"catalog compaction rename failed: $tmp")
+        batches.foreach { case (_, p) => fs.delete(p, true) }
+        fs.delete(manifest, false)
+        Some(srcPath.getName.stripPrefix("src=") -> newId)
+      }
+    }.toMap
+  }
+
+  /** Re-derive the catalog from the data tables themselves — the remedy
+    * for the catalog's two designed-in staleness modes: entries outliving
+    * retention-pruned data (the reference's locator index has the same
+    * property, aged by its own TTL), and stores written before the catalog
+    * existed (or via raw [[writeRaw]]) that have no catalog at all. One
+    * scan of the name/unit/kind columns of `metrics_full` /
+    * `metrics_string` / `preagg_raw` — the O(table) cost the per-batch
+    * catalog exists to amortize away, paid deliberately here in an
+    * offline maintenance window (schedule with [[graft.operators
+    * .Retention.enforce]], whose partition drops create the staleness).
+    *
+    * Crash contract: the rebuilt rows land under `src=rebuild` with an id
+    * above every existing dir BEFORE any old dir is deleted, so every
+    * intermediate state serves a SUPERSET of the live locators (readers
+    * dedup); a crash mid-delete leaves stale-but-safe entries and a
+    * re-run converges. No manifest needed — unlike a fold, nothing here
+    * destroys information the data tables don't still hold. */
+  def rebuildCatalog(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$storeDir/metric_catalog")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def derived(table: String, famCol: org.apache.spark.sql.Column) =
+      if (!hasParquetData(spark, s"$storeDir/$table")) None
+      else {
+        val t = spark.read.parquet(s"$storeDir/$table")
+        val unitCol = if (t.columns.contains("unit")) col("unit")
+                      else lit(null).cast("string")
+        Some(t.select(col("tenant_id"), col("metric_name"),
+          famCol.as("family"), unitCol.as("unit")))
+      }
+    val parts =
+      derived("metrics_full", lit("basic")) ++
+        derived("metrics_string", lit("string")) ++
+        derived("preagg_raw", col("kind"))
+    if (parts.isEmpty) { fs.delete(root, true); return }
+    val rows = parts.reduce(_ unionByName _)
+      .groupBy("tenant_id", "metric_name", "family")
+      .agg(max("unit").as("unit"))
+    val newId =
+      if (!fs.exists(root)) graft.operators.Retention.CompactIdBase
+      else math.max(graft.operators.Retention.CompactIdBase,
+        fs.globStatus(new Path(root, "src=*/batch_id=*")).toSeq
+          .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+          .foldLeft(0L)(math.max) + 1)
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/metric_catalog/src=rebuild/batch_id=$newId")
+    // retire everything the rebuild supersedes (older rebuilds included);
+    // compare by path NAME — globStatus returns scheme-qualified paths, so
+    // a string compare against a locally built Path never matches
+    for (st <- fs.globStatus(new Path(root, "src=*")).toSeq;
+         b <- fs.globStatus(new Path(st.getPath, "batch_id=*")).toSeq
+         if !(st.getPath.getName == "src=rebuild" &&
+           b.getPath.getName == s"batch_id=$newId")) {
+      fs.delete(b.getPath, true)
+      if (fs.globStatus(new Path(st.getPath, "batch_id=*")).isEmpty &&
+          st.getPath.getName != "src=rebuild")
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** One micro-batch: append raw, then recompute 5m rollups for the days
     * this batch touched. Pure DataFrame ops; executors do all data work
     * (the only driver-side collect is the small dirty-day list).

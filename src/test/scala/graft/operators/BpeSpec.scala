@@ -115,6 +115,25 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) === 0L && got(3L) === 0L)
   }
 
+  test("driver and distributed arms learn bit-identical merge tables") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocabWords = Seq("low", "lower", "lowest", "new", "newer", "newest",
+      "wide", "wider", "widest", "shard", "share", "sharp", "spark", "parse")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(8)(vocabWords(rng.nextInt(vocabWords.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def table(driverMaxWords: Int) =
+      Bpe.learnMerges(docs, 15, minCount = 2L, driverMaxWords = driverMaxWords)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    // driverMaxWords = 0 -> the probe always overflows -> distributed arm
+    assert(table(1 << 20) === table(0),
+      "the two execution arms must produce the same merge table, " +
+        "rank for rank, count for count")
+  }
+
   test("training is layout-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
