@@ -33,9 +33,14 @@ object Instrumentation {
 
   /** One rollup completion: `store` is the store directory, `family` is
     * `basic` or a preagg kind, `granularity` the re-rolled tier, `tsDays`
-    * the exact day partitions recomputed (epoch-ms midnights). */
+    * the exact day partitions recomputed (epoch-ms midnights). A
+    * FULL-LADDER rebuild recomputes every day without enumerating them:
+    * it sets `fullRebuild = true` with `tsDays` empty — a listener
+    * invalidating per-day state must treat that as "everything changed",
+    * never as "nothing did". */
   final case class RollupEvent(store: String, family: String,
-      granularity: Granularity, tsDays: Seq[Long])
+      granularity: Granularity, tsDays: Seq[Long],
+      fullRebuild: Boolean = false)
 
   final class Registry {
     private val counters = new ConcurrentHashMap[String, LongAdder]()

@@ -175,6 +175,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case e: IllegalArgumentException =>
         if (!responseSent(ex))
           sendJson(ex, 400, errJson(Option(e.getMessage).getOrElse("bad request")))
+        else
+          // already responded: the failure would otherwise vanish entirely
+          System.err.println(s"[MetricsHttpServer] post-response IAE on " +
+            s"${ex.getRequestMethod} ${ex.getRequestURI}: $e")
       case e: Throwable =>
         System.err.println(s"[MetricsHttpServer] 500 on " +
           s"${ex.getRequestMethod} ${ex.getRequestURI}: $e")
@@ -616,7 +620,11 @@ object MetricsHttpServer {
             case 't' => sb.append('\t'); i += 1
             case 'u' if i + 5 < inner.length =>
               val hex = inner.substring(i + 2, i + 6)
-              if (hex.forall(h => Character.digit(h, 16) >= 0)) {
+              // ASCII hex only: Character.digit also accepts Unicode
+              // digit characters (Arabic-Indic, fullwidth), which every
+              // real JSON parser rejects
+              if (hex.forall(h => (h >= '0' && h <= '9') ||
+                  (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F'))) {
                 sb.append(Integer.parseInt(hex, 16).toChar); i += 5
               } else ok = false
             case _ => ok = false // not a legal JSON escape

@@ -145,10 +145,16 @@ object Retention {
     }.toMap
   }
 
-  /** Compacted batch dirs get ids offset far above any streaming batch id
-    * (checkpoint ids count micro-batches from 0), so a future ingest batch
-    * can never collide with — and silently overwrite — a compaction. */
-  val CompactIdBase: Long = 1L << 40
+  /** Compacted batch dirs get ids offset far above any ingest batch id, so
+    * a future ingest batch can never collide with — and silently
+    * overwrite — a compaction. Must clear BOTH id regimes writers use:
+    * streaming checkpoint ids count micro-batches from 0, and the HTTP
+    * facade seeds its counter at epoch millis for restart-uniqueness
+    * (~1.7e12 and rising — 2^40 ≈ 1.1e12 sat BELOW it, which silently
+    * excluded every facade-written dir from compaction as a false "prior
+    * compaction"). 2^60 is out of reach of epoch millis for geological
+    * time while leaving 2^3 headroom of monotonic compaction ids. */
+  val CompactIdBase: Long = 1L << 60
 
   /** Compact a two-level raw table (`<table>/batch_id=B/ts_day=D`): one
     * small batch dir per micro-batch is the write-optimized shape, but

@@ -111,6 +111,13 @@ object IngestStream {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (cached.isEmpty) return
+      // probed BEFORE any of this batch's writes: a first batch on an
+      // empty store makes the catalog complete-from-birth
+      val virgin = !storeHasData(cached.sparkSession, storeDir)
+      // metered here, not in the numeric arm: a string-only batch would
+      // otherwise vanish from the batch counter (processBatch returns
+      // before its meter on an empty numeric split)
+      Instrumentation.global.inc("ingest.batches")
       val isStringKind = col("is_string_typed") || col("is_bool")
       // numeric arm: everything NOT string/boolean-typed — a numeric-typed
       // but uncastable value arrives with value null and fails validity
@@ -119,7 +126,8 @@ object IngestStream {
         .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
           col("value_num").as("value"), col("ttl_seconds"), col("unit"))
       processBatch(
-        withValidity(numeric, minTs, maxTs), storeDir, batchId)
+        withValidity(numeric, minTs, maxTs), storeDir, batchId,
+        meterBatch = false)
       val strings = withValidity(
         cached.filter(isStringKind)
           .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
@@ -142,7 +150,7 @@ object IngestStream {
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
       writeCatalog(goodStrings, storeDir, batchId, src = "string",
-        familyCol = lit("string"))
+        familyCol = lit("string"), markComplete = virgin)
     } finally cached.unpersist()
   }
 
@@ -161,7 +169,8 @@ object IngestStream {
     * Like the reference's locator index, entries outlive retention-pruned
     * data (a name stays discoverable until the catalog is rebuilt). */
   private def writeCatalog(rows: DataFrame, storeDir: String, batchId: Long,
-      src: String, familyCol: org.apache.spark.sql.Column): Unit = {
+      src: String, familyCol: org.apache.spark.sql.Column,
+      markComplete: Boolean = false): Unit = {
     val unitCol = if (rows.columns.contains("unit")) col("unit")
                   else lit(null).cast("string")
     rows.select(col("tenant_id"), col("metric_name"),
@@ -171,19 +180,49 @@ object IngestStream {
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
+    if (markComplete) markCatalogComplete(spark = rows.sparkSession, storeDir)
   }
+
+  /** COVERAGE marker for the catalog: present only when every locator the
+    * data tables hold is also cataloged — written when the catalog is born
+    * WITH the store (the first batch found no pre-existing data) or by
+    * [[rebuildCatalog]] (complete by construction). [[metricCatalog]]
+    * refuses to serve an unmarked catalog: a pre-catalog store that gains
+    * a partial catalog from its first post-upgrade batch would otherwise
+    * silently hide every older locator from discovery and misroute their
+    * views reads — mere existence is not coverage. */
+  private def markCatalogComplete(spark: SparkSession, storeDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$storeDir/metric_catalog/_complete")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
+  /** Whether any of the cataloged data tables already holds data — probed
+    * at batch START (before this batch's writes) to decide if a first
+    * catalog write covers the whole store. */
+  private def storeHasData(spark: SparkSession, storeDir: String): Boolean =
+    Seq("metrics_full", "metrics_string", "preagg_raw")
+      .exists(t => hasParquetData(spark, s"$storeDir/$t"))
 
   /** The persisted locator catalog, deduplicated across batches: one row
     * per (tenant_id, metric_name, family) with the max ingested unit —
-    * None when the store predates the catalog (callers fall back to
-    * deriving locators from the raw tables). Size is O(distinct locators),
-    * broadcastable; readers prune nothing because there is nothing to
-    * prune. */
-  def metricCatalog(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    if (!hasParquetData(spark, s"$storeDir/metric_catalog")) None
+    * None when the store predates the catalog OR the catalog lacks its
+    * `_complete` coverage marker (a catalog born mid-life covers only the
+    * batches since the upgrade; serving it would hide every older locator,
+    * so callers fall back to deriving locators from the raw tables until
+    * [[rebuildCatalog]] closes the gap and writes the marker). Size is
+    * O(distinct locators), broadcastable. */
+  def metricCatalog(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$storeDir/metric_catalog/_complete")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker) ||
+        !hasParquetData(spark, s"$storeDir/metric_catalog")) None
     else Some(spark.read.parquet(s"$storeDir/metric_catalog")
       .groupBy("tenant_id", "metric_name", "family")
       .agg(max("unit").as("unit")))
+  }
 
   /** Fold the catalog's per-micro-batch dirs — a 5-second-trigger stream
     * writes one tiny dir per batch (~17k/day), the same small-file growth
@@ -287,6 +326,9 @@ object IngestStream {
           .foldLeft(0L)(math.max) + 1)
     rows.coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/metric_catalog/src=rebuild/batch_id=$newId")
+    // the rebuild dir alone covers every live locator — mark coverage NOW
+    // so a crash mid-retire still leaves a servable (superset) catalog
+    markCatalogComplete(spark, storeDir)
     // retire everything the rebuild supersedes (older rebuilds included);
     // compare by path NAME — globStatus returns scheme-qualified paths, so
     // a string compare against a locally built Path never matches
@@ -309,8 +351,12 @@ object IngestStream {
     * goes to a batch-id partition with overwrite, so a replayed batch
     * replaces rather than duplicates its own rows, and the re-roll (which
     * always recomputes from the store) converges to the same state. */
-  def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
+  def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
+      meterBatch: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    // probed BEFORE any write (see processTypedBatch): first-batch-on-
+    // empty-store means the catalog covers the store from birth
+    val virgin = !storeHasData(spark, storeDir)
     // persist the parsed+validated batch once; both splits derive from it
     // (otherwise the source is re-read and re-parsed per split)
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -321,7 +367,9 @@ object IngestStream {
       // (HttpMetricsIngestionHandler error responses, ErrorResponse.java).
       // Only written when non-empty: an empty parquet dir per healthy batch
       // would break schema inference for readers of the sink.
-      Instrumentation.global.inc("ingest.batches")
+      // meterBatch=false when processTypedBatch already counted this batch
+      // (a string-only batch never reaches this arm's counter otherwise)
+      if (meterBatch) Instrumentation.global.inc("ingest.batches")
       val invalid = cached.filter(!col("valid")).drop("valid")
       val nInvalid = invalid.count()
       if (nInvalid > 0) {
@@ -335,7 +383,7 @@ object IngestStream {
       if (valid.isEmpty) return
       writeRaw(valid, storeDir, batchId)
       writeCatalog(valid, storeDir, batchId, src = "numeric",
-        familyCol = lit("basic"))
+        familyCol = lit("basic"), markComplete = virgin)
       // one aggregate serves both the dirty-day list AND the rows-written
       // meter — instrumentation must never add a Spark action of its own
       val dayCounts = valid
@@ -560,7 +608,8 @@ object IngestStream {
       (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
         .parquet(s"$storeDir/metrics_${g.name}")
       Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
-        storeDir, "basic", g, dirtyDays.getOrElse(Nil)))
+        storeDir, "basic", g, dirtyDays.getOrElse(Nil),
+        fullRebuild = dirtyDays.isEmpty))
       finerName = s"metrics_${g.name}"
     }
   }
@@ -637,6 +686,8 @@ object IngestStream {
       batchId: Long = 0L, cascade: Boolean = true,
       minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
     val spark = parsed.sparkSession
+    // probed BEFORE any write (see processTypedBatch's catalog marker)
+    val virgin = !storeHasData(spark, storeDir)
     val cached0 = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (cached0.isEmpty) return
@@ -657,7 +708,7 @@ object IngestStream {
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/preagg_raw/batch_id=$batchId")
       writeCatalog(cached, storeDir, batchId, src = "preagg",
-        familyCol = col("kind"))
+        familyCol = col("kind"), markComplete = virgin)
       // one aggregate for dirty days + the rows-written meter (see
       // processBatch: instrumentation never adds its own action)
       val dayCounts = cached
@@ -745,7 +796,8 @@ object IngestStream {
           (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
             .parquet(s"$storeDir/preagg_${kind}_${g.name}")
           Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
-            storeDir, kind, g, dirtyDays.getOrElse(Nil)))
+            storeDir, kind, g, dirtyDays.getOrElse(Nil),
+            fullRebuild = dirtyDays.isEmpty))
           finerName = s"preagg_${kind}_${g.name}"
         }
       }

@@ -90,6 +90,45 @@ class InstrumentationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("string-only typed batches count in ingest.batches; full-ladder " +
+    "rebuilds flag fullRebuild instead of claiming zero dirty days") {
+    Instrumentation.global.reset()
+    var events = List.empty[Instrumentation.RollupEvent]
+    val listener = (e: Instrumentation.RollupEvent) => events ::= e
+    Instrumentation.global.addRollupListener(listener)
+    try {
+      val store = java.nio.file.Files.createTempDirectory("graft_instr3").toString
+      val day0 = 1704067200000L
+      // a STRING-only batch through the typed path must still meter
+      val lines = Seq(
+        s"""{"tenant_id": "t1", "metric_name": "app.mode",
+           | "ts_ms": ${day0 + 1000}, "value": "active"}""".stripMargin
+          .replaceAll("\n", ""))
+        .toDF("value")
+      IngestStream.processTypedBatch(IngestStream.parseJsonTyped(lines), store)
+      assert(Instrumentation.global.count("ingest.batches") === 1L,
+        "string-only batches must not vanish from the batch counter")
+      assert(Instrumentation.global.count("ingest.rows.metrics_string") === 1L)
+      // seed a numeric day, then a FULL ladder rebuild (dirtyDays = None)
+      IngestStream.processBatch(IngestStream.withValidity(
+        mkBatch(Seq(("t1", "cpu.load", day0 + 1000L, 0.5))),
+        0L, Long.MaxValue), store, batchId = 1L)
+      events = Nil
+      IngestStream.rollupCascadeFor(spark, store, dirtyDays = None)
+      assert(events.nonEmpty)
+      assert(events.forall(e => e.fullRebuild && e.tsDays.isEmpty),
+        "a full rebuild must announce itself, not claim zero dirty days")
+      // and the incremental path never sets the flag
+      events = Nil
+      IngestStream.rollupCascadeFor(spark, store, dirtyDays = Some(Seq(day0)))
+      assert(events.nonEmpty)
+      assert(events.forall(e => !e.fullRebuild && e.tsDays === Seq(day0)))
+    } finally {
+      Instrumentation.global.removeRollupListener(listener)
+      Instrumentation.global.reset()
+    }
+  }
+
   test("preagg ingest catalogs kinds and emits kind-tagged cascade events") {
     Instrumentation.global.reset()
     var events = List.empty[Instrumentation.RollupEvent]

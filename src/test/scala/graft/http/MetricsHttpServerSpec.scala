@@ -210,6 +210,11 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     // illegal escape / truncated unicode → parse failure, not silent garble
     assert(MetricsHttpServer.parseStringArray("""["a\qb"]""") === None)
     assert(MetricsHttpServer.parseStringArray("""["a\""" + """u00"]""") === None)
+    // non-ASCII Unicode digits are NOT hex (Character.digit accepts them;
+    // every real JSON parser rejects them)
+    val arabicOne = '١'
+    assert(MetricsHttpServer.parseStringArray(
+      """["x\""" + "u0" + arabicOne + """61"]""") === None)
     val (srv, base, _) = startServer()
     try {
       val t0 = now - 600000L

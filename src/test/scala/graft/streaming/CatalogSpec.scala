@@ -106,6 +106,50 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
     assert(catalogRows(store) === before)
   }
 
+  test("a catalog born mid-life is NOT served: pre-catalog locators keep " +
+    "resolving from the raw tables until a rebuild marks coverage") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cat5").toString
+    // pre-upgrade shape: raw data with no catalog (direct writeRaw)
+    val old = Seq(("t1", "old.metric", day0 + 1000L, 1.0))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+      .withColumn("ttl_seconds", lit(null).cast("int"))
+      .withColumn("unit", lit("req"))
+    IngestStream.writeRaw(old, store, batchId = 0L)
+    // post-upgrade ingest creates a catalog that covers ONLY the new batch
+    ingestNumeric(store, 1L, "new.metric", day0 + 2000L)
+    assert(fs.exists(new Path(s"$store/metric_catalog")),
+      "the batch wrote catalog rows")
+    assert(IngestStream.metricCatalog(spark, store).isEmpty,
+      "an unmarked (partial) catalog must not be served")
+    // storeCatalog still resolves the PRE-catalog locator via raw fallback
+    val names = graft.query.MetricsQueryApi.storeCatalog(spark, store)
+      .select("metric_name").collect().map(_.getString(0)).toSet
+    assert(names === Set("old.metric", "new.metric"))
+    // rebuild closes the gap and marks coverage; catalog now serves
+    IngestStream.rebuildCatalog(spark, store)
+    assert(IngestStream.metricCatalog(spark, store).isDefined)
+    assert(catalogRows(store).map(_._1).toSet ===
+      Set("old.metric", "new.metric"))
+  }
+
+  test("facade-style epoch-seeded batch ids fold like any other small dir") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cat6").toString
+    // the HTTP facade seeds its batch counter at epoch millis (~1.7e12);
+    // those dirs must still sit BELOW CompactIdBase or compaction would
+    // silently skip every facade-written dir forever
+    val epochId = 1723651200000L
+    ingestNumeric(store, epochId, "a.one", day0 + 1000L)
+    ingestNumeric(store, epochId + 1L, "a.two", day0 + 2000L)
+    assert(epochId < Retention.CompactIdBase)
+    val before = catalogRows(store)
+    val folded = IngestStream.compactCatalog(spark, store,
+      assumeQuiesced = true)
+    assert(folded.keySet === Set("numeric"))
+    assert(batchDirs(store, "numeric") ===
+      Seq(s"batch_id=${folded("numeric")}"))
+    assert(catalogRows(store) === before)
+  }
+
   test("rebuild re-derives from the data tables: stale locators drop, " +
     "catalog-less stores gain one, kinds and units survive") {
     val store = java.nio.file.Files.createTempDirectory("graft_cat3").toString
