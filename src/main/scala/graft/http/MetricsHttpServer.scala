@@ -44,6 +44,10 @@ import java.util.concurrent.atomic.AtomicLong
   *    (`HttpMetricNamesHandler`)
   *  - `GET /v2.0/:tenant/events/getEvents?from&until&tags`
   *    (`HttpEventsQueryHandler.java:29-75`)
+  *  - `GET /v2.0` — root ping (`DefaultHandler`, plain 200)
+  *  - `OPTIONS` on the query routes — CORS preflight
+  *    (`HttpOptionsHandler.java:28-41`: 204 + the configured CORS headers
+  *    when `corsEnabled`; reference default is disabled)
   *
   * Ingest status semantics (`HttpMetricsIngestionHandler.java:134-238`):
   * all records valid → 200; SOME invalid → the valid ones persist and the
@@ -64,7 +68,9 @@ import java.util.concurrent.atomic.AtomicLong
 final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     port: Int = 0, maxAgeMs: Long = 3L * 3600 * 1000,
     maxFutureMs: Long = 10L * 60 * 1000,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    corsEnabled: Boolean = false,
+    corsAllowedOrigins: String = "*") {
 
   import MetricsHttpServer._
 
@@ -131,6 +137,27 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       val method = ex.getRequestMethod
       (segs.toList, method) match {
+        // root ping (reference DefaultHandler: plain 200 on GET /v2.0)
+        case (List("v2.0"), "GET") =>
+          sendJson(ex, 200, "{}")
+        // CORS preflight on the query routes (reference HttpOptionsHandler:
+        // 204 + the configured CORS headers when enabled; bare 204 when not
+        // — CORS_ENABLED defaults false, CoreConfig.java:257-261)
+        case ("v2.0" :: _ :: rest, "OPTIONS")
+            if rest.headOption.contains("views") ||
+              rest == List("metrics", "search") ||
+              rest == List("metric_name", "search") ||
+              rest == List("events", "getEvents") =>
+          if (corsEnabled) {
+            val h = ex.getResponseHeaders
+            h.set("Access-Control-Allow-Origin", corsAllowedOrigins)
+            h.set("Access-Control-Allow-Methods", "GET, POST")
+            h.set("Access-Control-Allow-Headers", "X-Auth-Token, Accept")
+            h.set("Access-Control-Max-Age", "1728000")
+          }
+          sentFlag.set(java.lang.Boolean.TRUE)
+          graft.core.Instrumentation.global.inc("http.responses.204")
+          ex.sendResponseHeaders(204, -1)
         case ("v2.0" :: tenant :: "ingest" :: rest, "POST")
             if rest.isEmpty || rest == List("multi") =>
           ingest(ex, tenant, scoped = rest.nonEmpty)

@@ -246,6 +246,43 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv2.stop()
   }
 
+  test("root ping and CORS preflight match the reference's Default/Options " +
+    "handlers") {
+    val (srv, base, _) = startServer()
+    try {
+      assert(get(s"$base/v2.0").statusCode() === 200)
+      // preflight on query routes: 204, no CORS headers by default
+      val opt = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/v2.0/acme/views/x"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(opt.statusCode() === 204)
+      assert(opt.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+      // OPTIONS on a non-query route stays 405
+      val optBad = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/v2.0/acme/ingest"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(optBad.statusCode() === 405)
+    } finally srv.stop()
+    // corsEnabled server sends the reference's header set
+    val store2 = java.nio.file.Files.createTempDirectory("graft_http2").toString
+    val srv2 = new MetricsHttpServer(spark, store2, nowMs = () => now,
+      corsEnabled = true)
+    srv2.start()
+    try {
+      val opt2 = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv2.boundPort}/v2.0/acme/metrics/search"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(opt2.statusCode() === 204)
+      assert(opt2.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") === "*")
+      assert(opt2.headers().firstValue("Access-Control-Allow-Methods")
+        .orElse("") === "GET, POST")
+    } finally srv2.stop()
+  }
+
   test("discovery + events endpoints round-trip") {
     val (srv, base, _) = startServer()
     try {
