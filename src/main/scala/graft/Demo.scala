@@ -208,6 +208,16 @@ object Demo {
       val view = get(s"/v2.0/acme/views/app.req.count?from=${t0 / 1000 - 10}" +
         s"&to=${nowFixed / 1000}&resolution=full")
       println(s"   GET /views -> ${view.statusCode()}: ${view.body().take(220)}")
+
+      println("== 19. operations: engine counters + catalog maintenance ==")
+      println(s"   GET /metrics -> ${get("/metrics").body().take(300)} ...")
+      println("   locator catalog (the metrics_metadata analog, maintained " +
+        "at ingest):")
+      graft.streaming.IngestStream.metricCatalog(spark, httpStore)
+        .foreach(_.show(5, truncate = false))
+      val folded = graft.streaming.IngestStream.compactCatalog(spark,
+        httpStore, assumeQuiesced = true)
+      println(s"   compactCatalog -> $folded (per-src folded batch ids)")
     } finally srv.stop()
 
     spark.stop()

@@ -44,7 +44,46 @@ object IngestBench {
     val t1 = System.nanoTime()
     graft.streaming.IngestStream.processBatch(batch, tmp(), batchId = 0L)
     val fullSecs = (System.nanoTime() - t1) / 1e9
-    println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"points":$n,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f}""")
+    // HTTP arm — the apples-to-apples surface for the reference's ONLY
+    // published number (contrib/perf/README.md ~15.4k metrics/s over
+    // HTTP+Cassandra, raw write only): the same points POSTed through the
+    // REST facade in time-ordered chunks, where each request ALSO pays
+    // per-record validation, the error-array contract, the locator
+    // catalog upsert, and the synchronous dirty-day 5m re-roll (the
+    // reference defers rollups to its background service).
+    val rows = batch.filter(col("valid"))
+      .select("tenant_id", "metric_name", "ts_ms", "value")
+      .orderBy("ts_ms").collect()
+    val maxTs = rows.last.getLong(2)
+    val httpStore = tmp()
+    val srv = new graft.http.MetricsHttpServer(spark, httpStore,
+      maxAgeMs = Long.MaxValue / 4, nowMs = () => maxTs + 60000L)
+    srv.start()
+    val httpSecs =
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val chunks = rows.grouped(25000).map { chunk =>
+          chunk.map { r =>
+            s"""{"tenantId":"${r.getString(0)}","metricName":"${r.getString(1)}",""" +
+              s""""metricValue":${r.getDouble(3)},"collectionTime":${r.getLong(2)}}"""
+          }.mkString("[", ",", "]")
+        }.toSeq
+        val t2 = System.nanoTime()
+        for (body <- chunks) {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${srv.boundPort}/v2.0/bench/ingest/multi"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"ingest POST failed: ${resp.statusCode()} ${resp.body().take(200)}")
+        }
+        (System.nanoTime() - t2) / 1e9
+      } finally srv.stop()
+    require(spark.read.parquet(s"$httpStore/metrics_full").count() == n,
+      "HTTP arm must persist every point it was timed on")
+    println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"http_full_pipeline":${n / httpSecs}%.0f,"points":$n,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f,"http_secs":$httpSecs%.2f}""")
     spark.stop()
   }
 }

@@ -247,14 +247,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val parsed = IngestStream.parseJsonTyped(lines)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (parsed.isEmpty) {
-        sendJson(ex, 400, errJson("Cannot parse content")); return
-      }
       val now = nowMs()
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
-      val errors = ingestErrorRows(parsed, lo, hi)
-      val nTotal = parsed.count()
+      // ONE collect answers emptiness, the per-record error array, and the
+      // total — request-bounded rows, and each saved job is synchronous
+      // request latency
+      val (errors, nTotal) = ingestErrorRows(parsed, lo, hi)
+      if (nTotal == 0) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
       // the batch processes even when EVERY record is invalid: the errors
       // sink must hold the rejects the response reports (the documented
       // response==audit-trail contract), and processTypedBatch writes no
@@ -273,10 +275,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   /** First failing constraint per invalid record — the reference's
     * bean-validation error array (`JSONMetric.java:24-41` constraints;
-    * per-record array shape `ErrorResponse.java`). Bounded by the request
-    * body, never by the store. */
-  private def ingestErrorRows(parsed: DataFrame, lo: Long,
-      hi: Long): Array[(String, String, String, String, Option[Long])] = {
+    * per-record array shape `ErrorResponse.java`) — plus the batch total,
+    * from ONE pass. Bounded by the request body, never by the store. */
+  private def ingestErrorRows(parsed: DataFrame, lo: Long, hi: Long):
+      (Array[(String, String, String, String, Option[Long])], Long) = {
     val src = when(col("metric_name").isNull ||
         length(col("metric_name")) === 0, lit("metricName"))
       .when(col("value").isNull ||
@@ -286,23 +288,23 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         lit("collectionTime"))
       .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
         lit("ttlInSeconds"))
-    parsed.withColumn("__src", src)
-      .filter(col("__src").isNotNull)
+    val all = parsed.withColumn("__src", src)
       .select("tenant_id", "metric_name", "ts_ms", "__src")
       .collect()
-      .map { r =>
-        val source = r.getString(3)
-        val msg = source match {
-          case "metricName" => "may not be empty"
-          case "metricValue" => "is not a valid number"
-          case "collectionTime" =>
-            s"out of bounds: must be within [$lo, $hi]"
-          case _ => "must be positive"
-        }
-        (Option(r.getString(0)).getOrElse(""),
-          Option(r.getString(1)).getOrElse(""), source, msg,
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val errors = all.filter(r => !r.isNullAt(3)).map { r =>
+      val source = r.getString(3)
+      val msg = source match {
+        case "metricName" => "may not be empty"
+        case "metricValue" => "is not a valid number"
+        case "collectionTime" =>
+          s"out of bounds: must be within [$lo, $hi]"
+        case _ => "must be positive"
       }
+      (Option(r.getString(0)).getOrElse(""),
+        Option(r.getString(1)).getOrElse(""), source, msg,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    (errors, all.length.toLong)
   }
 
   private def ingestAggregated(ex: HttpExchange, tenant: String,
@@ -323,20 +325,23 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         if (multi) coalesce(col("tenant_id"), lit(tenant)) else lit(tenant))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (parsed.isEmpty) {
-        sendJson(ex, 400, errJson("Cannot parse content")); return
-      }
       val now = nowMs()
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
       val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
-      val bad = parsed.filter(!inWindow)
-        .select("tenant_id", "metric_name", "ts_ms").collect()
+      // one request-bounded collect: emptiness + rejects + total (see
+      // ingestErrorRows)
+      val all = parsed.withColumn("__ok", inWindow)
+        .select("tenant_id", "metric_name", "ts_ms", "__ok").collect()
+      if (all.isEmpty) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
+      val bad = all.filter(!_.getBoolean(3))
         .map(r => (Option(r.getString(0)).getOrElse(""),
           Option(r.getString(1)).getOrElse(""), "timestamp",
           s"out of bounds: must be within [$lo, $hi]",
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      val nTotal = parsed.count()
+      val nTotal = all.length.toLong
       writeLock.synchronized {
         IngestStream.processAggregatedBatch(parsed, storeDir,
           batchId.incrementAndGet(), cascade = true, lo, hi)

@@ -134,16 +134,19 @@ object IngestStream {
             col("value"), col("ttl_seconds"), col("unit"), col("is_bool")),
         minTs, maxTs)
         .withColumnRenamed("value", "value_str")
-      if (strings.isEmpty) return
-      val badStrings = strings.filter(!col("valid")).drop("valid")
-      val nBadStrings = badStrings.count()
+      // one accounting aggregate for the string arm too (see processBatch)
+      val sstats = strings.groupBy(col("valid")).count().collect()
+        .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+      if (sstats.isEmpty) return
+      val nBadStrings = sstats.getOrElse(false, 0L)
       if (nBadStrings > 0) {
         Instrumentation.global.inc("ingest.rows.errors.string", nBadStrings)
-        badStrings.write.mode("overwrite")
+        strings.filter(!col("valid")).drop("valid")
+          .write.mode("overwrite")
           .parquet(s"$storeDir/metrics_string_errors/batch_id=$batchId")
       }
       val goodStrings = strings.filter(col("valid")).drop("valid")
-      val nGoodStrings = goodStrings.count()
+      val nGoodStrings = sstats.getOrElse(true, 0L)
       if (nGoodStrings == 0) return
       Instrumentation.global.inc("ingest.rows.metrics_string", nGoodStrings)
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
@@ -361,35 +364,41 @@ object IngestStream {
     // (otherwise the source is re-read and re-parsed per split)
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.isEmpty) return
+      // ONE accounting aggregate answers emptiness, the invalid total, the
+      // valid rows-written meter, AND the dirty-day list — each used to be
+      // its own job (isEmpty, count, isEmpty, groupBy), and per-batch job
+      // count is the latency floor of a synchronous ingest request. An
+      // invalid row can carry a null ts_ms — its day groups as null, read
+      // via isNullAt.
+      val stats = cached
+        .groupBy(col("valid"), dayOf(col("ts_ms")).as("ts_day")).count()
+        .collect()
+        .map(r => (r.getBoolean(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      if (stats.isEmpty) return
+      // meterBatch=false when processTypedBatch already counted this batch
+      // (a string-only batch never reaches this arm's counter otherwise)
+      if (meterBatch) Instrumentation.global.inc("ingest.batches")
       // invalid records go to an errors sink instead of vanishing — the
       // reference returns per-record errors to the client
       // (HttpMetricsIngestionHandler error responses, ErrorResponse.java).
       // Only written when non-empty: an empty parquet dir per healthy batch
       // would break schema inference for readers of the sink.
-      // meterBatch=false when processTypedBatch already counted this batch
-      // (a string-only batch never reaches this arm's counter otherwise)
-      if (meterBatch) Instrumentation.global.inc("ingest.batches")
-      val invalid = cached.filter(!col("valid")).drop("valid")
-      val nInvalid = invalid.count()
+      val nInvalid = stats.collect { case (false, _, n) => n }.sum
       if (nInvalid > 0) {
         Instrumentation.global.inc("ingest.rows.errors", nInvalid)
-        invalid.write.mode("overwrite")
+        cached.filter(!col("valid")).drop("valid")
+          .write.mode("overwrite")
           .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
       }
-      val valid = cached.filter(col("valid")).drop("valid")
       // an all-invalid batch writes nothing: an empty batch_id partition
       // would be dead weight (and an all-empty store breaks schema inference)
-      if (valid.isEmpty) return
+      val dayCounts = stats.collect { case (true, Some(day), n) => (day, n) }
+      if (dayCounts.isEmpty) return
+      val valid = cached.filter(col("valid")).drop("valid")
       writeRaw(valid, storeDir, batchId)
       writeCatalog(valid, storeDir, batchId, src = "numeric",
         familyCol = lit("basic"), markComplete = virgin)
-      // one aggregate serves both the dirty-day list AND the rows-written
-      // meter — instrumentation must never add a Spark action of its own
-      val dayCounts = valid
-        .groupBy(dayOf(col("ts_ms")).as("ts_day")).count()
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      if (dayCounts.isEmpty) return
       Instrumentation.global.inc("ingest.rows.metrics_full",
         dayCounts.map(_._2).sum)
       rollDirtyDays(spark, storeDir, dayCounts.map(_._1))
