@@ -75,8 +75,24 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   import MetricsHttpServer._
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  private val batchId = new AtomicLong(nowMs())
   private val pool = Executors.newFixedThreadPool(8)
+
+  /** Batch id derived from the REQUEST (tenant + route + body hash), not a
+    * counter: the store's replace-not-duplicate idempotence
+    * ([[IngestStream.processBatch]] scaladoc) holds only when a replay
+    * reuses its batch id, and an HTTP client that lost the response WILL
+    * retry the same body — under a time-seeded counter the retry landed in
+    * a fresh `batch_id=` dir and double-counted every point. Identical
+    * re-POSTs now overwrite their own dir and the dirty-day re-roll
+    * converges; distinct bodies colliding is a 2^-58 event, and bit 58
+    * keeps facade ids disjoint from small streaming checkpoint ids while
+    * staying below [[graft.operators.Retention.CompactIdBase]] (2^60). */
+  private def requestBatchId(tenant: String, route: String, body: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$tenant|$route|$body".getBytes(StandardCharsets.UTF_8))
+    val h = java.nio.ByteBuffer.wrap(d).getLong
+    (h & ((1L << 58) - 1)) | (1L << 58)
+  }
 
   /** Ingest writes serialize: two concurrent batches dirtying the same day
     * would dynamic-overwrite the same 5m/preagg partitions and clobber
@@ -241,7 +257,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           col("r.ttlInSeconds").as("ttl_seconds"),
           col("r.unit").as("unit"))).as("value"))
       } catch {
-        case _: Throwable =>
+        // NonFatal only: the plan building is lazy, so genuinely bad JSON
+        // surfaces as zero parsed rows below, and an OOM/VM error here
+        // must propagate, not masquerade as a client 400
+        case scala.util.control.NonFatal(_) =>
           sendJson(ex, 400, errJson("Cannot parse content")); return
       }
     val parsed = IngestStream.parseJsonTyped(lines)
@@ -263,7 +282,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // data rows for an all-invalid batch
       writeLock.synchronized {
         IngestStream.processTypedBatch(parsed, storeDir,
-          batchId.incrementAndGet(), lo, hi)
+          requestBatchId(tenant, "ingest", body), lo, hi)
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
       }
@@ -288,10 +307,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         lit("collectionTime"))
       .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
         lit("ttlInSeconds"))
-    val all = parsed.withColumn("__src", src)
-      .select("tenant_id", "metric_name", "ts_ms", "__src")
-      .collect()
-    val errors = all.filter(r => !r.isNullAt(3)).map { r =>
+    // collect_list skips nulls, so only the ERROR rows reach the driver —
+    // the total rides along in the same single job (an all-valid bulk POST
+    // must not materialize a driver Row per point)
+    val agg = parsed
+      .agg(count(lit(1)).as("n"),
+        collect_list(when(src.isNotNull, struct(
+          col("tenant_id"), col("metric_name"), col("ts_ms"),
+          src.as("__src")))).as("errs"))
+      .head()
+    val errors = agg.getSeq[org.apache.spark.sql.Row](1).map { r =>
       val source = r.getString(3)
       val msg = source match {
         case "metricName" => "may not be empty"
@@ -303,8 +328,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       (Option(r.getString(0)).getOrElse(""),
         Option(r.getString(1)).getOrElse(""), source, msg,
         if (r.isNullAt(2)) None else Some(r.getLong(2)))
-    }
-    (errors, all.length.toLong)
+    }.toArray
+    (errors, agg.getLong(0))
   }
 
   private def ingestAggregated(ex: HttpExchange, tenant: String,
@@ -329,22 +354,25 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
       val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
-      // one request-bounded collect: emptiness + rejects + total (see
-      // ingestErrorRows)
-      val all = parsed.withColumn("__ok", inWindow)
-        .select("tenant_id", "metric_name", "ts_ms", "__ok").collect()
-      if (all.isEmpty) {
+      // one job for emptiness + rejects + total; only the rejects are
+      // collected (see ingestErrorRows)
+      val agg = parsed
+        .agg(count(lit(1)).as("n"),
+          collect_list(when(!inWindow, struct(
+            col("tenant_id"), col("metric_name"), col("ts_ms")))).as("bad"))
+        .head()
+      val nTotal = agg.getLong(0)
+      if (nTotal == 0) {
         sendJson(ex, 400, errJson("Cannot parse content")); return
       }
-      val bad = all.filter(!_.getBoolean(3))
+      val bad = agg.getSeq[org.apache.spark.sql.Row](1)
         .map(r => (Option(r.getString(0)).getOrElse(""),
           Option(r.getString(1)).getOrElse(""), "timestamp",
           s"out of bounds: must be within [$lo, $hi]",
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      val nTotal = all.length.toLong
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toArray
       writeLock.synchronized {
         IngestStream.processAggregatedBatch(parsed, storeDir,
-          batchId.incrementAndGet(), cascade = true, lo, hi)
+          requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi)
         familyCache.clear()
         storeGeneration.incrementAndGet()
       }
@@ -384,7 +412,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       }
       writeLock.synchronized {
         IngestStream.processEventsBatch(validated, storeDir,
-          batchId.incrementAndGet())
+          requestBatchId(tenant, "events", body))
       }
       sendJson(ex, 200, """{}""")
     } finally validated.unpersist()
@@ -610,15 +638,8 @@ object MetricsHttpServer {
   private[http] def errJson(msg: String): String =
     s"""{"errors": [{"message": ${jStr(msg)}}]}"""
 
-  private[http] def jStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private[http] def jStr(s: String): String =
+    graft.query.MetricsQueryApi.jsonStr(s)
 
   /** Minimal JSON string-array reader for the multi-views body (names are
     * metric identifiers — quoted strings with standard escapes). */

@@ -66,6 +66,9 @@ object Discovery {
   def eventSearch(events: DataFrame, fromMs: Long, untilMs: Long, tagsRegex: String): DataFrame =
     events
       .filter(col("ts_ms") >= fromMs && col("ts_ms") < untilMs &&
-        col("props").rlike(tagsRegex))
+        // props is nullable (an ingested event without data/tags): rlike
+        // on NULL is NULL and the filter would drop the event even under
+        // an empty tags query — a null props matches like an empty string
+        coalesce(col("props"), lit("")).rlike(tagsRegex))
       .orderBy("event_id")
 }

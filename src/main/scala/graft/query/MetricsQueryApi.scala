@@ -19,6 +19,18 @@ object MetricsQueryApi {
     * enforced HttpMultiRollupsQueryHandler.java:110-114). */
   val MaxMetricsPerBatchQuery = 100
 
+  /** The ONE JSON string escaper — shared by the serializer and the HTTP
+    * facade so a future escaping fix cannot land on one and not the other. */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   final case class Params(
       tenantId: String,
       metricGlob: String,
@@ -579,15 +591,7 @@ object MetricsQueryApi {
       case x => x.toString
     }
     // metric names/units are arbitrary ingested strings — escape them
-    def jStr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jStr(s: String): String = jsonStr(s)
     val metrics = byMetric.map { case ((name, unit), rows) =>
       val values = rows.sortBy(_.getAs[Long]("bucket_ms")).map { r =>
         // per-metric default stat sets: emit only this metric's own stats

@@ -127,7 +127,7 @@ object IngestStream {
           col("value_num").as("value"), col("ttl_seconds"), col("unit"))
       processBatch(
         withValidity(numeric, minTs, maxTs), storeDir, batchId,
-        meterBatch = false)
+        meterBatch = false, virginHint = Some(virgin))
       val strings = withValidity(
         cached.filter(isStringKind)
           .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
@@ -149,11 +149,12 @@ object IngestStream {
       val nGoodStrings = sstats.getOrElse(true, 0L)
       if (nGoodStrings == 0) return
       Instrumentation.global.inc("ingest.rows.metrics_string", nGoodStrings)
+      // catalog before data (see processBatch's crash-ordering note)
+      writeCatalog(goodStrings, storeDir, batchId, src = "string",
+        familyCol = lit("string"), markComplete = virgin)
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
-      writeCatalog(goodStrings, storeDir, batchId, src = "string",
-        familyCol = lit("string"), markComplete = virgin)
     } finally cached.unpersist()
   }
 
@@ -201,12 +202,25 @@ object IngestStream {
     if (!fs.exists(p)) fs.create(p, true).close()
   }
 
-  /** Whether any of the cataloged data tables already holds data — probed
-    * at batch START (before this batch's writes) to decide if a first
+  private val preaggKinds = Seq("counter", "gauge", "timer", "set")
+
+  /** Every table whose rows name a servable locator: the raw stores PLUS
+    * the rollup tiers — retention prunes raw days long before the coarser
+    * tiers' TTLs expire, so a store can hold tier-only locators with no
+    * raw trace (the exact state after [[graft.operators.Retention
+    * .enforce]] on an idle metric). Raw tables lead so the common
+    * non-empty probe short-circuits on the first glob. */
+  private def locatorTables: Seq[String] =
+    Seq("metrics_full", "metrics_string", "preagg_raw") ++
+      Granularity.rollupTiers.map(g => s"metrics_${g.name}") ++
+      (for (k <- preaggKinds; g <- Granularity.rollupTiers)
+        yield s"preagg_${k}_${g.name}")
+
+  /** Whether any locator-bearing table already holds data — probed at
+    * batch START (before this batch's writes) to decide if a first
     * catalog write covers the whole store. */
   private def storeHasData(spark: SparkSession, storeDir: String): Boolean =
-    Seq("metrics_full", "metrics_string", "preagg_raw")
-      .exists(t => hasParquetData(spark, s"$storeDir/$t"))
+    locatorTables.exists(t => hasParquetData(spark, s"$storeDir/$t"))
 
   /** The persisted locator catalog, deduplicated across batches: one row
     * per (tenant_id, metric_name, family) with the max ingested unit —
@@ -313,10 +327,18 @@ object IngestStream {
         Some(t.select(col("tenant_id"), col("metric_name"),
           famCol.as("family"), unitCol.as("unit")))
       }
+    // every locator-bearing table, tiers included: retention prunes raw
+    // days before the coarser tiers' TTLs, so a tier-only locator is still
+    // SERVABLE (the kind-routed stored reads hit the tier directly) and
+    // must stay discoverable/routable after a rebuild
     val parts =
       derived("metrics_full", lit("basic")) ++
         derived("metrics_string", lit("string")) ++
-        derived("preagg_raw", col("kind"))
+        derived("preagg_raw", col("kind")) ++
+        Granularity.rollupTiers.flatMap(g =>
+          derived(s"metrics_${g.name}", lit("basic"))) ++
+        (for (k <- preaggKinds; g <- Granularity.rollupTiers)
+          yield derived(s"preagg_${k}_${g.name}", lit(k))).flatten
     if (parts.isEmpty) { fs.delete(root, true); return }
     val rows = parts.reduce(_ unionByName _)
       .groupBy("tenant_id", "metric_name", "family")
@@ -355,11 +377,12 @@ object IngestStream {
     * replaces rather than duplicates its own rows, and the re-roll (which
     * always recomputes from the store) converges to the same state. */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
-      meterBatch: Boolean = true): Unit = {
+      meterBatch: Boolean = true, virginHint: Option[Boolean] = None): Unit = {
     val spark = batch.sparkSession
     // probed BEFORE any write (see processTypedBatch): first-batch-on-
-    // empty-store means the catalog covers the store from birth
-    val virgin = !storeHasData(spark, storeDir)
+    // empty-store means the catalog covers the store from birth. The hint
+    // saves re-globbing when processTypedBatch already probed this batch.
+    val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
     // persist the parsed+validated batch once; both splits derive from it
     // (otherwise the source is re-read and re-parsed per split)
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -396,9 +419,12 @@ object IngestStream {
       val dayCounts = stats.collect { case (true, Some(day), n) => (day, n) }
       if (dayCounts.isEmpty) return
       val valid = cached.filter(col("valid")).drop("valid")
-      writeRaw(valid, storeDir, batchId)
+      // catalog FIRST: a crash between the two writes must leave a
+      // stale-but-safe catalog superset, never a _complete-marked catalog
+      // missing a live locator (readers dedup; routeKind would misroute)
       writeCatalog(valid, storeDir, batchId, src = "numeric",
         familyCol = lit("basic"), markComplete = virgin)
+      writeRaw(valid, storeDir, batchId)
       Instrumentation.global.inc("ingest.rows.metrics_full",
         dayCounts.map(_._2).sum)
       rollDirtyDays(spark, storeDir, dayCounts.map(_._1))
@@ -518,16 +544,19 @@ object IngestStream {
   def processEventsBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.isEmpty) return
-      val invalid = cached.filter(!col("valid")).drop("valid")
-      val nInvalid = invalid.count()
+      // one accounting aggregate, emptiness included (see processBatch)
+      val estats = cached.groupBy(col("valid")).count().collect()
+        .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+      if (estats.isEmpty) return
+      val nInvalid = estats.getOrElse(false, 0L)
       if (nInvalid > 0) {
         Instrumentation.global.inc("ingest.rows.errors.events", nInvalid)
-        invalid.write.mode("overwrite")
+        cached.filter(!col("valid")).drop("valid")
+          .write.mode("overwrite")
           .parquet(s"$storeDir/events_errors/batch_id=$batchId")
       }
       val valid = cached.filter(col("valid")).drop("valid")
-      val nValid = valid.count()
+      val nValid = estats.getOrElse(true, 0L)
       if (nValid == 0) return
       Instrumentation.global.inc("ingest.rows.events", nValid)
       valid.withColumn("ts_day", dayOf(col("ts_ms")))
@@ -699,30 +728,35 @@ object IngestStream {
     val virgin = !storeHasData(spark, storeDir)
     val cached0 = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached0.isEmpty) return
       // 3VL-safe: a null ts_ms must read as out-of-window, not NULL (which
-      // would vanish from both the store and the errors sink)
-      Instrumentation.global.inc("ingest.batches.preagg")
+      // would vanish from both the store and the errors sink). ONE
+      // accounting aggregate for emptiness + reject total + dirty days +
+      // rows-written meter — the same per-batch job-count discipline as
+      // processBatch (a null ts_ms groups under a null day in the
+      // rejected arm).
       val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
-      val rejected = cached0.filter(!inWindow)
-      val nRejected = rejected.count()
+      val stats = cached0
+        .groupBy(inWindow.as("ok"), dayOf(col("ts_ms")).as("ts_day")).count()
+        .collect()
+        .map(r => (r.getBoolean(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      if (stats.isEmpty) return
+      Instrumentation.global.inc("ingest.batches.preagg")
+      val nRejected = stats.collect { case (false, _, n) => n }.sum
       if (nRejected > 0) {
         Instrumentation.global.inc("ingest.rows.errors.preagg", nRejected)
-        rejected.write.mode("overwrite")
+        cached0.filter(!inWindow).write.mode("overwrite")
           .parquet(s"$storeDir/preagg_errors/batch_id=$batchId")
       }
       val cached = cached0.filter(inWindow)
-      if (cached.isEmpty) return
+      val dayCounts = stats.collect { case (true, Some(day), n) => (day, n) }
+      if (dayCounts.isEmpty) return
+      // catalog before data (see processBatch's crash-ordering note)
+      writeCatalog(cached, storeDir, batchId, src = "preagg",
+        familyCol = col("kind"), markComplete = virgin)
       cached.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/preagg_raw/batch_id=$batchId")
-      writeCatalog(cached, storeDir, batchId, src = "preagg",
-        familyCol = col("kind"), markComplete = virgin)
-      // one aggregate for dirty days + the rows-written meter (see
-      // processBatch: instrumentation never adds its own action)
-      val dayCounts = cached
-        .groupBy(dayOf(col("ts_ms")).as("ts_day")).count()
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
       Instrumentation.global.inc("ingest.rows.preagg_raw",
         dayCounts.map(_._2).sum)
       val dirtyDays = dayCounts.map(_._1).toSeq

@@ -246,6 +246,32 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv2.stop()
   }
 
+  test("a client retry of the same ingest body replaces its batch instead " +
+    "of double-counting") {
+    val (srv, base, store) = startServer()
+    try {
+      val t0 = now - 600000L
+      val body =
+        s"""[{"metricName": "app.req.count", "metricValue": 12.5,
+           |  "collectionTime": $t0},
+           | {"metricName": "app.req.count", "metricValue": 14.0,
+           |  "collectionTime": ${t0 + 60000}}]""".stripMargin
+      assert(post(s"$base/v2.0/acme/ingest", body).statusCode() === 200)
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 2)
+      // the retry (same tenant + route + body) lands on the SAME batch id
+      // and overwrites it — replace-not-duplicate idempotence
+      assert(post(s"$base/v2.0/acme/ingest", body).statusCode() === 200)
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 2,
+        "a retried POST must not double-count its points")
+      // a DIFFERENT body still appends
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "app.req.count", "metricValue": 9.0,
+           |  "collectionTime": ${t0 + 120000}}]""".stripMargin)
+        .statusCode() === 200)
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 3)
+    } finally srv.stop()
+  }
+
   test("root ping and CORS preflight match the reference's Default/Options " +
     "handlers") {
     val (srv, base, _) = startServer()

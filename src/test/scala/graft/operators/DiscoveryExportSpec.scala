@@ -37,6 +37,23 @@ class DiscoveryExportSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("eventSearch matches events with NULL props (rlike on NULL would " +
+    "silently drop them even under an empty tags query)") {
+    import spark.implicits._
+    val events = Seq(
+      ("t1", 1L, 1000L, "deploy", "release build"),
+      ("t1", 2L, 2000L, "restart", null))
+      .toDF("tenant_id", "event_id", "ts_ms", "event_type", "props")
+    val all = Discovery.eventSearch(events, 0L, 10000L, "")
+      .select("event_id").as[Long].collect().toSeq
+    assert(all === Seq(1L, 2L),
+      "a null-props event must match the empty tags filter")
+    // a concrete tag still prunes to the matching event only
+    val tagged = Discovery.eventSearch(events, 0L, 10000L, "release")
+      .select("event_id").as[Long].collect().toSeq
+    assert(tagged === Seq(1L))
+  }
+
   test("export then backfill reproduces the 5m rollup") {
     val tmp = Files.createTempDirectory("graft_export").toString
     val pts = Tables.metrics(spark, dir).withColumn("bucket_ms", col("ts_ms"))

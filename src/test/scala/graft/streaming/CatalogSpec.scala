@@ -106,6 +106,29 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
     assert(catalogRows(store) === before)
   }
 
+  test("tier-only locators survive a rebuild and block a false " +
+    "complete-from-birth marker (raw ages out before the tiers)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cat7").toString
+    ingestNumeric(store, 0L, "tiered.metric", day0 + 1000L)
+    // age out the RAW day while the 5m tier keeps it (the tier-TTL ladder:
+    // coarser tiers outlive raw by design)
+    Retention.enforce(spark, store,
+      nowMillis = day0 + 86400000L +
+        graft.core.Granularity.FULL.retentionMillis + 1000L,
+      tables = Map("metrics_full" -> graft.core.Granularity.FULL))
+    assert(!fs.exists(new Path(s"$store/metrics_full")))
+    assert(fs.exists(new Path(s"$store/metrics_5m")))
+    // rebuild derives the locator from the TIER, not just raw tables
+    IngestStream.rebuildCatalog(spark, store)
+    assert(catalogRows(store).map(_._1) === Seq("tiered.metric"))
+    // a fresh catalog on this store must NOT claim complete-from-birth:
+    // the tier still names a locator the new catalog has never seen
+    fs.delete(new Path(s"$store/metric_catalog"), true)
+    ingestNumeric(store, 1L, "new.metric", day0 + 86400000L + 1000L)
+    assert(IngestStream.metricCatalog(spark, store).isEmpty,
+      "tier-only data must block the virgin-store coverage marker")
+  }
+
   test("a catalog born mid-life is NOT served: pre-catalog locators keep " +
     "resolving from the raw tables until a rebuild marks coverage") {
     val store = java.nio.file.Files.createTempDirectory("graft_cat5").toString
