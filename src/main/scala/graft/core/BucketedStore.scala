@@ -52,14 +52,20 @@ object BucketedStore {
   def register(spark: SparkSession, tableName: String, path: String,
       nBuckets: Int = 64): Unit = {
     if (spark.catalog.tableExists(tableName)) {
-      val spec = spark.sessionState.catalog
+      val meta = spark.sessionState.catalog
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-        .bucketSpec
+      val spec = meta.bucketSpec
       require(spec.exists(s => s.numBuckets == nBuckets &&
           s.bucketColumnNames == bucketCols),
         s"table $tableName already registered with bucket spec $spec, " +
           s"requested $nBuckets buckets on $bucketCols")
+      // the flat layout's mirror of registerPartitioned's check: a
+      // DAY-PARTITIONED table under this name is a different physical
+      // contract and must not be claimed by the flat register
+      require(meta.partitionColumnNames.isEmpty,
+        s"table $tableName exists but is partitioned on " +
+          s"${meta.partitionColumnNames}; use registerPartitioned")
     } else {
       val df = spark.read.parquet(path)
       val schemaDdl = df.schema.toDDL
@@ -95,14 +101,22 @@ object BucketedStore {
     require(schema.fieldNames.contains("ts_day"),
       s"schema must carry the ts_day partition column, got ${schema.toDDL}")
     if (spark.catalog.tableExists(tableName)) {
-      val spec = spark.sessionState.catalog
+      val meta = spark.sessionState.catalog
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-        .bucketSpec
+      val spec = meta.bucketSpec
       require(spec.exists(s => s.numBuckets == nBuckets &&
           s.bucketColumnNames == bucketCols),
         s"table $tableName already registered with bucket spec $spec, " +
           s"requested $nBuckets buckets on $bucketCols")
+      // partitioning must match too: a FLAT table under this name would
+      // pass the bucket check, and the next overwriteDays would then
+      // TRUNCATE it (dynamic partition-overwrite is a no-op without
+      // partitions — the whole table is one overwrite target)
+      require(meta.partitionColumnNames == Seq("ts_day"),
+        s"table $tableName exists but is partitioned on " +
+          s"${meta.partitionColumnNames} (need Seq(ts_day)); a flat table " +
+          "here would be truncated by the next dirty-day overwrite")
     } else {
       val dataCols = schema.fields.filter(_.name != "ts_day")
       val ts = schema(schema.fieldIndex("ts_day"))

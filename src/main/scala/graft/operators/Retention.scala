@@ -49,10 +49,15 @@ object Retention {
       ("events" -> Granularity.rollupTiers.last)
 
   /** A day partition is expired only when its whole day lies beyond the
-    * tier's TTL horizon — the conservative reading of the reference's
-    * per-record TTL (no surviving record may be dropped early). */
+    * TTL horizon — the conservative reading of the reference's per-record
+    * TTL (no surviving record may be dropped early). The ONE expiry rule:
+    * [[enforce]] applies this same predicate, so a boundary-semantics
+    * change lands everywhere at once. */
+  def isExpired(tsDay: Long, retentionMillis: Long, nowMillis: Long): Boolean =
+    tsDay + 86400000L <= nowMillis - retentionMillis
+
   def isExpired(tsDay: Long, g: Granularity, nowMillis: Long): Boolean =
-    tsDay + 86400000L <= nowMillis - g.retentionMillis
+    isExpired(tsDay, g.retentionMillis, nowMillis)
 
   /** String/boolean metrics age on their own clock, not the rollup ladder:
     * the reference's STRING_METRICS_TTL is 365 days (TtlConfig.java:21) —
@@ -88,7 +93,7 @@ object Retention {
             // parse first, skip what doesn't parse: a stray ts_day=tmp dir
             // must not throw mid-sweep with earlier deletions applied
             st.getPath.getName.stripPrefix("ts_day=").toLongOption
-              .filter(day => day + 86400000L <= nowMillis - retentionMillis)
+              .filter(day => isExpired(day, retentionMillis, nowMillis))
               .map { day => fs.delete(st.getPath, true); day }
           }
           // unconditional: a crash between a prior run's partition deletes
@@ -149,11 +154,14 @@ object Retention {
     * a future ingest batch can never collide with — and silently
     * overwrite — a compaction. Must clear BOTH id regimes writers use:
     * streaming checkpoint ids count micro-batches from 0, and the HTTP
-    * facade seeds its counter at epoch millis for restart-uniqueness
-    * (~1.7e12 and rising — 2^40 ≈ 1.1e12 sat BELOW it, which silently
-    * excluded every facade-written dir from compaction as a false "prior
-    * compaction"). 2^60 is out of reach of epoch millis for geological
-    * time while leaving 2^3 headroom of monotonic compaction ids. */
+    * facade derives request-hash ids in [2^58, 2^59)
+    * (MetricsHttpServer.requestBatchId — an earlier epoch-millis scheme
+    * sat ABOVE the original 2^40 base, silently excluding every
+    * facade-written dir from compaction as a false "prior compaction").
+    * 2^60 clears the hash range with headroom for monotonic compaction
+    * ids. NOTE ids below the base are NOT time-ordered (hash ids aren't):
+    * "which dir is a live writer still filling" is judged by modification
+    * time, never by max id. */
   val CompactIdBase: Long = 1L << 60
 
   /** Compact a two-level raw table (`<table>/batch_id=B/ts_day=D`): one
@@ -188,23 +196,29 @@ object Retention {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     recoverCompaction(spark, storeDir, table)
-    val all = fs.globStatus(new Path(root, "batch_id=*")).toSeq
+    val allSt = fs.globStatus(new Path(root, "batch_id=*")).toSeq
       .flatMap { st =>
         st.getPath.getName.stripPrefix("batch_id=").toLongOption
-          .map(_ -> st.getPath)
+          .map(id => (id, st.getPath, st.getModificationTime))
       }.sortBy(_._1)
+    val all = allSt.map(t => (t._1, t._2))
     // Fold only the per-micro-batch dirs (id < CompactIdBase): re-reading
     // a prior compaction would make every maintenance run an O(full
     // table) rewrite instead of an O(new small files) fold. Unless the
-    // caller asserts the writer is quiesced, also leave the NEWEST small
-    // dir alone — it is the one a live streaming commit may still be
+    // caller asserts the writer is quiesced, also leave the most recently
+    // MODIFIED small dir alone — it is the one a live commit may still be
     // filling, and deleting it after a partial read would lose the
-    // writer's later files silently.
-    val small = all.filter(_._1 < CompactIdBase)
+    // writer's later files silently. Recency is judged by mtime, NOT max
+    // id: facade batch ids are request hashes with no time order.
+    val small = allSt.filter(_._1 < CompactIdBase)
     val batches =
-      if (assumeQuiesced) small
-      else if (small.isEmpty) small
-      else small.init
+      (if (assumeQuiesced || small.isEmpty) small
+       else {
+         val newestMtime = small.map(_._3).max
+         // drop ONE newest-mtime dir (ties: highest id wins as "newest")
+         val spare = small.filter(_._3 == newestMtime).maxBy(_._1)
+         small.filterNot(t => t._1 == spare._1)
+       }).map(t => (t._1, t._2))
     if (batches.size < minBatchDirs) return None
     val newId = math.max(CompactIdBase, all.map(_._1).max + 1)
     val manifest = new Path(root, "_compact_manifest")

@@ -550,13 +550,23 @@ object TextScoring {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path, "stats"))) return None
     recoverTextIndexCompaction(spark, path)
-    def ids(sub: String): Seq[Long] =
+    def idsWithMtime(sub: String): Seq[(Long, Long)] =
       fs.globStatus(new Path(s"$path/$sub", "batch_id=*")).toSeq
-        .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
-    val all = (ids("postings") ++ ids("stats")).distinct.sorted
+        .flatMap(st => st.getPath.getName.stripPrefix("batch_id=")
+          .toLongOption.map(_ -> st.getModificationTime))
+    // per-id mtime = the newest of its postings/stats dirs
+    val mtimes = (idsWithMtime("postings") ++ idsWithMtime("stats"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val all = mtimes.keys.toSeq.sorted
     val small0 = all.filter(_ < Retention.CompactIdBase)
+    // spare the most recently MODIFIED small id, not the max id — batch
+    // ids need not be time-ordered (see Retention.compactRaw)
     val small =
-      if (assumeQuiesced || small0.isEmpty) small0 else small0.init
+      if (assumeQuiesced || small0.isEmpty) small0
+      else {
+        val spare = small0.filter(id => mtimes(id) == small0.map(mtimes).max).max
+        small0.filterNot(_ == spare)
+      }
     if (small.size < minBatchDirs) return None
     val newId = math.max(Retention.CompactIdBase, all.max + 1)
     val manifest = new Path(root, "_compact_manifest")

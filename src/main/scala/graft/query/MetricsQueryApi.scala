@@ -132,6 +132,11 @@ object MetricsQueryApi {
       maxBatch: Int, catalog: DataFrame): ResolvedQuery = {
     require(p.points.isDefined ^ p.resolution.isDefined,
       "exactly one of points= or resolution= required")
+    // fail loud on unknown stat names: silently dropping a typo'd
+    // `select=mean` would serve timestamp-only buckets with a 200 (the
+    // known-but-uncarried case still degrades to NULL columns)
+    p.select.foreach(s => require(statCols.contains(s),
+      s"unknown stat '$s' (one of ${statCols.keys.toSeq.sorted.mkString(", ")})"))
     val fromMs = DateTimeParser.parseMillis(p.from, nowMillis)
     val toMs = DateTimeParser.parseMillis(p.to, nowMillis)
     require(fromMs < toMs, "from must precede to")
@@ -295,13 +300,7 @@ object MetricsQueryApi {
       // legitimate here — a raw sample is its own latest value. A
       // tier-only store (no metrics_full, no rawOverride) serves empty,
       // not a schema-inference crash.
-      import spark.implicits._
-      val raw = rawOverride.getOrElse {
-          if (IngestStream.hasParquetData(spark, s"$storeDir/metrics_full"))
-            spark.read.parquet(s"$storeDir/metrics_full")
-          else Seq.empty[(String, String, Long, Double)]
-            .toDF("tenant_id", "metric_name", "ts_ms", "value")
-        }
+      val raw = rawOverride.getOrElse(rawStoreOrEmpty(spark, storeDir))
         .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
           col("tenant_id") === p.tenantId)
         .select("tenant_id", "metric_name", "ts_ms", "value")
@@ -309,8 +308,13 @@ object MetricsQueryApi {
       return projectStats(rawAsStats(raw), r.select, r.perMetricDefaults)
         .orderBy("metric_name", "bucket_ms")
     }
-    require(!r.select.contains("latest"),
+    // only an EXPLICIT latest request is an error — with select= absent the
+    // computed per-metric default union may carry `latest` merely because
+    // the glob matched a gauge-family catalog entry; the basic store just
+    // serves without it (the gauge locator's rows come from its own family)
+    require(!p.select.contains("latest"),
       "latest is served by the gauge preagg tiers, not the basic rollup store")
+    val selEff = r.select.filterNot(_ == "latest")
     val gEff = r.g
     val snappedFrom = gEff.snap(r.fromMs)
     val toMs = r.toMs
@@ -346,18 +350,27 @@ object MetricsQueryApi {
     val gapFilled =
       if (missingDays.isEmpty && tailStart >= toMs) None
       else {
-        // raw is touched ONLY for uncovered days and the tail partial bucket
-        val rawSrc = rawOverride.getOrElse(
-          spark.read.parquet(s"$storeDir/metrics_full"))
+        // raw is touched ONLY for uncovered days and the tail partial
+        // bucket; a raw store wholly pruned by retention (tier-only store)
+        // reads as EMPTY — the tiers serve what they cover, gaps serve
+        // nothing, never a PATH_NOT_FOUND crash
+        val rawSrc = rawOverride.getOrElse(rawStoreOrEmpty(spark, storeDir))
+        val hasDay = rawSrc.columns.contains("ts_day")
         val dayCond =
           if (missingDays.isEmpty) lit(false)
-          else if (rawSrc.columns.contains("ts_day"))
-            col("ts_day").isin(missingDays: _*)
+          else if (hasDay) col("ts_day").isin(missingDays: _*)
           else missingDays
             .map(d => col("ts_ms") >= d && col("ts_ms") < d + DayMs)
             .reduce(_ || _)
+        // the tail read prunes to its own day partitions too — without the
+        // ts_day bound a fully tier-covered `to=now` query would list every
+        // raw day directory to recompute one bucket
         val tailCond =
-          if (tailStart < toMs) col("ts_ms") >= tailStart else lit(false)
+          if (tailStart >= toMs) lit(false)
+          else if (hasDay) col("ts_ms") >= tailStart &&
+            col("ts_day").between(tailStart - math.floorMod(tailStart, DayMs),
+              (toMs - 1) - math.floorMod(toMs - 1, DayMs))
+          else col("ts_ms") >= tailStart
         val raw = rawSrc
           .filter(col("ts_ms") >= snappedFrom && col("ts_ms") < toMs &&
             (dayCond || tailCond) && col("tenant_id") === p.tenantId)
@@ -374,9 +387,35 @@ object MetricsQueryApi {
       .join(broadcast(r.names), Seq("tenant_id", "metric_name"))
       .withColumnRenamed("avg_v", "average")
       .withColumn("rate", col("num_points") / lit(gEff.millis / 1000.0))
-    projectStats(agged, r.select, r.perMetricDefaults)
+    projectStats(agged, selEff, r.perMetricDefaults)
       .orderBy("metric_name", "bucket_ms")
   }
+
+  /** The raw store, or an EMPTY frame of its query schema when retention
+    * has pruned the whole table (tier-only store) — the read paths degrade
+    * to tiers-only service instead of PATH_NOT_FOUND. */
+  private def rawStoreOrEmpty(spark: SparkSession, storeDir: String): DataFrame =
+    if (IngestStream.hasParquetData(spark, s"$storeDir/metrics_full"))
+      spark.read.parquet(s"$storeDir/metrics_full")
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, Long, Double)]
+        .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    }
+
+  /** The parsed-flush preagg store, or an empty frame of its schema when
+    * `preagg_raw` aged out at the finest-tier TTL while the coarser kind
+    * tiers (up to 1825d) still serve — same degrade contract as
+    * [[rawStoreOrEmpty]]. */
+  private def preaggRawOrEmpty(spark: SparkSession, storeDir: String): DataFrame =
+    if (IngestStream.hasParquetData(spark, s"$storeDir/preagg_raw"))
+      spark.read.parquet(s"$storeDir/preagg_raw")
+    else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.operators.Preaggregated.preaggSchema)
+      // the stored table carries its ts_day partition column; the reads'
+      // day predicates must resolve against the empty stand-in too
+      .withColumn("ts_day", lit(null).cast("long"))
 
   /** String/boolean metric read — the reference's metrics_string CF serve
     * path (ABasicMetricsRW.java:19; serialized as `{"value": <raw>}` via
@@ -404,10 +443,16 @@ object MetricsQueryApi {
           "is_bool")
     }
     val store = spark.read.parquet(path)
+    // persisted catalog first (metadata read), table-derivation fallback —
+    // same discipline as storeCatalog/preaggStoreCatalog
     val catalog = catalogOverride.getOrElse(
-      store.groupBy(col("tenant_id"), col("metric_name"))
-        .agg(max(col("unit")).as("unit"))
-        .withColumn("rollup_type", lit("string")))
+      graft.streaming.IngestStream.metricCatalog(spark, storeDir)
+        .map(_.filter(col("family") === "string")
+          .select(col("tenant_id"), col("metric_name"), col("unit"))
+          .withColumn("rollup_type", lit("string")))
+        .getOrElse(store.groupBy(col("tenant_id"), col("metric_name"))
+          .agg(max(col("unit")).as("unit"))
+          .withColumn("rollup_type", lit("string"))))
     val r = resolveQuery(spark, p, nowMillis, maxBatch, catalog)
     store
       .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
@@ -420,15 +465,23 @@ object MetricsQueryApi {
       .orderBy("metric_name", "bucket_ms")
   }
 
-  /** Locator catalog for one pre-aggregated family, derived from the
-    * parsed-flush store: statsd payloads carry no unit, and rollup_type is
-    * the family itself (the reference's metrics_metadata records the same
-    * discriminator for preagg locators). */
+  /** Locator catalog for one pre-aggregated family: served from the
+    * PERSISTED catalog dimension when the store carries a complete one
+    * ([[graft.streaming.IngestStream.metricCatalog]] records every kind as
+    * its family — an O(locators) metadata read), falling back to deriving
+    * from the parsed-flush store. The fallback reads EMPTY once retention
+    * prunes `preagg_raw` (finest-tier TTL) — the coarser kind tiers can
+    * outlive it by years, and their locators must stay resolvable. Statsd
+    * payloads carry no unit; rollup_type is the family itself (the
+    * reference's metrics_metadata records the same discriminator). */
   def preaggStoreCatalog(spark: SparkSession, storeDir: String,
       kind: String): DataFrame =
-    spark.read.parquet(s"$storeDir/preagg_raw")
-      .filter(col("kind") === kind)
-      .select("tenant_id", "metric_name").distinct()
+    graft.streaming.IngestStream.metricCatalog(spark, storeDir)
+      .map(_.filter(col("family") === kind)
+        .select("tenant_id", "metric_name"))
+      .getOrElse(preaggRawOrEmpty(spark, storeDir)
+        .filter(col("kind") === kind)
+        .select("tenant_id", "metric_name").distinct())
       .withColumn("unit", lit("unknown"))
       .withColumn("rollup_type", lit(kind))
 
@@ -510,7 +563,7 @@ object MetricsQueryApi {
       // tier1FromParsed at FULL is the identity bucketing (bucket_ms =
       // ts_ms), merging only exact-timestamp duplicate flushes — the same
       // single-slot merge the reference applies on write.
-      val parsed = spark.read.parquet(s"$storeDir/preagg_raw")
+      val parsed = preaggRawOrEmpty(spark, storeDir)
         .filter(col("ts_ms") >= r.fromMs && col("ts_ms") < r.toMs &&
           col("tenant_id") === p.tenantId && col("kind") === kind)
         .join(broadcast(r.names.select("tenant_id", "metric_name")),
@@ -554,9 +607,13 @@ object MetricsQueryApi {
         val dayCond =
           if (missingDays.isEmpty) lit(false)
           else col("ts_day").isin(missingDays: _*)
+        // tail read pruned to its own day partitions (see getRollupsStored)
         val tailCond =
-          if (tailStart < toMs) col("ts_ms") >= tailStart else lit(false)
-        val parsed = spark.read.parquet(s"$storeDir/preagg_raw")
+          if (tailStart >= toMs) lit(false)
+          else col("ts_ms") >= tailStart &&
+            col("ts_day").between(tailStart - math.floorMod(tailStart, DayMs),
+              (toMs - 1) - math.floorMod(toMs - 1, DayMs))
+        val parsed = preaggRawOrEmpty(spark, storeDir)
           .filter(col("ts_ms") >= snappedFrom && col("ts_ms") < toMs &&
             (dayCond || tailCond) &&
             col("tenant_id") === p.tenantId && col("kind") === kind)

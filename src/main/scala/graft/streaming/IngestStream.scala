@@ -268,11 +268,17 @@ object IngestStream {
       Retention.recoverCompaction(spark, storeDir, srcTable)
       val all = fs.globStatus(new Path(srcPath, "batch_id=*")).toSeq
         .flatMap(st => st.getPath.getName.stripPrefix("batch_id=")
-          .toLongOption.map(_ -> st.getPath))
+          .toLongOption.map(id => (id, st.getPath, st.getModificationTime)))
         .sortBy(_._1)
       val small = all.filter(_._1 < Retention.CompactIdBase)
+      // newest = most recently MODIFIED (facade ids are hashes, unordered;
+      // see Retention.compactRaw) — that dir's stream may still be writing
       val batches =
-        if (assumeQuiesced || small.isEmpty) small else small.init
+        (if (assumeQuiesced || small.isEmpty) small
+         else {
+           val spare = small.filter(_._3 == small.map(_._3).max).maxBy(_._1)
+           small.filterNot(_._1 == spare._1)
+         }).map(t => (t._1, t._2))
       if (batches.size < minBatchDirs) None
       else {
         val newId = math.max(Retention.CompactIdBase, all.map(_._1).max + 1)

@@ -69,5 +69,14 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSuite {
         nBuckets = 64))
     // matching spec is idempotent
     BucketedStore.register(spark, "bucketed_join_spec", s"$dir/t", nBuckets = 8)
+    // a FLAT table must not be claimed by registerPartitioned: its bucket
+    // spec matches, but overwriteDays against a non-partitioned table
+    // would truncate everything outside the dirty-day slice
+    val e = intercept[IllegalArgumentException](
+      BucketedStore.registerPartitioned(spark, "bucketed_join_spec",
+        s"$dir/t", org.apache.spark.sql.types.StructType.fromDDL(
+          "tenant_id STRING, metric_name STRING, bucket_ms BIGINT, ts_day BIGINT"),
+        nBuckets = 8))
+    assert(e.getMessage.contains("partitioned"))
   }
 }

@@ -82,6 +82,32 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(Retention.compactRaw(spark, store, "metrics_full") === None)
   }
 
+  test("the live-writer spare keys on MODIFICATION time, not max id — " +
+    "facade batch ids are unordered request hashes") {
+    val store = java.nio.file.Files.createTempDirectory("graft_compact6").toString
+    val root = s"$store/metrics_full"
+    // a facade-style hash id numerically ABOVE the streaming ids, but
+    // written FIRST; the streaming dir id=7 is the one still being written
+    val hashId = (1L << 58) + 12345L
+    assert(hashId < Retention.CompactIdBase)
+    writeBatch(root, hashId, Seq(("m", 0L, 1L, 1.0)))
+    writeBatch(root, 3, Seq(("m", 0L, 2L, 2.0)))
+    writeBatch(root, 7, Seq(("m", 0L, 3L, 3.0)))
+    // make mtimes deterministic: id=7 is newest by a wide margin
+    val t0 = System.currentTimeMillis()
+    fs.setTimes(new Path(root, s"batch_id=$hashId"), t0 - 60000L, -1)
+    fs.setTimes(new Path(root, "batch_id=3"), t0 - 40000L, -1)
+    fs.setTimes(new Path(root, "batch_id=7"), t0, -1)
+    val before = tableRows(root)
+    assert(Retention.compactRaw(spark, store, "metrics_full").isDefined)
+    assert(fs.exists(new Path(root, "batch_id=7")),
+      "the most recently MODIFIED dir is the live one — it must survive " +
+        "even though the hash id is numerically larger")
+    assert(!fs.exists(new Path(root, s"batch_id=$hashId")))
+    assert(!fs.exists(new Path(root, "batch_id=3")))
+    assert(tableRows(root) === before)
+  }
+
   test("non-numeric stray batch dirs are left untouched and uncounted") {
     val store = java.nio.file.Files.createTempDirectory("graft_compact2").toString
     val root = s"$store/metrics_full"

@@ -118,6 +118,31 @@ class PreaggStoredReadSpec extends AnyFunSuite with SparkSuite {
     assert(cutRow.getAs[Long]("num_points") === 60L)
   }
 
+  test("tier-only preagg store (preagg_raw aged out at the finest-tier " +
+    "TTL) still serves every family from its tiers") {
+    // clone the store so the shared fixture survives for other tests
+    val clone = java.nio.file.Files.createTempDirectory("graft_psr_t_").toString
+    val src = new org.apache.hadoop.fs.Path(store)
+    val dst = new org.apache.hadoop.fs.Path(clone)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val cstore = s"$clone/${src.getName}"
+    val baseline = MetricsQueryApi.getPreaggStored(spark, cstore,
+      MetricsQueryApi.Params("t1", "c.*", "20240103", "20240104",
+        points = None, resolution = Some(Granularity.MIN_20),
+        select = Seq("sum")), "counter", nowMillis = now)
+      .collect().map(_.toString).sorted
+    deleteDir(s"$cstore/preagg_raw")
+    val got = MetricsQueryApi.getPreaggStored(spark, cstore,
+      MetricsQueryApi.Params("t1", "c.*", "20240103", "20240104",
+        points = None, resolution = Some(Granularity.MIN_20),
+        select = Seq("sum")), "counter", nowMillis = now)
+      .collect().map(_.toString).sorted
+    assert(got === baseline,
+      "a day-aligned tier-covered read must not need preagg_raw")
+  }
+
   test("gauge family serves latest — the stat the basic store refuses") {
     val rows = MetricsQueryApi.getPreaggStored(spark, store,
       MetricsQueryApi.Params("t1", "g.*", "20240103", "20240104",

@@ -118,6 +118,47 @@ class StoredReadSpec extends AnyFunSuite with SparkSuite {
     assert(got === run(rawOnly))
   }
 
+  test("tier-only store (raw pruned by retention) serves the tiers and " +
+    "degrades gaps to empty, never PATH_NOT_FOUND") {
+    val (store, _) = buildStores()
+    val covered = run(store) // full coverage baseline
+    // retention prunes the whole raw table (its TTL is the shortest)
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/metrics_full"), true)
+    // fully-tier-covered range: identical answer without raw
+    assert(run(store) === covered)
+    // unaligned `to` forces the tail-partial branch — the tail serves
+    // empty (no raw to recompute from), everything else from the tier
+    val tail = MetricsQueryApi.getRollupsStored(spark, store,
+      params(to = "00:10 20240106", g = Granularity.MIN_20), nowMillis = now)
+      .collect()
+    assert(tail.nonEmpty, "tier buckets before the tail must still serve")
+  }
+
+  test("unknown stat names fail loud instead of serving timestamp-only " +
+    "buckets; default-union latest from a mixed catalog is tolerated") {
+    val (store, _) = buildStores()
+    val e = intercept[IllegalArgumentException] {
+      MetricsQueryApi.getRollupsStored(spark, store,
+        params().copy(select = Seq("mean")), nowMillis = now)
+    }
+    assert(e.getMessage.contains("unknown stat"))
+    // catalog carrying a gauge-family entry + select ABSENT: the computed
+    // default union contains `latest`, which the basic path must simply
+    // not serve — not reject the whole query
+    import spark.implicits._
+    val mixedCatalog = Seq(
+      ("t1", "app.t1.m1", "count", "basic"),
+      ("t1", "app.t1.gauge", "count", "gauge"))
+      .toDF("tenant_id", "metric_name", "unit", "rollup_type")
+    val got = MetricsQueryApi.getRollupsStored(spark, store,
+      params().copy(select = Nil), nowMillis = now,
+      catalogOverride = Some(mixedCatalog))
+    assert(got.collect().nonEmpty)
+    assert(!got.columns.contains("latest_v"))
+  }
+
   test("latest is routed to the gauge family, not the basic store") {
     val (store, _) = buildStores()
     val e = intercept[IllegalArgumentException] {
