@@ -302,6 +302,13 @@ object Dedup {
     * LSH bucketing of [[minhashCandidates]] and [[incrementalNearDups]]. */
   private def bandKeyRows(sig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
+    // bands must tile the signature exactly: bands > numHashes would make
+    // every band key the hash of "" (the self-join degenerates to a full
+    // n² cross product with no error), and a non-dividing count silently
+    // ignores trailing minhashes, lowering recall below the documented
+    // 1-(1-t^r)^b curve
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPer = numHashes / bands
     val bandKeyCols = (0 until bands).map { bnd =>
       xxhash64(concat_ws(",",
@@ -329,12 +336,24 @@ object Dedup {
     bandSelfJoin(bandKeyRows(sig, numHashes, bands)).distinct()
 
   /** Exact-Jaccard verification of candidate pairs against the corpus's
-    * full (unpruned) shingle sets. */
+    * full (unpruned) shingle sets. The candidate PAIR table — tiny
+    * (banded/bucketed survivors) but carrying the whole candidate
+    * pipeline as lineage — materializes once, for two reasons: the plan
+    * below consumes it three times (participant ids + both join sides),
+    * and the participant semi-join prunes the corpus BEFORE the shingle
+    * collect_set pass, so verification costs O(|participants|), not
+    * O(corpus) — the incrementalNearDups discipline applied to every
+    * caller. (The corpus-side gram stream itself is never materialized —
+    * the measured-slower trade recorded on minhashNearDups.) */
   private def verifyJaccard(candidates: DataFrame, docs: DataFrame, k: Int,
       threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, k, distinct = false)
+    val cands = candidates.localCheckpoint()
+    val ids = cands.select(col("doc_id_1").as("doc_id"))
+      .union(cands.select(col("doc_id_2").as("doc_id"))).distinct()
+    val touched = docs.join(ids, Seq("doc_id"), "left_semi")
+    val sh = shingleRows(touched, k, distinct = false)
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
-    candidates
+    cands
       .join(sh.withColumnRenamed("doc_id", "doc_id_1")
         .withColumnRenamed("shingles", "sh1"), "doc_id_1")
       .join(sh.withColumnRenamed("doc_id", "doc_id_2")
@@ -426,12 +445,9 @@ object Dedup {
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
-    val cands = newNew.union(newOld).distinct()
-    val ids = cands.select(col("doc_id_1").as("doc_id"))
-      .union(cands.select(col("doc_id_2").as("doc_id")))
-      .distinct()
-    val touched = allDocs.join(ids, Seq("doc_id"), "left_semi")
-    verifyJaccard(cands, touched, k, threshold)
+    // participant pruning + candidate materialization live in
+    // verifyJaccard now, shared by every caller
+    verifyJaccard(newNew.union(newOld).distinct(), allDocs, k, threshold)
   }
 
   /** Exact n-gram Jaccard over all pairs — the small-corpus baseline the
@@ -495,9 +511,15 @@ object Dedup {
     * exactly: island = p1 − row_number() over (pair, diag | order p1),
     * span length = island size + k − 1. Grams in more than `maxDf`
     * documents (boilerplate phrases — precisely the join keys whose
-    * bucket is quadratic in df) are dropped from the join; a span
-    * composed ENTIRELY of such grams is not reported, which is the
-    * content-defined noise filter a span-dedup pass wants anyway, stated
+    * bucket is quadratic in df) are dropped from the join, so a reported
+    * island is a maximal run of RARE grams: a hot gram inside a long
+    * shared passage SPLITS it, and the sub-runs must each clear
+    * `minWords` on their own (a span made entirely of hot grams vanishes
+    * outright). That is the content-defined noise filter a span-dedup
+    * pass wants — common phrases shouldn't bridge two coincidental
+    * matches into one "span" — but callers scrubbing long verbatim
+    * quotes that may CONTAIN common trigrams should raise `maxDf` (cost
+    * grows with the pruned buckets' df²) or lower `minWords`, stated
     * deterministically so the oracle applies the identical rule.
     *
     * Scale shape: one zero-shuffle gram pass, a distinct+count df
@@ -875,12 +897,14 @@ object Dedup {
     *
     * Returns one row per test document: (doc_id, n_grams, n_shared,
     * contaminated) — docs too short to form a k-gram report n_grams = 0 and
-    * are not flagged. */
+    * are not flagged. A NULL `isTest` evaluation reads as train (3VL: a
+    * raw null flag would otherwise fail BOTH split filters and the
+    * document would silently vanish from the analysis entirely). */
   def contaminationReport(docs: DataFrame, isTest: Column, k: Int = 8): DataFrame = {
     // split BEFORE shingling: each branch only tokenizes its own side (the
     // filter sits directly on the scan, no post-Generate join to discard
     // the other split's shingles)
-    val flagged = docs.withColumn("is_test", isTest)
+    val flagged = docs.withColumn("is_test", coalesce(isTest, lit(false)))
     val trainGrams = shingleRows(flagged.filter(!col("is_test")), k)
       .select("sh").distinct()
     val testGrams = shingleRows(flagged.filter(col("is_test")), k)
@@ -921,7 +945,8 @@ object Dedup {
     import org.apache.spark.sql.graft.ColumnBridge
     val numBits = math.max(64L,
       math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val flagged = docs.withColumn("is_test", isTest)
+    // NULL flag reads as train — same 3VL contract as contaminationReport
+    val flagged = docs.withColumn("is_test", coalesce(isTest, lit(false)))
     val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("sh"))),
       org.apache.spark.sql.catalyst.expressions.Literal(expectedGrams),

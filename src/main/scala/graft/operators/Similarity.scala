@@ -82,18 +82,24 @@ object Similarity {
     * [[bruteTopK]] on a sample. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nBits: Int = 24, bandBits: Int = 3, seed: Long = 7L): DataFrame = {
-    val cB = corpus.withColumn("bands",
-      hyperplaneBands(col("embedding"), dim, nBits, bandBits, seed))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("bands")).as(Seq("band", "key")))
-    val qB = queries.withColumn("bands",
-      hyperplaneBands(col("query_vec"), dim, nBits, bandBits, seed))
-      .select(col("query_id"), col("query_vec"),
-        posexplode(col("bands")).as(Seq("band", "key")))
+    // band rows carry IDS ONLY: the candidate join and its distinct then
+    // shuffle (id, band, key) tuples, not dim-wide vectors — the vectors
+    // join back once per SURVIVING candidate (the embeddingNearDupsBanded
+    // convention; distinct-ing rows that carry both embeddings multiplied
+    // candidate-shuffle bytes by the vector width)
+    val cB = corpus.select(col("vec_id"),
+      posexplode(hyperplaneBands(col("embedding"), dim, nBits, bandBits,
+        seed)).as(Seq("band", "key")))
+    val qB = queries.select(col("query_id"),
+      posexplode(hyperplaneBands(col("query_vec"), dim, nBits, bandBits,
+        seed)).as(Seq("band", "key")))
     val cands = cB.join(qB, Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "query_vec", "vec_id", "embedding")
+      .select("query_id", "vec_id")
       .distinct()
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("query_vec"))),
+        "query_id")
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("qnrm", norm(col("query_vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -140,10 +146,13 @@ object Similarity {
     * bit-determinism of a persisted index is worth more than the ulp. */
   private def lloyd(corpus: DataFrame, k: Int, iterations: Int,
       l2: Boolean): Array[Array[Double]] = {
+    // element-type tolerant: every vector path accepts float OR double
+    // arrays (the codegen expressions validate both); hard-coding
+    // getSeq[Float] would CCE on array<double> embeddings at init only
     var centroids: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(k)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
 
     for (_ <- 1 to iterations) {
       val structs =
@@ -400,12 +409,21 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     recoverAnnCompaction(spark, path, sub)
-    val all = fs.globStatus(new Path(root, "batch_id=*")).toSeq
-      .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
-      .sorted
-    val small0 = all.filter(_ < Retention.CompactIdBase)
+    val allSt = fs.globStatus(new Path(root, "batch_id=*")).toSeq
+      .flatMap(st => st.getPath.getName.stripPrefix("batch_id=")
+        .toLongOption.map(_ -> st.getModificationTime))
+      .sortBy(_._1)
+    val all = allSt.map(_._1)
+    val small0 = allSt.filter(_._1 < Retention.CompactIdBase)
+    // spare the most recently MODIFIED small dir, not the max id — batch
+    // ids are caller-assigned and need not be time-ordered (same
+    // convention as Retention.compactRaw / compactTextIndex)
     val small =
-      if (assumeQuiesced || small0.isEmpty) small0 else small0.init
+      (if (assumeQuiesced || small0.isEmpty) small0
+       else {
+         val spare = small0.filter(_._2 == small0.map(_._2).max).maxBy(_._1)
+         small0.filterNot(_._1 == spare._1)
+       }).map(_._1)
     if (small.size < minBatchDirs) return None
     val newId = math.max(Retention.CompactIdBase, all.max + 1)
     val manifest = new Path(path, s"_compact_${sub}_manifest")
