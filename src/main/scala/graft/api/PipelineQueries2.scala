@@ -209,7 +209,7 @@ object PipelineQueries2 {
        |)
        |SELECT shard, doc_id, n_tokens,
        |       CAST(cum - n_tokens AS BIGINT) AS start_offset,
-       |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+       |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
        |FROM c ORDER BY shard, doc_id""".stripMargin) { (s, dir) =>
     Sampling.packGreedy(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -441,7 +441,8 @@ object PipelineQueries2 {
        |  SELECT doc_id, unnest(ws) AS word
        |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
        |),
-       |freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |freq AS (SELECT word, COUNT(*) AS cnt FROM w
+       |        WHERE word <> '' GROUP BY 1),
        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
        |t AS (
        |  SELECT w.doc_id,
@@ -454,6 +455,7 @@ object PipelineQueries2 {
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "") // no phantom "" token from empty docs
     val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
     val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
     w.join(freq, "word").crossJoin(tot)
@@ -504,7 +506,8 @@ object PipelineQueries2 {
          |w AS (
          |  SELECT unnest(ws) AS word FROM base
          |),
-         |freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+         |freq AS (SELECT word, COUNT(*) AS cnt FROM w
+         |        WHERE word <> '' GROUP BY 1),
          |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
          |t AS (
          |  SELECT sp.doc_id,
@@ -671,7 +674,9 @@ object PipelineQueries2 {
        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
        |  FROM documents
        |),
-       |tok AS (SELECT lang AS label, unnest(ws) AS word FROM base WHERE h < 'cc'),
+       |tok AS (SELECT label, word FROM (
+       |  SELECT lang AS label, unnest(ws) AS word FROM base WHERE h < 'cc')
+       |  WHERE word <> ''),
        |wc AS (SELECT label, word, COUNT(*) AS cnt_wk FROM tok GROUP BY 1, 2),
        |ct AS (SELECT label, COUNT(*) AS cnt_k FROM tok GROUP BY 1),
        |pr AS (SELECT lang AS label, COUNT(*) AS n_docs
@@ -690,7 +695,9 @@ object PipelineQueries2 {
        |  SELECT label, CAST(ln(n_docs / nt.n_train) AS DECIMAL(18,9)) AS p
        |  FROM pr CROSS JOIN nt
        |),
-       |st AS (SELECT doc_id, unnest(ws) AS word FROM base WHERE h >= 'cc'),
+       |st AS (SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(ws) AS word FROM base WHERE h >= 'cc')
+       |  WHERE word <> ''),
        |sums AS (
        |  SELECT st.doc_id, t.label, COUNT(*) AS n_terms,
        |         SUM(t.term) AS term_sum
@@ -728,7 +735,9 @@ object PipelineQueries2 {
        |  SELECT doc_id, lang, source, (lang = 'en') AS is_t, $wsSql AS ws
        |  FROM documents
        |),
-       |w AS (SELECT doc_id, is_t, unnest(ws) AS word FROM base),
+       |w AS (SELECT doc_id, is_t, word FROM (
+       |  SELECT doc_id, is_t, unnest(ws) AS word FROM base)
+       |  WHERE word <> ''),
        |c AS (
        |  SELECT word, COUNT(*) AS cnt_r,
        |         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t

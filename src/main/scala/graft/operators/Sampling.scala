@@ -195,8 +195,14 @@ object Sampling {
       budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     selectWithBuckets(docs, quality, tokens, budget,
-      coalesce(least(greatest(floor(col("quality") * nBuckets), lit(0)),
-        lit(nBuckets - 1)).cast("int"), lit(0)))
+      // NaN sorts FIRST under quality DESC (Spark treats NaN as the
+      // largest double), so it must land in the TOP bucket — floor(NaN)
+      // fell through the coalesce into bucket 0 and could silently drop a
+      // doc the documented global-sort greedy prefix selects first. The
+      // quantile arm's `q > edge` chain already puts NaN on top.
+      when(isnan(col("quality")), lit(nBuckets - 1))
+        .otherwise(coalesce(least(greatest(floor(col("quality") * nBuckets),
+          lit(0)), lit(nBuckets - 1)).cast("int"), lit(0))).cast("int"))
   }
 
   /** [[selectByTokenBudget]] with QUANTILE bucket edges — the documented
@@ -312,8 +318,9 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("start_offset", col("__pack_cum") - col("n_tokens"))
-      .withColumn("seq_id",
-        floor(col("start_offset").cast("double") / budget).cast("long"))
+      // integer `div`, not double division: start_offset is exact LONG
+      // arithmetic and must stay exact past 2^53 (the shardByTokens form)
+      .withColumn("seq_id", expr(s"start_offset div $budget"))
       .drop("__pack_cum")
   }
 
@@ -354,8 +361,10 @@ object Sampling {
       s"prefixChars must be in [1, 4], got $prefixChars")
     val spark = docs.sparkSession
     import spark.implicits._
+    // a NULL key hashes as "" — export sharding must place EVERY doc
+    // deterministically (a null run key would NPE the driver-side census)
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-        hashHex(key).as("__shard_h"),
+        hashHex(coalesce(key.cast("string"), lit(""))).as("__shard_h"),
         coalesce(tokens.cast("long"), lit(0L)).as("tokens"))
       .withColumn("__shard_run", substring(col("__shard_h"), 1, prefixChars))
     val sums = base.groupBy("__shard_run").agg(sum("tokens").as("rtok"))

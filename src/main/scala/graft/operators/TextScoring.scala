@@ -55,8 +55,12 @@ object TextScoring {
   def naiveBayes(train: DataFrame, score: DataFrame,
       labelCol: String = "lang"): DataFrame = {
     val dec = DecimalType(18, 9)
+    // drop the phantom "" token an empty-normalizing doc yields (the
+    // bm25/index convention) — it would enter V and the class totals and
+    // give zero-token docs a prediction
     val tokens = train.select(col(labelCol).as("label"),
       explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
     val wc = tokens.groupBy("label", "word").agg(count(lit(1)).as("cnt_wk"))
     val classTotals = tokens.groupBy("label")
       .agg(count(lit(1)).as("cnt_k"))
@@ -77,6 +81,7 @@ object TextScoring {
         log(col("n_docs") / col("n_train")).cast(dec).as("prior"))
     val scored = score
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
       .join(terms, "word")
       .groupBy(col("doc_id"), col("label"))
       .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("term_sum"))
@@ -105,6 +110,7 @@ object TextScoring {
     val cbg = sp.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
     val cctx = sp.groupBy("prev").agg(count(lit(1)).as("cnt_ctx"))
     val w = docs.select(explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "") // no phantom "" in the backoff total N
     val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
     val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
     sp.join(cbg, "bg").join(cctx, "prev")
@@ -119,25 +125,6 @@ object TextScoring {
       .withColumn("nll_per_token", col("nll_sum") / col("n_bigrams_scored"))
   }
 
-  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): score every document by
-    * how much more likely its tokens are under the TARGET distribution
-    * (the rows where `isTarget` holds — the Wikipedia-like slice you want
-    * more of) than under the RAW corpus distribution. Both are add-1-
-    * smoothed unigram bag-of-words models over the shared corpus
-    * vocabulary, fit in ONE token pass (the raw count and the
-    * target-conditional count are two aggregates of the same census);
-    * per-token terms ln(p_target(w) / p_raw(w)) snap to DECIMAL(18,9)
-    * before the exact per-doc sum (the unigram-NLL oracle-parity
-    * convention). Every token seen anywhere in the corpus has a raw count
-    * ≥ 1 and a smoothed target probability > 0, so no term is infinite.
-    *
-    * Output: (doc_id, n_tokens_scored, logw) for every doc with ≥ 1
-    * token — logw > 0 reads "more target-like than the corpus average".
-    * Compose with [[Sampling.gumbelTopK]] for the paper's Gumbel-top-k
-    * resampling step. Scale shape: one token census with map-side
-    * partials, one UNHINTED vocab equi-join (AQE decides broadcast, as
-    * in the NLL scorers), one broadcast 1-row totals frame. */
   /** EXACT heavy hitters without a full-cardinality shuffle — the two-pass
     * sketch-then-verify census for key spaces too large to group (every
     * token/URL/ngram of a 100 TB corpus): pass 1 summarizes the keys
@@ -180,9 +167,29 @@ object TextScoring {
       .filter(col("cnt") >= minCount)
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under the TARGET distribution
+    * (the rows where `isTarget` holds — the Wikipedia-like slice you want
+    * more of) than under the RAW corpus distribution. Both are add-1-
+    * smoothed unigram bag-of-words models over the shared corpus
+    * vocabulary, fit in ONE token pass (the raw count and the
+    * target-conditional count are two aggregates of the same census);
+    * per-token terms ln(p_target(w) / p_raw(w)) snap to DECIMAL(18,9)
+    * before the exact per-doc sum (the unigram-NLL oracle-parity
+    * convention). Every token seen anywhere in the corpus has a raw count
+    * ≥ 1 and a smoothed target probability > 0, so no term is infinite.
+    *
+    * Output: (doc_id, n_tokens_scored, logw) for every doc with ≥ 1
+    * token — logw > 0 reads "more target-like than the corpus average".
+    * Compose with [[Sampling.gumbelTopK]] for the paper's Gumbel-top-k
+    * resampling step. Scale shape: one token census with map-side
+    * partials, one UNHINTED vocab equi-join (AQE decides broadcast, as
+    * in the NLL scorers), one broadcast 1-row totals frame. */
   def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val base = docs.select(col("doc_id"), isTarget.as("__t"),
       explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "") // zero-token docs stay absent, per contract
     val counts = base.groupBy("word").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"))

@@ -17,11 +17,13 @@ class DsirSpec extends AnyFunSuite with SparkSuite {
   /** Local reference: same formula, raw double ln per term rounded to 9
     * decimals (the snap), exact sum via BigDecimal. */
   private def localWeights(rows: Seq[(Long, String, Boolean)]): Map[Long, Double] = {
-    // split(norm, " ") on an empty normalized text yields [""] — one
-    // empty-string token — in Spark AND DuckDB; mirror that here
+    // split(norm, " ") on an empty normalized text yields [""] in Spark
+    // AND DuckDB; the engine (and its oracle) filter that phantom token,
+    // so the reference model excludes it too — an empty-normalizing doc
+    // contributes nothing to vocab or totals and gets no weight row
     val toks = rows.map { case (id, t, it) =>
       (id, it, t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
-        .split(" ", -1).toSeq)
+        .split(" ", -1).toSeq.filter(_.nonEmpty))
     }
     val all = toks.flatMap(x => x._3)
     val cntR = all.groupBy(identity).map { case (w, xs) => w -> xs.size }

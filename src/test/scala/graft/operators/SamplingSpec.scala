@@ -221,6 +221,36 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(got === expect)
   }
 
+  test("selectByTokenBudget: NaN quality sorts first under DESC and must " +
+    "land in the TOP bucket, matching the global greedy prefix") {
+    import spark.implicits._
+    // budget covers only 2 docs; the NaN doc is first in Spark's DESC
+    // order (NaN > every double), so the greedy prefix takes NaN + 0.9
+    val docs = Seq(
+      (1L, 0.9, 10L), (2L, Double.NaN, 10L), (3L, 0.5, 10L))
+      .toDF("doc_id", "q", "t")
+    val kept = Sampling.selectByTokenBudget(docs, col("q"), col("t"), 20L)
+      .select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val globalOrder = docs.orderBy(col("q").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).take(2).toSet
+    assert(globalOrder === Set(2L, 1L),
+      "precondition: Spark sorts NaN first under DESC")
+    assert(kept === globalOrder,
+      "bucketed selection must equal the global greedy prefix under NaN")
+  }
+
+  test("shardByTokens: a NULL key shards deterministically instead of " +
+    "crashing the driver-side run census") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 10L), (2L, None: Option[String], 10L))
+      .toDF("doc_id", "k", "t")
+    val got = Sampling.shardByTokens(df, col("k"), col("t"),
+        tokensPerShard = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L), "every doc must be placed")
+  }
+
   test("temperatureRates: alpha=1 natural, alpha=0 uniform-over-strata, monotone") {
     import spark.implicits._
     // shares: a=1000/1310, b=300/1310, c=10/1310; null strata are ignored

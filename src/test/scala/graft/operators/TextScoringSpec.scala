@@ -33,6 +33,34 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     rep.values.foreach(v => assert(!v.isInfinite && v > 0))
   }
 
+  test("empty-normalizing docs never contribute a phantom \"\" token: " +
+    "naiveBayes excludes them from model and predictions, dsirWeights " +
+    "emits no row, bigramNll's backoff total ignores them") {
+    import spark.implicits._
+    val train = Seq((1L, "hello world", "en"), (2L, "bonjour monde", "fr"),
+      (3L, "!!!", "en")).toDF("doc_id", "text", "lang")
+    val score = Seq((10L, "hello hello"), (11L, "???"))
+      .toDF("doc_id", "text")
+    val preds = TextScoring.naiveBayes(train, score)
+      .collect().map(_.getLong(0)).toSet
+    assert(preds === Set(10L),
+      "a zero-token doc must not be scored off the phantom \"\" token")
+    val dsir = TextScoring.dsirWeights(
+        Seq((1L, "hello world", true), (2L, "!!!", false))
+          .toDF("doc_id", "text", "t"),
+        org.apache.spark.sql.functions.col("t"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dsir === Set(1L), "zero-token docs stay absent, per contract")
+    // bigram backoff N: with vs without a punctuation-only doc — identical
+    val base = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val extra = base.unionByName(Seq((9L, "...")).toDF("doc_id", "text"))
+    val a = TextScoring.bigramNll(base).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val b = TextScoring.bigramNll(extra).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(a === b, "an empty-normalizing doc must not skew the unigram N")
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc; tf saturates; dl normalizes") {
     import org.apache.spark.sql.functions.col
     // 20 background docs mention "common"; exactly one mentions "rare"
