@@ -638,7 +638,7 @@ object RollupQueries2 {
          |  GROUP BY metric_name ORDER BY COUNT(*) DESC, metric_name LIMIT 1
          |),
          |t AS (
-         |  SELECT b.metric_name AS tgt_name, bucket_ms, bx AS ty
+         |  SELECT b.tenant_id, b.metric_name AS tgt_name, bucket_ms, bx AS ty
          |  FROM b JOIN tgt USING (metric_name)
          |),
          |a AS (
@@ -649,7 +649,8 @@ object RollupQueries2 {
          |         CAST(SUM(CAST(b.bx * t.ty AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
          |         CAST(SUM(CAST(b.bx * b.bx AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
          |         CAST(SUM(CAST(t.ty * t.ty AS DECIMAL(38,8))) AS DOUBLE) AS syy
-         |  FROM b JOIN t USING (bucket_ms) WHERE b.metric_name <> t.tgt_name
+         |  FROM b JOIN t USING (bucket_ms, tenant_id)
+         |  WHERE b.metric_name <> t.tgt_name
          |  GROUP BY 1, 2, 3
          |)
          |SELECT tgt_name, tenant_id, metric_name, n_common,

@@ -86,6 +86,11 @@ object Anomaly {
       .orderBy(col("ts_ms"))
       .rangeBetween(-windowMs, -1L)
     points
+      // null-valued points are excluded from the stats AND the output —
+      // counting them in n_win while the decimal sums skip them would
+      // silently bias mean/std low (ingest-validated series can't carry
+      // null values; this guards direct library calls)
+      .filter(col("value").isNotNull)
       // all three aggregates in ONE projection so they land in a single
       // Window node (one pass over the sorted partition, not three)
       .select(col("*"),

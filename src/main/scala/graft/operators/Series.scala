@@ -82,12 +82,15 @@ object Series {
         count(lit(1))).as(out))
     val b = bucketMean(points, Seq("tenant_id", "metric_name"), "bx")
     // join targets BEFORE the bucket agg: at scale the target branch is a
-    // broadcast-filtered scan + negligible agg, not a second corpus shuffle
+    // broadcast-filtered scan + negligible agg, not a second corpus shuffle.
+    // The target series is PER TENANT and the correlation join is
+    // tenant-scoped (P4): pooling raw points across tenants that share a
+    // target name would leak every tenant's data into every correlation.
     val t = bucketMean(
       points.join(broadcast(targets.select(col("metric_name").as("tgt_name"))),
         col("metric_name") === col("tgt_name")),
-      Seq("tgt_name"), "ty")
-    val agg = b.join(broadcast(t), Seq("bucket_ms"))
+      Seq("tenant_id", "tgt_name"), "ty")
+    val agg = b.join(broadcast(t), Seq("bucket_ms", "tenant_id"))
       .filter(col("metric_name") =!= col("tgt_name"))
       .groupBy(col("tgt_name"), col("tenant_id"), col("metric_name"))
       .agg(
@@ -339,13 +342,20 @@ object Series {
     * accumulator is an exact INTEGER-valued decimal — whole MINUTES since
     * the series' first point (trend time is minute-truncated; for a
     * multi-day fit that is semantically free), values in cents — products
-    * and sums stay exact, every decimal→double cast is scale-0 AND
-    * bounded < 2^53 (DuckDB's int128→double cast is not correctly rounded
-    * above that; minute units keep n·dt² ≤ ~1e13 even for million-point
-    * series), and all unit scaling (cents→value, per-minute→per-second/
-    * day slopes) happens afterward in identical scalar-double
-    * expressions. Per-series relative time also keeps epoch² out of
-    * every exact type. */
+    * and sums stay exact, every decimal→double cast is scale-0, and all
+    * unit scaling (cents→value, per-minute→per-second/day slopes)
+    * happens afterward in identical scalar-double expressions.
+    * Per-series relative time also keeps epoch² out of every exact type.
+    *
+    * Magnitude precondition for ulp-exact oracle parity: each accumulator
+    * must stay < 2^53 (DuckDB's int128→double cast is off by 1 ulp
+    * above). The TIME terms hold by construction (minute units keep
+    * n·dt² ≤ ~1e13 for million-point series); the VALUE terms Σvc and
+    * Σvc² hold when n·(100·|v|)² < 9e15 — e.g. |v| ≤ 1e3 for a
+    * million-point series. Larger regimes stay CORRECT to double
+    * precision on the engine side; only the last-ulp hash parity with
+    * DuckDB's non-correctly-rounded cast is at stake (remedy there:
+    * rescale values before fitting). */
   def linearTrend(points: DataFrame, horizonS: Double,
       threshold: Double): DataFrame = {
     require(horizonS >= 0, s"horizonS must be non-negative, got $horizonS")

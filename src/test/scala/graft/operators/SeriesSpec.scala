@@ -87,6 +87,24 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(got("const")._2 === null) // zero variance -> null, not NaN
   }
 
+  test("correlatedSeries is tenant-scoped: a target name shared by two " +
+    "tenants never pools their points") {
+    import spark.implicits._
+    // tenant A: other ≡ tgt (r = 1); tenant B: other ≡ -tgt (r = -1).
+    // Pooling tgt across tenants would corrupt BOTH correlations.
+    val rows =
+      (0 to 9).map(i => ("A", "tgt", i * 1000L, i.toDouble)) ++
+      (0 to 9).map(i => ("A", "other", i * 1000L, 2.0 * i)) ++
+      (0 to 9).map(i => ("B", "tgt", i * 1000L, 100.0 - 3.0 * i)) ++
+      (0 to 9).map(i => ("B", "other", i * 1000L, 5.0 * i))
+    val got = Series.correlatedSeries(pts(rows),
+        Seq("tgt").toDF("metric_name"), bucketMs = 1000L, minBuckets = 5)
+      .collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(math.abs(got("A") - 1.0) < 1e-9, s"tenant A r=${got("A")}")
+    assert(math.abs(got("B") + 1.0) < 1e-9, s"tenant B r=${got("B")}")
+  }
+
   test("correlatedSeries: multiple targets keyed by tgt_name; only common " +
     "buckets pair; layout-invariant") {
     import spark.implicits._
