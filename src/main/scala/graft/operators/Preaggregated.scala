@@ -174,7 +174,12 @@ object Preaggregated {
       .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"), col("label"))
       .agg(avg(col("p_mean")).as("p_mean"))
       .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
-      .agg(map_from_entries(collect_list(struct(col("label"), col("p_mean"))))
+      // array_sort canonicalizes entry order (labels are unique per
+      // group): collect_list order is task-order nondeterministic, and the
+      // byte-identical repair contract at `merges` needs stored and
+      // repaired rows to match exactly
+      .agg(map_from_entries(array_sort(
+          collect_list(struct(col("label"), col("p_mean")))))
         .as("percentiles"))
   }
 
@@ -203,14 +208,10 @@ object Preaggregated {
         when(col("elapsed_s") =!= 0.0, col("count") / col("elapsed_s"))
           .otherwise(lit(0.0)))
       .drop("elapsed_s")
-    val pmap = keyed
-      .select(col("tenant_id"), col("metric_name"), col("bucket_ms"),
-        explode(col("percentiles")).as(Seq("label", "p_mean")))
-      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"), col("label"))
-      .agg(avg(col("p_mean")).as("p_mean"))
-      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
-      .agg(map_from_entries(collect_list(struct(col("label"), col("p_mean"))))
-        .as("percentiles"))
+    // the ONE percentile-merge implementation (bucketMs is idempotent on
+    // keyed's already-coarsened bucket_ms) — a copy here would drift from
+    // fixes landing on timerPercentileMerge
+    val pmap = timerPercentileMerge(keyed, g)
     scalars.join(pmap, Seq("tenant_id", "metric_name", "bucket_ms"), "left")
   }
 
@@ -238,7 +239,11 @@ object Preaggregated {
     finer
       .groupBy(col("tenant_id"), col("metric_name"),
         Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"))
-      .agg(array_distinct(flatten(collect_list(col("set_state")))).as("set_state"))
+      // array_sort canonicalizes element order — collect_list is
+      // task-order nondeterministic and the stored/repaired tiers must be
+      // byte-identical (the `merges` contract)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("set_state")))))
+        .as("set_state"))
       .withColumn("distinct_count", size(col("set_state")))
 
   /** Kind → tier-merge algebra, the SINGLE source of truth shared by the
