@@ -113,6 +113,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private val familyCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Per-request uniquifier for the EVENTS route's batch ids (metrics
+    * routes stay body-hashed: their overwrite is value-idempotent, events
+    * are append-only annotations the reference stores once per POST). */
+  private val eventNonce = new AtomicLong(0L)
+
   /** Bumped (under [[writeLock]]) by every ingest that can change what a
     * store probe would observe — the cache-coherence fence for
     * [[routeKind]]'s probe-then-put. */
@@ -411,8 +416,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         sendJson(ex, 400, errJson("invalid event")); return
       }
       writeLock.synchronized {
+        // events are NOT value-idempotent like metric overwrites: the
+        // reference's ES-auto-id scheme stores two intentionally repeated
+        // identical POSTs as two annotations, so the batch id takes a
+        // process-local nonce — hashing on body alone would collapse them
         IngestStream.processEventsBatch(validated, storeDir,
-          requestBatchId(tenant, "events", body))
+          requestBatchId(tenant, "events",
+            s"$body|${eventNonce.incrementAndGet()}"))
       }
       sendJson(ex, 200, """{}""")
     } finally validated.unpersist()

@@ -31,6 +31,37 @@ object Bpe {
 
   val Eow = "</w>"
 
+  /** A word's code-point symbols — one string per Unicode code point, so
+    * supplementary characters stay whole (the twin of the distributed
+    * arm's `regexp_extract_all(word, ".")`, which also matches per code
+    * point). */
+  private def codePointSyms(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
+  /** UTF-8 binary "less than" — Spark's UTF8_BINARY collation order, which
+    * the distributed arm's `orderBy(col("l"), col("r"))` uses. Equals Java
+    * String order for BMP-only strings; diverges on supplementary chars. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** One BPE merge step as a Column (see [[BpeMergePair]]). */
   def bpeMerge(syms: Column, left: String, right: String): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
@@ -71,8 +102,9 @@ object Bpe {
     * jobs per round were pure scheduling overhead at this size. Above the
     * threshold (massively multilingual / byte-level vocabularies) the
     * distributed per-round census loop below takes over. Both arms share
-    * the argmax order (count desc, then lexicographic pair — symbols are
-    * ASCII, so driver String order equals Spark's UTF8 binary order) and
+    * the code-point symbol split and the argmax order (count desc, then
+    * lexicographic pair in UTF-8 BINARY order — [[utf8Lt]] on the driver,
+    * Spark's UTF8_BINARY collation distributed) and
     * the greedy left-to-right merge ([[BpeExprUtil.mergePair]] semantics),
     * so results are bit-identical — BpeSpec proves arm equality and the
     * q_bpe_merges recursive-CTE oracle hashes the driver arm. */
@@ -101,11 +133,18 @@ object Bpe {
   /** Driver arm of [[learnMerges]]: exact incremental pair accounting.
     * `pairWords` uses lazy deletion — a word index may linger under pairs
     * its rewrite removed, so occurrence is re-checked before processing. */
-  private def learnMergesDriver(words: Array[(String, Long)], nMerges: Int,
+  private[operators] def learnMergesDriver(words: Array[(String, Long)], nMerges: Int,
       minCount: Long): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable
+    // CODE-POINT symbols, not UTF-16 code units: the distributed arm's
+    // `regexp_extract_all(word, ".")` matches whole code points, so a
+    // supplementary character (emoji, CJK-extension) must stay one symbol
+    // here too, or the two arms learn different merge tables and results
+    // depend on driverMaxWords.
     val syms: Array[Array[String]] =
-      words.map { case (w, _) => (w.map(_.toString) :+ Eow).toArray }
+      words.map { case (w, _) =>
+        (codePointSyms(w) :+ Eow).toArray
+      }
     val cnt = words.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
@@ -144,11 +183,14 @@ object Bpe {
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
-      // argmax by (n desc, l asc, r asc) — the distributed arm's sort order
+      // argmax by (n desc, l asc, r asc) in UTF-8 BINARY order — the
+      // distributed arm sorts with Spark's UTF8_BINARY collation, and Java
+      // String order diverges from it on supplementary characters (lone
+      // surrogates sort below U+E000.. in UTF-16 but above in UTF-8)
       var bl: String = null; var br: String = null; var bn = 0L
       for ((p, nv) <- pairCount)
         if (nv > bn || (nv == bn && bl != null &&
-            (p._1 < bl || (p._1 == bl && p._2 < br))))
+            (utf8Lt(p._1, bl) || (p._1 == bl && utf8Lt(p._2, br)))))
           { bl = p._1; br = p._2; bn = nv }
       if (bl == null || bn < minCount) done = true
       else {
@@ -169,7 +211,7 @@ object Bpe {
 
   /** Distributed arm of [[learnMerges]] — per-round relational pair census
     * + codegen rewrite (see the object scaladoc's distribution shape). */
-  private def learnMergesDistributed(census: DataFrame, nMerges: Int,
+  private[operators] def learnMergesDistributed(census: DataFrame, nMerges: Int,
       minCount: Long): DataFrame = {
     val spark = census.sparkSession
     import spark.implicits._

@@ -353,7 +353,12 @@ object Dedup {
     val touched = docs.join(ids, Seq("doc_id"), "left_semi")
     val sh = shingleRows(touched, k, distinct = false)
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
-    cands
+    // materialize the (even tinier) verified pairs, then RELEASE the
+    // candidate blocks deterministically: incrementalNearDups calls this
+    // per micro-batch, and without the unpersist each batch leaks one
+    // checkpoint block set until the RDD happens to be GC'd, growing
+    // executor storage over a long-lived stream
+    val verified = cands
       .join(sh.withColumnRenamed("doc_id", "doc_id_1")
         .withColumnRenamed("shingles", "sh1"), "doc_id_1")
       .join(sh.withColumnRenamed("doc_id", "doc_id_2")
@@ -363,6 +368,9 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
+      .localCheckpoint()
+    unpersistLocalCheckpoint(cands)
+    verified
   }
 
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
@@ -446,8 +454,13 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
     // participant pruning + candidate materialization live in
-    // verifyJaccard now, shared by every caller
-    verifyJaccard(newNew.union(newOld).distinct(), allDocs, k, threshold)
+    // verifyJaccard now, shared by every caller. verifyJaccard is EAGER
+    // (it returns a materialized checkpoint), so nb's blocks can be
+    // released here — the per-micro-batch leak discipline again.
+    val verified =
+      verifyJaccard(newNew.union(newOld).distinct(), allDocs, k, threshold)
+    unpersistLocalCheckpoint(nb)
+    verified
   }
 
   /** Exact n-gram Jaccard over all pairs — the small-corpus baseline the

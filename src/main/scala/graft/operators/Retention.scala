@@ -161,7 +161,16 @@ object Retention {
     * 2^60 clears the hash range with headroom for monotonic compaction
     * ids. NOTE ids below the base are NOT time-ordered (hash ids aren't):
     * "which dir is a live writer still filling" is judged by modification
-    * time, never by max id. */
+    * time, never by max id.
+    *
+    * MIGRATION (base raised 2^40 → 2^60): on a store compacted under the
+    * OLD base, prior-compaction dirs (ids in [2^40, 2^60)) now classify
+    * as foldable small dirs — the first maintenance pass after upgrading
+    * re-reads and rewrites the whole compacted table once (an O(full
+    * table) cost, converging correctly), and mtime-based live-writer
+    * sparing may spare an old compaction dir for one pass. Run that first
+    * pass in a quiesced window; see docs/SCALE.md "Compaction id-base
+    * migration". */
   val CompactIdBase: Long = 1L << 60
 
   /** Compact a two-level raw table (`<table>/batch_id=B/ts_day=D`): one

@@ -349,28 +349,36 @@ object IngestStream {
     val rows = parts.reduce(_ unionByName _)
       .groupBy("tenant_id", "metric_name", "family")
       .agg(max("unit").as("unit"))
-    val newId =
-      if (!fs.exists(root)) graft.operators.Retention.CompactIdBase
-      else math.max(graft.operators.Retention.CompactIdBase,
-        fs.globStatus(new Path(root, "src=*/batch_id=*")).toSeq
-          .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
-          .foldLeft(0L)(math.max) + 1)
+    // SNAPSHOT the retireable dirs BEFORE the derive scan materializes
+    // (the write below runs it): a concurrent ingest that lands its
+    // catalog dir after this point — possibly between the derive scan and
+    // the retire loop — is NOT retired. Its entries survive as a superset
+    // duplicate readers dedup, instead of being deleted while its data
+    // rows land, which would leave a marked-complete catalog missing a
+    // live locator (the exact misrouting the _complete marker prevents).
+    val retireable: Seq[Path] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.globStatus(new Path(root, "src=*/batch_id=*")).toSeq.map(_.getPath)
+    val newId = math.max(graft.operators.Retention.CompactIdBase,
+      retireable
+        .flatMap(_.getName.stripPrefix("batch_id=").toLongOption)
+        .foldLeft(0L)(math.max) + 1)
     rows.coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/metric_catalog/src=rebuild/batch_id=$newId")
     // the rebuild dir alone covers every live locator — mark coverage NOW
     // so a crash mid-retire still leaves a servable (superset) catalog
     markCatalogComplete(spark, storeDir)
-    // retire everything the rebuild supersedes (older rebuilds included);
-    // compare by path NAME — globStatus returns scheme-qualified paths, so
-    // a string compare against a locally built Path never matches
-    for (st <- fs.globStatus(new Path(root, "src=*")).toSeq;
-         b <- fs.globStatus(new Path(st.getPath, "batch_id=*")).toSeq
-         if !(st.getPath.getName == "src=rebuild" &&
-           b.getPath.getName == s"batch_id=$newId")) {
-      fs.delete(b.getPath, true)
-      if (fs.globStatus(new Path(st.getPath, "batch_id=*")).isEmpty &&
-          st.getPath.getName != "src=rebuild")
-        fs.delete(st.getPath, true)
+    // retire ONLY the snapshotted dirs the rebuild supersedes (older
+    // rebuilds included); compare by path NAME — globStatus returns
+    // scheme-qualified paths, so a string compare against a locally built
+    // Path never matches
+    for (b <- retireable
+         if !(b.getParent.getName == "src=rebuild" &&
+           b.getName == s"batch_id=$newId")) {
+      fs.delete(b, true)
+      if (fs.globStatus(new Path(b.getParent, "batch_id=*")).isEmpty &&
+          b.getParent.getName != "src=rebuild")
+        fs.delete(b.getParent, true)
     }
   }
 

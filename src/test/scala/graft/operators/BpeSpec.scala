@@ -134,6 +134,36 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
         "rank for rank, count for count")
   }
 
+  test("non-BMP census words: driver and distributed arms still agree") {
+    import spark.implicits._
+    // supplementary characters (outside the BMP): an emoji and a CJK-ext
+    // ideograph. The driver arm must split them as ONE symbol each (not
+    // two lone surrogates) and tie-break candidate pairs in UTF-8 binary
+    // order, or the two arms learn different merge tables. wordCensus
+    // normalizes these away, so feed the census directly through the
+    // package-private arm seams.
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    val cjk = new String(Character.toChars(0x20021))
+    val census = Seq(
+      (s"a${emoji}b", 4L), (s"${emoji}b", 3L), (s"a$emoji", 3L),
+      (s"$cjk$emoji", 2L), (s"x$cjk", 2L), (s"ab", 5L),
+      // a BMP char above the surrogate range (U+FFFD): Java String order
+      // sorts it ABOVE supplementary chars, UTF-8 order BELOW — a direct
+      // probe of the tie-break collation
+      ("�" + emoji, 3L), (s"${emoji}�", 3L)
+    ).toDF("word", "cnt")
+    val driver = Bpe.learnMergesDriver(
+      census.collect().map(r => (r.getString(0), r.getLong(1))),
+      nMerges = 10, minCount = 2L)
+    val dist = Bpe.learnMergesDistributed(census, nMerges = 10, minCount = 2L)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(driver === dist)
+    // sanity: supplementary chars entered the merge table whole
+    assert(driver.exists(m => m._2.contains(emoji) || m._3.contains(emoji)))
+  }
+
   test("training is layout-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
