@@ -986,12 +986,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: weighted majority vote of each word-hash
-    * bit (weight = term frequency). */
+    * bit (weight = term frequency).
+    *
+    * The word hash is the first 16 hex chars of md5 assembled as a 64-bit
+    * pattern (two 32-bit `conv` halves — conv's unsigned decimal string
+    * can exceed Long at full width, the halves cannot). md5 rather than
+    * xxhash64 deliberately: it is ENGINE-PORTABLE, so the q_dedup_simhash
+    * oracle restates the whole pipeline — votes, bands, hamming — in
+    * DuckDB SQL over UBIGINT and the driver gate hash-proves it. Bit
+    * quality is equivalent (any 64 independent md5 bits are as uniform as
+    * xxhash's); throughput is codegen either way and the census this runs
+    * on is one row per DISTINCT (doc, word). */
   def simhash(docs: DataFrame): DataFrame = {
     val wc = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("m", md5(col("word").cast("binary")))
+      .withColumn("h",
+        shiftleft(conv(substring(col("m"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("m"), 9, 8), 16, 10).cast("long")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
         .otherwise(-col("cnt"))).as(s"bit_$b")
