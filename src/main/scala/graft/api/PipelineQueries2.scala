@@ -558,9 +558,23 @@ object PipelineQueries2 {
   /** Diversity-aware embedding subsample ([[graft.operators.Similarity
     * .diversitySample]]): uniform per-IVF-cell quota so rare content
     * regions keep representation a proportional hash sample would dilute.
-    * k-means cells are data-dependent → rows-only; SamplingSpec proves
-    * determinism and the rare-cluster floor. */
-  private val sampleDiverse = QDef.noOracle("q_sample_diverse") { (s, dir) =>
+    * HASH-PROVEN: Lloyd training is bit-deterministic and integer-exact by
+    * construction, so the oracle restates the whole loop as an unrolled
+    * CTE chain ([[LloydSql]]) — first-16 init, 3 argmax/mean iterations —
+    * then the same per-cell content-hash quota window (n=100, 16 cells →
+    * quota 7). */
+  private val sampleDiverse = QDef(
+    "q_sample_diverse",
+    s"""WITH ${LloydSql.centroidCtes("km", "embeddings", k = 16, iterations = 3, l2 = false)}
+       |${LloydSql.assignCte("km", "embeddings", iterations = 3)}
+       |r AS (
+       |  SELECT vec_id, cell,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rn
+       |  FROM km_asg
+       |)
+       |SELECT vec_id, cell, rn FROM r WHERE rn <= 7
+       |ORDER BY cell, rn""".stripMargin) { (s, dir) =>
     graft.operators.Similarity.diversitySample(
         Tables.load(s, dir, "embeddings"), n = 100)
       .orderBy("cell", "rn")

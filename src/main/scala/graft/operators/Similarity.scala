@@ -134,16 +134,27 @@ object Similarity {
     * reconstruction metric). Mean update and deterministic first-k init
     * are common.
     *
-    * The mean update accumulates in EXACT DECIMAL (float components carry
-    * < 8 significant decimal digits; the (28,10) snap is deterministic),
+    * The mean update accumulates in EXACT INTEGERS — each component is
+    * snapped once to 1e-10 units with `floor(x · 1e10)` (one IEEE double
+    * product + floor, bit-identical on any engine) and summed as LONG —
     * so training is BIT-DETERMINISTIC under any partitioning — a plain
     * `avg(double)` varies in the last ulp with partition order, and one
     * flipped ulp can flip a boundary vector's cell, cascading into
     * different centroids, assignments, and served neighbors on identical
     * data. Every derived artifact (IVF cells, PQ codebooks, diversity
-    * strata) inherits layout-invariance from this. Measured cost on the
-    * gate corpus: ~0.4-1.0 s per inline-training query (3-run medians) —
-    * bit-determinism of a persisted index is worth more than the ulp. */
+    * strata) inherits layout-invariance from this, and the integer units
+    * make the training loop RESTATABLE IN ORACLE SQL (the earlier
+    * DECIMAL(28,10) accumulator was not: a float component can terminate
+    * exactly at the scale-10 tie digit — e.g. -0.27392578125, observed in
+    * the gate corpus — where Spark's HALF_UP and DuckDB's rounding
+    * disagree; floor has no tie boundary). Overflow margin: |x| ≤ 8 →
+    * ≤ 8e10 units/component; 2^63 admits > 10^8 rows per (cell, dim)
+    * partial — and the LONG sum is exact as a double up to 2^53 units
+    * (9e5 rows at this magnitude); cells larger than that need a
+    * pre-aggregated sample anyway (see [[trainIvfCentroids]]). Measured
+    * cost on the gate corpus: ~0.4-1.0 s per inline-training query (3-run
+    * medians) — bit-determinism of a persisted index is worth more than
+    * the ulp. */
   private def lloyd(corpus: DataFrame, k: Int, iterations: Int,
       l2: Boolean): Array[Array[Double]] = {
     // element-type tolerant: every vector path accepts float OR double
@@ -163,8 +174,8 @@ object Similarity {
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-          .cast("double") / count(lit(1))).as("m"))
+        .agg(((sum(floor(col("x").cast("double") * 1e10)).cast("double") /
+          count(lit(1))) / 1e10).as("m"))
         .collect().groupBy(_.getAs[Int]("cell"))
       centroids = centroids.indices.map { c =>
         updated.get(c) match {
