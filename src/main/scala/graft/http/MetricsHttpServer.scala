@@ -48,6 +48,14 @@ import java.util.concurrent.atomic.AtomicLong
   *  - `OPTIONS` on the query routes — CORS preflight
   *    (`HttpOptionsHandler.java:28-41`: 204 + the configured CORS headers
   *    when `corsEnabled`; reference default is disabled)
+  *  - `GET /v1.0`, `GET /v1.0/:t/experimental/views/metric_data/:name`,
+  *    `POST /v1.0/:t/experimental/views/metric_data` — the reference's
+  *    legacy/experimental routes (`HttpMetricDataQueryServer.java:70-73`),
+  *    aliased onto the v2.0 handlers
+  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb}`
+  *    — the series/anomaly panel (EXTENSION surface: the Graphite render
+  *    functions a reference deployment fronts Blueflood with; see
+  *    [[seriesView]])
   *
   * Ingest status semantics (`HttpMetricsIngestionHandler.java:134-238`):
   * all records valid → 200; SOME invalid → the valid ones persist and the
@@ -125,6 +133,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   server.setExecutor(pool)
   server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
+  // v1.0 legacy surface (reference HttpMetricDataQueryServer.java:70-73) —
+  // same dispatcher; the route match aliases onto the v2.0 handlers
+  server.createContext("/v1.0", (ex: HttpExchange) => handle(ex))
   // operational counters (reference: Instrumentation.java meters, exposed
   // through its JMX/graphite reporters) — out-of-band of the /v2.0 API
   server.createContext("/metrics", (ex: HttpExchange) =>
@@ -198,6 +209,31 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             case Some(names)
                 if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
               // the reference's O2 batch cap, HttpMultiRollupsQueryHandler
+              sendJson(ex, 400, errJson(
+                s"batch too large: ${names.size} metrics > " +
+                  s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
+            case Some(names) => views(ex, tenant, names)
+          }
+        case ("v2.0" :: tenant :: "series" :: name :: fn :: Nil, "GET")
+            if SeriesFns(fn) =>
+          seriesView(ex, tenant, name, fn)
+        // v1.0 legacy/experimental routes (reference
+        // HttpMetricDataQueryServer.java:70-73) — deployed Blueflood
+        // clients still call these; they alias the v2.0 handlers
+        case (List("v1.0"), "GET") =>
+          sendJson(ex, 200, "{}")
+        case ("v1.0" :: tenant :: "experimental" :: "views" ::
+            "metric_data" :: name :: Nil, "GET") =>
+          views(ex, tenant, Seq(name))
+        case ("v1.0" :: tenant :: "experimental" :: "views" ::
+            "metric_data" :: Nil, "POST") =>
+          parseStringArray(readBody(ex)) match {
+            case None => sendJson(ex, 400,
+              errJson("body must be a JSON array of metric names"))
+            case Some(Nil) => sendJson(ex, 400,
+              errJson("at least one metric name is required"))
+            case Some(names)
+                if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
               sendJson(ex, 400, errJson(
                 s"batch too large: ${names.size} metrics > " +
                   s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
@@ -474,6 +510,109 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
     }
     sendJson(ex, 200, MetricsQueryApi.toJsonResponse(frame))
+  }
+
+  /** The series/anomaly panel's route names (the facade surface of the
+    * Graphite render functions a reference deployment fronts Blueflood
+    * with: holtWintersConfidenceBands, the EWMA band family, linear
+    * trend/capacity forecast, and LTTB chart decimation). */
+  private val SeriesFns = Set("holtwinters", "ewma", "trend", "lttb")
+
+  /** `GET /v2.0/:t/series/:metric/<fn>?from&to&points|resolution&…` —
+    * reads the metric's numeric series through the SAME kind-routed
+    * stored-read path as `views` (per-bucket average), then applies the
+    * series operator the route names:
+    *
+    *  - `holtwinters?season&alpha&beta&gamma&k&minPoints` —
+    *    [[graft.operators.Anomaly.holtWintersBands]]
+    *  - `ewma?alpha&k&minPoints` — [[graft.operators.Anomaly.ewmaBands]]
+    *  - `trend?horizon&threshold` (horizon seconds) —
+    *    [[graft.operators.Series.linearTrend]]
+    *  - `lttb?buckets` — [[graft.operators.Series.lttbExact]]
+    *
+    * String metrics 400 (these operators are numeric by definition);
+    * parameter parse failures 400 with the offending name. */
+  private def seriesView(ex: HttpExchange, tenant: String, name: String,
+      fn: String): Unit = {
+    val q = queryParams(ex)
+    val (from, to) = (q.get("from"), q.get("to")) match {
+      case (Some(f), Some(t)) => (f, t)
+      case _ => sendJson(ex, 400, errJson("from and to are required")); return
+    }
+    val points = q.get("points").map(_.toInt)
+    val resolution = q.get("resolution").map(r =>
+      Granularity.all.find(_.name.equalsIgnoreCase(r)).getOrElse(
+        throw new IllegalArgumentException(s"unknown resolution '$r'")))
+    if (points.isEmpty == resolution.isEmpty) {
+      sendJson(ex, 400, errJson("exactly one of points= or resolution= required"))
+      return
+    }
+    def dbl(k: String, d: Double): Double = q.get(k).fold(d)(v =>
+      v.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"$k must be a number, got '$v'")))
+    def int(k: String, d: Int): Int = q.get(k).fold(d)(v =>
+      v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"$k must be an integer, got '$v'")))
+    val kind = routeKind(tenant, Seq(name))
+    require(kind != "string",
+      s"series functions require a numeric metric; '$name' is a string metric")
+    val p = MetricsQueryApi.Params(tenant,
+      graft.core.GlobPattern.escapeLiteral(name), from, to, points,
+      resolution, Seq("average"))
+    val now = nowMs()
+    val frame = kind match {
+      case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
+      case k => MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
+    }
+    val pts = frame.select(col("tenant_id"), col("metric_name"),
+        col("bucket_ms").cast("long").as("ts_ms"),
+        col("average").cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    val out = fn match {
+      case "holtwinters" =>
+        val season = int("season", 24)
+        require(season >= 1 && season <= 8192,
+          s"season must be in [1, 8192], got $season")
+        graft.operators.Anomaly.holtWintersBands(pts, season,
+          dbl("alpha", 0.1), dbl("beta", 0.0035), dbl("gamma", 0.1),
+          dbl("k", 3.0), int("minPoints", season))
+      case "ewma" =>
+        graft.operators.Anomaly.ewmaBands(pts, dbl("alpha", 0.3),
+          dbl("k", 3.0), int("minPoints", 5))
+      case "trend" =>
+        graft.operators.Series.linearTrend(pts,
+          dbl("horizon", 86400.0), dbl("threshold", Double.MaxValue))
+      case "lttb" =>
+        val buckets = int("buckets", 200)
+        require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+        graft.operators.Series.lttbExact(pts, buckets)
+    }
+    sendJson(ex, 200, seriesJson(name, out))
+  }
+
+  /** Generic series-panel JSON: every non-key column verbatim, `ts_ms`
+    * surfaced as `timestamp` (the views convention); row order by ts_ms
+    * when present. `{"metric": …, "function_values": [{…}], "metadata":
+    * {"count": n}}`. */
+  private def seriesJson(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val hasTs = df.columns.contains("ts_ms")
+    val ordered = if (hasTs) df.orderBy("tenant_id", "metric_name", "ts_ms") else df
+    val fields = df.columns.filterNot(Set("tenant_id", "metric_name"))
+    def jVal(v: Any): String = v match {
+      case null => "null"
+      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+      case b: Boolean => b.toString
+      case s: String => jStr(s)
+      case x => x.toString
+    }
+    val rows = ordered.collect().map { r =>
+      fields.map {
+        case "ts_ms" => s""""timestamp": ${r.getAs[Long]("ts_ms")}"""
+        case f => s""""$f": ${jVal(r.getAs[Any](f))}"""
+      }.mkString("{", ", ", "}")
+    }
+    s"""{"metric": ${jStr(name)}, "function_values": [${rows.mkString(", ")}], """ +
+      s""""metadata": {"count": ${rows.length}}}"""
   }
 
   /** The family a views read routes to — the facade's analog of the

@@ -343,4 +343,91 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(!miss.body().contains("deploy"))
     } finally srv.stop()
   }
+
+  test("series/anomaly panel round-trips over HTTP with param validation") {
+    val (srv, base, _) = startServer()
+    try {
+      // 48 five-minute points with a seasonal-ish shape + one spike
+      val t0 = now - 30L * 300000L
+      val recs = (0 until 30).map { i =>
+        val v = if (i == 25) 500.0 else 10.0 + (i % 12)
+        s"""{"metricName": "app.lat", "metricValue": $v,
+           | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+           | "unit": "ms"}""".stripMargin
+      }.mkString("[", ",", "]")
+      assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      val range = s"from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full"
+
+      // holt-winters: every band column present, the spike flags aberrant
+      val hw = get(s"$base/v2.0/acme/series/app.lat/holtwinters" +
+        s"?$range&season=12&minPoints=12")
+      assert(hw.statusCode() === 200, hw.body())
+      for (f <- Seq("forecast", "upper", "lower", "is_aberrant", "level"))
+        assert(hw.body().contains(s""""$f":"""), s"missing $f: ${hw.body()}")
+      assert(hw.body().contains(""""is_aberrant": true"""), hw.body())
+      assert(hw.body().contains(""""count": 30"""), hw.body())
+
+      // ewma: bands + the spike aberrant
+      val ew = get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=0.3&k=3")
+      assert(ew.statusCode() === 200, ew.body())
+      for (f <- Seq("ewma", "upper", "lower", "is_aberrant"))
+        assert(ew.body().contains(s""""$f":"""), s"missing $f: ${ew.body()}")
+      assert(ew.body().contains(""""is_aberrant": true"""), ew.body())
+
+      // trend: one fitted row with slope/forecast
+      val tr = get(s"$base/v2.0/acme/series/app.lat/trend?$range&horizon=3600")
+      assert(tr.statusCode() === 200, tr.body())
+      for (f <- Seq("slope_per_s", "intercept", "r2", "forecast_value"))
+        assert(tr.body().contains(s""""$f":"""), s"missing $f: ${tr.body()}")
+
+      // lttb: decimates to <= buckets points, endpoints kept
+      val lt = get(s"$base/v2.0/acme/series/app.lat/lttb?$range&buckets=10")
+      assert(lt.statusCode() === 200, lt.body())
+      assert(lt.body().contains(s""""timestamp": $t0"""), lt.body())
+      val nPts = """"timestamp":""".r.findAllIn(lt.body()).length
+      assert(nPts <= 10 && nPts >= 3, lt.body())
+
+      // param validation: 400s with the offending name, not 500s
+      assert(get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=x")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/lttb?$range&buckets=1")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/holtwinters?$range&season=0")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/holtwinters?from=1&to=2")
+        .statusCode() === 400) // neither points nor resolution
+      assert(get(s"$base/v2.0/acme/series/app.lat/nope?$range")
+        .statusCode() === 404)
+    } finally srv.stop()
+  }
+
+  test("v1.0 legacy/experimental routes alias the v2.0 handlers") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 600000L
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "app.v1", "metricValue": 7.0,
+           | "collectionTime": $t0, "unit": "req"}]""".stripMargin)
+        .statusCode() === 200)
+      // root ping parity
+      assert(get(s"$base/v1.0").statusCode() === 200)
+      // GET single-metric experimental view == v2.0 views
+      val q = s"from=${t0 / 1000 - 10}&to=${now / 1000}&resolution=full"
+      val v1 = get(s"$base/v1.0/acme/experimental/views/metric_data/app.v1?$q")
+      val v2 = get(s"$base/v2.0/acme/views/app.v1?$q")
+      assert(v1.statusCode() === 200, v1.body())
+      assert(v1.body() === v2.body())
+      // POST batch experimental view == v2.0 multi-views
+      val p1 = post(s"$base/v1.0/acme/experimental/views/metric_data?$q",
+        """["app.v1"]""")
+      val p2 = post(s"$base/v2.0/acme/views?$q", """["app.v1"]""")
+      assert(p1.statusCode() === 200, p1.body())
+      assert(p1.body() === p2.body())
+      // bad body still 400s through the alias
+      assert(post(s"$base/v1.0/acme/experimental/views/metric_data?$q", "x")
+        .statusCode() === 400)
+      // unknown v1.0 route -> 404
+      assert(get(s"$base/v1.0/acme/whatever").statusCode() === 404)
+    } finally srv.stop()
+  }
 }
