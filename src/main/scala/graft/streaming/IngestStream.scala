@@ -320,7 +320,14 @@ object IngestStream {
     * dedup); a crash mid-delete leaves stale-but-safe entries and a
     * re-run converges. No manifest needed — unlike a fold, nothing here
     * destroys information the data tables don't still hold. */
-  def rebuildCatalog(spark: SparkSession, storeDir: String): Unit = {
+  def rebuildCatalog(spark: SparkSession, storeDir: String): Unit =
+    rebuildCatalog(spark, storeDir, () => ())
+
+  /** [[rebuildCatalog]] with a test seam fired between the coverage marker
+    * and the retire loop — the window where a concurrent ingest's catalog
+    * dir must SURVIVE retirement (it is not in the snapshot). */
+  private[graft] def rebuildCatalog(spark: SparkSession, storeDir: String,
+      beforeRetire: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(s"$storeDir/metric_catalog")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -368,6 +375,7 @@ object IngestStream {
     // the rebuild dir alone covers every live locator — mark coverage NOW
     // so a crash mid-retire still leaves a servable (superset) catalog
     markCatalogComplete(spark, storeDir)
+    beforeRetire()
     // retire ONLY the snapshotted dirs the rebuild supersedes (older
     // rebuilds included); compare by path NAME — globStatus returns
     // scheme-qualified paths, so a string compare against a locally built
