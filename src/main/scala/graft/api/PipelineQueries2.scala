@@ -353,14 +353,101 @@ object PipelineQueries2 {
     * ([[Dedup.contaminationReportBloom]]): the train-side distinct-gram
     * table — the exact pass's 100 TB bottleneck artifact — collapses into
     * a bloom_filter_agg scalar subquery, eliminating the shingle shuffle
-    * join for a bounded false-positive rate. Approximate by design →
-    * rows-only here; DedupSimilaritySpec proves no-false-negatives and
-    * bounds the FP rate against the exact report. */
-  private val decontaminateBloom = QDef.noOracle("q_decontaminate_bloom") { (s, dir) =>
-    Dedup.contaminationReportBloom(Tables.load(s, dir, "documents"),
-        substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8,
-        expectedGrams = 2000000L, fpp = 0.01)
-      .orderBy("doc_id")
+    * join for a bounded false-positive rate. HASH-PROVEN (r8): the gram
+    * hash is the portable md5-derived long, and Spark's BloomFilterImpl is
+    * pure integer arithmetic — Murmur3_x86_32 double hashing (seed 0,
+    * h1 + i·h2, negative flip, mod word-rounded bitSize) — restated below
+    * in UBIGINT 32-bit modular algebra, so even the FALSE POSITIVES hash
+    * equal. DedupSimilaritySpec still proves no-false-negatives and the
+    * FP bound against the exact report. */
+  private val decontaminateBloom = {
+    val expectedGrams = 2000000L
+    val fpp = 0.01
+    // the engine's own sizing arithmetic, replicated bit-for-bit
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val kHashes = math.max(1, math.round(numBits.toDouble / expectedGrams * math.log(2))).toInt
+    val bitSize = ((numBits + 63) / 64) * 64
+    val M = "4294967295"
+    def rotl(x: String, r: Int) =
+      s"((($x << $r) | ($x >> ${32 - r})) & $M)"
+    def mixK1(x: String) =
+      s"((${rotl(s"(($x * 3432918353) & $M)", 15)} * 461845907) & $M)"
+    def mixH1(h: String, k: String) =
+      s"(((${rotl(s"xor($h, $k)", 13)} * 5) + 3864292196) & $M)"
+    def fmix8(h: String) = {
+      val a = s"xor($h, CAST(8 AS UBIGINT))"
+      val b = s"((xor($a, ($a >> 16)) * 2246822507) & $M)"
+      val c = s"((xor($b, ($b >> 13)) * 3266489909) & $M)"
+      s"xor($c, ($c >> 16))"
+    }
+    // per-gram murmur state: k1a/k1b from the hash halves (shared by both
+    // hashLong calls — only the seed differs), then h1 = hashLong(v, 0),
+    // h2 = hashLong(v, h1)
+    def murmurCte(name: String, grams: String) =
+      s"""$name AS (
+         |  SELECT doc_id, sh, h1, ${fmix8(mixH1(mixH1("h1", "k1a"), "k1b"))} AS h2
+         |  FROM (
+         |    SELECT doc_id, sh, k1a, k1b,
+         |           ${fmix8(mixH1(mixH1(s"CAST(0 AS UBIGINT)", "k1a"), "k1b"))} AS h1
+         |    FROM (
+         |      SELECT doc_id, sh, ${mixK1(s"(hv & $M)")} AS k1a,
+         |             ${mixK1(s"((hv >> 32) & $M)")} AS k1b
+         |      FROM (
+         |        SELECT doc_id, sh,
+         |               CAST(CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS UBIGINT) * 4294967296
+         |                 + CAST(CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS UBIGINT) AS hv
+         |        FROM $grams)))
+         |)""".stripMargin
+    // bit position of probe i: c = (h1 + i·h2) masked; a set sign bit
+    // flips ALL bits (Java's ~); then mod the word-rounded bit size
+    val posExpr =
+      s"""CASE WHEN ((h1 + i.i * h2) & $M) >= 2147483648
+         |     THEN xor((h1 + i.i * h2) & $M, CAST($M AS UBIGINT))
+         |     ELSE (h1 + i.i * h2) & $M END % $bitSize""".stripMargin
+    QDef(
+      "q_decontaminate_bloom",
+      s"""WITH split AS (
+         |  SELECT doc_id, $wsSql AS ws,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_test
+         |  FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, is_test, unnest(${PipelineQueries.shinglesSqlK(8)}) AS sh
+         |  FROM split
+         |),
+         |${murmurCte("trainmm", "(SELECT DISTINCT doc_id, sh FROM grams WHERE NOT is_test)")},
+         |trainpos AS (
+         |  SELECT DISTINCT $posExpr AS pos
+         |  FROM trainmm CROSS JOIN range(1, ${kHashes + 1}) i(i)
+         |),
+         |${murmurCte("testmm", "(SELECT doc_id, sh FROM grams WHERE is_test)")},
+         |probe AS (
+         |  SELECT t.doc_id, t.sh, $posExpr AS pos
+         |  FROM testmm t CROSS JOIN range(1, ${kHashes + 1}) i(i)
+         |),
+         |pergram AS (
+         |  SELECT p.doc_id, p.sh,
+         |         count(*) = count(tp.pos) AS hit
+         |  FROM probe p LEFT JOIN trainpos tp USING (pos)
+         |  GROUP BY p.doc_id, p.sh
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_shared
+         |  FROM pergram GROUP BY doc_id
+         |)
+         |SELECT sp.doc_id,
+         |       CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,
+         |       coalesce(pd.n_shared, 0) > 0 AS contaminated
+         |FROM split sp LEFT JOIN perdoc pd USING (doc_id)
+         |WHERE sp.is_test ORDER BY sp.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.contaminationReportBloom(Tables.load(s, dir, "documents"),
+          substring(Sampling.hashHex(col("doc_id")), 1, 1) === "f", k = 8,
+          expectedGrams = expectedGrams, fpp = fpp)
+        .orderBy("doc_id")
+    }
   }
 
   /** The end-to-end training-set materialization: split → quality floor →

@@ -961,7 +961,7 @@ object Dedup {
     // NULL flag reads as train — same 3VL contract as contaminationReport
     val flagged = docs.withColumn("is_test", coalesce(isTest, lit(false)))
     val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col("sh"))),
+      ColumnBridge.expression(md5Hash64(col("sh"))),
       org.apache.spark.sql.catalyst.expressions.Literal(expectedGrams),
       org.apache.spark.sql.catalyst.expressions.Literal(numBits))
       .toAggregateExpression())
@@ -971,7 +971,7 @@ object Dedup {
     val testGrams = shingleRows(flagged.filter(col("is_test")), k)
     val hit = ColumnBridge.column(BloomFilterMightContain(
       ScalarSubquery(bfPlan),
-      ColumnBridge.expression(xxhash64(col("sh")))))
+      ColumnBridge.expression(md5Hash64(col("sh")))))
     val perDoc = testGrams
       .withColumn("hit", hit) // projection-level: subqueries can't sit inside agg args
       .groupBy("doc_id")
@@ -983,6 +983,19 @@ object Dedup {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** ENGINE-PORTABLE 64-bit string hash: the first 16 md5 hex chars
+    * assembled as a signed-long bit pattern (two 32-bit `conv` halves —
+    * conv's unsigned decimal string can exceed Long at full width, the
+    * halves cannot). The hash every sketch here that needs a DuckDB
+    * oracle twin uses instead of xxhash64 (which DuckDB cannot compute):
+    * bit quality is equivalent, and the oracle assembles the identical
+    * pattern as `CAST('0x'||substr(md5(s),1,8) AS BIGINT)` halves. */
+  private[operators] def md5Hash64(s: Column): Column = {
+    val m = md5(s.cast("binary"))
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
   }
 
   /** 64-bit SimHash per document: weighted majority vote of each word-hash
@@ -1001,10 +1014,7 @@ object Dedup {
     val wc = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      .withColumn("m", md5(col("word").cast("binary")))
-      .withColumn("h",
-        shiftleft(conv(substring(col("m"), 1, 8), 16, 10).cast("long"), 32)
-          .bitwiseOR(conv(substring(col("m"), 9, 8), 16, 10).cast("long")))
+      .withColumn("h", md5Hash64(col("word")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
         .otherwise(-col("cnt"))).as(s"bit_$b")
