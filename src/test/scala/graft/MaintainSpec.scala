@@ -32,6 +32,15 @@ class MaintainSpec extends AnyFunSuite with SparkSuite {
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$store/metrics_full/batch_id=$b")
 
+    // events table: same two-level layout, two foldable dirs (fresh days
+    // only — annotations age at the coarsest tier)
+    for (b <- 0L to 1L)
+      Seq(("acme", 100L + b, freshDay + b, "deploy", s"build $b"))
+        .toDF("tenant_id", "event_id", "ts_ms", "event_type", "props")
+        .withColumn("ts_day", lit(freshDay))
+        .write.mode("overwrite").partitionBy("ts_day")
+        .parquet(s"$store/events/batch_id=$b")
+
     // error sink: one stale dir (old mtime), one fresh
     for (b <- 0L to 1L)
       Seq(("acme", "bad", 1L)).toDF("tenant_id", "metric_name", "ts_ms")
@@ -89,6 +98,10 @@ class MaintainSpec extends AnyFunSuite with SparkSuite {
       Seq(s"batch_id=${Retention.CompactIdBase}"))
     // and the surviving rows are exactly the fresh-day rows of both batches
     assert(spark.read.parquet(s"$store/metrics_full").count() === 2)
+
+    // events folded too (same discipline, its own batch-id namespace)
+    assert(report.compactedRaw("events") === Retention.CompactIdBase)
+    assert(spark.read.parquet(s"$store/events").count() === 2)
 
     // catalog folded; entries all survive
     assert(report.compactedCatalog.nonEmpty)
