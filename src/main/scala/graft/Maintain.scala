@@ -72,11 +72,19 @@ object Maintain {
       textIndexPath: Option[String] = None,
       ivfIndexPath: Option[String] = None,
       pqProbe: Option[(String, DataFrame)] = None,
-      recallQueries: Option[DataFrame] = None): Report = {
+      recallQueries: Option[DataFrame] = None,
+      errorSinkNowMillis: Long = System.currentTimeMillis()): Report = {
     import graft.operators.{Retention, Similarity, TextScoring}
 
     val droppedDays = Retention.enforce(spark, storeDir, nowMillis)
-    val droppedErr = Retention.enforceErrorSinks(spark, storeDir, nowMillis)
+    // DELIBERATELY a separate clock (Retention.enforceErrorSinks
+    // scaladoc): `nowMillis` is the partition-day retention epoch —
+    // passing a future/backdated epoch (a preview run) into the
+    // mtime-based error-sink sweep would delete every fresh sink or
+    // silently disable their aging; dir age is always judged against
+    // wall time unless a caller overrides it explicitly
+    val droppedErr =
+      Retention.enforceErrorSinks(spark, storeDir, errorSinkNowMillis)
 
     val compactedRaw = rawTables.flatMap { t =>
       Retention.compactRaw(spark, storeDir, t,

@@ -123,8 +123,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   /** Per-request uniquifier for the EVENTS route's batch ids (metrics
     * routes stay body-hashed: their overwrite is value-idempotent, events
-    * are append-only annotations the reference stores once per POST). */
+    * are append-only annotations the reference stores once per POST).
+    * The lifetime token keeps the scheme collision-free ACROSS server
+    * restarts: a bare counter restarts at 0, so the same body posted at
+    * the same nonce position in two lifetimes would hash to the same
+    * batch id and the overwrite-mode write would collapse the two
+    * annotations. */
   private val eventNonce = new AtomicLong(0L)
+  private val lifetimeToken: String =
+    s"${ProcessHandle.current.pid}:${System.nanoTime()}"
 
   /** Bumped (under [[writeLock]]) by every ingest that can change what a
     * store probe would observe — the cache-coherence fence for
@@ -175,8 +182,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         // CORS preflight on the query routes (reference HttpOptionsHandler:
         // 204 + the configured CORS headers when enabled; bare 204 when not
         // — CORS_ENABLED defaults false, CoreConfig.java:257-261)
-        case ("v2.0" :: _ :: rest, "OPTIONS")
+        case (("v2.0" | "v1.0") :: _ :: rest, "OPTIONS")
             if rest.headOption.contains("views") ||
+              rest.headOption.contains("series") ||
+              rest.headOption.contains("experimental") ||
               rest == List("metrics", "search") ||
               rest == List("metric_name", "search") ||
               rest == List("events", "getEvents") =>
@@ -201,19 +210,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         case ("v2.0" :: tenant :: "views" :: name :: Nil, "GET") =>
           views(ex, tenant, Seq(name))
         case ("v2.0" :: tenant :: "views" :: Nil, "POST") =>
-          parseStringArray(readBody(ex)) match {
-            case None => sendJson(ex, 400,
-              errJson("body must be a JSON array of metric names"))
-            case Some(Nil) => sendJson(ex, 400,
-              errJson("at least one metric name is required"))
-            case Some(names)
-                if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
-              // the reference's O2 batch cap, HttpMultiRollupsQueryHandler
-              sendJson(ex, 400, errJson(
-                s"batch too large: ${names.size} metrics > " +
-                  s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
-            case Some(names) => views(ex, tenant, names)
-          }
+          batchViews(ex, tenant)
         case ("v2.0" :: tenant :: "series" :: name :: fn :: Nil, "GET")
             if SeriesFns(fn) =>
           seriesView(ex, tenant, name, fn)
@@ -227,18 +224,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           views(ex, tenant, Seq(name))
         case ("v1.0" :: tenant :: "experimental" :: "views" ::
             "metric_data" :: Nil, "POST") =>
-          parseStringArray(readBody(ex)) match {
-            case None => sendJson(ex, 400,
-              errJson("body must be a JSON array of metric names"))
-            case Some(Nil) => sendJson(ex, 400,
-              errJson("at least one metric name is required"))
-            case Some(names)
-                if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
-              sendJson(ex, 400, errJson(
-                s"batch too large: ${names.size} metrics > " +
-                  s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
-            case Some(names) => views(ex, tenant, names)
-          }
+          batchViews(ex, tenant)
         case ("v2.0" :: tenant :: "metrics" :: "search" :: Nil, "GET") =>
           metricsSearch(ex, tenant)
         case ("v2.0" :: tenant :: "metric_name" :: "search" :: Nil, "GET") =>
@@ -458,7 +444,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         // process-local nonce — hashing on body alone would collapse them
         IngestStream.processEventsBatch(validated, storeDir,
           requestBatchId(tenant, "events",
-            s"$body|${eventNonce.incrementAndGet()}"))
+            s"$body|$lifetimeToken|${eventNonce.incrementAndGet()}"))
       }
       sendJson(ex, 200, """{}""")
     } finally validated.unpersist()
@@ -476,20 +462,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private def views(ex: HttpExchange, tenant: String,
       names: Seq[String]): Unit = {
     val q = queryParams(ex)
-    val (from, to) = (q.get("from"), q.get("to")) match {
-      case (Some(f), Some(t)) => (f, t)
-      case _ => sendJson(ex, 400, errJson("from and to are required")); return
+    val (from, to, points, resolution) = rangeParams(ex) match {
+      case Some(r) => r
+      case None => return
     }
-    val points = q.get("points").map(_.toInt)
-    val resolution = q.get("resolution").map(r =>
-      Granularity.all.find(_.name.equalsIgnoreCase(r)).getOrElse(
-        throw new IllegalArgumentException(s"unknown resolution '$r'")))
     val select = q.get("select").toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)
-    if (points.isEmpty == resolution.isEmpty) {
-      sendJson(ex, 400, errJson("exactly one of points= or resolution= required"))
-      return
-    }
     // names are EXACT locators here, never patterns: escape them so a
     // metric literally named "lat,p99" or "a*b" resolves to itself, not to
     // an alternation / wildcard over other tenants' luck
@@ -510,6 +488,47 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
     }
     sendJson(ex, 200, MetricsQueryApi.toJsonResponse(frame))
+  }
+
+  /** The POST batch-views body handler, shared verbatim by the v2.0
+    * `/views` route and its v1.0 experimental alias — one copy of the
+    * body-validation and O2 batch-cap contract
+    * (HttpMultiRollupsQueryHandler). */
+  private def batchViews(ex: HttpExchange, tenant: String): Unit =
+    parseStringArray(readBody(ex)) match {
+      case None => sendJson(ex, 400,
+        errJson("body must be a JSON array of metric names"))
+      case Some(Nil) => sendJson(ex, 400,
+        errJson("at least one metric name is required"))
+      case Some(names)
+          if names.size > MetricsQueryApi.MaxMetricsPerBatchQuery =>
+        sendJson(ex, 400, errJson(
+          s"batch too large: ${names.size} metrics > " +
+            s"${MetricsQueryApi.MaxMetricsPerBatchQuery}"))
+      case Some(names) => views(ex, tenant, names)
+    }
+
+  /** Shared from/to/points|resolution parsing of the GET query surfaces
+    * (`views` and the series panel) — None after sending the 400, so both
+    * routes keep one copy of the range/granularity contract. */
+  private def rangeParams(ex: HttpExchange)
+      : Option[(String, String, Option[Int], Option[Granularity])] = {
+    val q = queryParams(ex)
+    val (from, to) = (q.get("from"), q.get("to")) match {
+      case (Some(f), Some(t)) => (f, t)
+      case _ =>
+        sendJson(ex, 400, errJson("from and to are required")); return None
+    }
+    val points = q.get("points").map(_.toInt)
+    val resolution = q.get("resolution").map(r =>
+      Granularity.all.find(_.name.equalsIgnoreCase(r)).getOrElse(
+        throw new IllegalArgumentException(s"unknown resolution '$r'")))
+    if (points.isEmpty == resolution.isEmpty) {
+      sendJson(ex, 400,
+        errJson("exactly one of points= or resolution= required"))
+      return None
+    }
+    Some((from, to, points, resolution))
   }
 
   /** The series/anomaly panel's route names (the facade surface of the
@@ -535,17 +554,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private def seriesView(ex: HttpExchange, tenant: String, name: String,
       fn: String): Unit = {
     val q = queryParams(ex)
-    val (from, to) = (q.get("from"), q.get("to")) match {
-      case (Some(f), Some(t)) => (f, t)
-      case _ => sendJson(ex, 400, errJson("from and to are required")); return
-    }
-    val points = q.get("points").map(_.toInt)
-    val resolution = q.get("resolution").map(r =>
-      Granularity.all.find(_.name.equalsIgnoreCase(r)).getOrElse(
-        throw new IllegalArgumentException(s"unknown resolution '$r'")))
-    if (points.isEmpty == resolution.isEmpty) {
-      sendJson(ex, 400, errJson("exactly one of points= or resolution= required"))
-      return
+    val (from, to, points, resolution) = rangeParams(ex) match {
+      case Some(r) => r
+      case None => return
     }
     def dbl(k: String, d: Double): Double = q.get(k).fold(d)(v =>
       v.toDoubleOption.getOrElse(
@@ -556,9 +567,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val kind = routeKind(tenant, Seq(name))
     require(kind != "string",
       s"series functions require a numeric metric; '$name' is a string metric")
+    // the family's own per-bucket series value — hardcoding "average"
+    // would read an all-NULL padding column for gauge/counter/set and
+    // silently render a populated series as an empty panel
+    val (statName, valueCol) = kind match {
+      case "gauge" => ("latest", "latest_v")
+      case "counter" => ("sum", "sum_v")
+      case "set" => ("numPoints", "num_points") // bucket cardinality
+      case _ => ("average", "average") // basic, timer
+    }
     val p = MetricsQueryApi.Params(tenant,
       graft.core.GlobPattern.escapeLiteral(name), from, to, points,
-      resolution, Seq("average"))
+      resolution, Seq(statName))
     val now = nowMs()
     val frame = kind match {
       case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
@@ -566,7 +586,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     }
     val pts = frame.select(col("tenant_id"), col("metric_name"),
         col("bucket_ms").cast("long").as("ts_ms"),
-        col("average").cast("double").as("value"))
+        col(valueCol).cast("double").as("value"))
       .filter(col("value").isNotNull)
     val out = fn match {
       case "holtwinters" =>

@@ -387,6 +387,21 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val nPts = """"timestamp":""".r.findAllIn(lt.body()).length
       assert(nPts <= 10 && nPts >= 3, lt.body())
 
+      // non-basic families read their OWN per-bucket value (a hardcoded
+      // "average" selection reads an all-NULL padding column for gauges
+      // and renders a populated series as an empty panel)
+      val gp = (0 until 8).map { i =>
+        s"""{"tenantId": "acme", "timestamp": ${t0 + i * 300000L},
+           | "flushInterval": 10000,
+           | "gauges": [{"name": "g.depth", "latest": ${5.0 + i}}]}""".stripMargin
+      }
+      gp.foreach(b =>
+        assert(post(s"$base/v2.0/acme/ingest/aggregated", b).statusCode() === 200))
+      val ge = get(s"$base/v2.0/acme/series/g.depth/ewma?$range&minPoints=2")
+      assert(ge.statusCode() === 200, ge.body())
+      assert(ge.body().contains(""""count": 8"""), ge.body())
+      assert(ge.body().contains(""""ewma":"""), ge.body())
+
       // param validation: 400s with the offending name, not 500s
       assert(get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=x")
         .statusCode() === 400)
