@@ -208,6 +208,16 @@ object Demo {
       val view = get(s"/v2.0/acme/views/app.req.count?from=${t0 / 1000 - 10}" +
         s"&to=${nowFixed / 1000}&resolution=full")
       println(s"   GET /views -> ${view.statusCode()}: ${view.body().take(220)}")
+      // the v1.0 legacy alias serves the identical body
+      val v1 = get(s"/v1.0/acme/experimental/views/metric_data/app.req.count" +
+        s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full")
+      println(s"   GET /v1.0 experimental alias -> ${v1.statusCode()} " +
+        s"(body == v2.0: ${v1.body() == view.body()})")
+      // series/anomaly panel: EWMA bands over the ingested series
+      val series = get(s"/v2.0/acme/series/app.req.count/ewma" +
+        s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full&k=3")
+      println(s"   GET /series/.../ewma -> ${series.statusCode()}: " +
+        series.body().take(220))
 
       println("== 19. operations: engine counters + catalog maintenance ==")
       println(s"   GET /metrics -> ${get("/metrics").body().take(300)} ...")
@@ -218,6 +228,11 @@ object Demo {
       val folded = graft.streaming.IngestStream.compactCatalog(spark,
         httpStore, assumeQuiesced = true)
       println(s"   compactCatalog -> $folded (per-src folded batch ids)")
+      println("   unified maintenance pass (retention + every compaction " +
+        "+ ANN recall probes in one call):")
+      println(Maintain.run(spark, httpStore, assumeQuiesced = true,
+        ivfIndexPath = Some(s"$store/ivf"),
+        recallQueries = Some(queries)).summary)
     } finally srv.stop()
 
     spark.stop()
