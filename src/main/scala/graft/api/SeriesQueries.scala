@@ -867,7 +867,151 @@ object SeriesQueries {
     }
   }
 
+  /** M4 downsampling ([[Series.m4Downsample]]): integer bin math and four
+    * struct-ordered role aggregates whose tie rules restate exactly as the
+    * oracle's four row_number orderings; a point filling several roles
+    * emits once (DISTINCT both sides). */
+  private val m4 = {
+    val b = 12
+    QDef(
+      "q_series_m4",
+      s"""WITH ${OracleViews.metricsCte},
+         |ext AS (
+         |  SELECT tenant_id, metric_name, min(ts_ms) AS t0, max(ts_ms) AS t1
+         |  FROM metrics GROUP BY 1, 2
+         |),
+         |b AS (
+         |  SELECT m.tenant_id, m.metric_name, m.ts_ms, m.value,
+         |         CAST(((m.ts_ms - e.t0) * $b) // (e.t1 - e.t0 + 1) AS INT)
+         |           AS bucket
+         |  FROM metrics m JOIN ext e USING (tenant_id, metric_name)
+         |),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY tenant_id, metric_name, bucket
+         |      ORDER BY ts_ms, value) AS r_f,
+         |    row_number() OVER (PARTITION BY tenant_id, metric_name, bucket
+         |      ORDER BY ts_ms DESC, value DESC) AS r_l,
+         |    row_number() OVER (PARTITION BY tenant_id, metric_name, bucket
+         |      ORDER BY value, ts_ms) AS r_n,
+         |    row_number() OVER (PARTITION BY tenant_id, metric_name, bucket
+         |      ORDER BY value DESC, ts_ms DESC) AS r_x
+         |  FROM b
+         |)
+         |SELECT DISTINCT tenant_id, metric_name, bucket, ts_ms, value
+         |FROM r WHERE r_f = 1 OR r_l = 1 OR r_n = 1 OR r_x = 1
+         |ORDER BY tenant_id, metric_name, bucket, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.m4Downsample(Tables.metrics(s, dir), b)
+          .orderBy("tenant_id", "metric_name", "bucket", "ts_ms", "value")
+    }
+  }
+
+  /** MAD robust outliers ([[Series.madOutliers]]): both medians are
+    * rank-selected LOWER medians (never interpolated — a ranked element is
+    * a value both engines already hold), the deviation is one IEEE op over
+    * identical operands, and the flag compares against `mad·k` with k cast
+    * to DOUBLE on the oracle side (bare SQL decimal literals type as
+    * DECIMAL and change the multiply). */
+  private val mad = QDef(
+    "q_series_mad",
+    s"""WITH ${OracleViews.metricsCte},
+       |rk AS (
+       |  SELECT tenant_id, metric_name, ts_ms, value,
+       |         row_number() OVER (PARTITION BY tenant_id, metric_name
+       |           ORDER BY value, ts_ms) AS rn,
+       |         count(*) OVER (PARTITION BY tenant_id, metric_name) AS n
+       |  FROM metrics
+       |),
+       |med AS (
+       |  SELECT tenant_id, metric_name, value AS med
+       |  FROM rk WHERE rn = (n + 1) // 2
+       |),
+       |dev AS (
+       |  SELECT r.tenant_id, r.metric_name, r.ts_ms, r.value, m.med,
+       |         abs(r.value - m.med) AS adev, r.n
+       |  FROM rk r JOIN med m USING (tenant_id, metric_name)
+       |),
+       |dr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tenant_id, metric_name
+       |           ORDER BY adev, ts_ms) AS rd
+       |  FROM dev
+       |),
+       |mad AS (
+       |  SELECT tenant_id, metric_name, adev AS mad
+       |  FROM dr WHERE rd = (n + 1) // 2
+       |)
+       |SELECT d.tenant_id, d.metric_name, d.ts_ms, d.value, d.med,
+       |       md.mad, d.adev,
+       |       (md.mad > 0 AND d.adev > md.mad * CAST(3.0 AS DOUBLE))
+       |         AS is_outlier
+       |FROM dev d JOIN mad md USING (tenant_id, metric_name)
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+    (s, dir) =>
+      Series.madOutliers(Tables.metrics(s, dir), k = 3.0)
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
+  /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
+    * timestamps collapse to exact-DECIMAL means first; prev/next restate
+    * as two DuckDB ASOF joins (the q_asof_* pattern — the "next" side
+    * negates the time key to flip the inequality); the interpolation is
+    * the identical scalar double expression on both sides, short-circuited
+    * to the sample value on exact grid hits. */
+  private val resample = {
+    val stepMs = 21600000L // 6h grid over the ~30-day fixture
+    QDef(
+      "q_series_resample",
+      s"""WITH ${OracleViews.metricsCte},
+         |pts AS (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(*) AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |ext AS (
+         |  SELECT tenant_id, metric_name, min(ts_ms) AS t0, max(ts_ms) AS t1
+         |  FROM pts GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT tenant_id, metric_name,
+         |         unnest(generate_series(((t0 + ${stepMs - 1}) // $stepMs)
+         |           * $stepMs, (t1 // $stepMs) * $stepMs, $stepMs)) AS gts
+         |  FROM ext
+         |  WHERE ((t0 + ${stepMs - 1}) // $stepMs) * $stepMs
+         |          <= (t1 // $stepMs) * $stepMs
+         |),
+         |prev AS (
+         |  SELECT g.tenant_id, g.metric_name, g.gts, p.ts_ms AS pt,
+         |         p.value AS pv
+         |  FROM grid g ASOF JOIN pts p
+         |    ON g.tenant_id = p.tenant_id AND g.metric_name = p.metric_name
+         |       AND g.gts >= p.ts_ms
+         |),
+         |gridn AS (SELECT tenant_id, metric_name, gts, -gts AS ngts FROM grid),
+         |ptsn AS (SELECT tenant_id, metric_name, ts_ms, value,
+         |                -ts_ms AS nts FROM pts),
+         |nxt AS (
+         |  SELECT g.tenant_id, g.metric_name, g.gts, p.ts_ms AS nt,
+         |         p.value AS nv
+         |  FROM gridn g ASOF JOIN ptsn p
+         |    ON g.tenant_id = p.tenant_id AND g.metric_name = p.metric_name
+         |       AND g.ngts >= p.nts
+         |)
+         |SELECT p.tenant_id, p.metric_name, p.gts AS ts_ms,
+         |       CASE WHEN n.nt = p.pt THEN p.pv
+         |            ELSE p.pv + (n.nv - p.pv) *
+         |              (CAST(p.gts - p.pt AS DOUBLE)
+         |                / CAST(n.nt - p.pt AS DOUBLE)) END AS value
+         |FROM prev p JOIN nxt n USING (tenant_id, metric_name, gts)
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
+      Series.resampleLinear(Tables.metrics(s, dir), stepMs)
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
-    holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact)
+    holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
+    m4, mad, resample)
 }

@@ -621,4 +621,156 @@ object Series {
       .withColumn("ratio",
         when(col("den_sum") =!= 0.0, col("num_sum") / col("den_sum")))
   }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per series, split the time
+    * span into `buckets` equal-width bins and keep the four extreme points
+    * of each — first/last by time, min/max by value. Unlike the
+    * triangle-area family ([[downsampleTriangle]], [[lttbExact]]) M4 is
+    * ERROR-FREE for line rendering at the target pixel width: the drawn
+    * polyline through the kept points is pixel-identical to the full
+    * series, which makes it the right default for dashboard range queries
+    * (LTTB is the aesthetic choice for overview zoom-outs).
+    *
+    * Bin assignment is pure integer math — `(ts − t0)·B div (t1 − t0 + 1)`
+    * — so Spark and the oracle agree bit-for-bit, every bin lands in
+    * [0, B), and a single-point series degenerates to bin 0. The four
+    * roles are struct-ordered aggregates whose tie rules restate exactly
+    * as oracle row_number orderings: first = min(ts, value),
+    * last = max(ts, value), vmin = min(value, ts), vmax = max(value, ts)
+    * (NaN sorts larger than every double in BOTH engines). A point filling
+    * several roles emits once (DISTINCT on both sides).
+    *
+    * Scale shape: one broadcast join against the per-series extents (one
+    * row per series) and ONE partial-aggregating groupBy on
+    * (series, bucket) — map-side combine collapses each bin to four
+    * structs before the shuffle, so the exchange carries O(series ×
+    * buckets), never the raw points. No window over raw rows at all —
+    * this is the cheapest downsampler in the file by construction. */
+  def m4Downsample(points: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val ser = Seq("tenant_id", "metric_name")
+    val ext = points.groupBy(ser.map(col): _*)
+      .agg(min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"))
+    val binned = points.join(broadcast(ext), ser)
+      .withColumn("bucket",
+        expr(s"CAST(((ts_ms - t0) * ${buckets}L) div (t1 - t0 + 1L) AS INT)"))
+    val sel = binned.groupBy((ser :+ "bucket").map(col): _*).agg(
+      min(struct(col("ts_ms"), col("value"))).as("p_first"),
+      max(struct(col("ts_ms"), col("value"))).as("p_last"),
+      min(struct(col("value"), col("ts_ms"))).as("p_vmin"),
+      max(struct(col("value"), col("ts_ms"))).as("p_vmax"))
+    sel.select(ser.map(col) :+ col("bucket") :+ explode(array(
+        struct(col("p_first.ts_ms").as("ts_ms"), col("p_first.value").as("value")),
+        struct(col("p_last.ts_ms").as("ts_ms"), col("p_last.value").as("value")),
+        struct(col("p_vmin.ts_ms").as("ts_ms"), col("p_vmin.value").as("value")),
+        struct(col("p_vmax.ts_ms").as("ts_ms"), col("p_vmax.value").as("value"))
+      )).as("p"): _*)
+      .select(ser.map(col) ++ Seq(col("bucket"),
+        col("p.ts_ms").as("ts_ms"), col("p.value").as("value")): _*)
+      .distinct()
+  }
+
+  /** Robust outlier flags via median absolute deviation — the
+    * Graphite-ecosystem `removeOutliers`-style scan a z-score cannot do
+    * safely (one huge spike inflates the stddev enough to hide itself;
+    * the median and MAD have a 50% breakdown point). Flags
+    * |v − median| > k·MAD per series (k = 3 ≈ 4.5σ under normality).
+    *
+    * Both medians are LOWER medians selected by rank — row_number ordered
+    * by (value, ts_ms), position (n+1) div 2 — never interpolated: an
+    * interpolated even-count median is an IEEE midpoint two engines can
+    * legitimately disagree on, a ranked element is a value both engines
+    * already hold. `adev = |v − med|` is one IEEE op over identical
+    * operands; the flag compares it to `mad · k`, same expression both
+    * sides. All-constant series have MAD 0 and flag nothing (adev > 0
+    * is impossible when every deviation is 0).
+    *
+    * Scale shape: two rank windows partitioned by series (series
+    * parallelize; the second window reuses the first's hash exchange)
+    * and two broadcast joins of one-row-per-series medians. */
+  def madOutliers(points: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ser = Seq("tenant_id", "metric_name")
+    val wv = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("value"), col("ts_ms"))
+    val wc = Window.partitionBy(ser.map(col): _*)
+    val ranked = points
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value")): _*)
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wc))
+    val med = ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
+      .select(ser.map(col) :+ col("value").as("med"): _*)
+    val dev = ranked.join(broadcast(med), ser)
+      .withColumn("adev", abs(col("value") - col("med")))
+    val wd = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("adev"), col("ts_ms"))
+    val mad = dev.withColumn("rd", row_number().over(wd))
+      .filter(col("rd") === expr("(n + 1L) div 2L"))
+      .select(ser.map(col) :+ col("adev").as("mad"): _*)
+    dev.join(broadcast(mad), ser)
+      .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),
+        col("mad"), col("adev"), col("is_outlier")): _*)
+  }
+
+  /** Resample each series onto a regular `stepMs` grid by linear
+    * interpolation between its neighboring samples — the alignment pass
+    * before any cross-series arithmetic over irregularly collected points
+    * (Graphite gets this for free from fixed-interval storage; this engine
+    * stores points as collected, so alignment is a query operator).
+    *
+    * Duplicate timestamps first collapse to their exact-DECIMAL mean (an
+    * un-collapsed duplicate would make "the previous point" ambiguous and
+    * the result layout-dependent). The grid spans the aligned interior of
+    * each series' own [min ts, max ts] — no extrapolation, so a previous
+    * AND next sample always exist. Interpolation is the fixed expression
+    * `vp + (vn − vp)·((t − tp)/(tn − tp))` over exact integer timestamps;
+    * an exact grid hit (tn = tp = t) short-circuits to the sample value.
+    * The oracle restates prev/next as two DuckDB ASOF joins (the q_asof_*
+    * pattern; the "next" side negates the time key to flip the inequality).
+    *
+    * Scale shape: series parallelize over one window exchange; grid rows
+    * are generated per series by `sequence` (never a driver loop), and the
+    * prev/next lookups are two frames over ONE sorted union — no
+    * self-join of the point stream. */
+  def resampleLinear(points: DataFrame, stepMs: Long): DataFrame = {
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    val ser = Seq("tenant_id", "metric_name")
+    val pts = points
+      .groupBy(ser.map(col) :+ col("ts_ms"): _*)
+      .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double") /
+        count(lit(1))).as("value"))
+    val grid = pts.groupBy(ser.map(col): _*)
+      .agg(min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"))
+      .withColumn("g0", expr(s"((t0 + ${stepMs - 1}L) div ${stepMs}L) * ${stepMs}L"))
+      .withColumn("g1", expr(s"(t1 div ${stepMs}L) * ${stepMs}L"))
+      .filter(col("g0") <= col("g1"))
+      .select(ser.map(col) :+
+        explode(sequence(col("g0"), col("g1"), lit(stepMs))).as("ts_ms"): _*)
+    val u = pts.withColumn("is_grid", lit(false))
+      .unionByName(grid.withColumn("value", lit(null).cast("double"))
+        .withColumn("is_grid", lit(true)))
+    // prev: at an equal ts the DATA row sorts before the grid row, so an
+    // exact hit is its own previous sample; next: the reverse tie order
+    // puts the grid row first, so the same hit is also its own next.
+    val wPrev = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("ts_ms"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("ts_ms"), col("is_grid").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dataTs = when(!col("is_grid"), col("ts_ms"))
+    val dataV = when(!col("is_grid"), col("value"))
+    u
+      .withColumn("pt", last(dataTs, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(dataV, ignoreNulls = true).over(wPrev))
+      .withColumn("nt", first(dataTs, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(dataV, ignoreNulls = true).over(wNext))
+      .filter(col("is_grid"))
+      .select(ser.map(col) ++ Seq(col("ts_ms"),
+        when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("ts_ms") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double"))).as("value")): _*)
+  }
 }

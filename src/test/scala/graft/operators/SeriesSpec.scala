@@ -405,4 +405,63 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(out(300L) === (Some(9.0), Some(0.0), None), "zero denominator -> NULL, not Inf")
     assert(out.keySet === Set(0L, 100L, 200L, 300L), "full outer keeps one-sided buckets")
   }
+
+  test("m4Downsample: per-bin first/last/vmin/vmax, role overlap dedups, " +
+    "single-point series lands in bin 0") {
+    // span [0, 90], 2 bins => bin = ts*2 div 91: bin 0 is ts<=45, bin 1 ts>=46
+    val rows = Seq(
+      ("t", "m", 0L, 5.0),   // bin 0 first AND vmin-tie winner (smallest ts)
+      ("t", "m", 10L, 9.0),  // bin 0 vmax
+      ("t", "m", 20L, 5.0),  // bin 0 vmin tie, larger ts -> not selected
+      ("t", "m", 40L, 7.0),  // bin 0 last
+      ("t", "m", 50L, 3.0),  // bin 1 first AND vmin
+      ("t", "m", 90L, 8.0),  // bin 1 last AND vmax
+      ("u", "m", 77L, 1.0))  // single-point series
+    val got = Series.m4Downsample(pts(rows), buckets = 2).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === Set(
+      ("t", 0, 0L, 5.0), ("t", 0, 10L, 9.0), ("t", 0, 40L, 7.0),
+      ("t", 1, 50L, 3.0), ("t", 1, 90L, 8.0),
+      ("u", 0, 77L, 1.0)))
+  }
+
+  test("madOutliers: lower medians by rank, spike flagged, constant series " +
+    "never flags") {
+    val rows = Seq(
+      ("t", "odd", 0L, 1.0), ("t", "odd", 1L, 2.0), ("t", "odd", 2L, 3.0),
+      ("t", "odd", 3L, 4.0), ("t", "odd", 4L, 100.0),
+      // even count: lower median of (1,2,3,10) is 2; adevs (1,0,1,8) -> mad 1
+      ("t", "even", 0L, 1.0), ("t", "even", 1L, 2.0), ("t", "even", 2L, 3.0),
+      ("t", "even", 3L, 10.0),
+      ("t", "const", 0L, 7.0), ("t", "const", 1L, 7.0), ("t", "const", 2L, 7.0))
+    val got = Series.madOutliers(pts(rows), k = 3.0).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(7)))).toMap
+    // odd: med 3, adevs (2,1,0,1,97) sorted (0,1,1,2,97), lower median 1
+    assert(got(("odd", 4L)) === ((3.0, 1.0, true)), "spike is > 3*mad")
+    assert(got(("odd", 0L)) === ((3.0, 1.0, false)), "adev 2 <= 3*1 not flagged")
+    assert(got(("even", 3L)) === ((2.0, 1.0, true)))
+    assert(got(("even", 0L)) === ((2.0, 1.0, false)))
+    assert(Seq(0L, 1L, 2L).forall(t => got(("const", t)) === ((7.0, 0.0, false))),
+      "all-constant series: mad 0 flags nothing")
+  }
+
+  test("resampleLinear: exact hits, interpolation, duplicate-ts collapse, " +
+    "sub-step series yields no grid") {
+    val rows = Seq(
+      ("t", "m", 0L, 10.0), ("t", "m", 1000L, 20.0),
+      // duplicate ts collapses to mean 15 before interpolation
+      ("t", "d", 0L, 10.0), ("t", "d", 0L, 20.0), ("t", "d", 500L, 25.0),
+      // spans [300, 400]: no multiple of 500 inside -> series absent
+      ("t", "s", 300L, 1.0), ("t", "s", 400L, 2.0))
+    val got = Series.resampleLinear(pts(rows), stepMs = 500L).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got(("m", 0L)) === 10.0, "exact hit returns the sample")
+    assert(got(("m", 500L)) === 15.0, "midpoint interpolates")
+    assert(got(("m", 1000L)) === 20.0)
+    assert(got(("d", 0L)) === 15.0, "duplicate timestamps average first")
+    assert(got(("d", 500L)) === 25.0)
+    assert(!got.keySet.exists(_._1 == "s"), "no aligned tick inside the span")
+  }
 }
