@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Sampling, TextScoring}
 import graft.core.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -540,18 +540,45 @@ object PipelineQueries2 {
        |       CAST(SUM(nll) AS DOUBLE) AS nll_sum,
        |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS nll_per_token
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
-    val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-      .filter(col("word") =!= "") // no phantom "" token from empty docs
-    val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
-    w.join(freq, "word").crossJoin(tot)
-      .withColumn("nll", (-log(col("cnt") / col("total")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens_scored"),
-        sum(col("nll")).cast("double").as("nll_sum"))
-      .withColumn("nll_per_token", col("nll_sum") / col("n_tokens_scored"))
+    TextScoring.unigramNll(Tables.load(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity routing ([[TextScoring.perplexityRoute]]):
+    * per-LANGUAGE ntile over the already-hash-proven unigram NLL
+    * ([[textUnigramNll]]) with a doc_id tiebreak — a total order, so both
+    * engines assign identical tiles. */
+  private val textPplRoute = QDef(
+    "q_text_ppl_route",
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(ws) AS word
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents)
+       |),
+       |freq AS (SELECT word, COUNT(*) AS cnt FROM w
+       |        WHERE word <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
+       |t AS (
+       |  SELECT w.doc_id,
+       |         CAST(-ln(freq.cnt / tot.total) AS DECIMAL(18,9)) AS nll
+       |  FROM w JOIN freq USING (word) CROSS JOIN tot
+       |),
+       |nlls AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens_scored,
+       |         CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS nll_per_token
+       |  FROM t GROUP BY doc_id
+       |),
+       |tiled AS (
+       |  SELECT n.doc_id, d.lang, n.n_tokens_scored, n.nll_per_token,
+       |         CAST(ntile(3) OVER (PARTITION BY d.lang
+       |           ORDER BY n.nll_per_token, n.doc_id) AS INT) AS tile
+       |  FROM nlls n JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, lang, n_tokens_scored, nll_per_token, tile,
+       |       CASE WHEN tile = 1 THEN 'head'
+       |            WHEN tile = 3 THEN 'tail'
+       |            ELSE 'middle' END AS route
+       |FROM tiled ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextScoring.perplexityRoute(Tables.load(s, dir, "documents"), tiles = 3)
       .orderBy("doc_id")
   }
 
@@ -1162,6 +1189,6 @@ object PipelineQueries2 {
     selectBudget, selectBudgetQuantile, packSequences, shardAssign,
     textHeavyTokens,
     textScrub, textChunk, decontaminate, decontaminateBloom, pipelineSelect,
-    textUnigramNll, textBigramNll, textLengthHist, sampleDiverse, bpeMerges,
-    textNbLang, sampleDsir)
+    textUnigramNll, textPplRoute, textBigramNll, textLengthHist,
+    sampleDiverse, bpeMerges, textNbLang, sampleDsir)
 }

@@ -741,4 +741,61 @@ object TextScoring {
       .orderBy(col("pmi").desc, col("u"), col("v"))
       .limit(k)
   }
+
+  /** Per-document unigram NLL under the corpus's own word distribution —
+    * the cheap "perplexity filter" proxy every curation pipeline runs
+    * (out-of-distribution gibberish scores high, stopword soup scores
+    * low). Each token's −ln p snaps to DECIMAL(18,9) BEFORE the per-doc
+    * sum (the tfidf convention: snapped terms sum exactly in any partition
+    * order); the per-token mean is a scalar double division of identical
+    * operands on both sides. Zero-token docs are absent. The 1-row total
+    * broadcasts; the vocab join is UNHINTED — a 100 TB corpus's
+    * vocabulary (typos, ids, URLs) is itself huge, so whether it
+    * broadcasts is AQE's runtime call, not a hard-coded assumption.
+    * Output: (doc_id, n_tokens_scored, nll_sum, nll_per_token). */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .filter(col("word") =!= "") // no phantom "" token from empty docs
+    val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(freq.agg(sum("cnt").cast("double").as("total")))
+    w.join(freq, "word").crossJoin(tot)
+      .withColumn("nll", (-log(col("cnt") / col("total")))
+        .cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_scored"),
+        sum(col("nll")).cast("double").as("nll_sum"))
+      .withColumn("nll_per_token", col("nll_sum") / col("n_tokens_scored"))
+  }
+
+  /** CCNet-style perplexity routing (Wenzek et al. 2020): split each
+    * language's documents into equal-count NLL tiles — tile 1 ("head") is
+    * the most in-distribution third, the classic keep/review/drop routing
+    * of a crawl-curation pipeline. Per-LANGUAGE tiling is the point: a
+    * global cut would route whole low-resource languages to "tail" just
+    * for having a sparser (higher-NLL) vocabulary.
+    *
+    * The tile is ntile(`tiles`) over the TOTAL order (nll_per_token,
+    * doc_id) — both engines define ntile identically over a total order,
+    * and nll_per_token is already engine-portable ([[unigramNll]]), so the
+    * assignment is hash-provable. Docs scoring no token (empty text) are
+    * absent, as in every NLL report.
+    *
+    * Scale shape: [[unigramNll]]'s two shuffles plus one window
+    * partitioned by language. The window sorts each language once —
+    * the same per-stratum rank shape as [[Sampling.stratifiedQuota]],
+    * parallel across languages. */
+  def perplexityRoute(docs: DataFrame, tiles: Int = 3): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val labeled = unigramNll(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    labeled
+      .withColumn("tile", ntile(tiles).over(Window.partitionBy(col("lang"))
+        .orderBy(col("nll_per_token"), col("doc_id"))))
+      .withColumn("route",
+        when(col("tile") === 1, lit("head"))
+          .when(col("tile") === tiles, lit("tail"))
+          .otherwise(lit("middle")))
+      .select("doc_id", "lang", "n_tokens_scored", "nll_per_token",
+        "tile", "route")
+  }
 }

@@ -306,4 +306,32 @@ class TextScoringSpec extends AnyFunSuite with SparkSuite {
     assert(engine === naive.filter(_._2 >= 1L),
       "gram-derived pair counts must equal the positional-join definition")
   }
+
+  test("perplexityRoute: per-language terciles — a common-word doc routes " +
+    "head, a rare-word doc tail, and languages tile independently") {
+    // en corpus: 6 docs of common words, then one stuffed with hapaxes.
+    // fr corpus is uniformly "rare" relative to en counts — per-language
+    // tiling must still split it 1/2/3, not dump it all in tail.
+    val docs = (
+      (0L until 6L).map(i => (i, "the cat sat on the mat", "en")) ++
+        Seq((6L, "zyx qwv bnm", "en")) ++
+        Seq((10L, "bonjour le monde", "fr"), (11L, "bonjour le chat", "fr"),
+          (12L, "zut alors vraiment", "fr"))
+      ).toDF("doc_id", "text", "lang")
+    val got = TextScoring.perplexityRoute(docs, tiles = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(4), r.getString(5)))).toMap
+    assert(got(0L)._1 == "en" && got(0L)._3 == "head",
+      "lowest-NLL common-word doc routes head")
+    assert(got(6L) === (("en", 3, "tail")), "hapax-stuffed doc routes tail")
+    // fr tiles over ITS OWN order: exactly one head, one middle, one tail
+    val fr = Seq(10L, 11L, 12L).map(got(_)._2).sorted
+    assert(fr === Seq(1, 2, 3), s"fr docs must tile 1/2/3, got $fr")
+    assert(got(12L) === (("fr", 3, "tail")),
+      "the doc of fr hapaxes is fr's own tail")
+    // zero-token docs are absent entirely
+    val withEmpty = docs.union(Seq((99L, "", "en")).toDF("doc_id", "text", "lang"))
+    assert(!TextScoring.perplexityRoute(withEmpty, tiles = 3)
+      .collect().map(_.getLong(0)).contains(99L))
+  }
 }
