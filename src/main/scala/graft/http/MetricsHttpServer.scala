@@ -52,7 +52,7 @@ import java.util.concurrent.atomic.AtomicLong
   *    `POST /v1.0/:t/experimental/views/metric_data` — the reference's
   *    legacy/experimental routes (`HttpMetricDataQueryServer.java:70-73`),
   *    aliased onto the v2.0 handlers
-  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb}`
+  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb|m4|mad|resample}`
   *    — the series/anomaly panel (EXTENSION surface: the Graphite render
   *    functions a reference deployment fronts Blueflood with; see
   *    [[seriesView]])
@@ -534,8 +534,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   /** The series/anomaly panel's route names (the facade surface of the
     * Graphite render functions a reference deployment fronts Blueflood
     * with: holtWintersConfidenceBands, the EWMA band family, linear
-    * trend/capacity forecast, and LTTB chart decimation). */
-  private val SeriesFns = Set("holtwinters", "ewma", "trend", "lttb")
+    * trend/capacity forecast, chart decimation — aesthetic LTTB and
+    * error-free M4 — robust outlier flags, and grid alignment). */
+  private val SeriesFns = Set("holtwinters", "ewma", "trend", "lttb",
+    "m4", "mad", "resample")
 
   /** `GET /v2.0/:t/series/:metric/<fn>?from&to&points|resolution&…` —
     * reads the metric's numeric series through the SAME kind-routed
@@ -548,6 +550,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `trend?horizon&threshold` (horizon seconds) —
     *    [[graft.operators.Series.linearTrend]]
     *  - `lttb?buckets` — [[graft.operators.Series.lttbExact]]
+    *  - `m4?buckets` — [[graft.operators.Series.m4Downsample]] (error-free
+    *    pixel-width decimation; buckets = target pixel columns)
+    *  - `mad?k` — [[graft.operators.Series.madOutliers]]
+    *  - `resample?step` (step seconds) —
+    *    [[graft.operators.Series.resampleLinear]]
     *
     * String metrics 400 (these operators are numeric by definition);
     * parameter parse failures 400 with the offending name. */
@@ -606,6 +613,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         val buckets = int("buckets", 200)
         require(buckets >= 3, s"buckets must be >= 3, got $buckets")
         graft.operators.Series.lttbExact(pts, buckets)
+      case "m4" =>
+        val buckets = int("buckets", 200)
+        require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+        graft.operators.Series.m4Downsample(pts, buckets)
+      case "mad" =>
+        val k = dbl("k", 3.0)
+        require(k > 0, s"k must be positive, got $k")
+        graft.operators.Series.madOutliers(pts, k)
+      case "resample" =>
+        val step = int("step", 300)
+        require(step >= 1, s"step must be >= 1 second, got $step")
+        graft.operators.Series.resampleLinear(pts, step * 1000L)
     }
     sendJson(ex, 200, seriesJson(name, out))
   }

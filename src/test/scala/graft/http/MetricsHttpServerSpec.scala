@@ -402,10 +402,43 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(ge.body().contains(""""count": 8"""), ge.body())
       assert(ge.body().contains(""""ewma":"""), ge.body())
 
+      // m4: <= 4 points per bin, first/last kept, the spike's value kept
+      // (error-free decimation MUST keep every bin max)
+      val m4 = get(s"$base/v2.0/acme/series/app.lat/m4?$range&buckets=5")
+      assert(m4.statusCode() === 200, m4.body())
+      assert(m4.body().contains(s""""timestamp": $t0"""), m4.body())
+      assert(m4.body().contains(""""value": 500.0"""), m4.body())
+      val nM4 = """"timestamp":""".r.findAllIn(m4.body()).length
+      assert(nM4 <= 20 && nM4 >= 5, m4.body())
+
+      // mad: the spike is the only outlier (robust to its own presence)
+      val md = get(s"$base/v2.0/acme/series/app.lat/mad?$range&k=3")
+      assert(md.statusCode() === 200, md.body())
+      assert(md.body().contains(""""is_outlier": true"""), md.body())
+      assert(""""is_outlier": true""".r.findAllIn(md.body()).length === 1,
+        md.body())
+
+      // resample: one 5m grid tick per 5m point interval (the grid is
+      // epoch-aligned, the points are t0-aligned — ticks interpolate);
+      // the ticks flanking the spike must read way above the 10..21 base
+      val rs = get(s"$base/v2.0/acme/series/app.lat/resample?$range&step=300")
+      assert(rs.statusCode() === 200, rs.body())
+      val nRs = """"timestamp":""".r.findAllIn(rs.body()).length
+      assert(nRs === 29 || nRs === 30, rs.body())
+      val rsVals = """"value": ([-0-9.eE]+)""".r
+        .findAllMatchIn(rs.body()).map(_.group(1).toDouble).toSeq
+      assert(rsVals.exists(_ > 100.0), rs.body())
+
       // param validation: 400s with the offending name, not 500s
       assert(get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=x")
         .statusCode() === 400)
       assert(get(s"$base/v2.0/acme/series/app.lat/lttb?$range&buckets=1")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/m4?$range&buckets=0")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/mad?$range&k=-1")
+        .statusCode() === 400)
+      assert(get(s"$base/v2.0/acme/series/app.lat/resample?$range&step=0")
         .statusCode() === 400)
       assert(get(s"$base/v2.0/acme/series/app.lat/holtwinters?$range&season=0")
         .statusCode() === 400)
