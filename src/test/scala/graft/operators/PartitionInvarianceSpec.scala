@@ -140,4 +140,18 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
   invariant("TextScoring.pmiPairs")(df =>
     TextScoring.pmiPairs(df, maxDist = 3, minCount = 5L, k = 50))(
     Tables.load(spark, dir, "documents"))
+
+  invariant("Series.m4Downsample")(df => Series.m4Downsample(df, 12))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.madOutliers")(df => Series.madOutliers(df))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.resampleLinear")(df =>
+    Series.resampleLinear(df, 21600000L))(
+    Tables.metrics(spark, dir))
+
+  invariant("TextScoring.perplexityRoute")(df =>
+    TextScoring.perplexityRoute(df))(
+    Tables.load(spark, dir, "documents"))
 }
