@@ -52,7 +52,7 @@ import java.util.concurrent.atomic.AtomicLong
   *    `POST /v1.0/:t/experimental/views/metric_data` — the reference's
   *    legacy/experimental routes (`HttpMetricDataQueryServer.java:70-73`),
   *    aliased onto the v2.0 handlers
-  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb|m4|mad|resample}`
+  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb|m4|mad|resample|agg}`
   *    — the series/anomaly panel (EXTENSION surface: the Graphite render
   *    functions a reference deployment fronts Blueflood with; see
   *    [[seriesView]])
@@ -537,7 +537,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * trend/capacity forecast, chart decimation — aesthetic LTTB and
     * error-free M4 — robust outlier flags, and grid alignment). */
   private val SeriesFns = Set("holtwinters", "ewma", "trend", "lttb",
-    "m4", "mad", "resample")
+    "m4", "mad", "resample", "agg")
 
   /** `GET /v2.0/:t/series/:metric/<fn>?from&to&points|resolution&…` —
     * reads the metric's numeric series through the SAME kind-routed
@@ -555,6 +555,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `mad?k` — [[graft.operators.Series.madOutliers]]
     *  - `resample?step` (step seconds) —
     *    [[graft.operators.Series.resampleLinear]]
+    *  - `agg?stat={mean|sum|max|min}` — [[graft.operators.Series
+    *    .aggregateSeries]]: here (and only here) `:metric` is a GLOB;
+    *    Graphite's sumSeries/averageSeries/maxSeries/minSeries over the
+    *    matched family, one value per served bucket. The glob resolves
+    *    through the discovery catalog for family routing and inherits the
+    *    read path's O2 ≤100-locator batch cap; an empty match serves an
+    *    empty panel (the views convention), a family-mixing glob 400s.
     *
     * String metrics 400 (these operators are numeric by definition);
     * parameter parse failures 400 with the offending name. */
@@ -571,7 +578,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     def int(k: String, d: Int): Int = q.get(k).fold(d)(v =>
       v.toIntOption.getOrElse(
         throw new IllegalArgumentException(s"$k must be an integer, got '$v'")))
-    val kind = routeKind(tenant, Seq(name))
+    // "agg" treats :metric as a glob; every other panel fn is per-series
+    // and takes a literal name. Family routing for the glob case goes
+    // through the SAME routeKind cache/ambiguity machinery, on the
+    // discovery-resolved names (so a family-mixing glob fails loud instead
+    // of aggregating counters into gauges).
+    val isGlob = fn == "agg"
+    val kind =
+      if (isGlob) {
+        val resolved = graft.operators.Discovery.globSearch(
+            MetricsQueryApi.storeCatalog(spark, storeDir), tenant, name)
+          .collect().map(_.getString(0)).toSeq
+        routeKind(tenant, resolved)
+      } else routeKind(tenant, Seq(name))
     require(kind != "string",
       s"series functions require a numeric metric; '$name' is a string metric")
     // the family's own per-bucket series value — hardcoding "average"
@@ -584,8 +603,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case _ => ("average", "average") // basic, timer
     }
     val p = MetricsQueryApi.Params(tenant,
-      graft.core.GlobPattern.escapeLiteral(name), from, to, points,
-      resolution, Seq(statName))
+      if (isGlob) name else graft.core.GlobPattern.escapeLiteral(name),
+      from, to, points, resolution, Seq(statName))
     val now = nowMs()
     val frame = kind match {
       case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
@@ -625,6 +644,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         val step = int("step", 300)
         require(step >= 1, s"step must be >= 1 second, got $step")
         graft.operators.Series.resampleLinear(pts, step * 1000L)
+      case "agg" =>
+        // served buckets are already aligned: bucketMs=1 keeps them as-is
+        // (the stat crosses SERIES per bucket, not time within a series)
+        graft.operators.Series.aggregateSeries(pts, name,
+          q.getOrElse("stat", "mean"), bucketMs = 1L)
+          .withColumnRenamed("bucket_ms", "ts_ms")
     }
     sendJson(ex, 200, seriesJson(name, out))
   }

@@ -429,6 +429,28 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         .findAllMatchIn(rs.body()).map(_.group(1).toDouble).toSeq
       assert(rsVals.exists(_ > 100.0), rs.body())
 
+      // agg: :metric is a GLOB — sumSeries over the family; a second
+      // metric joins the family and the per-bucket sum reads both
+      assert(post(s"$base/v2.0/acme/ingest", (0 until 30).map { i =>
+        s"""{"metricName": "app.lat2", "metricValue": 1.0,
+           | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+           | "unit": "ms"}""".stripMargin
+      }.mkString("[", ",", "]")).statusCode() === 200)
+      val ag = get(s"$base/v2.0/acme/series/app.*/agg?$range&stat=sum")
+      assert(ag.statusCode() === 200, ag.body())
+      assert(ag.body().contains(""""n_series": 2"""), ag.body())
+      assert(ag.body().contains(""""value": 501.0"""), ag.body()) // spike + 1
+      assert(ag.body().contains(""""count": 30"""), ag.body())
+      // empty glob match serves an empty panel, not an error
+      val agEmpty = get(s"$base/v2.0/acme/series/nosuch.*/agg?$range")
+      assert(agEmpty.statusCode() === 200, agEmpty.body())
+      assert(agEmpty.body().contains(""""count": 0"""), agEmpty.body())
+      // a glob spanning families fails loud (counters + basics don't sum)
+      assert(get(s"$base/v2.0/acme/series/*/agg?$range").statusCode() === 400)
+      // bad stat name 400s
+      assert(get(s"$base/v2.0/acme/series/app.*/agg?$range&stat=median")
+        .statusCode() === 400)
+
       // param validation: 400s with the offending name, not 500s
       assert(get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=x")
         .statusCode() === 400)
