@@ -555,13 +555,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `mad?k` — [[graft.operators.Series.madOutliers]]
     *  - `resample?step` (step seconds) —
     *    [[graft.operators.Series.resampleLinear]]
-    *  - `agg?stat={mean|sum|max|min}` — [[graft.operators.Series
-    *    .aggregateSeries]]: here (and only here) `:metric` is a GLOB;
-    *    Graphite's sumSeries/averageSeries/maxSeries/minSeries over the
-    *    matched family, one value per served bucket. The glob resolves
-    *    through the discovery catalog for family routing and inherits the
-    *    read path's O2 ≤100-locator batch cap; an empty match serves an
-    *    empty panel (the views convention), a family-mixing glob 400s.
+    *  - `agg?stat={mean|sum|max|min|pNN}` — [[graft.operators.Series
+    *    .aggregateSeries]] (or [[graft.operators.Series.quantileOfSeries]]
+    *    for `pNN`, e.g. `p95` — Graphite's percentileOfSeries): here (and
+    *    only here) `:metric` is a GLOB; sumSeries/averageSeries/maxSeries/
+    *    minSeries over the matched family, one value per served bucket.
+    *    The glob resolves through the discovery catalog for family routing
+    *    and inherits the read path's O2 ≤100-locator batch cap; an empty
+    *    match serves an empty panel (the views convention), a
+    *    family-mixing glob 400s.
     *
     * String metrics 400 (these operators are numeric by definition);
     * parameter parse failures 400 with the offending name. */
@@ -647,9 +649,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case "agg" =>
         // served buckets are already aligned: bucketMs=1 keeps them as-is
         // (the stat crosses SERIES per bucket, not time within a series)
-        graft.operators.Series.aggregateSeries(pts, name,
-          q.getOrElse("stat", "mean"), bucketMs = 1L)
-          .withColumnRenamed("bucket_ms", "ts_ms")
+        val stat = q.getOrElse("stat", "mean")
+        val QuantileStat = "p([0-9]{1,3}(?:\\.[0-9]+)?)".r
+        stat match {
+          case QuantileStat(pct) => // Graphite's percentileOfSeries
+            graft.operators.Series.quantileOfSeries(pts, name,
+              pct.toDouble / 100.0, bucketMs = 1L)
+              .withColumnRenamed("bucket_ms", "ts_ms")
+          case s =>
+            graft.operators.Series.aggregateSeries(pts, name, s, bucketMs = 1L)
+              .withColumnRenamed("bucket_ms", "ts_ms")
+        }
     }
     sendJson(ex, 200, seriesJson(name, out))
   }

@@ -450,6 +450,15 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       // bad stat name 400s
       assert(get(s"$base/v2.0/acme/series/app.*/agg?$range&stat=median")
         .statusCode() === 400)
+      // percentileOfSeries: p100 over {lat, 1.0} = the max series value,
+      // p0 = the min (exact interpolated percentile across 2 series)
+      val p100 = get(s"$base/v2.0/acme/series/app.*/agg?$range&stat=p100")
+      assert(p100.statusCode() === 200, p100.body())
+      assert(p100.body().contains(""""qvalue": 500.0"""), p100.body())
+      val p0 = get(s"$base/v2.0/acme/series/app.*/agg?$range&stat=p0")
+      assert(p0.statusCode() === 200, p0.body())
+      assert(""""qvalue": 1.0""".r.findAllIn(p0.body()).length === 30,
+        p0.body())
 
       // param validation: 400s with the offending name, not 500s
       assert(get(s"$base/v2.0/acme/series/app.lat/ewma?$range&alpha=x")
