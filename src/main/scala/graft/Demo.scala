@@ -149,6 +149,14 @@ object Demo {
     graft.operators.Series.downsampleTriangle(purchase, buckets = 20)
       .filter(col("metric_name") === "app.purchase.user_10")
       .orderBy("bucket").show(20)
+    println("   error-free M4 variant (per-bin time/value extremes), plus")
+    println("   MAD outliers and 6h grid alignment on the same series:")
+    val oneSeries = purchase.filter(col("metric_name") === "app.purchase.user_10")
+    graft.operators.Series.m4Downsample(oneSeries, buckets = 6)
+      .orderBy("bucket", "ts_ms").show(8)
+    graft.operators.Series.madOutliers(oneSeries)
+      .filter(col("is_outlier")).show(3)
+    graft.operators.Series.resampleLinear(oneSeries, 21600000L).show(3)
 
     println("== 16. corpus search: persisted inverted index -> BM25 + KWIC ==")
     val corpusDocs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -218,6 +226,11 @@ object Demo {
         s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full&k=3")
       println(s"   GET /series/.../ewma -> ${series.statusCode()}: " +
         series.body().take(220))
+      // glob aggregation (sumSeries): :metric is a glob here
+      val agg = get(s"/v2.0/acme/series/app.*/agg" +
+        s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full&stat=sum")
+      println(s"   GET /series/app.*/agg?stat=sum -> ${agg.statusCode()}: " +
+        agg.body().take(220))
 
       println("== 19. operations: engine counters + catalog maintenance ==")
       println(s"   GET /metrics -> ${get("/metrics").body().take(300)} ...")
