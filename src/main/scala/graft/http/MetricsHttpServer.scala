@@ -588,9 +588,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val isGlob = fn == "agg"
     val kind =
       if (isGlob) {
+        // cap BEFORE collecting: a '*' glob on a million-locator store must
+        // 400 on the O2 batch limit, not pull the whole catalog into the
+        // facade heap first (limit+1 distinguishes "at the cap" from over)
+        val cap = MetricsQueryApi.MaxMetricsPerBatchQuery
         val resolved = graft.operators.Discovery.globSearch(
             MetricsQueryApi.storeCatalog(spark, storeDir), tenant, name)
-          .collect().map(_.getString(0)).toSeq
+          .limit(cap + 1).collect().map(_.getString(0)).toSeq
+        require(resolved.length <= cap,
+          s"batch query resolves > $cap metrics")
         routeKind(tenant, resolved)
       } else routeKind(tenant, Seq(name))
     require(kind != "string",

@@ -640,18 +640,23 @@ object Series {
     * (NaN sorts larger than every double in BOTH engines). A point filling
     * several roles emits once (DISTINCT on both sides).
     *
-    * Scale shape: one broadcast join against the per-series extents (one
-    * row per series) and ONE partial-aggregating groupBy on
-    * (series, bucket) — map-side combine collapses each bin to four
-    * structs before the shuffle, so the exchange carries O(series ×
-    * buckets), never the raw points. No window over raw rows at all —
-    * this is the cheapest downsampler in the file by construction. */
+    * Scale shape: one join against the per-series extents and ONE
+    * partial-aggregating groupBy on (series, bucket) — map-side combine
+    * collapses each bin to four structs before any shuffle, so nothing
+    * wider than O(series × buckets) ever crosses the wire, and no window
+    * over raw rows at all — the cheapest downsampler in the file by
+    * construction. The extents join is deliberately UNHINTED: the extents
+    * table scales with SERIES COUNT (a forced broadcast pins millions of
+    * rows on the driver at 100 TB), its sort-merge exchange on the series
+    * key already satisfies the (series, bucket) aggregation's required
+    * distribution (key prefix), and AQE broadcasts it at runtime whenever
+    * it is actually small. */
   def m4Downsample(points: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val ser = Seq("tenant_id", "metric_name")
     val ext = points.groupBy(ser.map(col): _*)
       .agg(min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"))
-    val binned = points.join(broadcast(ext), ser)
+    val binned = points.join(ext, ser)
       .withColumn("bucket",
         expr(s"CAST(((ts_ms - t0) * ${buckets}L) div (t1 - t0 + 1L) AS INT)"))
     val sel = binned.groupBy((ser :+ "bucket").map(col): _*).agg(
@@ -686,8 +691,13 @@ object Series {
     * is impossible when every deviation is 0).
     *
     * Scale shape: two rank windows partitioned by series (series
-    * parallelize; the second window reuses the first's hash exchange)
-    * and two broadcast joins of one-row-per-series medians. */
+    * parallelize; the second window reuses the first's hash exchange).
+    * The one-row-per-series median joins are deliberately UNHINTED: the
+    * median table scales with SERIES COUNT (millions at 100 TB — a forced
+    * broadcast would pin it whole on the driver), while its join key is
+    * the windows' own partitioning, so the sort-merge path costs no new
+    * exchange; when the series count is actually small, AQE broadcasts it
+    * at runtime anyway. */
   def madOutliers(points: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ser = Seq("tenant_id", "metric_name")
@@ -700,14 +710,14 @@ object Series {
       .withColumn("n", count(lit(1)).over(wc))
     val med = ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
       .select(ser.map(col) :+ col("value").as("med"): _*)
-    val dev = ranked.join(broadcast(med), ser)
+    val dev = ranked.join(med, ser)
       .withColumn("adev", abs(col("value") - col("med")))
     val wd = Window.partitionBy(ser.map(col): _*)
       .orderBy(col("adev"), col("ts_ms"))
     val mad = dev.withColumn("rd", row_number().over(wd))
       .filter(col("rd") === expr("(n + 1L) div 2L"))
       .select(ser.map(col) :+ col("adev").as("mad"): _*)
-    dev.join(broadcast(mad), ser)
+    dev.join(mad, ser)
       .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),
         col("mad"), col("adev"), col("is_outlier")): _*)
@@ -732,7 +742,12 @@ object Series {
     * Scale shape: series parallelize over one window exchange; grid rows
     * are generated per series by `sequence` (never a driver loop), and the
     * prev/next lookups are two frames over ONE sorted union — no
-    * self-join of the point stream. */
+    * self-join of the point stream. Bound: the grid materializes as one
+    * ARRAY per series before exploding, so span/step is capped by Spark's
+    * array limit (~2³¹) and practically by executor memory — pick a step
+    * proportionate to the queried range (a dashboard always does); a
+    * sub-second step over a years-long range wants a pre-aggregated tier
+    * as input instead, exactly like every other render-path operator. */
   def resampleLinear(points: DataFrame, stepMs: Long): DataFrame = {
     require(stepMs > 0, s"stepMs must be positive, got $stepMs")
     val ser = Seq("tenant_id", "metric_name")
