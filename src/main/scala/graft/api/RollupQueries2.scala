@@ -519,11 +519,42 @@ object RollupQueries2 {
   }
 
   /** HLL set rollup ([[Rollups.setApproxFromRaw]]) — O(1) sketch state per
-    * window instead of the exact path's unbounded hash set. Approximate by
-    * design → rows-only; RollupSpec bounds the relative error vs exact. */
-  private val setHll1440m = QDef.noOracle("q_rollup_set_hll_1440m") { (s, dir) =>
-    Rollups.setApproxFromRaw(Tables.metrics(s, dir), Granularity.MIN_1440)
-      .orderBy("tenant_id", "metric_name", "bucket_ms")
+    * window instead of the exact path's unbounded hash set. HASH-PROVEN
+    * (r8): Spark's HyperLogLog++ restated in DuckDB via [[HllSql]] — IEEE
+    * doubleToLongBits in exact SQL arithmetic, XXH64(seed 42) in HUGEINT
+    * mulmod algebra, top-9-bit register indices, and the linear-counting
+    * estimate as a JVM-literal V→count lookup. Valid across the sketch's
+    * linear-counting branch (exact through ≥1,200 distincts/window,
+    * measured; gate windows carry ≤ ~30) — a window beyond it mismatches
+    * loudly. RollupSpec still bounds the error vs exact at any scale. */
+  private val setHll1440m = {
+    val g = Granularity.MIN_1440
+    QDef(
+      "q_rollup_set_hll_1440m",
+      s"""WITH ${OracleViews.metricsCte},
+         |gv AS (
+         |  SELECT DISTINCT tenant_id, metric_name,
+         |         ${bucketSql(g)} AS bucket_ms, value
+         |  FROM metrics
+         |),
+         |vals AS (SELECT DISTINCT value FROM gv),
+         |${HllSql.powsCte},
+         |${HllSql.bitsCte},
+         |${HllSql.xxh64Ctes(p = 9)},
+         |${HllSql.lcTable(m = 512)},
+         |t AS (
+         |  SELECT g.tenant_id, g.metric_name, g.bucket_ms,
+         |         COUNT(DISTINCT h.idx) AS touched
+         |  FROM gv g JOIN hashed h USING (value)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT t.tenant_id, t.metric_name, t.bucket_ms,
+         |       CAST(l.cnt AS BIGINT) AS distinct_count
+         |FROM t JOIN lctab l ON l.v = 512 - t.touched
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Rollups.setApproxFromRaw(Tables.metrics(s, dir), g)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
   }
 
   /** Value-salted EXACT set rollup ([[Rollups.setFromRawSalted]]): every
