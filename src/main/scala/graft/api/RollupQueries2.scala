@@ -557,6 +557,80 @@ object RollupQueries2 {
     }
   }
 
+  /** HDR-histogram timer percentiles ([[Rollups.timerHdrFromRaw]]) — the
+    * DETERMINISTIC scale-path percentile next to the GK digest variant
+    * ([[timerApprox60m]], which stays rows-only because GK compression is
+    * merge-order-dependent by construction). Hash-proven end to end: the
+    * geometric edges are literals shared verbatim with the oracle, libm
+    * log only NOMINATES the bin (the ±1 correction against exact literal
+    * edges decides), and the rank/cum-count selection is integer algebra
+    * plus one identical double product per quantile. */
+  private val timerHdr60m = {
+    val g = Granularity.MIN_60
+    // E-notation forces DuckDB to parse each literal directly as DOUBLE:
+    // a bare decimal literal types as DECIMAL first, and the DECIMAL→
+    // DOUBLE cast double-rounds the last ulp off the JVM value
+    def dbl(d: Double): String = {
+      val s = d.toString; if (s.contains("E")) s else s + "E0"
+    }
+    val edges = Rollups.hdrEdges.map(dbl)
+    val m = edges.length
+    val lnR = dbl(math.log(1.05)) // the JVM's value, never DuckDB ln()
+    QDef(
+      "q_rollup_timer_hdr_60m",
+      s"""WITH ${OracleViews.metricsCte},
+         |el AS (SELECT CAST([${edges.mkString(", ")}] AS DOUBLE[]) AS edges),
+         |b0 AS (
+         |  SELECT tenant_id, metric_name, ${bucketSql(g)} AS bucket_ms, value,
+         |         CASE WHEN value >= 1e-6 THEN
+         |           GREATEST(0, LEAST(${m - 1},
+         |             CAST(FLOOR(ln(value * 1e6) / $lnR) AS INT)))
+         |         END AS cand
+         |  FROM metrics
+         |),
+         |bins AS (
+         |  SELECT tenant_id, metric_name, bucket_ms,
+         |         CASE WHEN value < 1e-6 THEN -1
+         |              WHEN value < l.edges[cand + 1] THEN cand - 1
+         |              WHEN cand < ${m - 1}
+         |                   AND value >= l.edges[LEAST(cand + 2, $m)]
+         |                THEN cand + 1
+         |              ELSE cand END AS bin
+         |  FROM b0 CROSS JOIN el l
+         |),
+         |hist AS (
+         |  SELECT tenant_id, metric_name, bucket_ms, bin,
+         |         COUNT(*) AS cnt
+         |  FROM bins GROUP BY 1, 2, 3, 4
+         |),
+         |cum AS (
+         |  SELECT tenant_id, metric_name, bucket_ms, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY tenant_id, metric_name,
+         |             bucket_ms ORDER BY bin
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY tenant_id, metric_name,
+         |             bucket_ms) AS BIGINT) AS n
+         |  FROM hist
+         |),
+         |rp AS (
+         |  SELECT c.*, CASE WHEN bin = -1 THEN CAST(0.0 AS DOUBLE)
+         |                   ELSE l.edges[bin + 1] END AS rep
+         |  FROM cum c CROSS JOIN el l
+         |)
+         |SELECT tenant_id, metric_name, bucket_ms,
+         |       MAX(n) AS num_points,
+         |       MIN(CASE WHEN cum >= CEIL(CAST(0.5 AS DOUBLE)
+         |             * CAST(n AS DOUBLE)) THEN rep END) AS p50_hdr,
+         |       MIN(CASE WHEN cum >= CEIL(CAST(0.95 AS DOUBLE)
+         |             * CAST(n AS DOUBLE)) THEN rep END) AS p95_hdr
+         |FROM rp GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Rollups.timerHdrFromRaw(Tables.metrics(s, dir), g)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
   /** Value-salted EXACT set rollup ([[Rollups.setFromRawSalted]]): every
     * distinct value belongs to exactly one salt sub-group, so per-salt
     * distinct counts are disjoint and their sum is the exact total — a hot
@@ -745,6 +819,6 @@ object RollupQueries2 {
     seriesRatioQ,
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
-    pointsQueryFull, stringPoints, latestAt, timerApprox60m, setHll1440m,
-    setSalted1440m, metricAnomaly, seriesRate, seriesCorr)
+    pointsQueryFull, stringPoints, latestAt, timerApprox60m, timerHdr60m,
+    setHll1440m, setSalted1440m, metricAnomaly, seriesRate, seriesCorr)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{Granularity, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The rollup aggregation operators — the heart of the engine.
@@ -273,4 +274,106 @@ object Rollups {
     val keep = Seq("tenant_id", "metric_name", "bucket_ms") ++ stats
     rollups.select(keep.map(col): _*)
   }
+
+  /** Geometric bin edges of the HDR-style timer histogram
+    * ([[timerHdrHist]]): e₀ = 10⁻⁶, ratio 1.05 (≤5% relative bin width),
+    * up to 10⁹ — ~709 exact double literals shared VERBATIM with the
+    * DuckDB oracle (both engines parse the shortest round-trip decimal to
+    * the identical double, so edge comparisons agree bit-for-bit no matter
+    * how the generator rounded). */
+  val hdrEdges: Array[Double] = {
+    val b = Array.newBuilder[Double]
+    var e = 1e-6
+    while (e < 1e9) { b += e; e *= 1.05 }
+    b.result()
+  }
+
+  /** Histogram bin of a nonnegative value: −1 for [0, e₀) (representative
+    * 0), i for [eᵢ, eᵢ₊₁), topmost bin open-ended. The libm log only
+    * NOMINATES a candidate (each engine's log may differ by ulps); the
+    * DECISION is the ±1 correction against the exact literal edges, so the
+    * assignment is engine-portable even where the logs disagree. Negative
+    * values fail loud — a negative duration is an upstream bug, and
+    * binning it would silently corrupt percentiles. */
+  private def hdrBin(v: Column): Column = {
+    val m = hdrEdges.length
+    val edgesLit = array(hdrEdges.map(lit): _*)
+    val cand = greatest(lit(0), least(lit(m - 1),
+      floor(log(v * lit(1e6)) / lit(math.log(1.05))).cast("int")))
+    // the +2 lookup index is least-clamped to the array length: ANSI
+    // element_at errors on out-of-range, and `&&` is not guaranteed to
+    // short-circuit expression evaluation — the clamped slot (the last
+    // edge) is then neutralized by the cand < m-1 guard
+    val corrected =
+      when(v < element_at(edgesLit, cand + 1), cand - 1)
+        .when(cand < lit(m - 1) &&
+          v >= element_at(edgesLit, least(cand + lit(2), lit(m))), cand + 1)
+        .otherwise(cand)
+    when(v < 0, raise_error(concat(
+        lit("timerHdr: negative value "), v.cast("string"))).cast("int"))
+      .when(v < hdrEdges(0), lit(-1))
+      .otherwise(corrected)
+  }
+
+  /** HDR-histogram timer state: per (locator, window, bin) counts — the
+    * DETERMINISTIC mergeable percentile sketch (HdrHistogram / Prometheus
+    * classic-histogram family). Where [[timerApproxFromRaw]]'s
+    * Greenwald–Khanna digest compresses by MERGE ORDER (two runs of the
+    * same job can serve different p95s), this state is a pure count table:
+    * orderless, rerun-stable, and mergeable to any coarser tier by adding
+    * counts ([[timerHdrMergeHist]]) — which is why it is also the variant
+    * a DuckDB oracle can hash-prove. State per window is ≤709 longs; ≤5%
+    * relative error by construction.
+    *
+    * Scale shape: one map-side-combining aggregation; the shuffle carries
+    * O(windows × occupied bins), never raw points. */
+  def timerHdrHist(points: DataFrame, g: Granularity): DataFrame =
+    points
+      .groupBy(grouped(points, g) :+ hdrBin(col("value")).as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram state to a coarser tier: add counts — orderless and
+    * exact (the merged histogram IS the histogram of the union), unlike
+    * the reference's lossy mean-of-percentiles timer merge. */
+  def timerHdrMergeHist(hist: DataFrame, g: Granularity): DataFrame =
+    hist
+      .groupBy(keyCols ++ Seq(
+        Tables.bucketMs(col("bucket_ms"), g).as("bucket_ms"), col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Percentiles from histogram state: rank ceil(q·n) over the cumulative
+    * bin counts; the estimate is the chosen bin's LOWER edge (exact
+    * literal — at most one bin width ≈ 5% below the true rank value,
+    * never above it). All decision arithmetic is integer/rank plus one
+    * identical double product per q, so the report is hash-provable.
+    * Scale shape: the cum-sum window partitions by window key — the
+    * aggregation's own exchange, reused. */
+  def timerHdrPercentiles(hist: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val keys = Seq("tenant_id", "metric_name", "bucket_ms")
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val edgesLit = array(hdrEdges.map(lit): _*)
+    val rep = when(col("bin") === -1, lit(0.0))
+      .otherwise(element_at(edgesLit, col("bin") + 1))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("rep", rep)
+    val qAggs = qs.map { q =>
+      val name = s"p${(q * 100).round}_hdr"
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("rep"))).as(name)
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(max(col("n")).as("num_points"), qAggs: _*)
+  }
+
+  /** The one-call form: histogram + percentiles
+    * (raw → deterministic p50/p95 per window). */
+  def timerHdrFromRaw(points: DataFrame, g: Granularity,
+      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    timerHdrPercentiles(timerHdrHist(points, g), qs)
 }

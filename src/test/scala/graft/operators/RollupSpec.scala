@@ -140,4 +140,60 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("timerHdr: percentile within one bin width below the rank value; " +
+    "bin routing at edges; negatives fail loud") {
+    import spark.implicits._
+    val pts = Tables.metrics(spark, dir)
+    val hdr = Rollups.timerHdrFromRaw(pts, Granularity.MIN_60)
+    // rank-exact reference (type-1 percentile, no interpolation)
+    val key = Seq("tenant_id", "metric_name", "bucket_ms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*).orderBy(col("value"))
+    val ranked = pts
+      .select(col("tenant_id"), col("metric_name"),
+        Tables.bucketMs(col("ts_ms"), Granularity.MIN_60).as("bucket_ms"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key.map(col): _*)))
+    def rankVal(q: Double, out: String) = ranked
+      .filter(col("rn") === ceil(lit(q) * col("n")))
+      .select(key.map(col) :+ col("value").as(out): _*)
+    val joined = hdr.join(rankVal(0.5, "v50"), key).join(rankVal(0.95, "v95"), key)
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      for ((est, tru) <- Seq("p50_hdr" -> "v50", "p95_hdr" -> "v95")) {
+        val a = r.getAs[Double](est); val t = r.getAs[Double](tru)
+        // the estimate is the chosen bin's lower edge: never above the
+        // rank value, at most one geometric bin width (5%) below it
+        assert(a <= t, s"$est=$a above rank value $t")
+        if (t >= 1e-6) assert(a >= t / 1.05 * 0.999999,
+          s"$est=$a more than a bin below rank value $t")
+      }
+    }
+    // merge property: 5m histograms merged to 60m == 60m histograms
+    val h5 = Rollups.timerHdrHist(pts, Granularity.MIN_5)
+    val merged = Rollups.timerHdrMergeHist(h5, Granularity.MIN_60)
+      .orderBy("tenant_id", "metric_name", "bucket_ms", "bin").collect()
+    val direct = Rollups.timerHdrHist(pts, Granularity.MIN_60)
+      .orderBy("tenant_id", "metric_name", "bucket_ms", "bin").collect()
+    assert(merged.toSeq === direct.toSeq,
+      "histogram merge must be exact (the merged histogram IS the union's)")
+    // exact-edge value lands in ITS bin (closed-left), sub-resolution in -1
+    val e10 = Rollups.hdrEdges(10)
+    val edgePts = Seq(("t", "m", 0L, e10), ("t", "m", 1L, 0.0),
+      ("t", "m", 2L, 5e-7)).toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val bins = Rollups.timerHdrHist(edgePts, Granularity.FULL)
+      .select("bin").collect().map(_.getInt(0)).sorted
+    assert(bins === Array(-1, -1, 10))
+    // negative values raise, never bin silently
+    val neg = Seq(("t", "m", 0L, -1.0)).toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val ex = intercept[Exception] {
+      Rollups.timerHdrHist(neg, Granularity.FULL).collect()
+    }
+    assert(ex.getMessage.contains("negative value") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative value")))
+  }
 }
