@@ -690,6 +690,70 @@ object RollupQueries2 {
     }
   }
 
+  /** Alert episodes ([[graft.operators.Anomaly.alertIntervals]]) over the
+    * hash-proven rolling z-score scan ([[metricAnomaly]]): gaps-and-islands
+    * over the anomaly flags — boundary-inclusive gap merge, min-points
+    * suppression, peak |z| per episode. Pure integer gap arithmetic over
+    * already-portable flags/z, restated with the identical lag/run-sum
+    * windows in DuckDB. */
+  private val seriesAlerts = {
+    val winMs = 7L * 86400000L
+    val th = 2.5
+    val minP = 5
+    val gapMs = 3L * 86400000L
+    QDef(
+      "q_series_alerts",
+      s"""WITH ${OracleViews.metricsCte},
+         |z AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |               RANGE BETWEEN $winMs PRECEDING AND 1 PRECEDING)
+         |),
+         |sc AS (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         CASE WHEN std_win > 0 THEN (value - mean_win) / std_win END AS z,
+         |         (std_win > 0 AND abs(value - mean_win) > $th * std_win)
+         |           AS is_anomaly
+         |  FROM (SELECT tenant_id, metric_name, ts_ms, value, n_win,
+         |               s / n_win AS mean_win,
+         |               sqrt(greatest(q / n_win - (s / n_win) * (s / n_win),
+         |                 0)) AS std_win
+         |        FROM z WHERE n_win >= $minP)
+         |),
+         |a AS (SELECT tenant_id, metric_name, ts_ms, abs(z) AS az
+         |      FROM sc WHERE is_anomaly),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+         |                      OR ts_ms - lag(ts_ms) OVER w > $gapMs
+         |                 THEN 1 ELSE 0 END AS nf
+         |  FROM a
+         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms)
+         |),
+         |e AS (
+         |  SELECT *, SUM(nf) OVER (PARTITION BY tenant_id, metric_name
+         |            ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS ep
+         |  FROM f
+         |)
+         |SELECT tenant_id, metric_name,
+         |       MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
+         |       CAST(COUNT(*) AS BIGINT) AS n_points,
+         |       MAX(az) AS peak_abs_z
+         |FROM e GROUP BY tenant_id, metric_name, ep
+         |ORDER BY tenant_id, metric_name, start_ms""".stripMargin) { (s, dir) =>
+      val scored = graft.operators.Anomaly.rollingZScores(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+          windowMs = winMs, threshold = th, minPoints = minP)
+        .filter(col("n_win") >= minP)
+      graft.operators.Anomaly.alertIntervals(scored, gapMs)
+        .orderBy("tenant_id", "metric_name", "start_ms")
+    }
+  }
+
   /** Per-series derivative / perSecond rate over the counter tenants
     * ([[graft.operators.Series.derivatives]]): Graphite's
     * nonNegativeDerivative family with counter-reset detection, engine-side.
@@ -820,5 +884,6 @@ object RollupQueries2 {
     counter20m, gauge60m, set1440m, timerMerge60m,
     rollupsOnRead, unitsJoin, typeRouting, pointsQuery, pointsQueryStored,
     pointsQueryFull, stringPoints, latestAt, timerApprox60m, timerHdr60m,
-    setHll1440m, setSalted1440m, metricAnomaly, seriesRate, seriesCorr)
+    setHll1440m, setSalted1440m, metricAnomaly, seriesAlerts, seriesRate,
+    seriesCorr)
 }

@@ -52,7 +52,7 @@ import java.util.concurrent.atomic.AtomicLong
   *    `POST /v1.0/:t/experimental/views/metric_data` — the reference's
   *    legacy/experimental routes (`HttpMetricDataQueryServer.java:70-73`),
   *    aliased onto the v2.0 handlers
-  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb|m4|mad|resample|agg}`
+  *  - `GET /v2.0/:tenant/series/:metricName/{holtwinters|ewma|trend|lttb|m4|mad|resample|agg|alerts}`
   *    — the series/anomaly panel (EXTENSION surface: the Graphite render
   *    functions a reference deployment fronts Blueflood with; see
   *    [[seriesView]])
@@ -537,7 +537,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * trend/capacity forecast, chart decimation — aesthetic LTTB and
     * error-free M4 — robust outlier flags, and grid alignment). */
   private val SeriesFns = Set("holtwinters", "ewma", "trend", "lttb",
-    "m4", "mad", "resample", "agg")
+    "m4", "mad", "resample", "agg", "alerts")
 
   /** `GET /v2.0/:t/series/:metric/<fn>?from&to&points|resolution&…` —
     * reads the metric's numeric series through the SAME kind-routed
@@ -555,6 +555,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `mad?k` — [[graft.operators.Series.madOutliers]]
     *  - `resample?step` (step seconds) —
     *    [[graft.operators.Series.resampleLinear]]
+    *  - `alerts?alpha&k&minPoints&gap&forPoints` (gap seconds) —
+    *    [[graft.operators.Anomaly.ewmaBands]] scoring collapsed to alert
+    *    EPISODES by [[graft.operators.Anomaly.alertIntervals]]: one row
+    *    per sustained incident (start/end/duration/point count), the
+    *    page-deduplicated view an alerting consumer wants
     *  - `agg?stat={mean|sum|max|min|pNN}` — [[graft.operators.Series
     *    .aggregateSeries]] (or [[graft.operators.Series.quantileOfSeries]]
     *    for `pNN`, e.g. `p95` — Graphite's percentileOfSeries): here (and
@@ -652,6 +657,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         val step = int("step", 300)
         require(step >= 1, s"step must be >= 1 second, got $step")
         graft.operators.Series.resampleLinear(pts, step * 1000L)
+      case "alerts" =>
+        // episodes, not points: EWMA-band scoring then gap-merged alert
+        // intervals (gap/minPoints are the page-dedup knobs)
+        val gapS = int("gap", 3600)
+        require(gapS >= 1, s"gap must be >= 1 second, got $gapS")
+        val scored = graft.operators.Anomaly.ewmaBands(pts,
+            dbl("alpha", 0.3), dbl("k", 3.0), int("minPoints", 5))
+          .withColumnRenamed("is_aberrant", "is_anomaly")
+        graft.operators.Anomaly.alertIntervals(scored, gapS * 1000L,
+          int("forPoints", 1))
+          .withColumnRenamed("start_ms", "ts_ms") // panel orders by ts_ms
       case "agg" =>
         // served buckets are already aligned: bucketMs=1 keeps them as-is
         // (the stat crosses SERIES per bucket, not time within a series)

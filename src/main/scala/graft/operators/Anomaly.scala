@@ -685,4 +685,52 @@ object Anomaly {
       ScoredPoint(key._1, key._2, t, v, n, Some(mean), Some(std), z, anom)
     }
   }
+
+  /** Collapse per-point anomaly flags into ALERT EPISODES — the
+    * deduplication between "a detector fired" and "page someone": one
+    * alert per sustained incident, never one per point (Prometheus'
+    * `for:` semantics, Graphite/alerting-bridge behavior). Anomalous
+    * points of a series merge into one episode while consecutive gaps are
+    * ≤ `gapMs` (boundary-INCLUSIVE, the [[Sessionize]] convention — a
+    * point exactly `gapMs` after the previous extends the episode);
+    * episodes with fewer than `minPoints` anomalous points are suppressed
+    * (one noisy sample never pages).
+    *
+    * Input: any scored frame with (tenant_id, metric_name, ts_ms,
+    * is_anomaly) and an optional `z` column ([[rollingZScores]],
+    * [[ewmaBands]]' is_aberrant renamed, [[seasonalZScores]]). Output per
+    * episode: start_ms, end_ms, duration_ms, n_points, peak_abs_z (null
+    * when the input has no z). All decision math is integer gap
+    * arithmetic over flags — hash-provable over any hash-proven scorer.
+    *
+    * Scale shape: one filter (anomalies only — the window runs over the
+    * ALERT stream, not the corpus), one lag window per series, one
+    * aggregation reusing the same exchange. */
+  def alertIntervals(scored: DataFrame, gapMs: Long,
+      minPoints: Int = 1): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    val ser = Seq("tenant_id", "metric_name")
+    val zCol = if (scored.columns.contains("z")) abs(col("z"))
+      else lit(null).cast("double")
+    val w = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.filter(col("is_anomaly"))
+      .select(ser.map(col) ++ Seq(col("ts_ms"), zCol.as("__az")): _*)
+      .withColumn("__nf",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("__ep", sum(col("__nf")).over(wRun))
+      .groupBy((ser :+ "__ep").map(col): _*)
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_points"),
+        max(col("__az")).as("peak_abs_z"))
+      .filter(col("n_points") >= minPoints)
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .select(ser.map(col) ++ Seq(col("start_ms"), col("end_ms"),
+        col("duration_ms"), col("n_points"), col("peak_abs_z")): _*)
+  }
 }

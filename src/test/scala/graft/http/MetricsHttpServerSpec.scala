@@ -429,6 +429,19 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         .findAllMatchIn(rs.body()).map(_.group(1).toDouble).toSeq
       assert(rsVals.exists(_ > 100.0), rs.body())
 
+      // alerts: the spike collapses to ONE episode row (page dedup),
+      // not 30 scored points
+      val al = get(s"$base/v2.0/acme/series/app.lat/alerts?$range&k=3&gap=600")
+      assert(al.statusCode() === 200, al.body())
+      assert(al.body().contains(""""count": 1"""), al.body())
+      // the cycle-wrap dip at i=24 and the spike at i=25 both break the
+      // band and gap-merge into ONE episode ending at the spike
+      assert(al.body().contains(""""n_points": 2"""), al.body())
+      assert(al.body().contains(s""""end_ms": ${t0 + 25 * 300000L}"""),
+        al.body())
+      assert(get(s"$base/v2.0/acme/series/app.lat/alerts?$range&gap=0")
+        .statusCode() === 400)
+
       // agg: :metric is a GLOB — sumSeries over the family; a second
       // metric joins the family and the per-bucket sum reads both
       assert(post(s"$base/v2.0/acme/ingest", (0 until 30).map { i =>

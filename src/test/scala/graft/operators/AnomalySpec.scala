@@ -520,4 +520,33 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_.getDouble(5)).toSeq === xs)
     assert(got.drop(1).map(_.getDouble(7)).toSeq === xs.dropRight(1))
   }
+
+  test("alertIntervals: gap-inclusive episode merge, minPoints suppression, " +
+    "peak |z|, series independence") {
+    import spark.implicits._
+    val scored = Seq(
+      // series a: points at 0,10 (gap 10 merges at gapMs=10), 21 splits
+      ("t", "a", 0L, true, 2.6), ("t", "a", 10L, true, -3.5),
+      ("t", "a", 21L, true, 2.7),
+      ("t", "a", 15L, false, 0.1), // non-anomalous: never joins an episode
+      // series b: single anomaly — suppressed at minPoints=2
+      ("t", "b", 5L, true, 4.0))
+      .toDF("tenant_id", "metric_name", "ts_ms", "is_anomaly", "z")
+    val all = Anomaly.alertIntervals(scored, gapMs = 10L)
+      .orderBy("metric_name", "start_ms").collect()
+    assert(all.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(5), r.getDouble(6))).toSeq === Seq(
+      ("a", 0L, 10L, 2L, 3.5),   // |z| peak from the -3.5 point
+      ("a", 21L, 21L, 1L, 2.7),
+      ("b", 5L, 5L, 1L, 4.0)))
+    val strict = Anomaly.alertIntervals(scored, gapMs = 10L, minPoints = 2)
+      .collect()
+    assert(strict.length === 1 && strict(0).getLong(5) === 2L,
+      "single-point episodes suppressed by minPoints")
+    // a scorer without a z column still produces episodes (null peak)
+    val noZ = Anomaly.alertIntervals(
+      scored.drop("z"), gapMs = 10L).orderBy("metric_name", "start_ms")
+      .collect()
+    assert(noZ.length === 3 && noZ.forall(_.isNullAt(6)))
+  }
 }
