@@ -39,6 +39,20 @@ case class HwPoint(tenant_id: String, metric_name: String, ts_ms: Long,
     dev: Double, forecast: Option[Double], dev_used: Option[Double],
     upper: Option[Double], lower: Option[Double], is_aberrant: Boolean)
 
+/** One anomalous point entering the streaming alert sessionizer. */
+case class AlertEvent(tenant_id: String, metric_name: String,
+    ets: java.sql.Timestamp, az: Option[Double])
+
+/** The open alert episode kept per series between micro-batches. */
+case class OpenAlert(start: Long, last: Long, n_points: Long,
+    peak_abs_z: Option[Double])
+
+/** A closed alert episode (gap elapsed, proven by the event-time
+  * watermark) — the streaming twin of [[Anomaly.alertIntervals]]'s row. */
+case class ClosedAlert(tenant_id: String, metric_name: String,
+    start_ms: Long, end_ms: Long, duration_ms: Long, n_points: Long,
+    peak_abs_z: Option[Double])
+
 /** A band-scored point emitted by the streaming EWMA scorer — the
   * streaming twin of [[Anomaly.ewmaBands]]'s output row. */
 case class EwmaPoint(tenant_id: String, metric_name: String, ts_ms: Long,
@@ -683,6 +697,77 @@ object Anomaly {
       val z = if (n >= minPoints && std > 0) Some((v - mean) / std) else None
       val anom = n >= minPoints && std > 0 && math.abs(v - mean) > std * threshold
       ScoredPoint(key._1, key._2, t, v, n, Some(mean), Some(std), z, anom)
+    }
+  }
+
+  /** STREAMING alert episodes — the alerting daemon's view: a scored
+    * stream (any streaming scorer's output, e.g. [[streamingEwmaBands]]
+    * with is_aberrant renamed is_anomaly) in, an append-mode stream of
+    * [[ClosedAlert]]s out, one per sustained incident once its gap has
+    * provably elapsed (event-time watermark). The state machine is the
+    * [[Sessionize.streamingSessions]] SEGMENT MERGE applied to anomalous
+    * points: each admitted point is a singleton segment, the open episode
+    * is one segment, adjacent segments merge while gaps ≤ `gapMs` — so an
+    * out-of-order point that BRIDGES two runs merges them instead of
+    * emitting a stray page. Episodes closing with fewer than `minPoints`
+    * points are suppressed AT CLOSE (an open episode may still grow).
+    * O(1) state per series (4 fields). */
+  def streamingAlertIntervals(scored: DataFrame, gapMs: Long,
+      watermarkDelay: String, minPoints: Int = 1): Dataset[ClosedAlert] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val zCol = if (scored.columns.contains("z")) abs(col("z"))
+      else lit(null).cast("double")
+    scored.filter(col("is_anomaly"))
+      .select(col("tenant_id").cast("string").as("tenant_id"),
+        col("metric_name").cast("string").as("metric_name"),
+        timestamp_millis(col("ts_ms").cast("long")).as("ets"),
+        zCol.as("az"))
+      .withWatermark("ets", watermarkDelay)
+      .as[AlertEvent]
+      .groupByKey(e => (e.tenant_id, e.metric_name))
+      .flatMapGroupsWithState[OpenAlert, ClosedAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        alertUpdate(gapMs, minPoints))
+  }
+
+  private def maxOpt(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case (x, y) => x.orElse(y)
+    }
+
+  private def alertUpdate(gapMs: Long, minPoints: Int)(
+      key: (String, String), batch: Iterator[AlertEvent],
+      state: GroupState[OpenAlert]): Iterator[ClosedAlert] = {
+    def close(s: OpenAlert): Iterator[ClosedAlert] =
+      if (s.n_points >= minPoints)
+        Iterator.single(ClosedAlert(key._1, key._2, s.start, s.last,
+          s.last - s.start, s.n_points, s.peak_abs_z))
+      else Iterator.empty
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      close(s)
+    } else {
+      val segs = (state.getOption.toSeq ++ batch.map(e =>
+        OpenAlert(e.ets.getTime, e.ets.getTime, 1L, e.az)))
+        .sortBy(s => (s.start, s.last))
+      if (segs.isEmpty) return Iterator.empty
+      val merged = segs.tail.foldLeft(Vector(segs.head)) { (acc, s) =>
+        val cur = acc.last
+        if (s.start - cur.last <= gapMs)
+          acc.init :+ OpenAlert(cur.start, math.max(cur.last, s.last),
+            cur.n_points + s.n_points, maxOpt(cur.peak_abs_z, s.peak_abs_z))
+        else acc :+ s
+      }
+      val open = merged.last
+      state.update(open)
+      state.setTimeoutTimestamp(
+        math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
+      merged.init.iterator.flatMap(close)
     }
   }
 

@@ -549,4 +549,43 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
       .collect()
     assert(noZ.length === 3 && noZ.forall(_.isNullAt(6)))
   }
+
+  test("streamingAlertIntervals: episodes close by event-time timeout, " +
+    "continue across batches, minPoints suppresses at close") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = 1704067200000L
+    val gap = 10000L
+    val mem = MemoryStream[(String, String, Long, Boolean, Double)]
+    val out = Anomaly.streamingAlertIntervals(
+      mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "is_anomaly", "z"),
+      gapMs = gap, watermarkDelay = "0 seconds", minPoints = 2)
+    val q = out.writeStream.format("memory")
+      .queryName("alerts_out").outputMode("append").start()
+    try {
+      // batch 1: series a opens an episode; series b a single anomaly;
+      // a non-anomalous point never enters any episode
+      mem.addData(("t", "a", base, true, 3.0), ("t", "a", base + 2000, false, 0.0),
+        ("t", "b", base + 1000, true, 9.9))
+      q.processAllAvailable()
+      assert(spark.table("alerts_out").count() === 0, "nothing closed yet")
+      // batch 2: series a grows across the batch boundary (gap not crossed)
+      mem.addData(("t", "a", base + 9000, true, -4.5))
+      q.processAllAvailable()
+      // batch 3: far-future point advances the watermark past both
+      // episodes' deadlines; an extra batch lets the timeouts fire
+      mem.addData(("t", "c", base + 100000, true, 1.0))
+      q.processAllAvailable()
+      mem.addData(("t", "c", base + 200000, true, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("alerts_out").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getDouble(6))).toSet
+      assert(closed.contains(("a", base, base + 9000, 2L, 4.5)),
+        s"series a's episode spans batches 1-2 with |z| peak 4.5; got $closed")
+      assert(!closed.exists(_._1 == "b"),
+        s"series b's single-point episode is suppressed at minPoints=2; got $closed")
+    } finally q.stop()
+  }
 }
