@@ -231,6 +231,11 @@ object Demo {
         s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full&stat=sum")
       println(s"   GET /series/app.*/agg?stat=sum -> ${agg.statusCode()}: " +
         agg.body().take(220))
+      // alert episodes: the page-deduplicated incident view
+      val alerts = get(s"/v2.0/acme/series/app.req.count/alerts" +
+        s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full")
+      println(s"   GET /series/.../alerts -> ${alerts.statusCode()}: " +
+        alerts.body().take(160))
 
       println("== 19. operations: engine counters + catalog maintenance ==")
       println(s"   GET /metrics -> ${get("/metrics").body().take(300)} ...")

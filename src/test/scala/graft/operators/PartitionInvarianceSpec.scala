@@ -154,4 +154,14 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
   invariant("TextScoring.perplexityRoute")(df =>
     TextScoring.perplexityRoute(df))(
     Tables.load(spark, dir, "documents"))
+
+  invariant("Rollups.timerHdrFromRaw@60m")(df =>
+    Rollups.timerHdrFromRaw(df, Granularity.MIN_60))(
+    Tables.metrics(spark, dir))
+
+  invariant("Anomaly.alertIntervals")(df =>
+    Anomaly.alertIntervals(
+      Anomaly.rollingZScores(df, windowMs = 7L * 86400000L,
+        threshold = 2.5, minPoints = 5), gapMs = 3L * 86400000L))(
+    Tables.metrics(spark, dir))
 }
