@@ -653,41 +653,58 @@ object RollupQueries2 {
     * excluded from its own baseline), z and an is_anomaly verdict at
     * 2.5 sigma with a 5-point minimum history. The oracle restates the
     * identical window frame and scalar double math in DuckDB. */
-  private val metricAnomaly = {
-    val winMs = 7L * 86400000L
-    val th = 2.5
-    val minP = 5
-    QDef(
-      "q_metric_anomaly",
-      s"""WITH ${OracleViews.metricsCte},
-         |z AS (
-         |  SELECT tenant_id, metric_name, ts_ms, value,
-         |         CAST(count(*) OVER w AS BIGINT) AS n_win,
-         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
-         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
-         |  FROM metrics WHERE tenant_id = 'purchase'
-         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
-         |               RANGE BETWEEN $winMs PRECEDING AND 1 PRECEDING)
-         |),
-         |sc AS (
-         |  SELECT tenant_id, metric_name, ts_ms, value, n_win,
-         |         s / n_win AS mean_win,
-         |         sqrt(greatest(q / n_win - (s / n_win) * (s / n_win), 0)) AS std_win
-         |  FROM z WHERE n_win >= $minP
-         |)
-         |SELECT tenant_id, metric_name, ts_ms, value, n_win, mean_win, std_win,
-         |       CASE WHEN std_win > 0 THEN (value - mean_win) / std_win END AS z,
-         |       (std_win > 0 AND abs(value - mean_win) > $th * std_win) AS is_anomaly
-         |FROM sc
-         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
-      graft.operators.Anomaly.rollingZScores(
-          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
-          windowMs = winMs, threshold = th, minPoints = minP)
-        .filter(col("n_win") >= minP)
+  // the rolling z-score scan's gate parameters and its oracle CTE chain,
+  // shared by q_metric_anomaly and q_series_alerts — any correction to the
+  // z-score oracle lands on both proofs at once (the OracleViews pattern)
+  private val zWinMs = 7L * 86400000L
+  private val zTh = 2.5
+  private val zMinP = 5
+
+  /** CTEs `z` (decimal window sums over the purchase tenant) and `scz`
+    * (mean/std/z/is_anomaly per scored point) — the DuckDB restatement of
+    * [[graft.operators.Anomaly.rollingZScores]] at the gate parameters. */
+  private def zScanCtes: String =
+    s"""z AS (
+       |  SELECT tenant_id, metric_name, ts_ms, value,
+       |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
+       |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
+       |  FROM metrics WHERE tenant_id = 'purchase'
+       |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+       |               RANGE BETWEEN $zWinMs PRECEDING AND 1 PRECEDING)
+       |),
+       |scz AS (
+       |  SELECT tenant_id, metric_name, ts_ms, value, n_win, mean_win, std_win,
+       |         CASE WHEN std_win > 0 THEN (value - mean_win) / std_win END AS z,
+       |         (std_win > 0 AND abs(value - mean_win) > $zTh * std_win)
+       |           AS is_anomaly
+       |  FROM (SELECT tenant_id, metric_name, ts_ms, value, n_win,
+       |               s / n_win AS mean_win,
+       |               sqrt(greatest(q / n_win - (s / n_win) * (s / n_win),
+       |                 0)) AS std_win
+       |        FROM z WHERE n_win >= $zMinP)
+       |)""".stripMargin
+
+  /** The scored frame both gate queries consume — [[zScanCtes]]' twin. */
+  private def zScanFrame(s: SparkSession, dir: String) =
+    graft.operators.Anomaly.rollingZScores(
+        Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+        windowMs = zWinMs, threshold = zTh, minPoints = zMinP)
+      .filter(col("n_win") >= zMinP)
+
+  private val metricAnomaly = QDef(
+    "q_metric_anomaly",
+    s"""WITH ${OracleViews.metricsCte},
+       |$zScanCtes
+       |SELECT tenant_id, metric_name, ts_ms, value, n_win, mean_win,
+       |       std_win, z, is_anomaly
+       |FROM scz
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+    (s, dir) =>
+      zScanFrame(s, dir)
         .select("tenant_id", "metric_name", "ts_ms", "value", "n_win",
           "mean_win", "std_win", "z", "is_anomaly")
         .orderBy("tenant_id", "metric_name", "ts_ms", "value")
-    }
   }
 
   /** Alert episodes ([[graft.operators.Anomaly.alertIntervals]]) over the
@@ -697,35 +714,13 @@ object RollupQueries2 {
     * already-portable flags/z, restated with the identical lag/run-sum
     * windows in DuckDB. */
   private val seriesAlerts = {
-    val winMs = 7L * 86400000L
-    val th = 2.5
-    val minP = 5
     val gapMs = 3L * 86400000L
     QDef(
       "q_series_alerts",
       s"""WITH ${OracleViews.metricsCte},
-         |z AS (
-         |  SELECT tenant_id, metric_name, ts_ms, value,
-         |         CAST(count(*) OVER w AS BIGINT) AS n_win,
-         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS s,
-         |         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS q
-         |  FROM metrics WHERE tenant_id = 'purchase'
-         |  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
-         |               RANGE BETWEEN $winMs PRECEDING AND 1 PRECEDING)
-         |),
-         |sc AS (
-         |  SELECT tenant_id, metric_name, ts_ms,
-         |         CASE WHEN std_win > 0 THEN (value - mean_win) / std_win END AS z,
-         |         (std_win > 0 AND abs(value - mean_win) > $th * std_win)
-         |           AS is_anomaly
-         |  FROM (SELECT tenant_id, metric_name, ts_ms, value, n_win,
-         |               s / n_win AS mean_win,
-         |               sqrt(greatest(q / n_win - (s / n_win) * (s / n_win),
-         |                 0)) AS std_win
-         |        FROM z WHERE n_win >= $minP)
-         |),
+         |$zScanCtes,
          |a AS (SELECT tenant_id, metric_name, ts_ms, abs(z) AS az
-         |      FROM sc WHERE is_anomaly),
+         |      FROM scz WHERE is_anomaly),
          |f AS (
          |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
          |                      OR ts_ms - lag(ts_ms) OVER w > $gapMs
@@ -745,11 +740,7 @@ object RollupQueries2 {
          |       MAX(az) AS peak_abs_z
          |FROM e GROUP BY tenant_id, metric_name, ep
          |ORDER BY tenant_id, metric_name, start_ms""".stripMargin) { (s, dir) =>
-      val scored = graft.operators.Anomaly.rollingZScores(
-          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
-          windowMs = winMs, threshold = th, minPoints = minP)
-        .filter(col("n_win") >= minP)
-      graft.operators.Anomaly.alertIntervals(scored, gapMs)
+      graft.operators.Anomaly.alertIntervals(zScanFrame(s, dir), gapMs)
         .orderBy("tenant_id", "metric_name", "start_ms")
     }
   }

@@ -39,13 +39,23 @@ case class HwPoint(tenant_id: String, metric_name: String, ts_ms: Long,
     dev: Double, forecast: Option[Double], dev_used: Option[Double],
     upper: Option[Double], lower: Option[Double], is_aberrant: Boolean)
 
-/** One anomalous point entering the streaming alert sessionizer. */
+/** One scored point entering the streaming alert sessionizer — anomalous
+  * AND healthy (healthy points advance the watermark and prompt their own
+  * series' ripeness check; the anomaly filter runs INSIDE the state
+  * function, because a pre-state `filter(is_anomaly)` gets pushed BELOW
+  * the EventTimeWatermark node by Catalyst and starves the watermark on
+  * recovered series). */
 case class AlertEvent(tenant_id: String, metric_name: String,
-    ets: java.sql.Timestamp, az: Option[Double])
+    ets: java.sql.Timestamp, az: Option[Double], is_anomaly: Boolean)
 
-/** The open alert episode kept per series between micro-batches. */
+/** One not-yet-ripe alert segment kept per series between micro-batches. */
 case class OpenAlert(start: Long, last: Long, n_points: Long,
     peak_abs_z: Option[Double])
+
+/** The per-series state: every segment whose gap the watermark has not yet
+  * proven elapsed (steady state: one; bounded by the admissible gaps
+  * inside the watermark delay). */
+case class AlertSegments(segs: List[OpenAlert])
 
 /** A closed alert episode (gap elapsed, proven by the event-time
   * watermark) — the streaming twin of [[Anomaly.alertIntervals]]'s row. */
@@ -174,6 +184,7 @@ object Anomaly {
     * misuse early rather than to make it safe. */
   def ewmaBands(points: DataFrame, alpha: Double = 0.3, k: Double = 3.0,
       minPoints: Int = 5, maxPointsPerSeries: Int = 1 << 20): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(k > 0, s"k must be positive, got $k")
     require(minPoints >= 1, s"minPoints must be >= 1, got $minPoints")
     require(maxPointsPerSeries >= 1,
@@ -704,14 +715,29 @@ object Anomaly {
     * stream (any streaming scorer's output, e.g. [[streamingEwmaBands]]
     * with is_aberrant renamed is_anomaly) in, an append-mode stream of
     * [[ClosedAlert]]s out, one per sustained incident once its gap has
-    * provably elapsed (event-time watermark). The state machine is the
-    * [[Sessionize.streamingSessions]] SEGMENT MERGE applied to anomalous
-    * points: each admitted point is a singleton segment, the open episode
-    * is one segment, adjacent segments merge while gaps ≤ `gapMs` — so an
-    * out-of-order point that BRIDGES two runs merges them instead of
-    * emitting a stray page. Episodes closing with fewer than `minPoints`
-    * points are suppressed AT CLOSE (an open episode may still grow).
-    * O(1) state per series (4 fields). */
+    * PROVABLY elapsed. Two deliberate choices make the emitted episodes
+    * equal the batch [[alertIntervals]] answer on every admissible stream:
+    *
+    *  1. The anomaly filter runs INSIDE the state function, never before
+    *     the watermark — healthy points advance event time too, so a
+    *     resolved incident pages as soon as normal traffic carries the
+    *     watermark past its gap deadline. (A pre-state filter is not
+    *     merely reordered code: Catalyst PUSHES a non-event-time
+    *     predicate below the EventTimeWatermark node, so even
+    *     watermark-then-filter starves — the filter must be unobservable
+    *     to the optimizer, i.e. inside the function.)
+    *  2. Segments are held in state until `last + gapMs ≤ watermark` —
+    *     never closed eagerly on a same-batch gap. The watermark admits
+    *     only events with ets > watermark, and such an event is > gapMs
+    *     after any ripe segment's end, so a ripe close can never lose a
+    *     late BRIDGING point: out-of-order arrivals merge runs, exactly
+    *     like batch, instead of splitting one incident into two pages
+    *     (or silently suppressing a split piece under `minPoints`).
+    *
+    * `minPoints` suppression is decided at close (an open episode may
+    * still grow). State per series is the pending segment list — in the
+    * steady state one open episode (pathological worst case: one segment
+    * per still-admissible gap inside the watermark delay). */
   def streamingAlertIntervals(scored: DataFrame, gapMs: Long,
       watermarkDelay: String, minPoints: Int = 1): Dataset[ClosedAlert] = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
@@ -720,15 +746,15 @@ object Anomaly {
     import spark.implicits._
     val zCol = if (scored.columns.contains("z")) abs(col("z"))
       else lit(null).cast("double")
-    scored.filter(col("is_anomaly"))
+    scored
       .select(col("tenant_id").cast("string").as("tenant_id"),
         col("metric_name").cast("string").as("metric_name"),
         timestamp_millis(col("ts_ms").cast("long")).as("ets"),
-        zCol.as("az"))
+        zCol.as("az"), col("is_anomaly").as("is_anomaly"))
       .withWatermark("ets", watermarkDelay)
-      .as[AlertEvent]
+      .as[AlertEvent] // healthy points included — filtered in-function (1)
       .groupByKey(e => (e.tenant_id, e.metric_name))
-      .flatMapGroupsWithState[OpenAlert, ClosedAlert](
+      .flatMapGroupsWithState[AlertSegments, ClosedAlert](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         alertUpdate(gapMs, minPoints))
   }
@@ -741,34 +767,36 @@ object Anomaly {
 
   private def alertUpdate(gapMs: Long, minPoints: Int)(
       key: (String, String), batch: Iterator[AlertEvent],
-      state: GroupState[OpenAlert]): Iterator[ClosedAlert] = {
+      state: GroupState[AlertSegments]): Iterator[ClosedAlert] = {
     def close(s: OpenAlert): Iterator[ClosedAlert] =
       if (s.n_points >= minPoints)
         Iterator.single(ClosedAlert(key._1, key._2, s.start, s.last,
           s.last - s.start, s.n_points, s.peak_abs_z))
       else Iterator.empty
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      close(s)
-    } else {
-      val segs = (state.getOption.toSeq ++ batch.map(e =>
-        OpenAlert(e.ets.getTime, e.ets.getTime, 1L, e.az)))
-        .sortBy(s => (s.start, s.last))
-      if (segs.isEmpty) return Iterator.empty
-      val merged = segs.tail.foldLeft(Vector(segs.head)) { (acc, s) =>
-        val cur = acc.last
-        if (s.start - cur.last <= gapMs)
-          acc.init :+ OpenAlert(cur.start, math.max(cur.last, s.last),
-            cur.n_points + s.n_points, maxOpt(cur.peak_abs_z, s.peak_abs_z))
-        else acc :+ s
-      }
-      val open = merged.last
-      state.update(open)
-      state.setTimeoutTimestamp(
-        math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
-      merged.init.iterator.flatMap(close)
+    val prior = state.getOption.map(_.segs).getOrElse(Nil)
+    val segs = (prior ++ batch.filter(_.is_anomaly).map(e =>
+      OpenAlert(e.ets.getTime, e.ets.getTime, 1L, e.az)))
+      .sortBy(s => (s.start, s.last))
+    if (segs.isEmpty) { state.remove(); return Iterator.empty }
+    val merged = segs.tail.foldLeft(Vector(segs.head)) { (acc, s) =>
+      val cur = acc.last
+      if (s.start - cur.last <= gapMs)
+        acc.init :+ OpenAlert(cur.start, math.max(cur.last, s.last),
+          cur.n_points + s.n_points, maxOpt(cur.peak_abs_z, s.peak_abs_z))
+      else acc :+ s
     }
+    // ripe = gap provably elapsed: any still-admissible event has
+    // ets > watermark >= last + gapMs, so it can neither extend nor
+    // bridge into these segments
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, pending) = merged.partition(_.last + gapMs <= wm)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(AlertSegments(pending.toList))
+      state.setTimeoutTimestamp(
+        math.max(pending.map(_.last + gapMs).min, wm + 1))
+    }
+    ripe.iterator.flatMap(close)
   }
 
   /** Collapse per-point anomaly flags into ALERT EPISODES — the

@@ -652,7 +652,11 @@ object Series {
     * distribution (key prefix), and AQE broadcasts it at runtime whenever
     * it is actually small. */
   def m4Downsample(points: DataFrame, buckets: Int): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // upper bound keeps (ts − t0)·B inside Long under ANSI for any epoch
+    // span (2^21 pixel columns is far past any real render) — without it a
+    // huge user-supplied B overflows mid-query instead of failing fast
+    require(buckets >= 1 && buckets <= (1 << 21),
+      s"buckets must be in [1, ${1 << 21}], got $buckets")
     val ser = Seq("tenant_id", "metric_name")
     val ext = points.groupBy(ser.map(col): _*)
       .agg(min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"))
@@ -708,8 +712,13 @@ object Series {
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value")): _*)
       .withColumn("rn", row_number().over(wv))
       .withColumn("n", count(lit(1)).over(wc))
+    // materialize-once (CLAUDE.md): med and mad are NARROW one-row-per-
+    // series frames whose lineage is a corpus-scale rank window — without
+    // the checkpoint each downstream join re-runs that window (med feeds
+    // dev which feeds BOTH the mad derivation and the output join)
     val med = ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
       .select(ser.map(col) :+ col("value").as("med"): _*)
+      .localCheckpoint()
     val dev = ranked.join(med, ser)
       .withColumn("adev", abs(col("value") - col("med")))
     val wd = Window.partitionBy(ser.map(col): _*)
@@ -717,6 +726,7 @@ object Series {
     val mad = dev.withColumn("rd", row_number().over(wd))
       .filter(col("rd") === expr("(n + 1L) div 2L"))
       .select(ser.map(col) :+ col("adev").as("mad"): _*)
+      .localCheckpoint()
     dev.join(mad, ser)
       .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),

@@ -550,8 +550,8 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
     assert(noZ.length === 3 && noZ.forall(_.isNullAt(6)))
   }
 
-  test("streamingAlertIntervals: episodes close by event-time timeout, " +
-    "continue across batches, minPoints suppresses at close") {
+  test("streamingAlertIntervals: HEALTHY points advance the watermark and " +
+    "page resolved incidents; episodes span batches; minPoints at close") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -573,11 +573,13 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
       // batch 2: series a grows across the batch boundary (gap not crossed)
       mem.addData(("t", "a", base + 9000, true, -4.5))
       q.processAllAvailable()
-      // batch 3: far-future point advances the watermark past both
-      // episodes' deadlines; an extra batch lets the timeouts fire
-      mem.addData(("t", "c", base + 100000, true, 1.0))
+      // batches 3-4: ONLY HEALTHY traffic — the incident is over, and the
+      // recovered series itself must carry the watermark past the gap
+      // deadlines (a post-filter watermark would starve here and the
+      // resolved incident would never page)
+      mem.addData(("t", "a", base + 100000, false, 0.0))
       q.processAllAvailable()
-      mem.addData(("t", "c", base + 200000, true, 1.0))
+      mem.addData(("t", "a", base + 200000, false, 0.0))
       q.processAllAvailable()
       val closed = spark.table("alerts_out").collect()
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5),
@@ -586,6 +588,40 @@ class AnomalySpec extends AnyFunSuite with SparkSuite {
         s"series a's episode spans batches 1-2 with |z| peak 4.5; got $closed")
       assert(!closed.exists(_._1 == "b"),
         s"series b's single-point episode is suppressed at minPoints=2; got $closed")
+    } finally q.stop()
+  }
+
+  test("streamingAlertIntervals: a late admissible point BRIDGES two runs " +
+    "instead of splitting the incident (matches the batch answer)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = 1704067200000L
+    val mem = MemoryStream[(String, String, Long, Boolean, Double)]
+    // generous watermark so the late bridging point is admissible
+    val out = Anomaly.streamingAlertIntervals(
+      mem.toDF().toDF("tenant_id", "metric_name", "ts_ms", "is_anomaly", "z"),
+      gapMs = 15000L, watermarkDelay = "10 minutes", minPoints = 2)
+    val q = out.writeStream.format("memory")
+      .queryName("alerts_bridge").outputMode("append").start()
+    try {
+      // batch 1: two runs 25s apart (> gap) — an eager close would emit
+      // [0,0] now and, at minPoints=2, silently suppress it forever
+      mem.addData(("t", "a", base, true, 1.0), ("t", "a", base + 25000, true, 2.0))
+      q.processAllAvailable()
+      // batch 2: the late point at +12s bridges the runs into one episode
+      mem.addData(("t", "a", base + 12000, true, 3.0))
+      q.processAllAvailable()
+      // far-future healthy point closes it via the watermark
+      mem.addData(("t", "a", base + 3600000L, false, 0.0))
+      q.processAllAvailable()
+      mem.addData(("t", "a", base + 7200000L, false, 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("alerts_bridge").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6)))
+        .toSeq
+      assert(closed === Seq((base, base + 25000, 3L, 3.0)),
+        s"one bridged episode [0s, 25s] with all 3 points; got $closed")
     } finally q.stop()
   }
 }
