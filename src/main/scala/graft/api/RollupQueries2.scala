@@ -509,13 +509,82 @@ object RollupQueries2 {
   /** APPROX-percentile timer rollup ([[Rollups.timerApproxFromRaw]]) — the
     * 100 TB-scale variant of q_rollup_timer_60m's tier-1: approx_percentile
     * is a mergeable digest, so the per-group sort the exact `percentile`
-    * needs disappears into algebraic partial aggregation. Approximate by
-    * design → rows-only here; RollupSpec bounds the error vs the exact
-    * form (non-percentile fields identical, percentiles within the
-    * window's [min,max] and close to exact). */
-  private val timerApprox60m = QDef.noOracle("q_rollup_timer_approx_60m") { (s, dir) =>
-    Rollups.timerApproxFromRaw(Tables.metrics(s, dir), Granularity.MIN_60)
-      .orderBy("tenant_id", "metric_name", "bucket_ms")
+    * needs disappears into algebraic partial aggregation.
+    *
+    * HASH-PROVEN (r9) via the digest's exactness domain: Spark's
+    * Greenwald–Khanna summary at accuracy 10000 (relativeError 1e-4)
+    * performs ZERO compression while every per-window count n < 5000 —
+    * the head-insert deltas `floor(2e-4·i)` and the merge thresholds
+    * `2e-4·n` are all < 1 against g-sums ≥ 2, across partials, merges,
+    * and the final compress alike — so the digest IS the sorted multiset
+    * and `query(q)` degenerates to the rank-`ceil(q·n)` element (type-1
+    * percentile, an input value both engines already hold — the
+    * rank-SELECTED statistic pattern, CLAUDE.md #8). Gate windows carry
+    * ≤ 3 points; a window beyond the domain would mismatch loudly.
+    * RollupSpec pins the domain edge: group sizes up to 4999 equal rank
+    * selection under multi-partition layouts, and the operator's digest
+    * percentiles are bounded by [min,max] regardless of n. The
+    * production caveat stands: BEYOND the exactness domain GK compression
+    * is merge-order-dependent by construction — the deterministic
+    * scale-path sketch is the HDR histogram ([[timerHdr60m]]).
+    *
+    * Non-percentile stats follow the [[RollupQueries]] deterministic
+    * convention (exact DECIMAL sums, derived scalars); rate is one double
+    * division by the granularity span on both sides. */
+  private val timerApprox60m = {
+    val g = Granularity.MIN_60
+    QDef(
+      "q_rollup_timer_approx_60m",
+      s"""WITH ${OracleViews.metricsCte},
+         |b AS (
+         |  SELECT tenant_id, metric_name, ${bucketSql(g)} AS bucket_ms, value
+         |  FROM metrics
+         |),
+         |rk AS (
+         |  SELECT tenant_id, metric_name, bucket_ms, value,
+         |         row_number() OVER (PARTITION BY tenant_id, metric_name,
+         |           bucket_ms ORDER BY value) AS rn,
+         |         count(*) OVER (PARTITION BY tenant_id, metric_name,
+         |           bucket_ms) AS n
+         |  FROM b
+         |),
+         |agg AS (
+         |  SELECT tenant_id, metric_name, bucket_ms,
+         |         COUNT(value) AS num_points,
+         |         $sumDecSql AS sum_v,
+         |         MIN(value) AS min_v, MAX(value) AS max_v
+         |  FROM b GROUP BY 1, 2, 3
+         |),
+         |q50 AS (SELECT tenant_id, metric_name, bucket_ms, value AS p50
+         |        FROM rk WHERE rn = CAST(CEIL(0.5E0 * n) AS BIGINT)),
+         |q95 AS (SELECT tenant_id, metric_name, bucket_ms, value AS p95
+         |        FROM rk WHERE rn = CAST(CEIL(0.95E0 * n) AS BIGINT))
+         |SELECT a.tenant_id, a.metric_name, a.bucket_ms, a.num_points,
+         |       a.sum_v, a.sum_v / a.num_points AS avg_v, a.min_v, a.max_v,
+         |       q50.p50, q95.p95,
+         |       CAST(a.num_points AS DOUBLE) / 3.6E3 AS rate
+         |FROM agg a JOIN q50 USING (tenant_id, metric_name, bucket_ms)
+         |           JOIN q95 USING (tenant_id, metric_name, bucket_ms)
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Tables.metrics(s, dir)
+        .groupBy(col("tenant_id"), col("metric_name"),
+          Tables.bucketMs(col("ts_ms"), g).as("bucket_ms"))
+        .agg(
+          count(col("value")).as("num_points"),
+          sumDec(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          approx_percentile(col("value"), array(lit(0.5), lit(0.95)),
+            lit(10000)).as("ps"))
+        .withColumn("avg_v", col("sum_v") / col("num_points"))
+        .withColumn("p50", col("ps").getItem(0))
+        .withColumn("p95", col("ps").getItem(1))
+        .drop("ps")
+        .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+        .select("tenant_id", "metric_name", "bucket_ms", "num_points",
+          "sum_v", "avg_v", "min_v", "max_v", "p50", "p95", "rate")
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
   }
 
   /** HLL set rollup ([[Rollups.setApproxFromRaw]]) — O(1) sketch state per

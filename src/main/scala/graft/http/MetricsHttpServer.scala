@@ -56,6 +56,14 @@ import java.util.concurrent.atomic.AtomicLong
   *    — the series/anomaly panel (EXTENSION surface: the Graphite render
   *    functions a reference deployment fronts Blueflood with; see
   *    [[seriesView]])
+  *  - `GET /render?target=<expr>&from&until&tenant=` — the Graphite
+  *    render-API wire shape over the same panel functions (see
+  *    [[renderView]]): raw globs, `lttb`/`m4` decimation, the
+  *    `sumSeries`/`averageSeries`/`maxSeries`/`minSeries`/
+  *    `percentileOfSeries` aggregations
+  *  - `GET /v2.0/:tenant/alerts/episodes?from&until[&metric]` — closed
+  *    incident episodes from the [[graft.streaming.AlertStream]] daemon's
+  *    sink table (see [[alertEpisodes]])
   *
   * Ingest status semantics (`HttpMetricsIngestionHandler.java:134-238`):
   * all records valid → 200; SOME invalid → the valid ones persist and the
@@ -69,6 +77,15 @@ import java.util.concurrent.atomic.AtomicLong
   * datetime grammar ([[graft.core.DateTimeParser]]) — plain numbers are
   * epoch SECONDS, the Graphite convention.
   *
+  * Connection hardening (reference parity: Netty `IdleStateHandler` +
+  * `HttpObjectAggregator` maxContentLength,
+  * HttpMetricDataQueryServer.java:110-112): request bodies are read
+  * bounded (`maxBodyBytes`, 413 over the cap — pre-checked against the
+  * declared Content-Length, re-checked as bytes arrive) and
+  * deadline-guarded (`bodyReadTimeoutMs` — a stalled client's connection
+  * is closed by a reaper and its worker thread freed); the header phase
+  * is covered by the JDK server's own `maxReqTime` timer (companion init).
+  *
   * Scale note: this is the single-node serving veneer (the reference's
   * Netty handlers are the same shape); the DATA plane underneath is the
   * distributed engine, and bulk ingest at 100 TB enters through the
@@ -78,12 +95,46 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     maxFutureMs: Long = 10L * 60 * 1000,
     nowMs: () => Long = () => System.currentTimeMillis(),
     corsEnabled: Boolean = false,
-    corsAllowedOrigins: String = "*") {
+    corsAllowedOrigins: String = "*",
+    maxBodyBytes: Long = MetricsHttpServer.MaxRequestBodyBytes,
+    bodyReadTimeoutMs: Long = 30000L) {
 
   import MetricsHttpServer._
 
+  // forces the companion init (sun.net.httpserver.maxReqTime) BEFORE the
+  // JVM's first HttpServer.create loads the one-shot ServerConfig
+  require(MetricsHttpServer.headerPhaseTimeoutInstalled)
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newFixedThreadPool(8)
+
+  /** Body reads in flight: exchange → wall-clock deadline. The reaper
+    * closes any exchange whose BODY READ outlives `bodyReadTimeoutMs`
+    * (connection hardening the reference gets from Netty's
+    * IdleStateHandler, HttpMetricDataQueryServer.java:111): a client that
+    * sends headers then stalls mid-body would otherwise hold one of the 8
+    * worker threads forever. Only the read phase is guarded — deadline
+    * registration brackets [[readBody]] alone, so a long Spark query can
+    * never be reaped as a "slow client". */
+  private val inflightReads =
+    new java.util.concurrent.ConcurrentHashMap[HttpExchange, java.lang.Long]()
+  private val reaper = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-http-read-reaper"); t.setDaemon(true); t
+  }
+  reaper.scheduleWithFixedDelay(() => {
+    val now = System.currentTimeMillis()
+    val it = inflightReads.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (now > e.getValue) {
+        it.remove()
+        graft.core.Instrumentation.global.inc("http.reaped_slow_reads")
+        // closing the exchange closes the connection; the worker's
+        // blocked read unblocks with an IOException and the thread frees
+        try e.getKey.close() catch { case _: Exception => }
+      }
+    }
+  }, 250L, 250L, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Batch id derived from the REQUEST (tenant + route + body hash), not a
     * counter: the store's replace-not-duplicate idempotence
@@ -143,6 +194,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   // v1.0 legacy surface (reference HttpMetricDataQueryServer.java:70-73) —
   // same dispatcher; the route match aliases onto the v2.0 handlers
   server.createContext("/v1.0", (ex: HttpExchange) => handle(ex))
+  // Graphite render-API wire shape (EXTENSION surface: what
+  // Graphite-ecosystem dashboards actually speak when fronting a
+  // Blueflood deployment) — same dispatcher, see [[renderView]]
+  server.createContext("/render", (ex: HttpExchange) => handle(ex))
   // operational counters (reference: Instrumentation.java meters, exposed
   // through its JMX/graphite reporters) — out-of-band of the /v2.0 API
   server.createContext("/metrics", (ex: HttpExchange) =>
@@ -157,6 +212,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   def stop(): Unit = {
     server.stop(0)
     pool.shutdownNow()
+    reaper.shutdownNow()
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -189,16 +245,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               rest == List("metrics", "search") ||
               rest == List("metric_name", "search") ||
               rest == List("events", "getEvents") =>
-          if (corsEnabled) {
-            val h = ex.getResponseHeaders
-            h.set("Access-Control-Allow-Origin", corsAllowedOrigins)
-            h.set("Access-Control-Allow-Methods", "GET, POST")
-            h.set("Access-Control-Allow-Headers", "X-Auth-Token, Accept")
-            h.set("Access-Control-Max-Age", "1728000")
-          }
-          sentFlag.set(java.lang.Boolean.TRUE)
-          graft.core.Instrumentation.global.inc("http.responses.204")
-          ex.sendResponseHeaders(204, -1)
+          sendPreflight(ex)
+        case (List("render"), "OPTIONS") =>
+          sendPreflight(ex)
+        case (List("render"), "GET") =>
+          renderView(ex)
         case ("v2.0" :: tenant :: "ingest" :: rest, "POST")
             if rest.isEmpty || rest == List("multi") =>
           ingest(ex, tenant, scoped = rest.nonEmpty)
@@ -214,6 +265,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         case ("v2.0" :: tenant :: "series" :: name :: fn :: Nil, "GET")
             if SeriesFns(fn) =>
           seriesView(ex, tenant, name, fn)
+        case ("v2.0" :: tenant :: "alerts" :: "episodes" :: Nil, "GET") =>
+          alertEpisodes(ex, tenant)
         // v1.0 legacy/experimental routes (reference
         // HttpMetricDataQueryServer.java:70-73) — deployed Blueflood
         // clients still call these; they alias the v2.0 handlers
@@ -242,6 +295,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // generic body (raw Spark/Hadoop messages can leak filesystem paths),
       // the real exception goes to the server log. If a handler already
       // responded before throwing, don't attempt a second send.
+      case e: PayloadTooLarge =>
+        if (!responseSent(ex))
+          sendJson(ex, 413, errJson(
+            s"request body too large: ${e.size} bytes > $maxBodyBytes"))
       case e: IllegalArgumentException =>
         if (!responseSent(ex))
           sendJson(ex, 400, errJson(Option(e.getMessage).getOrElse("bad request")))
@@ -591,42 +648,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     // discovery-resolved names (so a family-mixing glob fails loud instead
     // of aggregating counters into gauges).
     val isGlob = fn == "agg"
-    val kind =
-      if (isGlob) {
-        // cap BEFORE collecting: a '*' glob on a million-locator store must
-        // 400 on the O2 batch limit, not pull the whole catalog into the
-        // facade heap first (limit+1 distinguishes "at the cap" from over)
-        val cap = MetricsQueryApi.MaxMetricsPerBatchQuery
-        val resolved = graft.operators.Discovery.globSearch(
-            MetricsQueryApi.storeCatalog(spark, storeDir), tenant, name)
-          .limit(cap + 1).collect().map(_.getString(0)).toSeq
-        require(resolved.length <= cap,
-          s"batch query resolves > $cap metrics")
-        routeKind(tenant, resolved)
-      } else routeKind(tenant, Seq(name))
-    require(kind != "string",
-      s"series functions require a numeric metric; '$name' is a string metric")
-    // the family's own per-bucket series value — hardcoding "average"
-    // would read an all-NULL padding column for gauge/counter/set and
-    // silently render a populated series as an empty panel
-    val (statName, valueCol) = kind match {
-      case "gauge" => ("latest", "latest_v")
-      case "counter" => ("sum", "sum_v")
-      case "set" => ("numPoints", "num_points") // bucket cardinality
-      case _ => ("average", "average") // basic, timer
-    }
-    val p = MetricsQueryApi.Params(tenant,
-      if (isGlob) name else graft.core.GlobPattern.escapeLiteral(name),
-      from, to, points, resolution, Seq(statName))
     val now = nowMs()
-    val frame = kind match {
-      case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
-      case k => MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
-    }
-    val pts = frame.select(col("tenant_id"), col("metric_name"),
-        col("bucket_ms").cast("long").as("ts_ms"),
-        col(valueCol).cast("double").as("value"))
-      .filter(col("value").isNotNull)
+    val pts = numericPoints(tenant, name, isGlob, from, to, points,
+      resolution, now)
     val out = fn match {
       case "holtwinters" =>
         val season = int("season", 24)
@@ -656,7 +680,20 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case "resample" =>
         val step = int("step", 300)
         require(step >= 1, s"step must be >= 1 second, got $step")
-        graft.operators.Series.resampleLinear(pts, step * 1000L)
+        // request-level grid cap, enforced BEFORE any query runs: each
+        // series' grid spans its own [min ts, max ts] ⊆ [from, to], so
+        // bounding (to − from)/step bounds every series' grid by the
+        // operator's own fail-loud constant — a client asking for a
+        // years-long range at step=1 gets a 400 naming the numbers, not a
+        // ~250 MB array materializing in one executor task
+        val stepMs = step * 1000L
+        val gridN = (graft.core.DateTimeParser.parseMillis(to, now) -
+          graft.core.DateTimeParser.parseMillis(from, now)) / stepMs + 1L
+        require(gridN <= graft.operators.Series.MaxGridPointsPerSeries,
+          s"resample grid too fine: (to - from)/step yields $gridN points > " +
+            s"${graft.operators.Series.MaxGridPointsPerSeries} — widen step " +
+            s"or narrow the range")
+        graft.operators.Series.resampleLinear(pts, stepMs)
       case "alerts" =>
         // episodes, not points: EWMA-band scoring then gap-merged alert
         // intervals (gap/minPoints are the page-dedup knobs)
@@ -686,11 +723,227 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     sendJson(ex, 200, seriesJson(name, out))
   }
 
+  /** `GET /v2.0/:tenant/alerts/episodes?from&until[&metric=<glob>]` — the
+    * serving side of the ALERT DAEMON lifecycle
+    * ([[graft.streaming.AlertStream]]): closed, watermark-proven incident
+    * episodes from the standing `alert_episodes` sink, filtered to the
+    * tenant and (by episode start) the requested range, optionally to a
+    * metric glob. Before any daemon has closed an episode the route serves
+    * `[]` — the empty-store contract every reader here follows. */
+  private def alertEpisodes(ex: HttpExchange, tenant: String): Unit = {
+    val q = queryParams(ex)
+    val now = nowMs()
+    val fromMs = q.get("from")
+      .map(graft.core.DateTimeParser.parseMillis(_, now)).getOrElse(0L)
+    val untilMs = q.get("until")
+      .map(graft.core.DateTimeParser.parseMillis(_, now)).getOrElse(now)
+    val metricFilter = q.get("metric").map(g =>
+      col("metric_name").rlike(graft.core.GlobPattern.toAnchoredRegex(g)))
+      .getOrElse(lit(true))
+    val rows = graft.streaming.AlertStream.episodesStore(spark, storeDir)
+      .filter(col("tenant_id") === tenant && metricFilter &&
+        col("start_ms") >= fromMs && col("start_ms") <= untilMs)
+      .orderBy("metric_name", "start_ms")
+      .limit(MaxSeriesPanelPoints + 1).collect()
+    require(rows.length <= MaxSeriesPanelPoints,
+      s"episode result exceeds $MaxSeriesPanelPoints rows — narrow the range")
+    val body = rows.map { r =>
+      val peak = if (r.isNullAt(r.fieldIndex("peak_abs_z"))) "null"
+        else r.getAs[Double]("peak_abs_z").toString
+      s"""{"metric": ${jStr(r.getAs[String]("metric_name"))}, """ +
+        s""""start_ms": ${r.getAs[Long]("start_ms")}, """ +
+        s""""end_ms": ${r.getAs[Long]("end_ms")}, """ +
+        s""""duration_ms": ${r.getAs[Long]("duration_ms")}, """ +
+        s""""n_points": ${r.getAs[Long]("n_points")}, """ +
+        s""""peak_abs_z": $peak}"""
+    }.mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
+  }
+
+  /** `GET /render?target=<expr>&from&until&tenant=:t[&maxDataPoints&format=json]`
+    * — the Graphite render-API wire shape (the surface Graphite-ecosystem
+    * dashboards speak; a reference deployment fronts Blueflood with a
+    * graphite-api finder producing exactly this JSON). Targets repeat;
+    * each is one of:
+    *
+    *  - `<glob>` — raw serve, one response entry per matched series
+    *  - `lttb(<glob>[,buckets])` / `m4(<glob>[,buckets])` — per-series
+    *    decimation ([[graft.operators.Series.lttbExact]] /
+    *    [[graft.operators.Series.m4Downsample]])
+    *  - `sumSeries|averageSeries|maxSeries|minSeries(<glob>)` — cross-series
+    *    aggregation ([[graft.operators.Series.aggregateSeries]]); entry
+    *    named by the target expression (the Graphite convention)
+    *  - `percentileOfSeries(<glob>,N)` —
+    *    [[graft.operators.Series.quantileOfSeries]]
+    *
+    * `from`/`until` take the full Graphite datetime grammar and default to
+    * `-24h`/`now`; `maxDataPoints` maps onto the points-budget resolution
+    * pick (absent → full resolution — decimation is explicit via
+    * lttb/m4). Globs resolve under the O2 batch cap ([[numericPoints]]);
+    * the response is `[{"target", "datapoints": [[value|null, epoch_s]]}]`
+    * with the panel row cap applied per target. `format` must be json. */
+  private def renderView(ex: HttpExchange): Unit = {
+    val q = queryParams(ex)
+    val tenant = q.getOrElse("tenant",
+      throw new IllegalArgumentException(
+        "tenant= is required (multi-tenant store behind a single-tenant API)"))
+    val fmt = q.getOrElse("format", "json")
+    require(fmt == "json", s"unsupported format '$fmt' — json only")
+    val now = nowMs()
+    val from = q.getOrElse("from", "-24h")
+    val until = q.getOrElse("until", "now")
+    val points = q.get("maxDataPoints").map(v => v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"maxDataPoints must be an integer, got '$v'")))
+    val resolution = if (points.isEmpty) Some(Granularity.FULL) else None
+    val targets = multiParams(ex, "target")
+    require(targets.nonEmpty, "at least one target= is required")
+    val Fn = """(\w+)\(([^()]*)\)""".r
+    val entries = targets.flatMap { t0 =>
+      val t = t0.trim
+      def pts(glob: String) =
+        numericPoints(tenant, glob, isGlob = true, from, until, points,
+          resolution, now)
+      def buckets(args: Array[String], floor: Int): Int = {
+        val b = args.lift(1).map(a => a.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"buckets must be an integer in '$t'"))).getOrElse(200)
+        require(b >= floor, s"buckets must be >= $floor in '$t', got $b")
+        b
+      }
+      t match {
+        case Fn(fn, argStr) =>
+          val args = argStr.split(",")
+          require(args.nonEmpty && args(0).trim.nonEmpty,
+            s"target '$t' needs a metric glob")
+          val glob = args(0).trim
+          fn match {
+            case "lttb" =>
+              collectSeries(graft.operators.Series
+                .lttbExact(pts(glob), buckets(args, 3)), "ts_ms", "value", None)
+            case "m4" =>
+              collectSeries(graft.operators.Series
+                .m4Downsample(pts(glob), buckets(args, 1)), "ts_ms", "value", None)
+            case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" =>
+              val stat = fn match {
+                case "sumSeries" => "sum"
+                case "averageSeries" => "mean"
+                case "maxSeries" => "max"
+                case "minSeries" => "min"
+              }
+              collectSeries(graft.operators.Series
+                  .aggregateSeries(pts(glob), glob, stat, bucketMs = 1L),
+                "bucket_ms", "value", Some(t))
+            case "percentileOfSeries" =>
+              val pct = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+                throw new IllegalArgumentException(
+                  s"percentileOfSeries needs a percentile in '$t'"))
+              require(pct >= 0.0 && pct <= 100.0,
+                s"percentile must be in [0, 100] in '$t', got $pct")
+              collectSeries(graft.operators.Series
+                  .quantileOfSeries(pts(glob), glob, pct / 100.0, bucketMs = 1L),
+                "bucket_ms", "qvalue", Some(t))
+            case other => throw new IllegalArgumentException(
+              s"unknown render function '$other' in target '$t'")
+          }
+        case glob => // bare glob: raw serve, per matched series
+          collectSeries(pts(glob), "ts_ms", "value", None)
+      }
+    }
+    val body = entries.map { case (name, dps) =>
+      val pts = dps.map { case (v, tsSec) =>
+        s"[${v.filter(d => !d.isNaN && !d.isInfinite)
+          .map(_.toString).getOrElse("null")}, $tsSec]"
+      }.mkString(", ")
+      s"""{"target": ${jStr(name)}, "datapoints": [$pts]}"""
+    }.mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
+  }
+
+  /** Row-capped collect of a series frame into render entries:
+    * `(target name, [(value, epoch_s)])` — one entry per series when
+    * `singleName` is None, else one entry named by the target expression.
+    * The limit is pushed INTO the query (the [[seriesJson]] contract), so
+    * an over-budget render never reaches the facade heap. */
+  private def collectSeries(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      vCol: String, singleName: Option[String])
+      : Seq[(String, Seq[(Option[Double], Long)])] = {
+    val cap = MaxSeriesPanelPoints
+    val rows = df.select(col("metric_name"),
+        col(tsCol).cast("long").as("ts"), col(vCol).cast("double").as("v"))
+      .orderBy("metric_name", "ts")
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"render result exceeds $cap points — narrow the range, lower " +
+        "maxDataPoints, or decimate (lttb/m4)")
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Option[Double], Long)]]
+    rows.foreach { r =>
+      val name = singleName.getOrElse(r.getString(0))
+      val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      out.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += ((v, r.getLong(1) / 1000L))
+    }
+    out.toSeq.map { case (n, b) => n -> b.toSeq }
+  }
+
+  /** Kind-routed NUMERIC point read for one metric spec — the shared data
+    * plane of the series panel and the `/render` surface. `isGlob=false`
+    * escapes the name to a literal locator (the per-series panel fns);
+    * `isGlob=true` resolves through the discovery catalog with the O2
+    * batch cap enforced BEFORE collecting (a '*' glob on a
+    * million-locator store must 400 on the limit, not pull the catalog
+    * into the facade heap — limit+1 distinguishes at-the-cap from over).
+    * Family routing uses the routeKind cache/ambiguity machinery; each
+    * family serves its OWN per-bucket value (hardcoding "average" would
+    * read an all-NULL padding column for gauge/counter/set and silently
+    * render a populated series as an empty panel). String metrics 400. */
+  private def numericPoints(tenant: String, name: String, isGlob: Boolean,
+      from: String, to: String, points: Option[Int],
+      resolution: Option[Granularity], now: Long): DataFrame = {
+    val kind =
+      if (isGlob) {
+        val cap = MetricsQueryApi.MaxMetricsPerBatchQuery
+        val resolved = graft.operators.Discovery.globSearch(
+            MetricsQueryApi.storeCatalog(spark, storeDir), tenant, name)
+          .limit(cap + 1).collect().map(_.getString(0)).toSeq
+        require(resolved.length <= cap,
+          s"batch query resolves > $cap metrics")
+        routeKind(tenant, resolved)
+      } else routeKind(tenant, Seq(name))
+    require(kind != "string",
+      s"series functions require a numeric metric; '$name' is a string metric")
+    val (statName, valueCol) = kind match {
+      case "gauge" => ("latest", "latest_v")
+      case "counter" => ("sum", "sum_v")
+      case "set" => ("numPoints", "num_points") // bucket cardinality
+      case _ => ("average", "average") // basic, timer
+    }
+    val p = MetricsQueryApi.Params(tenant,
+      if (isGlob) name else graft.core.GlobPattern.escapeLiteral(name),
+      from, to, points, resolution, Seq(statName))
+    val frame = kind match {
+      case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
+      case k => MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
+    }
+    frame.select(col("tenant_id"), col("metric_name"),
+        col("bucket_ms").cast("long").as("ts_ms"),
+        col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+  }
+
   /** Generic series-panel JSON: every non-key column verbatim, `ts_ms`
     * surfaced as `timestamp` (the views convention); row order by ts_ms
     * when present. `{"metric": …, "function_values": [{…}], "metadata":
-    * {"count": n}}`. */
-  private def seriesJson(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    * {"count": n}}`. The collect is CAPPED at
+    * [[MetricsHttpServer.MaxSeriesPanelPoints]] (limit pushed into the
+    * query, so an over-budget result never reaches the facade heap): the
+    * per-point routes (mad, resample, ewma) at `resolution=full` over a
+    * wide range are otherwise the one facade path with no row bound —
+    * the batch views path is O2-capped and resolution-budgeted. Over the
+    * cap → descriptive 400 (IAE) naming the limit. */
+  private[http] def seriesJson(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val cap = MaxSeriesPanelPoints
     val hasTs = df.columns.contains("ts_ms")
     val ordered = if (hasTs) df.orderBy("tenant_id", "metric_name", "ts_ms") else df
     val fields = df.columns.filterNot(Set("tenant_id", "metric_name"))
@@ -701,7 +954,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case s: String => jStr(s)
       case x => x.toString
     }
-    val rows = ordered.collect().map { r =>
+    val collected = ordered.limit(cap + 1).collect()
+    require(collected.length <= cap,
+      s"series result exceeds $cap points — narrow the range, use a coarser " +
+        "resolution, or decimate (lttb/m4)")
+    val rows = collected.map { r =>
       fields.map {
         case "ts_ms" => s""""timestamp": ${r.getAs[Long]("ts_ms")}"""
         case f => s""""$f": ${jVal(r.getAs[Any](f))}"""
@@ -839,8 +1096,58 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   // ---- plumbing ----------------------------------------------------------
 
-  private def readBody(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Bounded, deadline-guarded body read (reference parity: Netty's
+    * HttpObjectAggregator maxContentLength + IdleStateHandler,
+    * HttpMetricDataQueryServer.java:110-112). A declared Content-Length
+    * over the cap 413s before reading a byte; a lying/chunked body is
+    * re-checked as the bytes actually arrive; a stalled client is closed
+    * by the reaper once `bodyReadTimeoutMs` passes. */
+  private def readBody(ex: HttpExchange): String = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.toLongOption)
+    declared.filter(_ > maxBodyBytes).foreach(n => throw new PayloadTooLarge(n))
+    inflightReads.put(ex, System.currentTimeMillis() + bodyReadTimeoutMs)
+    try {
+      val in = ex.getRequestBody
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBodyBytes) throw new PayloadTooLarge(out.size.toLong)
+        n = in.read(buf)
+      }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally inflightReads.remove(ex)
+  }
+
+  /** CORS preflight response (reference HttpOptionsHandler.java:28-41:
+    * 204 + the configured CORS headers when `corsEnabled`; bare 204 when
+    * not — CORS_ENABLED defaults false, CoreConfig.java:257-261). */
+  private def sendPreflight(ex: HttpExchange): Unit = {
+    if (corsEnabled) {
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", corsAllowedOrigins)
+      h.set("Access-Control-Allow-Methods", "GET, POST")
+      h.set("Access-Control-Allow-Headers", "X-Auth-Token, Accept")
+      h.set("Access-Control-Max-Age", "1728000")
+    }
+    sentFlag.set(java.lang.Boolean.TRUE)
+    graft.core.Instrumentation.global.inc("http.responses.204")
+    ex.sendResponseHeaders(204, -1)
+  }
+
+  /** Every value of a repeatable query param, in URI order (`target=` on
+    * the render route — [[queryParams]]'s Map keeps only the last). */
+  private def multiParams(ex: HttpExchange, key: String): Seq[String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if java.net.URLDecoder.decode(k, "UTF-8") == key =>
+            Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
@@ -869,6 +1176,40 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 }
 
 object MetricsHttpServer {
+
+  /** Row cap on a series-panel response ([[MetricsHttpServer.seriesJson]]):
+    * generous for any real chart (500× a 4K pixel width) while bounding
+    * the facade-heap collect the per-point routes would otherwise leave
+    * unbounded. */
+  val MaxSeriesPanelPoints: Int = 100000
+
+  /** Default request-body cap (8 MiB — comfortably above any real ingest
+    * batch under the O2 conventions; the reference aggregates Netty chunks
+    * under a maxContentLength the same way). Over the cap → 413 with the
+    * observed size. */
+  val MaxRequestBodyBytes: Long = 8L << 20
+
+  /** Thrown by the bounded body read; carries the size that tripped the
+    * cap (declared Content-Length, or bytes counted so far). */
+  private[http] final class PayloadTooLarge(val size: Long)
+    extends RuntimeException(s"payload too large: $size bytes")
+
+  /** HEADER-phase stall protection: the JDK server's own
+    * `sun.net.httpserver.maxReqTime` timer (seconds) closes connections
+    * whose REQUEST — headers included — outlives the budget; the body
+    * phase is additionally covered per-instance by the read reaper. The
+    * property is one-shot per JVM (read when the first HttpServer loads
+    * ServerConfig), hence set here at companion init and only when the
+    * deployer didn't set their own; a JVM that created some other
+    * HttpServer first keeps whatever it loaded — best-effort by JDK
+    * design, and the reaper does not depend on it. */
+  val headerPhaseTimeoutInstalled: Boolean = {
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
+      System.setProperty("sun.net.httpserver.maxReqTime", "60")
+    if (System.getProperty("sun.net.httpserver.maxRspTime") == null)
+      System.setProperty("sun.net.httpserver.maxRspTime", "600")
+    true
+  }
 
   /** `{"errors": [...]}` — the reference's per-record error array
     * (`ErrorResponse.java`: tenantId/metricName/source/message/timestamp). */

@@ -309,7 +309,13 @@ object Rollups {
         .when(cand < lit(m - 1) &&
           v >= element_at(edgesLit, least(cand + lit(2), lit(m))), cand + 1)
         .otherwise(cand)
-    when(v < 0, raise_error(concat(
+    // NaN first: it slips past both ordered guards (NaN < x is false) and
+    // would otherwise die in the ANSI floor(log(NaN))→int cast with an
+    // opaque CAST_INVALID_INPUT instead of this diagnostic
+    when(isnan(v), raise_error(
+        lit("timerHdr: NaN value — a NaN duration is an upstream bug"))
+        .cast("int"))
+      .when(v < 0, raise_error(concat(
         lit("timerHdr: negative value "), v.cast("string"))).cast("int"))
       .when(v < hdrEdges(0), lit(-1))
       .otherwise(corrected)
@@ -352,6 +358,18 @@ object Rollups {
       qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
+    // names derive from the UNROUNDED quantile (0.995 → p99_5_hdr), so
+    // near-neighbors like 0.995 and 1.0 cannot silently collide into one
+    // rounded p100_hdr; a residual duplicate (caller passed the same q
+    // twice) still fails loud here, not as an ambiguous-column analysis
+    // error downstream
+    // BigDecimal(q) parses the double's shortest decimal form, so the
+    // ×100 is exact decimal math (q*100 in IEEE would name 0.29's column
+    // p28_999999999999996_hdr)
+    val names = qs.map(q => s"p${(BigDecimal(q) * 100).underlying
+      .stripTrailingZeros.toPlainString.replace(".", "_")}_hdr")
+    require(names.distinct.size == names.size,
+      s"duplicate quantiles: $qs yield columns $names")
     val keys = Seq("tenant_id", "metric_name", "bucket_ms")
     val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -363,8 +381,7 @@ object Rollups {
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("rep", rep)
-    val qAggs = qs.map { q =>
-      val name = s"p${(q * 100).round}_hdr"
+    val qAggs = qs.zip(names).map { case (q, name) =>
       min(when(col("cum") >= ceil(lit(q) * col("n")), col("rep"))).as(name)
     }
     cum.groupBy(keys.map(col): _*)

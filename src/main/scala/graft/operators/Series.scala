@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.DecimalType
   * `rollingZScores(perSecondRate(points))` alerts on rate anomalies). */
 object Series {
 
+  /** Default cap on [[resampleLinear]]'s per-series grid size — the same
+    * render-sized contract constant as [[lttbExact]]'s
+    * `maxPointsPerSeries`: a resample is a chart-alignment query by
+    * definition, and 2²⁰ grid points is far past any real render while
+    * keeping the per-series `sequence` ARRAY (~16 MB of longs) safely
+    * inside one task's memory. The facade derives its request-level
+    * `(until − from)/step` cap from this same constant so the two
+    * enforcement points cannot drift. */
+  val MaxGridPointsPerSeries: Int = 1 << 20
+
   /** Adds per-point deltas against the previous sample of the same series:
     *  - `delta_v`    value − previous value (null for the first point);
     *  - `is_reset`   delta_v < 0 — a counter restart
@@ -753,13 +763,20 @@ object Series {
     * are generated per series by `sequence` (never a driver loop), and the
     * prev/next lookups are two frames over ONE sorted union — no
     * self-join of the point stream. Bound: the grid materializes as one
-    * ARRAY per series before exploding, so span/step is capped by Spark's
-    * array limit (~2³¹) and practically by executor memory — pick a step
-    * proportionate to the queried range (a dashboard always does); a
-    * sub-second step over a years-long range wants a pre-aggregated tier
-    * as input instead, exactly like every other render-path operator. */
-  def resampleLinear(points: DataFrame, stepMs: Long): DataFrame = {
+    * ARRAY per series before exploding, so the render-sized contract is
+    * ENFORCED exactly like [[lttbExact]]'s — a series whose own
+    * [min ts, max ts] span divided by `stepMs` exceeds
+    * `maxGridPointsPerSeries` fails with a descriptive error naming the
+    * offending numbers, instead of silently amplifying two points a year
+    * apart into a ~250 MB array in one task (a sub-second step over a
+    * years-long range wants a pre-aggregated tier as input, exactly like
+    * every other render-path operator; the facade additionally caps
+    * `(until − from)/step` BEFORE the query runs — same constant). */
+  def resampleLinear(points: DataFrame, stepMs: Long,
+      maxGridPointsPerSeries: Int = MaxGridPointsPerSeries): DataFrame = {
     require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    require(maxGridPointsPerSeries >= 1,
+      s"maxGridPointsPerSeries must be >= 1, got $maxGridPointsPerSeries")
     val ser = Seq("tenant_id", "metric_name")
     val pts = points
       .groupBy(ser.map(col) :+ col("ts_ms"): _*)
@@ -770,6 +787,17 @@ object Series {
       .withColumn("g0", expr(s"((t0 + ${stepMs - 1}L) div ${stepMs}L) * ${stepMs}L"))
       .withColumn("g1", expr(s"(t1 div ${stepMs}L) * ${stepMs}L"))
       .filter(col("g0") <= col("g1"))
+      // fail-loud BEFORE the sequence materializes: the guard is on the
+      // exact grid count the explode would produce, per series
+      .withColumn("__n", expr(s"(g1 - g0) div ${stepMs}L + 1L"))
+      .withColumn("g0",
+        when(col("__n") <= maxGridPointsPerSeries, col("g0"))
+          .otherwise(raise_error(concat(
+            lit("resampleLinear: series "), col("tenant_id"), lit("."),
+            col("metric_name"), lit(" needs "), col("__n").cast("string"),
+            lit(s" grid points at stepMs=$stepMs > " +
+              s"maxGridPointsPerSeries=$maxGridPointsPerSeries — " +
+              "widen the step or resample a pre-aggregated tier")))))
       .select(ser.map(col) :+
         explode(sequence(col("g0"), col("g1"), lit(stepMs))).as("ts_ms"): _*)
     val u = pts.withColumn("is_grid", lit(false))

@@ -484,12 +484,150 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         .statusCode() === 400)
       assert(get(s"$base/v2.0/acme/series/app.lat/resample?$range&step=0")
         .statusCode() === 400)
+      // bounded-grid contract at the request level: a decades-long range
+      // at step=1s would explode ~1.7e9 grid rows in one task — the 400
+      // fires BEFORE any query runs and names the numbers
+      val rsBad = get(s"$base/v2.0/acme/series/app.lat/resample" +
+        s"?from=1&to=${now / 1000}&resolution=full&step=1")
+      assert(rsBad.statusCode() === 400, rsBad.body())
+      assert(rsBad.body().contains("grid too fine"), rsBad.body())
       assert(get(s"$base/v2.0/acme/series/app.lat/holtwinters?$range&season=0")
         .statusCode() === 400)
       assert(get(s"$base/v2.0/acme/series/app.lat/holtwinters?from=1&to=2")
         .statusCode() === 400) // neither points nor resolution
       assert(get(s"$base/v2.0/acme/series/app.lat/nope?$range")
         .statusCode() === 404)
+    } finally srv.stop()
+  }
+
+  test("series panel row cap bounds the facade collect — over-budget " +
+    "results 400 with the limit, at-budget serves") {
+    val (srv, _, _) = startServer()
+    try {
+      import org.apache.spark.sql.functions._
+      val cap = MetricsHttpServer.MaxSeriesPanelPoints
+      def mk(n: Int) = spark.range(n.toLong)
+        .select(lit("t").as("tenant_id"), lit("m").as("metric_name"),
+          col("id").as("ts_ms"), lit(1.0).as("value"))
+      val e = intercept[IllegalArgumentException](srv.seriesJson("m", mk(cap + 1)))
+      assert(e.getMessage.contains(cap.toString), e.getMessage)
+      // the limit is pushed INTO the query (limit(cap+1)), so the facade
+      // heap never holds more than cap+1 rows; at the cap the panel serves
+      assert(srv.seriesJson("m", mk(3)).contains(""""count": 3"""))
+    } finally srv.stop()
+  }
+
+  test("Graphite /render wire shape: raw globs, lttb/m4 decimation, " +
+    "series aggregation; O2 cap and validation enforced") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 30L * 300000L
+      for (m <- Seq("app.a", "app.b")) {
+        val recs = (0 until 30).map { i =>
+          val v = if (m == "app.a" && i == 25) 500.0 else 10.0 + (i % 12)
+          s"""{"metricName": "$m", "metricValue": $v,
+             | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+
+      // raw glob target: one entry per matched series, Graphite datapoint
+      // shape [[value, epoch_s]] time-ordered
+      val raw = get(s"$base/render?target=app.*&$range")
+      assert(raw.statusCode() === 200, raw.body())
+      assert(raw.body().contains(""""target": "app.a""""), raw.body())
+      assert(raw.body().contains(""""target": "app.b""""), raw.body())
+      assert(raw.body().contains(s"[10.0, ${t0 / 1000}]"), raw.body())
+
+      // lttb decimates each matched series independently; spike survives
+      val lt = get(s"$base/render?target=lttb(app.*,10)&$range")
+      assert(lt.statusCode() === 200, lt.body())
+      assert(lt.body().contains("500.0"), lt.body())
+      for (t <- Seq("app.a", "app.b"))
+        assert(lt.body().contains(s""""target": "$t""""), lt.body())
+      // m4 keeps per-bin extremes
+      val m4 = get(s"$base/render?target=m4(app.a,5)&$range")
+      assert(m4.statusCode() === 200, m4.body())
+      assert(m4.body().contains("500.0"), m4.body())
+
+      // aggregation entries are named by the EXPRESSION; sum reads both
+      // series (spike bucket: 500 + 1..; base buckets: sums of two)
+      val ag = get(s"$base/render?target=sumSeries(app.*)&$range")
+      assert(ag.statusCode() === 200, ag.body())
+      assert(ag.body().contains(""""target": "sumSeries(app.*)""""), ag.body())
+      // multiple targets land as sibling entries in one response
+      val multi = get(
+        s"$base/render?target=sumSeries(app.*)&target=maxSeries(app.*)&$range")
+      assert(multi.statusCode() === 200, multi.body())
+      assert(multi.body().contains(""""target": "sumSeries(app.*)""""))
+      assert(multi.body().contains(""""target": "maxSeries(app.*)""""))
+      // percentileOfSeries
+      val pc = get(s"$base/render?target=percentileOfSeries(app.*,100)&$range")
+      assert(pc.statusCode() === 200, pc.body())
+      assert(pc.body().contains("500.0"), pc.body())
+
+      // validation: unknown fn, bad format, missing tenant/target, O2 cap
+      assert(get(s"$base/render?target=bogus(app.*)&$range").statusCode() === 400)
+      assert(get(s"$base/render?target=app.*&$range&format=png").statusCode() === 400)
+      assert(get(s"$base/render?target=app.*&from=1&until=2").statusCode() === 400)
+      assert(get(s"$base/render?$range").statusCode() === 400)
+      assert(get(s"$base/render?target=lttb(app.*,2)&$range").statusCode() === 400)
+      // OPTIONS preflight parity with the query routes
+      val opt = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/render")).method("OPTIONS",
+          HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(opt.statusCode() === 204)
+    } finally srv.stop()
+  }
+
+  test("connection hardening: oversized bodies 413 before parsing; a " +
+    "stalled mid-body client is reaped and its worker thread freed") {
+    val store = java.nio.file.Files.createTempDirectory("graft_hard").toString
+    val srv = new MetricsHttpServer(spark, store, nowMs = () => now,
+      maxBodyBytes = 4096L, bodyReadTimeoutMs = 1500L)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // declared Content-Length over the cap -> 413 without reading the body
+      val big = "[" + Seq.fill(200)(
+        s"""{"metricName": "m", "metricValue": 1.0, "collectionTime": $now}""")
+        .mkString(",") + "]"
+      assert(big.length > 4096)
+      val r = post(s"$base/v2.0/acme/ingest", big)
+      assert(r.statusCode() === 413, r.body())
+      assert(r.body().contains("request body too large"), r.body())
+      // an in-cap body still ingests through the same bounded reader
+      val ok = post(s"$base/v2.0/acme/ingest",
+        s"""[{"metricName": "m.ok", "metricValue": 1.0,
+           | "collectionTime": ${now - 1000}}]""".stripMargin)
+      assert(ok.statusCode() === 200, ok.body())
+
+      // stalled body: headers + partial body, then silence — the reaper
+      // must close the connection (~bodyReadTimeoutMs + one sweep), not
+      // leave a worker thread blocked forever
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      try {
+        sock.setSoTimeout(10000)
+        val w = sock.getOutputStream
+        w.write(("POST /v2.0/acme/ingest HTTP/1.1\r\n" +
+          "Host: x\r\nContent-Type: application/json\r\n" +
+          "Content-Length: 1000\r\n\r\n[{\"metricName\"").getBytes("UTF-8"))
+        w.flush()
+        val t0 = System.currentTimeMillis()
+        // server closes -> read returns -1 (or resets); must not take the
+        // full SoTimeout
+        val got = try sock.getInputStream.read() catch {
+          case _: java.io.IOException => -1
+        }
+        val elapsed = System.currentTimeMillis() - t0
+        assert(got === -1, s"expected the reaper to close the stalled connection, read $got")
+        assert(elapsed < 8000, s"reap took ${elapsed}ms")
+      } finally sock.close()
+      // the facade still serves normally afterwards (thread pool intact)
+      assert(get(s"$base/v2.0").statusCode() === 200)
     } finally srv.stop()
   }
 

@@ -141,6 +141,42 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("GK digest exactness domain: approx_percentile at accuracy 10000 " +
+    "equals rank selection for group sizes < 5000, any partition layout") {
+    import spark.implicits._
+    // one synthetic window per size, duplicate-heavy values, shuffled
+    // layout: deltas floor(2e-4·i) and merge thresholds 2e-4·n are all < 1
+    // below n=5000, so the digest is the sorted multiset and query(q)
+    // returns the element at rank ceil(q·n) — the q_rollup_timer_approx_60m
+    // oracle's exact claim, pinned here at the domain edge (4999)
+    val rnd = new scala.util.Random(41)
+    val rows = Seq(1, 2, 3, 10, 137, 1000, 4999).flatMap { n =>
+      (0 until n).map(i => ("t", s"m_$n", i.toLong,
+        math.floor(rnd.nextDouble() * 50) / 2.0)) // many exact duplicates
+    }
+    val pts = rows.toDF("tenant_id", "metric_name", "ts_ms", "value")
+      .repartition(13)
+    // ts_ms all inside one 1440m bucket -> one window per metric
+    val approx = Rollups.timerApproxFromRaw(pts, Granularity.MIN_1440)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("metric_name").orderBy("value")
+    val ranked = pts.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("metric_name")))
+    def rankVal(q: Double, out: String) = ranked
+      .filter(col("rn") === ceil(lit(q) * col("n")))
+      .select(col("metric_name"), col("value").as(out))
+    val joined = approx.join(rankVal(0.5, "v50"), "metric_name")
+      .join(rankVal(0.95, "v95"), "metric_name").collect()
+    assert(joined.length === 7)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("p50") === r.getAs[Double]("v50"),
+        s"${r.getAs[String]("metric_name")} p50")
+      assert(r.getAs[Double]("p95") === r.getAs[Double]("v95"),
+        s"${r.getAs[String]("metric_name")} p95")
+    }
+  }
+
   test("timerHdr: percentile within one bin width below the rank value; " +
     "bin routing at edges; negatives fail loud") {
     import spark.implicits._
@@ -195,5 +231,33 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
     }
     assert(ex.getMessage.contains("negative value") ||
       Option(ex.getCause).exists(_.getMessage.contains("negative value")))
+    // NaN raises the SAME intended diagnostic, not an opaque ANSI cast
+    // failure (NaN < 0 and NaN < 1e-6 are both false, so it would
+    // otherwise reach floor(log(NaN))::int)
+    val nan = Seq(("t", "m", 0L, Double.NaN))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val exNan = intercept[Exception] {
+      Rollups.timerHdrHist(nan, Granularity.FULL).collect()
+    }
+    val nanMsgs = Iterator.iterate(exNan: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(nanMsgs.exists(_.contains("NaN value")), nanMsgs)
+  }
+
+  test("timerHdrPercentiles: fractional quantiles name unambiguously; " +
+    "duplicates fail loud") {
+    import spark.implicits._
+    val one = Seq(("t", "m", 0L, 1.0))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val hist = Rollups.timerHdrHist(one, Granularity.FULL)
+    // 0.995 and 1.0 must NOT both round to p100_hdr
+    val cols = Rollups.timerHdrPercentiles(hist, Seq(0.995, 1.0, 0.29)).columns
+    assert(cols.contains("p99_5_hdr") && cols.contains("p100_hdr") &&
+      cols.contains("p29_hdr"), cols.toSeq)
+    val dup = intercept[IllegalArgumentException] {
+      Rollups.timerHdrPercentiles(hist, Seq(0.95, 0.95))
+    }
+    assert(dup.getMessage.contains("duplicate quantiles"))
   }
 }

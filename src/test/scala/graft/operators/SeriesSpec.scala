@@ -464,4 +464,23 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(got(("d", 500L)) === 25.0)
     assert(!got.keySet.exists(_._1 == "s"), "no aligned tick inside the span")
   }
+
+  test("resampleLinear: bounded-grid contract fails loud, per series") {
+    // two points a "year" apart at step=1: the amplification the contract
+    // exists to stop — the guard fires BEFORE the sequence materializes
+    val wide = pts(Seq(("t", "m", 0L, 1.0), ("t", "m", 10000000L, 2.0)))
+    val e = intercept[Exception] {
+      Series.resampleLinear(wide, stepMs = 1L,
+        maxGridPointsPerSeries = 1000).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("maxGridPointsPerSeries")), msgs)
+    // the same series inside budget (coarser step) passes the guard
+    assert(Series.resampleLinear(wide, stepMs = 1000L,
+      maxGridPointsPerSeries = 20000).count() === 10001L)
+    intercept[IllegalArgumentException](
+      Series.resampleLinear(wide, 500L, maxGridPointsPerSeries = 0))
+  }
 }
