@@ -236,6 +236,16 @@ object Demo {
         s"?from=${t0 / 1000 - 10}&to=${nowFixed / 1000}&resolution=full")
       println(s"   GET /series/.../alerts -> ${alerts.statusCode()}: " +
         alerts.body().take(160))
+      // Graphite render-API wire shape: what a Grafana graphite datasource
+      // would actually send
+      val render = get(s"/render?target=sumSeries(app.*)&tenant=acme" +
+        s"&from=${t0 / 1000 - 10}&until=${nowFixed / 1000}")
+      println(s"   GET /render?target=sumSeries(app.*) -> " +
+        s"${render.statusCode()}: ${render.body().take(200)}")
+      // the alert DAEMON's served sink (empty here — no daemon has closed
+      // an episode on this fresh store; see graft.AlertDaemon)
+      val eps = get("/v2.0/acme/alerts/episodes")
+      println(s"   GET /alerts/episodes -> ${eps.statusCode()}: ${eps.body().take(80)}")
 
       println("== 19. operations: engine counters + catalog maintenance ==")
       println(s"   GET /metrics -> ${get("/metrics").body().take(300)} ...")

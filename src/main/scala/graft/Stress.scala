@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Anomaly, Dedup, Series, TimeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-shape stress harness — the skew evidence the gate corpus
+  * cannot produce (its densest series carries ~750 points; its hottest
+  * 60m window 3). Fabricates the three classic killers deterministically
+  * (hash-derived values, no RNG) and times the operators whose scale
+  * story depends on them:
+  *
+  *  - HOT SERIES: one series, 10⁷ points — the per-series window wall.
+  *    Times [[Series.madOutliers]] (single-task sort by design) against
+  *    [[Series.madOutliersSharded]] (two-phase rank selection, no
+  *    per-series sort), plus [[Series.m4Downsample]],
+  *    [[Anomaly.alertIntervals]] and the bucket-sharded
+  *    [[TimeJoin.asOf]] on the same series.
+  *  - WIDE STORE: 10⁶ single-point series — the per-series-DIMENSION
+  *    direction (catalog-scale joins, millions of tiny windows).
+  *  - DEGENERATE CLIQUE: 10⁶ identical 64-bit fingerprints among 10⁵
+  *    organic ones — quadratic in clique size without
+  *    [[Dedup.hammingNearDups]]'s hot-bucket cap; the run proves the
+  *    capped join completes and what it costs.
+  *
+  * `runMain graft.Stress [scale]` — scale (default 1.0) multiplies every
+  * shape size; 0.01 gives a seconds-long smoke run. Prints one table row
+  * per (shape, operator): rows out, seconds. Single-run timings on a
+  * shared box — treat as order-of-magnitude evidence (the CLAUDE.md ±40%
+  * caveat), the SHAPE of the comparison (sharded vs single-task sort) is
+  * the result, not the third digit. */
+object Stress {
+
+  private def time[A](label: String)(f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] $label%-28s ${s}%8.2f s")
+    (a, s)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toDouble).getOrElse(1.0)
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = SparkSession.builder()
+      .appName("graft-stress")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      val nHot = (1e7 * scale).toLong max 10L
+      val nWide = (1e6 * scale).toLong max 10L
+      val nClique = (1e6 * scale).toLong max 10L
+      val nOrganic = (1e5 * scale).toLong max 10L
+
+      // ---- hot series: one locator, nHot points, values hash-derived ----
+      val hot = spark.range(nHot).select(
+        lit("t").as("tenant_id"), lit("hot").as("metric_name"),
+        (col("id") * 1000L).as("ts_ms"),
+        (pmod(xxhash64(col("id")), lit(1000000L)) / 1000.0).as("value"))
+      println(s"[stress] shapes: hot=$nHot wide=$nWide clique=$nClique")
+
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def run(label: String)(df: => DataFrame): Unit = {
+        val (n, s) = time(label)(df.count())
+        results += ((label, n, s))
+      }
+
+      run("mad_hot_global")(Series.madOutliers(hot))
+      run("mad_hot_sharded")(Series.madOutliersSharded(hot))
+      run("m4_hot_b1000")(Series.m4Downsample(hot, 1000))
+      run("alert_hot_1pct")(Anomaly.alertIntervals(
+        hot.withColumn("is_anomaly", col("value") > 990.0), gapMs = 60000L))
+      // as-of: every 1000th point is a "baseline" right row; the bounded
+      // 1h lookback shards the hot series' window by time bucket
+      run("asof_hot_1h")(TimeJoin.asOf(
+        hot, "ts_ms",
+        hot.filter(col("id") % 1000 === 0)
+          .select(col("tenant_id"), col("metric_name"),
+            col("ts_ms").as("rts"), col("value").as("baseline")),
+        "rts", Seq("tenant_id", "metric_name"), withinMs = Some(3600000L)))
+
+      // ---- wide store: nWide single-point series ----
+      val wide = spark.range(nWide).select(
+        lit("t").as("tenant_id"),
+        concat(lit("m_"), col("id")).as("metric_name"),
+        lit(0L).as("ts_ms"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)) / 10.0).as("value"))
+      run("mad_wide_global")(Series.madOutliers(wide))
+      run("mad_wide_sharded")(Series.madOutliersSharded(wide))
+      run("m4_wide_b4")(Series.m4Downsample(wide, 4))
+
+      // ---- degenerate clique: nClique identical hashes + organic tail +
+      // planted hamming-2 twins. The cap DROPS hot buckets (candidate
+      // recall trades away only for degenerate-clique members, the
+      // documented semantics) — the planted twins prove organic near-dup
+      // recall survives beside a million-member clique, and the run
+      // completing at all is the point: uncapped, the clique alone is
+      // ~5·10¹¹ candidate pairs.
+      val nPlanted = (1000 * scale).toLong max 5L
+      val clique = spark.range(nClique)
+        .select(col("id"), lit(0L).as("h"))
+        .unionByName(spark.range(nOrganic)
+          .select((col("id") + nClique).as("id"),
+            xxhash64(col("id"), lit(3)).as("h")))
+        .unionByName(spark.range(nPlanted)
+          .select((col("id") + nClique + nOrganic).as("id"),
+            xxhash64(col("id"), lit(3)).bitwiseXOR(lit(3L)).as("h")))
+      run("hamming_clique_cap64")(Dedup.hammingNearDups(
+        clique, "id", "h", maxDist = 3, maxBucket = Some(64L)))
+
+      println("[stress] | shape/op | rows out | seconds |")
+      println("[stress] |---|---|---|")
+      results.foreach { case (l, n, s) =>
+        println(f"[stress] | $l | $n | ${s}%.2f |")
+      }
+    } finally spark.stop()
+  }
+}

@@ -912,9 +912,9 @@ object SeriesQueries {
     * a value both engines already hold), the deviation is one IEEE op over
     * identical operands, and the flag compares against `mad·k` with k cast
     * to DOUBLE on the oracle side (bare SQL decimal literals type as
-    * DECIMAL and change the multiply). */
-  private val mad = QDef(
-    "q_series_mad",
+    * DECIMAL and change the multiply). The SQL is shared verbatim with
+    * [[madSharded]] — the two engine forms must agree with ONE truth. */
+  private val madSql =
     s"""WITH ${OracleViews.metricsCte},
        |rk AS (
        |  SELECT tenant_id, metric_name, ts_ms, value,
@@ -946,10 +946,25 @@ object SeriesQueries {
        |       (md.mad > 0 AND d.adev > md.mad * CAST(3.0 AS DOUBLE))
        |         AS is_outlier
        |FROM dev d JOIN mad md USING (tenant_id, metric_name)
-       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
-    (s, dir) =>
-      Series.madOutliers(Tables.metrics(s, dir), k = 3.0)
-        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin
+
+  private val mad = QDef("q_series_mad", madSql) { (s, dir) =>
+    Series.madOutliers(Tables.metrics(s, dir), k = 3.0)
+      .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
+  /** [[Series.madOutliersSharded]] — the hot-series scale path: two-phase
+    * rank selection over order-preserving value-bit buckets
+    * ([[graft.functions.DoubleOrderBits]]), no per-series sort anywhere.
+    * Deliberately proven against the SAME oracle SQL as [[mad]]: the
+    * sharded rewrite's whole claim is bit-identity with the global-sort
+    * form (bucketing monotonicity ⇒ membership-invariant selection), so a
+    * shared oracle makes any divergence a loud hash failure. The bucket
+    * image itself never surfaces (it steers work placement only), which
+    * is why nothing here needs restating in DuckDB. */
+  private val madSharded = QDef("q_series_mad_sharded", madSql) { (s, dir) =>
+    Series.madOutliersSharded(Tables.metrics(s, dir), k = 3.0)
+      .orderBy("tenant_id", "metric_name", "ts_ms", "value")
   }
 
   /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
@@ -1013,5 +1028,5 @@ object SeriesQueries {
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
-    m4, mad, resample)
+    m4, mad, madSharded, resample)
 }

@@ -141,14 +141,32 @@ object BucketedStore {
     * the partition column last. Dynamic mode must be set via the SESSION
     * conf for the duration of the insert — `insertInto` ignores the
     * per-write option, and static mode would silently truncate every
-    * partition NOT in the slice; the prior conf value is restored. */
+    * partition NOT in the slice; the prior conf value is restored.
+    *
+    * File-count discipline (why the mirror needs NO compaction arm in
+    * [[graft.Maintain]]): dynamic overwrite REPLACES each dirty day's
+    * files — re-rolls never accumulate — and the slice is first
+    * repartitioned by the table's own bucket hash
+    * (`HashPartitioning(bucketCols, nBuckets)` — identical to the bucket
+    * id expression), so every task holds exactly one bucket and each day
+    * lands at ≤ nBuckets files, forever. Without the alignment, a
+    * bucketed write emits one file per (task × bucket) — 32 shuffle
+    * partitions × 64 buckets = up to 2048 files per day, re-paid on
+    * every re-roll. BucketedStoreSpec measures both invariants. */
   def overwriteDays(spark: SparkSession, slice: DataFrame,
       tableName: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $tableName carries no bucket spec"))
     val cols = spark.table(tableName).columns
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try slice.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    try slice.select(cols.map(col): _*)
+      .repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite")
       .insertInto(tableName)
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))

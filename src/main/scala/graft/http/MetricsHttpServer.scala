@@ -60,7 +60,9 @@ import java.util.concurrent.atomic.AtomicLong
   *    render-API wire shape over the same panel functions (see
   *    [[renderView]]): raw globs, `lttb`/`m4` decimation, the
   *    `sumSeries`/`averageSeries`/`maxSeries`/`minSeries`/
-  *    `percentileOfSeries` aggregations
+  *    `percentileOfSeries` aggregations, per-series `summarize`
+  *  - `GET /metrics/find?query=&tenant=` — the Graphite metric-tree
+  *    browse (Grafana's picker; treejson shape — see [[metricsFind]])
   *  - `GET /v2.0/:tenant/alerts/episodes?from&until[&metric]` — closed
   *    incident episodes from the [[graft.streaming.AlertStream]] daemon's
   *    sink table (see [[alertEpisodes]])
@@ -198,6 +200,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   // Graphite-ecosystem dashboards actually speak when fronting a
   // Blueflood deployment) — same dispatcher, see [[renderView]]
   server.createContext("/render", (ex: HttpExchange) => handle(ex))
+  // Graphite metric-tree browse (Grafana's picker); the LONGER prefix
+  // wins over the bare /metrics counters context below
+  server.createContext("/metrics/find", (ex: HttpExchange) => handle(ex))
   // operational counters (reference: Instrumentation.java meters, exposed
   // through its JMX/graphite reporters) — out-of-band of the /v2.0 API
   server.createContext("/metrics", (ex: HttpExchange) =>
@@ -250,6 +255,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           sendPreflight(ex)
         case (List("render"), "GET") =>
           renderView(ex)
+        case (List("metrics", "find"), "OPTIONS") =>
+          sendPreflight(ex)
+        case (List("metrics", "find"), "GET") =>
+          metricsFind(ex)
         case ("v2.0" :: tenant :: "ingest" :: rest, "POST")
             if rest.isEmpty || rest == List("multi") =>
           ingest(ex, tenant, scoped = rest.nonEmpty)
@@ -775,6 +784,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    named by the target expression (the Graphite convention)
     *  - `percentileOfSeries(<glob>,N)` —
     *    [[graft.operators.Series.quantileOfSeries]]
+    *  - `summarize(<glob>,"<interval>"[,"<func>"])` — per-series
+    *    re-bucketing onto the display interval
+    *    ([[graft.operators.Series.summarize]]; func sum|avg|max|min|last)
     *
     * `from`/`until` take the full Graphite datetime grammar and default to
     * `-24h`/`now`; `maxDataPoints` maps onto the points-budget resolution
@@ -843,6 +855,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               collectSeries(graft.operators.Series
                   .quantileOfSeries(pts(glob), glob, pct / 100.0, bucketMs = 1L),
                 "bucket_ms", "qvalue", Some(t))
+            case "summarize" =>
+              // summarize(<glob>,"<interval>"[,"<func>"]) — per-series
+              // re-bucketing onto the dashboard's display interval
+              val ivl = args.lift(1).map(stripQuotes).getOrElse(
+                throw new IllegalArgumentException(
+                  s"summarize needs an interval in '$t'"))
+              val stat = args.lift(2).map(stripQuotes).getOrElse("sum")
+              collectSeries(graft.operators.Series
+                  .summarize(pts(glob), parseIntervalMs(ivl), stat),
+                "bucket_ms", "value", None)
             case other => throw new IllegalArgumentException(
               s"unknown render function '$other' in target '$t'")
           }
@@ -1119,6 +1141,69 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       }
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally inflightReads.remove(ex)
+  }
+
+  /** Strip one layer of matching quotes — Graphite target args quote
+    * interval/func strings (`summarize(a.b,"1hour","sum")`). */
+  private def stripQuotes(s0: String): String = {
+    val s = s0.trim
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+        (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
+    else s
+  }
+
+  /** Graphite interval grammar → millis: `<n><unit>`, unit one of
+    * s/sec/seconds, min/minutes, h/hour/hours, d/day/days, w/week/weeks. */
+  private def parseIntervalMs(ivl: String): Long = {
+    val Re = """(\d+)\s*(s|sec|seconds?|min|minutes?|h|hours?|d|days?|w|weeks?)""".r
+    ivl.trim match {
+      case Re(n, u) =>
+        val unit = u match {
+          case "s" | "sec" | "second" | "seconds" => 1000L
+          case "min" | "minute" | "minutes" => 60000L
+          case "h" | "hour" | "hours" => 3600000L
+          case "d" | "day" | "days" => 86400000L
+          case _ => 7L * 86400000L
+        }
+        n.toLong * unit
+      case other => throw new IllegalArgumentException(
+        s"bad interval '$other' — expected <n><s|min|h|d|w>")
+    }
+  }
+
+  /** `GET /metrics/find?query=<glob>&tenant=` — the Graphite metric-tree
+    * browse endpoint (what a Grafana graphite datasource calls to expand
+    * the picker). One level per call, exactly graphite-web's contract:
+    * entries are the next-level nodes under the query, `leaf`/`expandable`
+    * merged per node (a prefix can be BOTH a complete name and a parent).
+    * Backed by [[Discovery.metricNameBrowse]] — the same relational
+    * browse the v2.0 `metric_name/search` route serves, re-shaped to
+    * Graphite treejson. */
+  private def metricsFind(ex: HttpExchange): Unit = {
+    val q = queryParams(ex)
+    val tenant = q.getOrElse("tenant",
+      throw new IllegalArgumentException("tenant= is required"))
+    val query = q.getOrElse("query",
+      throw new IllegalArgumentException("query= is required"))
+    val rows = Discovery.metricNameBrowse(
+        MetricsQueryApi.storeCatalog(spark, storeDir), tenant, query)
+      .collect()
+    // merge the (name, is_complete) pairs: leaf = any complete,
+    // expandable = any incomplete — preserving name order
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Boolean)]
+    rows.foreach { r =>
+      val (name, complete) = (r.getString(0), r.getBoolean(1))
+      val (l, e) = merged.getOrElse(name, (false, false))
+      merged(name) = (l || complete, e || !complete)
+    }
+    val body = merged.map { case (name, (leaf, exp)) =>
+      val text = name.substring(name.lastIndexOf('.') + 1)
+      s"""{"text": ${jStr(text)}, "id": ${jStr(name)}, """ +
+        s""""leaf": ${if (leaf) 1 else 0}, """ +
+        s""""expandable": ${if (exp) 1 else 0}, """ +
+        s""""allowChildren": ${if (exp) 1 else 0}}"""
+    }.mkString("[", ", ", "]")
+    sendJson(ex, 200, body)
   }
 
   /** CORS preflight response (reference HttpOptionsHandler.java:28-41:

@@ -743,6 +743,116 @@ object Series {
         col("mad"), col("adev"), col("is_outlier")): _*)
   }
 
+  /** Graphite's `summarize(series, "interval", "func")` — re-bucket each
+    * series' served points onto a caller-chosen interval WITHIN the
+    * series (where [[aggregateSeries]] crosses series per bucket, this
+    * crosses time per series): the ad-hoc rollup a dashboard asks for
+    * when the stored tiers don't match its display interval. Bucketing is
+    * the epoch-aligned integer snap every rollup here uses; sums/means
+    * accumulate in exact DECIMAL (the rollup mean recipe), so results are
+    * layout-invariant. One map-side-combining aggregation — shuffle
+    * volume is series × buckets, never points. */
+  def summarize(points: DataFrame, bucketMs: Long, stat: String): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val dec = DecimalType(28, 2)
+    val statCol = stat match {
+      case "sum" => sum(col("value").cast(dec)).cast("double")
+      case "avg" | "mean" =>
+        sum(col("value").cast(dec)).cast("double") / count(lit(1))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "last" => max(struct(col("ts_ms"), col("value"))).getField("value")
+      case other => throw new IllegalArgumentException(
+        s"summarize func must be one of sum|avg|max|min|last, got '$other'")
+    }
+    points
+      .groupBy(col("tenant_id"), col("metric_name"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg(statCol.as("value"), count(lit(1)).as("n_points"))
+  }
+
+  /** [[madOutliers]] with TWO-PHASE SHARDED rank selection — the
+    * hot-series scale path: where madOutliers sorts each series in a
+    * single task (fine for the render-path/rollup-tier inputs it targets,
+    * but a wall for a pathological billion-point series), this form never
+    * sorts a series at all. It is the [[Sampling.selectByTokenBudget]]
+    * histogram-cutoff pattern applied to per-series medians, with one
+    * twist: the cutoff arithmetic is DISTRIBUTED (a tiny per-series
+    * bucket-count window), never a driver collect — there can be millions
+    * of series.
+    *
+    * Phase 1: bucket every value by the top `bucketBits` bits of its
+    * order-preserving bit image ([[graft.functions.DoubleOrderBits]] —
+    * monotone, equal values share a bucket, NO distribution probe needed)
+    * and count per (series, bucket) — one map-side-combining aggregation.
+    * Phase 2: per series, a cumulative-count window over its OCCUPIED
+    * buckets (≤ distinct value-prefixes, not points) finds the bucket
+    * holding rank (n+1) div 2 and the rank's offset inside it. Phase 3:
+    * only the BOUNDARY bucket's rows sort, per series, to select the
+    * median value — a task bounded by the densest single bucket
+    * (≈ n / 2⁹ per exponent at the default 20 bits), not by n. The MAD
+    * selection repeats the same three phases on |v − med|.
+    *
+    * Bit-identical to [[madOutliers]] for any input: selection depends
+    * only on bucketing monotonicity, which the bit image guarantees —
+    * bucket width steers WORK placement, never membership (the
+    * selectByTokenBudget exactness argument; SeriesSpec proves ≡ on the
+    * gate corpus and adversarial shapes). Degenerate case: a series whose
+    * every value is IDENTICAL routes its whole mass into one bucket — and
+    * costs one sort of equal keys; the constant-series fast answer
+    * (mad = 0) is not special-cased to keep the ≡ proof unconditional. */
+  def madOutliersSharded(points: DataFrame, k: Double = 3.0,
+      bucketBits: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(bucketBits >= 1 && bucketBits <= 63,
+      s"bucketBits must be in [1, 63], got $bucketBits")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ser = Seq("tenant_id", "metric_name")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      shiftrightunsigned(ColumnBridge.column(
+        graft.functions.DoubleOrderBits(ColumnBridge.expression(c))),
+        64 - bucketBits)
+    // rank-select the per-series LOWER median of `valueCol` as `out`
+    def rankSelect(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val cnts = df
+        .groupBy(ser.map(col) :+ bucketOf(col(valueCol)).as("__bk"): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val wCum = Window.partitionBy(ser.map(col): _*).orderBy(col("__bk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(ser.map(col): _*)
+      // one row per series: the boundary bucket + the rank's offset in it
+      // (materialize-once: its lineage is the corpus-scale count pass and
+      // the boundary join below re-reads it)
+      val bounds = cnts
+        .withColumn("__cum", sum(col("__cnt")).over(wCum))
+        .withColumn("__n", sum(col("__cnt")).over(wAll))
+        .withColumn("__k", expr("(__n + 1L) div 2L"))
+        .filter(col("__cum") >= col("__k") &&
+          col("__cum") - col("__cnt") < col("__k"))
+        .select(ser.map(col) ++ Seq(col("__bk"),
+          (col("__k") - (col("__cum") - col("__cnt"))).as("__lk")): _*)
+        .localCheckpoint()
+      val wLoc = Window.partitionBy(ser.map(col): _*).orderBy(col(valueCol))
+      df.join(bounds, ser)
+        .filter(bucketOf(col(valueCol)) === col("__bk"))
+        .withColumn("__rn", row_number().over(wLoc))
+        .filter(col("__rn") === col("__lk"))
+        .select(ser.map(col) :+ col(valueCol).as(out): _*)
+    }
+    val base = points
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value")): _*)
+    val med = rankSelect(base, "value", "med")
+    val dev = base.join(med, ser)
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = rankSelect(
+      dev.select(ser.map(col) :+ col("adev"): _*), "adev", "mad")
+    dev.join(mad, ser)
+      .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),
+        col("mad"), col("adev"), col("is_outlier")): _*)
+  }
+
   /** Resample each series onto a regular `stepMs` grid by linear
     * interpolation between its neighboring samples — the alignment pass
     * before any cross-series arithmetic over irregularly collected points

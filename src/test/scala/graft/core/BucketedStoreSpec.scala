@@ -79,4 +79,42 @@ class BucketedStoreSpec extends AnyFunSuite with SparkSuite {
         nBuckets = 8))
     assert(e.getMessage.contains("partitioned"))
   }
+
+  test("dirty-day overwrites never fragment the mirror: per-day file count " +
+    "is <= nBuckets and CONSTANT across re-rolls (no compaction arm needed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed3").toString
+    val nBuckets = 8
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "tenant_id STRING, metric_name STRING, bucket_ms BIGINT, " +
+        "avg_v DOUBLE, ts_day BIGINT")
+    BucketedStore.registerPartitioned(spark, "bucketed_mirror_spec",
+      s"$dir/t", schema, nBuckets)
+    val day = 19700L
+    def slice(stamp: Double) = (0 until 500).map(i =>
+        ("t", s"m_${i % 50}", day * 86400000L + i * 60000L, stamp + i, day))
+      .toDF("tenant_id", "metric_name", "bucket_ms", "avg_v", "ts_day")
+      .repartition(7) // deliberately task-misaligned input layout
+    def dayFiles(): Int = {
+      val d = new java.io.File(s"$dir/t/ts_day=$day")
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    }
+    BucketedStore.overwriteDays(spark, slice(0.0), "bucketed_mirror_spec")
+    val first = dayFiles()
+    assert(first > 0 && first <= nBuckets,
+      s"bucket-hash alignment must bound the day at <= $nBuckets files, got $first")
+    // three re-rolls of the SAME day: replaced, never accumulated
+    for (i <- 1 to 3) {
+      BucketedStore.overwriteDays(spark, slice(i * 1000.0), "bucketed_mirror_spec")
+      assert(dayFiles() === first, s"re-roll $i changed the day's file count")
+    }
+    // the last re-roll's content won (dynamic overwrite replaced the day)
+    val served = BucketedStore.table(spark, "bucketed_mirror_spec")
+    assert(served.agg(min("avg_v")).head().getDouble(0) === 3000.0)
+    assert(served.count() === 500)
+    // and the mirror still serves its zero-shuffle contract after re-rolls
+    val agg = served.groupBy("tenant_id", "metric_name")
+      .agg(count(lit(1)).as("n"))
+    assert(shuffles(agg) === 0, agg.queryExecution.executedPlan.toString)
+  }
 }

@@ -567,6 +567,36 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val pc = get(s"$base/render?target=percentileOfSeries(app.*,100)&$range")
       assert(pc.statusCode() === 200, pc.body())
       assert(pc.body().contains("500.0"), pc.body())
+      // summarize: per-series re-bucket; 30 5m points over a quoted 1h
+      // interval -> at most 4 buckets per series, sums way above any
+      // single base point
+      val sm = get(s"$base/render?" +
+        java.net.URLEncoder.encode("target", "UTF-8") + "=" +
+        java.net.URLEncoder.encode("""summarize(app.*,"1h","sum")""", "UTF-8") +
+        s"&$range")
+      assert(sm.statusCode() === 200, sm.body())
+      assert(sm.body().contains(""""target": "app.a""""), sm.body())
+      val smN = """"target":""".r.findAllIn(sm.body()).length
+      assert(smN === 2, sm.body())
+      assert(get(s"$base/render?target=summarize(app.*,%22bogus%22)&$range")
+        .statusCode() === 400)
+
+      // /metrics/find: the Grafana picker tree — one level per call,
+      // leaf/expandable merged per node
+      val f1 = get(s"$base/metrics/find?query=*&tenant=acme")
+      assert(f1.statusCode() === 200, f1.body())
+      assert(f1.body().contains(
+        """{"text": "app", "id": "app", "leaf": 0, "expandable": 1"""),
+        f1.body())
+      val f2 = get(s"$base/metrics/find?query=app.*&tenant=acme")
+      assert(f2.statusCode() === 200, f2.body())
+      assert(f2.body().contains(
+        """{"text": "a", "id": "app.a", "leaf": 1, "expandable": 0"""),
+        f2.body())
+      assert(get(s"$base/metrics/find?tenant=acme").statusCode() === 400)
+      // the bare /metrics counters context still serves (longest-prefix
+      // routing did not shadow it)
+      assert(get(s"$base/metrics").statusCode() === 200)
 
       // validation: unknown fn, bad format, missing tenant/target, O2 cap
       assert(get(s"$base/render?target=bogus(app.*)&$range").statusCode() === 400)

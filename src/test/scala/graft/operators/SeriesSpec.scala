@@ -465,6 +465,37 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(!got.keySet.exists(_._1 == "s"), "no aligned tick inside the span")
   }
 
+  test("madOutliersSharded ≡ madOutliers: gate corpus + adversarial shapes " +
+    "(duplicates, negatives, constants, single points, even/odd counts)") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+      .toSet
+    // real corpus: every series of the sf0.001 gate data, bit-identical
+    val corpus = graft.core.Tables.metrics(spark, "/root/testdata/sf0.001")
+    assert(canon(Series.madOutliersSharded(corpus)) ===
+      canon(Series.madOutliers(corpus)))
+    // adversarial: heavy duplicates (one bucket holds the median mass),
+    // negatives (bit-image order must hold below zero), constants,
+    // single-point and even-count series, values straddling exponents
+    val adv = pts(Seq(
+      ("t", "dup", 0L, 5.0), ("t", "dup", 1L, 5.0), ("t", "dup", 2L, 5.0),
+      ("t", "dup", 3L, 5.0), ("t", "dup", 4L, 900.0),
+      ("t", "neg", 0L, -8.5), ("t", "neg", 1L, -2.25), ("t", "neg", 2L, -0.5),
+      ("t", "neg", 3L, 4.0), ("t", "neg", 4L, -100.0),
+      ("t", "const", 0L, 7.0), ("t", "const", 1L, 7.0), ("t", "const", 2L, 7.0),
+      ("t", "one", 0L, 3.25),
+      ("t", "even", 0L, 1.0), ("t", "even", 1L, 2.0), ("t", "even", 2L, 3.0),
+      ("t", "even", 3L, 10.0),
+      ("t", "exp", 0L, 0.001), ("t", "exp", 1L, 1.0), ("t", "exp", 2L, 1024.0),
+      ("t", "exp", 3L, 1.0e300), ("t", "exp", 4L, -1.0e-300)))
+      .repartition(7) // adversarial layout: membership must not care
+    for (bits <- Seq(1, 4, 20, 63)) // membership never depends on width
+      assert(canon(Series.madOutliersSharded(adv, bucketBits = bits)) ===
+        canon(Series.madOutliers(adv)), s"bucketBits=$bits")
+    intercept[IllegalArgumentException](Series.madOutliersSharded(adv, bucketBits = 0))
+  }
+
   test("resampleLinear: bounded-grid contract fails loud, per series") {
     // two points a "year" apart at step=1: the amplification the contract
     // exists to stop — the guard fires BEFORE the sequence materializes
