@@ -967,6 +967,27 @@ object SeriesQueries {
       .orderBy("tenant_id", "metric_name", "ts_ms", "value")
   }
 
+  /** Graphite `summarize` ([[Series.summarize]]): per-series re-bucketing
+    * onto a display interval — exact-DECIMAL sums surfaced as DOUBLE (the
+    * rollup recipe), integer-snap bucketing, so the whole row is one
+    * GROUP BY both engines state identically. */
+  private val summarizeQ = {
+    val bucketMs = 21600000L // the 6h display interval of the resample twin
+    QDef(
+      "q_series_summarize",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name,
+         |       (ts_ms // $bucketMs) * $bucketMs AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
+         |       COUNT(*) AS n_points
+         |FROM metrics GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) {
+      (s, dir) =>
+        Series.summarize(Tables.metrics(s, dir), bucketMs, "sum")
+          .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
   /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
     * timestamps collapse to exact-DECIMAL means first; prev/next restate
     * as two DuckDB ASOF joins (the q_asof_* pattern — the "next" side
@@ -1028,5 +1049,5 @@ object SeriesQueries {
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
-    m4, mad, madSharded, resample)
+    m4, mad, madSharded, summarizeQ, resample)
 }
