@@ -47,7 +47,9 @@ object Stress {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here (the JVM is already running
+      // under sbt) — size it via the launcher (build.sbt run / javaOptions
+      // or SBT_OPTS) if a shape OOMs
       .getOrCreate()
     import spark.implicits._
     try {

@@ -528,9 +528,14 @@ object RollupQueries2 {
     * is merge-order-dependent by construction — the deterministic
     * scale-path sketch is the HDR histogram ([[timerHdr60m]]).
     *
-    * Non-percentile stats follow the [[RollupQueries]] deterministic
-    * convention (exact DECIMAL sums, derived scalars); rate is one double
-    * division by the granularity span on both sides. */
+    * The engine side IS [[Rollups.timerApproxFromRaw]] — the gate
+    * exercises the operator's digest, extremes, count, and rate verbatim.
+    * Only its plain-double `sum_v`/`avg_v` are replaced by exact-DECIMAL
+    * twins (one extra aggregation over the same scan, joined on the
+    * window key): a double sum's last ulps are partition-order-dependent
+    * and unhashable by design — the repo-wide QDef convention, stated in
+    * api/QDef.scala's scaladoc. Rate is one double division by the
+    * granularity span on both sides. */
   private val timerApprox60m = {
     val g = Granularity.MIN_60
     QDef(
@@ -566,21 +571,17 @@ object RollupQueries2 {
          |FROM agg a JOIN q50 USING (tenant_id, metric_name, bucket_ms)
          |           JOIN q95 USING (tenant_id, metric_name, bucket_ms)
          |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
-      Tables.metrics(s, dir)
+      val pts = Tables.metrics(s, dir)
+      val key = Seq("tenant_id", "metric_name", "bucket_ms")
+      val op = Rollups.timerApproxFromRaw(pts, g)
+        .select((key ++ Seq("num_points", "min_v", "max_v", "p50", "p95",
+          "rate")).map(col): _*)
+      val sums = pts
         .groupBy(col("tenant_id"), col("metric_name"),
           Tables.bucketMs(col("ts_ms"), g).as("bucket_ms"))
-        .agg(
-          count(col("value")).as("num_points"),
-          sumDec(col("value")).as("sum_v"),
-          min(col("value")).as("min_v"),
-          max(col("value")).as("max_v"),
-          approx_percentile(col("value"), array(lit(0.5), lit(0.95)),
-            lit(10000)).as("ps"))
+        .agg(sumDec(col("value")).as("sum_v"))
+      op.join(sums, key)
         .withColumn("avg_v", col("sum_v") / col("num_points"))
-        .withColumn("p50", col("ps").getItem(0))
-        .withColumn("p95", col("ps").getItem(1))
-        .drop("ps")
-        .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
         .select("tenant_id", "metric_name", "bucket_ms", "num_points",
           "sum_v", "avg_v", "min_v", "max_v", "p50", "p95", "rate")
         .orderBy("tenant_id", "metric_name", "bucket_ms")

@@ -8,7 +8,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * standard total-order transform (negatives bit-complemented, positives
   * sign-flipped), so UNSIGNED order of the image == Spark SQL's double sort
   * order — including NaN (canonical bits, positive sign) landing ABOVE
-  * every finite value, exactly Spark's NaN-largest semantics. Taking the
+  * every finite value, exactly Spark's NaN-largest semantics, and -0.0
+  * CANONICALIZED to +0.0 first: Spark's sort comparator
+  * (nanSafeCompareDoubles) ranks the two zeros EQUAL, so without the
+  * canonicalization they would image into different buckets and "equal
+  * doubles share a bucket" — the exactness invariant — would silently
+  * break on data containing negative zeros. Taking the
   * image's top bits therefore yields a MONOTONE value bucketing with equal
   * doubles always sharing a bucket — the property two-phase rank selection
   * needs for bit-exact per-series medians without a per-series global sort
@@ -41,7 +46,7 @@ case class DoubleOrderBits(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val b = ctx.freshName("bits")
       s"""
-         |long $b = Double.doubleToLongBits($c);
+         |long $b = Double.doubleToLongBits($c == 0.0d ? 0.0d : $c);
          |${ev.value} = ($b < 0L) ? ~$b : ($b ^ Long.MIN_VALUE);
        """.stripMargin
     })
@@ -51,9 +56,10 @@ case class DoubleOrderBits(child: Expression) extends UnaryExpression {
 }
 
 object DoubleOrderBits {
-  /** The eval-path twin of the generated code. */
+  /** The eval-path twin of the generated code (`v == 0.0` is true for
+    * BOTH zeros — the canonicalization branch). */
   def image(v: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(v)
+    val b = java.lang.Double.doubleToLongBits(if (v == 0.0d) 0.0d else v)
     if (b < 0L) ~b else b ^ Long.MinValue
   }
 }

@@ -247,6 +247,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             if rest.headOption.contains("views") ||
               rest.headOption.contains("series") ||
               rest.headOption.contains("experimental") ||
+              rest.headOption.contains("alerts") ||
               rest == List("metrics", "search") ||
               rest == List("metric_name", "search") ||
               rest == List("events", "getEvents") =>
@@ -825,7 +826,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       }
       t match {
         case Fn(fn, argStr) =>
-          val args = argStr.split(",")
+          // split on commas OUTSIDE braces: '{a,b}' alternation globs are
+          // first-class in GlobPattern, so sumSeries(app.{lat,err}) must
+          // keep its glob whole — a naive split would hand toRegex the
+          // unbalanced 'app.{lat' and 400 a valid Graphite target
+          val args = splitTargetArgs(argStr)
           require(args.nonEmpty && args(0).trim.nonEmpty,
             s"target '$t' needs a metric glob")
           val glob = args(0).trim
@@ -1137,10 +1142,32 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       while (n >= 0) {
         out.write(buf, 0, n)
         if (out.size > maxBodyBytes) throw new PayloadTooLarge(out.size.toLong)
+        // IDLE deadline, not total-transfer (the IdleStateHandler
+        // semantics claimed above): each arriving chunk refreshes it, so
+        // a slow-but-active uploader of a near-cap body is never reaped —
+        // only a client that stops sending for the whole budget is
+        inflightReads.put(ex, System.currentTimeMillis() + bodyReadTimeoutMs)
         n = in.read(buf)
       }
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally inflightReads.remove(ex)
+  }
+
+  /** Render-target argument split: commas inside `{...}` glob alternation
+    * stay part of their argument ([[GlobPattern]] braces nest, so depth is
+    * tracked, not toggled). */
+  private def splitTargetArgs(argStr: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    argStr.foreach {
+      case '{' => depth += 1; sb.append('{')
+      case '}' => depth -= 1; sb.append('}')
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.toArray
   }
 
   /** Strip one layer of matching quotes — Graphite target args quote
@@ -1185,9 +1212,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       throw new IllegalArgumentException("tenant= is required"))
     val query = q.getOrElse("query",
       throw new IllegalArgumentException("query= is required"))
+    // row-capped like every other facade collect (limit pushed into the
+    // query): a '*'-ish browse level on a million-locator store must 400
+    // on the budget, not pull the level into the facade heap
     val rows = Discovery.metricNameBrowse(
         MetricsQueryApi.storeCatalog(spark, storeDir), tenant, query)
-      .collect()
+      .limit(MaxSeriesPanelPoints + 1).collect()
+    require(rows.length <= MaxSeriesPanelPoints,
+      s"browse level exceeds $MaxSeriesPanelPoints nodes — narrow the query")
     // merge the (name, is_complete) pairs: leaf = any complete,
     // expandable = any incomplete — preserving name order
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Boolean)]

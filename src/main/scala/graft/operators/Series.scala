@@ -813,7 +813,12 @@ object Series {
       shiftrightunsigned(ColumnBridge.column(
         graft.functions.DoubleOrderBits(ColumnBridge.expression(c))),
         64 - bucketBits)
-    // rank-select the per-series LOWER median of `valueCol` as `out`
+    // rank-select the per-series LOWER median of `valueCol` as `out`.
+    // The boundary sort ties on ts_ms exactly like the global form's rank
+    // windows: value ties (incl. the canonicalized ±0.0 pair) must select
+    // the SAME ROW as madOutliers or the reported median's representation
+    // could differ (-0.0 vs 0.0 renders differently even though the sort
+    // ranks them equal).
     def rankSelect(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val cnts = df
         .groupBy(ser.map(col) :+ bucketOf(col(valueCol)).as("__bk"): _*)
@@ -833,7 +838,8 @@ object Series {
         .select(ser.map(col) ++ Seq(col("__bk"),
           (col("__k") - (col("__cum") - col("__cnt"))).as("__lk")): _*)
         .localCheckpoint()
-      val wLoc = Window.partitionBy(ser.map(col): _*).orderBy(col(valueCol))
+      val wLoc = Window.partitionBy(ser.map(col): _*)
+        .orderBy(col(valueCol), col("ts_ms"))
       df.join(bounds, ser)
         .filter(bucketOf(col(valueCol)) === col("__bk"))
         .withColumn("__rn", row_number().over(wLoc))
@@ -846,7 +852,8 @@ object Series {
     val dev = base.join(med, ser)
       .withColumn("adev", abs(col("value") - col("med")))
     val mad = rankSelect(
-      dev.select(ser.map(col) :+ col("adev"): _*), "adev", "mad")
+      dev.select(ser.map(col) ++ Seq(col("ts_ms"), col("adev")): _*),
+      "adev", "mad")
     dev.join(mad, ser)
       .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),

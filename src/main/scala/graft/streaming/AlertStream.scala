@@ -46,9 +46,16 @@ object AlertStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          batch.write.mode("overwrite")
-            .parquet(s"$storeDir/alert_episodes/batch_id=$id")
+        // persist: isEmpty would otherwise run the whole
+        // flatMapGroupsWithState micro-batch plan a SECOND time for the
+        // write (the DocumentStream pattern)
+        val cached = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!cached.isEmpty)
+            cached.write.mode("overwrite")
+              .parquet(s"$storeDir/alert_episodes/batch_id=$id")
+        } finally cached.unpersist()
       }
     (if (availableNow)
       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -63,7 +70,10 @@ object AlertStream {
       spark.read.parquet(s"$storeDir/alert_episodes")
     else {
       import spark.implicits._
-      Seq.empty[(String, String, Long, Long, Long, Long, Option[Double], Long)]
+      // batch_id as INT: partition-value inference types the populated
+      // store's batch_id=N dirs as IntegerType — the empty frame must
+      // declare the SAME type or the served schema flips with store state
+      Seq.empty[(String, String, Long, Long, Long, Long, Option[Double], Int)]
         .toDF("tenant_id", "metric_name", "start_ms", "end_ms",
           "duration_ms", "n_points", "peak_abs_z", "batch_id")
     }

@@ -35,13 +35,17 @@ class OrderBitsSpec extends AnyFunSuite {
     }
   }
 
-  test("canonical spot checks: -inf < min < -0.0 < +0.0 < max < +inf < NaN") {
+  test("canonical spot checks: -inf < min < subnormals < zeros < max < +inf < NaN") {
     val order = Seq(Double.NegativeInfinity, Double.MinValue, -1.0,
-      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue, 1.0,
+      -Double.MinPositiveValue, 0.0, Double.MinPositiveValue, 1.0,
       Double.MaxValue, Double.PositiveInfinity, Double.NaN)
     order.sliding(2).foreach { w =>
       assert(java.lang.Long.compareUnsigned(img(w(0)), img(w(1))) < 0,
         s"${w(0)} must image-order before ${w(1)}")
     }
+    // ±0.0 CANONICALIZE to one image: Spark's sort ranks the two zeros
+    // equal, so distinct images would put "equal" doubles in different
+    // buckets and break the sharded median's membership invariant
+    assert(img(-0.0) === img(0.0))
   }
 }

@@ -557,6 +557,16 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val ag = get(s"$base/render?target=sumSeries(app.*)&$range")
       assert(ag.statusCode() === 200, ag.body())
       assert(ag.body().contains(""""target": "sumSeries(app.*)""""), ag.body())
+      // brace-alternation globs survive the target-arg split (a naive
+      // comma split would hand toRegex the unbalanced 'app.{a' and 400)
+      val br = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("sumSeries(app.{a,b})", "UTF-8") +
+        s"&$range")
+      assert(br.statusCode() === 200, br.body())
+      assert(br.body().contains(""""target": "sumSeries(app.{a,b})""""),
+        br.body())
+      assert(br.body() === ag.body().replace("app.*", "app.{a,b}"),
+        "alternation over exactly the two series == the * glob's sums")
       // multiple targets land as sibling entries in one response
       val multi = get(
         s"$base/render?target=sumSeries(app.*)&target=maxSeries(app.*)&$range")

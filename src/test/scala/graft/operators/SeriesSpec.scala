@@ -467,9 +467,14 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
 
   test("madOutliersSharded ≡ madOutliers: gate corpus + adversarial shapes " +
     "(duplicates, negatives, constants, single points, even/odd counts)") {
+    // doubles compared by BIT PATTERN: plain == would mask a -0.0 vs 0.0
+    // representation divergence, which is exactly what the ±0.0
+    // canonicalization + ts tie-break exist to prevent
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        bits(r.getDouble(3)), bits(r.getDouble(4)), bits(r.getDouble(5)),
+        bits(r.getDouble(6)), r.getBoolean(7)))
       .toSet
     // real corpus: every series of the sf0.001 gate data, bit-identical
     val corpus = graft.core.Tables.metrics(spark, "/root/testdata/sf0.001")
@@ -488,7 +493,11 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       ("t", "even", 0L, 1.0), ("t", "even", 1L, 2.0), ("t", "even", 2L, 3.0),
       ("t", "even", 3L, 10.0),
       ("t", "exp", 0L, 0.001), ("t", "exp", 1L, 1.0), ("t", "exp", 2L, 1024.0),
-      ("t", "exp", 3L, 1.0e300), ("t", "exp", 4L, -1.0e-300)))
+      ("t", "exp", 3L, 1.0e300), ("t", "exp", 4L, -1.0e-300),
+      // signed zeros: Spark sorts them EQUAL, so both forms must select
+      // the same ROW (ts tie-break) from the same bucket (canonicalized
+      // image) — med here is the rank-2 zero, whichever sign it carries
+      ("t", "zed", 0L, 0.0), ("t", "zed", 1L, -0.0), ("t", "zed", 2L, 5.0)))
       .repartition(7) // adversarial layout: membership must not care
     for (bits <- Seq(1, 4, 20, 63)) // membership never depends on width
       assert(canon(Series.madOutliersSharded(adv, bucketBits = bits)) ===
