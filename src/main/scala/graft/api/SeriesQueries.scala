@@ -1046,8 +1046,47 @@ object SeriesQueries {
     }
   }
 
+  /** Hold/forward-fill resampling ([[Series.resampleHold]]): the same
+    * duplicate-collapse and interior grid as q_series_resample, but each
+    * grid instant serves its ASOF-previous sample VERBATIM — one DuckDB
+    * ASOF join, no interpolation arithmetic to restate, so the hash proof
+    * is value-identity between the two engines' forward fills. */
+  private val resampleHoldQ = {
+    val stepMs = 21600000L // 6h grid over the ~30-day fixture
+    QDef(
+      "q_series_resample_hold",
+      s"""WITH ${OracleViews.metricsCte},
+         |pts AS (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(*) AS value
+         |  FROM metrics GROUP BY 1, 2, 3
+         |),
+         |ext AS (
+         |  SELECT tenant_id, metric_name, min(ts_ms) AS t0, max(ts_ms) AS t1
+         |  FROM pts GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT tenant_id, metric_name,
+         |         unnest(generate_series(((t0 + ${stepMs - 1}) // $stepMs)
+         |           * $stepMs, (t1 // $stepMs) * $stepMs, $stepMs)) AS gts
+         |  FROM ext
+         |  WHERE ((t0 + ${stepMs - 1}) // $stepMs) * $stepMs
+         |          <= (t1 // $stepMs) * $stepMs
+         |)
+         |SELECT g.tenant_id, g.metric_name, g.gts AS ts_ms,
+         |       p.value AS value
+         |FROM grid g ASOF JOIN pts p
+         |  ON g.tenant_id = p.tenant_id AND g.metric_name = p.metric_name
+         |     AND g.gts >= p.ts_ms
+         |ORDER BY g.tenant_id, g.metric_name, g.gts""".stripMargin) { (s, dir) =>
+      Series.resampleHold(Tables.metrics(s, dir), stepMs)
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
-    m4, mad, madSharded, summarizeQ, resample)
+    m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)
 }

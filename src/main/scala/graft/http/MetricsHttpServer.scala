@@ -703,7 +703,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           s"resample grid too fine: (to - from)/step yields $gridN points > " +
             s"${graft.operators.Series.MaxGridPointsPerSeries} — widen step " +
             s"or narrow the range")
-        graft.operators.Series.resampleLinear(pts, stepMs)
+        q.getOrElse("how", "linear") match {
+          case "linear" => graft.operators.Series.resampleLinear(pts, stepMs)
+          case "hold" => graft.operators.Series.resampleHold(pts, stepMs)
+          case other => throw new IllegalArgumentException(
+            s"how must be linear or hold, got '$other'")
+        }
       case "alerts" =>
         // episodes, not points: EWMA-band scoring then gap-merged alert
         // intervals (gap/minPoints are the page-dedup knobs)
@@ -788,6 +793,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `summarize(<glob>,"<interval>"[,"<func>"])` — per-series
     *    re-bucketing onto the display interval
     *    ([[graft.operators.Series.summarize]]; func sum|avg|max|min|last)
+    *  - `derivative|nonNegativeDerivative|perSecond(<glob>)` — per-series
+    *    rate views off one lag pass ([[graft.operators.Series.derivatives]])
+    *  - `integral(<glob>)` — per-series running total
+    *    ([[graft.operators.Series.integral]])
+    *  - `movingAverage|movingMax|movingMin(<glob>,"<interval>")` —
+    *    time-window smoothing ([[graft.operators.Series.movingStats]])
+    *  - `timeShift(<glob>,"<interval>")` — the shifted window's data drawn
+    *    at the requested instants (week-over-week overlays)
+    *  - `keepLastValue|resample(<glob>,"<interval>")` — uniform-grid
+    *    alignment, forward-fill vs linear
+    *    ([[graft.operators.Series.resampleHold]] / `resampleLinear`),
+    *    bounded-grid contract enforced at the request level
+    *  - `scale|offset(<glob>,k)` / `absolute(<glob>)` — pointwise
+    *  - `alias(<glob>,"name")` / `aliasByNode(<glob>,n)` — display naming
+    *    (n may be negative, counting from the end)
     *
     * `from`/`until` take the full Graphite datetime grammar and default to
     * `-24h`/`now`; `maxDataPoints` maps onto the points-budget resolution
@@ -870,6 +890,102 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               collectSeries(graft.operators.Series
                   .summarize(pts(glob), parseIntervalMs(ivl), stat),
                 "bucket_ms", "value", None)
+            case "derivative" | "nonNegativeDerivative" | "perSecond" =>
+              // one lag pass serves all three Graphite rate views
+              // ([[graft.operators.Series.derivatives]]); the first point
+              // of each series renders null, as Graphite draws it
+              val vCol = fn match {
+                case "derivative" => "delta_v"
+                case "nonNegativeDerivative" => "nn_delta"
+                case _ => "rate_per_s"
+              }
+              collectSeries(graft.operators.Series.derivatives(pts(glob)),
+                "ts_ms", vCol, None, n => s"$fn($n)")
+            case "integral" =>
+              collectSeries(graft.operators.Series.integral(pts(glob)),
+                "ts_ms", "cumsum", None, n => s"integral($n)")
+            case "movingAverage" | "movingMax" | "movingMin" =>
+              // time-window smoothing (range frame [ts − w, ts]); the
+              // window is an interval string — point-count windows are a
+              // different frame this store's irregular timestamps would
+              // make misleading, so they are rejected loudly
+              val ivl = args.lift(1).map(stripQuotes).getOrElse(
+                throw new IllegalArgumentException(
+                  s"""$fn needs a window interval (e.g. "30min") in '$t'"""))
+              val vCol = fn match {
+                case "movingAverage" => "mavg"
+                case "movingMax" => "mmax"
+                case _ => "mmin"
+              }
+              collectSeries(graft.operators.Series
+                  .movingStats(pts(glob), parseIntervalMs(ivl)),
+                "ts_ms", vCol, None, n => s"""$fn($n,"$ivl")""")
+            case "timeShift" =>
+              // fetch [from − shift, until − shift], draw at the REQUESTED
+              // instants — Graphite's semantics (last week's data under
+              // this week's cursor)
+              val ivl = args.lift(1).map(stripQuotes).getOrElse(
+                throw new IllegalArgumentException(
+                  s"""timeShift needs an interval (e.g. "7d") in '$t'"""))
+              val shiftMs = parseIntervalMs(ivl)
+              val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+              val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+              val shifted = numericPoints(tenant, glob, isGlob = true,
+                  s"${(fromMs - shiftMs) / 1000}",
+                  s"${(untilMs - shiftMs) / 1000}", points, resolution, now)
+                .withColumn("ts_ms", col("ts_ms") + lit(shiftMs))
+              collectSeries(shifted, "ts_ms", "value", None,
+                n => s"""timeShift($n,"$ivl")""")
+            case "keepLastValue" | "resample" =>
+              // alignment onto a uniform "<interval>" grid: keepLastValue
+              // forward-fills (step), resample interpolates (linear) —
+              // both under the bounded-grid contract, enforced at the
+              // REQUEST level before any query runs (the panel-route rule)
+              val ivl = args.lift(1).map(stripQuotes).getOrElse(
+                throw new IllegalArgumentException(
+                  s"""$fn needs a grid interval (e.g. "5min") in '$t'"""))
+              val stepMs = parseIntervalMs(ivl)
+              val gridN = (graft.core.DateTimeParser.parseMillis(until, now) -
+                graft.core.DateTimeParser.parseMillis(from, now)) / stepMs + 1L
+              require(gridN <= graft.operators.Series.MaxGridPointsPerSeries,
+                s"$fn grid too fine: (until - from)/interval yields $gridN " +
+                  s"points > ${graft.operators.Series.MaxGridPointsPerSeries}" +
+                  " — widen the interval or narrow the range")
+              val rs =
+                if (fn == "keepLastValue")
+                  graft.operators.Series.resampleHold(pts(glob), stepMs)
+                else graft.operators.Series.resampleLinear(pts(glob), stepMs)
+              collectSeries(rs, "ts_ms", "value", None,
+                n => s"""$fn($n,"$ivl")""")
+            case "scale" | "offset" =>
+              val kStr = args.lift(1).map(_.trim).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$fn needs a numeric constant in '$t'"))
+              val k = kStr.toDoubleOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"$fn constant must be numeric in '$t', got '$kStr'"))
+              val v = if (fn == "scale") col("value") * k else col("value") + k
+              collectSeries(pts(glob).withColumn("value", v),
+                "ts_ms", "value", None, n => s"$fn($n,$kStr)")
+            case "absolute" =>
+              collectSeries(pts(glob).withColumn("value", abs(col("value"))),
+                "ts_ms", "value", None, n => s"absolute($n)")
+            case "alias" =>
+              val name = args.lift(1).map(stripQuotes).getOrElse(
+                throw new IllegalArgumentException(
+                  s"alias needs a display name in '$t'"))
+              collectSeries(pts(glob), "ts_ms", "value", None, _ => name)
+            case "aliasByNode" =>
+              val idx = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+                throw new IllegalArgumentException(
+                  s"aliasByNode needs a node index in '$t'"))
+              collectSeries(pts(glob), "ts_ms", "value", None, { n =>
+                val parts = n.split('.')
+                val i = if (idx < 0) parts.length + idx else idx
+                require(i >= 0 && i < parts.length,
+                  s"aliasByNode index $idx out of range for series '$n'")
+                parts(i)
+              })
             case other => throw new IllegalArgumentException(
               s"unknown render function '$other' in target '$t'")
           }
@@ -893,7 +1009,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * The limit is pushed INTO the query (the [[seriesJson]] contract), so
     * an over-budget render never reaches the facade heap. */
   private def collectSeries(df: org.apache.spark.sql.DataFrame, tsCol: String,
-      vCol: String, singleName: Option[String])
+      vCol: String, singleName: Option[String],
+      nameOf: String => String = identity)
       : Seq[(String, Seq[(Option[Double], Long)])] = {
     val cap = MaxSeriesPanelPoints
     val rows = df.select(col("metric_name"),
@@ -903,15 +1020,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     require(rows.length <= cap,
       s"render result exceeds $cap points — narrow the range, lower " +
         "maxDataPoints, or decimate (lttb/m4)")
+    // grouped by the SERIES, renamed only at emit: two series that an
+    // alias() maps onto the same display name stay separate entries with
+    // their own time-ordered datapoints (the Graphite shape), never one
+    // entry with interleaved points
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Option[Double], Long)]]
     rows.foreach { r =>
-      val name = singleName.getOrElse(r.getString(0))
       val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
-      out.getOrElseUpdate(name,
+      out.getOrElseUpdate(r.getString(0),
         scala.collection.mutable.ArrayBuffer.empty) += ((v, r.getLong(1) / 1000L))
     }
-    out.toSeq.map { case (n, b) => n -> b.toSeq }
+    out.toSeq.map { case (n, b) => singleName.getOrElse(nameOf(n)) -> b.toSeq }
   }
 
   /** Kind-routed NUMERIC point read for one metric spec — the shared data

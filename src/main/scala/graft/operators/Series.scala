@@ -890,7 +890,29 @@ object Series {
     * every other render-path operator; the facade additionally caps
     * `(until − from)/step` BEFORE the query runs — same constant). */
   def resampleLinear(points: DataFrame, stepMs: Long,
-      maxGridPointsPerSeries: Int = MaxGridPointsPerSeries): DataFrame = {
+      maxGridPointsPerSeries: Int = MaxGridPointsPerSeries): DataFrame =
+    resampleImpl(points, stepMs, maxGridPointsPerSeries, hold = false)
+
+  /** Step-interpolation twin of [[resampleLinear]] — Graphite's
+    * `keepLastValue` realized on the uniform grid: each grid instant
+    * carries the LAST sample at-or-before it (forward fill), never a
+    * blend of two samples. The right alignment pass for state-like series
+    * (gauge readings, config versions, feature flags rendered as metrics)
+    * where interpolating between samples would invent values that never
+    * existed.
+    *
+    * Same duplicate-collapse, same interior grid (a previous sample
+    * always exists, so the fill is total), same fail-loud bounded-grid
+    * contract, same scale shape — minus the next-side window frame: one
+    * forward scan per series instead of two directions. The oracle is a
+    * single DuckDB ASOF join (the q_series_resample prev arm, served
+    * directly). */
+  def resampleHold(points: DataFrame, stepMs: Long,
+      maxGridPointsPerSeries: Int = MaxGridPointsPerSeries): DataFrame =
+    resampleImpl(points, stepMs, maxGridPointsPerSeries, hold = true)
+
+  private def resampleImpl(points: DataFrame, stepMs: Long,
+      maxGridPointsPerSeries: Int, hold: Boolean): DataFrame = {
     require(stepMs > 0, s"stepMs must be positive, got $stepMs")
     require(maxGridPointsPerSeries >= 1,
       s"maxGridPointsPerSeries must be >= 1, got $maxGridPointsPerSeries")
@@ -910,7 +932,8 @@ object Series {
       .withColumn("g0",
         when(col("__n") <= maxGridPointsPerSeries, col("g0"))
           .otherwise(raise_error(concat(
-            lit("resampleLinear: series "), col("tenant_id"), lit("."),
+            lit(s"resample${if (hold) "Hold" else "Linear"}: series "),
+            col("tenant_id"), lit("."),
             col("metric_name"), lit(" needs "), col("__n").cast("string"),
             lit(s" grid points at stepMs=$stepMs > " +
               s"maxGridPointsPerSeries=$maxGridPointsPerSeries — " +
@@ -931,9 +954,13 @@ object Series {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val dataTs = when(!col("is_grid"), col("ts_ms"))
     val dataV = when(!col("is_grid"), col("value"))
-    u
+    val withPrev = u
       .withColumn("pt", last(dataTs, ignoreNulls = true).over(wPrev))
       .withColumn("pv", last(dataV, ignoreNulls = true).over(wPrev))
+    if (hold)
+      withPrev.filter(col("is_grid"))
+        .select(ser.map(col) ++ Seq(col("ts_ms"), col("pv").as("value")): _*)
+    else withPrev
       .withColumn("nt", first(dataTs, ignoreNulls = true).over(wNext))
       .withColumn("nv", first(dataV, ignoreNulls = true).over(wNext))
       .filter(col("is_grid"))

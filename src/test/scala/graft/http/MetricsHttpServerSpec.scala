@@ -591,6 +591,91 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(get(s"$base/render?target=summarize(app.*,%22bogus%22)&$range")
         .statusCode() === 400)
 
+      // rate views: one entry per matched series named fn(name); the first
+      // point of each series draws null (Graphite's convention), the
+      // second is the consecutive delta (fixture step: 10.0 -> 11.0)
+      val dv = get(s"$base/render?target=derivative(app.*)&$range")
+      assert(dv.statusCode() === 200, dv.body())
+      assert(dv.body().contains(""""target": "derivative(app.a)""""))
+      assert(dv.body().contains(""""target": "derivative(app.b)""""))
+      assert(dv.body().contains(s"[null, ${t0 / 1000}]"), dv.body())
+      assert(dv.body().contains(s"[1.0, ${t0 / 1000 + 300}]"), dv.body())
+      // perSecond divides by elapsed: 1.0 over 300s
+      val ps = get(s"$base/render?target=perSecond(app.a)&$range")
+      assert(ps.statusCode() === 200, ps.body())
+      assert(ps.body().contains(
+        s"[${1.0 / 300.0}, ${t0 / 1000 + 300}]"), ps.body())
+      // nonNegativeDerivative nulls the counter reset after the 500 spike
+      val nn = get(s"$base/render?target=nonNegativeDerivative(app.a)&$range")
+      assert(nn.statusCode() === 200, nn.body())
+      assert(nn.body().contains(s"[null, ${t0 / 1000 + 26 * 300}]"), nn.body())
+      // integral: exact-DECIMAL running total (10, then 10+11)
+      val ig = get(s"$base/render?target=integral(app.a)&$range")
+      assert(ig.statusCode() === 200, ig.body())
+      assert(ig.body().contains(""""target": "integral(app.a)""""))
+      assert(ig.body().contains(s"[10.0, ${t0 / 1000}]"), ig.body())
+      assert(ig.body().contains(s"[21.0, ${t0 / 1000 + 300}]"), ig.body())
+      // movingAverage over a quoted interval: [ts-15min, ts] covers three
+      // fixture points at i=2 -> (10+11+12)/3
+      val ma = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""movingAverage(app.a,"15min")""",
+          "UTF-8") + s"&$range")
+      assert(ma.statusCode() === 200, ma.body())
+      assert(ma.body().contains(
+        s""""target": "movingAverage(app.a,\\"15min\\")""""), ma.body())
+      assert(ma.body().contains(s"[11.0, ${t0 / 1000 + 600}]"), ma.body())
+      assert(get(s"$base/render?target=movingAverage(app.a)&$range")
+        .statusCode() === 400) // window interval is required
+      // timeShift draws the shifted window's data at the REQUESTED
+      // instants: i=0's 10.0 appears one step later
+      val tsh = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""timeShift(app.a,"5min")""", "UTF-8") +
+        s"&$range")
+      assert(tsh.statusCode() === 200, tsh.body())
+      assert(tsh.body().contains(s"[10.0, ${t0 / 1000 + 300}]"), tsh.body())
+      // grid alignment: keepLastValue holds sample values verbatim (every
+      // datapoint is one of the ingested values), resample interpolates;
+      // both reject a request-level grid explosion before any query runs
+      val kl = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""keepLastValue(app.a,"5min")""",
+          "UTF-8") + s"&$range")
+      assert(kl.statusCode() === 200, kl.body())
+      assert(kl.body().contains(
+        s""""target": "keepLastValue(app.a,\\"5min\\")""""), kl.body())
+      val rsr = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""resample(app.a,"5min")""", "UTF-8") +
+        s"&$range")
+      assert(rsr.statusCode() === 200, rsr.body())
+      val klBad = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""keepLastValue(app.a,"1s")""", "UTF-8") +
+        s"&from=1&until=${now / 1000}&tenant=acme")
+      assert(klBad.statusCode() === 400, klBad.body())
+      assert(klBad.body().contains("grid too fine"), klBad.body())
+      // pointwise transforms
+      val sc = get(s"$base/render?target=scale(app.a,2)&$range")
+      assert(sc.statusCode() === 200, sc.body())
+      assert(sc.body().contains(""""target": "scale(app.a,2)""""), sc.body())
+      assert(sc.body().contains(s"[20.0, ${t0 / 1000}]"), sc.body())
+      val of = get(s"$base/render?target=offset(app.a,-10)&$range")
+      assert(of.statusCode() === 200, of.body())
+      assert(of.body().contains(s"[0.0, ${t0 / 1000}]"), of.body())
+      assert(get(s"$base/render?target=scale(app.a,x)&$range")
+        .statusCode() === 400)
+      // display naming: alias renames, aliasByNode picks a dot-node
+      // (negative counts from the end); each matched series stays its own
+      // entry
+      val al = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""alias(app.a,"latency")""", "UTF-8") +
+        s"&$range")
+      assert(al.statusCode() === 200, al.body())
+      assert(al.body().contains(""""target": "latency""""), al.body())
+      val an = get(s"$base/render?target=aliasByNode(app.*,-1)&$range")
+      assert(an.statusCode() === 200, an.body())
+      assert(an.body().contains(""""target": "a""""), an.body())
+      assert(an.body().contains(""""target": "b""""), an.body())
+      assert(get(s"$base/render?target=aliasByNode(app.*,7)&$range")
+        .statusCode() === 400)
+
       // /metrics/find: the Grafana picker tree — one level per call,
       // leaf/expandable merged per node
       val f1 = get(s"$base/metrics/find?query=*&tenant=acme")

@@ -465,6 +465,32 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(!got.keySet.exists(_._1 == "s"), "no aligned tick inside the span")
   }
 
+  test("resampleHold: forward fill serves the ASOF-previous sample " +
+    "verbatim — never a blend; same grid/collapse/bound as linear") {
+    val rows = Seq(
+      ("t", "m", 0L, 10.0), ("t", "m", 1200L, 20.0), ("t", "m", 2000L, 7.0),
+      ("t", "d", 0L, 10.0), ("t", "d", 0L, 20.0), ("t", "d", 500L, 25.0))
+    val got = Series.resampleHold(pts(rows), stepMs = 500L).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got(("m", 0L)) === 10.0, "exact hit is its own previous sample")
+    assert(got(("m", 500L)) === 10.0, "held, not interpolated")
+    assert(got(("m", 1000L)) === 10.0)
+    assert(got(("m", 1500L)) === 20.0, "fill switches AT the newer sample")
+    assert(got(("m", 2000L)) === 7.0)
+    assert(got(("d", 0L)) === 15.0, "duplicate timestamps average first")
+    assert(got(("d", 500L)) === 25.0)
+    // bounded-grid contract shared with the linear form, named correctly
+    val wide = pts(Seq(("t", "w", 0L, 1.0), ("t", "w", 10000L, 2.0)))
+    val e = intercept[Exception](
+      Series.resampleHold(wide, stepMs = 1L,
+        maxGridPointsPerSeries = 100).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("resampleHold")), msgs)
+    assert(msgs.exists(_.contains("10001")), msgs)
+  }
+
   test("madOutliersSharded ≡ madOutliers: gate corpus + adversarial shapes " +
     "(duplicates, negatives, constants, single points, even/odd counts)") {
     // doubles compared by BIT PATTERN: plain == would mask a -0.0 vs 0.0
