@@ -831,167 +831,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val resolution = if (points.isEmpty) Some(Granularity.FULL) else None
     val targets = multiParams(ex, "target")
     require(targets.nonEmpty, "at least one target= is required")
-    val Fn = """(\w+)\(([^()]*)\)""".r
     val entries = targets.flatMap { t0 =>
-      val t = t0.trim
-      def pts(glob: String) =
-        numericPoints(tenant, glob, isGlob = true, from, until, points,
-          resolution, now)
-      def buckets(args: Array[String], floor: Int): Int = {
-        val b = args.lift(1).map(a => a.trim.toIntOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"buckets must be an integer in '$t'"))).getOrElse(200)
-        require(b >= floor, s"buckets must be >= $floor in '$t', got $b")
-        b
-      }
-      t match {
-        case Fn(fn, argStr) =>
-          // split on commas OUTSIDE braces: '{a,b}' alternation globs are
-          // first-class in GlobPattern, so sumSeries(app.{lat,err}) must
-          // keep its glob whole — a naive split would hand toRegex the
-          // unbalanced 'app.{lat' and 400 a valid Graphite target
-          val args = splitTargetArgs(argStr)
-          require(args.nonEmpty && args(0).trim.nonEmpty,
-            s"target '$t' needs a metric glob")
-          val glob = args(0).trim
-          fn match {
-            case "lttb" =>
-              collectSeries(graft.operators.Series
-                .lttbExact(pts(glob), buckets(args, 3)), "ts_ms", "value", None)
-            case "m4" =>
-              collectSeries(graft.operators.Series
-                .m4Downsample(pts(glob), buckets(args, 1)), "ts_ms", "value", None)
-            case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" =>
-              val stat = fn match {
-                case "sumSeries" => "sum"
-                case "averageSeries" => "mean"
-                case "maxSeries" => "max"
-                case "minSeries" => "min"
-              }
-              collectSeries(graft.operators.Series
-                  .aggregateSeries(pts(glob), glob, stat, bucketMs = 1L),
-                "bucket_ms", "value", Some(t))
-            case "percentileOfSeries" =>
-              val pct = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
-                throw new IllegalArgumentException(
-                  s"percentileOfSeries needs a percentile in '$t'"))
-              require(pct >= 0.0 && pct <= 100.0,
-                s"percentile must be in [0, 100] in '$t', got $pct")
-              collectSeries(graft.operators.Series
-                  .quantileOfSeries(pts(glob), glob, pct / 100.0, bucketMs = 1L),
-                "bucket_ms", "qvalue", Some(t))
-            case "summarize" =>
-              // summarize(<glob>,"<interval>"[,"<func>"]) — per-series
-              // re-bucketing onto the dashboard's display interval
-              val ivl = args.lift(1).map(stripQuotes).getOrElse(
-                throw new IllegalArgumentException(
-                  s"summarize needs an interval in '$t'"))
-              val stat = args.lift(2).map(stripQuotes).getOrElse("sum")
-              collectSeries(graft.operators.Series
-                  .summarize(pts(glob), parseIntervalMs(ivl), stat),
-                "bucket_ms", "value", None)
-            case "derivative" | "nonNegativeDerivative" | "perSecond" =>
-              // one lag pass serves all three Graphite rate views
-              // ([[graft.operators.Series.derivatives]]); the first point
-              // of each series renders null, as Graphite draws it
-              val vCol = fn match {
-                case "derivative" => "delta_v"
-                case "nonNegativeDerivative" => "nn_delta"
-                case _ => "rate_per_s"
-              }
-              collectSeries(graft.operators.Series.derivatives(pts(glob)),
-                "ts_ms", vCol, None, n => s"$fn($n)")
-            case "integral" =>
-              collectSeries(graft.operators.Series.integral(pts(glob)),
-                "ts_ms", "cumsum", None, n => s"integral($n)")
-            case "movingAverage" | "movingMax" | "movingMin" =>
-              // time-window smoothing (range frame [ts − w, ts]); the
-              // window is an interval string — point-count windows are a
-              // different frame this store's irregular timestamps would
-              // make misleading, so they are rejected loudly
-              val ivl = args.lift(1).map(stripQuotes).getOrElse(
-                throw new IllegalArgumentException(
-                  s"""$fn needs a window interval (e.g. "30min") in '$t'"""))
-              val vCol = fn match {
-                case "movingAverage" => "mavg"
-                case "movingMax" => "mmax"
-                case _ => "mmin"
-              }
-              collectSeries(graft.operators.Series
-                  .movingStats(pts(glob), parseIntervalMs(ivl)),
-                "ts_ms", vCol, None, n => s"""$fn($n,"$ivl")""")
-            case "timeShift" =>
-              // fetch [from − shift, until − shift], draw at the REQUESTED
-              // instants — Graphite's semantics (last week's data under
-              // this week's cursor)
-              val ivl = args.lift(1).map(stripQuotes).getOrElse(
-                throw new IllegalArgumentException(
-                  s"""timeShift needs an interval (e.g. "7d") in '$t'"""))
-              val shiftMs = parseIntervalMs(ivl)
-              val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
-              val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
-              val shifted = numericPoints(tenant, glob, isGlob = true,
-                  s"${(fromMs - shiftMs) / 1000}",
-                  s"${(untilMs - shiftMs) / 1000}", points, resolution, now)
-                .withColumn("ts_ms", col("ts_ms") + lit(shiftMs))
-              collectSeries(shifted, "ts_ms", "value", None,
-                n => s"""timeShift($n,"$ivl")""")
-            case "keepLastValue" | "resample" =>
-              // alignment onto a uniform "<interval>" grid: keepLastValue
-              // forward-fills (step), resample interpolates (linear) —
-              // both under the bounded-grid contract, enforced at the
-              // REQUEST level before any query runs (the panel-route rule)
-              val ivl = args.lift(1).map(stripQuotes).getOrElse(
-                throw new IllegalArgumentException(
-                  s"""$fn needs a grid interval (e.g. "5min") in '$t'"""))
-              val stepMs = parseIntervalMs(ivl)
-              val gridN = (graft.core.DateTimeParser.parseMillis(until, now) -
-                graft.core.DateTimeParser.parseMillis(from, now)) / stepMs + 1L
-              require(gridN <= graft.operators.Series.MaxGridPointsPerSeries,
-                s"$fn grid too fine: (until - from)/interval yields $gridN " +
-                  s"points > ${graft.operators.Series.MaxGridPointsPerSeries}" +
-                  " — widen the interval or narrow the range")
-              val rs =
-                if (fn == "keepLastValue")
-                  graft.operators.Series.resampleHold(pts(glob), stepMs)
-                else graft.operators.Series.resampleLinear(pts(glob), stepMs)
-              collectSeries(rs, "ts_ms", "value", None,
-                n => s"""$fn($n,"$ivl")""")
-            case "scale" | "offset" =>
-              val kStr = args.lift(1).map(_.trim).getOrElse(
-                throw new IllegalArgumentException(
-                  s"$fn needs a numeric constant in '$t'"))
-              val k = kStr.toDoubleOption.getOrElse(
-                throw new IllegalArgumentException(
-                  s"$fn constant must be numeric in '$t', got '$kStr'"))
-              val v = if (fn == "scale") col("value") * k else col("value") + k
-              collectSeries(pts(glob).withColumn("value", v),
-                "ts_ms", "value", None, n => s"$fn($n,$kStr)")
-            case "absolute" =>
-              collectSeries(pts(glob).withColumn("value", abs(col("value"))),
-                "ts_ms", "value", None, n => s"absolute($n)")
-            case "alias" =>
-              val name = args.lift(1).map(stripQuotes).getOrElse(
-                throw new IllegalArgumentException(
-                  s"alias needs a display name in '$t'"))
-              collectSeries(pts(glob), "ts_ms", "value", None, _ => name)
-            case "aliasByNode" =>
-              val idx = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
-                throw new IllegalArgumentException(
-                  s"aliasByNode needs a node index in '$t'"))
-              collectSeries(pts(glob), "ts_ms", "value", None, { n =>
-                val parts = n.split('.')
-                val i = if (idx < 0) parts.length + idx else idx
-                require(i >= 0 && i < parts.length,
-                  s"aliasByNode index $idx out of range for series '$n'")
-                parts(i)
-              })
-            case other => throw new IllegalArgumentException(
-              s"unknown render function '$other' in target '$t'")
-          }
-        case glob => // bare glob: raw serve, per matched series
-          collectSeries(pts(glob), "ts_ms", "value", None)
-      }
+      val se = evalRenderTarget(t0.trim, tenant, from, until, points,
+        resolution, now, depth = 0)
+      collectSeries(se.df, "ts_ms", "value", se.singleName, se.nameOf)
     }
     val body = entries.map { case (name, dps) =>
       val pts = dps.map { case (v, tsSec) =>
@@ -1001,6 +844,221 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       s"""{"target": ${jStr(name)}, "datapoints": [$pts]}"""
     }.mkString("[", ", ", "]")
     sendJson(ex, 200, body)
+  }
+
+  /** One evaluated render-target subtree: a standardized
+    * `(tenant_id, metric_name, ts_ms, value)` frame plus its naming —
+    * `singleName` labels a cross-series aggregate by the subtree's own
+    * target text (the Graphite convention); `nameOf` maps a series name to
+    * its display name, composed outward by each wrapping function. */
+  private case class SeriesExpr(df: DataFrame,
+      singleName: Option[String], nameOf: String => String) {
+    /** Total display-name function — what an ENCLOSING wrapper composes
+      * over (an aggregate's constant text, else the per-series name). */
+    def displayName: String => String = n => singleName.getOrElse(nameOf(n))
+  }
+
+  private val RenderFn = """(?s)^(\w+)\((.*)\)$""".r
+
+  /** Recursive render-target evaluator — targets NEST, as Graphite
+    * dashboards actually write them (`movingAverage(perSecond(app.*),
+    * "5min")`, `derivative(sumSeries(app.*))`): the first argument of any
+    * function is either a metric glob (the base fetch through the
+    * kind-routed [[numericPoints]] read) or another function expression,
+    * evaluated recursively. Every function consumes and produces the
+    * standardized frame, so the whole composition stays ONE lazy Catalyst
+    * plan — nothing materializes between stages, and the final
+    * [[collectSeries]] row cap bounds the only collect.
+    *
+    * Naming composes outward: per-series wrappers build
+    * `fn(<inner display name>[,args])`, cross-series aggregates pin the
+    * subtree's own target text, `alias`/`aliasByNode` replace it.
+    * `timeShift` re-evaluates its WHOLE subtree under the shifted
+    * [from, until] and draws the result at the requested instants.
+    * Transform inputs drop null values (Graphite's None-skipping), while
+    * each stage's own null output (a derivative's first point) still
+    * renders as null datapoints. */
+  private def evalRenderTarget(t: String, tenant: String, from: String,
+      until: String, points: Option[Int], resolution: Option[Granularity],
+      now: Long, depth: Int): SeriesExpr = {
+    require(depth <= 8, s"render target nests deeper than 8 functions: '$t'")
+    def recurse(sub: String, f: String = from, u: String = until) =
+      evalRenderTarget(sub.trim, tenant, f, u, points, resolution, now,
+        depth + 1)
+    t match {
+      case RenderFn(fn, argStr) =>
+        // split on commas at depth 0 only: commas inside '{a,b}' glob
+        // alternation AND inside nested 'fn(...)' calls stay part of
+        // their argument
+        val args = splitTargetArgs(argStr)
+        require(args.nonEmpty && args(0).trim.nonEmpty,
+          s"target '$t' needs a metric glob or sub-expression")
+        val arg0 = args(0).trim
+        // transforms consume non-null values only (a wrapped stage's null
+        // outputs — e.g. a derivative's first point — must not reach the
+        // next operator's arithmetic); the base fetch is already non-null
+        def inner: SeriesExpr = {
+          val in = recurse(arg0)
+          in.copy(df = in.df.filter(col("value").isNotNull))
+        }
+        def buckets(floor: Int): Int = {
+          val b = args.lift(1).map(a => a.trim.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"buckets must be an integer in '$t'"))).getOrElse(200)
+          require(b >= floor, s"buckets must be >= $floor in '$t', got $b")
+          b
+        }
+        def ivlArg(what: String): String = args.lift(1).map(stripQuotes)
+          .getOrElse(throw new IllegalArgumentException(
+            s"""$fn needs a $what interval (e.g. "5min") in '$t'"""))
+        val ser = Seq(col("tenant_id"), col("metric_name"), col("ts_ms"))
+        fn match {
+          case "lttb" =>
+            val in = inner
+            in.copy(df = graft.operators.Series.lttbExact(in.df, buckets(3)))
+          case "m4" =>
+            val in = inner
+            in.copy(df = graft.operators.Series.m4Downsample(in.df, buckets(1)))
+          case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" =>
+            val stat = fn match {
+              case "sumSeries" => "sum"
+              case "averageSeries" => "mean"
+              case "maxSeries" => "max"
+              case _ => "min"
+            }
+            // the input frame is already exactly the matching series (the
+            // base fetch resolved the glob), so the operator's own filter
+            // runs match-all — which also makes composed inputs with
+            // synthetic names aggregate correctly
+            SeriesExpr(graft.operators.Series
+                .aggregateSeries(inner.df, "*", stat, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms"),
+              Some(t), identity)
+          case "percentileOfSeries" =>
+            val pct = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"percentileOfSeries needs a percentile in '$t'"))
+            require(pct >= 0.0 && pct <= 100.0,
+              s"percentile must be in [0, 100] in '$t', got $pct")
+            SeriesExpr(graft.operators.Series
+                .quantileOfSeries(inner.df, "*", pct / 100.0, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms")
+                .withColumnRenamed("qvalue", "value"),
+              Some(t), identity)
+          case "summarize" =>
+            // summarize(<expr>,"<interval>"[,"<func>"]) — per-series
+            // re-bucketing onto the dashboard's display interval
+            val ivl = ivlArg("display")
+            val stat = args.lift(2).map(stripQuotes).getOrElse("sum")
+            val in = inner
+            in.copy(df = graft.operators.Series
+              .summarize(in.df, parseIntervalMs(ivl), stat)
+              .withColumnRenamed("bucket_ms", "ts_ms"))
+          case "derivative" | "nonNegativeDerivative" | "perSecond" =>
+            // one lag pass serves all three Graphite rate views
+            // ([[graft.operators.Series.derivatives]]); the first point
+            // of each series renders null, as Graphite draws it
+            val vCol = fn match {
+              case "derivative" => "delta_v"
+              case "nonNegativeDerivative" => "nn_delta"
+              case _ => "rate_per_s"
+            }
+            val in = inner
+            SeriesExpr(graft.operators.Series.derivatives(in.df)
+                .select(ser :+ col(vCol).as("value"): _*),
+              None, n => s"$fn(${in.displayName(n)})")
+          case "integral" =>
+            val in = inner
+            SeriesExpr(graft.operators.Series.integral(in.df)
+                .select(ser :+ col("cumsum").as("value"): _*),
+              None, n => s"integral(${in.displayName(n)})")
+          case "movingAverage" | "movingMax" | "movingMin" =>
+            // time-window smoothing (range frame [ts − w, ts]); the
+            // window is an interval string — point-count windows are a
+            // different frame this store's irregular timestamps would
+            // make misleading, so they are rejected loudly
+            val ivl = ivlArg("window")
+            val vCol = fn match {
+              case "movingAverage" => "mavg"
+              case "movingMax" => "mmax"
+              case _ => "mmin"
+            }
+            val in = inner
+            SeriesExpr(graft.operators.Series
+                .movingStats(in.df, parseIntervalMs(ivl))
+                .select(ser :+ col(vCol).as("value"): _*),
+              None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
+          case "timeShift" =>
+            // evaluate the whole subtree under [from − shift,
+            // until − shift], draw at the REQUESTED instants — Graphite's
+            // semantics (last week's data under this week's cursor)
+            val ivl = ivlArg("shift")
+            val shiftMs = parseIntervalMs(ivl)
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            val in = recurse(arg0, s"${(fromMs - shiftMs) / 1000}",
+              s"${(untilMs - shiftMs) / 1000}")
+            SeriesExpr(in.df.withColumn("ts_ms", col("ts_ms") + lit(shiftMs)),
+              None, n => s"""timeShift(${in.displayName(n)},"$ivl")""")
+          case "keepLastValue" | "resample" =>
+            // alignment onto a uniform "<interval>" grid: keepLastValue
+            // forward-fills (step), resample interpolates (linear) — both
+            // under the bounded-grid contract, enforced at the REQUEST
+            // level before any query runs (the panel-route rule)
+            val ivl = ivlArg("grid")
+            val stepMs = parseIntervalMs(ivl)
+            val gridN = (graft.core.DateTimeParser.parseMillis(until, now) -
+              graft.core.DateTimeParser.parseMillis(from, now)) / stepMs + 1L
+            require(gridN <= graft.operators.Series.MaxGridPointsPerSeries,
+              s"$fn grid too fine: (until - from)/interval yields $gridN " +
+                s"points > ${graft.operators.Series.MaxGridPointsPerSeries}" +
+                " — widen the interval or narrow the range")
+            val in = inner
+            val rs =
+              if (fn == "keepLastValue")
+                graft.operators.Series.resampleHold(in.df, stepMs)
+              else graft.operators.Series.resampleLinear(in.df, stepMs)
+            SeriesExpr(rs, None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
+          case "scale" | "offset" =>
+            val kStr = args.lift(1).map(_.trim).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a numeric constant in '$t'"))
+            val k = kStr.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn constant must be numeric in '$t', got '$kStr'"))
+            val v = if (fn == "scale") col("value") * k else col("value") + k
+            val in = inner
+            SeriesExpr(in.df.withColumn("value", v),
+              None, n => s"$fn(${in.displayName(n)},$kStr)")
+          case "absolute" =>
+            val in = inner
+            SeriesExpr(in.df.withColumn("value", abs(col("value"))),
+              None, n => s"absolute(${in.displayName(n)})")
+          case "alias" =>
+            val name = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"alias needs a display name in '$t'"))
+            SeriesExpr(recurse(arg0).df, None, _ => name)
+          case "aliasByNode" =>
+            val idx = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"aliasByNode needs a node index in '$t'"))
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None, { n0 =>
+              val n = in.displayName(n0)
+              val parts = n.split('.')
+              val i = if (idx < 0) parts.length + idx else idx
+              require(i >= 0 && i < parts.length,
+                s"aliasByNode index $idx out of range for series '$n'")
+              parts(i)
+            })
+          case other => throw new IllegalArgumentException(
+            s"unknown render function '$other' in target '$t'")
+        }
+      case glob => // bare glob: raw serve through the kind-routed read
+        SeriesExpr(numericPoints(tenant, glob, isGlob = true, from, until,
+          points, resolution, now), None, identity)
+    }
   }
 
   /** Row-capped collect of a series frame into render entries:
@@ -1274,15 +1332,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   }
 
   /** Render-target argument split: commas inside `{...}` glob alternation
-    * stay part of their argument ([[GlobPattern]] braces nest, so depth is
+    * AND inside nested `fn(...)` sub-expressions stay part of their
+    * argument ([[GlobPattern]] braces nest and calls nest, so depth is
     * tracked, not toggled). */
   private def splitTargetArgs(argStr: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
     argStr.foreach {
-      case '{' => depth += 1; sb.append('{')
-      case '}' => depth -= 1; sb.append('}')
+      case c @ ('{' | '(') => depth += 1; sb.append(c)
+      case c @ ('}' | ')') => depth -= 1; sb.append(c)
       case ',' if depth == 0 => out += sb.toString; sb.clear()
       case c => sb.append(c)
     }

@@ -675,6 +675,60 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(an.body().contains(""""target": "b""""), an.body())
       assert(get(s"$base/render?target=aliasByNode(app.*,7)&$range")
         .statusCode() === 400)
+      // NESTED targets — the shapes dashboards actually write. scale over
+      // a rate view: derivative 1.0 doubled, name composed outward
+      val n1 = get(s"$base/render?target=scale(derivative(app.a),2)&$range")
+      assert(n1.statusCode() === 200, n1.body())
+      assert(n1.body().contains(""""target": "scale(derivative(app.a),2)""""),
+        n1.body())
+      assert(n1.body().contains(s"[2.0, ${t0 / 1000 + 300}]"), n1.body())
+      // rate of a cross-series aggregate: sum steps 20 -> 22 -> delta 2.0;
+      // the aggregate pins its own text inside the composed name
+      val n2 = get(s"$base/render?target=derivative(sumSeries(app.*))&$range")
+      assert(n2.statusCode() === 200, n2.body())
+      assert(n2.body().contains(
+        """"target": "derivative(sumSeries(app.*))""""), n2.body())
+      assert(n2.body().contains(s"[2.0, ${t0 / 1000 + 300}]"), n2.body())
+      // re-accumulating a reset-guarded rate: nulls from the inner stage
+      // are skipped by the outer integral (Graphite's None-skipping), so
+      // the first delta lands as the first cumsum
+      val n3 = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("integral(nonNegativeDerivative(app.a))",
+          "UTF-8") + s"&$range")
+      assert(n3.statusCode() === 200, n3.body())
+      assert(n3.body().contains(s"[1.0, ${t0 / 1000 + 300}]"), n3.body())
+      // alias replaces the whole composed name; three-deep nesting works
+      val n4 = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""alias(scale(derivative(app.a),2),"r")""",
+          "UTF-8") + s"&$range")
+      assert(n4.statusCode() === 200, n4.body())
+      assert(n4.body().contains(""""target": "r""""), n4.body())
+      // timeShift re-evaluates its whole subtree under the shifted range:
+      // the shifted series' first-point null draws one step later than the
+      // unshifted derivative's
+      val n5 = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""timeShift(derivative(app.a),"5min")""",
+          "UTF-8") + s"&$range")
+      assert(n5.statusCode() === 200, n5.body())
+      assert(n5.body().contains(
+        """"target": "timeShift(derivative(app.a),\"5min\")""""), n5.body())
+      assert(n5.body().contains(s"[null, ${t0 / 1000 + 300}]"), n5.body())
+      // depth-0 comma split keeps nested call args intact even with
+      // brace alternation inside the inner call
+      val n6 = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode(
+          """movingMax(sumSeries(app.{a,b}),"15min")""", "UTF-8") + s"&$range")
+      assert(n6.statusCode() === 200, n6.body())
+      assert(n6.body().contains(
+        """"target": "movingMax(sumSeries(app.{a,b}),\"15min\")""""),
+        n6.body())
+      // unknown fn inside a nest still 400s; runaway nesting is bounded
+      assert(get(s"$base/render?target=scale(bogus(app.a),2)&$range")
+        .statusCode() === 400)
+      assert(get(s"$base/render?target=" +
+        java.net.URLEncoder.encode(
+          "absolute(" * 9 + "app.a" + ")" * 9, "UTF-8") + s"&$range")
+        .statusCode() === 400)
 
       // /metrics/find: the Grafana picker tree — one level per call,
       // leaf/expandable merged per node
