@@ -978,15 +978,23 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             // different frame this store's irregular timestamps would
             // make misleading, so they are rejected loudly
             val ivl = ivlArg("window")
+            val windowMs = parseIntervalMs(ivl)
+            // Graphite parity: the subtree is fetched with `from` pulled
+            // back by the window, so the first REQUESTED instants smooth
+            // over full windows instead of partial ones; the warmup rows
+            // are dropped from the output
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val in0 = recurse(arg0, s"${(fromMs - windowMs) / 1000}")
+            val in = in0.copy(df = in0.df.filter(col("value").isNotNull))
             val vCol = fn match {
               case "movingAverage" => "mavg"
               case "movingMax" => "mmax"
               case _ => "mmin"
             }
-            val in = inner
             SeriesExpr(graft.operators.Series
-                .movingStats(in.df, parseIntervalMs(ivl))
-                .select(ser :+ col(vCol).as("value"): _*),
+                .movingStats(in.df, windowMs)
+                .select(ser :+ col(vCol).as("value"): _*)
+                .filter(col("ts_ms") >= fromMs),
               None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
           case "timeShift" =>
             // evaluate the whole subtree under [from − shift,

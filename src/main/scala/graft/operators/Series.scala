@@ -208,7 +208,13 @@ object Series {
     * by locator, no cross-series shuffle — the [[derivatives]] /
     * [[Anomaly.rollingZScores]] contract), and all four stats share one
     * sort, one frame scan. Runs equally over raw points or a rollup tier
-    * (`value` is whatever stat the tier serves). */
+    * (`value` is whatever stat the tier serves).
+    *
+    * Precision note: the mean accumulates in DECIMAL(28,2) (the oracle
+    * cents convention — exact, partition-order invariant), so inputs
+    * quantize to 2 decimals. Smoothing a tiny-magnitude stream (e.g. a
+    * composed perSecond of a slow counter) through `mavg` loses the
+    * sub-cent signal — scale first, or smooth before the rate view. */
   def movingStats(points: DataFrame, windowMs: Long): DataFrame = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val w = Window.partitionBy("tenant_id", "metric_name")

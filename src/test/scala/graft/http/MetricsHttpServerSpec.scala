@@ -729,6 +729,18 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         java.net.URLEncoder.encode(
           "absolute(" * 9 + "app.a" + ")" * 9, "UTF-8") + s"&$range")
         .statusCode() === 400)
+      // moving-window lookback (Graphite parity): a range starting
+      // mid-fixture still smooths its FIRST instants over full windows —
+      // the fetch is extended back by the window and the warmup rows are
+      // dropped, so i=2's average covers i=0..2 even though i=0,1 are
+      // outside the requested range
+      val n7 = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""movingAverage(app.a,"15min")""",
+          "UTF-8") + s"&from=${t0 / 1000 + 550}&until=${now / 1000}&tenant=acme")
+      assert(n7.statusCode() === 200, n7.body())
+      assert(n7.body().contains(s"[11.0, ${t0 / 1000 + 600}]"), n7.body())
+      assert(!n7.body().contains(s", ${t0 / 1000 + 300}]"),
+        "warmup rows below the requested range must not render: " + n7.body())
 
       // /metrics/find: the Grafana picker tree — one level per call,
       // leaf/expandable merged per node
