@@ -806,8 +806,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    ([[graft.operators.Series.resampleHold]] / `resampleLinear`),
     *    bounded-grid contract enforced at the request level
     *  - `scale|offset(<glob>,k)` / `absolute(<glob>)` — pointwise
+    *  - `highestMax|highestAverage|lowestAverage|lowestMax(<glob>,k)` and
+    *    `averageAbove|averageBelow|maximumAbove|maximumBelow(<glob>,t)` —
+    *    whole-series selection ([[graft.operators.Series.topSeries]]),
+    *    the ≤k/<threshold pick broadcast-joined back onto the points
     *  - `alias(<glob>,"name")` / `aliasByNode(<glob>,n)` — display naming
     *    (n may be negative, counting from the end)
+    *
+    * Any `<glob>` above may itself be another function expression —
+    * targets nest and compose as one lazy plan ([[evalRenderTarget]]).
     *
     * `from`/`until` take the full Graphite datetime grammar and default to
     * `-24h`/`now`; `maxDataPoints` maps onto the points-budget resolution
@@ -1042,6 +1049,47 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = inner
             SeriesExpr(in.df.withColumn("value", abs(col("value"))),
               None, n => s"absolute(${in.displayName(n)})")
+          case "highestMax" | "highestAverage" | "lowestAverage" |
+               "lowestMax" =>
+            // series SELECTION (Graphite's highest*/lowest* family): rank
+            // whole series by a per-series stat, keep k, serve those
+            // series' points unchanged (names pass through). The ≤k
+            // selection broadcast-joins back — the per-series stat table
+            // is one row per matched series, never the point stream
+            val k = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a series count in '$t'"))
+            require(k > 0, s"series count must be positive in '$t', got $k")
+            val (stat, asc) = fn match {
+              case "highestMax" => ("max", false)
+              case "highestAverage" => ("mean", false)
+              case "lowestAverage" => ("mean", true)
+              case _ => ("max", true)
+            }
+            val in = inner
+            val sel = graft.operators.Series.topSeries(in.df, k, stat, asc)
+              .select(col("tenant_id"), col("metric_name"))
+            SeriesExpr(in.df.join(broadcast(sel),
+                Seq("tenant_id", "metric_name")),
+              in.singleName, in.nameOf)
+          case "averageAbove" | "averageBelow" | "maximumAbove" |
+               "maximumBelow" =>
+            // threshold SELECTION: keep series whose per-series stat
+            // clears the bound (same broadcast-semi-join shape)
+            val thr = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a numeric threshold in '$t'"))
+            val stat = if (fn.startsWith("average")) "mean" else "max"
+            val in = inner
+            val cond =
+              if (fn.endsWith("Above")) col("stat_value") > thr
+              else col("stat_value") < thr
+            val sel = graft.operators.Series
+              .topSeries(in.df, Int.MaxValue, stat)
+              .filter(cond).select(col("tenant_id"), col("metric_name"))
+            SeriesExpr(in.df.join(broadcast(sel),
+                Seq("tenant_id", "metric_name")),
+              in.singleName, in.nameOf)
           case "alias" =>
             val name = args.lift(1).map(stripQuotes).getOrElse(
               throw new IllegalArgumentException(

@@ -741,6 +741,36 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(n7.body().contains(s"[11.0, ${t0 / 1000 + 600}]"), n7.body())
       assert(!n7.body().contains(s", ${t0 / 1000 + 300}]"),
         "warmup rows below the requested range must not render: " + n7.body())
+      // series selection: app.a carries the 500 spike (highest max AND
+      // highest mean), app.b the lowest mean; selected series keep their
+      // own names and points
+      val hm = get(s"$base/render?target=highestMax(app.*,1)&$range")
+      assert(hm.statusCode() === 200, hm.body())
+      assert(hm.body().contains(""""target": "app.a""""), hm.body())
+      assert(!hm.body().contains(""""target": "app.b""""), hm.body())
+      val la = get(s"$base/render?target=lowestAverage(app.*,1)&$range")
+      assert(la.statusCode() === 200, la.body())
+      assert(la.body().contains(""""target": "app.b""""), la.body())
+      assert(!la.body().contains(""""target": "app.a""""), la.body())
+      // threshold selection: spike-lifted mean ~31.6 vs ~15.5
+      val aa = get(s"$base/render?target=averageAbove(app.*,20)&$range")
+      assert(aa.statusCode() === 200, aa.body())
+      assert(aa.body().contains(""""target": "app.a""""), aa.body())
+      assert(!aa.body().contains(""""target": "app.b""""), aa.body())
+      val mb = get(s"$base/render?target=maximumBelow(app.*,100)&$range")
+      assert(mb.statusCode() === 200, mb.body())
+      assert(mb.body().contains(""""target": "app.b""""), mb.body())
+      assert(!mb.body().contains(""""target": "app.a""""), mb.body())
+      // selection composes: the rate view of the spikiest series only
+      val hd = get(s"$base/render?target=derivative(highestMax(app.*,1))&$range")
+      assert(hd.statusCode() === 200, hd.body())
+      assert(hd.body().contains(""""target": "derivative(app.a)""""),
+        hd.body())
+      assert(!hd.body().contains("app.b"), hd.body())
+      assert(get(s"$base/render?target=highestMax(app.*,0)&$range")
+        .statusCode() === 400)
+      assert(get(s"$base/render?target=averageAbove(app.*)&$range")
+        .statusCode() === 400)
 
       // /metrics/find: the Grafana picker tree — one level per call,
       // leaf/expandable merged per node
