@@ -67,7 +67,15 @@ object Stress {
 
       val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       def run(label: String)(df: => DataFrame): Unit = {
-        val (n, s) = time(label)(df.count())
+        // hash-reduce EVERY output column — a bare count() lets Catalyst
+        // prune a cardinality-preserving Window (derivatives, movingStats)
+        // entirely and time an empty plan
+        val (n, s) = time(label) {
+          val d = df
+          d.select(xxhash64(struct(d.columns.map(col): _*)).as("__h"))
+            .agg(count(lit(1)), expr("bit_xor(__h)")) // xor: no ANSI overflow
+            .collect()(0).getLong(0)
+        }
         results += ((label, n, s))
       }
 
@@ -84,6 +92,25 @@ object Stress {
           .select(col("tenant_id"), col("metric_name"),
             col("ts_ms").as("rts"), col("value").as("baseline")),
         "rts", Seq("tenant_id", "metric_name"), withinMs = Some(3600000L)))
+
+      // render-path transforms on the same hot series. derivatives is one
+      // incremental window pass; the resample pair runs at a step sized
+      // to the 2^20 bounded-grid contract (10^10 ms span / 10^4 ms step
+      // ≈ 10^6 grid rows). The moving trio is the headline: Spark
+      // re-aggregates a trailing RANGE frame from scratch every time its
+      // lower bound moves, so frame-based movingStats costs
+      // O(points × frame population) in ONE task — at 60 s (60-row
+      // frames) it is already minutes here, and at 1 h (3600-row frames)
+      // a single measurement exceeded 18 MINUTES before being aborted;
+      // movingAvgPrefix (running DECIMAL prefix sums minus an as-of
+      // boundary, bit-identical mean by q_series_moving_avg_prefix) is
+      // flat in the window because no frame ever re-aggregates.
+      run("deriv_hot")(Series.derivatives(hot))
+      run("moving_frame_hot_60s")(Series.movingStats(hot, 60000L))
+      run("moving_prefix_hot_60s")(Series.movingAvgPrefix(hot, 60000L))
+      run("moving_prefix_hot_1h")(Series.movingAvgPrefix(hot, 3600000L))
+      run("resample_hold_hot")(Series.resampleHold(hot, 10000L))
+      run("resample_linear_hot")(Series.resampleLinear(hot, 10000L))
 
       // ---- wide store: nWide single-point series ----
       val wide = spark.range(nWide).select(

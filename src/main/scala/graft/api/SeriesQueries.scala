@@ -165,6 +165,32 @@ object SeriesQueries {
     }
   }
 
+  /** The prefix-sum moving average ([[Series.movingAvgPrefix]]) against
+    * the SAME window-mean restatement as q_series_moving_avg (minus the
+    * non-prefixable extremes): the claim is bit-identity of the exact
+    * DECIMAL prefix-difference with the frame sum, so any divergence —
+    * boundary off-by-one, duplicate-ts peer handling, null accounting —
+    * is a hash failure here. */
+  private val movingAvgPrefix = {
+    val wMs = 600000L
+    QDef(
+      "q_series_moving_avg_prefix",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name, ts_ms, value,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+         |         / COUNT(*) OVER w AS mavg
+         |FROM metrics
+         |WHERE tenant_id = 'purchase'
+         |WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |             RANGE BETWEEN $wMs PRECEDING AND CURRENT ROW)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+      Series.movingAvgPrefix(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), wMs)
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Cross-series aggregation under a glob ([[Series.aggregateSeries]],
     * Graphite's sumSeries/averageSeries): all purchase-app series collapse
     * into one synthetic hourly mean series. The glob `app.purchase.*`
@@ -1085,7 +1111,8 @@ object SeriesQueries {
     }
   }
 
-  val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, seriesAgg,
+  val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
+    seriesAgg,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

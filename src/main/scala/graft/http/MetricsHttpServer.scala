@@ -993,15 +993,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
             val in0 = recurse(arg0, s"${(fromMs - windowMs) / 1000}")
             val in = in0.copy(df = in0.df.filter(col("value").isNotNull))
-            val vCol = fn match {
-              case "movingAverage" => "mavg"
-              case "movingMax" => "mmax"
-              case _ => "mmin"
-            }
-            SeriesExpr(graft.operators.Series
+            // the mean takes the prefix-sum path (bit-identical to the
+            // frame form, flat in window width — a wide window over a
+            // dense series through the frame path is the O(points×frame)
+            // wall graft.Stress measures); extremes have no prefix form
+            // and keep the frame path
+            val smoothed = fn match {
+              case "movingAverage" => graft.operators.Series
+                .movingAvgPrefix(in.df, windowMs)
+                .select(ser :+ col("mavg").as("value"): _*)
+              case _ => graft.operators.Series
                 .movingStats(in.df, windowMs)
-                .select(ser :+ col(vCol).as("value"): _*)
-                .filter(col("ts_ms") >= fromMs),
+                .select(ser :+ col(if (fn == "movingMax") "mmax" else "mmin")
+                  .as("value"): _*)
+            }
+            SeriesExpr(smoothed.filter(col("ts_ms") >= fromMs),
               None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
           case "timeShift" =>
             // evaluate the whole subtree under [from − shift,

@@ -228,6 +228,72 @@ object Series {
       min(col("value")).over(w).as("mmin"))
   }
 
+  /** Prefix-sum twin of [[movingStats]]' mean — the HOT-SERIES scale path.
+    *
+    * Spark evaluates a trailing RANGE frame by re-aggregating the whole
+    * in-frame buffer every time the lower bound moves (no retractable
+    * aggregates), so [[movingStats]] on a dense series costs
+    * O(points × frame population) inside ONE task — measured at 10⁷
+    * points × 3600-row frames it is the slowest wall in `graft.Stress`,
+    * dwarfing even the per-series sort. This form never materializes a
+    * frame: running DECIMAL prefix sums (incremental, O(points)) minus
+    * the prefix at the window boundary, looked up by an as-of union scan
+    * (the [[resampleLinear]] wPrev pattern — probe rows at ts − w − 1
+    * ride the same sorted pass), joined back on the probe key.
+    *
+    * BIT-IDENTICAL to `movingStats.mavg` by construction: the frame's
+    * DECIMAL sum equals the exact difference of two DECIMAL prefix sums,
+    * and the final cast/divide is the same scalar-double expression —
+    * including null-value rows (counted in the denominator, absent from
+    * the sum; an all-null window stays NULL, not 0). Output matches
+    * [[movingStats]] minus the non-prefixable mmax/mmin (a monotonic
+    * deque has no relational form; extremes keep the frame path).
+    *
+    * Scale shape: one incremental window over 2·points rows (data +
+    * distinct-ts probes), one co-partitioned join back on (series, ts) —
+    * no frame re-aggregation anywhere, hot series bounded by sort cost
+    * alone. */
+  def movingAvgPrefix(points: DataFrame, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val ser = Seq("tenant_id", "metric_name")
+    val dec = DecimalType(28, 2)
+    // probes: one per distinct (series, ts), planted at ts − w − 1 so the
+    // running cum they pick up is the prefix STRICTLY BELOW the frame
+    val probes = points.select(ser.map(col) :+ col("ts_ms"): _*).distinct()
+      .select(ser.map(col) ++ Seq(col("ts_ms").as("__src_ts"),
+        (col("ts_ms") - lit(windowMs) - 1L).as("ts_ms"),
+        lit(true).as("__probe")): _*)
+    val data = points.withColumn("__probe", lit(false))
+      .withColumn("__src_ts", lit(null).cast("long"))
+    val u = data.unionByName(probes, allowMissingColumns = true)
+    // the running frame is RANGE over ts alone: every row at ts' ≤ ts is
+    // in frame INCLUDING all equal-ts peers, so a probe at ts − w − 1
+    // picks up exactly the data rows strictly below the window's lower
+    // bound (the −1 shift), deterministically — no intra-ts tie order
+    // can matter, and duplicate-ts data rows share one cum
+    val wCum = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = u
+      .withColumn("__csum", sum(col("value").cast(dec)).over(wCum))
+      .withColumn("__ccnt",
+        count(when(!col("__probe"), lit(1))).over(wCum))
+      .withColumn("__cvct",
+        count(when(!col("__probe"), col("value"))).over(wCum))
+    val bounds = cum.filter(col("__probe"))
+      .select(ser.map(col) ++ Seq(col("__src_ts").as("ts_ms"),
+        col("__csum").as("__bsum"), col("__ccnt").as("__bcnt"),
+        col("__cvct").as("__bvct")): _*)
+    cum.filter(!col("__probe"))
+      .join(bounds, ser :+ "ts_ms")
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"),
+        (col("__ccnt") - col("__bcnt")).as("n_window"),
+        when(col("__cvct") - col("__bvct") > 0,
+          (coalesce(col("__csum"), lit(0).cast(dec)) -
+            coalesce(col("__bsum"), lit(0).cast(dec))).cast("double") /
+            (col("__ccnt") - col("__bcnt")))
+          .as("mavg")): _*)
+  }
+
   /** Fixed-offset self-comparison — Graphite's `timeShift` composed with a
     * delta/ratio panel (the week-over-week dashboard): each series'
     * `bucketMs`-bucket statistic is compared against its own value
@@ -884,8 +950,10 @@ object Series {
     *
     * Scale shape: series parallelize over one window exchange; grid rows
     * are generated per series by `sequence` (never a driver loop), and the
-    * prev/next lookups are two frames over ONE sorted union — no
-    * self-join of the point stream. Bound: the grid materializes as one
+    * prev/next lookups are two INCREMENTAL unbounded-preceding frames
+    * over the union (the next side on the reversed sort — a
+    * following-frame would re-aggregate per row, O(points²) in a hot
+    * series) — no self-join of the point stream. Bound: the grid materializes as one
     * ARRAY per series before exploding, so the render-sized contract is
     * ENFORCED exactly like [[lttbExact]]'s — a series whose own
     * [min ts, max ts] span divided by `stepMs` exceeds
@@ -950,14 +1018,20 @@ object Series {
       .unionByName(grid.withColumn("value", lit(null).cast("double"))
         .withColumn("is_grid", lit(true)))
     // prev: at an equal ts the DATA row sorts before the grid row, so an
-    // exact hit is its own previous sample; next: the reverse tie order
-    // puts the grid row first, so the same hit is also its own next.
+    // exact hit is its own previous sample. next: expressed as
+    // last-over-preceding on the REVERSED sort order — an equivalent
+    // [currentRow, unboundedFollowing] frame would be re-aggregated from
+    // scratch per row by Spark (O(points²) per series — the hot-series
+    // hang graft.Stress exposed), while unbounded-PRECEDING frames
+    // update incrementally; in reversed order the data row still sorts
+    // before the grid row at an equal ts, so an exact hit is also its
+    // own next sample.
     val wPrev = Window.partitionBy(ser.map(col): _*)
       .orderBy(col("ts_ms"), col("is_grid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(ser.map(col): _*)
-      .orderBy(col("ts_ms"), col("is_grid").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("ts_ms").desc, col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dataTs = when(!col("is_grid"), col("ts_ms"))
     val dataV = when(!col("is_grid"), col("value"))
     val withPrev = u
@@ -967,8 +1041,8 @@ object Series {
       withPrev.filter(col("is_grid"))
         .select(ser.map(col) ++ Seq(col("ts_ms"), col("pv").as("value")): _*)
     else withPrev
-      .withColumn("nt", first(dataTs, ignoreNulls = true).over(wNext))
-      .withColumn("nv", first(dataV, ignoreNulls = true).over(wNext))
+      .withColumn("nt", last(dataTs, ignoreNulls = true).over(wNextRev))
+      .withColumn("nv", last(dataV, ignoreNulls = true).over(wNextRev))
       .filter(col("is_grid"))
       .select(ser.map(col) ++ Seq(col("ts_ms"),
         when(col("nt") === col("pt"), col("pv"))

@@ -491,6 +491,38 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(msgs.exists(_.contains("10001")), msgs)
   }
 
+  test("movingAvgPrefix ≡ movingStats.mavg bit-for-bit: gate corpus + " +
+    "duplicate timestamps, boundary-exact windows, null values") {
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("tenant_id", "metric_name", "ts_ms", "value", "n_window", "mavg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -2L else bits(r.getDouble(3)), r.getLong(4),
+        if (r.isNullAt(5)) -1L else bits(r.getDouble(5))))
+      .toSet
+    val corpus = graft.core.Tables.metrics(spark, "/root/testdata/sf0.001")
+    for (w <- Seq(600000L, 3600000L))
+      assert(canon(Series.movingAvgPrefix(corpus, w)) ===
+        canon(Series.movingStats(corpus, w)), s"windowMs=$w")
+    // adversarial: duplicate timestamps (RANGE peers share one cum), a
+    // row EXACTLY windowMs after another (inclusive lower bound), one
+    // exactly windowMs+1 after (exclusive), and null values (counted in
+    // the denominator, absent from the sum; an all-null prefix stays
+    // NULL not 0)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val adv = pts(Seq(
+      ("t", "dup", 0L, 1.0), ("t", "dup", 0L, 3.0), ("t", "dup", 5L, 6.0),
+      ("t", "edge", 0L, 2.0), ("t", "edge", 10L, 4.0), ("t", "edge", 11L, 8.0),
+      ("t", "n", 0L, -1.0), ("t", "n", 3L, -1.0), ("t", "n", 6L, 5.0)))
+      .withColumn("value",
+        when(col("value") === -1.0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .repartition(5)
+    assert(canon(Series.movingAvgPrefix(adv, 10L)) ===
+      canon(Series.movingStats(adv, 10L)))
+  }
+
   test("madOutliersSharded ≡ madOutliers: gate corpus + adversarial shapes " +
     "(duplicates, negatives, constants, single points, even/odd counts)") {
     // doubles compared by BIT PATTERN: plain == would mask a -0.0 vs 0.0
