@@ -882,9 +882,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * subtree's own target text, `alias`/`aliasByNode` replace it.
     * `timeShift` re-evaluates its WHOLE subtree under the shifted
     * [from, until] and draws the result at the requested instants.
-    * Transform inputs drop null values (Graphite's None-skipping), while
-    * each stage's own null output (a derivative's first point) still
-    * renders as null datapoints. */
+    * ARITHMETIC transforms (rates, integral, moving, resample,
+    * aggregates) drop null input values (Graphite's None-skipping);
+    * pointwise transforms (scale/offset/absolute) and whole-series
+    * selection take the raw frame — null arithmetic yields null and
+    * selection serves points unchanged — so each stage's own null output
+    * (a derivative's first point) still renders as null datapoints
+    * through them. */
   private def evalRenderTarget(t: String, tenant: String, from: String,
       until: String, points: Option[Int], resolution: Option[Granularity],
       now: Long, depth: Int): SeriesExpr = {
@@ -1047,12 +1051,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val k = kStr.toDoubleOption.getOrElse(
               throw new IllegalArgumentException(
                 s"$fn constant must be numeric in '$t', got '$kStr'"))
+            // pointwise: RAW inner — null arithmetic yields null, so a
+            // wrapped stage's null datapoints (a derivative's first
+            // point) still render as nulls instead of disappearing
             val v = if (fn == "scale") col("value") * k else col("value") + k
-            val in = inner
+            val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value", v),
               None, n => s"$fn(${in.displayName(n)},$kStr)")
           case "absolute" =>
-            val in = inner
+            val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value", abs(col("value"))),
               None, n => s"absolute(${in.displayName(n)})")
           case "highestMax" | "highestAverage" | "lowestAverage" |
@@ -1072,10 +1079,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               case "lowestAverage" => ("mean", true)
               case _ => ("max", true)
             }
-            val in = inner
-            val sel = graft.operators.Series.topSeries(in.df, k, stat, asc)
+            // RAW inner (selection serves points UNCHANGED, nulls
+            // included; topSeries' aggregates ignore nulls themselves),
+            // materialized once — the frame feeds BOTH the ranking and
+            // the join probe side, and an expensive nested subtree must
+            // not re-run for each consumer (the CLAUDE.md
+            // materialize-once rule; render inputs are panel-bounded)
+            val in = recurse(arg0)
+            val inDf = in.df.localCheckpoint()
+            val sel = graft.operators.Series.topSeries(inDf, k, stat, asc)
               .select(col("tenant_id"), col("metric_name"))
-            SeriesExpr(in.df.join(broadcast(sel),
+            SeriesExpr(inDf.join(broadcast(sel),
                 Seq("tenant_id", "metric_name")),
               in.singleName, in.nameOf)
           case "averageAbove" | "averageBelow" | "maximumAbove" |
@@ -1086,14 +1100,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               throw new IllegalArgumentException(
                 s"$fn needs a numeric threshold in '$t'"))
             val stat = if (fn.startsWith("average")) "mean" else "max"
-            val in = inner
+            // RAW inner + materialize-once, as in the highest*/lowest* arm
+            val in = recurse(arg0)
+            val inDf = in.df.localCheckpoint()
             val cond =
               if (fn.endsWith("Above")) col("stat_value") > thr
               else col("stat_value") < thr
             val sel = graft.operators.Series
-              .topSeries(in.df, Int.MaxValue, stat)
+              .topSeries(inDf, Int.MaxValue, stat)
               .filter(cond).select(col("tenant_id"), col("metric_name"))
-            SeriesExpr(in.df.join(broadcast(sel),
+            SeriesExpr(inDf.join(broadcast(sel),
                 Seq("tenant_id", "metric_name")),
               in.singleName, in.nameOf)
           case "alias" =>
@@ -1393,15 +1409,20 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     } finally inflightReads.remove(ex)
   }
 
-  /** Render-target argument split: commas inside `{...}` glob alternation
-    * AND inside nested `fn(...)` sub-expressions stay part of their
-    * argument ([[GlobPattern]] braces nest and calls nest, so depth is
-    * tracked, not toggled). */
+  /** Render-target argument split: commas inside `{...}` glob alternation,
+    * inside nested `fn(...)` sub-expressions, AND inside `"..."` quoted
+    * strings stay part of their argument ([[GlobPattern]] braces nest and
+    * calls nest, so depth is tracked, not toggled; quoted content is
+    * opaque — `alias(a.b,"p99, ms")` keeps its comma and an unbalanced
+    * paren inside quotes cannot corrupt the depth). */
   private def splitTargetArgs(argStr: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
+    var inQuote = false
     argStr.foreach {
+      case '"' => inQuote = !inQuote; sb.append('"')
+      case c if inQuote => sb.append(c)
       case c @ ('{' | '(') => depth += 1; sb.append(c)
       case c @ ('}' | ')') => depth -= 1; sb.append(c)
       case ',' if depth == 0 => out += sb.toString; sb.clear()

@@ -235,56 +235,42 @@ object Series {
     * aggregates), so [[movingStats]] on a dense series costs
     * O(points × frame population) inside ONE task — measured at 10⁷
     * points × 3600-row frames it is the slowest wall in `graft.Stress`,
-    * dwarfing even the per-series sort. This form never materializes a
-    * frame: running DECIMAL prefix sums (incremental, O(points)) minus
-    * the prefix at the window boundary, looked up by an as-of union scan
-    * (the [[resampleLinear]] wPrev pattern — probe rows at ts − w − 1
-    * ride the same sorted pass), joined back on the probe key.
+    * dwarfing even the per-series sort. This form never re-aggregates a
+    * frame: TWO unbounded-preceding range frames over the SAME sort —
+    * `[unbounded, current]` and `[unbounded, −(w+1)]` — and the window
+    * mean is their exact DECIMAL difference. Both frame kinds only ever
+    * ADD rows as their upper bound advances, so Spark evaluates each
+    * incrementally, and sharing the partition/order means ONE exchange,
+    * ONE sort, one WindowExec (no probes, no union, no self-join —
+    * the first draft's probe+join form re-ran the whole sorted lineage
+    * on both join sides).
     *
     * BIT-IDENTICAL to `movingStats.mavg` by construction: the frame's
     * DECIMAL sum equals the exact difference of two DECIMAL prefix sums,
     * and the final cast/divide is the same scalar-double expression —
     * including null-value rows (counted in the denominator, absent from
-    * the sum; an all-null window stays NULL, not 0). Output matches
-    * [[movingStats]] minus the non-prefixable mmax/mmin (a monotonic
-    * deque has no relational form; extremes keep the frame path).
-    *
-    * Scale shape: one incremental window over 2·points rows (data +
-    * distinct-ts probes), one co-partitioned join back on (series, ts) —
-    * no frame re-aggregation anywhere, hot series bounded by sort cost
-    * alone. */
+    * the sum; an all-null window stays NULL, not 0) and duplicate-ts
+    * peers (RANGE frames include all peers on both bounds). Output
+    * matches [[movingStats]] minus the non-prefixable mmax/mmin (a
+    * monotonic deque has no relational form; extremes keep the frame
+    * path). */
   def movingAvgPrefix(points: DataFrame, windowMs: Long): DataFrame = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val ser = Seq("tenant_id", "metric_name")
     val dec = DecimalType(28, 2)
-    // probes: one per distinct (series, ts), planted at ts − w − 1 so the
-    // running cum they pick up is the prefix STRICTLY BELOW the frame
-    val probes = points.select(ser.map(col) :+ col("ts_ms"): _*).distinct()
-      .select(ser.map(col) ++ Seq(col("ts_ms").as("__src_ts"),
-        (col("ts_ms") - lit(windowMs) - 1L).as("ts_ms"),
-        lit(true).as("__probe")): _*)
-    val data = points.withColumn("__probe", lit(false))
-      .withColumn("__src_ts", lit(null).cast("long"))
-    val u = data.unionByName(probes, allowMissingColumns = true)
-    // the running frame is RANGE over ts alone: every row at ts' ≤ ts is
-    // in frame INCLUDING all equal-ts peers, so a probe at ts − w − 1
-    // picks up exactly the data rows strictly below the window's lower
-    // bound (the −1 shift), deterministically — no intra-ts tie order
-    // can matter, and duplicate-ts data rows share one cum
-    val wCum = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = u
-      .withColumn("__csum", sum(col("value").cast(dec)).over(wCum))
-      .withColumn("__ccnt",
-        count(when(!col("__probe"), lit(1))).over(wCum))
-      .withColumn("__cvct",
-        count(when(!col("__probe"), col("value"))).over(wCum))
-    val bounds = cum.filter(col("__probe"))
-      .select(ser.map(col) ++ Seq(col("__src_ts").as("ts_ms"),
-        col("__csum").as("__bsum"), col("__ccnt").as("__bcnt"),
-        col("__cvct").as("__bvct")): _*)
-    cum.filter(!col("__probe"))
-      .join(bounds, ser :+ "ts_ms")
+    val order = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
+    // prefix up to and including the current row's ts (all peers)
+    val upto = order.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // prefix STRICTLY BELOW the window's lower bound ts − w (the −1 on an
+    // integer-ms axis); sum/count over an empty frame are NULL/0
+    val below = order.rangeBetween(Window.unboundedPreceding, -(windowMs + 1L))
+    points
+      .withColumn("__csum", sum(col("value").cast(dec)).over(upto))
+      .withColumn("__bsum", sum(col("value").cast(dec)).over(below))
+      .withColumn("__ccnt", count(lit(1)).over(upto))
+      .withColumn("__bcnt", count(lit(1)).over(below))
+      .withColumn("__cvct", count(col("value")).over(upto))
+      .withColumn("__bvct", count(col("value")).over(below))
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"),
         (col("__ccnt") - col("__bcnt")).as("n_window"),
         when(col("__cvct") - col("__bvct") > 0,

@@ -669,6 +669,14 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         s"&$range")
       assert(al.statusCode() === 200, al.body())
       assert(al.body().contains(""""target": "latency""""), al.body())
+      // quoted strings are OPAQUE to the arg split: the comma and the
+      // unbalanced paren inside the display name stay part of it
+      val alq = get(s"$base/render?target=" +
+        java.net.URLEncoder.encode("""alias(app.a,"p99, ms (approx")""",
+          "UTF-8") + s"&$range")
+      assert(alq.statusCode() === 200, alq.body())
+      assert(alq.body().contains(""""target": "p99, ms (approx""""),
+        alq.body())
       val an = get(s"$base/render?target=aliasByNode(app.*,-1)&$range")
       assert(an.statusCode() === 200, an.body())
       assert(an.body().contains(""""target": "a""""), an.body())
@@ -682,6 +690,10 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(n1.body().contains(""""target": "scale(derivative(app.a),2)""""),
         n1.body())
       assert(n1.body().contains(s"[2.0, ${t0 / 1000 + 300}]"), n1.body())
+      // pointwise transforms PROPAGATE a wrapped stage's nulls (null
+      // arithmetic is null): the derivative's first point survives the
+      // scale instead of disappearing
+      assert(n1.body().contains(s"[null, ${t0 / 1000}]"), n1.body())
       // rate of a cross-series aggregate: sum steps 20 -> 22 -> delta 2.0;
       // the aggregate pins its own text inside the composed name
       val n2 = get(s"$base/render?target=derivative(sumSeries(app.*))&$range")
@@ -767,6 +779,11 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(hd.body().contains(""""target": "derivative(app.a)""""),
         hd.body())
       assert(!hd.body().contains("app.b"), hd.body())
+      // selection serves points UNCHANGED, nulls included: wrapping a
+      // rate view keeps its null first point
+      val hs = get(s"$base/render?target=highestMax(derivative(app.*),1)&$range")
+      assert(hs.statusCode() === 200, hs.body())
+      assert(hs.body().contains(s"[null, ${t0 / 1000}]"), hs.body())
       assert(get(s"$base/render?target=highestMax(app.*,0)&$range")
         .statusCode() === 400)
       assert(get(s"$base/render?target=averageAbove(app.*)&$range")
