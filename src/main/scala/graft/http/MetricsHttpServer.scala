@@ -806,6 +806,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    ([[graft.operators.Series.resampleHold]] / `resampleLinear`),
     *    bounded-grid contract enforced at the request level
     *  - `scale|offset(<glob>,k)` / `absolute(<glob>)` — pointwise
+    *  - `asPercent(<glob>)` — per-instant share across the matched series
+    *    (compose over summarize/resample when timestamps are irregular)
     *  - `highestMax|highestAverage|lowestAverage|lowestMax(<glob>,k)` and
     *    `averageAbove|averageBelow|maximumAbove|maximumBelow(<glob>,t)` —
     *    whole-series selection ([[graft.operators.Series.topSeries]]),
@@ -1062,6 +1064,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value", abs(col("value"))),
               None, n => s"absolute(${in.displayName(n)})")
+          case "asPercent" =>
+            // per-INSTANT share across the matched series (the stacked-
+            // percentage view): value / Σ(values at the same ts) × 100,
+            // one window keyed by (tenant, ts) — no self-join. Instants
+            // must align for the share to be meaningful; compose over
+            // summarize/resample/keepLastValue when timestamps are
+            // irregular (this store's FULL resolution is as-collected).
+            // Zero/NULL denominators yield null (the F6 safe-div rule).
+            val in = recurse(arg0)
+            val wTs = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("ts_ms"))
+            SeriesExpr(in.df.withColumn("value",
+                when(sum(col("value")).over(wTs) =!= 0.0,
+                  col("value") / sum(col("value")).over(wTs) * 100)),
+              None, n => s"asPercent(${in.displayName(n)})")
           case "highestMax" | "highestAverage" | "lowestAverage" |
                "lowestMax" =>
             // series SELECTION (Graphite's highest*/lowest* family): rank

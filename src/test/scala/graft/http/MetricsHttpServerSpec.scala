@@ -659,6 +659,15 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val of = get(s"$base/render?target=offset(app.a,-10)&$range")
       assert(of.statusCode() === 200, of.body())
       assert(of.body().contains(s"[0.0, ${t0 / 1000}]"), of.body())
+      // asPercent: the fixture's two series share every timestamp with
+      // equal values except the spike, so each holds 50% per instant
+      val ap = get(s"$base/render?target=asPercent(app.*)&$range")
+      assert(ap.statusCode() === 200, ap.body())
+      assert(ap.body().contains(""""target": "asPercent(app.a)""""),
+        ap.body())
+      assert(ap.body().contains(""""target": "asPercent(app.b)""""),
+        ap.body())
+      assert(ap.body().contains(s"[50.0, ${t0 / 1000}]"), ap.body())
       assert(get(s"$base/render?target=scale(app.a,x)&$range")
         .statusCode() === 400)
       // display naming: alias renames, aliasByNode picks a dot-node
