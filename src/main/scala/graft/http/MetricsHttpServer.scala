@@ -806,8 +806,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    ([[graft.operators.Series.resampleHold]] / `resampleLinear`),
     *    bounded-grid contract enforced at the request level
     *  - `scale|offset(<glob>,k)` / `absolute(<glob>)` — pointwise
-    *  - `asPercent(<glob>)` — per-instant share across the matched series
-    *    (compose over summarize/resample when timestamps are irregular)
+    *  - `asPercent(<glob>[,<totalExpr>])` — per-instant share across the
+    *    matched series, or of an explicit total expression (compose over
+    *    summarize/resample when timestamps are irregular)
     *  - `highestMax|highestAverage|lowestAverage|lowestMax(<glob>,k)` and
     *    `averageAbove|averageBelow|maximumAbove|maximumBelow(<glob>,t)` —
     *    whole-series selection ([[graft.operators.Series.topSeries]]),
@@ -1065,20 +1066,34 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value", abs(col("value"))),
               None, n => s"absolute(${in.displayName(n)})")
           case "asPercent" =>
-            // per-INSTANT share across the matched series (the stacked-
-            // percentage view): value / Σ(values at the same ts) × 100,
-            // one window keyed by (tenant, ts) — no self-join. Instants
-            // must align for the share to be meaningful; compose over
-            // summarize/resample/keepLastValue when timestamps are
-            // irregular (this store's FULL resolution is as-collected).
+            // per-INSTANT shares (the stacked-percentage view):
+            // one-arg form = value / Σ(matched series at the same ts);
+            // two-arg Graphite form asPercent(expr, totalExpr) divides by
+            // the TOTAL expression's per-instant sum instead (left join —
+            // instants the total lacks yield null). Instants must align
+            // for a share to be meaningful; compose over summarize/
+            // resample/keepLastValue when timestamps are irregular.
             // Zero/NULL denominators yield null (the F6 safe-div rule).
             val in = recurse(arg0)
-            val wTs = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("tenant_id"), col("ts_ms"))
-            SeriesExpr(in.df.withColumn("value",
-                when(sum(col("value")).over(wTs) =!= 0.0,
-                  col("value") / sum(col("value")).over(wTs) * 100)),
-              None, n => s"asPercent(${in.displayName(n)})")
+            val pct = when(col("__tot") =!= 0.0,
+              col("value") / col("__tot") * 100)
+            args.lift(1).map(_.trim) match {
+              case Some(totArg) =>
+                val totByTs = recurse(totArg).df
+                  .groupBy(col("tenant_id"), col("ts_ms"))
+                  .agg(sum(col("value")).as("__tot"))
+                SeriesExpr(in.df
+                    .join(totByTs, Seq("tenant_id", "ts_ms"), "left")
+                    .withColumn("value", pct).drop("__tot"),
+                  None, n => s"asPercent(${in.displayName(n)},$totArg)")
+              case None =>
+                val wTs = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("tenant_id"), col("ts_ms"))
+                SeriesExpr(in.df
+                    .withColumn("__tot", sum(col("value")).over(wTs))
+                    .withColumn("value", pct).drop("__tot"),
+                  None, n => s"asPercent(${in.displayName(n)})")
+            }
           case "highestMax" | "highestAverage" | "lowestAverage" |
                "lowestMax" =>
             // series SELECTION (Graphite's highest*/lowest* family): rank

@@ -659,8 +659,9 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val of = get(s"$base/render?target=offset(app.a,-10)&$range")
       assert(of.statusCode() === 200, of.body())
       assert(of.body().contains(s"[0.0, ${t0 / 1000}]"), of.body())
-      // asPercent: the fixture's two series share every timestamp with
-      // equal values except the spike, so each holds 50% per instant
+      // asPercent: the fixture's two series share every timestamp; values
+      // are equal at t0 (50% each) and diverge at the i=25 spike
+      // (500 vs 11 -> 500/511 and 11/511 of the instant)
       val ap = get(s"$base/render?target=asPercent(app.*)&$range")
       assert(ap.statusCode() === 200, ap.body())
       assert(ap.body().contains(""""target": "asPercent(app.a)""""),
@@ -668,6 +669,18 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(ap.body().contains(""""target": "asPercent(app.b)""""),
         ap.body())
       assert(ap.body().contains(s"[50.0, ${t0 / 1000}]"), ap.body())
+      assert(ap.body().contains(
+        s"[${500.0 / 511.0 * 100}, ${t0 / 1000 + 25 * 300}]"), ap.body())
+      assert(ap.body().contains(
+        s"[${11.0 / 511.0 * 100}, ${t0 / 1000 + 25 * 300}]"), ap.body())
+      // two-arg Graphite form: share of an explicit TOTAL expression
+      val ap2 = get(s"$base/render?target=asPercent(app.a,app.*)&$range")
+      assert(ap2.statusCode() === 200, ap2.body())
+      assert(ap2.body().contains(""""target": "asPercent(app.a,app.*)""""),
+        ap2.body())
+      assert(ap2.body().contains(s"[50.0, ${t0 / 1000}]"), ap2.body())
+      assert(ap2.body().contains(
+        s"[${500.0 / 511.0 * 100}, ${t0 / 1000 + 25 * 300}]"), ap2.body())
       assert(get(s"$base/render?target=scale(app.a,x)&$range")
         .statusCode() === 400)
       // display naming: alias renames, aliasByNode picks a dot-node
