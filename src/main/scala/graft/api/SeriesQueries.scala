@@ -191,6 +191,43 @@ object SeriesQueries {
     }
   }
 
+  /** The full prefixable trailing-window family
+    * ([[Series.movingWindowPrefix]] — Graphite's movingSum /
+    * movingWindow-stddev beside the mean) against the RANGE-frame
+    * restatement: window sum and mean are the exact-DECIMAL
+    * prefix-difference ≡ frame-sum claim, and the stddev is the basic
+    * rollup's (Σx² − (Σx)²/n)/n derived double (0-clamped, IEEE-exact
+    * sqrt) over those same exact sums — identical scalar expressions both
+    * sides, so boundary, peer, and clamp-branch decisions all hash. */
+  private val movingWindowQ = {
+    val wMs = 1800000L
+    val winSumSql = "CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)"
+    val varSql = s"""(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE)
+       |            - $winSumSql * $winSumSql / COUNT(*) OVER w)
+       |            / COUNT(*) OVER w""".stripMargin
+    QDef(
+      "q_series_moving_window",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name, ts_ms, value,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+         |       CASE WHEN COUNT(value) OVER w > 0
+         |            THEN $winSumSql END AS msum,
+         |       CASE WHEN COUNT(value) OVER w > 0
+         |            THEN $winSumSql / COUNT(*) OVER w END AS mavg,
+         |       CASE WHEN COUNT(value) OVER w > 0 THEN
+         |         CASE WHEN $varSql > 0
+         |              THEN SQRT($varSql) ELSE 0.0 END END AS mstd
+         |FROM metrics
+         |WHERE tenant_id = 'purchase'
+         |WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts_ms
+         |             RANGE BETWEEN $wMs PRECEDING AND CURRENT ROW)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) { (s, dir) =>
+      Series.movingWindowPrefix(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"), wMs)
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Cross-series aggregation under a glob ([[Series.aggregateSeries]],
     * Graphite's sumSeries/averageSeries): all purchase-app series collapse
     * into one synthetic hourly mean series. The glob `app.purchase.*`
@@ -212,6 +249,65 @@ object SeriesQueries {
       Series.aggregateSeries(Tables.metrics(s, dir), "app.purchase.*",
           "mean", bMs)
         .orderBy("tenant_id", "bucket_ms")
+    }
+  }
+
+  /** Cross-series population STDDEV per bucket ([[Series.aggregateSeries]]
+    * with the `stddev` stat, Graphite's stddevSeries): the basic rollup's
+    * exact-sum/exact-sum-of-squares derived-double recipe, expanded form
+    * 0-clamped where double cancellation goes fractionally negative —
+    * the SAME scalar expression (including the clamp CASE) on both sides,
+    * so the branch decision and the IEEE-exact sqrt agree bit-for-bit. */
+  private val seriesAggStd = {
+    val bMs = 3600000L
+    val varSql = """(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)
+       |          - CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+       |            * CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+       |            / COUNT(*)) / COUNT(*)""".stripMargin
+    QDef(
+      "q_series_agg_std",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, 'agg.stddev.app.purchase.*' AS metric_name,
+         |       CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
+         |       CASE WHEN $varSql > 0
+         |            THEN SQRT($varSql) ELSE 0.0 END AS value,
+         |       COUNT(DISTINCT metric_name) AS n_series
+         |FROM metrics
+         |WHERE metric_name LIKE 'app.purchase.%'
+         |GROUP BY 1, 3
+         |ORDER BY tenant_id, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.aggregateSeries(Tables.metrics(s, dir), "app.purchase.*",
+          "stddev", bMs)
+        .orderBy("tenant_id", "bucket_ms")
+    }
+  }
+
+  /** Token-grouped aggregation ([[Series.groupByNode]], Graphite's
+    * groupByNode): series sharing dot-token 1 of their name collapse into
+    * one hourly-sum series per token, NAMED by the token — the legend
+    * grouping dashboards build with. The token restates as DuckDB's
+    * 1-based `string_split(...)[2]`; the distinct-contributor count needs
+    * the pre-projection name, hence the staged CTE. */
+  private val groupNode = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_group_node",
+      s"""WITH ${OracleViews.metricsCte},
+         |m2 AS (
+         |  SELECT tenant_id, string_split(metric_name, '.')[2] AS node,
+         |         ts_ms - ts_ms % $bMs AS bucket_ms, value,
+         |         metric_name AS orig
+         |  FROM metrics
+         |)
+         |SELECT tenant_id, node AS metric_name,
+         |       CAST(bucket_ms AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
+         |       COUNT(DISTINCT orig) AS n_series
+         |FROM m2
+         |GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.groupByNode(Tables.metrics(s, dir), 1, "sum", bMs)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
     }
   }
 
@@ -1112,7 +1208,7 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
-    seriesAgg,
+    movingWindowQ, seriesAgg, seriesAggStd, groupNode,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

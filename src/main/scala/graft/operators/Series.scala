@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -124,7 +124,8 @@ object Series {
     * (and the `lowest*` family via `ascending = true`), engine-side: the
     * dashboard asks "which 10 series matter" without downloading any.
     *
-    * `stat`: mean | sum | max | min | count. mean/sum accumulate in exact
+    * `stat`: mean | sum | max | min | count | last (most recent sample —
+    * the highestCurrent/lowestCurrent rank). mean/sum accumulate in exact
     * DECIMAL(28,2) then finish as scalar double (the rollup recipe), so
     * ranking is partition-order invariant; ties break by metric_name for a
     * total order. Output: tenant_id, metric_name, stat_value, rk (1-based).
@@ -143,8 +144,13 @@ object Series {
       case "max" => max(col("value"))
       case "min" => min(col("value"))
       case "count" => count(lit(1)).cast("double")
+      // the most recent sample (Graphite's highestCurrent/lowestCurrent
+      // ranking stat); ties on ts_ms break by larger value so the rank
+      // input is deterministic ([[summarize]]'s "last" convention)
+      case "last" => max(struct(col("ts_ms"), col("value")))
+        .getField("value")
       case other => throw new IllegalArgumentException(
-        s"stat must be one of mean|sum|max|min|count, got '$other'")
+        s"stat must be one of mean|sum|max|min|count|last, got '$other'")
     }
     val ord =
       if (ascending) col("stat_value").asc else col("stat_value").desc
@@ -174,15 +180,7 @@ object Series {
   def aggregateSeries(points: DataFrame, glob: String, stat: String,
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
-    val dec = DecimalType(28, 2)
-    val statCol = stat match {
-      case "mean" => sum(col("value").cast(dec)).cast("double") / count(lit(1))
-      case "sum" => sum(col("value").cast(dec)).cast("double")
-      case "max" => max(col("value"))
-      case "min" => min(col("value"))
-      case other => throw new IllegalArgumentException(
-        s"stat must be one of mean|sum|max|min, got '$other'")
-    }
+    val statCol = crossSeriesStat(stat)
     points
       .filter(col("metric_name")
         .rlike(graft.core.GlobPattern.toAnchoredRegex(glob)))
@@ -193,6 +191,77 @@ object Series {
         count_distinct(col("metric_name")).as("n_series"))
       .withColumn("metric_name", lit(s"agg.$stat.$glob"))
       .select("tenant_id", "metric_name", "bucket_ms", "value", "n_series")
+  }
+
+  /** The cross-series per-bucket statistic shared by [[aggregateSeries]]
+    * and [[groupByNode]] — Graphite's sumSeries/averageSeries/maxSeries/
+    * minSeries/countSeries/rangeOfSeries/stddevSeries combinator family.
+    * mean/sum accumulate in exact DECIMAL(28,2) and finish as scalar
+    * double (the rollup recipe, partition-order invariant); stddev is the
+    * population form over the basic rollup's exact-sum/exact-sum-of-
+    * squares recipe ((Σx² − (Σx)²/n)/n as one scalar-double expression,
+    * sqrt is IEEE-exact in every engine), clamped at 0 where the expanded
+    * form's double cancellation would go fractionally negative — the
+    * SAME clamp expression the oracle states, so both engines take the
+    * same branch. count counts non-null points in the bucket (the
+    * n_series column reports distinct contributing series separately). */
+  private def crossSeriesStat(stat: String): Column = {
+    val dec = DecimalType(28, 2)
+    stat match {
+      case "mean" => sum(col("value").cast(dec)).cast("double") / count(lit(1))
+      case "sum" => sum(col("value").cast(dec)).cast("double")
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "count" => count(col("value")).cast("double")
+      case "range" => max(col("value")) - min(col("value"))
+      case "stddev" =>
+        val n = count(lit(1))
+        val s = sum(col("value").cast(dec)).cast("double")
+        val sq = sum((col("value") * col("value"))
+          .cast(DecimalType(38, 8))).cast("double")
+        val v = (sq - s * s / n) / n
+        when(v > 0.0, sqrt(v)).otherwise(lit(0.0))
+      case other => throw new IllegalArgumentException(
+        s"stat must be one of mean|sum|max|min|count|range|stddev, got '$other'")
+    }
+  }
+
+  /** Graphite's `groupByNode(seriesList, n, callback)` — aggregate series
+    * that share the n-th dot-token of their metric name (0-based;
+    * negative counts from the end), per time bucket, within a tenant:
+    * `groupByNode(app.*.user_*, 1, "sum")` collapses per-user series into
+    * one series per application token. The output series is NAMED by the
+    * token — the piece dashboards group legends by. A series lacking the
+    * node fails loud with its name (Graphite raises there too; silently
+    * dropping it would lie about coverage).
+    *
+    * Scale shape: identical to [[aggregateSeries]] — ONE map-side-
+    * combining aggregation keyed by (tenant, token, bucket); the token is
+    * a scalar projection, never a per-series pass or a driver loop. */
+  def groupByNode(points: DataFrame, nodeIndex: Int, stat: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val parts = split(col("metric_name"), "\\.")
+    // element_at is 1-based from the front, -1-based from the back; the
+    // size guard keeps ANSI element_at from throwing its opaque
+    // out-of-range error (CASE branches evaluate lazily, so the
+    // element_at only runs when the guard passes)
+    val needed = if (nodeIndex >= 0) nodeIndex + 1 else -nodeIndex
+    val pos = if (nodeIndex >= 0) nodeIndex + 1 else nodeIndex
+    val token =
+      when(size(parts) < needed, raise_error(concat(
+        lit(s"groupByNode: series '"), col("metric_name"),
+        lit(s"' has no node $nodeIndex"))).cast("string"))
+      .otherwise(element_at(parts, pos))
+    points
+      .withColumn("__node", token)
+      .groupBy(col("tenant_id"), col("__node"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg(crossSeriesStat(stat).as("value"),
+        count_distinct(col("metric_name")).as("n_series"))
+      .select(col("tenant_id"), col("__node").as("metric_name"),
+        col("bucket_ms"), col("value"), col("n_series"))
   }
 
   /** Per-point trailing moving statistics over a TIME window — Graphite's
@@ -278,6 +347,62 @@ object Series {
             coalesce(col("__bsum"), lit(0).cast(dec))).cast("double") /
             (col("__ccnt") - col("__bcnt")))
           .as("mavg")): _*)
+  }
+
+  /** [[movingAvgPrefix]] widened to the full prefixable trailing-window
+    * stat family — Graphite's `movingSum` and `movingWindow(...,
+    * "stddev")` alongside the mean, all riding the SAME sorted pass:
+    * THREE prefix pairs (DECIMAL(28,2) value sums, DECIMAL(38,8) squared
+    * sums, counts) over the two unbounded-preceding range frames, so the
+    * whole family costs one exchange + one sort + one WindowExec and
+    * stays flat in window width (the frame form re-aggregates
+    * O(points × frame population) per series task — the graft.Stress
+    * wall).
+    *
+    * Outputs per point: `n_window` (frame population), `msum` (exact-
+    * DECIMAL window sum as double), `mavg` (≡ [[movingStats]]' mavg
+    * bit-for-bit), `mstd` (population stddev over the window — the basic
+    * rollup's (Σx² − (Σx)²/n)/n derived-double recipe on exact prefix
+    * differences, 0-clamped against expanded-form cancellation; sqrt is
+    * IEEE-exact). All-null windows yield NULL stats with `n_window`
+    * still counting rows — the [[movingStats]] frame conventions. */
+  def movingWindowPrefix(points: DataFrame, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val ser = Seq("tenant_id", "metric_name")
+    val dec = DecimalType(28, 2)
+    val sqDec = DecimalType(38, 8)
+    val order = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
+    val upto = order.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = order.rangeBetween(Window.unboundedPreceding, -(windowMs + 1L))
+    val sqCol = (col("value") * col("value")).cast(sqDec)
+    val n = col("__ccnt") - col("__bcnt")
+    val sumD = (coalesce(col("__csum"), lit(0).cast(dec)) -
+      coalesce(col("__bsum"), lit(0).cast(dec))).cast("double")
+    val sqD = (coalesce(col("__csq"), lit(0).cast(sqDec)) -
+      coalesce(col("__bsq"), lit(0).cast(sqDec))).cast("double")
+    val hasVals = col("__cvct") - col("__bvct") > 0
+    val variance = (sqD - sumD * sumD / n) / n
+    points
+      // one projection, frame-grouped: the four upto-frame aggregates
+      // collapse into ONE Window node and the four below-frame ones into
+      // a second (an interleaved withColumn chain left four Window nodes
+      // in the plan — same sort, but two extra per-row passes)
+      .select(col("*"),
+        sum(col("value").cast(dec)).over(upto).as("__csum"),
+        sum(sqCol).over(upto).as("__csq"),
+        count(lit(1)).over(upto).as("__ccnt"),
+        count(col("value")).over(upto).as("__cvct"),
+        sum(col("value").cast(dec)).over(below).as("__bsum"),
+        sum(sqCol).over(below).as("__bsq"),
+        count(lit(1)).over(below).as("__bcnt"),
+        count(col("value")).over(below).as("__bvct"))
+      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"),
+        n.as("n_window"),
+        when(hasVals, sumD).as("msum"),
+        when(hasVals, sumD / n).as("mavg"),
+        when(hasVals,
+          when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0)))
+          .as("mstd")): _*)
   }
 
   /** Fixed-offset self-comparison — Graphite's `timeShift` composed with a

@@ -581,4 +581,129 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       Series.resampleLinear(wide, 500L, maxGridPointsPerSeries = 0))
   }
+
+  test("movingWindowPrefix ≡ frame stats bit-for-bit: gate corpus + " +
+    "duplicate timestamps, boundary-exact windows, null values") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("tenant_id", "metric_name", "ts_ms", "value", "n_window",
+        "msum", "mavg", "mstd")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -2L else bits(r.getDouble(3)), r.getLong(4),
+        (5 to 7).map(i => if (r.isNullAt(i)) -1L else bits(r.getDouble(i)))))
+      .toSet
+    // the RANGE-frame restatement of the whole family — what the prefix
+    // form claims bit-identity with (the q_series_moving_window oracle
+    // shape, including the stddev clamp branch)
+    def frameForm(df: org.apache.spark.sql.DataFrame, wMs: Long) = {
+      val w = Window.partitionBy("tenant_id", "metric_name")
+        .orderBy(col("ts_ms")).rangeBetween(-wMs, 0)
+      val n = count(lit(1)).over(w)
+      val s = sum(col("value").cast(DecimalType(28, 2))).over(w)
+        .cast("double")
+      val sq = sum((col("value") * col("value")).cast(DecimalType(38, 8)))
+        .over(w).cast("double")
+      val variance = (sq - s * s / n) / n
+      val hasVals = count(col("value")).over(w) > 0
+      df.select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+        col("value"), n.as("n_window"),
+        when(hasVals, s).as("msum"),
+        when(hasVals, s / n).as("mavg"),
+        when(hasVals,
+          when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0)))
+          .as("mstd"))
+    }
+    val corpus = graft.core.Tables.metrics(spark, "/root/testdata/sf0.001")
+    for (w <- Seq(600000L, 3600000L))
+      assert(canon(Series.movingWindowPrefix(corpus, w)) ===
+        canon(frameForm(corpus, w)), s"windowMs=$w")
+    // adversarial: RANGE peers on duplicate ts, inclusive/exclusive
+    // window edges, nulls in the denominator, a constant series whose
+    // expanded-form variance cancels to ±0
+    val adv = pts(Seq(
+      ("t", "dup", 0L, 1.0), ("t", "dup", 0L, 3.0), ("t", "dup", 5L, 6.0),
+      ("t", "edge", 0L, 2.0), ("t", "edge", 10L, 4.0), ("t", "edge", 11L, 8.0),
+      ("t", "n", 0L, -1.0), ("t", "n", 3L, -1.0), ("t", "n", 6L, 5.0),
+      ("t", "const", 0L, 7.5), ("t", "const", 4L, 7.5), ("t", "const", 9L, 7.5)))
+      .withColumn("value",
+        when(col("value") === -1.0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .repartition(5)
+    assert(canon(Series.movingWindowPrefix(adv, 10L)) ===
+      canon(frameForm(adv, 10L)))
+    // spot semantics: window [0,5] of "dup" holds 1,3,6 -> sum 10,
+    // mean 10/3, popvar ((1+9+36) - 100/3)/3
+    val d5 = Series.movingWindowPrefix(pts(Seq(
+        ("t", "dup", 0L, 1.0), ("t", "dup", 0L, 3.0), ("t", "dup", 5L, 6.0))),
+        10L)
+      .filter(col("ts_ms") === 5L).collect().head
+    assert(d5.getAs[Long]("n_window") === 3L)
+    assert(d5.getAs[Double]("msum") === 10.0)
+    assert(math.abs(d5.getAs[Double]("mstd") -
+      math.sqrt((46.0 - 100.0 / 3) / 3)) < 1e-12)
+    intercept[IllegalArgumentException](Series.movingWindowPrefix(adv, 0L))
+  }
+
+  test("groupByNode: token grouping, stats, negative index, node guard") {
+    val rows = Seq(
+      ("t", "app.web.req", 0L, 1.0), ("t", "app.web.err", 0L, 3.0),
+      ("t", "app.db.req", 0L, 10.0), ("t", "app.db.req", 500L, 20.0),
+      ("u", "app.web.req", 0L, 7.0)) // other tenant: grouped apart
+    val got = Series.groupByNode(pts(rows), 1, "sum", 1000L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got(("t", "web", 0L)) === ((4.0, 2L)))   // two series summed
+    assert(got(("t", "db", 0L)) === ((30.0, 1L)))   // both points in bucket
+    assert(got(("u", "web", 0L)) === ((7.0, 1L)))
+    // negative index counts from the end; mean stat
+    val last = Series.groupByNode(pts(rows), -1, "mean", 1000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(last(("t", "req")) === 31.0 / 3)
+    assert(last(("t", "err")) === 3.0)
+    // a series lacking the node fails loud with its name
+    val short = pts(Seq(("t", "lonely", 0L, 1.0)))
+    val e = intercept[Exception](
+      Series.groupByNode(short, 3, "sum", 1000L).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("lonely") && m.contains("node 3")), msgs)
+    intercept[IllegalArgumentException](
+      Series.groupByNode(pts(rows), 1, "sum", 0L))
+    intercept[IllegalArgumentException](
+      Series.groupByNode(pts(rows), 1, "median", 1000L))
+  }
+
+  test("aggregateSeries: count/range/stddev stats; stddev clamp at 0") {
+    val rows = Seq(
+      ("t", "app.a", 0L, 1.0), ("t", "app.b", 10L, 3.0),
+      ("t", "app.c", 20L, 8.0),
+      ("t", "app.a", 1000L, 5.0), ("t", "app.b", 1000L, 5.0)) // constant bucket
+    def one(stat: String) = Series
+      .aggregateSeries(pts(rows), "app.*", stat, 1000L).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(one("count") === Map(0L -> 3.0, 1000L -> 2.0))
+    assert(one("range") === Map(0L -> 7.0, 1000L -> 0.0))
+    val std = one("stddev")
+    // popvar of {1,3,8} = (74 - 144/3)/3
+    assert(math.abs(std(0L) - math.sqrt((74.0 - 144.0 / 3) / 3)) < 1e-12)
+    // constant bucket: expanded form may cancel below 0 -> clamped to 0
+    assert(std(1000L) === 0.0)
+  }
+
+  test("topSeries stat=last: most recent sample ranks; ts tie breaks by value") {
+    val rows = Seq(
+      ("a", "rising", 0L, 100.0), ("a", "rising", 500L, 2.0),
+      ("a", "faded", 0L, 1.0), ("a", "faded", 500L, 9.0),
+      ("a", "tied", 500L, 9.0), ("a", "tied", 500L, 3.0)) // dup ts: larger wins
+    val got = Series.topSeries(pts(rows), k = 3, stat = "last").collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(got("faded") === ((9.0, 1)))  // 9 ties "tied" -> name order
+    assert(got("tied") === ((9.0, 2)))
+    assert(got("rising") === ((2.0, 3))) // last sample, not max
+  }
 }
