@@ -242,6 +242,14 @@ object Demo {
         s"&from=${t0 / 1000 - 10}&until=${nowFixed / 1000}")
       println(s"   GET /render?target=sumSeries(app.*) -> " +
         s"${render.statusCode()}: ${render.body().take(200)}")
+      // composed cross-series arithmetic: a ratio panel in one nested
+      // target, evaluated as ONE lazy plan
+      val ratio = get("/render?target=" + java.net.URLEncoder.encode(
+        "divideSeries(app.req.count,sumSeries(app.*))", "UTF-8") +
+        s"&tenant=acme&from=${t0 / 1000 - 10}&until=${nowFixed / 1000}")
+      println(s"   GET /render?target=divideSeries(app.req.count," +
+        s"sumSeries(app.*)) -> ${ratio.statusCode()}: " +
+        ratio.body().take(160))
       // the alert DAEMON's served sink (empty here — no daemon has closed
       // an episode on this fresh store; see graft.AlertDaemon)
       val eps = get("/v2.0/acme/alerts/episodes")

@@ -785,9 +785,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `lttb(<glob>[,buckets])` / `m4(<glob>[,buckets])` — per-series
     *    decimation ([[graft.operators.Series.lttbExact]] /
     *    [[graft.operators.Series.m4Downsample]])
-    *  - `sumSeries|averageSeries|maxSeries|minSeries(<glob>)` — cross-series
-    *    aggregation ([[graft.operators.Series.aggregateSeries]]); entry
-    *    named by the target expression (the Graphite convention)
+    *  - `sumSeries|averageSeries|maxSeries|minSeries|countSeries|
+    *    rangeOfSeries|stddevSeries(<glob>)` — cross-series aggregation
+    *    ([[graft.operators.Series.aggregateSeries]]); entry named by the
+    *    target expression (the Graphite convention)
+    *  - `groupByNode(<glob>,n[,"func"])` — aggregate series sharing
+    *    dot-token n, one entry NAMED by the token
+    *    ([[graft.operators.Series.groupByNode]])
     *  - `percentileOfSeries(<glob>,N)` —
     *    [[graft.operators.Series.quantileOfSeries]]
     *  - `summarize(<glob>,"<interval>"[,"<func>"])` — per-series
@@ -797,8 +801,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    rate views off one lag pass ([[graft.operators.Series.derivatives]])
     *  - `integral(<glob>)` — per-series running total
     *    ([[graft.operators.Series.integral]])
-    *  - `movingAverage|movingMax|movingMin(<glob>,"<interval>")` —
-    *    time-window smoothing ([[graft.operators.Series.movingStats]])
+    *  - `movingAverage|movingSum|movingMax|movingMin(<glob>,"<interval>")`
+    *    and `movingWindow(<glob>,"<interval>"[,"<func>"])` (func
+    *    average|sum|max|min|stddev) — time-window smoothing; mean/sum/
+    *    stddev ride the prefix path
+    *    ([[graft.operators.Series.movingWindowPrefix]]), extremes the
+    *    frame path ([[graft.operators.Series.movingStats]])
     *  - `timeShift(<glob>,"<interval>")` — the shifted window's data drawn
     *    at the requested instants (week-over-week overlays)
     *  - `keepLastValue|resample(<glob>,"<interval>")` — uniform-grid
@@ -809,10 +817,28 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `asPercent(<glob>[,<totalExpr>])` — per-instant share across the
     *    matched series, or of an explicit total expression (compose over
     *    summarize/resample when timestamps are irregular)
-    *  - `highestMax|highestAverage|lowestAverage|lowestMax(<glob>,k)` and
-    *    `averageAbove|averageBelow|maximumAbove|maximumBelow(<glob>,t)` —
-    *    whole-series selection ([[graft.operators.Series.topSeries]]),
-    *    the ≤k/<threshold pick broadcast-joined back onto the points
+    *  - `divideSeries(<expr>,<divisor>)` / `diffSeries(<expr>,<sub>…)` /
+    *    `multiplySeries(<expr>,<factor>…)` — per-instant cross-series
+    *    arithmetic (error rates, headroom, composites); divisors/factors
+    *    must be one sample per instant (ambiguity raises in-plan → 400),
+    *    zero/missing denominators null (F6)
+    *  - `transformNull(<expr>[,default])` — null fill;
+    *    `removeAboveValue|removeBelowValue(<expr>,t)` — threshold scrub
+    *    to null datapoints; `changed(<expr>)` — 0/1 change indicator;
+    *    `offsetToZero(<expr>)` — subtract each series' own minimum
+    *  - `grep|exclude(<expr>,"regex")` — series-name filter;
+    *    `aliasSub(<expr>,"regex","replacement")` — display-name
+    *    substitution ($1 backreferences)
+    *  - `holtWintersForecast|holtWintersConfidenceBands|
+    *    holtWintersAberration(<expr>[,season])` — the forecast family
+    *    over [[graft.operators.Anomaly.holtWintersBands]] (bands emit
+    *    two entries per series, Upper/Lower)
+    *  - `highestMax|highestAverage|highestCurrent|lowestAverage|lowestMax|
+    *    lowestCurrent(<glob>,k)` and
+    *    `averageAbove|averageBelow|maximumAbove|maximumBelow|currentAbove|
+    *    currentBelow(<glob>,t)` — whole-series selection
+    *    ([[graft.operators.Series.topSeries]]), the ≤k/<threshold pick
+    *    broadcast-joined back onto the points
     *  - `alias(<glob>,"name")` / `aliasByNode(<glob>,n)` — display naming
     *    (n may be negative, counting from the end)
     *
@@ -824,14 +850,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * pick (absent → full resolution — decimation is explicit via
     * lttb/m4). Globs resolve under the O2 batch cap ([[numericPoints]]);
     * the response is `[{"target", "datapoints": [[value|null, epoch_s]]}]`
-    * with the panel row cap applied per target. `format` must be json. */
+    * with the panel row cap applied per target. `format` is json
+    * (default) or csv (Graphite's `target,YYYY-MM-DD HH:mm:ss,value`
+    * export shape, UTC). */
   private def renderView(ex: HttpExchange): Unit = {
     val q = queryParams(ex)
     val tenant = q.getOrElse("tenant",
       throw new IllegalArgumentException(
         "tenant= is required (multi-tenant store behind a single-tenant API)"))
     val fmt = q.getOrElse("format", "json")
-    require(fmt == "json", s"unsupported format '$fmt' — json only")
+    require(fmt == "json" || fmt == "csv",
+      s"unsupported format '$fmt' — json or csv")
     val now = nowMs()
     val from = q.getOrElse("from", "-24h")
     val until = q.getOrElse("until", "now")
@@ -841,19 +870,63 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val resolution = if (points.isEmpty) Some(Granularity.FULL) else None
     val targets = multiParams(ex, "target")
     require(targets.nonEmpty, "at least one target= is required")
-    val entries = targets.flatMap { t0 =>
-      val se = evalRenderTarget(t0.trim, tenant, from, until, points,
-        resolution, now, depth = 0)
-      collectSeries(se.df, "ts_ms", "value", se.singleName, se.nameOf)
+    val entries = try {
+      targets.flatMap { t0 =>
+        val se = evalRenderTarget(t0.trim, tenant, from, until, points,
+          resolution, now, depth = 0)
+        collectSeries(se.df, "ts_ms", "value", se.singleName, se.nameOf)
+      }
+    } catch {
+      // an in-plan raise_error() guard (ambiguous divideSeries divisor, a
+      // groupByNode index past a series' nodes) is OUR crafted, data-
+      // dependent validation message — surface it as the 400 it is; any
+      // other failure stays the generic 500 (raw engine messages can leak
+      // paths)
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+          .collectFirst {
+            case r: org.apache.spark.SparkThrowable
+              if r.getCondition == "USER_RAISED_EXCEPTION" =>
+              Option(r.asInstanceOf[Throwable].getMessage)
+                .getOrElse("render guard failed")
+                .replaceFirst("^\\[USER_RAISED_EXCEPTION\\]\\s*", "")
+          } match {
+            case Some(msg) => throw new IllegalArgumentException(msg)
+            case None => throw e
+          }
     }
-    val body = entries.map { case (name, dps) =>
-      val pts = dps.map { case (v, tsSec) =>
-        s"[${v.filter(d => !d.isNaN && !d.isInfinite)
-          .map(_.toString).getOrElse("null")}, $tsSec]"
-      }.mkString(", ")
-      s"""{"target": ${jStr(name)}, "datapoints": [$pts]}"""
-    }.mkString("[", ", ", "]")
-    sendJson(ex, 200, body)
+    if (fmt == "csv") {
+      // Graphite's csv export shape: `target,YYYY-MM-DD HH:mm:ss,value`
+      // (UTC wall time, empty cell for null); names with csv
+      // metacharacters are quoted the standard way
+      val f = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      def cell(s: String): String =
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      val sb = new StringBuilder
+      entries.foreach { case (name, dps) =>
+        dps.foreach { case (v, tsSec) =>
+          sb.append(cell(name)).append(',')
+            .append(f.format(java.time.Instant.ofEpochSecond(tsSec)))
+            .append(',')
+            .append(v.filter(d => !d.isNaN && !d.isInfinite)
+              .map(_.toString).getOrElse(""))
+            .append("\r\n")
+        }
+      }
+      sendBody(ex, 200, "text/csv", sb.toString)
+    } else {
+      val body = entries.map { case (name, dps) =>
+        val pts = dps.map { case (v, tsSec) =>
+          s"[${v.filter(d => !d.isNaN && !d.isInfinite)
+            .map(_.toString).getOrElse("null")}, $tsSec]"
+        }.mkString(", ")
+        s"""{"target": ${jStr(name)}, "datapoints": [$pts]}"""
+      }.mkString("[", ", ", "]")
+      sendJson(ex, 200, body)
+    }
   }
 
   /** One evaluated render-target subtree: a standardized
@@ -933,12 +1006,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           case "m4" =>
             val in = inner
             in.copy(df = graft.operators.Series.m4Downsample(in.df, buckets(1)))
-          case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" =>
+          case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" |
+               "countSeries" | "rangeOfSeries" | "stddevSeries" =>
             val stat = fn match {
               case "sumSeries" => "sum"
               case "averageSeries" => "mean"
               case "maxSeries" => "max"
-              case _ => "min"
+              case "minSeries" => "min"
+              case "countSeries" => "count"
+              case "rangeOfSeries" => "range"
+              case _ => "stddev"
             }
             // the input frame is already exactly the matching series (the
             // base fetch resolved the glob), so the operator's own filter
@@ -986,13 +1063,25 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(graft.operators.Series.integral(in.df)
                 .select(ser :+ col("cumsum").as("value"): _*),
               None, n => s"integral(${in.displayName(n)})")
-          case "movingAverage" | "movingMax" | "movingMin" =>
+          case "movingAverage" | "movingMax" | "movingMin" | "movingSum" |
+               "movingWindow" =>
             // time-window smoothing (range frame [ts − w, ts]); the
             // window is an interval string — point-count windows are a
             // different frame this store's irregular timestamps would
             // make misleading, so they are rejected loudly
             val ivl = ivlArg("window")
             val windowMs = parseIntervalMs(ivl)
+            val func = fn match {
+              case "movingWindow" =>
+                args.lift(2).map(stripQuotes).getOrElse("average") match {
+                  case "avg" | "mean" => "average"
+                  case f => f
+                }
+              case "movingAverage" => "average"
+              case "movingSum" => "sum"
+              case "movingMax" => "max"
+              case _ => "min"
+            }
             // Graphite parity: the subtree is fetched with `from` pulled
             // back by the window, so the first REQUESTED instants smooth
             // over full windows instead of partial ones; the warmup rows
@@ -1000,22 +1089,33 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
             val in0 = recurse(arg0, s"${(fromMs - windowMs) / 1000}")
             val in = in0.copy(df = in0.df.filter(col("value").isNotNull))
-            // the mean takes the prefix-sum path (bit-identical to the
-            // frame form, flat in window width — a wide window over a
+            // mean/sum/stddev take the prefix-sum path (bit-identical to
+            // the frame form, flat in window width — a wide window over a
             // dense series through the frame path is the O(points×frame)
             // wall graft.Stress measures); extremes have no prefix form
             // and keep the frame path
-            val smoothed = fn match {
-              case "movingAverage" => graft.operators.Series
-                .movingAvgPrefix(in.df, windowMs)
-                .select(ser :+ col("mavg").as("value"): _*)
-              case _ => graft.operators.Series
+            val smoothed = func match {
+              case "average" | "sum" | "stddev" => graft.operators.Series
+                .movingWindowPrefix(in.df, windowMs)
+                .select(ser :+ col(func match {
+                  case "average" => "mavg"
+                  case "sum" => "msum"
+                  case _ => "mstd"
+                }).as("value"): _*)
+              case "max" | "min" => graft.operators.Series
                 .movingStats(in.df, windowMs)
-                .select(ser :+ col(if (fn == "movingMax") "mmax" else "mmin")
+                .select(ser :+ col(if (func == "max") "mmax" else "mmin")
                   .as("value"): _*)
+              case other => throw new IllegalArgumentException(
+                s"movingWindow func must be one of " +
+                  s"average|sum|max|min|stddev, got '$other'")
             }
+            val shownName: String => String =
+              if (fn == "movingWindow") n =>
+                s"""movingWindow(${in.displayName(n)},"$ivl","$func")"""
+              else n => s"""$fn(${in.displayName(n)},"$ivl")"""
             SeriesExpr(smoothed.filter(col("ts_ms") >= fromMs),
-              None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
+              None, shownName)
           case "timeShift" =>
             // evaluate the whole subtree under [from − shift,
             // until − shift], draw at the REQUESTED instants — Graphite's
@@ -1095,7 +1195,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                   None, n => s"asPercent(${in.displayName(n)})")
             }
           case "highestMax" | "highestAverage" | "lowestAverage" |
-               "lowestMax" =>
+               "lowestMax" | "highestCurrent" | "lowestCurrent" =>
             // series SELECTION (Graphite's highest*/lowest* family): rank
             // whole series by a per-series stat, keep k, serve those
             // series' points unchanged (names pass through). The ≤k
@@ -1109,6 +1209,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               case "highestMax" => ("max", false)
               case "highestAverage" => ("mean", false)
               case "lowestAverage" => ("mean", true)
+              case "highestCurrent" => ("last", false)
+              case "lowestCurrent" => ("last", true)
               case _ => ("max", true)
             }
             // RAW inner (selection serves points UNCHANGED, nulls
@@ -1125,13 +1227,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 Seq("tenant_id", "metric_name")),
               in.singleName, in.nameOf)
           case "averageAbove" | "averageBelow" | "maximumAbove" |
-               "maximumBelow" =>
+               "maximumBelow" | "currentAbove" | "currentBelow" =>
             // threshold SELECTION: keep series whose per-series stat
             // clears the bound (same broadcast-semi-join shape)
             val thr = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
               throw new IllegalArgumentException(
                 s"$fn needs a numeric threshold in '$t'"))
-            val stat = if (fn.startsWith("average")) "mean" else "max"
+            val stat =
+              if (fn.startsWith("average")) "mean"
+              else if (fn.startsWith("maximum")) "max"
+              else "last"
             // RAW inner + materialize-once, as in the highest*/lowest* arm
             val in = recurse(arg0)
             val inDf = in.df.localCheckpoint()
@@ -1144,6 +1249,240 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(inDf.join(broadcast(sel),
                 Seq("tenant_id", "metric_name")),
               in.singleName, in.nameOf)
+          case "groupByNode" =>
+            // groupByNode(<expr>, n[, "func"]) — aggregate series sharing
+            // dot-token n, one output series NAMED by the token (the
+            // legend-grouping workhorse); bucketMs=1 keeps served instants
+            // as-is (the sumSeries-arm convention)
+            val idx = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"groupByNode needs a node index in '$t'"))
+            val func = args.lift(2).map(stripQuotes).getOrElse("average")
+            val stat = func match {
+              case "average" | "avg" | "mean" => "mean"
+              case f => f
+            }
+            SeriesExpr(graft.operators.Series
+                .groupByNode(inner.df, idx, stat, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms"),
+              None, identity)
+          case "divideSeries" =>
+            // divideSeries(<dividend>, <divisor>) — each dividend series
+            // divided by the divisor's per-instant sample (error rates,
+            // ratios). The divisor must be ONE sample per instant —
+            // ambiguity raises IN-PLAN, never silently sums; zero/missing
+            // denominators yield null (the F6 safe-div rule). Instants
+            // must align — compose over summarize/keepLastValue when raw
+            // timestamps are irregular (the asPercent convention).
+            val divArg = args.lift(1).map(_.trim).getOrElse(
+              throw new IllegalArgumentException(
+                s"divideSeries needs a divisor series in '$t'"))
+            // RAW dividend: a wrapped stage's null datapoints render as
+            // null through pointwise arithmetic (the scale/offset rule);
+            // only the divisor side strips nulls
+            val in = recurse(arg0)
+            val den = recurse(divArg).df.filter(col("value").isNotNull)
+              .groupBy(col("tenant_id"), col("ts_ms"))
+              .agg(max(col("value")).as("__den"),
+                count(lit(1)).as("__dn"))
+            val guarded = when(col("__dn") > 1, raise_error(lit(
+                s"divideSeries: divisor '$divArg' has more than one sample " +
+                  "at an instant — aggregate it first (sumSeries)"))
+                .cast("double"))
+              .otherwise(col("__den"))
+            SeriesExpr(in.df
+                .join(den, Seq("tenant_id", "ts_ms"), "left")
+                .withColumn("value",
+                  when(guarded =!= 0.0, col("value") / guarded))
+                .drop("__den", "__dn"),
+              None, n => s"divideSeries(${in.displayName(n)},$divArg)")
+          case "diffSeries" =>
+            // diffSeries(<expr>, <sub1>[, <sub2>…]) — each series of the
+            // first argument minus the per-instant SUM of the
+            // subtrahends (first − a − b ≡ first − (a+b)); a subtrahend
+            // missing an instant contributes 0 (Graphite's safeDiff),
+            // a null minuend stays null
+            require(args.length >= 2,
+              s"diffSeries needs at least two arguments in '$t'")
+            // RAW minuend (null − x stays a null datapoint); subtrahends
+            // strip nulls (they contribute 0, Graphite's safeDiff)
+            val in = recurse(arg0)
+            val restArgs = args.drop(1).map(_.trim)
+            val sub = restArgs.map(a => recurse(a).df
+                .filter(col("value").isNotNull)
+                .select(col("tenant_id"), col("ts_ms"), col("value")))
+              .reduce(_ unionByName _)
+              .groupBy(col("tenant_id"), col("ts_ms"))
+              .agg(sum(col("value")).as("__sub"))
+            SeriesExpr(in.df
+                .join(sub, Seq("tenant_id", "ts_ms"), "left")
+                .withColumn("value",
+                  col("value") - coalesce(col("__sub"), lit(0.0)))
+                .drop("__sub"),
+              None,
+              n => s"diffSeries(${in.displayName(n)},${restArgs.mkString(",")})")
+          case "multiplySeries" =>
+            // multiplySeries(<expr>, <f1>[, <f2>…]) — each series of the
+            // first argument times each factor's per-instant sample;
+            // factors must be ONE sample per instant (the divideSeries
+            // guard), and an instant any factor lacks yields null
+            // (Graphite: any None → None)
+            require(args.length >= 2,
+              s"multiplySeries needs at least two arguments in '$t'")
+            // RAW first factor (null × x stays a null datapoint); the
+            // other factors strip nulls before their per-instant pick
+            val in = recurse(arg0)
+            val restArgs = args.drop(1).map(_.trim)
+            val product = restArgs.zipWithIndex.foldLeft(in.df) {
+              case (acc, (a, i)) =>
+                val f = recurse(a).df.filter(col("value").isNotNull)
+                  .groupBy(col("tenant_id"), col("ts_ms"))
+                  .agg(max(col("value")).as(s"__f$i"),
+                    count(lit(1)).as(s"__fn$i"))
+                val g = when(col(s"__fn$i") > 1, raise_error(lit(
+                    s"multiplySeries: factor '$a' has more than one sample " +
+                      "at an instant — aggregate it first (sumSeries)"))
+                    .cast("double"))
+                  .otherwise(col(s"__f$i"))
+                acc.join(f, Seq("tenant_id", "ts_ms"), "left")
+                  .withColumn("value", col("value") * g)
+                  .drop(s"__f$i", s"__fn$i")
+            }
+            SeriesExpr(product, None,
+              n => s"multiplySeries(${in.displayName(n)},${restArgs.mkString(",")})")
+          case "exclude" | "grep" =>
+            // series-NAME regex filter (Graphite's exclude/grep):
+            // unanchored search against the stored series name; selection
+            // serves points unchanged (RAW inner, nulls included)
+            val pat = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a regex in '$t'"))
+            try java.util.regex.Pattern.compile(pat) catch {
+              case e: java.util.regex.PatternSyntaxException =>
+                throw new IllegalArgumentException(
+                  s"$fn pattern does not compile: ${e.getMessage}")
+            }
+            val in = recurse(arg0)
+            val m = col("metric_name").rlike(pat)
+            SeriesExpr(in.df.filter(if (fn == "grep") m else !m),
+              in.singleName, in.nameOf)
+          case "aliasSub" =>
+            // display-name regex substitution (Graphite's aliasSub);
+            // backreferences use Java's $1 syntax
+            val search = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"aliasSub needs a search regex in '$t'"))
+            val replace = args.lift(2).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"aliasSub needs a replacement in '$t'"))
+            val rx =
+              try new scala.util.matching.Regex(search)
+              catch {
+                case e: java.util.regex.PatternSyntaxException =>
+                  throw new IllegalArgumentException(
+                    s"aliasSub pattern does not compile: ${e.getMessage}")
+              }
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None,
+              n => rx.replaceAllIn(in.displayName(n), replace))
+          case "changed" =>
+            // 1 where a sample differs from its series' previous sample,
+            // else 0 (first points 0) — one lag pass, the derivatives
+            // ordering convention (ties on ts break by value)
+            val in = inner
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("metric_name"))
+              .orderBy(col("ts_ms"), col("value"))
+            val prev = lag(col("value"), 1).over(w)
+            SeriesExpr(in.df.withColumn("value",
+                when(prev.isNull || prev === col("value"), lit(0.0))
+                  .otherwise(lit(1.0))),
+              None, n => s"changed(${in.displayName(n)})")
+          case "offsetToZero" =>
+            // subtract each series' own minimum (baseline-to-zero view);
+            // RAW inner — null arithmetic keeps null datapoints
+            val in = recurse(arg0)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("metric_name"))
+            SeriesExpr(in.df.withColumn("value",
+                col("value") - min(col("value")).over(w)),
+              None, n => s"offsetToZero(${in.displayName(n)})")
+          case "transformNull" =>
+            // pointwise null fill — RAW inner by definition (this is the
+            // one function ABOUT a wrapped stage's nulls)
+            val d = args.lift(1).map(a => a.trim.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"transformNull default must be numeric in '$t'")))
+              .getOrElse(0.0)
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value",
+                coalesce(col("value"), lit(d))),
+              None, n => s"transformNull(${in.displayName(n)},$d)")
+          case "removeAboveValue" | "removeBelowValue" =>
+            // pointwise threshold scrub: offending values become null
+            // datapoints (the series keeps its instants — Graphite draws
+            // the gap); RAW inner, nulls pass through
+            val thr = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a numeric threshold in '$t'"))
+            val in = recurse(arg0)
+            val offending =
+              if (fn == "removeAboveValue") col("value") > thr
+              else col("value") < thr
+            SeriesExpr(in.df.withColumn("value",
+                when(offending, lit(null).cast("double"))
+                  .otherwise(col("value"))),
+              None, n => s"$fn(${in.displayName(n)},$thr)")
+          case "holtWintersForecast" | "holtWintersConfidenceBands" |
+               "holtWintersAberration" =>
+            // the Holt-Winters render family over the engine's triple-
+            // exponential scan ([[graft.operators.Anomaly.holtWintersBands]]):
+            // forecast, ±k·dev confidence bands (two series per input),
+            // aberration (deviation outside the bands). Optional second
+            // arg = season length in points (default 24 — daily seasons
+            // over hourly buckets); compose over summarize/keepLastValue
+            // first when serving irregular raw points (phases are
+            // positional, the operator's documented cadence contract).
+            val season = args.lift(1).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"season must be an integer in '$t'"))).getOrElse(24)
+            require(season >= 1 && season <= 8192,
+              s"season must be in [1, 8192] in '$t', got $season")
+            val in = inner
+            val hw = graft.operators.Anomaly.holtWintersBands(in.df, season)
+            fn match {
+              case "holtWintersForecast" =>
+                SeriesExpr(hw.select(ser :+ col("forecast").as("value"): _*),
+                  None, n => s"holtWintersForecast(${in.displayName(n)})")
+              case "holtWintersAberration" =>
+                val ab = when(col("value") > col("upper"),
+                    col("value") - col("upper"))
+                  .when(col("value") < col("lower"),
+                    col("value") - col("lower"))
+                  .otherwise(lit(0.0))
+                SeriesExpr(hw.select(ser :+ ab.as("value"): _*),
+                  None, n => s"holtWintersAberration(${in.displayName(n)})")
+              case _ =>
+                // two series per input, as Graphite draws them; the
+                // suffix is stripped back out of the display name
+                val up = hw.select(col("tenant_id"),
+                  concat(col("metric_name"), lit("#hwupper"))
+                    .as("metric_name"),
+                  col("ts_ms"), col("upper").as("value"))
+                val lo = hw.select(col("tenant_id"),
+                  concat(col("metric_name"), lit("#hwlower"))
+                    .as("metric_name"),
+                  col("ts_ms"), col("lower").as("value"))
+                SeriesExpr(up.unionByName(lo), None, { n =>
+                  if (n.endsWith("#hwupper"))
+                    "holtWintersConfidenceUpper(" +
+                      s"${in.displayName(n.stripSuffix("#hwupper"))})"
+                  else if (n.endsWith("#hwlower"))
+                    "holtWintersConfidenceLower(" +
+                      s"${in.displayName(n.stripSuffix("#hwlower"))})"
+                  else in.displayName(n)
+                })
+            }
           case "alias" =>
             val name = args.lift(1).map(stripQuotes).getOrElse(
               throw new IllegalArgumentException(
@@ -1573,9 +1912,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private def responseSent(ex: HttpExchange): Boolean =
     sentFlag.get().booleanValue()
 
-  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
+  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit =
+    sendBody(ex, status, "application/json", body)
+
+  private def sendBody(ex: HttpExchange, status: Int, contentType: String,
+      body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     // mark BEFORE the headers go out: a failure mid-send must still count
     // as "responded" so the catch-all never double-sends
     sentFlag.set(java.lang.Boolean.TRUE)

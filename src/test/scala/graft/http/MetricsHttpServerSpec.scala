@@ -843,6 +843,210 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("Graphite /render arithmetic, grouping, moving-window and forecast " +
+    "families; in-plan guards surface as 400") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 30L * 300000L
+      // two series with DIFFERENT shapes: a carries a spike at i=25,
+      // b a distinct last value so current-selection is untied
+      for (m <- Seq("app.a", "app.b")) {
+        val recs = (0 until 30).map { i =>
+          val v =
+            if (m == "app.a") { if (i == 25) 500.0 else 10.0 + (i % 12) }
+            else 20.0 + (i % 7)
+          s"""{"metricName": "$m", "metricValue": $v,
+             | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+      // divideSeries: 10/20 at t0; 500/(20+25%7) at the spike
+      val dv = get(s"$base/render?target=divideSeries(app.a,app.b)&$range")
+      assert(dv.statusCode() === 200, dv.body())
+      assert(dv.body().contains(""""target": "divideSeries(app.a,app.b)""""),
+        dv.body())
+      assert(dv.body().contains(s"[0.5, ${t0 / 1000}]"), dv.body())
+      assert(dv.body().contains(s"[${500.0 / 24.0}, ${t0 / 1000 + 25 * 300}]"),
+        dv.body())
+      // ambiguous divisor raises IN-PLAN and surfaces as a 400 naming it
+      val dvBad = get(s"$base/render?target=divideSeries(app.a,app.*)&$range")
+      assert(dvBad.statusCode() === 400, dvBad.body())
+      assert(dvBad.body().contains("more than one sample"), dvBad.body())
+      assert(get(s"$base/render?target=divideSeries(app.a)&$range")
+        .statusCode() === 400)
+
+      // diffSeries: 10−20 at t0; a null minuend point stays null
+      val df = get(s"$base/render?target=diffSeries(app.a,app.b)&$range")
+      assert(df.statusCode() === 200, df.body())
+      assert(df.body().contains(s"[-10.0, ${t0 / 1000}]"), df.body())
+      val dfn = get(s"$base/render?target=" +
+        enc("diffSeries(derivative(app.a),app.b)") + s"&$range")
+      assert(dfn.statusCode() === 200, dfn.body())
+      assert(dfn.body().contains(s"[null, ${t0 / 1000}]"), dfn.body())
+
+      // multiplySeries: 10·20 at t0; composes as one plan
+      val mu = get(s"$base/render?target=multiplySeries(app.a,app.b)&$range")
+      assert(mu.statusCode() === 200, mu.body())
+      assert(mu.body().contains(s"[200.0, ${t0 / 1000}]"), mu.body())
+      assert(get(s"$base/render?target=multiplySeries(app.a)&$range")
+        .statusCode() === 400)
+
+      // transformNull fills a derivative's first-point null; default 0
+      val tn = get(s"$base/render?target=" +
+        enc("transformNull(derivative(app.a),5)") + s"&$range")
+      assert(tn.statusCode() === 200, tn.body())
+      assert(tn.body().contains(s"[5.0, ${t0 / 1000}]"), tn.body())
+      val tn0 = get(s"$base/render?target=" +
+        enc("transformNull(derivative(app.a))") + s"&$range")
+      assert(tn0.body().contains(s"[0.0, ${t0 / 1000}]"), tn0.body())
+      assert(get(s"$base/render?target=transformNull(app.a,x)&$range")
+        .statusCode() === 400)
+
+      // removeAboveValue nulls the spike, keeps its instant
+      val ra = get(s"$base/render?target=removeAboveValue(app.a,100)&$range")
+      assert(ra.statusCode() === 200, ra.body())
+      assert(ra.body().contains(s"[null, ${t0 / 1000 + 25 * 300}]"), ra.body())
+      assert(ra.body().contains(s"[10.0, ${t0 / 1000}]"), ra.body())
+      val rb = get(s"$base/render?target=removeBelowValue(app.b,21)&$range")
+      assert(rb.statusCode() === 200, rb.body())
+      assert(rb.body().contains(s"[null, ${t0 / 1000}]"), rb.body())
+
+      // groupByNode: token 0 ("app") sums both series; entry named by it
+      val gb = get(s"$base/render?target=" +
+        enc("""groupByNode(app.*,0,"sum")""") + s"&$range")
+      assert(gb.statusCode() === 200, gb.body())
+      assert(gb.body().contains(""""target": "app""""), gb.body())
+      assert(gb.body().contains(s"[30.0, ${t0 / 1000}]"), gb.body())
+      // an index past the nodes is the in-plan guard → 400 with the name
+      val gbBad = get(s"$base/render?target=" +
+        enc("""groupByNode(app.*,5,"sum")""") + s"&$range")
+      assert(gbBad.statusCode() === 400, gbBad.body())
+      assert(gbBad.body().contains("no node 5"), gbBad.body())
+      assert(get(s"$base/render?target=groupByNode(app.*)&$range")
+        .statusCode() === 400)
+
+      // cross-series aggregate family: count/range/stddev
+      val cs = get(s"$base/render?target=countSeries(app.*)&$range")
+      assert(cs.statusCode() === 200, cs.body())
+      assert(cs.body().contains(s"[2.0, ${t0 / 1000}]"), cs.body())
+      val rs = get(s"$base/render?target=rangeOfSeries(app.*)&$range")
+      assert(rs.statusCode() === 200, rs.body())
+      assert(rs.body().contains(s"[10.0, ${t0 / 1000}]"), rs.body())
+      val ss = get(s"$base/render?target=stddevSeries(app.*)&$range")
+      assert(ss.statusCode() === 200, ss.body())
+      // popstd of {10,20} = 5
+      assert(ss.body().contains(s"[5.0, ${t0 / 1000}]"), ss.body())
+
+      // movingSum over 15min covers i−2..i: 10+11+12 at i=2
+      val ms = get(s"$base/render?target=" +
+        enc("""movingSum(app.a,"15min")""") + s"&$range")
+      assert(ms.statusCode() === 200, ms.body())
+      assert(ms.body().contains(s"[33.0, ${t0 / 1000 + 600}]"), ms.body())
+      // movingWindow stddev: constant-window instants are exactly 0
+      val mw = get(s"$base/render?target=" +
+        enc("""movingWindow(app.b,"5min","stddev")""") + s"&$range")
+      assert(mw.statusCode() === 200, mw.body())
+      assert(mw.body().contains(s"[0.0, ${t0 / 1000}]"), mw.body())
+      assert(mw.body().contains(
+        """"target": "movingWindow(app.b,\"5min\",\"stddev\")""""), mw.body())
+      assert(get(s"$base/render?target=" +
+        enc("""movingWindow(app.a,"5min","median")""") + s"&$range")
+        .statusCode() === 400)
+
+      // current-value selection: b's last sample (21) beats a's (15)
+      val hc = get(s"$base/render?target=highestCurrent(app.*,1)&$range")
+      assert(hc.statusCode() === 200, hc.body())
+      assert(hc.body().contains(""""target": "app.b""""), hc.body())
+      assert(!hc.body().contains(""""target": "app.a""""), hc.body())
+      val lc = get(s"$base/render?target=lowestCurrent(app.*,1)&$range")
+      assert(lc.statusCode() === 200, lc.body())
+      assert(lc.body().contains(""""target": "app.a""""), lc.body())
+
+      // Holt-Winters family: forecast serves per-series entries; bands
+      // emit Upper/Lower pairs; aberration is 0 off-spike
+      val hf = get(s"$base/render?target=holtWintersForecast(app.b,7)&$range")
+      assert(hf.statusCode() === 200, hf.body())
+      assert(hf.body().contains(
+        """"target": "holtWintersForecast(app.b)""""), hf.body())
+      val hb = get(s"$base/render?target=" +
+        enc("holtWintersConfidenceBands(app.b,7)") + s"&$range")
+      assert(hb.statusCode() === 200, hb.body())
+      assert(hb.body().contains(
+        """"target": "holtWintersConfidenceUpper(app.b)""""), hb.body())
+      assert(hb.body().contains(
+        """"target": "holtWintersConfidenceLower(app.b)""""), hb.body())
+      val ha = get(s"$base/render?target=" +
+        enc("holtWintersAberration(app.b,7)") + s"&$range")
+      assert(ha.statusCode() === 200, ha.body())
+      // the first instant's forecast is the sample itself → aberration 0
+      // (later warm-up instants legitimately poke outside the bands)
+      assert(ha.body().contains(s"[0.0, ${t0 / 1000}]"), ha.body())
+      assert(get(s"$base/render?target=holtWintersForecast(app.b,0)&$range")
+        .statusCode() === 400)
+
+      // name filters: grep keeps matches, exclude drops them; bad regex 400
+      val gr = get(s"$base/render?target=" +
+        enc("""grep(app.*,"a$")""") + s"&$range")
+      assert(gr.statusCode() === 200, gr.body())
+      assert(gr.body().contains(""""target": "app.a"""") &&
+        !gr.body().contains(""""target": "app.b""""), gr.body())
+      val ex1 = get(s"$base/render?target=" +
+        enc("""exclude(app.*,"a$")""") + s"&$range")
+      assert(ex1.statusCode() === 200, ex1.body())
+      assert(ex1.body().contains(""""target": "app.b"""") &&
+        !ex1.body().contains(""""target": "app.a""""), ex1.body())
+      assert(get(s"$base/render?target=" +
+        enc("""grep(app.*,"[")""") + s"&$range").statusCode() === 400)
+
+      // aliasSub rewrites display names with backreferences
+      val as1 = get(s"$base/render?target=" +
+        enc("""aliasSub(app.*,"^app\.(.*)","svc-$1")""") + s"&$range")
+      assert(as1.statusCode() === 200, as1.body())
+      assert(as1.body().contains(""""target": "svc-a"""") &&
+        as1.body().contains(""""target": "svc-b""""), as1.body())
+
+      // changed: first point 0, a step change 1
+      val ch = get(s"$base/render?target=changed(app.a)&$range")
+      assert(ch.statusCode() === 200, ch.body())
+      assert(ch.body().contains(s"[0.0, ${t0 / 1000}]"), ch.body())
+      assert(ch.body().contains(s"[1.0, ${t0 / 1000 + 300}]"), ch.body())
+
+      // offsetToZero: b's minimum (20) becomes the zero line
+      val oz = get(s"$base/render?target=offsetToZero(app.b)&$range")
+      assert(oz.statusCode() === 200, oz.body())
+      assert(oz.body().contains(s"[0.0, ${t0 / 1000}]"), oz.body())
+      assert(oz.body().contains(s"[1.0, ${t0 / 1000 + 300}]"), oz.body())
+
+      // current-value threshold selection
+      val ca = get(s"$base/render?target=currentAbove(app.*,20)&$range")
+      assert(ca.statusCode() === 200, ca.body())
+      assert(ca.body().contains(""""target": "app.b"""") &&
+        !ca.body().contains(""""target": "app.a""""), ca.body())
+      val cb = get(s"$base/render?target=currentBelow(app.*,20)&$range")
+      assert(cb.statusCode() === 200, cb.body())
+      assert(cb.body().contains(""""target": "app.a"""") &&
+        !cb.body().contains(""""target": "app.b""""), cb.body())
+
+      // csv export: Graphite's target,wall-time,value lines (UTC);
+      // t0 = 2023-12-31 21:30:00Z in the fixture clock
+      val cv = get(s"$base/render?target=app.a&$range&format=csv")
+      assert(cv.statusCode() === 200, cv.body())
+      assert(cv.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/csv"), cv.headers().toString)
+      assert(cv.body().contains("app.a,2023-12-31 21:30:00,10.0"), cv.body())
+      // a null datapoint renders as an empty cell, name quoting kicks in
+      // only when csv metacharacters appear
+      val cvd = get(s"$base/render?target=derivative(app.a)&$range&format=csv")
+      assert(cvd.statusCode() === 200, cvd.body())
+      assert(cvd.body().contains("derivative(app.a),2023-12-31 21:30:00,\r\n"),
+        cvd.body())
+    } finally srv.stop()
+  }
+
   test("connection hardening: oversized bodies 413 before parsing; a " +
     "stalled mid-body client is reaped and its worker thread freed") {
     val store = java.nio.file.Files.createTempDirectory("graft_hard").toString
