@@ -170,5 +170,79 @@ object TpchQueries {
       .limit(10)
   }
 
-  val defs: Seq[QDef] = Seq(q1, q5, q4, q18, q6, q3)
+  /** Promotion-revenue share (TPC-H Q14 shape): month-sliced fact scan
+    * (shipdate bounds push to the parquet row groups) broadcast-joined to
+    * `part`, conditional + total exact-DECIMAL sums in ONE aggregation,
+    * share as one scalar-double expression over them (no second pass,
+    * no self-join). */
+  private val q14 = QDef(
+    "q_tpch_q14",
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+      |      END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |      AS DOUBLE) AS total_revenue,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+      |)
+      |SELECT promo_revenue, total_revenue,
+      |       100 * promo_revenue / total_revenue AS promo_pct, n_items
+      |FROM agg""".stripMargin) { (s, dir) =>
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1995-09-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1995-10-01 00:00:00")))
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumDec6(when(col("p_type") === "PROMO", disc)).as("promo_revenue"),
+        sumDec6(disc).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+        col("n_items"))
+  }
+
+  /** Disjunctive multi-band predicate (TPC-H Q19 shape): three
+    * brand/size/quantity bands OR-ed across the joined row — the shape
+    * that proves the optimizer keeps a broadcast hash join under a
+    * predicate it cannot split per side (only the common `p_partkey`
+    * equi-key and the per-band part-side prunes separate out). */
+  private val q19 = QDef(
+    "q_tpch_q19",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin) { (s, dir) =>
+    val band = (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+    Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(
+        sumDec6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val defs: Seq[QDef] = Seq(q1, q5, q4, q18, q6, q3, q14, q19)
 }
