@@ -311,6 +311,36 @@ object SeriesQueries {
     }
   }
 
+  /** Multi-node token grouping ([[Series.groupByNodes]], Graphite's
+    * groupByNodes): the grouping key (and output name) is the dot-joined
+    * selection of name tokens — here tokens 0 and 1 at daily buckets,
+    * exact-DECIMAL mean. */
+  private val groupNodes = {
+    val bMs = 86400000L
+    QDef(
+      "q_series_group_nodes",
+      s"""WITH ${OracleViews.metricsCte},
+         |m2 AS (
+         |  SELECT tenant_id,
+         |         string_split(metric_name, '.')[1] || '.' ||
+         |           string_split(metric_name, '.')[2] AS node,
+         |         ts_ms - ts_ms % $bMs AS bucket_ms, value,
+         |         metric_name AS orig
+         |  FROM metrics
+         |)
+         |SELECT tenant_id, node AS metric_name,
+         |       CAST(bucket_ms AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+         |         AS value,
+         |       COUNT(DISTINCT orig) AS n_series
+         |FROM m2
+         |GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.groupByNodes(Tables.metrics(s, dir), Seq(0, 1), "mean", bMs)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
   /** Week-over-week self-comparison at daily buckets
     * ([[Series.timeShiftCompare]], Graphite's timeShift + delta panel):
     * the shifted lookup restates as the same point-pinned RANGE frame in
@@ -1208,7 +1238,7 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
-    movingWindowQ, seriesAgg, seriesAggStd, groupNode,
+    movingWindowQ, seriesAgg, seriesAggStd, groupNode, groupNodes,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

@@ -789,9 +789,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    rangeOfSeries|stddevSeries(<glob>)` — cross-series aggregation
     *    ([[graft.operators.Series.aggregateSeries]]); entry named by the
     *    target expression (the Graphite convention)
-    *  - `groupByNode(<glob>,n[,"func"])` — aggregate series sharing
-    *    dot-token n, one entry NAMED by the token
-    *    ([[graft.operators.Series.groupByNode]])
+    *  - `groupByNode(<glob>,n[,"func"])` /
+    *    `groupByNodes(<glob>,"func",n1[,n2…])` — aggregate series sharing
+    *    the (dot-joined) name token selection, one entry NAMED by it
+    *    ([[graft.operators.Series.groupByNode]] / `groupByNodes`)
     *  - `percentileOfSeries(<glob>,N)` —
     *    [[graft.operators.Series.quantileOfSeries]]
     *  - `summarize(<glob>,"<interval>"[,"<func>"])` — per-series
@@ -1264,6 +1265,26 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             }
             SeriesExpr(graft.operators.Series
                 .groupByNode(inner.df, idx, stat, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms"),
+              None, identity)
+          case "groupByNodes" =>
+            // groupByNodes(<expr>, "func", n1[, n2…]) — Graphite's
+            // multi-node form: the grouping key (and entry name) is the
+            // dot-joined token selection in the caller's order
+            val func = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"groupByNodes needs a callback function in '$t'"))
+            val stat = func match {
+              case "average" | "avg" | "mean" => "mean"
+              case f => f
+            }
+            val idxs = args.drop(2).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"groupByNodes node indexes must be integers in '$t'")))
+            require(idxs.nonEmpty,
+              s"groupByNodes needs at least one node index in '$t'")
+            SeriesExpr(graft.operators.Series
+                .groupByNodes(inner.df, idxs, stat, bucketMs = 1L)
                 .withColumnRenamed("bucket_ms", "ts_ms"),
               None, identity)
           case "divideSeries" =>

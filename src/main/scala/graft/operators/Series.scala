@@ -239,20 +239,33 @@ object Series {
     * combining aggregation keyed by (tenant, token, bucket); the token is
     * a scalar projection, never a per-series pass or a driver loop. */
   def groupByNode(points: DataFrame, nodeIndex: Int, stat: String,
+      bucketMs: Long): DataFrame =
+    groupByNodes(points, Seq(nodeIndex), stat, bucketMs)
+
+  /** Multi-node form (Graphite's `groupByNodes(seriesList, callback,
+    * *nodes)`): the grouping key is the dot-joined selection of name
+    * tokens, in the caller's order — `groupByNodes(points, Seq(1, 3),
+    * "sum", …)` keys by `<app>.<endpoint>` out of
+    * `app.<app>.region.<endpoint>.latency` names. Same single-aggregation
+    * scale shape as [[groupByNode]]. */
+  def groupByNodes(points: DataFrame, nodeIndexes: Seq[Int], stat: String,
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(nodeIndexes.nonEmpty, "at least one node index is required")
     val parts = split(col("metric_name"), "\\.")
     // element_at is 1-based from the front, -1-based from the back; the
     // size guard keeps ANSI element_at from throwing its opaque
     // out-of-range error (CASE branches evaluate lazily, so the
     // element_at only runs when the guard passes)
-    val needed = if (nodeIndex >= 0) nodeIndex + 1 else -nodeIndex
-    val pos = if (nodeIndex >= 0) nodeIndex + 1 else nodeIndex
-    val token =
+    val tokens = nodeIndexes.map { nodeIndex =>
+      val needed = if (nodeIndex >= 0) nodeIndex + 1 else -nodeIndex
+      val pos = if (nodeIndex >= 0) nodeIndex + 1 else nodeIndex
       when(size(parts) < needed, raise_error(concat(
         lit(s"groupByNode: series '"), col("metric_name"),
         lit(s"' has no node $nodeIndex"))).cast("string"))
-      .otherwise(element_at(parts, pos))
+        .otherwise(element_at(parts, pos))
+    }
+    val token = concat_ws(".", tokens: _*)
     points
       .withColumn("__node", token)
       .groupBy(col("tenant_id"), col("__node"),

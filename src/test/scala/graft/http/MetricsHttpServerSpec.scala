@@ -921,6 +921,15 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(gb.statusCode() === 200, gb.body())
       assert(gb.body().contains(""""target": "app""""), gb.body())
       assert(gb.body().contains(s"[30.0, ${t0 / 1000}]"), gb.body())
+      // multi-node form: dot-joined token selection names the entry
+      val gbn = get(s"$base/render?target=" +
+        enc("""groupByNodes(app.*,"sum",0,1)""") + s"&$range")
+      assert(gbn.statusCode() === 200, gbn.body())
+      assert(gbn.body().contains(""""target": "app.a"""") &&
+        gbn.body().contains(""""target": "app.b""""), gbn.body())
+      assert(get(s"$base/render?target=" +
+        enc("""groupByNodes(app.*,"sum")""") + s"&$range")
+        .statusCode() === 400)
       // an index past the nodes is the in-plan guard → 400 with the name
       val gbBad = get(s"$base/render?target=" +
         enc("""groupByNode(app.*,5,"sum")""") + s"&$range")

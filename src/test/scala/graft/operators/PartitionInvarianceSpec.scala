@@ -164,4 +164,18 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
       Anomaly.rollingZScores(df, windowMs = 7L * 86400000L,
         threshold = 2.5, minPoints = 5), gapMs = 3L * 86400000L))(
     Tables.metrics(spark, dir))
+
+  invariant("Series.groupByNodes")(df =>
+    Series.groupByNodes(df, Seq(0, 1), "sum", 3600000L))(
+    Tables.metrics(spark, dir))
+
+  // the derived-double stddev (exact-DECIMAL Σx/Σx² then one scalar
+  // expression) must not move with layout — the recipe's whole point
+  invariant("Series.aggregateSeries@stddev")(df =>
+    Series.aggregateSeries(df, "app.*", "stddev", 3600000L))(
+    Tables.metrics(spark, dir))
+
+  invariant("Series.movingWindowPrefix")(df =>
+    Series.movingWindowPrefix(df, 600000L))(
+    Tables.metrics(spark, dir))
 }

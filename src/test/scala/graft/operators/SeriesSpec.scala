@@ -695,6 +695,34 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(std(1000L) === 0.0)
   }
 
+  test("groupByNodes: multi-token keys join with dots, caller order kept") {
+    val rows = Seq(
+      ("t", "app.web.us.req", 0L, 1.0), ("t", "app.web.eu.req", 0L, 3.0),
+      ("t", "app.db.us.req", 0L, 10.0))
+    val got = Series.groupByNodes(pts(rows), Seq(1, 3), "sum", 1000L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(got === Map("web.req" -> 4.0, "db.req" -> 10.0))
+    // caller order is the name order, not positional order
+    val rev = Series.groupByNodes(pts(rows), Seq(3, 1), "sum", 1000L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(rev === Map("req.web" -> 4.0, "req.db" -> 10.0))
+    intercept[IllegalArgumentException](
+      Series.groupByNodes(pts(rows), Nil, "sum", 1000L))
+  }
+
+  test("movingWindowPrefix plan: both frames ride ONE WindowExec and one " +
+    "sort — the frame-grouped projection keeps CollapseWindow effective") {
+    // count in the plan STRING — AQE wraps the tree in
+    // AdaptiveSparkPlanExec, which collect() does not descend into
+    val plan = Series.movingWindowPrefix(
+      pts(Seq(("t", "m", 0L, 1.0), ("t", "m", 5L, 2.0))), 10L)
+      .queryExecution.executedPlan.toString
+    def nodes(name: String) =
+      s"(?m)^\\s*(?:\\+- )?$name ".r.findAllIn(plan).size
+    assert(nodes("Window") === 1, plan)
+    assert(nodes("Sort") === 1, plan)
+  }
+
   test("topSeries stat=last: most recent sample ranks; ts tie breaks by value") {
     val rows = Seq(
       ("a", "rising", 0L, 100.0), ("a", "rising", 500L, 2.0),
