@@ -824,9 +824,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    must be one sample per instant (ambiguity raises in-plan → 400),
     *    zero/missing denominators null (F6)
     *  - `transformNull(<expr>[,default])` — null fill;
-    *    `removeAboveValue|removeBelowValue(<expr>,t)` — threshold scrub
-    *    to null datapoints; `changed(<expr>)` — 0/1 change indicator;
-    *    `offsetToZero(<expr>)` — subtract each series' own minimum
+    *    `removeAboveValue|removeBelowValue(<expr>,t)` /
+    *    `removeAbovePercentile|removeBelowPercentile(<expr>,p)` —
+    *    threshold scrub to null datapoints; `nPercentile(<expr>,p)` —
+    *    per-series percentile line; `changed(<expr>)` — 0/1 change
+    *    indicator; `offsetToZero(<expr>)` — subtract each series' own
+    *    minimum
     *  - `grep|exclude(<expr>,"regex")` — series-name filter;
     *    `aliasSub(<expr>,"regex","replacement")` — display-name
     *    substitution ($1 backreferences)
@@ -1439,6 +1442,36 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value",
                 coalesce(col("value"), lit(d))),
               None, n => s"transformNull(${in.displayName(n)},$d)")
+          case "removeAbovePercentile" | "removeBelowPercentile" |
+               "nPercentile" =>
+            // per-series percentile line: scrub past it (remove*) or draw
+            // it (nPercentile) — the clampOutliers shape: one per-series
+            // exact-percentile aggregation joined back on the identical
+            // key. The frame feeds BOTH the aggregate and the probe side,
+            // so materialize once (the highest*/lowest* rule).
+            val pct = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn needs a percentile in '$t'"))
+            require(pct >= 0.0 && pct <= 100.0,
+              s"percentile must be in [0, 100] in '$t', got $pct")
+            val in = recurse(arg0) // RAW: null datapoints pass through
+            val inDf = in.df.localCheckpoint()
+            val q = inDf.filter(col("value").isNotNull)
+              .groupBy(col("tenant_id"), col("metric_name"))
+              .agg(percentile(col("value"), lit(pct / 100.0)).as("__pv"))
+            val joined = inDf.join(broadcast(q),
+              Seq("tenant_id", "metric_name"), "left")
+            val v = fn match {
+              case "nPercentile" => col("__pv")
+              case "removeAbovePercentile" =>
+                when(col("value") > col("__pv"),
+                  lit(null).cast("double")).otherwise(col("value"))
+              case _ =>
+                when(col("value") < col("__pv"),
+                  lit(null).cast("double")).otherwise(col("value"))
+            }
+            SeriesExpr(joined.withColumn("value", v).drop("__pv"),
+              None, n => s"$fn(${in.displayName(n)},$pct)")
           case "removeAboveValue" | "removeBelowValue" =>
             // pointwise threshold scrub: offending values become null
             // datapoints (the series keeps its instants — Graphite draws

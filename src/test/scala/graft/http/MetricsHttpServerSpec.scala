@@ -1040,6 +1040,19 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(cb.body().contains(""""target": "app.a"""") &&
         !cb.body().contains(""""target": "app.b""""), cb.body())
 
+      // percentile scrubs: the spike (500) is above app.a's p95 and
+      // becomes a null datapoint; nPercentile draws a constant line at
+      // the series' p100 (its max)
+      val rp = get(s"$base/render?target=removeAbovePercentile(app.a,95)&$range")
+      assert(rp.statusCode() === 200, rp.body())
+      assert(rp.body().contains(s"[null, ${t0 / 1000 + 25 * 300}]"), rp.body())
+      assert(rp.body().contains(s"[10.0, ${t0 / 1000}]"), rp.body())
+      val np = get(s"$base/render?target=nPercentile(app.a,100)&$range")
+      assert(np.statusCode() === 200, np.body())
+      assert(np.body().contains(s"[500.0, ${t0 / 1000}]"), np.body())
+      assert(get(s"$base/render?target=nPercentile(app.a,101)&$range")
+        .statusCode() === 400)
+
       // csv export: Graphite's target,wall-time,value lines (UTC);
       // t0 = 2023-12-31 21:30:00Z in the fixture clock
       val cv = get(s"$base/render?target=app.a&$range&format=csv")
