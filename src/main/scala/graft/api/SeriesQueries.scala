@@ -20,8 +20,8 @@ object SeriesQueries {
     s"""WITH ${OracleViews.metricsCte},
        |a AS (
        |  SELECT tenant_id, metric_name,
-       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
-       |           AS stat_value
+       |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+       |           / COUNT(value) AS stat_value
        |  FROM metrics GROUP BY 1, 2
        |),
        |r AS (
@@ -269,7 +269,8 @@ object SeriesQueries {
       s"""WITH ${OracleViews.metricsCte}
          |SELECT tenant_id, 'agg.stddev.app.purchase.*' AS metric_name,
          |       CAST(ts_ms - ts_ms % $bMs AS BIGINT) AS bucket_ms,
-         |       CASE WHEN $varSql > 0
+         |       CASE WHEN $varSql IS NULL THEN NULL
+         |            WHEN $varSql > 0
          |            THEN SQRT($varSql) ELSE 0.0 END AS value,
          |       COUNT(DISTINCT metric_name) AS n_series
          |FROM metrics

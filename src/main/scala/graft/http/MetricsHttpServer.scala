@@ -1099,8 +1099,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             // wall graft.Stress measures); extremes have no prefix form
             // and keep the frame path
             val smoothed = func match {
+              // withStd only when stddev is served: the squared-sum
+              // prefixes carry their own (narrower) overflow domain that
+              // plain average/sum requests must not pay
               case "average" | "sum" | "stddev" => graft.operators.Series
-                .movingWindowPrefix(in.df, windowMs)
+                .movingWindowPrefix(in.df, windowMs,
+                  withStd = func == "stddev")
                 .select(ser :+ col(func match {
                   case "average" => "mavg"
                   case "sum" => "msum"
@@ -1305,20 +1309,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             // null through pointwise arithmetic (the scale/offset rule);
             // only the divisor side strips nulls
             val in = recurse(arg0)
-            val den = recurse(divArg).df.filter(col("value").isNotNull)
-              .groupBy(col("tenant_id"), col("ts_ms"))
-              .agg(max(col("value")).as("__den"),
-                count(lit(1)).as("__dn"))
-            val guarded = when(col("__dn") > 1, raise_error(lit(
-                s"divideSeries: divisor '$divArg' has more than one sample " +
-                  "at an instant — aggregate it first (sumSeries)"))
-                .cast("double"))
-              .otherwise(col("__den"))
+            val (den, guarded, denTmp) = perInstantSample(
+              recurse(divArg).df, "divideSeries", "divisor", divArg, 0)
             SeriesExpr(in.df
                 .join(den, Seq("tenant_id", "ts_ms"), "left")
                 .withColumn("value",
                   when(guarded =!= 0.0, col("value") / guarded))
-                .drop("__den", "__dn"),
+                .drop(denTmp: _*),
               None, n => s"divideSeries(${in.displayName(n)},$divArg)")
           case "diffSeries" =>
             // diffSeries(<expr>, <sub1>[, <sub2>…]) — each series of the
@@ -1359,18 +1356,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val restArgs = args.drop(1).map(_.trim)
             val product = restArgs.zipWithIndex.foldLeft(in.df) {
               case (acc, (a, i)) =>
-                val f = recurse(a).df.filter(col("value").isNotNull)
-                  .groupBy(col("tenant_id"), col("ts_ms"))
-                  .agg(max(col("value")).as(s"__f$i"),
-                    count(lit(1)).as(s"__fn$i"))
-                val g = when(col(s"__fn$i") > 1, raise_error(lit(
-                    s"multiplySeries: factor '$a' has more than one sample " +
-                      "at an instant — aggregate it first (sumSeries)"))
-                    .cast("double"))
-                  .otherwise(col(s"__f$i"))
+                val (f, g, fTmp) = perInstantSample(
+                  recurse(a).df, "multiplySeries", "factor", a, i)
                 acc.join(f, Seq("tenant_id", "ts_ms"), "left")
                   .withColumn("value", col("value") * g)
-                  .drop(s"__f$i", s"__fn$i")
+                  .drop(fTmp: _*)
             }
             SeriesExpr(product, None,
               n => s"multiplySeries(${in.displayName(n)},${restArgs.mkString(",")})")
@@ -1407,8 +1397,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                     s"aliasSub pattern does not compile: ${e.getMessage}")
               }
             val in = recurse(arg0)
-            SeriesExpr(in.df, None,
-              n => rx.replaceAllIn(in.displayName(n), replace))
+            SeriesExpr(in.df, None, { n =>
+              // replacement errors (a $9 with no group 9, a trailing
+              // backslash) only surface when a name actually matches —
+              // translate them to the 400 every other malformed-argument
+              // path reports, not a generic 500
+              try rx.replaceAllIn(in.displayName(n), replace)
+              catch {
+                case e: RuntimeException =>
+                  throw new IllegalArgumentException(
+                    s"aliasSub replacement '$replace' failed: ${e.getMessage}")
+              }
+            })
           case "changed" =>
             // 1 where a sample differs from its series' previous sample,
             // else 0 (first points 0) — one lag pass, the derivatives
@@ -1593,6 +1593,30 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         scala.collection.mutable.ArrayBuffer.empty) += ((v, r.getLong(1) / 1000L))
     }
     out.toSeq.map { case (n, b) => singleName.getOrElse(nameOf(n)) -> b.toSeq }
+  }
+
+  /** One-sample-per-instant pick of a render subexpression — the shared
+    * divisor/factor contract of divideSeries/multiplySeries: per
+    * (tenant, instant) the single non-null sample, with ambiguity raising
+    * IN-PLAN (surfaced as a 400 by renderView's USER_RAISED_EXCEPTION
+    * translation — the message shape and the F6 null rules live HERE so
+    * the two arms cannot drift). Returns the aggregated frame to
+    * left-join on (tenant_id, ts_ms), the guarded value column, and the
+    * temp columns to drop after the join. */
+  private def perInstantSample(df: org.apache.spark.sql.DataFrame,
+      fn: String, what: String, arg: String, idx: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+         Seq[String]) = {
+    val v = s"__pis_$idx"
+    val c = s"__pisn_$idx"
+    val g = df.filter(col("value").isNotNull)
+      .groupBy(col("tenant_id"), col("ts_ms"))
+      .agg(max(col("value")).as(v), count(lit(1)).as(c))
+    val guarded = when(col(c) > 1, raise_error(lit(
+        s"$fn: $what '$arg' has more than one sample at an instant — " +
+          "aggregate it first (sumSeries)")).cast("double"))
+      .otherwise(col(v))
+    (g, guarded, Seq(v, c))
   }
 
   /** Kind-routed NUMERIC point read for one metric spec — the shared data

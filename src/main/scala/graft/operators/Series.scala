@@ -138,16 +138,23 @@ object Series {
       ascending: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val statCol = stat match {
+      // mean of the NON-NULL samples (Graphite's safeAvg): composed
+      // render inputs carry null datapoints (a derivative's first point,
+      // a removeAboveValue scrub) that the sum already skips — counting
+      // them in the denominator would deflate every composed ranking
       case "mean" => sum(col("value").cast(DecimalType(28, 2))).cast("double")
-        ./(count(lit(1)))
+        ./(count(col("value")))
       case "sum" => sum(col("value").cast(DecimalType(28, 2))).cast("double")
       case "max" => max(col("value"))
       case "min" => min(col("value"))
       case "count" => count(lit(1)).cast("double")
-      // the most recent sample (Graphite's highestCurrent/lowestCurrent
-      // ranking stat); ties on ts_ms break by larger value so the rank
-      // input is deterministic ([[summarize]]'s "last" convention)
-      case "last" => max(struct(col("ts_ms"), col("value")))
+      // the most recent NON-NULL sample (Graphite's safeLast — a
+      // scrubbed trailing point must not turn the rank stat NULL, which
+      // asc-sorts FIRST and silently exits every current* threshold);
+      // ties on ts_ms break by larger value so the rank input is
+      // deterministic
+      case "last" => max(when(col("value").isNotNull,
+          struct(col("ts_ms"), col("value"))))
         .getField("value")
       case other => throw new IllegalArgumentException(
         s"stat must be one of mean|sum|max|min|count|last, got '$other'")
@@ -203,8 +210,13 @@ object Series {
     * sqrt is IEEE-exact in every engine), clamped at 0 where the expanded
     * form's double cancellation would go fractionally negative — the
     * SAME clamp expression the oracle states, so both engines take the
-    * same branch. count counts non-null points in the bucket (the
-    * n_series column reports distinct contributing series separately). */
+    * same branch; an all-null bucket yields NULL, not 0. count counts
+    * non-null points in the bucket (the n_series column reports distinct
+    * contributing series separately). NOTE: the mean/stddev denominators
+    * count ALL rows, null values included (the [[movingStats]] frame
+    * convention, restated verbatim by the oracles) — feed null-free
+    * frames, as the render path does by stripping nulls before every
+    * aggregate. */
   private def crossSeriesStat(stat: String): Column = {
     val dec = DecimalType(28, 2)
     stat match {
@@ -220,7 +232,10 @@ object Series {
         val sq = sum((col("value") * col("value"))
           .cast(DecimalType(38, 8))).cast("double")
         val v = (sq - s * s / n) / n
-        when(v > 0.0, sqrt(v)).otherwise(lit(0.0))
+        // null-transparent: an all-null bucket must not report a 0
+        // spread it never measured
+        when(v.isNull, lit(null).cast("double"))
+          .when(v > 0.0, sqrt(v)).otherwise(lit(0.0))
       case other => throw new IllegalArgumentException(
         s"stat must be one of mean|sum|max|min|count|range|stddev, got '$other'")
     }
@@ -378,8 +393,18 @@ object Series {
     * rollup's (Σx² − (Σx)²/n)/n derived-double recipe on exact prefix
     * differences, 0-clamped against expanded-form cancellation; sqrt is
     * IEEE-exact). All-null windows yield NULL stats with `n_window`
-    * still counting rows — the [[movingStats]] frame conventions. */
-  def movingWindowPrefix(points: DataFrame, windowMs: Long): DataFrame = {
+    * still counting rows — the [[movingStats]] frame conventions.
+    *
+    * `withStd = false` drops the squared-sum prefixes (and the `mstd`
+    * column): the sq cums are UNBOUNDED-preceding, so their DECIMAL(38,8)
+    * headroom (30 integral digits) bounds the whole series' Σx², not one
+    * window's — a ~1e13-valued series overflows ANSI after ~10⁴ points
+    * even though every bounded window is fine. Callers that only need
+    * sum/mean (the render movingAverage/movingSum paths) must not pay
+    * that failure mode; the value cums' DECIMAL(28,2) domain (~1e26
+    * cumulative) is the same one [[movingAvgPrefix]] already carries. */
+  def movingWindowPrefix(points: DataFrame, windowMs: Long,
+      withStd: Boolean = true): DataFrame = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val ser = Seq("tenant_id", "metric_name")
     val dec = DecimalType(28, 2)
@@ -395,27 +420,31 @@ object Series {
       coalesce(col("__bsq"), lit(0).cast(sqDec))).cast("double")
     val hasVals = col("__cvct") - col("__bvct") > 0
     val variance = (sqD - sumD * sumD / n) / n
+    val sqUpto =
+      if (withStd) Seq(sum(sqCol).over(upto).as("__csq")) else Nil
+    val sqBelow =
+      if (withStd) Seq(sum(sqCol).over(below).as("__bsq")) else Nil
+    val stdOut =
+      if (withStd) Seq(when(hasVals,
+        when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0)))
+        .as("mstd"))
+      else Nil
     points
-      // one projection, frame-grouped: the four upto-frame aggregates
-      // collapse into ONE Window node and the four below-frame ones into
+      // one projection, frame-grouped: the upto-frame aggregates
+      // collapse into ONE Window node and the below-frame ones into
       // a second (an interleaved withColumn chain left four Window nodes
       // in the plan — same sort, but two extra per-row passes)
-      .select(col("*"),
-        sum(col("value").cast(dec)).over(upto).as("__csum"),
-        sum(sqCol).over(upto).as("__csq"),
-        count(lit(1)).over(upto).as("__ccnt"),
-        count(col("value")).over(upto).as("__cvct"),
-        sum(col("value").cast(dec)).over(below).as("__bsum"),
-        sum(sqCol).over(below).as("__bsq"),
-        count(lit(1)).over(below).as("__bcnt"),
-        count(col("value")).over(below).as("__bvct"))
+      .select(Seq(col("*"),
+        sum(col("value").cast(dec)).over(upto).as("__csum")) ++ sqUpto ++
+        Seq(count(lit(1)).over(upto).as("__ccnt"),
+          count(col("value")).over(upto).as("__cvct"),
+          sum(col("value").cast(dec)).over(below).as("__bsum")) ++ sqBelow ++
+        Seq(count(lit(1)).over(below).as("__bcnt"),
+          count(col("value")).over(below).as("__bvct")): _*)
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"),
         n.as("n_window"),
         when(hasVals, sumD).as("msum"),
-        when(hasVals, sumD / n).as("mavg"),
-        when(hasVals,
-          when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0)))
-          .as("mstd")): _*)
+        when(hasVals, sumD / n).as("mavg")) ++ stdOut: _*)
   }
 
   /** Fixed-offset self-comparison — Graphite's `timeShift` composed with a

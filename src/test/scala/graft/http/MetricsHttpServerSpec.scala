@@ -1018,6 +1018,11 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(as1.body().contains(""""target": "svc-a"""") &&
         as1.body().contains(""""target": "svc-b""""), as1.body())
 
+      // a replacement referencing a missing group is a 400, not a 500
+      assert(get(s"$base/render?target=" +
+        enc("""aliasSub(app.*,"^app\.(.*)","svc-$9")""") + s"&$range")
+        .statusCode() === 400)
+
       // changed: first point 0, a step change 1
       val ch = get(s"$base/render?target=changed(app.a)&$range")
       assert(ch.statusCode() === 200, ch.body())

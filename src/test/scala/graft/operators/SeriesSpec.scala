@@ -734,4 +734,60 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(got("tied") === ((9.0, 2)))
     assert(got("rising") === ((2.0, 3))) // last sample, not max
   }
+
+  test("topSeries null semantics: last skips scrubbed trailing points " +
+    "(safeLast), mean divides by non-null count (safeAvg)") {
+    val rows = pts(Seq(
+      ("a", "scrubbed", 0L, 7.0), ("a", "scrubbed", 500L, -1.0),
+      ("a", "clean", 0L, 5.0), ("a", "clean", 500L, 5.0)))
+      .withColumn("value",
+        when(col("value") === -1.0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    // last: the scrubbed series ranks by its last NON-NULL sample (7),
+    // never a NULL that would asc-sort first / exit every threshold
+    val last = Series.topSeries(rows, k = 2, stat = "last").collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(last === Map("scrubbed" -> 7.0, "clean" -> 5.0))
+    // mean: denominator counts the one real sample, not the null row
+    val mean = Series.topSeries(rows, k = 2, stat = "mean").collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(mean("scrubbed") === 7.0)
+  }
+
+  test("movingWindowPrefix withStd=false: no squared-sum prefixes (and no " +
+    "mstd column); msum/mavg identical to the withStd form") {
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val corpus = graft.core.Tables.metrics(spark, "/root/testdata/sf0.001")
+    val lean = Series.movingWindowPrefix(corpus, 600000L, withStd = false)
+    assert(!lean.columns.contains("mstd"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("tenant_id", "metric_name", "ts_ms", "n_window", "msum", "mavg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        (4 to 5).map(i => if (r.isNullAt(i)) -1L else bits(r.getDouble(i)))))
+      .toSet
+    assert(canon(lean) ===
+      canon(Series.movingWindowPrefix(corpus, 600000L)))
+    // the lean form survives magnitudes whose SQUARES overflow the
+    // DECIMAL(38,8) cumulative headroom — the reason it exists
+    val big = pts((0 until 50).map(i => ("t", "m", i.toLong, 1e18)))
+    assert(Series.movingWindowPrefix(big, 10L, withStd = false)
+      .count() === 50L)
+  }
+
+  test("aggregateSeries stddev is null-transparent: an all-null bucket " +
+    "reports NULL, not a 0 spread it never measured") {
+    val rows = pts(Seq(
+      ("t", "app.a", 0L, -1.0), ("t", "app.b", 10L, -1.0),
+      ("t", "app.a", 1000L, 2.0), ("t", "app.b", 1000L, 6.0)))
+      .withColumn("value",
+        when(col("value") === -1.0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    val got = Series.aggregateSeries(rows, "app.*", "stddev", 1000L)
+      .collect()
+      .map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got(0L) === null)
+    assert(got(1000L) === 2.0) // popstd of {2,6}
+  }
 }
