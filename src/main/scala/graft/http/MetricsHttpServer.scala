@@ -56,8 +56,9 @@ import java.util.concurrent.atomic.AtomicLong
   *    — the series/anomaly panel (EXTENSION surface: the Graphite render
   *    functions a reference deployment fronts Blueflood with; see
   *    [[seriesView]])
-  *  - `GET /render?target=<expr>&from&until&tenant=` — the Graphite
-  *    render-API wire shape over the same panel functions (see
+  *  - `GET|POST /render?target=<expr>&from&until&tenant=` — the Graphite
+  *    render-API wire shape over the same panel functions (POST takes
+  *    the URL-encoded form body Grafana sends by default; see
   *    [[renderView]]): raw globs, `lttb`/`m4` decimation, the
   *    `sumSeries`/`averageSeries`/`maxSeries`/`minSeries`/
   *    `percentileOfSeries` aggregations, per-series `summarize`
@@ -255,7 +256,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         case (List("render"), "OPTIONS") =>
           sendPreflight(ex)
         case (List("render"), "GET") =>
-          renderView(ex)
+          renderView(ex, Nil)
+        case (List("render"), "POST") =>
+          // Grafana's graphite datasource POSTs the render request as an
+          // URL-encoded form body (queries outgrow URL limits fast);
+          // body pairs merge after the query string's, so a form value
+          // wins a scalar conflict and target= lists concatenate
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .getOrElse("")
+          require(ct.toLowerCase.startsWith(
+              "application/x-www-form-urlencoded"),
+            "POST /render requires application/x-www-form-urlencoded, " +
+              s"got '$ct'")
+          renderView(ex, parsePairs(readBody(ex)))
         case (List("metrics", "find"), "OPTIONS") =>
           sendPreflight(ex)
         case (List("metrics", "find"), "GET") =>
@@ -775,11 +788,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     sendJson(ex, 200, body)
   }
 
-  /** `GET /render?target=<expr>&from&until&tenant=:t[&maxDataPoints&format=json]`
-    * — the Graphite render-API wire shape (the surface Graphite-ecosystem
-    * dashboards speak; a reference deployment fronts Blueflood with a
-    * graphite-api finder producing exactly this JSON). Targets repeat;
-    * each is one of:
+  /** `GET|POST /render?target=<expr>&from&until&tenant=:t[&maxDataPoints
+    * &format=json]` — the Graphite render-API wire shape (the surface
+    * Graphite-ecosystem dashboards speak; a reference deployment fronts
+    * Blueflood with a graphite-api finder producing exactly this JSON).
+    * POST carries the same parameters as an
+    * `application/x-www-form-urlencoded` body — Grafana's default, since
+    * dashboard queries outgrow URL limits. Targets repeat; each is one
+    * of:
     *
     *  - `<glob>` — raw serve, one response entry per matched series
     *  - `lttb(<glob>[,buckets])` / `m4(<glob>[,buckets])` — per-series
@@ -833,6 +849,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *  - `grep|exclude(<expr>,"regex")` — series-name filter;
     *    `aliasSub(<expr>,"regex","replacement")` — display-name
     *    substitution ($1 backreferences)
+    *  - `events("tags")` — event markers from the events store (value
+    *    1.0 at each matching instant; `events("")` for all in range)
     *  - `holtWintersForecast|holtWintersConfidenceBands|
     *    holtWintersAberration(<expr>[,season])` — the forecast family
     *    over [[graft.operators.Anomaly.holtWintersBands]] (bands emit
@@ -857,8 +875,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * with the panel row cap applied per target. `format` is json
     * (default) or csv (Graphite's `target,YYYY-MM-DD HH:mm:ss,value`
     * export shape, UTC). */
-  private def renderView(ex: HttpExchange): Unit = {
-    val q = queryParams(ex)
+  private def renderView(ex: HttpExchange,
+      formPairs: Seq[(String, String)]): Unit = {
+    val pairs = queryPairs(ex) ++ formPairs
+    val q = pairs.toMap
     val tenant = q.getOrElse("tenant",
       throw new IllegalArgumentException(
         "tenant= is required (multi-tenant store behind a single-tenant API)"))
@@ -872,7 +892,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       throw new IllegalArgumentException(
         s"maxDataPoints must be an integer, got '$v'")))
     val resolution = if (points.isEmpty) Some(Granularity.FULL) else None
-    val targets = multiParams(ex, "target")
+    val targets = pairs.collect { case ("target", v) => v }
     require(targets.nonEmpty, "at least one target= is required")
     val entries = try {
       targets.flatMap { t0 =>
@@ -1364,6 +1384,29 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             }
             SeriesExpr(product, None,
               n => s"multiplySeries(${in.displayName(n)},${restArgs.mkString(",")})")
+          case "events" =>
+            // Graphite's events("tags") target — event markers for chart
+            // overlays (drawAsInfinite style): value 1.0 at each matching
+            // event instant, ONE entry named by the target text. The
+            // argument is the TAGS filter (substring of the event data,
+            // the getEvents contract), not a series expression; use
+            // events("") for all events in range.
+            val tags = stripQuotes(arg0)
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            val frame =
+              if (!graft.streaming.IngestStream.hasParquetData(spark,
+                  s"$storeDir/events"))
+                spark.range(0).select(lit("").as("tenant_id"),
+                  lit(t).as("metric_name"), lit(0L).as("ts_ms"),
+                  lit(1.0).as("value"))
+              else graft.operators.Discovery.eventSearch(
+                  graft.streaming.IngestStream.eventsStore(spark, storeDir)
+                    .filter(col("tenant_id") === tenant),
+                  fromMs, untilMs, java.util.regex.Pattern.quote(tags))
+                .select(col("tenant_id"), lit(t).as("metric_name"),
+                  col("ts_ms"), lit(1.0).as("value"))
+            SeriesExpr(frame, Some(t), identity)
           case "exclude" | "grep" =>
             // series-NAME regex filter (Graphite's exclude/grep):
             // unanchored search against the stored series name; selection
@@ -1967,25 +2010,25 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   /** Every value of a repeatable query param, in URI order (`target=` on
     * the render route — [[queryParams]]'s Map keeps only the last). */
-  private def multiParams(ex: HttpExchange, key: String): Seq[String] =
-    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
-      .flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) if java.net.URLDecoder.decode(k, "UTF-8") == key =>
-            Some(java.net.URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
+  /** URL-encoded `k=v&k=v` pairs — the shared grammar of a query string
+    * and an `application/x-www-form-urlencoded` POST body. */
+  private def parsePairs(raw: String): Seq[(String, String)] =
+    raw.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
       }
+    }
+
+  private def queryPairs(ex: HttpExchange): Seq[(String, String)] =
+    Option(ex.getRequestURI.getRawQuery).map(parsePairs).getOrElse(Nil)
+
+  private def multiParams(ex: HttpExchange, key: String): Seq[String] =
+    queryPairs(ex).collect { case (k, v) if k == key => v }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
-      .flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
-            java.net.URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
-      }.toMap
+    queryPairs(ex).toMap
 
   private def responseSent(ex: HttpExchange): Boolean =
     sentFlag.get().booleanValue()

@@ -997,6 +997,52 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(get(s"$base/render?target=holtWintersForecast(app.b,0)&$range")
         .statusCode() === 400)
 
+      // POST /render: the URL-encoded form body Grafana sends by default
+      // — same parameters, targets repeat in the body, query-string and
+      // body pairs merge
+      def postForm(url: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body,
+            java.nio.charset.StandardCharsets.UTF_8))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      val pr = postForm(s"$base/render",
+        s"target=${enc("sumSeries(app.*)")}" +
+          s"&target=${enc("maxSeries(app.*)")}" +
+          s"&from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme")
+      assert(pr.statusCode() === 200, pr.body())
+      assert(pr.body().contains(""""target": "sumSeries(app.*)"""") &&
+        pr.body().contains(""""target": "maxSeries(app.*)""""), pr.body())
+      assert(pr.body().contains(s"[30.0, ${t0 / 1000}]"), pr.body())
+      // query-string params merge with body targets
+      val pm = postForm(s"$base/render?tenant=acme" +
+          s"&from=${t0 / 1000 - 10}&until=${now / 1000}",
+        s"target=${enc("countSeries(app.*)")}")
+      assert(pm.statusCode() === 200, pm.body())
+      assert(pm.body().contains(s"[2.0, ${t0 / 1000}]"), pm.body())
+      // a non-form content type is rejected loudly, not half-parsed
+      val pj = client.send(HttpRequest.newBuilder(URI.create(s"$base/render"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"target":"app.a"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(pj.statusCode() === 400, pj.body())
+
+      // events() target: markers from the events store at value 1.0,
+      // named by the target text; tags filter scopes, "" matches all
+      assert(post(s"$base/v2.0/acme/events",
+        s"""{"what": "deploy", "when": ${t0 + 600000L}, "data": "build 7",
+           | "tags": "release"}""".stripMargin).statusCode() === 200)
+      val evr = get(s"$base/render?target=" +
+        enc("""events("release")""") + s"&$range")
+      assert(evr.statusCode() === 200, evr.body())
+      assert(evr.body().contains(""""target": "events(\"release\")""""),
+        evr.body())
+      assert(evr.body().contains(s"[1.0, ${t0 / 1000 + 600}]"), evr.body())
+      val evNone = get(s"$base/render?target=" +
+        enc("""events("nosuchtag")""") + s"&$range")
+      assert(evNone.statusCode() === 200, evNone.body())
+      assert(!evNone.body().contains("[1.0, "), evNone.body())
+
       // name filters: grep keeps matches, exclude drops them; bad regex 400
       val gr = get(s"$base/render?target=" +
         enc("""grep(app.*,"a$")""") + s"&$range")
