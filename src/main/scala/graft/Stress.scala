@@ -109,6 +109,10 @@ object Stress {
       run("moving_frame_hot_60s")(Series.movingStats(hot, 60000L))
       run("moving_prefix_hot_60s")(Series.movingAvgPrefix(hot, 60000L))
       run("moving_prefix_hot_1h")(Series.movingAvgPrefix(hot, 3600000L))
+      // the widened prefix family (sum/mean/stddev, three prefix pairs in
+      // ONE WindowExec) must stay flat in width like the mean-only form
+      run("moving_window_std_hot_1h")(
+        Series.movingWindowPrefix(hot, 3600000L))
       run("resample_hold_hot")(Series.resampleHold(hot, 10000L))
       run("resample_linear_hot")(Series.resampleLinear(hot, 10000L))
 
