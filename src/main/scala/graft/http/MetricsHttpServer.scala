@@ -1002,9 +1002,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         // alternation AND inside nested 'fn(...)' calls stay part of
         // their argument
         val args = splitTargetArgs(argStr)
-        require(args.nonEmpty && args(0).trim.nonEmpty,
+        // events is the one function whose first argument is NOT a
+        // series expression: Graphite's bare events() (all annotations
+        // in range) is valid, so the glob requirement must not fire
+        require(fn == "events" || (args.nonEmpty && args(0).trim.nonEmpty),
           s"target '$t' needs a metric glob or sub-expression")
-        val arg0 = args(0).trim
+        val arg0 = args.headOption.map(_.trim).getOrElse("")
         // transforms consume non-null values only (a wrapped stage's null
         // outputs — e.g. a derivative's first point — must not reach the
         // next operator's arithmetic); the base fetch is already non-null
@@ -1385,27 +1388,31 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(product, None,
               n => s"multiplySeries(${in.displayName(n)},${restArgs.mkString(",")})")
           case "events" =>
-            // Graphite's events("tags") target — event markers for chart
+            // Graphite's events(*tags) target — event markers for chart
             // overlays (drawAsInfinite style): value 1.0 at each matching
             // event instant, ONE entry named by the target text. The
-            // argument is the TAGS filter (substring of the event data,
-            // the getEvents contract), not a series expression; use
-            // events("") for all events in range.
-            val tags = stripQuotes(arg0)
+            // arguments are TAGS filters, ANDed (every tag must appear in
+            // the event data — the getEvents substring contract), not a
+            // series expression; bare events() serves all in range.
+            val tags = args.map(a => stripQuotes(a.trim))
+              .filter(_.nonEmpty)
+            // AND of substring matches as one regex: DOTALL lookaheads
+            // from the scan position — rlike's find() accepts at index 0
+            // when every tag appears somewhere in the props string
+            // (event data may carry newlines); no tags → empty pattern,
+            // matches all
+            val rx =
+              if (tags.isEmpty) ""
+              else "(?s)" + tags.map(q =>
+                s"(?=.*${java.util.regex.Pattern.quote(q)})").mkString
             val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
             val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
-            val frame =
-              if (!graft.streaming.IngestStream.hasParquetData(spark,
-                  s"$storeDir/events"))
-                spark.range(0).select(lit("").as("tenant_id"),
-                  lit(t).as("metric_name"), lit(0L).as("ts_ms"),
-                  lit(1.0).as("value"))
-              else graft.operators.Discovery.eventSearch(
-                  graft.streaming.IngestStream.eventsStore(spark, storeDir)
-                    .filter(col("tenant_id") === tenant),
-                  fromMs, untilMs, java.util.regex.Pattern.quote(tags))
-                .select(col("tenant_id"), lit(t).as("metric_name"),
-                  col("ts_ms"), lit(1.0).as("value"))
+            val frame = searchEvents(tenant, fromMs, untilMs, rx)
+              .map(_.select(col("tenant_id"), lit(t).as("metric_name"),
+                col("ts_ms"), lit(1.0).as("value")))
+              .getOrElse(spark.range(0).select(lit("").as("tenant_id"),
+                lit(t).as("metric_name"), lit(0L).as("ts_ms"),
+                lit(1.0).as("value")))
             SeriesExpr(frame, Some(t), identity)
           case "exclude" | "grep" =>
             // series-NAME regex filter (Graphite's exclude/grep):
@@ -1844,6 +1851,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     sendJson(ex, 200, body)
   }
 
+  /** Tenant-scoped event search over the store, or None when no events
+    * have ever been ingested — the ONE definition of "tags filter over
+    * props" shared by `GET events/getEvents` and the render `events()`
+    * marker target, so the two surfaces cannot drift on the substring
+    * contract or range inclusivity. */
+  private def searchEvents(tenant: String, fromMs: Long, untilMs: Long,
+      tagsRegex: String): Option[org.apache.spark.sql.DataFrame] =
+    if (!IngestStream.hasParquetData(spark, s"$storeDir/events")) None
+    else Some(Discovery.eventSearch(
+      IngestStream.eventsStore(spark, storeDir)
+        .filter(col("tenant_id") === tenant),
+      fromMs, untilMs, tagsRegex))
+
   private def getEvents(ex: HttpExchange, tenant: String): Unit = {
     val q = queryParams(ex)
     val now = nowMs()
@@ -1852,14 +1872,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val untilMs = q.get("until").map(graft.core.DateTimeParser.parseMillis(_, now))
       .getOrElse(now)
     val tags = q.getOrElse("tags", "")
-    if (!IngestStream.hasParquetData(spark, s"$storeDir/events")) {
-      sendJson(ex, 200, "[]"); return
-    }
-    val rows = Discovery.eventSearch(
-        IngestStream.eventsStore(spark, storeDir)
-          .filter(col("tenant_id") === tenant),
-        fromMs, untilMs, java.util.regex.Pattern.quote(tags))
-      .collect()
+    val rows = searchEvents(tenant, fromMs, untilMs,
+        java.util.regex.Pattern.quote(tags))
+      .map(_.collect())
+      .getOrElse { sendJson(ex, 200, "[]"); return }
     val body = rows.map { r =>
       val props = r.getAs[String]("props")
       s"""{"what": ${jStr(r.getAs[String]("event_type"))}, """ +
@@ -2023,9 +2039,6 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   private def queryPairs(ex: HttpExchange): Seq[(String, String)] =
     Option(ex.getRequestURI.getRawQuery).map(parsePairs).getOrElse(Nil)
-
-  private def multiParams(ex: HttpExchange, key: String): Seq[String] =
-    queryPairs(ex).collect { case (k, v) if k == key => v }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     queryPairs(ex).toMap

@@ -430,10 +430,10 @@ object Series {
         .as("mstd"))
       else Nil
     points
-      // one projection, frame-grouped: the upto-frame aggregates
-      // collapse into ONE Window node and the below-frame ones into
-      // a second (an interleaved withColumn chain left four Window nodes
-      // in the plan — same sort, but two extra per-row passes)
+      // one projection, frame-grouped: both frames share the partition/
+      // order spec, so ALL the aggregates land in ONE WindowExec over one
+      // sort (SeriesSpec pins the node counts; an interleaved withColumn
+      // chain left four Window nodes — same sort, extra per-row passes)
       .select(Seq(col("*"),
         sum(col("value").cast(dec)).over(upto).as("__csum")) ++ sqUpto ++
         Seq(count(lit(1)).over(upto).as("__ccnt"),

@@ -1042,6 +1042,21 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         enc("""events("nosuchtag")""") + s"&$range")
       assert(evNone.statusCode() === 200, evNone.body())
       assert(!evNone.body().contains("[1.0, "), evNone.body())
+      // bare events() (all annotations in range) is valid Graphite
+      val evAll = get(s"$base/render?target=events()&$range")
+      assert(evAll.statusCode() === 200, evAll.body())
+      assert(evAll.body().contains(s"[1.0, ${t0 / 1000 + 600}]"),
+        evAll.body())
+      // multiple tags AND (Graphite's events(*tags)): both substrings of
+      // the event's data+tags match; a miss on either drops the marker
+      val evAnd = get(s"$base/render?target=" +
+        enc("""events("release","build")""") + s"&$range")
+      assert(evAnd.statusCode() === 200, evAnd.body())
+      assert(evAnd.body().contains(s"[1.0, ${t0 / 1000 + 600}]"),
+        evAnd.body())
+      val evMiss = get(s"$base/render?target=" +
+        enc("""events("release","nosuch")""") + s"&$range")
+      assert(!evMiss.body().contains("[1.0, "), evMiss.body())
 
       // name filters: grep keeps matches, exclude drops them; bad regex 400
       val gr = get(s"$base/render?target=" +
