@@ -1007,7 +1007,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         // in range) is valid, so the glob requirement must not fire
         require(fn == "events" || (args.nonEmpty && args(0).trim.nonEmpty),
           s"target '$t' needs a metric glob or sub-expression")
-        val arg0 = args.headOption.map(_.trim).getOrElse("")
+        // splitTargetArgs always yields >= 1 element (the trailing
+        // buffer), so args(0) is total; events() just never reads it
+        val arg0 = args(0).trim
         // transforms consume non-null values only (a wrapped stage's null
         // outputs — e.g. a derivative's first point — must not reach the
         // next operator's arithmetic); the base fetch is already non-null
@@ -1927,10 +1929,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
-    var inQuote = false
+    // quote char while inside a quoted run, else 0 — BOTH quote styles
+    // are opaque to the split (stripQuotes accepts both, so the splitter
+    // must too: events('release, hotfix') would otherwise shear at the
+    // comma and AND two garbage fragments)
+    var quote: Char = 0
     argStr.foreach {
-      case '"' => inQuote = !inQuote; sb.append('"')
-      case c if inQuote => sb.append(c)
+      case c @ ('"' | '\'') if quote == 0 => quote = c; sb.append(c)
+      case c if quote != 0 =>
+        if (c == quote) quote = 0
+        sb.append(c)
       case c @ ('{' | '(') => depth += 1; sb.append(c)
       case c @ ('}' | ')') => depth -= 1; sb.append(c)
       case ',' if depth == 0 => out += sb.toString; sb.clear()

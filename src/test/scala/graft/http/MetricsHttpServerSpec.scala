@@ -1056,7 +1056,14 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         evAnd.body())
       val evMiss = get(s"$base/render?target=" +
         enc("""events("release","nosuch")""") + s"&$range")
+      assert(evMiss.statusCode() === 200, evMiss.body())
       assert(!evMiss.body().contains("[1.0, "), evMiss.body())
+      // a single-quoted tag containing a comma stays ONE tag (both quote
+      // styles are opaque to the arg split)
+      val evQ = get(s"$base/render?target=" +
+        enc("""events('release, hotfix')""") + s"&$range")
+      assert(evQ.statusCode() === 200, evQ.body())
+      assert(!evQ.body().contains("[1.0, "), evQ.body())
 
       // name filters: grep keeps matches, exclude drops them; bad regex 400
       val gr = get(s"$base/render?target=" +
