@@ -62,6 +62,8 @@ import java.util.concurrent.atomic.AtomicLong
   *    [[renderView]]): raw globs, `lttb`/`m4` decimation, the
   *    `sumSeries`/`averageSeries`/`maxSeries`/`minSeries`/
   *    `percentileOfSeries` aggregations, per-series `summarize`
+  *  - `GET /functions[/:name]` — graphite-web's render-function metadata
+  *    catalog (Grafana's query-editor picker; see [[RenderFunctions]])
   *  - `GET /metrics/find?query=&tenant=` — the Graphite metric-tree
   *    browse (Grafana's picker; treejson shape — see [[metricsFind]])
   *  - `GET /v2.0/:tenant/alerts/episodes?from&until[&metric]` — closed
@@ -201,6 +203,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   // Graphite-ecosystem dashboards actually speak when fronting a
   // Blueflood deployment) — same dispatcher, see [[renderView]]
   server.createContext("/render", (ex: HttpExchange) => handle(ex))
+  // graphite-web's function-metadata catalog — Grafana's query editor
+  // fetches it to populate the function picker (see [[RenderFunctions]])
+  server.createContext("/functions", (ex: HttpExchange) => handle(ex))
   // Graphite metric-tree browse (Grafana's picker); the LONGER prefix
   // wins over the bare /metrics counters context below
   server.createContext("/metrics/find", (ex: HttpExchange) => handle(ex))
@@ -269,6 +274,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             "POST /render requires application/x-www-form-urlencoded, " +
               s"got '$ct'")
           renderView(ex, parsePairs(readBody(ex)))
+        case (List("functions"), "OPTIONS") | (List("functions", _), "OPTIONS") =>
+          sendPreflight(ex)
+        case (List("functions"), "GET") =>
+          sendJson(ex, 200, RenderFunctions.catalogJson)
+        case (List("functions", name), "GET") =>
+          RenderFunctions.one(name) match {
+            case Some(body) => sendJson(ex, 200, body)
+            case None => sendJson(ex, 404,
+              errJson(s"unknown render function '$name'"))
+          }
         case (List("metrics", "find"), "OPTIONS") =>
           sendPreflight(ex)
         case (List("metrics", "find"), "GET") =>

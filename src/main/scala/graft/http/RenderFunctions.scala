@@ -1,0 +1,121 @@
+package graft.http
+
+/** The render-function catalog served at `GET /functions` — graphite-web's
+  * function-metadata endpoint (webapp/graphite/functions/views.py in the
+  * graphite-web project), which Grafana's graphite datasource fetches to
+  * populate its query-editor function picker. One entry per function the
+  * [[MetricsHttpServer]] render evaluator actually implements, in the
+  * graphite-web JSON shape: `{name: {name, function, description, group,
+  * params: [{name, type, required}]}}`.
+  *
+  * The catalog is DERIVED BY HAND from the evaluator's match arms and must
+  * move with them — MetricsHttpServerSpec cross-checks that every name
+  * listed here is accepted by /render (no phantom entries) so the picker
+  * can never advertise a function the evaluator rejects. */
+private[http] object RenderFunctions {
+
+  final case class P(name: String, ptype: String, required: Boolean)
+  final case class F(name: String, group: String, desc: String, params: Seq[P])
+
+  private def p(n: String, t: String) = P(n, t, required = true)
+  private def opt(n: String, t: String) = P(n, t, required = false)
+  private val series = p("seriesList", "seriesList")
+
+  /** Every render function the evaluator serves, grouped the way
+    * graphite-web groups its pickers. */
+  val all: Seq[F] = Seq(
+    // Combine
+    F("sumSeries", "Combine", "per-instant sum across matched series", Seq(series)),
+    F("averageSeries", "Combine", "per-instant mean across matched series", Seq(series)),
+    F("maxSeries", "Combine", "per-instant max across matched series", Seq(series)),
+    F("minSeries", "Combine", "per-instant min across matched series", Seq(series)),
+    F("countSeries", "Combine", "per-instant sample count across matched series", Seq(series)),
+    F("rangeOfSeries", "Combine", "per-instant max minus min across matched series", Seq(series)),
+    F("stddevSeries", "Combine", "per-instant population stddev across matched series", Seq(series)),
+    F("percentileOfSeries", "Combine", "per-instant percentile across matched series", Seq(series, p("n", "float"))),
+    F("groupByNode", "Combine", "aggregate series sharing name node n; entries named by the token", Seq(series, p("nodeNum", "node"), opt("callback", "string"))),
+    F("groupByNodes", "Combine", "aggregate series sharing the dot-joined node selection", Seq(series, p("callback", "string"), p("nodes", "node"))),
+    F("asPercent", "Combine", "per-instant share of the matched series' total, or of an explicit total expression", Seq(series, opt("total", "seriesList"))),
+    F("divideSeries", "Combine", "each series divided by the divisor's per-instant sample", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeries", "seriesList"))),
+    F("diffSeries", "Combine", "first argument minus the per-instant sum of the rest", Seq(series, p("seriesLists", "seriesList"))),
+    F("multiplySeries", "Combine", "per-instant product of the arguments", Seq(series, p("seriesLists", "seriesList"))),
+    // Transform
+    F("derivative", "Transform", "per-point delta against the previous sample", Seq(series)),
+    F("nonNegativeDerivative", "Transform", "delta with counter resets nulled", Seq(series)),
+    F("perSecond", "Transform", "delta per elapsed second", Seq(series)),
+    F("integral", "Transform", "running total per series", Seq(series)),
+    F("scale", "Transform", "multiply every value by a constant", Seq(series, p("factor", "float"))),
+    F("offset", "Transform", "add a constant to every value", Seq(series, p("factor", "float"))),
+    F("absolute", "Transform", "absolute value pointwise", Seq(series)),
+    F("transformNull", "Transform", "replace null datapoints with a default", Seq(series, opt("default", "float"))),
+    F("removeAboveValue", "Transform", "values above the threshold become null datapoints", Seq(series, p("n", "float"))),
+    F("removeBelowValue", "Transform", "values below the threshold become null datapoints", Seq(series, p("n", "float"))),
+    F("removeAbovePercentile", "Transform", "values above the series' nth percentile become null", Seq(series, p("n", "float"))),
+    F("removeBelowPercentile", "Transform", "values below the series' nth percentile become null", Seq(series, p("n", "float"))),
+    F("nPercentile", "Transform", "draw each series' nth-percentile line", Seq(series, p("n", "float"))),
+    F("changed", "Transform", "1 where a sample differs from its predecessor, else 0", Seq(series)),
+    F("offsetToZero", "Transform", "subtract each series' own minimum", Seq(series)),
+    F("keepLastValue", "Transform", "forward-fill onto a uniform grid", Seq(series, p("interval", "string"))),
+    F("resample", "Transform", "linear interpolation onto a uniform grid", Seq(series, p("interval", "string"))),
+    F("timeShift", "Transform", "evaluate the subtree shifted back, drawn at the requested instants", Seq(series, p("timeShift", "string"))),
+    F("summarize", "Transform", "re-bucket each series onto a display interval", Seq(series, p("intervalString", "string"), opt("func", "string"))),
+    // Calculate (window smoothing)
+    F("movingAverage", "Calculate", "trailing time-window mean", Seq(series, p("windowSize", "string"))),
+    F("movingSum", "Calculate", "trailing time-window sum", Seq(series, p("windowSize", "string"))),
+    F("movingMax", "Calculate", "trailing time-window max", Seq(series, p("windowSize", "string"))),
+    F("movingMin", "Calculate", "trailing time-window min", Seq(series, p("windowSize", "string"))),
+    F("movingWindow", "Calculate", "trailing time-window statistic (average|sum|max|min|stddev)", Seq(series, p("windowSize", "string"), opt("func", "string"))),
+    F("holtWintersForecast", "Calculate", "triple-exponential forecast", Seq(series, opt("season", "integer"))),
+    F("holtWintersConfidenceBands", "Calculate", "forecast ± k·deviation bands (two entries per series)", Seq(series, opt("season", "integer"))),
+    F("holtWintersAberration", "Calculate", "deviation outside the confidence bands", Seq(series, opt("season", "integer"))),
+    F("lttb", "Calculate", "largest-triangle-three-buckets decimation", Seq(series, opt("buckets", "integer"))),
+    F("m4", "Calculate", "M4 min/max/first/last decimation", Seq(series, opt("buckets", "integer"))),
+    // Filter Series
+    F("highestMax", "Filter Series", "keep the k series with the highest max", Seq(series, p("n", "integer"))),
+    F("highestAverage", "Filter Series", "keep the k series with the highest mean", Seq(series, p("n", "integer"))),
+    F("highestCurrent", "Filter Series", "keep the k series with the highest last sample", Seq(series, p("n", "integer"))),
+    F("lowestAverage", "Filter Series", "keep the k series with the lowest mean", Seq(series, p("n", "integer"))),
+    F("lowestMax", "Filter Series", "keep the k series with the lowest max", Seq(series, p("n", "integer"))),
+    F("lowestCurrent", "Filter Series", "keep the k series with the lowest last sample", Seq(series, p("n", "integer"))),
+    F("averageAbove", "Filter Series", "keep series whose mean exceeds the threshold", Seq(series, p("n", "float"))),
+    F("averageBelow", "Filter Series", "keep series whose mean is below the threshold", Seq(series, p("n", "float"))),
+    F("maximumAbove", "Filter Series", "keep series whose max exceeds the threshold", Seq(series, p("n", "float"))),
+    F("maximumBelow", "Filter Series", "keep series whose max is below the threshold", Seq(series, p("n", "float"))),
+    F("currentAbove", "Filter Series", "keep series whose last sample exceeds the threshold", Seq(series, p("n", "float"))),
+    F("currentBelow", "Filter Series", "keep series whose last sample is below the threshold", Seq(series, p("n", "float"))),
+    F("grep", "Filter Series", "keep series whose name matches the regex", Seq(series, p("pattern", "string"))),
+    F("exclude", "Filter Series", "drop series whose name matches the regex", Seq(series, p("pattern", "string"))),
+    // Alias
+    F("alias", "Alias", "replace the display name", Seq(series, p("newName", "string"))),
+    F("aliasByNode", "Alias", "display name from a dot-node of the series name", Seq(series, p("nodes", "node"))),
+    F("aliasSub", "Alias", "regex substitution on the display name ($1 backreferences)", Seq(series, p("search", "string"), p("replace", "string"))),
+    // Special
+    F("events", "Special", "event markers from the events store (tags ANDed; bare form serves all)", Seq(opt("tags", "string"))))
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  private def fObj(f: F): String = {
+    val params = f.params.map(pp =>
+      s"""{"name": ${jStr(pp.name)}, "type": ${jStr(pp.ptype)}, """ +
+        s""""required": ${pp.required}}""").mkString("[", ", ", "]")
+    val sig = f.name + f.params.map(_.name).mkString("(", ", ", ")")
+    s"""{"name": ${jStr(f.name)}, """ +
+      s""""function": ${jStr(sig)}, "description": ${jStr(f.desc)}, """ +
+      s""""group": ${jStr(f.group)}, "module": "graft.render", """ +
+      s""""params": $params}"""
+  }
+
+  /** The full catalog body (graphite-web serves an OBJECT keyed by name). */
+  lazy val catalogJson: String =
+    all.map(f => s"${jStr(f.name)}: ${fObj(f)}").mkString("{", ", ", "}")
+
+  /** One function's body, for `GET /functions/<name>`. */
+  def one(name: String): Option[String] =
+    all.find(_.name == name).map(fObj)
+}

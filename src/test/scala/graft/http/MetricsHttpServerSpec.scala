@@ -1065,6 +1065,31 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert(evQ.statusCode() === 200, evQ.body())
       assert(!evQ.body().contains("[1.0, "), evQ.body())
 
+      // /functions: graphite-web's function-metadata catalog (the
+      // Grafana query-editor picker). Every catalog entry must be a
+      // function the evaluator actually serves: called with a minimal
+      // arg, the response may be a 200 or an arity/validation 400, but
+      // NEVER the unknown-function error — a phantom entry would
+      // advertise a picker item /render rejects.
+      val fc = get(s"$base/functions")
+      assert(fc.statusCode() === 200, fc.body())
+      assert(fc.body().contains("\"divideSeries\"") &&
+        fc.body().contains("\"movingWindow\"") &&
+        fc.body().contains("\"seriesList\""), fc.body())
+      val f1fn = get(s"$base/functions/sumSeries")
+      assert(f1fn.statusCode() === 200, f1fn.body())
+      assert(f1fn.body().contains(""""group": "Combine""""), f1fn.body())
+      assert(get(s"$base/functions/bogus").statusCode() === 404)
+      val names = """"([A-Za-z0-9]+)": \{"name"""".r
+        .findAllMatchIn(fc.body()).map(_.group(1)).toSet
+      assert(names.size > 50, names.toString)
+      for (n <- names) {
+        val r = get(s"$base/render?target=$n(app.a)&$range")
+        assert(!r.body().contains("unknown render function"),
+          s"catalog advertises '$n' but /render does not serve it: " +
+            r.body())
+      }
+
       // name filters: grep keeps matches, exclude drops them; bad regex 400
       val gr = get(s"$base/render?target=" +
         enc("""grep(app.*,"a$")""") + s"&$range")
