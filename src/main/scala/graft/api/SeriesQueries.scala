@@ -342,6 +342,37 @@ object SeriesQueries {
     }
   }
 
+  /** Wildcard-collapse aggregation ([[Series.aggregateWithWildcards]],
+    * Graphite's sumSeriesWithWildcards): series whose names match after
+    * REMOVING node 2 (the per-user token of `app.<type>.user_<id>`)
+    * sum into one series per collapsed name. The collapse restates in
+    * DuckDB as `list_filter` with the 1-BASED index lambda (position p
+    * 0-based → `i != p+1`); exact-DECIMAL sum. */
+  private val aggWildcards = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_agg_wildcards",
+      s"""WITH ${OracleViews.metricsCte},
+         |m2 AS (
+         |  SELECT tenant_id,
+         |         array_to_string(list_filter(string_split(metric_name, '.'),
+         |           (x, i) -> i != 3), '.') AS gname,
+         |         ts_ms - ts_ms % $bMs AS bucket_ms, value,
+         |         metric_name AS orig
+         |  FROM metrics
+         |)
+         |SELECT tenant_id, gname AS metric_name,
+         |       CAST(bucket_ms AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
+         |       COUNT(DISTINCT orig) AS n_series
+         |FROM m2
+         |GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.aggregateWithWildcards(Tables.metrics(s, dir), Seq(2), "sum", bMs)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
   /** Week-over-week self-comparison at daily buckets
     * ([[Series.timeShiftCompare]], Graphite's timeShift + delta panel):
     * the shifted lookup restates as the same point-pinned RANGE frame in
@@ -1239,7 +1270,7 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
-    movingWindowQ, seriesAgg, seriesAggStd, groupNode, groupNodes,
+    movingWindowQ, seriesAgg, seriesAggStd, aggWildcards, groupNode, groupNodes,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

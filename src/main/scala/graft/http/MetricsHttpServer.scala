@@ -6,7 +6,9 @@ import graft.operators.Discovery
 import graft.query.MetricsQueryApi
 import graft.streaming.IngestStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
@@ -851,9 +853,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    summarize/resample when timestamps are irregular)
     *  - `divideSeries(<expr>,<divisor>)` / `diffSeries(<expr>,<sub>…)` /
     *    `multiplySeries(<expr>,<factor>…)` — per-instant cross-series
-    *    arithmetic (error rates, headroom, composites); divisors/factors
-    *    must be one sample per instant (ambiguity raises in-plan → 400),
-    *    zero/missing denominators null (F6)
+    *    arithmetic (error rates, headroom, composites); diff/multiply
+    *    REDUCE all matched series into one combined entry (graphite-web's
+    *    reduce), divisors must be a single-series single sample per
+    *    instant (ambiguity raises in-plan → 400), zero/missing
+    *    denominators null (F6)
     *  - `transformNull(<expr>[,default])` — null fill;
     *    `removeAboveValue|removeBelowValue(<expr>,t)` /
     *    `removeAbovePercentile|removeBelowPercentile(<expr>,p)` —
@@ -876,16 +880,30 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     *    currentBelow(<glob>,t)` — whole-series selection
     *    ([[graft.operators.Series.topSeries]]), the ≤k/<threshold pick
     *    broadcast-joined back onto the points
-    *  - `alias(<glob>,"name")` / `aliasByNode(<glob>,n)` — display naming
-    *    (n may be negative, counting from the end)
+    *  - `alias(<glob>,"name")` / `aliasByNode(<glob>,n)` /
+    *    `aliasByMetric(<glob>)` — display naming (n may be negative,
+    *    counting from the end; aliasByMetric ≡ aliasByNode(-1))
+    *  - `sortByMaxima|sortByTotal|sortByMinima(<glob>)` — entry-list
+    *    ordering by a per-series stat; `limit(<expr>,n)` — first n series
+    *    of the (possibly sorted) list
+    *  - `sumSeriesWithWildcards|averageSeriesWithWildcards(<glob>,pos…)` —
+    *    aggregate series whose names match after dropping the wildcard
+    *    nodes ([[graft.operators.Series.aggregateWithWildcards]])
+    *  - `constantLine(v)` — reference line at from/mid/until;
+    *    `consolidateBy(<expr>,"func")` — pick the final maxDataPoints
+    *    consolidation statistic (average|sum|min|max|first|last)
     *
     * Any `<glob>` above may itself be another function expression —
     * targets nest and compose as one lazy plan ([[evalRenderTarget]]).
     *
     * `from`/`until` take the full Graphite datetime grammar and default to
     * `-24h`/`now`; `maxDataPoints` maps onto the points-budget resolution
-    * pick (absent → full resolution — decimation is explicit via
-    * lttb/m4). Globs resolve under the O2 batch cap ([[numericPoints]]);
+    * pick (absent → full resolution — decimation is explicit via lttb/m4)
+    * AND, because a composed target can out-emit the picked resolution,
+    * every finished series is consolidated down to ≤ maxDataPoints via its
+    * consolidateBy() statistic ([[consolidatePoints]], default average —
+    * real Graphite's final consolidation). Globs resolve under the O2
+    * batch cap ([[numericPoints]]);
     * the response is `[{"target", "datapoints": [[value|null, epoch_s]]}]`
     * with the panel row cap applied per target. `format` is json
     * (default) or csv (Graphite's `target,YYYY-MM-DD HH:mm:ss,value`
@@ -913,7 +931,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       targets.flatMap { t0 =>
         val se = evalRenderTarget(t0.trim, tenant, from, until, points,
           resolution, now, depth = 0)
-        collectSeries(se.df, "ts_ms", "value", se.singleName, se.nameOf)
+        val collected =
+          collectSeries(se.df, "ts_ms", "value", se.singleName, se.nameOf)
+        // FINAL maxDataPoints guarantee: the resolution pick bounds the
+        // fetch, but a composed target (summarize, resample, full-res
+        // fallback) can still emit more points than requested — real
+        // Graphite consolidates the finished series down to the budget
+        points.filter(_ > 0) match {
+          case Some(mdp) => collected.map { case (n, dps) =>
+            n -> consolidatePoints(dps, mdp,
+              se.consolidate.getOrElse("average"))
+          }
+          case None => collected
+        }
       }
     } catch {
       // an in-plan raise_error() guard (ambiguous divideSeries divisor, a
@@ -972,9 +1002,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * `(tenant_id, metric_name, ts_ms, value)` frame plus its naming —
     * `singleName` labels a cross-series aggregate by the subtree's own
     * target text (the Graphite convention); `nameOf` maps a series name to
-    * its display name, composed outward by each wrapping function. */
+    * its display name, composed outward by each wrapping function.
+    * `consolidate` is the series' consolidateBy() tag — the statistic the
+    * FINAL maxDataPoints consolidation uses (None → Graphite's default
+    * average); alias wrappers thread it through, other wrappers reset it
+    * (write consolidateBy outermost, as dashboards do). */
   private case class SeriesExpr(df: DataFrame,
-      singleName: Option[String], nameOf: String => String) {
+      singleName: Option[String], nameOf: String => String,
+      consolidate: Option[String] = None) {
     /** Total display-name function — what an ENCLOSING wrapper composes
       * over (an aggregate's constant text, else the per-series name). */
     def displayName: String => String = n => singleName.getOrElse(nameOf(n))
@@ -1358,52 +1393,84 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 .drop(denTmp: _*),
               None, n => s"divideSeries(${in.displayName(n)},$divArg)")
           case "diffSeries" =>
-            // diffSeries(<expr>, <sub1>[, <sub2>…]) — each series of the
-            // first argument minus the per-instant SUM of the
-            // subtrahends (first − a − b ≡ first − (a+b)); a subtrahend
-            // missing an instant contributes 0 (Graphite's safeDiff),
-            // a null minuend stays null
+            // diffSeries(<expr>, <sub1>[, <sub2>…]) — graphite-web REDUCES
+            // the whole matched list to ONE combined series, so a
+            // multi-series first argument must not fan out into one entry
+            // per series. Minuend = the first argument's per-instant
+            // exact-DECIMAL sum (an all-null instant stays null — a
+            // DOCUMENTED divergence from safeDiff, whose first-non-null
+            // pick would let a subtrahend become the minuend); each
+            // subtrahend instant contributes its sum, a missing instant
+            // contributes 0 (Graphite's safeDiff). All sums run through
+            // DECIMAL(28,2) — the crossSeriesStat recipe —
+            // so output is partition-order invariant to the last ulp.
             require(args.length >= 2,
               s"diffSeries needs at least two arguments in '$t'")
-            // RAW minuend (null − x stays a null datapoint); subtrahends
-            // strip nulls (they contribute 0, Graphite's safeDiff)
-            val in = recurse(arg0)
             val restArgs = args.drop(1).map(_.trim)
+            val dec = DecimalType(28, 2)
+            val minuend = recurse(arg0).df
+              .groupBy(col("tenant_id"), col("ts_ms"))
+              .agg(when(count(col("value")) > 0,
+                sum(col("value").cast(dec))).as("__min"))
             val sub = restArgs.map(a => recurse(a).df
                 .filter(col("value").isNotNull)
                 .select(col("tenant_id"), col("ts_ms"), col("value")))
               .reduce(_ unionByName _)
               .groupBy(col("tenant_id"), col("ts_ms"))
-              .agg(sum(col("value")).as("__sub"))
-            SeriesExpr(in.df
+              .agg(sum(col("value").cast(dec)).as("__sub"))
+            SeriesExpr(minuend
                 .join(sub, Seq("tenant_id", "ts_ms"), "left")
-                .withColumn("value",
-                  col("value") - coalesce(col("__sub"), lit(0.0)))
-                .drop("__sub"),
-              None,
-              n => s"diffSeries(${in.displayName(n)},${restArgs.mkString(",")})")
+                .withColumn("value", (col("__min") -
+                  coalesce(col("__sub"), lit(0).cast(dec))).cast("double"))
+                .withColumn("metric_name", lit(t))
+                .select("tenant_id", "metric_name", "ts_ms", "value"),
+              Some(t), identity)
           case "multiplySeries" =>
-            // multiplySeries(<expr>, <f1>[, <f2>…]) — each series of the
-            // first argument times each factor's per-instant sample;
-            // factors must be ONE sample per instant (the divideSeries
-            // guard), and an instant any factor lacks yields null
-            // (Graphite: any None → None)
+            // multiplySeries(<f1>, <f2>[, <f3>…]) — graphite-web reduces
+            // ALL matched series (including several matched by one
+            // argument) into ONE combined series: per instant the product
+            // of every series' sample in flattened (argument, name) order,
+            // null whenever ANY of the target's series misses the instant
+            // or carries a null there (safeMul: any None → None). A series
+            // with two samples at one instant raises IN-PLAN (the
+            // divideSeries ambiguity contract — Graphite's normalized
+            // timelines cannot express it). The per-instant factor list is
+            // bounded by the target's series count, so the sorted fold is
+            // a dashboard-sized HOF, not a corpus-scale one.
             require(args.length >= 2,
               s"multiplySeries needs at least two arguments in '$t'")
-            // RAW first factor (null × x stays a null datapoint); the
-            // other factors strip nulls before their per-instant pick
-            val in = recurse(arg0)
-            val restArgs = args.drop(1).map(_.trim)
-            val product = restArgs.zipWithIndex.foldLeft(in.df) {
-              case (acc, (a, i)) =>
-                val (f, g, fTmp) = perInstantSample(
-                  recurse(a).df, "multiplySeries", "factor", a, i)
-                acc.join(f, Seq("tenant_id", "ts_ms"), "left")
-                  .withColumn("value", col("value") * g)
-                  .drop(fTmp: _*)
-            }
-            SeriesExpr(product, None,
-              n => s"multiplySeries(${in.displayName(n)},${restArgs.mkString(",")})")
+            val factorArgs = args.map(_.trim)
+            val flat = factorArgs.zipWithIndex.map { case (a, i) =>
+              recurse(a).df.select(col("tenant_id"), col("metric_name"),
+                col("ts_ms"), col("value"), lit(i).as("__arg"))
+            }.reduce(_ unionByName _)
+            // total distinct factor series per tenant — the presence bar
+            // every instant must clear (a series listed twice via two
+            // arguments multiplies twice, as Graphite's flattened list does)
+            val sTot = flat.groupBy(col("tenant_id"))
+              .agg(count_distinct(struct(col("__arg"), col("metric_name")))
+                .as("__stot"))
+            val perInstant = flat.groupBy(col("tenant_id"), col("ts_ms"))
+              .agg(
+                count_distinct(struct(col("__arg"), col("metric_name")))
+                  .as("__ns"),
+                count(lit(1)).as("__n"),
+                // left fold from 1.0 in sorted series order = Graphite's
+                // left-to-right float product (1.0·v0 is exact), and the
+                // sort makes it partition-order invariant
+                aggregate(sort_array(collect_list(struct(col("__arg"),
+                    col("metric_name"), col("value")))), lit(1.0),
+                  (acc, x) => acc * x.getField("value")).as("__prod"))
+            SeriesExpr(perInstant.join(broadcast(sTot), Seq("tenant_id"))
+                .withColumn("value",
+                  when(col("__n") > col("__ns"), raise_error(lit(
+                    s"multiplySeries: a factor in '$t' has more than one " +
+                      "sample at an instant — aggregate it first " +
+                      "(sumSeries)")).cast("double"))
+                  .when(col("__ns") === col("__stot"), col("__prod")))
+                .withColumn("metric_name", lit(t))
+                .select("tenant_id", "metric_name", "ts_ms", "value"),
+              Some(t), identity)
           case "events" =>
             // Graphite's events(*tags) target — event markers for chart
             // overlays (drawAsInfinite style): value 1.0 at each matching
@@ -1608,20 +1675,135 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val name = args.lift(1).map(stripQuotes).getOrElse(
               throw new IllegalArgumentException(
                 s"alias needs a display name in '$t'"))
-            SeriesExpr(recurse(arg0).df, None, _ => name)
-          case "aliasByNode" =>
-            val idx = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
-              throw new IllegalArgumentException(
-                s"aliasByNode needs a node index in '$t'"))
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None, _ => name, in.consolidate)
+          case "aliasByNode" | "aliasByMetric" =>
+            // aliasByMetric is graphite-web's aliasByNode(expr, -1): the
+            // display name becomes the last dot-token of the series name
+            val idx =
+              if (fn == "aliasByMetric") -1
+              else args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+                throw new IllegalArgumentException(
+                  s"aliasByNode needs a node index in '$t'"))
             val in = recurse(arg0)
             SeriesExpr(in.df, None, { n0 =>
               val n = in.displayName(n0)
               val parts = n.split('.')
               val i = if (idx < 0) parts.length + idx else idx
               require(i >= 0 && i < parts.length,
-                s"aliasByNode index $idx out of range for series '$n'")
+                s"$fn index $idx out of range for series '$n'")
               parts(i)
-            })
+            }, in.consolidate)
+          case "sortByMaxima" | "sortByTotal" | "sortByMinima" =>
+            // series ORDERING (graphite-web's sortBy family): entries
+            // leave in per-series-stat order instead of name order. The
+            // stat rides along as a per-series __ord window column —
+            // [[collectSeries]] orders by it and limit() ranks by it; the
+            // whole composition stays one lazy plan, no extra pass.
+            // sortByMaxima/sortByTotal sort DESCENDING (largest first);
+            // sortByMinima sorts ascending by min and — graphite's own
+            // quirk — drops series whose max is not > 0. RAW inner:
+            // ordering serves points unchanged, nulls included.
+            val in = recurse(arg0)
+            val wSer = Window.partitionBy(col("tenant_id"),
+              col("metric_name"))
+            val dec = DecimalType(28, 2)
+            val sorted = fn match {
+              case "sortByMaxima" =>
+                // negate for descending; an all-null series' max is NULL
+                // and -NULL stays NULL → nulls-last in the entry order
+                in.df.withColumn("__ord", -max(col("value")).over(wSer))
+              case "sortByTotal" =>
+                // exact-DECIMAL per-series sum (the crossSeriesStat
+                // recipe): an ordering must not flip on partition order
+                in.df.withColumn("__ord",
+                  -sum(col("value").cast(dec)).over(wSer).cast("double"))
+              case _ =>
+                in.df
+                  .withColumn("__max", max(col("value")).over(wSer))
+                  .filter(col("__max") > 0.0).drop("__max")
+                  .withColumn("__ord", min(col("value")).over(wSer))
+            }
+            in.copy(df = sorted)
+          case "limit" =>
+            // limit(<expr>, n) — keep the FIRST n series of the list, in
+            // the list's own order: a preceding sortBy*'s __ord when
+            // present, name order (the collectSeries default) otherwise.
+            // Rank table is one row per series; broadcast back (the
+            // highest*/lowest* selection shape). Materialize-once: the
+            // frame feeds both the rank and the probe side.
+            val n = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"limit needs a series count in '$t'"))
+            require(n > 0, s"series count must be positive in '$t', got $n")
+            val in = recurse(arg0)
+            val inDf = in.df.localCheckpoint()
+            val ordCol =
+              if (inDf.columns.contains("__ord")) min(col("__ord"))
+              else min(lit(0.0))
+            val sel = inDf.groupBy(col("tenant_id"), col("metric_name"))
+              .agg(ordCol.as("__o"))
+              .withColumn("__rk", row_number().over(
+                Window.partitionBy(col("tenant_id"))
+                  .orderBy(col("__o").asc_nulls_last, col("metric_name"))))
+              .filter(col("__rk") <= n)
+              .select(col("tenant_id"), col("metric_name"))
+            in.copy(df = inDf.join(broadcast(sel),
+              Seq("tenant_id", "metric_name")))
+          case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
+            // aggregate series whose names match after REMOVING the
+            // wildcard node positions; entries named by the collapsed
+            // name ([[graft.operators.Series.aggregateWithWildcards]])
+            val stat = if (fn.startsWith("sum")) "sum" else "mean"
+            val idxs = args.drop(1).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn wildcard positions must be integers in '$t'")))
+            require(idxs.nonEmpty,
+              s"$fn needs at least one wildcard position in '$t'")
+            require(idxs.forall(_ >= 0),
+              s"$fn wildcard positions must be non-negative in '$t'")
+            SeriesExpr(graft.operators.Series
+                .aggregateWithWildcards(inner.df, idxs, stat, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms"),
+              None, identity)
+          case "constantLine" =>
+            // constantLine(value) — a reference line: the value drawn at
+            // from, midpoint, and until (graphite-web's three points), as
+            // a series NAMED by the value text. The first argument is a
+            // NUMBER, not a series expression (the events() exemption
+            // covers the glob requirement trivially — a number is
+            // non-empty). A three-row literal frame; alias() wraps it for
+            // a legend label.
+            val name = stripQuotes(arg0)
+            val v = name.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"constantLine needs a numeric value in '$t'"))
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            import spark.implicits._
+            SeriesExpr(Seq(fromMs, (fromMs + untilMs) / 2, untilMs).distinct
+                .map(ts => (tenant, name, ts, v))
+                .toDF("tenant_id", "metric_name", "ts_ms", "value"),
+              Some(name), identity)
+          case "consolidateBy" =>
+            // consolidateBy(<expr>, "func") — tag the series with the
+            // statistic the FINAL maxDataPoints consolidation uses
+            // (renderView's post-transform pass; default average). Pure
+            // metadata: the frame passes through untouched.
+            val func = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"""consolidateBy needs a function (e.g. "max") in '$t'"""))
+            val norm = func match {
+              case "avg" | "mean" => "average"
+              case f => f
+            }
+            require(Set("average", "sum", "min", "max", "first", "last")
+              .contains(norm), "consolidateBy function must be " +
+                s"average|sum|min|max|first|last in '$t', got '$func'")
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None,
+              n => s"""consolidateBy(${in.displayName(n)},"$norm")""",
+              Some(norm))
           case other => throw new IllegalArgumentException(
             s"unknown render function '$other' in target '$t'")
         }
@@ -1641,9 +1823,17 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       nameOf: String => String = identity)
       : Seq[(String, Seq[(Option[Double], Long)])] = {
     val cap = MaxSeriesPanelPoints
-    val rows = df.select(col("metric_name"),
-        col(tsCol).cast("long").as("ts"), col(vCol).cast("double").as("v"))
-      .orderBy("metric_name", "ts")
+    // a sortBy*() stage leaves a per-series __ord column: the entry list
+    // then orders by it (nulls last — a dataless series never leads),
+    // name-then-ts otherwise (the default Graphite list order)
+    val ord: Seq[org.apache.spark.sql.Column] =
+      if (df.columns.contains("__ord"))
+        Seq(col("__ord").asc_nulls_last, col("metric_name"), col("ts"))
+      else Seq(col("metric_name"), col("ts"))
+    val rows = df.select(Seq(col("metric_name"),
+        col(tsCol).cast("long").as("ts"), col(vCol).cast("double").as("v")) ++
+        (if (df.columns.contains("__ord")) Seq(col("__ord")) else Nil): _*)
+      .orderBy(ord: _*)
       .limit(cap + 1).collect()
     require(rows.length <= cap,
       s"render result exceeds $cap points — narrow the range, lower " +
@@ -1662,6 +1852,36 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     out.toSeq.map { case (n, b) => singleName.getOrElse(nameOf(n)) -> b.toSeq }
   }
 
+  /** Graphite's final presentation-level consolidation: when a finished
+    * series carries more datapoints than maxDataPoints, consecutive runs
+    * of ceil(n/maxDataPoints) points collapse to one via the series'
+    * consolidateBy statistic (default average, None-skipping — an all-null
+    * run stays a null datapoint), timestamped at the run's first instant —
+    * graphite-web's exact consolidate() shape. Driver-side ON PURPOSE: it
+    * runs on the ALREADY row-capped [[collectSeries]] output (never the
+    * point stream), the same place graphite-web consolidates its fetched
+    * lists, so the panel cap bounds the work. */
+  private def consolidatePoints(dps: Seq[(Option[Double], Long)], maxN: Int,
+      func: String): Seq[(Option[Double], Long)] =
+    if (dps.length <= maxN) dps
+    else {
+      val factor = (dps.length + maxN - 1) / maxN
+      dps.grouped(factor).map { g =>
+        val vs = g.flatMap(_._1)
+        val v: Option[Double] =
+          if (vs.isEmpty) None
+          else Some(func match {
+            case "sum" => vs.sum
+            case "min" => vs.min
+            case "max" => vs.max
+            case "first" => vs.head
+            case "last" => vs.last
+            case _ => vs.sum / vs.size
+          })
+        (v, g.head._2)
+      }.toSeq
+    }
+
   /** One-sample-per-instant pick of a render subexpression — the shared
     * divisor/factor contract of divideSeries/multiplySeries: per
     * (tenant, instant) the single non-null sample, with ambiguity raising
@@ -1676,14 +1896,29 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
          Seq[String]) = {
     val v = s"__pis_$idx"
     val c = s"__pisn_$idx"
-    val g = df.filter(col("value").isNotNull)
+    val lo = s"__pislo_$idx"
+    val hi = s"__pishi_$idx"
+    val m = s"__pism_$idx"
+    val g0 = df.filter(col("value").isNotNull)
       .groupBy(col("tenant_id"), col("ts_ms"))
-      .agg(max(col("value")).as(v), count(lit(1)).as(c))
-    val guarded = when(col(c) > 1, raise_error(lit(
-        s"$fn: $what '$arg' has more than one sample at an instant — " +
-          "aggregate it first (sumSeries)")).cast("double"))
+      .agg(max(col("value")).as(v), count(lit(1)).as(c),
+        min(col("metric_name")).as(lo), max(col("metric_name")).as(hi))
+    // FRAME-WIDE multi-series detection: a multi-series divisor whose
+    // series have DISJOINT timestamps passes the per-instant count guard
+    // yet silently interleaves series into one denominator — graphite-web
+    // rejects a multi-series divisor outright. min/max name over the
+    // per-tenant window is a cheap exact distinct>1 test on the already
+    // instant-grouped (render-sized) frame.
+    val g = g0.withColumn(m,
+        min(col(lo)).over(Window.partitionBy(col("tenant_id"))) =!=
+          max(col(hi)).over(Window.partitionBy(col("tenant_id"))))
+      .drop(lo, hi)
+    val guarded = when(col(m) || col(c) > 1, raise_error(lit(
+        s"$fn: $what '$arg' has more than one sample at an instant or " +
+          "matches more than one series — aggregate it first (sumSeries)"))
+        .cast("double"))
       .otherwise(col(v))
-    (g, guarded, Seq(v, c))
+    (g, guarded, Seq(v, c, m))
   }
 
   /** Kind-routed NUMERIC point read for one metric spec — the shared data
@@ -1947,10 +2182,16 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     // quote char while inside a quoted run, else 0 — BOTH quote styles
     // are opaque to the split (stripQuotes accepts both, so the splitter
     // must too: events('release, hotfix') would otherwise shear at the
-    // comma and AND two garbage fragments)
+    // comma and AND two garbage fragments). A quote only OPENS a run at a
+    // token boundary (argument start or right after , ( { or space): an
+    // unpaired apostrophe inside an unquoted token (app.o'brien.*) stays
+    // literal instead of swallowing commas and parens to the next one.
     var quote: Char = 0
+    def atBoundary: Boolean =
+      sb.isEmpty || " ,({".contains(sb.charAt(sb.length - 1))
     argStr.foreach {
-      case c @ ('"' | '\'') if quote == 0 => quote = c; sb.append(c)
+      case c @ ('"' | '\'') if quote == 0 && atBoundary =>
+        quote = c; sb.append(c)
       case c if quote != 0 =>
         if (c == quote) quote = 0
         sb.append(c)

@@ -37,8 +37,8 @@ private[http] object RenderFunctions {
     F("groupByNodes", "Combine", "aggregate series sharing the dot-joined node selection", Seq(series, p("callback", "string"), p("nodes", "node"))),
     F("asPercent", "Combine", "per-instant share of the matched series' total, or of an explicit total expression", Seq(series, opt("total", "seriesList"))),
     F("divideSeries", "Combine", "each series divided by the divisor's per-instant sample", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeries", "seriesList"))),
-    F("diffSeries", "Combine", "first argument minus the per-instant sum of the rest", Seq(series, p("seriesLists", "seriesList"))),
-    F("multiplySeries", "Combine", "per-instant product of the arguments", Seq(series, p("seriesLists", "seriesList"))),
+    F("diffSeries", "Combine", "ONE combined series: the first argument's per-instant sum minus the per-instant sum of the rest (unlike graphite-web's safeDiff, an all-null minuend instant stays null and never adopts a subtrahend)", Seq(series, p("seriesLists", "seriesList"))),
+    F("multiplySeries", "Combine", "ONE combined series: per-instant product over every matched series; null when any series misses the instant", Seq(series, p("seriesLists", "seriesList"))),
     // Transform
     F("derivative", "Transform", "per-point delta against the previous sample", Seq(series)),
     F("nonNegativeDerivative", "Transform", "delta with counter resets nulled", Seq(series)),
@@ -88,8 +88,19 @@ private[http] object RenderFunctions {
     // Alias
     F("alias", "Alias", "replace the display name", Seq(series, p("newName", "string"))),
     F("aliasByNode", "Alias", "display name from a dot-node of the series name", Seq(series, p("nodes", "node"))),
+    F("aliasByMetric", "Alias", "display name from the last dot-node of the series name", Seq(series)),
     F("aliasSub", "Alias", "regex substitution on the display name ($1 backreferences)", Seq(series, p("search", "string"), p("replace", "string"))),
+    // Sorting
+    F("sortByMaxima", "Sorting", "order the entry list by each series' max, largest first", Seq(series)),
+    F("sortByTotal", "Sorting", "order the entry list by each series' sum, largest first", Seq(series)),
+    F("sortByMinima", "Sorting", "order ascending by each series' min; series with max <= 0 are dropped", Seq(series)),
+    F("limit", "Filter Series", "keep the first n series of the (possibly sorted) list", Seq(series, p("n", "integer"))),
+    // Combine (wildcard collapse)
+    F("sumSeriesWithWildcards", "Combine", "sum series whose names match after dropping the wildcard node positions", Seq(series, p("position", "node"))),
+    F("averageSeriesWithWildcards", "Combine", "average series whose names match after dropping the wildcard node positions", Seq(series, p("position", "node"))),
     // Special
+    F("constantLine", "Special", "reference line: the value drawn at from, midpoint, and until", Seq(p("value", "float"))),
+    F("consolidateBy", "Special", "pick the final maxDataPoints consolidation statistic (average|sum|min|max|first|last)", Seq(series, p("consolidationFunc", "string"))),
     F("events", "Special", "event markers from the events store (tags ANDed; bare form serves all)", Seq(opt("tags", "string"))))
 
   private def jStr(s: String): String =

@@ -183,10 +183,21 @@ object Rollups {
     * sort that makes the exact form the most expensive rollup at 100 TB.
     * `accuracy` is the standard inverse-error knob (10000 ≈ ±0.01%%-ile).
     * Exact [[timerFromRaw]] stays the stored/oracle semantics; this is the
-    * interactive/ad-hoc path. */
+    * interactive/ad-hoc path.
+    *
+    * EXACTNESS DOMAIN: while every window's count stays BELOW accuracy/2
+    * the GK digest performs zero compression and the percentiles are the
+    * exact rank-selected elements (RollupSpec pins the edge at 4999 for
+    * accuracy 10000); beyond it the digest compresses and its output is
+    * MERGE-ORDER DEPENDENT — two identical runs can differ in the last
+    * rank. `failBeyondExactDomain = true` makes that regime LOUD: any
+    * window whose count reaches accuracy/2 raises in-plan, so
+    * nondeterministic output can never masquerade as the deterministic
+    * HDR/exact paths in a pipeline that assumed the domain. */
   def timerApproxFromRaw(points: DataFrame, g: Granularity,
-      accuracy: Int = 10000): DataFrame =
-    points
+      accuracy: Int = 10000, failBeyondExactDomain: Boolean = false)
+      : DataFrame = {
+    val agg = points
       .groupBy(grouped(points, g): _*)
       .agg(
         count(col("value")).as("num_points"),
@@ -200,6 +211,18 @@ object Rollups {
       .withColumn("p95", col("ps").getItem(1))
       .drop("ps")
       .withColumn("rate", col("num_points") / lit(g.millis / 1000.0))
+    // the guard needs the per-WINDOW count, which only exists post-agg;
+    // threading it through num_points keeps the check one in-plan scalar
+    if (!failBeyondExactDomain) agg
+    else agg.withColumn("num_points",
+      when(col("num_points") >= lit(accuracy.toLong / 2), raise_error(
+        concat(lit("timerApproxFromRaw: window "),
+          col("metric_name"), lit("@"), col("bucket_ms").cast("string"),
+          lit(s" has count >= ${accuracy / 2} — beyond the GK exactness " +
+            "domain the digest output is merge-order dependent; use the " +
+            "HDR/exact timer path or raise accuracy"))).cast("long"))
+        .otherwise(col("num_points")))
+  }
 
   /** Timer merge to a coarser tier: counts/sums added, mean count-weighted,
     * percentile means — deliberately — merged by UNWEIGHTED average,

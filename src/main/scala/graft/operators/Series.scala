@@ -159,8 +159,12 @@ object Series {
       case other => throw new IllegalArgumentException(
         s"stat must be one of mean|sum|max|min|count|last, got '$other'")
     }
-    val ord =
-      if (ascending) col("stat_value").asc else col("stat_value").desc
+    // NULLS LAST in both directions: an all-null series (stat_value NULL
+    // for last/mean/max/min) would otherwise asc-sort FIRST and consume
+    // top-k slots in every lowest*/ascending selection — dataless series
+    // must never outrank real ones
+    val ord = if (ascending) col("stat_value").asc_nulls_last
+      else col("stat_value").desc_nulls_last
     points.groupBy(col("tenant_id"), col("metric_name"))
       .agg(statCol.as("stat_value"))
       .withColumn("rk", row_number().over(
@@ -292,6 +296,44 @@ object Series {
         col("bucket_ms"), col("value"), col("n_series"))
   }
 
+  /** Graphite's `sumSeriesWithWildcards` / `averageSeriesWithWildcards`
+    * (webapp/graphite/render/functions.py): aggregate series whose names
+    * match after REMOVING the dot-tokens at the given positions — the
+    * grouping key (and output series name) is the name with those nodes
+    * dropped, so `sumSeriesWithWildcards(app.*.req, 1)` collapses
+    * `app.<host>.req` into one `app.req` series per tenant. Positions are
+    * 0-based and non-negative (graphite-web's contract); a position past a
+    * short name's end simply never matches, exactly as graphite-web's
+    * `enumerate`-filter behaves — no error, the name passes through
+    * unshortened.
+    *
+    * Scale shape: identical to [[groupByNodes]] — ONE map-side-combining
+    * aggregation keyed by (tenant, collapsed name, bucket). The name
+    * collapse is a single FLAT higher-order `filter` over the split tokens
+    * (a scalar projection, not a nested HOF and never in a per-point hot
+    * loop — it runs once per input row pre-shuffle, the same cost class as
+    * groupByNodes' per-index when-chain). */
+  def aggregateWithWildcards(points: DataFrame, positions: Seq[Int],
+      stat: String, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(positions.nonEmpty, "at least one wildcard position is required")
+    require(positions.forall(_ >= 0),
+      s"wildcard positions must be non-negative, got $positions")
+    val parts = split(col("metric_name"), "\\.")
+    // functions.filter's index lambda is 0-based, matching graphite's
+    // enumerate(); kept tokens re-join in original order
+    val kept = filter(parts, (_, i) => !i.isin(positions: _*))
+    points
+      .withColumn("__g", array_join(kept, "."))
+      .groupBy(col("tenant_id"), col("__g"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
+          .as("bucket_ms"))
+      .agg(crossSeriesStat(stat).as("value"),
+        count_distinct(col("metric_name")).as("n_series"))
+      .select(col("tenant_id"), col("__g").as("metric_name"),
+        col("bucket_ms"), col("value"), col("n_series"))
+  }
+
   /** Per-point trailing moving statistics over a TIME window — Graphite's
     * `movingAverage(series, 'NNs')` / `movingMax` / `movingMin` family,
     * engine-side and fused: mean (exact-DECIMAL sum / count, the rollup
@@ -351,31 +393,12 @@ object Series {
     * matches [[movingStats]] minus the non-prefixable mmax/mmin (a
     * monotonic deque has no relational form; extremes keep the frame
     * path). */
-  def movingAvgPrefix(points: DataFrame, windowMs: Long): DataFrame = {
-    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
-    val ser = Seq("tenant_id", "metric_name")
-    val dec = DecimalType(28, 2)
-    val order = Window.partitionBy(ser.map(col): _*).orderBy(col("ts_ms"))
-    // prefix up to and including the current row's ts (all peers)
-    val upto = order.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    // prefix STRICTLY BELOW the window's lower bound ts − w (the −1 on an
-    // integer-ms axis); sum/count over an empty frame are NULL/0
-    val below = order.rangeBetween(Window.unboundedPreceding, -(windowMs + 1L))
-    points
-      .withColumn("__csum", sum(col("value").cast(dec)).over(upto))
-      .withColumn("__bsum", sum(col("value").cast(dec)).over(below))
-      .withColumn("__ccnt", count(lit(1)).over(upto))
-      .withColumn("__bcnt", count(lit(1)).over(below))
-      .withColumn("__cvct", count(col("value")).over(upto))
-      .withColumn("__bvct", count(col("value")).over(below))
-      .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"),
-        (col("__ccnt") - col("__bcnt")).as("n_window"),
-        when(col("__cvct") - col("__bvct") > 0,
-          (coalesce(col("__csum"), lit(0).cast(dec)) -
-            coalesce(col("__bsum"), lit(0).cast(dec))).cast("double") /
-            (col("__ccnt") - col("__bcnt")))
-          .as("mavg")): _*)
-  }
+  def movingAvgPrefix(points: DataFrame, windowMs: Long): DataFrame =
+    // delegate to the frame-grouped single projection so the plan is ONE
+    // WindowExec over one sort (an interleaved withColumn chain left four
+    // Window nodes here — same hazard movingWindowPrefix already fixed);
+    // mavg is the identical expression tree, so hash parity is preserved
+    movingWindowPrefix(points, windowMs, withStd = false).drop("msum")
 
   /** [[movingAvgPrefix]] widened to the full prefixable trailing-window
     * stat family — Graphite's `movingSum` and `movingWindow(...,

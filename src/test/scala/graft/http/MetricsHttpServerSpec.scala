@@ -1167,6 +1167,210 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render advice regressions: diff/multiply reduce to ONE entry; a " +
+    "disjoint-timestamp multi-series divisor 400s; mid-token apostrophes " +
+    "stay literal in the target split") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 10L * 300000L
+      def ingest(name: String, pts: Seq[(Long, Double)]): Unit = {
+        val recs = pts.map { case (ts, v) =>
+          s"""{"metricName": "$name", "metricValue": $v,
+             | "collectionTime": $ts, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      // x1/x2 share a timeline; dj1/dj2 have DISJOINT timestamps
+      ingest("app.x1", (0 until 5).map(i => (t0 + i * 300000L, 10.0 + i)))
+      ingest("app.x2", (0 until 5).map(i => (t0 + i * 300000L, 2.0)))
+      ingest("dj.d1", Seq((t0, 4.0), (t0 + 600000L, 4.0)))
+      ingest("dj.d2", Seq((t0 + 300000L, 8.0), (t0 + 900000L, 8.0)))
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+      // diffSeries with a MULTI-SERIES first argument reduces to one
+      // combined entry (graphite-web's reduce), never one per series:
+      // (10+2) − 8 at t0... minuend = sum of app.x* = 12, sub = dj.d1(4)
+      val df = get(s"$base/render?target=" +
+        enc("diffSeries(app.x*,dj.d1)") + s"&$range")
+      assert(df.statusCode() === 200, df.body())
+      assert(df.body().split("\"target\"").length === 2, df.body())
+      assert(df.body().contains(""""target": "diffSeries(app.x*,dj.d1)""""),
+        df.body())
+      assert(df.body().contains(s"[8.0, ${t0 / 1000}]"), df.body())
+      // an instant the subtrahend lacks contributes 0 (safeDiff)
+      assert(df.body().contains(s"[13.0, ${t0 / 1000 + 300}]"), df.body())
+
+      // multiplySeries reduces ALL matched series into one product entry;
+      // 10·2 at t0; an instant any factor misses renders null
+      val mu = get(s"$base/render?target=" +
+        enc("multiplySeries(app.x*,dj.d1)") + s"&$range")
+      assert(mu.statusCode() === 200, mu.body())
+      assert(mu.body().split("\"target\"").length === 2, mu.body())
+      assert(mu.body().contains(s"[80.0, ${t0 / 1000}]"), mu.body())
+      assert(mu.body().contains(s"[null, ${t0 / 1000 + 300}]"), mu.body())
+
+      // the divisor glob matches TWO series with disjoint timestamps —
+      // every instant has exactly one sample, but graphite-web rejects a
+      // multi-series divisor outright; interleaving them into one
+      // denominator would be silent garbage
+      val dv = get(s"$base/render?target=" +
+        enc("divideSeries(app.x1,dj.*)") + s"&$range")
+      assert(dv.statusCode() === 400, dv.body())
+      assert(dv.body().contains("more than one series"), dv.body())
+
+      // a mid-token apostrophe stays literal: the glob straddles a comma
+      // that must still split (two args), and the name round-trips
+      ingest("app.o'brien.req", Seq((t0, 7.0)))
+      val ap = get(s"$base/render?target=" +
+        enc("diffSeries(app.o'brien.req,app.x2)") + s"&$range")
+      assert(ap.statusCode() === 200, ap.body())
+      assert(ap.body().contains(s"[5.0, ${t0 / 1000}]"), ap.body())
+    } finally srv.stop()
+  }
+
+  test("grafana staples: sortByTotal/sortByMaxima order entries, limit " +
+    "keeps the first n, WithWildcards collapses names, aliasByMetric, " +
+    "constantLine, and consolidateBy caps output at maxDataPoints") {
+    val (srv, base, _) = startServer()
+    try {
+      // t0 aligned to the 5m grid so raw samples and 5m rollup buckets
+      // carry identical (ts, value) — the resample input is the same
+      // whichever resolution the maxDataPoints pick chooses
+      val t0 = now - (now % 300000L) - 10L * 300000L
+      def ingest(name: String, pts: Seq[(Long, Double)]): Unit = {
+        val recs = pts.map { case (ts, v) =>
+          s"""{"metricName": "$name", "metricValue": $v,
+             | "collectionTime": $ts, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      // srt.a: max 5, total 6; srt.b: max 4, total 8 — the two sort keys
+      // order them OPPOSITE ways, so either result proves its ordering
+      ingest("srt.a", Seq((t0, 1.0), (t0 + 300000L, 5.0)))
+      ingest("srt.b", Seq((t0, 4.0), (t0 + 300000L, 4.0)))
+      ingest("ws.h1.req", Seq((t0, 2.0)))
+      ingest("ws.h2.req", Seq((t0, 3.0)))
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+      val byMax = get(s"$base/render?target=" +
+        enc("sortByMaxima(srt.*)") + s"&$range").body()
+      assert(byMax.indexOf("srt.a") >= 0 &&
+        byMax.indexOf("srt.a") < byMax.indexOf("srt.b"), byMax)
+      val byTot = get(s"$base/render?target=" +
+        enc("sortByTotal(srt.*)") + s"&$range").body()
+      assert(byTot.indexOf("srt.b") >= 0 &&
+        byTot.indexOf("srt.b") < byTot.indexOf("srt.a"), byTot)
+
+      // limit takes the FIRST n of the list order: name order bare,
+      // sorted order after a sortBy stage
+      val lim = get(s"$base/render?target=" +
+        enc("limit(srt.*,1)") + s"&$range").body()
+      assert(lim.contains("srt.a") && !lim.contains("srt.b"), lim)
+      val limSorted = get(s"$base/render?target=" +
+        enc("limit(sortByTotal(srt.*),1)") + s"&$range").body()
+      assert(limSorted.contains("srt.b") && !limSorted.contains("srt.a"),
+        limSorted)
+
+      // WithWildcards: one entry named by the collapsed name, values
+      // summed/averaged per instant
+      val sw = get(s"$base/render?target=" +
+        enc("sumSeriesWithWildcards(ws.*.req,1)") + s"&$range").body()
+      assert(sw.contains(""""target": "ws.req"""") &&
+        sw.contains(s"[5.0, ${t0 / 1000}]"), sw)
+      val aw = get(s"$base/render?target=" +
+        enc("averageSeriesWithWildcards(ws.*.req,1)") + s"&$range").body()
+      assert(aw.contains(""""target": "ws.req"""") &&
+        aw.contains(s"[2.5, ${t0 / 1000}]"), aw)
+
+      // aliasByMetric = last dot-node
+      val am = get(s"$base/render?target=" +
+        enc("aliasByMetric(ws.h1.req)") + s"&$range").body()
+      assert(am.contains(""""target": "req""""), am)
+
+      // constantLine: three points (from/mid/until) at the value, named
+      // by the value text
+      val cl = get(s"$base/render?target=" +
+        enc("constantLine(42.5)") + s"&$range").body()
+      assert(cl.contains(""""target": "42.5""""), cl)
+      assert("\\[42\\.5, \\d+\\]".r.findAllIn(cl).size === 3, cl)
+
+      // maxDataPoints consolidation: 4 samples 5m apart (values 0,5,10,
+      // 15) resampled to a 16-point 1min grid (exact integers 0..15) is
+      // OVER an 8-point budget → pairs consolidate; consolidateBy("max")
+      // keeps each pair's max, default average keeps the mean
+      ingest("cons.x", (0 until 4).map(i => (t0 + i * 300000L, i * 5.0)))
+      val cRange = s"from=${t0 / 1000 - 60}&until=${t0 / 1000 + 960}" +
+        "&tenant=acme&maxDataPoints=8"
+      val cm = get(s"$base/render?target=" +
+        enc("""consolidateBy(resample(cons.x,"1min"),"max")""") +
+        s"&$cRange").body()
+      assert("\\[\\-?[\\d.]+, \\d+\\]".r.findAllIn(cm).size <= 8, cm)
+      for (v <- Seq(1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0))
+        assert(cm.contains(s"[$v, "), s"missing $v in $cm")
+      assert(cm.contains("consolidateBy(resample(cons.x"), cm)
+      val ca = get(s"$base/render?target=" +
+        enc("""resample(cons.x,"1min")""") + s"&$cRange").body()
+      assert("\\[\\-?[\\d.]+, \\d+\\]".r.findAllIn(ca).size <= 8, ca)
+      for (v <- Seq(0.5, 2.5, 4.5))
+        assert(ca.contains(s"[$v, "), s"missing $v in $ca")
+    } finally srv.stop()
+  }
+
+  test("RACE: stored-tier views reads racing live ingest (dirty-day " +
+    "re-roll + cascade every batch) never 5xx and never lose the day") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - (now % 300000L) - 20L * 300000L
+      def recs(extraTs: Long): String = ((0 until 10).map(i =>
+        (t0 + i * 300000L, 1.0)) :+ (extraTs, 1.0)).map { case (ts, v) =>
+        s"""{"metricName": "race.m", "metricValue": $v,
+           | "collectionTime": $ts, "ttlInSeconds": 172800,
+           | "unit": "ms"}""".stripMargin
+      }.mkString("[", ",", "]")
+      assert(post(s"$base/v2.0/acme/ingest", recs(t0)).statusCode() === 200)
+      val url = s"$base/v2.0/acme/views/race.m?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=5m&select=numPoints"
+      val baseline = get(url)
+      assert(baseline.statusCode() === 200, baseline.body())
+      val basePoints = "\"timestamp\"".r.findAllIn(baseline.body()).size
+      assert(basePoints >= 10, baseline.body())
+      // readers loop against the 5m tier while every ingest batch
+      // re-rolls the SAME day (dirty-day publish + 4-hop cascade): with
+      // the old dynamic-overwrite commit this schedule loses the day's
+      // files mid-read (docs/SCALE.md r10: 10/10 racing reads failed);
+      // the snapshot protocol must serve every read complete
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val readers = (1 to 2).map { _ =>
+        new Thread(() => {
+          while (!stop.get()) {
+            val r = get(url)
+            reads.incrementAndGet()
+            val pts = "\"timestamp\"".r.findAllIn(r.body()).size
+            if (r.statusCode() != 200)
+              bad.add(s"status ${r.statusCode()}: ${r.body().take(200)}")
+            else if (pts < basePoints)
+              bad.add(s"day shrank: $pts < $basePoints")
+          }
+        })
+      }
+      readers.foreach(_.start())
+      (1 to 5).foreach { i =>
+        assert(post(s"$base/v2.0/acme/ingest",
+          recs(t0 + 10L * 300000L + i * 1000L)).statusCode() === 200)
+      }
+      stop.set(true)
+      readers.foreach(_.join(60000))
+      assert(reads.get() >= 3, s"race never overlapped (reads=${reads.get()})")
+      assert(bad.isEmpty, s"${bad.size} bad reads: ${bad.peek()}")
+    } finally srv.stop()
+  }
+
   test("connection hardening: oversized bodies 413 before parsing; a " +
     "stalled mid-body client is reaped and its worker thread freed") {
     val store = java.nio.file.Files.createTempDirectory("graft_hard").toString

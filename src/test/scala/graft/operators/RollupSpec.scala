@@ -177,6 +177,30 @@ class RollupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("timerApproxFromRaw failBeyondExactDomain: a window at/over " +
+    "accuracy/2 raises in-plan; the edge window (4999) still serves") {
+    import spark.implicits._
+    def pts(n: Int, name: String) = (0 until n)
+      .map(i => ("t", name, i.toLong, i.toDouble))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    // 4999 points: inside the exactness domain — loud mode passes through
+    val edge = Rollups.timerApproxFromRaw(pts(4999, "edge"),
+      Granularity.MIN_1440, failBeyondExactDomain = true)
+    assert(edge.select("num_points").as[Long].collect() === Array(4999L))
+    // 5000 points: merge-order-dependent regime — loud mode raises with
+    // the window named, instead of silently serving nondeterminism
+    val over = Rollups.timerApproxFromRaw(pts(5000, "hot"),
+      Granularity.MIN_1440, failBeyondExactDomain = true)
+    val ex = intercept[Exception](over.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("GK exactness domain") &&
+      m.contains("hot")), ex.toString)
+    // default stays quiet: the ad-hoc path is approximate by contract
+    assert(Rollups.timerApproxFromRaw(pts(5000, "hot"), Granularity.MIN_1440)
+      .count() === 1L)
+  }
+
   test("timerHdr: percentile within one bin width below the rank value; " +
     "bin routing at edges; negatives fail loud") {
     import spark.implicits._

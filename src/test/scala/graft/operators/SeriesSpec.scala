@@ -723,6 +723,60 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(nodes("Sort") === 1, plan)
   }
 
+  test("movingAvgPrefix plan: delegates to the frame-grouped projection — " +
+    "ONE WindowExec, one sort, and no msum/mstd columns") {
+    val df = Series.movingAvgPrefix(
+      pts(Seq(("t", "m", 0L, 1.0), ("t", "m", 5L, 2.0))), 10L)
+    assert(df.columns.toSeq ===
+      Seq("tenant_id", "metric_name", "ts_ms", "value", "n_window", "mavg"))
+    val plan = df.queryExecution.executedPlan.toString
+    def nodes(name: String) =
+      s"(?m)^\\s*(?:\\+- )?$name ".r.findAllIn(plan).size
+    assert(nodes("Window") === 1, plan)
+    assert(nodes("Sort") === 1, plan)
+  }
+
+  test("aggregateWithWildcards: series collapse on the name minus the " +
+    "wildcard nodes; positions past a short name pass it through") {
+    val rows = pts(Seq(
+      ("t", "app.h1.req", 0L, 2.0), ("t", "app.h2.req", 0L, 3.0),
+      ("t", "app.h1.req", 5L, 1.0),
+      ("t", "short", 0L, 7.0))) // no node 1: name passes through unshortened
+    val out = Series.aggregateWithWildcards(rows, Seq(1), "sum", bucketMs = 1L)
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(out(("app.req", 0L)) === 5.0)
+    assert(out(("app.req", 5L)) === 1.0)
+    assert(out(("short", 0L)) === 7.0)
+    val avg = Series.aggregateWithWildcards(rows, Seq(1), "mean", bucketMs = 1L)
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(avg(("app.req", 0L)) === 2.5)
+    intercept[IllegalArgumentException](
+      Series.aggregateWithWildcards(rows, Seq(-1), "sum", 1L))
+    intercept[IllegalArgumentException](
+      Series.aggregateWithWildcards(rows, Nil, "sum", 1L))
+  }
+
+  test("topSeries: an all-null series never consumes a top-k slot in " +
+    "either direction (nulls last)") {
+    val rows = pts(Seq(
+      ("a", "dead", 0L, -1.0), ("a", "dead", 500L, -1.0),
+      ("a", "lo", 0L, 1.0), ("a", "hi", 0L, 9.0)))
+      .withColumn("value",
+        when(col("value") === -1.0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    for (asc <- Seq(true, false)) {
+      val top1 = Series.topSeries(rows, k = 1, stat = "mean",
+        ascending = asc).collect().map(_.getString(1)).toSeq
+      assert(top1 === Seq(if (asc) "lo" else "hi"), s"ascending=$asc")
+    }
+    // the dataless series still appears — ranked LAST, not dropped
+    val all = Series.topSeries(rows, k = 3, stat = "last", ascending = true)
+      .collect().map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(all("dead") === 3)
+  }
+
   test("topSeries stat=last: most recent sample ranks; ts tie breaks by value") {
     val rows = Seq(
       ("a", "rising", 0L, 100.0), ("a", "rising", 500L, 2.0),
