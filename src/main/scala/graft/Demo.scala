@@ -31,12 +31,12 @@ object Demo {
         .withColumn("unit", org.apache.spark.sql.functions.lit("unknown")),
       minTs = 0L, maxTs = Long.MaxValue)
     graft.streaming.IngestStream.processBatch(batch, store)
-    println(s"   5m windows: ${spark.read.parquet(s"$store/metrics_5m").count()}")
+    println(s"   5m windows: ${graft.core.SnapshotStore.read(spark, s"$store/metrics_5m").map(_.count()).getOrElse(0L)}")
 
     println("== 2. cascade: 5m -> 20m -> 60m -> 240m -> 1440m ==")
     graft.streaming.IngestStream.rollupCascadeFor(spark, store)
     for (g <- Seq(Granularity.MIN_20, Granularity.MIN_60, Granularity.MIN_240, Granularity.MIN_1440))
-      println(s"   ${g.name}: ${spark.read.parquet(s"$store/metrics_${g.name}").count()} windows")
+      println(s"   ${g.name}: ${graft.core.SnapshotStore.read(spark, s"$store/metrics_${g.name}").map(_.count()).getOrElse(0L)} windows")
 
     println("== 3. query API: points-mode, glob, units, default stats ==")
     val result = MetricsQueryApi.getRollups(spark, sfDir,

@@ -51,8 +51,34 @@ object Stress {
       // under sbt) — size it via the launcher (build.sbt run / javaOptions
       // or SBT_OPTS) if a shape OOMs
       .getOrCreate()
-    import spark.implicits._
     try {
+      val results = run(spark, scale)
+      println("[stress] | shape/op | rows out | seconds |")
+      println("[stress] |---|---|---|")
+      results.foreach { case (l, n, s) =>
+        println(f"[stress] | $l | $n | ${s}%.2f |")
+      }
+      // one machine-readable line (the committed STRESS_r{N}.json artifact
+      // is this, verbatim) + optional file target as the second arg
+      val json = s"""{"scale":$scale,"results":[""" + results.map {
+        case (l, n, s) => f"""{"op":"$l","rows":$n,"secs":$s%.2f}"""
+      }.mkString(",") + "]}"
+      println(json)
+      args.lift(1).foreach { path =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (json + "\n").getBytes("UTF-8"))
+      }
+    } finally spark.stop()
+  }
+
+  /** The measured arms, callable from CI (StressSmokeSpec runs scale 0.001
+    * as a regression tripwire for reintroduced O(points²) frames — the
+    * resampleLinear bug the r9 harness caught would fail the suite here
+    * instead of waiting for the next manual full-scale run). Returns one
+    * (label, rows out, seconds) row per arm. */
+  def run(spark: SparkSession, scale: Double): Seq[(String, Long, Double)] = {
+    import spark.implicits._
+    {
       val nHot = (1e7 * scale).toLong max 10L
       val nWide = (1e6 * scale).toLong max 10L
       val nClique = (1e6 * scale).toLong max 10L
@@ -145,11 +171,62 @@ object Stress {
       run("hamming_clique_cap64")(Dedup.hammingNearDups(
         clique, "id", "h", maxDist = 3, maxBucket = Some(64L)))
 
-      println("[stress] | shape/op | rows out | seconds |")
-      println("[stress] |---|---|---|")
-      results.foreach { case (l, n, s) =>
-        println(f"[stress] | $l | $n | ${s}%.2f |")
+      // ---- cascade arm: the production hot path — a wide-locator batch
+      // through processBatch (validate + raw write + dirty-day 5m
+      // snapshot publish) and the full 4-hop ladder. Shapes the 100 TB
+      // question directly: nWide locators × 2 points landing in ONE day,
+      // every tier rewritten through the SnapshotStore commit. File
+      // counts per tier are the fragmentation evidence (the bucketed
+      // mirror discipline's plain-tier counterpart).
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_stress_casc").toString
+      val day0 = 1704067200000L
+      val batch = graft.streaming.IngestStream.withValidity(
+        spark.range(nWide).select(
+            lit("t").as("tenant_id"),
+            concat(lit("m_"), col("id")).as("metric_name"),
+            (lit(day0) + pmod(col("id"), lit(86400L)) * 1000L).as("ts_ms"),
+            (pmod(xxhash64(col("id"), lit(11)), lit(1000L)) / 10.0).as("value"))
+          .unionByName(spark.range(nWide).select(
+            lit("t").as("tenant_id"),
+            concat(lit("m_"), col("id")).as("metric_name"),
+            (lit(day0) + pmod(col("id"), lit(86400L)) * 1000L + 400000L)
+              .as("ts_ms"),
+            (pmod(xxhash64(col("id"), lit(13)), lit(1000L)) / 10.0).as("value")))
+          .withColumn("ttl_seconds", lit(86400))
+          .withColumn("unit", lit("ms")),
+        0L, Long.MaxValue)
+      val (_, ingestSecs) = time("cascade_ingest_wide") {
+        graft.streaming.IngestStream.processBatch(batch, store, batchId = 0L)
       }
-    } finally spark.stop()
+      results += (("cascade_ingest_wide", nWide * 2, ingestSecs))
+      val (_, ladderSecs) = time("cascade_ladder_wide") {
+        graft.streaming.IngestStream.rollupCascadeFor(spark, store,
+          dirtyDays = Some(Seq(day0)))
+      }
+      results += (("cascade_ladder_wide", nWide, ladderSecs))
+      // fragmentation evidence: part files per tier after the dirty-day
+      // publish (rows = file count; one snapshot generation per day)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (tier <- Seq("metrics_5m", "metrics_20m", "metrics_60m",
+          "metrics_240m", "metrics_1440m")) {
+        val p = new org.apache.hadoop.fs.Path(s"$store/$tier")
+        val nFiles =
+          if (!fs.exists(p)) 0L
+          else {
+            val it = fs.listFiles(p, true)
+            var c = 0L
+            while (it.hasNext) {
+              if (it.next().getPath.getName.startsWith("part-")) c += 1
+            }
+            c
+          }
+        println(f"[stress] files $tier%-18s $nFiles")
+        results += ((s"cascade_files_$tier", nFiles, 0.0))
+      }
+
+      results.toSeq
+    }
   }
 }

@@ -326,10 +326,14 @@ object MetricsQueryApi {
     val nameKeys = r.names.select("tenant_id", "metric_name")
 
     val tierPath = s"$storeDir/metrics_${gEff.name}"
+    // snapshot-resolved read (graft.core.SnapshotStore): the file set is
+    // pinned per-day at planning time, so a concurrent dirty-day re-roll
+    // can never serve this query a missing or partial day
     val (coveredDays, stored) =
-      if (!IngestStream.hasParquetData(spark, tierPath)) (Set.empty[Long], None)
-      else {
-        val tier = spark.read.parquet(tierPath)
+      graft.core.SnapshotStore.read(spark, tierPath) match {
+        case None => (Set.empty[Long], None)
+        case Some(tier0) =>
+        val tier = tier0
           .filter(col("ts_day").isin(rangeDays: _*))
         // tiny collect: one long per day in range (partition-pruned scan of
         // the partition column only)
@@ -584,10 +588,12 @@ object MetricsQueryApi {
     val nameKeys = r.names.select("tenant_id", "metric_name")
 
     val tierPath = s"$storeDir/preagg_${kind}_${gEff.name}"
+    // snapshot-resolved read — the getRollupsStored reader-isolation note
     val (coveredDays, stored) =
-      if (!IngestStream.hasParquetData(spark, tierPath)) (Set.empty[Long], None)
-      else {
-        val tier = spark.read.parquet(tierPath)
+      graft.core.SnapshotStore.read(spark, tierPath) match {
+        case None => (Set.empty[Long], None)
+        case Some(tier0) =>
+        val tier = tier0
           .filter(col("ts_day").isin(rangeDays: _*))
         val covered = tier.select("ts_day").distinct()
           .collect().map(_.getLong(0)).toSet

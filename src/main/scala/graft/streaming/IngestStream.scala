@@ -332,13 +332,13 @@ object IngestStream {
     val root = new Path(s"$storeDir/metric_catalog")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def derived(table: String, famCol: org.apache.spark.sql.Column) =
-      if (!hasParquetData(spark, s"$storeDir/$table")) None
-      else {
-        val t = spark.read.parquet(s"$storeDir/$table")
+      // SnapshotStore.read resolves gen'd tiers to their current snapshot
+      // and falls back to plain discovery for the batch-dir tables
+      graft.core.SnapshotStore.read(spark, s"$storeDir/$table").map { t =>
         val unitCol = if (t.columns.contains("unit")) col("unit")
                       else lit(null).cast("string")
-        Some(t.select(col("tenant_id"), col("metric_name"),
-          famCol.as("family"), unitCol.as("unit")))
+        t.select(col("tenant_id"), col("metric_name"),
+          famCol.as("family"), unitCol.as("unit"))
       }
     // every locator-bearing table, tiers included: retention prunes raw
     // days before the coarser tiers' TTLs, so a tier-only locator is still
@@ -468,9 +468,10 @@ object IngestStream {
     val rolled = graft.operators.Rollups.basicFromRaw(
         full.select("tenant_id", "metric_name", "ts_ms", "value"), Granularity.MIN_5)
       .withColumn("ts_day", dayOf(col("bucket_ms")))
-    rolled.write.mode("overwrite").partitionBy("ts_day")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$storeDir/metrics_5m")
+    // snapshot-committed day swap (NOT dynamic partition overwrite, whose
+    // delete-then-rename commit lets a racing read see a missing/partial
+    // day) — graft.core.SnapshotStore's reader-isolation contract
+    graft.core.SnapshotStore.publish(rolled, s"$storeDir/metrics_5m")
     Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
       storeDir, "basic", Granularity.MIN_5, dirtyDays.toSeq))
   }
@@ -652,7 +653,8 @@ object IngestStream {
     if (!hasParquetData(spark, s"$storeDir/metrics_5m")) return
     var finerName = "metrics_5m"
     for (g <- cascadeTiers) {
-      val finerAll = spark.read.parquet(s"$storeDir/$finerName")
+      val finerAll = graft.core.SnapshotStore
+        .read(spark, s"$storeDir/$finerName").getOrElse(return)
       val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
       // empty dirty-day slice → every coarser slice is empty too; writing it
       // anyway would create a parquet-less dir (when the coarser tier doesn't
@@ -664,9 +666,11 @@ object IngestStream {
           col("num_points"), col("sum_v"), col("avg_v"),
           col("min_v"), col("max_v"), col("var_v"))
         .withColumn("ts_day", dayOf(col("bucket_ms")))
-      val w = merged.write.mode("overwrite").partitionBy("ts_day")
-      (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
-        .parquet(s"$storeDir/metrics_${g.name}")
+      // dirty-day mode swaps only the touched days; full rebuild also
+      // drops days absent from the new data (the old static-overwrite
+      // semantics) — both through the snapshot commit protocol
+      graft.core.SnapshotStore.publish(merged,
+        s"$storeDir/metrics_${g.name}", replaceAll = dirtyDays.isEmpty)
       Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
         storeDir, "basic", g, dirtyDays.getOrElse(Nil),
         fullRebuild = dirtyDays.isEmpty))
@@ -692,8 +696,8 @@ object IngestStream {
   def mirrorBucketed5m(spark: SparkSession, storeDir: String,
       tableName: String, path: String, nBuckets: Int = 64,
       dirtyDays: Option[Seq[Long]] = None): Unit = {
-    if (!hasParquetData(spark, s"$storeDir/metrics_5m")) return
-    val tier = spark.read.parquet(s"$storeDir/metrics_5m")
+    val tier = graft.core.SnapshotStore
+      .read(spark, s"$storeDir/metrics_5m").getOrElse(return)
     graft.core.BucketedStore.registerPartitioned(
       spark, tableName, path, tier.schema, nBuckets)
     val slice = dirtyDays.fold(tier)(d => tier.filter(col("ts_day").isin(d: _*)))
@@ -712,10 +716,9 @@ object IngestStream {
     graft.operators.Preaggregated.tier1FromParsed(parsed, Granularity.MIN_5)
       .foreach { case (kind, df) =>
         if (present(kind))
-          df.withColumn("ts_day", dayOf(col("bucket_ms")))
-            .write.mode("overwrite").partitionBy("ts_day")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$storeDir/preagg_${kind}_5m")
+          graft.core.SnapshotStore.publish(
+            df.withColumn("ts_day", dayOf(col("bucket_ms"))),
+            s"$storeDir/preagg_${kind}_5m")
       }
   }
 
@@ -791,10 +794,9 @@ object IngestStream {
       graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
         .foreach { case (kind, df) =>
           if (present(kind)) {
-            df.withColumn("ts_day", dayOf(col("bucket_ms")))
-              .write.mode("overwrite").partitionBy("ts_day")
-              .option("partitionOverwriteMode", "dynamic")
-              .parquet(s"$storeDir/preagg_${kind}_5m")
+            graft.core.SnapshotStore.publish(
+              df.withColumn("ts_day", dayOf(col("bucket_ms"))),
+              s"$storeDir/preagg_${kind}_5m")
             Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
               storeDir, kind, Granularity.MIN_5, dirtyDays))
           }
@@ -847,19 +849,24 @@ object IngestStream {
       var finerName = s"preagg_${kind}_5m"
       var ladderLive = true
       for (g <- cascadeTiers if ladderLive) {
-        val finerAll = spark.read.parquet(s"$storeDir/$finerName")
-        val finer = dirtyDays.fold(finerAll)(d => finerAll.filter(col("ts_day").isin(d: _*)))
+        // a vanished finer tier (retention dropped every day mid-ladder)
+        // ends this kind's ladder the same way an empty slice does
+        val finer = graft.core.SnapshotStore
+          .read(spark, s"$storeDir/$finerName")
+          .map(all => dirtyDays.fold(all)(d =>
+            all.filter(col("ts_day").isin(d: _*))))
         // a kind's dirty-day slice can be empty even when its 5m tier has
         // data (the dirty days came from a flush missing this kind); an
         // empty write would husk a not-yet-existing coarser dir — skip and
         // break this kind's ladder (coarser slices are empty a fortiori)
-        if (dirtyDays.isDefined && finer.isEmpty) ladderLive = false
+        if (finer.isEmpty || (dirtyDays.isDefined && finer.get.isEmpty))
+          ladderLive = false
         else {
-          val merged = merge(finer.drop("ts_day", "distinct_count"), g)
+          val merged = merge(finer.get.drop("ts_day", "distinct_count"), g)
             .withColumn("ts_day", dayOf(col("bucket_ms")))
-          val w = merged.write.mode("overwrite").partitionBy("ts_day")
-          (if (dirtyDays.isDefined) w.option("partitionOverwriteMode", "dynamic") else w)
-            .parquet(s"$storeDir/preagg_${kind}_${g.name}")
+          graft.core.SnapshotStore.publish(merged,
+            s"$storeDir/preagg_${kind}_${g.name}",
+            replaceAll = dirtyDays.isEmpty)
           Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
             storeDir, kind, g, dirtyDays.getOrElse(Nil),
             fullRebuild = dirtyDays.isEmpty))

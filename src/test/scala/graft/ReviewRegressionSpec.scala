@@ -77,7 +77,8 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkSuite {
       0L, Long.MaxValue)
     graft.streaming.IngestStream.processBatch(batch, store, batchId = 7L)
     graft.streaming.IngestStream.processBatch(batch, store, batchId = 7L) // retry
-    val rolled = spark.read.parquet(s"$store/metrics_5m").collect()
+    val rolled = graft.core.SnapshotStore.read(spark, s"$store/metrics_5m")
+      .get.collect()
     assert(rolled.length === 1)
     assert(rolled(0).getAs[Long]("num_points") === 1L) // not double-counted
   }

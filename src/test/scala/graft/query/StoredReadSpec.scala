@@ -69,11 +69,13 @@ class StoredReadSpec extends AnyFunSuite with SparkSuite {
   test("a missing tier day is repaired from raw, transparently") {
     val (store, rawOnly) = buildStores()
     // drop 2024-01-04 from the 5m tier — the gap the reference's
-    // repairMetrics path fills (RollupHandler.java:241-297)
-    val gone = new java.io.File(s"$store/metrics_5m/ts_day=${day0 + dayMs}")
-    assert(gone.exists)
-    gone.listFiles.foreach(_.delete())
-    assert(gone.delete())
+    // repairMetrics path fills (RollupHandler.java:241-297); recursive:
+    // the snapshot layout nests files under ts_day=D/gen=N
+    val gone = new org.apache.hadoop.fs.Path(
+      s"$store/metrics_5m/ts_day=${day0 + dayMs}")
+    val fs = gone.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(gone))
+    assert(fs.delete(gone, true))
     assert(run(store) === run(rawOnly))
   }
 
@@ -108,9 +110,10 @@ class StoredReadSpec extends AnyFunSuite with SparkSuite {
 
   test("rawOverride: gaps fill from an external raw view (no ts_day column)") {
     val (store, rawOnly) = buildStores()
-    val gone = new java.io.File(s"$store/metrics_5m/ts_day=${day0 + 2 * dayMs}")
-    gone.listFiles.foreach(_.delete())
-    assert(gone.delete())
+    val gone = new org.apache.hadoop.fs.Path(
+      s"$store/metrics_5m/ts_day=${day0 + 2 * dayMs}")
+    assert(gone.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(gone, true))
     val ext = points.select("tenant_id", "metric_name", "ts_ms", "value", "unit")
     val got = MetricsQueryApi.getRollupsStored(spark, store, params(),
       nowMillis = now, rawOverride = Some(ext))

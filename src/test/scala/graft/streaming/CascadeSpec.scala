@@ -19,11 +19,14 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
 
   /** (file name, last-modified) set for one ts_day partition directory. */
   private def partitionState(store: String, table: String, d: Long): Set[(String, Long)] = {
+    // recursive: snapshot-published tiers nest files under ts_day=D/gen=N
     val dir = Paths.get(s"$store/$table/ts_day=$d")
-    Files.list(dir).iterator().asScala
+    val st = Files.walk(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-"))
-      .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      .map(p => (dir.relativize(p).toString, Files.getLastModifiedTime(p).toMillis))
       .toSet
+    assert(st.nonEmpty, s"no part files under $dir — vacuous comparison")
+    st
   }
 
   test("incremental cascade re-rolls only dirty days; other partitions untouched") {
@@ -57,7 +60,8 @@ class CascadeSpec extends AnyFunSuite with SparkSuite {
     assert(partitionState(store, "metrics_1440m", day(2)) === before2)
 
     // the dirty day converged to the direct aggregation of ALL points
-    val t1440 = spark.read.parquet(s"$store/metrics_1440m")
+    val t1440 = graft.core.SnapshotStore.read(spark, s"$store/metrics_1440m")
+      .get
       .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
       .orderBy("bucket_ms").collect()
     val direct = Rollups.basicFromRaw(

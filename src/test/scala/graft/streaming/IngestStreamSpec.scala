@@ -44,7 +44,8 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
     q.processAllAvailable()
     q.stop()
 
-    val rolled = spark.read.parquet(s"$store/metrics_5m")
+    val rolled = graft.core.SnapshotStore.read(spark, s"$store/metrics_5m")
+      .get
       .select("tenant_id", "metric_name", "bucket_ms", "num_points", "sum_v")
       .orderBy("tenant_id", "metric_name", "bucket_ms")
       .collect()
@@ -169,7 +170,8 @@ class IngestStreamSpec extends AnyFunSuite with SparkSuite {
       .select("metric_name").as[String].collect().toSet
     assert(errs === Set("late_str"))
     // and the 5m rollup of the numeric arm exists (the pipeline really ran)
-    assert(spark.read.parquet(s"$store/metrics_5m").count() === 1)
+    assert(graft.core.SnapshotStore.read(spark, s"$store/metrics_5m")
+      .get.count() === 1)
   }
 
   test("watermarked streaming 5m aggregation emits closed windows") {
