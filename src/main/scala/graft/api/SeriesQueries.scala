@@ -373,6 +373,49 @@ object SeriesQueries {
     }
   }
 
+  /** Node-paired weighted average ([[Series.weightedAverage]], Graphite's
+    * weightedAverage): purchase-tenant series averaged with view-tenant
+    * weights, paired on the user token (node 2). Orderless exactness via
+    * floor(x·1e10) LONG units (one IEEE product + floor is bit-identical
+    * everywhere, integer sums commute — the Similarity.lloyd remedy); the
+    * served value is the long-ratio, restated verbatim. 1e10 is written in
+    * E-notation on the SQL side so DuckDB parses it directly as DOUBLE. */
+  private val weightedAvg = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_weighted_avg",
+      s"""WITH ${OracleViews.metricsCte},
+         |a AS (
+         |  SELECT tenant_id, string_split(metric_name, '.')[3] AS k,
+         |         ts_ms - ts_ms % $bMs AS b,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(value) AS av
+         |  FROM metrics WHERE tenant_id = 'purchase' GROUP BY 1, 2, 3
+         |),
+         |w AS (
+         |  SELECT string_split(metric_name, '.')[3] AS k,
+         |         ts_ms - ts_ms % $bMs AS b,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(value) AS wv
+         |  FROM metrics WHERE tenant_id = 'view' GROUP BY 1, 2
+         |)
+         |SELECT a.tenant_id, 'weightedAverage' AS metric_name,
+         |       CAST(a.b AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(FLOOR(av * wv * 1E10) AS BIGINT)) AS DOUBLE)
+         |         / CAST(SUM(CAST(FLOOR(wv * 1E10) AS BIGINT)) AS DOUBLE)
+         |         AS value,
+         |       COUNT(*) AS n_keys
+         |FROM a JOIN w ON a.k = w.k AND a.b = w.b
+         |GROUP BY 1, 3
+         |ORDER BY tenant_id, bucket_ms""".stripMargin) { (s, dir) =>
+      val m = Tables.metrics(s, dir)
+      Series.weightedAverage(
+          m.filter(col("tenant_id") === "purchase"),
+          m.filter(col("tenant_id") === "view"), Seq(2), bMs)
+        .orderBy("tenant_id", "bucket_ms")
+    }
+  }
+
   /** Week-over-week self-comparison at daily buckets
     * ([[Series.timeShiftCompare]], Graphite's timeShift + delta panel):
     * the shifted lookup restates as the same point-pinned RANGE frame in
@@ -1270,7 +1313,8 @@ object SeriesQueries {
   }
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
-    movingWindowQ, seriesAgg, seriesAggStd, aggWildcards, groupNode, groupNodes,
+    movingWindowQ, seriesAgg, seriesAggStd, aggWildcards, weightedAvg,
+    groupNode, groupNodes,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

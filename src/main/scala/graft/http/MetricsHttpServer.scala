@@ -1278,7 +1278,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                   None, n => s"asPercent(${in.displayName(n)})")
             }
           case "highestMax" | "highestAverage" | "lowestAverage" |
-               "lowestMax" | "highestCurrent" | "lowestCurrent" =>
+               "lowestMax" | "highestCurrent" | "lowestCurrent" |
+               "mostDeviant" =>
             // series SELECTION (Graphite's highest*/lowest* family): rank
             // whole series by a per-series stat, keep k, serve those
             // series' points unchanged (names pass through). The ≤k
@@ -1294,6 +1295,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               case "lowestAverage" => ("mean", true)
               case "highestCurrent" => ("last", false)
               case "lowestCurrent" => ("last", true)
+              // Graphite's mostDeviant: the k series with the highest
+              // population sigma over the range
+              case "mostDeviant" => ("stddev", false)
               case _ => ("max", true)
             }
             // RAW inner (selection serves points UNCHANGED, nulls
@@ -1310,7 +1314,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 Seq("tenant_id", "metric_name")),
               in.singleName, in.nameOf)
           case "averageAbove" | "averageBelow" | "maximumAbove" |
-               "maximumBelow" | "currentAbove" | "currentBelow" =>
+               "maximumBelow" | "minimumAbove" | "minimumBelow" |
+               "currentAbove" | "currentBelow" =>
             // threshold SELECTION: keep series whose per-series stat
             // clears the bound (same broadcast-semi-join shape)
             val thr = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
@@ -1319,6 +1324,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val stat =
               if (fn.startsWith("average")) "mean"
               else if (fn.startsWith("maximum")) "max"
+              else if (fn.startsWith("minimum")) "min"
               else "last"
             // RAW inner + materialize-once, as in the highest*/lowest* arm
             val in = recurse(arg0)
@@ -1804,6 +1810,112 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df, None,
               n => s"""consolidateBy(${in.displayName(n)},"$norm")""",
               Some(norm))
+          case "sortByName" =>
+            // name order IS the collectSeries default — sortByName's job
+            // is to RESET any earlier sortBy*'s __ord
+            val in = recurse(arg0)
+            in.copy(df = if (in.df.columns.contains("__ord"))
+              in.df.drop("__ord") else in.df)
+          case "removeEmptySeries" =>
+            // drop series with zero non-null datapoints in the range
+            val in = recurse(arg0)
+            val wSer = Window.partitionBy(col("tenant_id"),
+              col("metric_name"))
+            in.copy(df = in.df
+              .withColumn("__nn", count(col("value")).over(wSer))
+              .filter(col("__nn") > 0).drop("__nn"))
+          case "logarithm" | "log" =>
+            // log base b (default 10); zero/negative values render null
+            // (Graphite's math-domain None)
+            val base = args.lift(1).flatMap(_.trim.toDoubleOption)
+              .getOrElse(10.0)
+            require(base > 0 && base != 1.0,
+              s"logarithm base must be > 0 and != 1 in '$t', got $base")
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value",
+                when(col("value") > 0, log(base, col("value")))),
+              None, n => s"log(${in.displayName(n)},$base)")
+          case "invert" =>
+            // pointwise 1/x; zero renders null (safeDiv)
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value",
+                when(col("value") =!= 0.0, lit(1.0) / col("value"))),
+              None, n => s"invert(${in.displayName(n)})")
+          case "timeSlice" =>
+            // timeSlice(<expr>, "start"[, "end"]) — values outside the
+            // window render null datapoints (Graphite keeps the grid)
+            val startArg = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"timeSlice needs a start time in '$t'"))
+            val sMs = graft.core.DateTimeParser.parseMillis(startArg, now)
+            val eMs = args.lift(2).map(a =>
+              graft.core.DateTimeParser.parseMillis(stripQuotes(a), now))
+              .getOrElse(now)
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value",
+                when(col("ts_ms") >= sMs && col("ts_ms") <= eMs,
+                  col("value"))),
+              None, n => s"timeSlice(${in.displayName(n)},$startArg)")
+          case "averageOutsidePercentile" =>
+            // keep series whose mean lies OUTSIDE the [100-n, n]
+            // percentile band of all the matched series' means
+            // (graphite-web folds n<50 to 100-n)
+            val n0 = args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"averageOutsidePercentile needs a percentile in '$t'"))
+            require(n0 >= 0 && n0 <= 100,
+              s"percentile must be in [0, 100] in '$t', got $n0")
+            val nn = if (n0 < 50) 100 - n0 else n0
+            val in = recurse(arg0)
+            val inDf = in.df.localCheckpoint()
+            val means = inDf.groupBy(col("tenant_id"), col("metric_name"))
+              .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double")
+                / count(col("value"))).as("__m"))
+            val bands = means.groupBy(col("tenant_id")).agg(
+              expr(s"percentile(__m, ${(100 - nn) / 100.0})").as("__lo"),
+              expr(s"percentile(__m, ${nn / 100.0})").as("__hi"))
+            val sel = means.join(broadcast(bands), Seq("tenant_id"))
+              .filter(!(col("__m") > col("__lo") && col("__m") < col("__hi")))
+              .select(col("tenant_id"), col("metric_name"))
+            in.copy(df = inDf.join(broadcast(sel),
+              Seq("tenant_id", "metric_name")))
+          case "linearRegression" =>
+            // per-series least-squares fit served AT the input instants —
+            // the fit reuses Series.linearTrend's integer-exact
+            // accumulators (slope per minute over (ts-min) div 60000
+            // offsets), and the drawn line uses the same integer offsets
+            val in = inner
+            val inDf = in.df.localCheckpoint()
+            val fit = graft.operators.Series
+              .linearTrend(inDf, horizonS = 0.0, threshold = Double.MaxValue)
+              .select(col("tenant_id"), col("metric_name"),
+                col("slope_per_s"), col("intercept"))
+            val wSer = Window.partitionBy(col("tenant_id"),
+              col("metric_name"))
+            SeriesExpr(inDf
+                .withColumn("__min", min(col("ts_ms")).over(wSer))
+                .join(broadcast(fit), Seq("tenant_id", "metric_name"))
+                .withColumn("value", col("intercept") +
+                  col("slope_per_s") * lit(60.0) *
+                  floor((col("ts_ms") - col("__min")) / lit(60000L)))
+                .drop("__min", "slope_per_s", "intercept"),
+              None, n => s"linearRegression(${in.displayName(n)})")
+          case "weightedAverage" =>
+            // weightedAverage(<avgExpr>, <weightExpr>, n1[, n2…]) — pair
+            // the two lists by node tokens, serve Σ(a·w)/Σ(w) per instant
+            // ([[graft.operators.Series.weightedAverage]])
+            require(args.length >= 3,
+              s"weightedAverage needs two series lists and node indexes in '$t'")
+            val idxs = args.drop(2).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"weightedAverage node indexes must be integers in '$t'")))
+            val aIn = recurse(arg0).df
+            val wIn = recurse(args(1).trim).df
+            SeriesExpr(graft.operators.Series
+                .weightedAverage(aIn, wIn, idxs, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms")
+                .drop("n_keys"),
+              Some(t), identity)
           case other => throw new IllegalArgumentException(
             s"unknown render function '$other' in target '$t'")
         }

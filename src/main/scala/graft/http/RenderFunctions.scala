@@ -55,6 +55,10 @@ private[http] object RenderFunctions {
     F("nPercentile", "Transform", "draw each series' nth-percentile line", Seq(series, p("n", "float"))),
     F("changed", "Transform", "1 where a sample differs from its predecessor, else 0", Seq(series)),
     F("offsetToZero", "Transform", "subtract each series' own minimum", Seq(series)),
+    F("logarithm", "Transform", "log base b pointwise (default 10); non-positive values render null", Seq(series, opt("base", "float"))),
+    F("invert", "Transform", "pointwise 1/x; zero renders null", Seq(series)),
+    F("timeSlice", "Transform", "values outside [start, end] render null datapoints", Seq(series, p("startSliceAt", "string"), opt("endSliceAt", "string"))),
+    F("linearRegression", "Transform", "per-series least-squares fit drawn at the input instants", Seq(series)),
     F("keepLastValue", "Transform", "forward-fill onto a uniform grid", Seq(series, p("interval", "string"))),
     F("resample", "Transform", "linear interpolation onto a uniform grid", Seq(series, p("interval", "string"))),
     F("timeShift", "Transform", "evaluate the subtree shifted back, drawn at the requested instants", Seq(series, p("timeShift", "string"))),
@@ -83,6 +87,11 @@ private[http] object RenderFunctions {
     F("maximumBelow", "Filter Series", "keep series whose max is below the threshold", Seq(series, p("n", "float"))),
     F("currentAbove", "Filter Series", "keep series whose last sample exceeds the threshold", Seq(series, p("n", "float"))),
     F("currentBelow", "Filter Series", "keep series whose last sample is below the threshold", Seq(series, p("n", "float"))),
+    F("minimumAbove", "Filter Series", "keep series whose min exceeds the threshold", Seq(series, p("n", "float"))),
+    F("minimumBelow", "Filter Series", "keep series whose min is below the threshold", Seq(series, p("n", "float"))),
+    F("mostDeviant", "Filter Series", "keep the k series with the highest population stddev", Seq(series, p("n", "integer"))),
+    F("averageOutsidePercentile", "Filter Series", "keep series whose mean lies outside the [100-n, n] percentile band of the matched means", Seq(series, p("n", "float"))),
+    F("removeEmptySeries", "Filter Series", "drop series with zero non-null datapoints in range", Seq(series)),
     F("grep", "Filter Series", "keep series whose name matches the regex", Seq(series, p("pattern", "string"))),
     F("exclude", "Filter Series", "drop series whose name matches the regex", Seq(series, p("pattern", "string"))),
     // Alias
@@ -90,7 +99,9 @@ private[http] object RenderFunctions {
     F("aliasByNode", "Alias", "display name from a dot-node of the series name", Seq(series, p("nodes", "node"))),
     F("aliasByMetric", "Alias", "display name from the last dot-node of the series name", Seq(series)),
     F("aliasSub", "Alias", "regex substitution on the display name ($1 backreferences)", Seq(series, p("search", "string"), p("replace", "string"))),
+    F("weightedAverage", "Combine", "node-paired weighted average of two series lists: sum(avg*w)/sum(w) per instant", Seq(p("seriesListAvg", "seriesList"), p("seriesListWeight", "seriesList"), p("nodes", "node"))),
     // Sorting
+    F("sortByName", "Sorting", "reset the entry list to name order (drops an earlier sortBy ordering)", Seq(series)),
     F("sortByMaxima", "Sorting", "order the entry list by each series' max, largest first", Seq(series)),
     F("sortByTotal", "Sorting", "order the entry list by each series' sum, largest first", Seq(series)),
     F("sortByMinima", "Sorting", "order ascending by each series' min; series with max <= 0 are dropped", Seq(series)),

@@ -156,8 +156,20 @@ object Series {
       case "last" => max(when(col("value").isNotNull,
           struct(col("ts_ms"), col("value"))))
         .getField("value")
+      // population stddev over the non-null samples (Graphite's
+      // mostDeviant ranks by sigma) — the exact-sum/exact-sum-of-squares
+      // recipe, 0-clamped where double cancellation goes fractionally
+      // negative (the crossSeriesStat convention)
+      case "stddev" =>
+        val n = count(col("value"))
+        val s = sum(col("value").cast(DecimalType(28, 2))).cast("double")
+        val sq = sum((col("value") * col("value"))
+          .cast(DecimalType(38, 8))).cast("double")
+        val v = (sq - s * s / n) / n
+        when(v.isNull, lit(null).cast("double"))
+          .when(v > 0.0, sqrt(v)).otherwise(lit(0.0))
       case other => throw new IllegalArgumentException(
-        s"stat must be one of mean|sum|max|min|count|last, got '$other'")
+        s"stat must be one of mean|sum|max|min|count|last|stddev, got '$other'")
     }
     // NULLS LAST in both directions: an all-null series (stat_value NULL
     // for last/mean/max/min) would otherwise asc-sort FIRST and consume
@@ -267,15 +279,15 @@ object Series {
     * "sum", …)` keys by `<app>.<endpoint>` out of
     * `app.<app>.region.<endpoint>.latency` names. Same single-aggregation
     * scale shape as [[groupByNode]]. */
-  def groupByNodes(points: DataFrame, nodeIndexes: Seq[Int], stat: String,
-      bucketMs: Long): DataFrame = {
-    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
-    require(nodeIndexes.nonEmpty, "at least one node index is required")
+  /** Dot-joined node-token selection of `metric_name` — the grouping/join
+    * key shared by [[groupByNodes]] and [[weightedAverage]]. element_at is
+    * 1-based from the front, -1-based from the back; the size guard keeps
+    * ANSI element_at from throwing its opaque out-of-range error (CASE
+    * branches evaluate lazily, so the element_at only runs when the guard
+    * passes). A series lacking a node fails loud with its name (Graphite
+    * raises there too). */
+  private def nodeKey(nodeIndexes: Seq[Int]): Column = {
     val parts = split(col("metric_name"), "\\.")
-    // element_at is 1-based from the front, -1-based from the back; the
-    // size guard keeps ANSI element_at from throwing its opaque
-    // out-of-range error (CASE branches evaluate lazily, so the
-    // element_at only runs when the guard passes)
     val tokens = nodeIndexes.map { nodeIndex =>
       val needed = if (nodeIndex >= 0) nodeIndex + 1 else -nodeIndex
       val pos = if (nodeIndex >= 0) nodeIndex + 1 else nodeIndex
@@ -284,9 +296,15 @@ object Series {
         lit(s"' has no node $nodeIndex"))).cast("string"))
         .otherwise(element_at(parts, pos))
     }
-    val token = concat_ws(".", tokens: _*)
+    concat_ws(".", tokens: _*)
+  }
+
+  def groupByNodes(points: DataFrame, nodeIndexes: Seq[Int], stat: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(nodeIndexes.nonEmpty, "at least one node index is required")
     points
-      .withColumn("__node", token)
+      .withColumn("__node", nodeKey(nodeIndexes))
       .groupBy(col("tenant_id"), col("__node"),
         (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
           .as("bucket_ms"))
@@ -294,6 +312,55 @@ object Series {
         count_distinct(col("metric_name")).as("n_series"))
       .select(col("tenant_id"), col("__node").as("metric_name"),
         col("bucket_ms"), col("value"), col("n_series"))
+  }
+
+  /** Graphite's `weightedAverage(seriesListAvg, seriesListWeight, *nodes)`
+    * (webapp/graphite/render/functions.py): pair the two lists by their
+    * dot-token node selection, then per time bucket serve
+    * `Σ(avg_k·weight_k) / Σ(weight_k)` over the matched keys — ONE output
+    * series (capacity-weighted utilisation, the canonical use). Each side
+    * collapses to one mean per (key, bucket) first (exact-DECIMAL mean of
+    * its non-null samples); keys present on only one side drop (Graphite
+    * pairs by node value the same way). The weights frame may come from a
+    * different tenant/table; the output carries the AVERAGED side's tenant.
+    *
+    * Orderless exactness: the cross-key accumulations run in
+    * floor(x·1e10) LONG units — one IEEE product + floor is bit-identical
+    * in every engine and integer sums commute (the Similarity.lloyd
+    * remedy) — and the served value is the long-ratio
+    * `CAST(Σ⌊a·w·1e10⌋ AS DOUBLE) / CAST(Σ⌊w·1e10⌋ AS DOUBLE)`, restated
+    * verbatim by the q_series_weighted_avg oracle.
+    *
+    * Scale shape: two map-side-combining aggregations + one equi-join on
+    * (key, bucket) + one final aggregation — no window, no per-series
+    * pass; the key space (hosts, shards) is the fan-in bound. */
+  def weightedAverage(avgs: DataFrame, weights: DataFrame,
+      nodeIndexes: Seq[Int], bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(nodeIndexes.nonEmpty, "at least one node index is required")
+    val dec = DecimalType(28, 2)
+    def bucket = (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs)))
+      .cast("long").as("bucket_ms")
+    val a = avgs.filter(col("value").isNotNull)
+      .withColumn("__k", nodeKey(nodeIndexes))
+      .groupBy(col("tenant_id"), col("__k"), bucket)
+      .agg((sum(col("value").cast(dec)).cast("double") /
+        count(col("value"))).as("__a"))
+    val w = weights.filter(col("value").isNotNull)
+      .withColumn("__k", nodeKey(nodeIndexes))
+      .groupBy(col("__k"), bucket)
+      .agg((sum(col("value").cast(dec)).cast("double") /
+        count(col("value"))).as("__w"))
+    a.join(w, Seq("__k", "bucket_ms"))
+      .withColumn("__pl", floor(col("__a") * col("__w") * lit(1.0e10)).cast("long"))
+      .withColumn("__wl", floor(col("__w") * lit(1.0e10)).cast("long"))
+      .groupBy(col("tenant_id"), col("bucket_ms"))
+      .agg(
+        (sum(col("__pl")).cast("double") / sum(col("__wl")).cast("double"))
+          .as("value"),
+        count(lit(1)).as("n_keys"))
+      .withColumn("metric_name", lit("weightedAverage"))
+      .select("tenant_id", "metric_name", "bucket_ms", "value", "n_keys")
   }
 
   /** Graphite's `sumSeriesWithWildcards` / `averageSeriesWithWildcards`

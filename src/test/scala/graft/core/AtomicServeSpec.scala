@@ -97,7 +97,8 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     val stop = new AtomicBoolean(false)
     val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val reads = new AtomicInteger(0)
-    val readers = (1 to 2).map { _ =>
+    val perReader = Array.fill(2)(new AtomicInteger(0))
+    val readers = (0 until 2).map { ri =>
       new Thread(() => {
         while (!stop.get()) {
           try {
@@ -105,6 +106,7 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
               .groupBy(col("value")).agg(count(lit(1)).as("n"))
               .collect()
             reads.incrementAndGet()
+            perReader(ri).incrementAndGet()
             // torn day = rows of MORE than one generation value, or a
             // generation served with missing/duplicated rows
             if (rows.length != 1)
@@ -121,10 +123,24 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     // publisher: each generation rewrites the SAME day with a new value.
     // Retention keeps one previous generation, so a reader that resolved
     // just before a swap still reads intact files — the guarantee under
-    // test. (Two publishes DURING one read could GC its generation; reads
-    // here are much faster than a publish, matching the documented
-    // contract.)
-    (1 to Gens).foreach(g => SnapshotStore.publish(gen(N, g.toDouble), root))
+    // test. The contract covers ONE publish per in-flight read (a second
+    // publish GCs the generation a still-running read resolved — the
+    // documented LOUD failure), so the publisher paces on reader
+    // progress: after each publish it waits until both readers completed
+    // a read, which keeps every publish racing in-flight reads without
+    // ever outrunning one by two generations (under full-suite box load
+    // a single read can outlast two unpaced publishes — observed).
+    (1 to Gens).foreach { g =>
+      val before = perReader.map(_.get())
+      SnapshotStore.publish(gen(N, g.toDouble), root)
+      // EACH reader must complete a read after this publish returned —
+      // its next read then resolves the new winner, so no read in flight
+      // at the NEXT publish can still hold a generation that publish GCs
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (perReader.zip(before).exists { case (c, b) => c.get() <= b } &&
+        System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
     stop.set(true)
     readers.foreach(_.join(60000))
     assert(reads.get() >= 3, s"race never overlapped (reads=${reads.get()})")

@@ -1320,6 +1320,77 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render staples batch 2: mostDeviant/minimumAbove/removeEmptySeries " +
+    "selection, logarithm/invert/timeSlice transforms, linearRegression, " +
+    "weightedAverage pairing, sortByName reset, averageOutsidePercentile") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 10L * 300000L
+      def ingest(name: String, pts: Seq[(Long, Double)]): Unit = {
+        val recs = pts.map { case (ts, v) =>
+          s"""{"metricName": "$name", "metricValue": $v,
+             | "collectionTime": $ts, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      ingest("dv.flat", Seq((t0, 5.0), (t0 + 300000L, 5.0)))
+      ingest("dv.spread", Seq((t0, 0.0), (t0 + 300000L, 10.0)))
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def body(target: String): String =
+        get(s"$base/render?target=" + enc(target) + s"&$range").body()
+
+      // mostDeviant keeps the highest-sigma series
+      val md = body("mostDeviant(dv.*,1)")
+      assert(md.contains("dv.spread") && !md.contains("dv.flat"), md)
+      // minimumAbove: min(flat)=5 > 2; min(spread)=0 not
+      val ma = body("minimumAbove(dv.*,2)")
+      assert(ma.contains("dv.flat") && !ma.contains("dv.spread"), ma)
+      // logarithm: log10(5)... assert log of 100 exact on a fresh series
+      ingest("lg.x", Seq((t0, 100.0), (t0 + 300000L, 0.0)))
+      val lg = body("logarithm(lg.x)")
+      assert(lg.contains(s"[2.0, ${t0 / 1000}]"), lg)
+      assert(lg.contains(s"[null, ${t0 / 1000 + 300}]"), lg) // log(0) → null
+      // invert: 1/100; zero → null
+      val iv = body("invert(lg.x)")
+      assert(iv.contains(s"[0.01, ${t0 / 1000}]"), iv)
+      assert(iv.contains(s"[null, ${t0 / 1000 + 300}]"), iv)
+      // timeSlice: only the sliced instant keeps its value, grid survives
+      ingest("ts.x", Seq((t0, 1.0), (t0 + 300000L, 2.0), (t0 + 600000L, 3.0)))
+      val sl = body(s"""timeSlice(ts.x,"${(t0 + 200000L) / 1000}","${(t0 + 400000L) / 1000}")""")
+      assert(sl.contains(s"[2.0, ${t0 / 1000 + 300}]"), sl)
+      assert(sl.contains(s"[null, ${t0 / 1000}]") &&
+        sl.contains(s"[null, ${t0 / 1000 + 600}]"), sl)
+      // linearRegression: fit of (0,4,5) at 5-min steps = 0.5 + 0.5/min
+      ingest("lr.x", Seq((t0, 0.0), (t0 + 300000L, 4.0), (t0 + 600000L, 5.0)))
+      val lr = body("linearRegression(lr.x)")
+      assert(lr.contains(s"[0.5, ${t0 / 1000}]") &&
+        lr.contains(s"[3.0, ${t0 / 1000 + 300}]") &&
+        lr.contains(s"[5.5, ${t0 / 1000 + 600}]"), lr)
+      // weightedAverage pairs wa.h*.v with ww.h*.w on node 1:
+      // (2*10 + 4*30) / 40 = 3.5
+      ingest("wa.h1.v", Seq((t0, 2.0))); ingest("wa.h2.v", Seq((t0, 4.0)))
+      ingest("ww.h1.w", Seq((t0, 10.0))); ingest("ww.h2.w", Seq((t0, 30.0)))
+      val wa = body("weightedAverage(wa.*.v,ww.*.w,1)")
+      assert(wa.contains(s"[3.5, ${t0 / 1000}]"), wa)
+      assert(wa.contains("weightedAverage(wa.*.v,ww.*.w,1)"), wa)
+      // sortByName resets a sortByMaxima ordering back to name order
+      val sn = body("sortByName(sortByMaxima(dv.*))")
+      assert(sn.indexOf("dv.flat") < sn.indexOf("dv.spread"), sn)
+      // averageOutsidePercentile keeps the extreme means only
+      ingest("pc.a", Seq((t0, 1.0))); ingest("pc.b", Seq((t0, 2.0)))
+      ingest("pc.c", Seq((t0, 3.0))); ingest("pc.d", Seq((t0, 10.0)))
+      val ap = body("averageOutsidePercentile(pc.*,75)")
+      assert(ap.contains("pc.a") && ap.contains("pc.d") &&
+        !ap.contains("pc.b") && !ap.contains("pc.c"), ap)
+      // removeEmptySeries: a scrub that nulls one series entirely
+      val re = body("removeEmptySeries(removeBelowValue(dv.*,6))")
+      // flat (all 5s) scrubs to all-null → dropped; spread keeps its 10
+      assert(re.contains("dv.spread") && !re.contains("dv.flat"), re)
+    } finally srv.stop()
+  }
+
   test("RACE: stored-tier views reads racing live ingest (dirty-day " +
     "re-roll + cascade every batch) never 5xx and never lose the day") {
     val (srv, base, _) = startServer()
@@ -1345,12 +1416,15 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       // the snapshot protocol must serve every read complete
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val perReader =
+        Array.fill(2)(new java.util.concurrent.atomic.AtomicInteger(0))
       val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]
-      val readers = (1 to 2).map { _ =>
+      val readers = (0 until 2).map { ri =>
         new Thread(() => {
           while (!stop.get()) {
             val r = get(url)
             reads.incrementAndGet()
+            perReader(ri).incrementAndGet()
             val pts = "\"timestamp\"".r.findAllIn(r.body()).size
             if (r.statusCode() != 200)
               bad.add(s"status ${r.statusCode()}: ${r.body().take(200)}")
@@ -1360,9 +1434,17 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         })
       }
       readers.foreach(_.start())
+      // pace each re-roll on reader progress (the AtomicServeSpec
+      // contract: one publish per in-flight read — a read outlasting TWO
+      // publishes of its day is the documented loud-failure regime)
       (1 to 5).foreach { i =>
+        val before = perReader.map(_.get())
         assert(post(s"$base/v2.0/acme/ingest",
           recs(t0 + 10L * 300000L + i * 1000L)).statusCode() === 200)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (perReader.zip(before).exists { case (c, b) => c.get() <= b } &&
+          System.nanoTime() < deadline)
+          Thread.sleep(20)
       }
       stop.set(true)
       readers.foreach(_.join(60000))

@@ -758,6 +758,32 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       Series.aggregateWithWildcards(rows, Nil, "sum", 1L))
   }
 
+  test("weightedAverage: node-paired sum(a*w)/sum(w) in floor-1e10 long " +
+    "units; unmatched keys drop; topSeries ranks by stddev for mostDeviant") {
+    val avgs = pts(Seq(
+      ("t", "a.h1.v", 0L, 2.0), ("t", "a.h2.v", 0L, 4.0),
+      ("t", "a.h3.v", 0L, 9.0))) // h3 has no weight → drops
+    val wts = pts(Seq(
+      ("t", "w.h1.x", 0L, 10.0), ("t", "w.h2.x", 0L, 30.0)))
+    val out = Series.weightedAverage(avgs, wts, Seq(1), bucketMs = 1L)
+      .collect()
+    assert(out.length === 1)
+    // (2*10 + 4*30) / (10 + 30) = 140/40 = 3.5 — exact in long units
+    assert(out(0).getAs[Double]("value") === 3.5)
+    assert(out(0).getAs[Long]("n_keys") === 2L)
+    assert(out(0).getAs[String]("metric_name") === "weightedAverage")
+
+    // stddev stat: sigma([0,10]) = 5, sigma([5,5]) = 0 — the spread
+    // series wins the mostDeviant ranking
+    val rows = pts(Seq(
+      ("t", "flat", 0L, 5.0), ("t", "flat", 10L, 5.0),
+      ("t", "spread", 0L, 0.0), ("t", "spread", 10L, 10.0)))
+    val top = Series.topSeries(rows, k = 1, stat = "stddev",
+      ascending = false).collect()
+    assert(top.map(_.getString(1)).toSeq === Seq("spread"))
+    assert(top(0).getAs[Double]("stat_value") === 5.0)
+  }
+
   test("topSeries: an all-null series never consumes a top-k slot in " +
     "either direction (nulls last)") {
     val rows = pts(Seq(
