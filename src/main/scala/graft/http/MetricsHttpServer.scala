@@ -924,6 +924,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val points = q.get("maxDataPoints").map(v => v.toIntOption.getOrElse(
       throw new IllegalArgumentException(
         s"maxDataPoints must be an integer, got '$v'")))
+    val noNulls = q.get("noNullPoints")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1")
     val resolution = if (points.isEmpty) Some(Granularity.FULL) else None
     val targets = pairs.collect { case ("target", v) => v }
     require(targets.nonEmpty, "at least one target= is required")
@@ -937,13 +939,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         // fetch, but a composed target (summarize, resample, full-res
         // fallback) can still emit more points than requested — real
         // Graphite consolidates the finished series down to the budget
-        points.filter(_ > 0) match {
+        val capped = points.filter(_ > 0) match {
           case Some(mdp) => collected.map { case (n, dps) =>
             n -> consolidatePoints(dps, mdp,
               se.consolidate.getOrElse("average"))
           }
           case None => collected
         }
+        // graphite-web's noNullPoints=true: strip null datapoints from the
+        // response (sparse-series payload cut; entries may go empty)
+        if (noNulls) capped.map { case (n, dps) =>
+          n -> dps.filter(_._1.isDefined)
+        } else capped
       }
     } catch {
       // an in-plan raise_error() guard (ambiguous divideSeries divisor, a

@@ -61,11 +61,18 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     assert(gens(day1).isEmpty && !fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/ts_day=$day1")))
     assert(SnapshotStore.read(spark, root).get.count() === 4)
-    // leaked staging from a "crash" is cleared by the next publish and
-    // never serves
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.staging-dead"))
+    // leaked staging from a "crash" is INVISIBLE to readers (a crashed
+    // publish that wrote data but never committed a rename serves
+    // nothing) and is cleared by the next publish
+    val dead = new org.apache.hadoop.fs.Path(s"$root/.staging-dead")
+    fs.mkdirs(dead)
+    gen(9, 99.0).drop("ts_day")
+      .write.parquet(s"$root/.staging-dead/ts_day=$Day0")
+    assert(SnapshotStore.read(spark, root).get
+      .filter(col("value") === 99.0).count() === 0,
+      "uncommitted staging data must never serve")
     SnapshotStore.publish(gen(4, 6.0), root)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.staging-dead")))
+    assert(!fs.exists(dead))
 
     // plain-table fallback: a store never published through the protocol
     // reads through ordinary discovery

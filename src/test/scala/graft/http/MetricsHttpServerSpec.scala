@@ -1388,6 +1388,11 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val re = body("removeEmptySeries(removeBelowValue(dv.*,6))")
       // flat (all 5s) scrubs to all-null → dropped; spread keeps its 10
       assert(re.contains("dv.spread") && !re.contains("dv.flat"), re)
+      // noNullPoints strips null datapoints from the response
+      val nn = get(s"$base/render?target=" +
+        enc("removeBelowValue(dv.spread,6)") + s"&$range&noNullPoints=true")
+        .body()
+      assert(!nn.contains("null") && nn.contains("[10.0, "), nn)
     } finally srv.stop()
   }
 
