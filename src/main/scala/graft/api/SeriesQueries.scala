@@ -416,6 +416,53 @@ object SeriesQueries {
     }
   }
 
+  /** Rate→count re-bucketing with exact interval proration
+    * ([[Series.hitcount]], Graphite's hitcount for an irregular store):
+    * each sample's per-second rate covers [ts, next_ts) capped at the 1 h
+    * gap bound, hits prorate across every overlapped hourly bucket, and
+    * accumulation runs in floor(rate·overlap_ms·1e4) LONG units served as
+    * the long-ratio. DuckDB restates the bounded explode as a LATERAL
+    * generate_series over integer bucket indexes (`//` = `div`), the lead
+    * over (ts, value) so ties stay total-ordered, and the identical
+    * floor-unit algebra. */
+  private val hitcountQ = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_hitcount",
+      s"""WITH ${OracleViews.metricsCte},
+         |n0 AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         LEAD(ts_ms) OVER (PARTITION BY tenant_id, metric_name
+         |                           ORDER BY ts_ms, value) AS ld
+         |  FROM metrics
+         |),
+         |n AS (
+         |  -- LEAST skips NULLs: gate on the lead so the LAST sample of a
+         |  -- series contributes nothing (the engine's exact rule)
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         CASE WHEN ld IS NOT NULL
+         |              THEN LEAST(ld, ts_ms + 3600000) END AS nxt
+         |  FROM n0
+         |),
+         |x AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value, nxt,
+         |         b.b * $bMs AS bucket_ms
+         |  FROM n, LATERAL (SELECT UNNEST(generate_series(
+         |         ts_ms // $bMs, (nxt - 1) // $bMs)) AS b) b
+         |  WHERE nxt IS NOT NULL AND nxt > ts_ms
+         |)
+         |SELECT tenant_id, metric_name, CAST(bucket_ms AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(FLOOR(value *
+         |         (LEAST(nxt, bucket_ms + $bMs) - GREATEST(ts_ms, bucket_ms))
+         |         * 1E4) AS BIGINT)) AS DOUBLE) / 1E7 AS hits
+         |FROM x
+         |GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) { (s, dir) =>
+      Series.hitcount(Tables.metrics(s, dir), bMs)
+        .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
   /** Week-over-week self-comparison at daily buckets
     * ([[Series.timeShiftCompare]], Graphite's timeShift + delta panel):
     * the shifted lookup restates as the same point-pinned RANGE frame in
@@ -1314,7 +1361,7 @@ object SeriesQueries {
 
   val defs: Seq[QDef] = Seq(topk, gaps, seasonal, movingAvg, movingAvgPrefix,
     movingWindowQ, seriesAgg, seriesAggStd, aggWildcards, weightedAvg,
-    groupNode, groupNodes,
+    hitcountQ, groupNode, groupNodes,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)

@@ -1817,6 +1817,18 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df, None,
               n => s"""consolidateBy(${in.displayName(n)},"$norm")""",
               Some(norm))
+          case "hitcount" =>
+            // hitcount(<expr>, "interval") — per-second rates converted
+            // to absolute hits per display bucket with exact interval
+            // proration ([[graft.operators.Series.hitcount]]; gap-capped)
+            val ivl = ivlArg("bucket")
+            val bMs = parseIntervalMs(ivl)
+            val in = inner
+            SeriesExpr(graft.operators.Series
+                .hitcount(in.df, bMs, maxGapMs = math.max(3600000L, bMs))
+                .withColumnRenamed("bucket_ms", "ts_ms")
+                .withColumnRenamed("hits", "value"),
+              None, n => s"""hitcount(${in.displayName(n)},"$ivl")""")
           case "sortByName" =>
             // name order IS the collectSeries default — sortByName's job
             // is to RESET any earlier sortBy*'s __ord

@@ -63,6 +63,7 @@ private[http] object RenderFunctions {
     F("resample", "Transform", "linear interpolation onto a uniform grid", Seq(series, p("interval", "string"))),
     F("timeShift", "Transform", "evaluate the subtree shifted back, drawn at the requested instants", Seq(series, p("timeShift", "string"))),
     F("summarize", "Transform", "re-bucket each series onto a display interval", Seq(series, p("intervalString", "string"), opt("func", "string"))),
+    F("hitcount", "Transform", "per-second rates converted to absolute hits per bucket, intervals prorated exactly across bucket boundaries (gap-capped)", Seq(series, p("intervalString", "string"))),
     // Calculate (window smoothing)
     F("movingAverage", "Calculate", "trailing time-window mean", Seq(series, p("windowSize", "string"))),
     F("movingSum", "Calculate", "trailing time-window sum", Seq(series, p("windowSize", "string"))),

@@ -363,6 +363,62 @@ object Series {
       .select("tenant_id", "metric_name", "bucket_ms", "value", "n_keys")
   }
 
+  /** Graphite's `hitcount(seriesList, intervalString)` for an IRREGULAR
+    * store (webapp/graphite/render/functions.py hitcount: values are
+    * per-second rates; convert to absolute hits per display bucket).
+    * Graphite gets proration for free from fixed-step storage; here each
+    * sample's rate covers the open interval [ts, next_ts) and its hits
+    * prorate EXACTLY across every bucket the interval overlaps
+    * (`rate × overlap_ms / 1000`). Two deliberate irregular-store
+    * semantics, both documented and oracle-pinned: (1) an interval is
+    * capped at `maxGapMs` (default 1 h) — counting hits through an outage
+    * gap would invent traffic a fixed-step Graphite would have drawn as
+    * nulls; (2) the last sample of a series has no next sample and
+    * contributes nothing (its interval is unknown).
+    *
+    * Orderless exactness: per-bucket accumulation runs in
+    * floor(rate · overlap_ms · 1e4) LONG units (one IEEE product + floor,
+    * bit-identical cross-engine; integer sums commute), served as the
+    * long-ratio `CAST(Σ AS DOUBLE) / 1e7` (ms→s and the 1e4 unit in one
+    * scalar step) — restated verbatim by q_series_hitcount.
+    *
+    * Scale shape: one lag window per series (incremental frame) + a
+    * BOUNDED explode — ≤ maxGapMs/bucketMs bucket rows per point
+    * (enforced ≤ 4096) — + one map-side-combining aggregation. Ties on
+    * ts order by value so the lead is total; identical duplicate rows
+    * yield identical (row, next) multisets in every engine. */
+  def hitcount(points: DataFrame, bucketMs: Long,
+      maxGapMs: Long = 3600000L): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(maxGapMs >= bucketMs,
+      s"maxGapMs ($maxGapMs) must be >= bucketMs ($bucketMs)")
+    require(maxGapMs / bucketMs <= 4096L,
+      s"maxGapMs/bucketMs fan-out ${maxGapMs / bucketMs} exceeds 4096 — " +
+        "raise bucketMs or lower maxGapMs")
+    val w = Window.partitionBy(col("tenant_id"), col("metric_name"))
+      .orderBy(col("ts_ms"), col("value"))
+    points
+      .filter(col("value").isNotNull)
+      // least() skips NULLs in Spark (and DuckDB), which would hand the
+      // LAST point a full gap window — gate on the lead explicitly so a
+      // series' final sample contributes nothing
+      .withColumn("__lead", lead(col("ts_ms"), 1).over(w))
+      .withColumn("__nxt", when(col("__lead").isNotNull,
+        least(col("__lead"), col("ts_ms") + lit(maxGapMs))))
+      .filter(col("__nxt").isNotNull && col("__nxt") > col("ts_ms"))
+      .withColumn("__b", explode(sequence(
+        expr(s"ts_ms div ${bucketMs}L"),
+        expr(s"(__nxt - 1) div ${bucketMs}L"))))
+      .withColumn("bucket_ms", col("__b") * lit(bucketMs))
+      .withColumn("__ov",
+        least(col("__nxt"), col("bucket_ms") + lit(bucketMs)) -
+          greatest(col("ts_ms"), col("bucket_ms")))
+      .withColumn("__hl",
+        floor(col("value") * col("__ov") * lit(1.0e4)).cast("long"))
+      .groupBy(col("tenant_id"), col("metric_name"), col("bucket_ms"))
+      .agg((sum(col("__hl")).cast("double") / lit(1.0e7)).as("hits"))
+  }
+
   /** Graphite's `sumSeriesWithWildcards` / `averageSeriesWithWildcards`
     * (webapp/graphite/render/functions.py): aggregate series whose names
     * match after REMOVING the dot-tokens at the given positions — the

@@ -1393,6 +1393,13 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         enc("removeBelowValue(dv.spread,6)") + s"&$range&noNullPoints=true")
         .body()
       assert(!nn.contains("null") && nn.contains("[10.0, "), nn)
+      // hitcount: dv.flat = 5/s over one 5-min interval → 1500 hits in
+      // the 10-min bucket containing it (last sample contributes nothing)
+      val hcT0 = t0 - (t0 % 600000L)
+      val hc = body("""hitcount(dv.flat,"10min")""")
+      val hits = "\\[([\\d.]+), \\d+\\]".r.findAllMatchIn(hc)
+        .map(_.group(1).toDouble).sum
+      assert(hits === 1500.0, s"expected 1500 total hits ($hcT0) in $hc")
     } finally srv.stop()
   }
 

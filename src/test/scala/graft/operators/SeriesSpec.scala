@@ -758,6 +758,28 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
       Series.aggregateWithWildcards(rows, Nil, "sum", 1L))
   }
 
+  test("hitcount: exact proration across bucket boundaries, gap cap, " +
+    "last point contributes nothing") {
+    // bucket 10s; rate 2/s over [5s, 15s) → 10 hits split 10/10s grid:
+    // [5,10)=10 hits? no: 2/s x 5s = 10 in bucket 0, 2/s x 5s = 10 in
+    // bucket 1; then rate 4/s over [15s, 20s) → 20 hits all in bucket 1
+    val rows = pts(Seq(
+      ("t", "m", 5000L, 2.0), ("t", "m", 15000L, 4.0),
+      ("t", "m", 20000L, 9.0))) // last point: no next → contributes 0
+    val out = Series.hitcount(rows, bucketMs = 10000L)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out === Map(0L -> 10.0, 10000L -> 30.0))
+    // gap cap: a 2 h hole caps the first interval at maxGapMs (10s here)
+    val gap = pts(Seq(
+      ("t", "g", 0L, 1.0), ("t", "g", 7200000L, 1.0),
+      ("t", "g", 7210000L, 1.0)))
+    val g = Series.hitcount(gap, bucketMs = 10000L, maxGapMs = 10000L)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(g === Map(0L -> 10.0, 7200000L -> 10.0))
+    intercept[IllegalArgumentException](
+      Series.hitcount(rows, bucketMs = 10L, maxGapMs = 3600000L))
+  }
+
   test("weightedAverage: node-paired sum(a*w)/sum(w) in floor-1e10 long " +
     "units; unmatched keys drop; topSeries ranks by stddev for mostDeviant") {
     val avgs = pts(Seq(
