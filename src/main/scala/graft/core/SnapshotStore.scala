@@ -163,9 +163,15 @@ object SnapshotStore {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     if (!fs.exists(rootPath)) return None
-    val days = dayDirs(fs, rootPath)
-    val withGens = days.map(d => d -> gens(fs, d))
+    val withGens = dayDirs(fs, rootPath).map(d => d -> gens(fs, d))
     val genned = withGens.filter(_._2.nonEmpty)
+    // a day dir with neither generations nor loose files (a crash between
+    // publish's mkdirs and its commit rename) holds no data: ignore it —
+    // it must neither trip the mixed-layout guard nor hide the table
+    val plainDays = withGens.filter { case (d, gs) =>
+      gs.isEmpty && fs.listStatus(d).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    }
     if (genned.isEmpty) {
       // plain layout (or a day-partitioned table with no days): one
       // ordinary discovery read, guarded against parquet-less husks
@@ -173,7 +179,7 @@ object SnapshotStore {
         Option(fs.globStatus(new Path(rootPath, g))).exists(_.nonEmpty))
       return if (anyFile) Some(spark.read.parquet(root)) else None
     }
-    require(genned.length == days.length,
+    require(plainDays.isEmpty,
       s"mixed plain/generation day layout under $root — the first " +
         "snapshot publish migrates a plain table; rerun it with serving " +
         "paused")

@@ -93,6 +93,11 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     gen(2, 2.0).withColumn("ts_day", lit(day1)).drop("ts_day")
       .write.parquet(s"$mixed/ts_day=$day1/gen=0")
     intercept[IllegalArgumentException](SnapshotStore.read(spark, mixed))
+    // ... but an EMPTY day dir (crash between publish's mkdirs and its
+    // commit rename) is not data: neither a mixed-layout failure nor a
+    // served day
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ts_day=${day1 + 86400000L}"))
+    assert(SnapshotStore.read(spark, root).get.count() === 4)
   }
 
   test("RACE: concurrent publishes never serve a reader a torn day — " +
