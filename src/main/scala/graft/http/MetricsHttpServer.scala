@@ -1012,8 +1012,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * its display name, composed outward by each wrapping function.
     * `consolidate` is the series' consolidateBy() tag — the statistic the
     * FINAL maxDataPoints consolidation uses (None → Graphite's default
-    * average); alias wrappers thread it through, other wrappers reset it
-    * (write consolidateBy outermost, as dashboards do). */
+    * average). Every PER-SERIES wrapper (transforms, scrubs, selection,
+    * naming) threads it through, so Grafana's generated
+    * `movingAverage(consolidateBy(x,'max'),…)` nesting keeps the tag;
+    * cross-series combiners (sumSeries family, groupBy*, weightedAverage,
+    * diff/multiply/divide, percentileOfSeries) produce NEW series and
+    * reset it, as graphite-web's reduced series do. */
   private case class SeriesExpr(df: DataFrame,
       singleName: Option[String], nameOf: String => String,
       consolidate: Option[String] = None) {
@@ -1143,12 +1147,12 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = inner
             SeriesExpr(graft.operators.Series.derivatives(in.df)
                 .select(ser :+ col(vCol).as("value"): _*),
-              None, n => s"$fn(${in.displayName(n)})")
+              None, n => s"$fn(${in.displayName(n)})", in.consolidate)
           case "integral" =>
             val in = inner
             SeriesExpr(graft.operators.Series.integral(in.df)
                 .select(ser :+ col("cumsum").as("value"): _*),
-              None, n => s"integral(${in.displayName(n)})")
+              None, n => s"integral(${in.displayName(n)})", in.consolidate)
           case "movingAverage" | "movingMax" | "movingMin" | "movingSum" |
                "movingWindow" =>
             // time-window smoothing (range frame [ts − w, ts]); the
@@ -1205,7 +1209,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 s"""movingWindow(${in.displayName(n)},"$ivl","$func")"""
               else n => s"""$fn(${in.displayName(n)},"$ivl")"""
             SeriesExpr(smoothed.filter(col("ts_ms") >= fromMs),
-              None, shownName)
+              None, shownName, in.consolidate)
           case "timeShift" =>
             // evaluate the whole subtree under [from − shift,
             // until − shift], draw at the REQUESTED instants — Graphite's
@@ -1217,7 +1221,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = recurse(arg0, s"${(fromMs - shiftMs) / 1000}",
               s"${(untilMs - shiftMs) / 1000}")
             SeriesExpr(in.df.withColumn("ts_ms", col("ts_ms") + lit(shiftMs)),
-              None, n => s"""timeShift(${in.displayName(n)},"$ivl")""")
+              None, n => s"""timeShift(${in.displayName(n)},"$ivl")""",
+              in.consolidate)
           case "keepLastValue" | "resample" =>
             // alignment onto a uniform "<interval>" grid: keepLastValue
             // forward-fills (step), resample interpolates (linear) — both
@@ -1236,7 +1241,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               if (fn == "keepLastValue")
                 graft.operators.Series.resampleHold(in.df, stepMs)
               else graft.operators.Series.resampleLinear(in.df, stepMs)
-            SeriesExpr(rs, None, n => s"""$fn(${in.displayName(n)},"$ivl")""")
+            SeriesExpr(rs, None, n => s"""$fn(${in.displayName(n)},"$ivl")""",
+              in.consolidate)
           case "scale" | "offset" =>
             val kStr = args.lift(1).map(_.trim).getOrElse(
               throw new IllegalArgumentException(
@@ -1250,11 +1256,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val v = if (fn == "scale") col("value") * k else col("value") + k
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value", v),
-              None, n => s"$fn(${in.displayName(n)},$kStr)")
+              None, n => s"$fn(${in.displayName(n)},$kStr)", in.consolidate)
           case "absolute" =>
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value", abs(col("value"))),
-              None, n => s"absolute(${in.displayName(n)})")
+              None, n => s"absolute(${in.displayName(n)})", in.consolidate)
           case "asPercent" =>
             // per-INSTANT shares (the stacked-percentage view):
             // one-arg form = value / Σ(matched series at the same ts);
@@ -1319,7 +1325,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               .select(col("tenant_id"), col("metric_name"))
             SeriesExpr(inDf.join(broadcast(sel),
                 Seq("tenant_id", "metric_name")),
-              in.singleName, in.nameOf)
+              in.singleName, in.nameOf, in.consolidate)
           case "averageAbove" | "averageBelow" | "maximumAbove" |
                "maximumBelow" | "minimumAbove" | "minimumBelow" |
                "currentAbove" | "currentBelow" =>
@@ -1344,7 +1350,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               .filter(cond).select(col("tenant_id"), col("metric_name"))
             SeriesExpr(inDf.join(broadcast(sel),
                 Seq("tenant_id", "metric_name")),
-              in.singleName, in.nameOf)
+              in.singleName, in.nameOf, in.consolidate)
           case "groupByNode" =>
             // groupByNode(<expr>, n[, "func"]) — aggregate series sharing
             // dot-token n, one output series NAMED by the token (the
@@ -1526,7 +1532,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = recurse(arg0)
             val m = col("metric_name").rlike(pat)
             SeriesExpr(in.df.filter(if (fn == "grep") m else !m),
-              in.singleName, in.nameOf)
+              in.singleName, in.nameOf, in.consolidate)
           case "aliasSub" =>
             // display-name regex substitution (Graphite's aliasSub);
             // backreferences use Java's $1 syntax
@@ -1555,7 +1561,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                   throw new IllegalArgumentException(
                     s"aliasSub replacement '$replace' failed: ${e.getMessage}")
               }
-            })
+            }, in.consolidate)
           case "changed" =>
             // 1 where a sample differs from its series' previous sample,
             // else 0 (first points 0) — one lag pass, the derivatives
@@ -1568,7 +1574,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value",
                 when(prev.isNull || prev === col("value"), lit(0.0))
                   .otherwise(lit(1.0))),
-              None, n => s"changed(${in.displayName(n)})")
+              None, n => s"changed(${in.displayName(n)})", in.consolidate)
           case "offsetToZero" =>
             // subtract each series' own minimum (baseline-to-zero view);
             // RAW inner — null arithmetic keeps null datapoints
@@ -1577,7 +1583,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               .partitionBy(col("tenant_id"), col("metric_name"))
             SeriesExpr(in.df.withColumn("value",
                 col("value") - min(col("value")).over(w)),
-              None, n => s"offsetToZero(${in.displayName(n)})")
+              None, n => s"offsetToZero(${in.displayName(n)})",
+              in.consolidate)
           case "transformNull" =>
             // pointwise null fill — RAW inner by definition (this is the
             // one function ABOUT a wrapped stage's nulls)
@@ -1588,7 +1595,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value",
                 coalesce(col("value"), lit(d))),
-              None, n => s"transformNull(${in.displayName(n)},$d)")
+              None, n => s"transformNull(${in.displayName(n)},$d)",
+              in.consolidate)
           case "removeAbovePercentile" | "removeBelowPercentile" |
                "nPercentile" =>
             // per-series percentile line: scrub past it (remove*) or draw
@@ -1618,7 +1626,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                   lit(null).cast("double")).otherwise(col("value"))
             }
             SeriesExpr(joined.withColumn("value", v).drop("__pv"),
-              None, n => s"$fn(${in.displayName(n)},$pct)")
+              None, n => s"$fn(${in.displayName(n)},$pct)", in.consolidate)
           case "removeAboveValue" | "removeBelowValue" =>
             // pointwise threshold scrub: offending values become null
             // datapoints (the series keeps its instants — Graphite draws
@@ -1633,7 +1641,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value",
                 when(offending, lit(null).cast("double"))
                   .otherwise(col("value"))),
-              None, n => s"$fn(${in.displayName(n)},$thr)")
+              None, n => s"$fn(${in.displayName(n)},$thr)",
+              in.consolidate)
           case "holtWintersForecast" | "holtWintersConfidenceBands" |
                "holtWintersAberration" =>
             // the Holt-Winters render family over the engine's triple-
@@ -1828,7 +1837,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 .hitcount(in.df, bMs, maxGapMs = math.max(3600000L, bMs))
                 .withColumnRenamed("bucket_ms", "ts_ms")
                 .withColumnRenamed("hits", "value"),
-              None, n => s"""hitcount(${in.displayName(n)},"$ivl")""")
+              None, n => s"""hitcount(${in.displayName(n)},"$ivl")""",
+              in.consolidate)
           case "sortByName" =>
             // name order IS the collectSeries default — sortByName's job
             // is to RESET any earlier sortBy*'s __ord
@@ -1853,13 +1863,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value",
                 when(col("value") > 0, log(base, col("value")))),
-              None, n => s"log(${in.displayName(n)},$base)")
+              None, n => s"log(${in.displayName(n)},$base)",
+              in.consolidate)
           case "invert" =>
             // pointwise 1/x; zero renders null (safeDiv)
             val in = recurse(arg0)
             SeriesExpr(in.df.withColumn("value",
                 when(col("value") =!= 0.0, lit(1.0) / col("value"))),
-              None, n => s"invert(${in.displayName(n)})")
+              None, n => s"invert(${in.displayName(n)})", in.consolidate)
           case "timeSlice" =>
             // timeSlice(<expr>, "start"[, "end"]) — values outside the
             // window render null datapoints (Graphite keeps the grid)
@@ -1874,7 +1885,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value",
                 when(col("ts_ms") >= sMs && col("ts_ms") <= eMs,
                   col("value"))),
-              None, n => s"timeSlice(${in.displayName(n)},$startArg)")
+              None, n => s"timeSlice(${in.displayName(n)},$startArg)",
+              in.consolidate)
           case "averageOutsidePercentile" =>
             // keep series whose mean lies OUTSIDE the [100-n, n]
             // percentile band of all the matched series' means
@@ -1918,7 +1930,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                   col("slope_per_s") * lit(60.0) *
                   floor((col("ts_ms") - col("__min")) / lit(60000L)))
                 .drop("__min", "slope_per_s", "intercept"),
-              None, n => s"linearRegression(${in.displayName(n)})")
+              None, n => s"linearRegression(${in.displayName(n)})",
+              in.consolidate)
           case "weightedAverage" =>
             // weightedAverage(<avgExpr>, <weightExpr>, n1[, n2…]) — pair
             // the two lists by node tokens, serve Σ(a·w)/Σ(w) per instant

@@ -1317,6 +1317,13 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       assert("\\[\\-?[\\d.]+, \\d+\\]".r.findAllIn(ca).size <= 8, ca)
       for (v <- Seq(0.5, 2.5, 4.5))
         assert(ca.contains(s"[$v, "), s"missing $v in $ca")
+      // Grafana's generated nesting puts consolidateBy INNERMOST — the
+      // tag must survive the transform wrapper
+      val ci = get(s"$base/render?target=" +
+        enc("""resample(consolidateBy(cons.x,"max"),"1min")""") +
+        s"&$cRange").body()
+      for (v <- Seq(1.0, 3.0, 15.0))
+        assert(ci.contains(s"[$v, "), s"missing $v in $ci")
     } finally srv.stop()
   }
 
