@@ -3,6 +3,9 @@ package graft.core
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 /** Reader-vs-rewrite atomicity for day-partitioned serving tables — the
   * generation/manifest gate the compaction subsystem's discipline
   * ([[graft.operators.Retention.compactRaw]]'s crash-safe manifest)
@@ -30,14 +33,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Write protocol ([[publish]]): the new slice lands fully in a hidden
   * `.staging-<uuid>` dir (invisible to discovery), then each day COMMITS
   * by ONE atomic directory rename to `ts_day=D/gen=<max+1>` — no live file
-  * is ever deleted or replaced by the commit itself. The previous
-  * generation is retained (older ones are GC'd), so a reader that resolved
-  * its snapshot just before the swap keeps reading intact files.
+  * is ever deleted or replaced by the commit itself. Superseded
+  * generations are retained for a READER GRACE window (below) before GC,
+  * so a reader that resolved its snapshot just before the swap keeps
+  * reading intact files.
   *
-  * Read protocol ([[read]]): list each day's max-generation directory
-  * (driver-side metadata, one listing per day) and plan over exactly those
+  * Read protocol ([[read]]): list each day's generations (driver-side
+  * metadata, one listing per day), pick the highest generation that
+  * actually holds a parquet file (a parquet-less husk from a crash falls
+  * back to the previous complete generation), and plan over exactly those
   * leaf directories (`basePath` keeps `ts_day` a partition column). The
-  * resolved file set is immutable for the lifetime of the plan.
+  * resolved file set is immutable for the lifetime of the plan. Callers
+  * that know their day range pass it (`days`) so resolution lists ONLY the
+  * overlapping day dirs — planning cost scales with the QUERY, not the
+  * table's retention age (the 1440m tier retains ~1825 days; a 1-hour
+  * dashboard panel must not pay thousands of metadata RPCs). A serving hot
+  * loop additionally opts into the process-local resolution memo
+  * (`useCache = true`): one full resolution is cached per publish
+  * generation, keyed by an in-process version counter ([[invalidate]] —
+  * bumped by every [[publish]] and by retention), double-checked against
+  * the root dir's mtime (catches out-of-band whole-day rewrites, one
+  * metadata RPC) and bounded by a staleness TTL
+  * (`SPARK_GRAFT_SNAPSHOT_TTL_MS`, default 30 s) against writers in OTHER
+  * processes.
   *
   * Guarantees (stated precisely; AtomicServeSpec races them):
   *  - a read NEVER sees a torn day: every day it serves is one complete
@@ -46,10 +64,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a multi-day read may span generations across DAYS (day A new, day B
   *    old) while a publish is in flight — each day still self-consistent,
   *    exactly the guarantee concurrent Cassandra slot rewrites gave;
-  *  - an in-flight read survives ONE subsequent publish of the days it
-  *    touches (previous-generation retention); a SECOND publish of the
-  *    same day during a single read can fail it LOUDLY (FileNotFound on
-  *    the GC'd generation) — never silently;
+  *  - an in-flight read survives ANY number of subsequent publishes of
+  *    the days it touches for `readerGraceMs` (default 15 min,
+  *    `SPARK_GRAFT_SNAPSHOT_GRACE_MS`) after its generation is
+  *    superseded: GC deletes a generation only when its SUCCESSOR was
+  *    committed at least the grace ago, and the immediately previous
+  *    generation is retained unconditionally. A read slower than the
+  *    grace can still fail LOUDLY (FileNotFound on the GC'd generation)
+  *    — never silently;
   *  - single writer per table (the ingest stream's sequential
   *    foreachBatch / the facade's write lock); generation numbering is not
   *    CAS-protected against concurrent publishers;
@@ -66,6 +88,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SnapshotStore {
 
   private val GenRe = "^gen=(\\d+)$".r
+
+  /** How long a superseded generation stays on disk before GC — the
+    * reader grace. Must exceed the slowest expected read (a heavy render
+    * panel); publishes faster than the grace simply accumulate
+    * generations until they age out. */
+  def defaultReaderGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_SNAPSHOT_GRACE_MS").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  private def cacheTtlMs: Long =
+    sys.env.get("SPARK_GRAFT_SNAPSHOT_TTL_MS").map(_.toLong)
+      .getOrElse(30000L)
+
+  // ---- process-local resolution memo ---------------------------------
+  // version counter per table root: bumped by publish() and invalidate();
+  // a cached resolution is valid only at the version it was taken at
+  private val versions = new ConcurrentHashMap[String, AtomicLong]()
+  private final case class Resolved(version: Long, atMillis: Long,
+      rootMtime: Long, state: State)
+  private val memo = new ConcurrentHashMap[String, Resolved]()
+
+  // per-root resolution tally (tests assert "one resolution per publish
+  // generation" without racing the process-global Instrumentation keys)
+  private val resolutionCounts = new ConcurrentHashMap[String, AtomicLong]()
+  private def countResolution(k: String): Unit = {
+    resolutionCounts.computeIfAbsent(k, _ => new AtomicLong(0L)).incrementAndGet()
+    Instrumentation.global.inc("store.snapshot.resolutions")
+  }
+  private[graft] def resolutionsOf(root: String): Long =
+    Option(resolutionCounts.get(rootKey(root))).map(_.get()).getOrElse(0L)
+
+  private sealed trait State
+  /** Plain (never-published) layout: ordinary discovery read. */
+  private case object Plain extends State
+  /** No data files at all. */
+  private case object Absent extends State
+  /** Winning generation dir per day (dayName → leaf dir path). */
+  private final case class Winners(byDay: Seq[(String, String)]) extends State
+
+  private def rootKey(root: String): String = new Path(root).toString
+
+  /** Current publish version of a table root (process-local). */
+  def version(root: String): Long =
+    versions.computeIfAbsent(rootKey(root), _ => new AtomicLong(0L)).get()
+
+  /** Drop the cached resolution for `root` and bump its version — called
+    * by every [[publish]] and by any code path that mutates the table's
+    * day set out of band (retention's day drops). */
+  def invalidate(root: String): Unit = {
+    val k = rootKey(root)
+    versions.computeIfAbsent(k, _ => new AtomicLong(0L)).incrementAndGet()
+    memo.remove(k)
+    ()
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,14 +182,15 @@ object SnapshotStore {
       }
     }
 
-  /** Publish `df` (which must carry a `ts_day` column) into `root`: stage
-    * fully, then commit each day by one atomic rename to its next
-    * generation, retaining the previous generation for in-flight readers.
-    * Only days PRESENT in `df` are touched (dynamic-overwrite semantics);
-    * `replaceAll = true` additionally deletes live days absent from `df`
-    * (static full-rebuild semantics). Returns the committed day values. */
-  def publish(df: DataFrame, root: String, replaceAll: Boolean = false)
-      : Seq[Long] = {
+  /** Publish `df` (which must carry a non-null `ts_day` column) into
+    * `root`: stage fully, then commit each day by one atomic rename to its
+    * next generation, retaining superseded generations for
+    * `readerGraceMs` (see class doc). Only days PRESENT in `df` are
+    * touched (dynamic-overwrite semantics); `replaceAll = true`
+    * additionally deletes live days absent from `df` (static full-rebuild
+    * semantics). Returns the committed day values. */
+  def publish(df: DataFrame, root: String, replaceAll: Boolean = false,
+      readerGraceMs: Long = defaultReaderGraceMs): Seq[Long] = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -127,19 +204,42 @@ object SnapshotStore {
       new Path(rootPath, s".staging-${java.util.UUID.randomUUID().toString}")
     df.write.mode("overwrite").partitionBy("ts_day").parquet(staging.toString)
     val staged = dayDirs(fs, staging)
+    // validate EVERY staged day name BEFORE the first commit rename: a
+    // null ts_day stages as ts_day=__HIVE_DEFAULT_PARTITION__ and must be
+    // an input-validation failure, not a partial publish
+    val badDays = staged.map(_.getName)
+      .filter(_.stripPrefix("ts_day=").toLongOption.isEmpty)
+    if (badDays.nonEmpty) {
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"publish to $root: non-numeric ts_day partition(s) " +
+          s"${badDays.mkString(", ")} — ts_day must be a non-null day " +
+          "epoch-ms; nothing was committed")
+    }
     ensureGenLayout(fs, rootPath)
+    val nowMs = System.currentTimeMillis()
     val committed = staged.map { sd =>
       val dayName = sd.getName
       val dayDir = new Path(rootPath, dayName)
       fs.mkdirs(dayDir)
-      val existing = gens(fs, dayDir)
-      val g = if (existing.isEmpty) 0L else existing.map(_._1).max + 1L
+      val existing = gens(fs, dayDir).sortBy(_._1)
+      val g = if (existing.isEmpty) 0L else existing.last._1 + 1L
       // COMMIT POINT for this day: one atomic directory rename — no live
       // file is deleted or replaced
       require(fs.rename(sd, new Path(dayDir, s"gen=$g")),
         s"snapshot commit rename failed for $dayDir gen=$g")
-      // retain exactly the previous generation; GC everything older
-      existing.filter(_._1 <= g - 2).foreach(p => fs.delete(p._2, true))
+      // reader-grace GC: generation k was superseded when k's SUCCESSOR
+      // committed (≈ the successor dir's mtime — staging writes finish
+      // just before the commit rename, and rename preserves the moved
+      // dir's own mtime); delete k only once that is at least the grace
+      // ago. The newest pre-existing generation was superseded just now
+      // by `g` and is always retained this pass.
+      for (i <- 0 until existing.length - 1) {
+        val supersededAt =
+          fs.getFileStatus(existing(i + 1)._2).getModificationTime
+        if (supersededAt < nowMs - readerGraceMs)
+          fs.delete(existing(i)._2, true)
+      }
       dayName.stripPrefix("ts_day=").toLong
     }.toSeq
     if (replaceAll) {
@@ -148,47 +248,115 @@ object SnapshotStore {
         .foreach(d => fs.delete(d, true))
     }
     fs.delete(staging, true)
+    invalidate(root)
     Instrumentation.global.inc("store.snapshot.publishes")
     Instrumentation.global.inc("store.snapshot.days", committed.size.toLong)
     committed
   }
 
-  /** Resolve the table's current snapshot and return a DataFrame over
-    * exactly the winning generation directories (schema identical to the
-    * pre-snapshot layout: data columns + `ts_day` partition column; `gen`
-    * never escapes). None when the table is absent or holds no data files
-    * — the callers' `hasParquetData` guard discipline, folded in. Plain
-    * (never-published) tables fall back to ordinary discovery. */
-  def read(spark: SparkSession, root: String): Option[DataFrame] = {
-    val rootPath = new Path(root)
-    val fs = fsOf(spark, rootPath)
-    if (!fs.exists(rootPath)) return None
-    val withGens = dayDirs(fs, rootPath).map(d => d -> gens(fs, d))
-    val genned = withGens.filter(_._2.nonEmpty)
+  /** List-and-pick the winning state for `root`, inspecting only day dirs
+    * whose parsed day value passes `days` (unparseable names are never
+    * pruned — conservative). `days = None` inspects everything. */
+  private def resolve(fs: FileSystem, rootPath: Path,
+      days: Option[Set[Long]]): State = {
+    val all = dayDirs(fs, rootPath)
+    if (all.isEmpty) {
+      // not day-partitioned (or empty): one ordinary discovery read,
+      // guarded against parquet-less husks
+      val anyFile = Seq("*.parquet", "*/*.parquet", "*/*/*.parquet").exists(g =>
+        Option(fs.globStatus(new Path(rootPath, g))).exists(_.nonEmpty))
+      return if (anyFile) Plain else Absent
+    }
+    val selected = days match {
+      case None => all
+      case Some(ds) => all.filter(
+        _.getName.stripPrefix("ts_day=").toLongOption.forall(ds.contains))
+    }
+    // day dirs exist but none overlap the requested range: no data IN
+    // RANGE — callers gap-fill from raw exactly as for a missing day
+    if (selected.isEmpty) return Absent
+    val inspected = selected.map(d => d -> gens(fs, d))
+    val genned = inspected.filter(_._2.nonEmpty)
     // a day dir with neither generations nor loose files (a crash between
     // publish's mkdirs and its commit rename) holds no data: ignore it —
     // it must neither trip the mixed-layout guard nor hide the table
-    val plainDays = withGens.filter { case (d, gs) =>
+    val plainDays = inspected.filter { case (d, gs) =>
       gs.isEmpty && fs.listStatus(d).exists(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     }
-    if (genned.isEmpty) {
-      // plain layout (or a day-partitioned table with no days): one
-      // ordinary discovery read, guarded against parquet-less husks
-      val anyFile = Seq("*.parquet", "*/*.parquet", "*/*/*.parquet").exists(g =>
-        Option(fs.globStatus(new Path(rootPath, g))).exists(_.nonEmpty))
-      return if (anyFile) Some(spark.read.parquet(root)) else None
-    }
+    if (genned.isEmpty)
+      return if (plainDays.nonEmpty) Plain else Absent
     require(plainDays.isEmpty,
-      s"mixed plain/generation day layout under $root — the first " +
+      s"mixed plain/generation day layout under $rootPath — the first " +
         "snapshot publish migrates a plain table; rerun it with serving " +
         "paused")
-    val winners = genned
-      .map { case (_, gs) => gs.maxBy(_._1)._2 }
-      .filter(w => hasParquetFile(fs, w))
-    if (winners.isEmpty) None
-    else Some(spark.read.option("basePath", root)
-      .parquet(winners.map(_.toString).toIndexedSeq: _*)
-      .drop("gen"))
+    // per day: the HIGHEST generation that actually holds a parquet file
+    // (a husk newest gen — crash after rename of an empty slice — falls
+    // back to the previous complete generation still on disk)
+    val winners = genned.flatMap { case (day, gs) =>
+      gs.sortBy(-_._1).collectFirst {
+        case (_, p) if hasParquetFile(fs, p) => day.getName -> p.toString
+      }
+    }
+    if (winners.isEmpty) Absent else Winners(winners.toSeq)
+  }
+
+  private def buildDf(spark: SparkSession, root: String, state: State,
+      days: Option[Set[Long]]): Option[DataFrame] = state match {
+    case Absent => None
+    case Plain => Some(spark.read.parquet(root))
+    case Winners(byDay) =>
+      val kept = days match {
+        case None => byDay
+        case Some(ds) => byDay.filter { case (dayName, _) =>
+          dayName.stripPrefix("ts_day=").toLongOption.forall(ds.contains) }
+      }
+      if (kept.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(kept.map(_._2).toIndexedSeq: _*)
+        .drop("gen"))
+  }
+
+  /** Resolve the table's current snapshot and return a DataFrame over
+    * exactly the winning generation directories (schema identical to the
+    * pre-snapshot layout: data columns + `ts_day` partition column; `gen`
+    * never escapes). None when the table is absent, holds no data files,
+    * or (with `days` given) has no day overlapping the range — the
+    * callers' `hasParquetData` guard discipline, folded in. Plain
+    * (never-published) tables fall back to ordinary discovery.
+    *
+    * `days`: restrict resolution to these ts_day values — planning lists
+    * only the overlapping day dirs. `useCache = true` additionally serves
+    * from the process-local memo (see class doc for its validity rules);
+    * only a table whose every writer runs in (or invalidates from) this
+    * process should opt in — the Serve deployment's facade does. */
+  def read(spark: SparkSession, root: String,
+      days: Option[Seq[Long]] = None,
+      useCache: Boolean = false): Option[DataFrame] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    if (!fs.exists(rootPath)) return None
+    val daySet = days.map(_.toSet)
+    if (!useCache) {
+      countResolution(rootKey(root))
+      return buildDf(spark, root, resolve(fs, rootPath, daySet), None)
+    }
+    val k = rootKey(root)
+    val v = version(root)
+    val now = System.currentTimeMillis()
+    val rootMtime = fs.getFileStatus(rootPath).getModificationTime
+    val cached = Option(memo.get(k)).filter(e =>
+      e.version == v && now - e.atMillis < cacheTtlMs &&
+        e.rootMtime == rootMtime)
+    val entry = cached.getOrElse {
+      countResolution(k)
+      // cache the FULL resolution so every later range prunes from memory
+      val e = Resolved(v, now, rootMtime, resolve(fs, rootPath, None))
+      memo.put(k, e)
+      e
+    }
+    if (cached.isDefined)
+      Instrumentation.global.inc("store.snapshot.cache_hits")
+    buildDf(spark, root, entry.state, daySet)
   }
 }

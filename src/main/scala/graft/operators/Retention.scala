@@ -101,6 +101,10 @@ object Retention {
           // prune would never revisit (later runs find nothing to drop).
           // O(partition dirs), so running it every enforce costs nothing.
           pruneEmptied(fs, root)
+          // day drops mutate the served day set out of band of publish():
+          // drop any process-local snapshot-resolution memo for the table
+          if (dropped.nonEmpty)
+            graft.core.SnapshotStore.invalidate(s"$storeDir/$table")
           if (dropped.isEmpty) None else Some(table -> dropped.distinct.sorted)
         }
     }.toMap

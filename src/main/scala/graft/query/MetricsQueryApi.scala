@@ -281,13 +281,20 @@ object MetricsQueryApi {
     * resolution table when only the rollup tiers are materialized in
     * `storeDir` (the reference's pluggable MetricsRW the same way). A source
     * without a `ts_day` column gets per-day `ts_ms` range predicates
-    * instead of partition pruning. */
+    * instead of partition pruning.
+    *
+    * `dirtyDays` names days the caller KNOWS hold raw points newer than
+    * the stored tier (the facade's deferred-rollup pending set — the
+    * reference's ROLLUP_DELAY window): those days are served from the raw
+    * recompute path even when the tier covers them, so a query between an
+    * ingest and its background re-roll never reads a stale day. */
   def getRollupsStored(spark: SparkSession, storeDir: String, p: Params,
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,
       catalogOverride: Option[DataFrame] = None,
       rollupFromRaw: (DataFrame, Granularity) => DataFrame = Rollups.basicFromRaw,
-      rawOverride: Option[DataFrame] = None): DataFrame = {
+      rawOverride: Option[DataFrame] = None,
+      dirtyDays: Set[Long] = Set.empty): DataFrame = {
     graft.core.Instrumentation.global.inc("query.reads.basic")
     val r = resolveQuery(spark, p, nowMillis, maxBatch,
       catalogOverride.getOrElse(rawOverride.map(catalogFromRaw)
@@ -328,13 +335,21 @@ object MetricsQueryApi {
     val tierPath = s"$storeDir/metrics_${gEff.name}"
     // snapshot-resolved read (graft.core.SnapshotStore): the file set is
     // pinned per-day at planning time, so a concurrent dirty-day re-roll
-    // can never serve this query a missing or partial day
+    // can never serve this query a missing or partial day. Resolution is
+    // range-pruned (only rangeDays' dirs are listed — planning cost
+    // scales with the query, not the tier's retention age) and memoized
+    // per publish generation for the facade's hot loop
     val (coveredDays, stored) =
-      graft.core.SnapshotStore.read(spark, tierPath) match {
+      graft.core.SnapshotStore.read(spark, tierPath,
+          days = Some(rangeDays.filterNot(dirtyDays)), useCache = true) match {
         case None => (Set.empty[Long], None)
         case Some(tier0) =>
+        // dirty (pending re-roll) days are excluded from BOTH the covered
+        // set and the served slice: they fall into missingDays below and
+        // recompute from raw — the repair that keeps deferred-rollup
+        // serving exact
         val tier = tier0
-          .filter(col("ts_day").isin(rangeDays: _*))
+          .filter(col("ts_day").isin(rangeDays.filterNot(dirtyDays): _*))
         // tiny collect: one long per day in range (partition-pruned scan of
         // the partition column only)
         val covered = tier.select("ts_day").distinct()
@@ -554,7 +569,8 @@ object MetricsQueryApi {
       kind: String,
       nowMillis: Long = System.currentTimeMillis(),
       maxBatch: Int = MaxMetricsPerBatchQuery,
-      catalogOverride: Option[DataFrame] = None): DataFrame = {
+      catalogOverride: Option[DataFrame] = None,
+      dirtyDays: Set[Long] = Set.empty): DataFrame = {
     require(preaggMerges.contains(kind),
       s"unknown pre-aggregated kind '$kind' (one of ${preaggMerges.keys.mkString(", ")})")
     graft.core.Instrumentation.global.inc(s"query.reads.$kind")
@@ -588,13 +604,17 @@ object MetricsQueryApi {
     val nameKeys = r.names.select("tenant_id", "metric_name")
 
     val tierPath = s"$storeDir/preagg_${kind}_${gEff.name}"
-    // snapshot-resolved read — the getRollupsStored reader-isolation note
+    // snapshot-resolved read — the getRollupsStored reader-isolation,
+    // range-pruning and memoization notes all apply
     val (coveredDays, stored) =
-      graft.core.SnapshotStore.read(spark, tierPath) match {
+      graft.core.SnapshotStore.read(spark, tierPath,
+          days = Some(rangeDays.filterNot(dirtyDays)), useCache = true) match {
         case None => (Set.empty[Long], None)
         case Some(tier0) =>
+        // dirty (pending re-roll) days recompute from preagg_raw — see
+        // the getRollupsStored deferred-rollup note
         val tier = tier0
-          .filter(col("ts_day").isin(rangeDays: _*))
+          .filter(col("ts_day").isin(rangeDays.filterNot(dirtyDays): _*))
         val covered = tier.select("ts_day").distinct()
           .collect().map(_.getLong(0)).toSet
         val slice = tier

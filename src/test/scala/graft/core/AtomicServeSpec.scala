@@ -49,8 +49,10 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     assert(gens(Day0) === Set("gen=0", "gen=1"))
     assert(SnapshotStore.read(spark, root).get
       .select("value").distinct().as[Double].collect().toSeq === Seq(2.0))
-    // third publish GCs gen=0 (keep winner + one previous)
-    SnapshotStore.publish(gen(5, 3.0), root)
+    // third publish at ZERO reader grace GCs gen=0 (keep winner + one
+    // previous — the minimum retention; the default 15 min grace is
+    // pinned by the slow-reader test below)
+    SnapshotStore.publish(gen(5, 3.0), root, readerGraceMs = 0L)
     assert(gens(Day0) === Set("gen=1", "gen=2"))
     // dirty-day semantics: publishing another day leaves day0 untouched
     val day1 = Day0 + 86400000L
@@ -162,5 +164,111 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
     assert(SnapshotStore.read(spark, root).get
       .select("value").distinct().as[Double].collect().toSeq
       === Seq(Gens.toDouble))
+  }
+
+  test("reader grace: a slow read survives TWO publishes of its day — " +
+    "superseded generations are retained for the grace window") {
+    val root = Files.createTempDirectory("graft_snap_grace").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gensOnDisk: Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/ts_day=$Day0")
+      fs.listStatus(d).map(_.getPath.getName).filter(_.startsWith("gen=")).toSet
+    }
+    SnapshotStore.publish(gen(5, 1.0), root)
+    // the slow read: resolve the snapshot NOW, collect only after two
+    // more publishes of the same day — the schedule the r10 protocol
+    // (exactly-one-previous retention) demonstrably failed
+    val slow = SnapshotStore.read(spark, root).get
+    SnapshotStore.publish(gen(5, 2.0), root)
+    SnapshotStore.publish(gen(5, 3.0), root)
+    assert(gensOnDisk === Set("gen=0", "gen=1", "gen=2"),
+      "generations superseded less than the grace ago must be retained")
+    assert(slow.select("value").distinct().as[Double].collect().toSeq
+      === Seq(1.0), "a read resolved before two publishes must still " +
+      "serve its own complete generation")
+    // a fresh read serves the newest generation (retention never bleeds
+    // old generations into new resolutions)
+    assert(SnapshotStore.read(spark, root).get
+      .select("value").distinct().as[Double].collect().toSeq === Seq(3.0))
+    // once superseded longer than the grace, old generations ARE GC'd
+    // (grace 0 here: everything superseded before this publish goes)
+    SnapshotStore.publish(gen(5, 4.0), root, readerGraceMs = 0L)
+    assert(gensOnDisk === Set("gen=2", "gen=3"),
+      "aged-out generations must be GC'd down to winner + previous")
+  }
+
+  test("publish validates staged day names BEFORE any commit: a null " +
+    "ts_day fails loud with nothing committed and no staging leak") {
+    val root = Files.createTempDirectory("graft_snap_null").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.publish(gen(3, 1.0), root)
+    val bad = gen(2, 9.0).withColumn("ts_day",
+      when(col("metric_name") === "m0", lit(null)).otherwise(col("ts_day")))
+    val e = intercept[IllegalArgumentException](SnapshotStore.publish(bad, root))
+    assert(e.getMessage.contains("ts_day"))
+    // nothing committed: the prior generation still serves, alone
+    assert(SnapshotStore.read(spark, root).get
+      .select("value").distinct().as[Double].collect().toSeq === Seq(1.0))
+    assert(Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, ".staging-*")))
+      .getOrElse(Array.empty).isEmpty, "failed publish must not leak staging")
+  }
+
+  test("husk winner falls back: a parquet-less newest generation serves " +
+    "the previous complete one, not a dropped day") {
+    val root = Files.createTempDirectory("graft_snap_husk").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.publish(gen(4, 1.0), root)
+    // simulate a crash that committed an empty gen=1 (rename of a slice
+    // that wrote no parquet for this day)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ts_day=$Day0/gen=1"))
+    val r = SnapshotStore.read(spark, root)
+    assert(r.isDefined, "day must not vanish behind a husk generation")
+    assert(r.get.select("value").distinct().as[Double].collect().toSeq
+      === Seq(1.0))
+  }
+
+  test("range-pruned read: only requested days resolve and serve; a " +
+    "range with no overlapping day reads as None") {
+    val root = Files.createTempDirectory("graft_snap_range").toString + "/t"
+    val day1 = Day0 + 86400000L
+    SnapshotStore.publish(gen(4, 1.0), root)
+    SnapshotStore.publish(gen(3, 2.0).withColumn("ts_day", lit(day1)), root)
+    val d0 = SnapshotStore.read(spark, root, days = Some(Seq(Day0))).get
+    assert(d0.count() === 4 &&
+      d0.select("value").distinct().as[Double].collect().toSeq === Seq(1.0))
+    val both = SnapshotStore.read(spark, root,
+      days = Some(Seq(Day0, day1))).get
+    assert(both.count() === 7)
+    assert(SnapshotStore.read(spark, root,
+      days = Some(Seq(Day0 + 10L * 86400000L))).isEmpty,
+      "no overlapping day = no data in range")
+  }
+
+  test("resolution memo: one FS resolution per publish generation; a " +
+    "publish invalidates; range reads prune from the cached map") {
+    val root = Files.createTempDirectory("graft_snap_memo").toString + "/t"
+    val day1 = Day0 + 86400000L
+    def resolutions: Long = SnapshotStore.resolutionsOf(root)
+    SnapshotStore.publish(gen(3, 1.0), root)
+    SnapshotStore.publish(gen(2, 2.0).withColumn("ts_day", lit(day1)), root)
+    val r0 = resolutions
+    assert(SnapshotStore.read(spark, root, useCache = true).get.count() === 5)
+    assert(resolutions === r0 + 1)
+    // second cached read — and a RANGE read — hit the memo, zero listings
+    assert(SnapshotStore.read(spark, root, useCache = true).get.count() === 5)
+    assert(SnapshotStore.read(spark, root, days = Some(Seq(day1)),
+      useCache = true).get.count() === 2)
+    assert(resolutions === r0 + 1,
+      "reads within one publish generation must reuse the cached resolution")
+    // a publish bumps the version: exactly one fresh resolution after
+    SnapshotStore.publish(gen(3, 3.0), root)
+    assert(SnapshotStore.read(spark, root, useCache = true).get
+      .filter(col("ts_day") === Day0)
+      .select("value").distinct().as[Double].collect().toSeq === Seq(3.0))
+    assert(resolutions === r0 + 2)
   }
 }
