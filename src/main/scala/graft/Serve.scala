@@ -14,13 +14,18 @@ import java.util.concurrent.atomic.AtomicBoolean
   * events + Graphite /render + /metrics instrumentation + alert
   * episodes) and a background MAINTENANCE loop ([[Maintain.run]]:
   * retention enforcement + raw/batch-dir compaction + catalog folding at
-  * a fixed cadence). There is no separate rollup service to start —
-  * rollups run synchronously per ingest batch through the facade's
-  * dirty-day snapshot-publish discipline, and the cascade serves every
-  * coarser tier from the stored ladder.
+  * a fixed cadence). There is no separate rollup service to start: by
+  * default rollups run synchronously per ingest batch through the
+  * facade's dirty-day snapshot-publish discipline; `--defer-rollups`
+  * switches to the reference's ROLLUP_DELAY shape (POSTs return after
+  * the raw write, a background roller drains the dirty-day set every
+  * `--rollup-delay` ms, and stored reads repair pending days from raw —
+  * serving stays exact either way). The cascade serves every coarser
+  * tier from the stored ladder.
   *
   * `usage: runMain graft.Serve <storeDir> [--port n] [--maintain-every s]
-  * [--max-age ms] [--max-future ms] [--cors] [--once]`
+  * [--max-age ms] [--max-future ms] [--cors] [--once]
+  * [--defer-rollups [--rollup-delay ms]]`
   *
   * `--once` runs a single maintenance pass and exits (the offline-window
   * mode, quiesced compaction enabled); without it the process serves
@@ -43,7 +48,17 @@ object Serve {
         val deadline = System.nanoTime() + everySec * 1000L * 1000 * 1000
         while (!stopped.get() && System.nanoTime() < deadline)
           Thread.sleep(200)
-        if (!stopped.get()) maintainNow()
+        // one failed pass (transient FS error, racing writer) must not
+        // kill the daemon thread — log and retry at the next tick; every
+        // sub-pass is individually crash-safe so a retry repairs
+        if (!stopped.get())
+          try maintainNow()
+          catch {
+            case e: InterruptedException => throw e
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[serve] maintenance pass failed (will retry next tick): $e")
+          }
       }
     }, "graft-maintain")
     ticker.setDaemon(true)
@@ -70,10 +85,13 @@ object Serve {
       maintainEverySec: Long = 3600L,
       maxAgeMs: Long = 3L * 3600 * 1000,
       maxFutureMs: Long = 10L * 60 * 1000,
-      corsEnabled: Boolean = false): Handle = {
+      corsEnabled: Boolean = false,
+      deferRollups: Boolean = false,
+      rollupDelayMs: Long = 30000L): Handle = {
     val srv = new MetricsHttpServer(spark, storeDir, port,
       maxAgeMs = maxAgeMs, maxFutureMs = maxFutureMs,
-      corsEnabled = corsEnabled)
+      corsEnabled = corsEnabled,
+      deferRollups = deferRollups, rollupDelayMs = rollupDelayMs)
     srv.start()
     val h = new Handle(srv, spark, storeDir, maintainEverySec)
     h.startTicker()
@@ -118,7 +136,13 @@ object Serve {
           .getOrElse(3L * 3600 * 1000),
         maxFutureMs = flagVal("--max-future").map(_.toLong)
           .getOrElse(10L * 60 * 1000),
-        corsEnabled = args.contains("--cors"))
+        corsEnabled = args.contains("--cors"),
+        // the reference's ROLLUP_DELAY deployment shape: POSTs return
+        // after the raw write; a background roller re-rolls dirty days
+        // every --rollup-delay ms (serving repairs from raw meanwhile)
+        deferRollups = args.contains("--defer-rollups"),
+        rollupDelayMs =
+          flagVal("--rollup-delay").map(_.toLong).getOrElse(30000L))
       println(s"[serve] listening on :${h.port}, store $storeDir " +
         s"(maintenance every ${flagVal("--maintain-every").getOrElse("3600")} s)")
       Runtime.getRuntime.addShutdownHook(new Thread(() => h.stop()))

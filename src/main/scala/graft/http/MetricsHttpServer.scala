@@ -104,7 +104,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     corsEnabled: Boolean = false,
     corsAllowedOrigins: String = "*",
     maxBodyBytes: Long = MetricsHttpServer.MaxRequestBodyBytes,
-    bodyReadTimeoutMs: Long = 30000L) {
+    bodyReadTimeoutMs: Long = 30000L,
+    deferRollups: Boolean = false,
+    rollupDelayMs: Long = 30000L) {
 
   import MetricsHttpServer._
 
@@ -166,6 +168,82 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * through its processor chain the same way; reads stay concurrent. */
   private val writeLock = new Object
 
+  /** Deferred-rollup pending sets (`deferRollups = true` — the
+    * reference's ROLLUP_DELAY shape, CoreConfig.java:222: its perf number
+    * measures the raw Cassandra write with rollups deferred to
+    * RollupService): ingest POSTs write raw + catalog + errors only and
+    * record their dirty days here; [[rollNow]] (driven by the background
+    * roller every `rollupDelayMs`, or directly by tests/ops) drains them
+    * under [[writeLock]]. Serving stays EXACT meanwhile: every stored
+    * read passes the pending snapshot as `dirtyDays`, which forces those
+    * days through the raw-recompute repair path instead of the stale
+    * tier. Mutated only under [[writeLock]]; read without it (a racing
+    * read that still sees a just-rolled day pending merely recomputes it
+    * from raw — correct, never stale). */
+  private val pendingBasicDays =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  private val pendingPreaggDays =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private def pendingBasic: Set[Long] =
+    if (deferRollups) {
+      import scala.jdk.CollectionConverters._
+      pendingBasicDays.asScala.toSet
+    } else Set.empty
+  private def pendingPreagg: Set[Long] =
+    if (deferRollups) {
+      import scala.jdk.CollectionConverters._
+      pendingPreaggDays.asScala.toSet
+    } else Set.empty
+
+  /** Drain the pending dirty-day sets: re-roll the 5m basic tier and the
+    * preagg tier-1+cascade for every pending day, then clear them. Runs
+    * under [[writeLock]] (serialized with ingest writes), so no ingest
+    * can add a day between the re-roll and the clear; the pending flag
+    * flips only AFTER the snapshot publish, so a racing read either sees
+    * the day pending (raw recompute) or the freshly published tier —
+    * never the stale one. No-op outside deferred mode. */
+  def rollNow(): Unit = if (deferRollups) writeLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    val basic = pendingBasicDays.asScala.toSeq
+    if (basic.nonEmpty) {
+      IngestStream.rollDirtyDaysNow(spark, storeDir, basic)
+      basic.foreach(pendingBasicDays.remove)
+      graft.core.Instrumentation.global
+        .inc("ingest.deferred_rollup.basic_days", basic.size.toLong)
+    }
+    val preagg = pendingPreaggDays.asScala.toSeq
+    if (preagg.nonEmpty) {
+      IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg)
+      preagg.foreach(pendingPreaggDays.remove)
+      graft.core.Instrumentation.global
+        .inc("ingest.deferred_rollup.preagg_days", preagg.size.toLong)
+    }
+  }
+
+  /** How many days are awaiting their background re-roll (tests/ops). */
+  def pendingRollupDays: Int =
+    pendingBasicDays.size() + pendingPreaggDays.size()
+
+  // background roller: the deferred-mode cadence (reference
+  // ROLLUP_DELAY); one failed pass logs and retries next tick
+  private val roller =
+    if (!deferRollups) None
+    else Some {
+      val ex = Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-rollup-roller"); t.setDaemon(true); t
+      }
+      ex.scheduleWithFixedDelay(() =>
+        try rollNow()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[http] deferred re-roll failed " +
+              s"(will retry in ${rollupDelayMs} ms): $e")
+        }, rollupDelayMs, rollupDelayMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      ex
+    }
+
   /** (tenant, metric) → family, the facade's analog of the reference's
     * rollup_type metadata cache (MetadataCache in the ingest/read path):
     * views routing stays O(1) per request between writes instead of
@@ -226,6 +304,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     server.stop(0)
     pool.shutdownNow()
     reaper.shutdownNow()
+    // drain what's pending so a clean shutdown leaves the tiers rolled
+    // (the listener is already down, so no new days can arrive)
+    roller.foreach { r =>
+      r.shutdownNow()
+      try rollNow()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[http] final deferred re-roll failed: $e") }
+    }
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -405,8 +491,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // response==audit-trail contract), and processTypedBatch writes no
       // data rows for an all-invalid batch
       writeLock.synchronized {
-        IngestStream.processTypedBatch(parsed, storeDir,
-          requestBatchId(tenant, "ingest", body), lo, hi)
+        val dirty = IngestStream.processTypedBatch(parsed, storeDir,
+          requestBatchId(tenant, "ingest", body), lo, hi,
+          rollup = !deferRollups)
+        if (deferRollups) dirty.foreach(pendingBasicDays.add)
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
       }
@@ -495,8 +583,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           s"out of bounds: must be within [$lo, $hi]",
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toArray
       writeLock.synchronized {
-        IngestStream.processAggregatedBatch(parsed, storeDir,
-          requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi)
+        val dirty = IngestStream.processAggregatedBatch(parsed, storeDir,
+          requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
+          rollup = !deferRollups)
+        if (deferRollups) dirty.foreach(pendingPreaggDays.add)
         familyCache.clear()
         storeGeneration.incrementAndGet()
       }
@@ -580,9 +670,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       case "string" =>
         MetricsQueryApi.getStringPoints(spark, storeDir, p, now)
       case "basic" =>
-        MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
+        MetricsQueryApi.getRollupsStored(spark, storeDir, p, now,
+          dirtyDays = pendingBasic)
       case k =>
-        MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
+        MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now,
+          dirtyDays = pendingPreagg)
     }
     sendJson(ex, 200, MetricsQueryApi.toJsonResponse(frame))
   }
@@ -1948,6 +2040,203 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 .withColumnRenamed("bucket_ms", "ts_ms")
                 .drop("n_keys"),
               Some(t), identity)
+          case "smartSummarize" =>
+            // smartSummarize(<expr>,"<interval>"[,"<func>"]) — summarize
+            // with buckets aligned to the REQUEST'S from instead of the
+            // epoch snap (graphite-web's exact difference between the
+            // two): bucket k covers [from + k·ivl, from + (k+1)·ivl)
+            val ivl = ivlArg("display")
+            val ivlMs = parseIntervalMs(ivl)
+            val stat = args.lift(2).map(stripQuotes).getOrElse("sum")
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val in = inner
+            // shift to a from-anchored clock, reuse the epoch-snapping
+            // operator verbatim, shift back — bit-identical bucketing
+            val shifted = graft.operators.Series
+              .summarize(in.df.withColumn("ts_ms", col("ts_ms") - fromMs)
+                .filter(col("ts_ms") >= 0), ivlMs, stat)
+              .withColumn("ts_ms", col("bucket_ms") + fromMs)
+              .drop("bucket_ms")
+            SeriesExpr(shifted, None,
+              n => s"""smartSummarize(${in.displayName(n)},"$ivl","$stat")""",
+              in.consolidate)
+          case "integralByInterval" =>
+            // integralByInterval(<expr>,"<interval>") — running total
+            // RESET at each interval boundary (graphite's daily-counter
+            // view). Same exact-DECIMAL accumulation as integral(), the
+            // window additionally partitioned by the epoch-snapped bucket
+            val ivl = ivlArg("reset")
+            val ivlMs = parseIntervalMs(ivl)
+            val in = inner
+            val wB = Window
+              .partitionBy(col("tenant_id"), col("metric_name"),
+                (col("ts_ms") - pmod(col("ts_ms"), lit(ivlMs))).as("__b"))
+              .orderBy(col("ts_ms"), col("value"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            SeriesExpr(in.df.withColumn("value",
+                sum(col("value").cast(DecimalType(28, 2))).over(wB)
+                  .cast("double")),
+              None,
+              n => s"""integralByInterval(${in.displayName(n)},"$ivl")""",
+              in.consolidate)
+          case "timeStack" =>
+            // timeStack(<expr>,"<shiftUnit>"[,start[,end]]) — one entry
+            // per shift i in [start, end]: the subtree evaluated under
+            // [from − i·unit, until − i·unit], drawn at the requested
+            // instants (this week stacked over the previous N weeks).
+            // Each copy re-fetches like timeShift; the copy count is
+            // capped — every copy is a full subtree evaluation
+            val ivl = ivlArg("shift")
+            val unitMs = parseIntervalMs(ivl)
+            val start = args.lift(2).flatMap(_.trim.toIntOption).getOrElse(0)
+            val end = args.lift(3).flatMap(_.trim.toIntOption).getOrElse(7)
+            require(start >= 0 && end >= start,
+              s"timeStack needs 0 <= start <= end in '$t'")
+            require(end - start + 1 <= 16,
+              s"timeStack copies capped at 16 in '$t', got ${end - start + 1}")
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            val copies = (start to end).map { i =>
+              val shiftMs = i.toLong * unitMs
+              val sub = recurse(arg0, s"${(fromMs - shiftMs) / 1000}",
+                s"${(untilMs - shiftMs) / 1000}")
+              (i, sub, sub.df
+                .withColumn("ts_ms", col("ts_ms") + lit(shiftMs))
+                .withColumn("metric_name",
+                  concat(col("metric_name"), lit(s"#tstack$i"))))
+            }
+            val subByI = copies.map(c => c._1 -> c._2).toMap
+            SeriesExpr(copies.map(_._3).reduce(_ unionByName _), None, { n =>
+              val m = "#tstack(\\d+)$".r.findFirstMatchIn(n)
+              m.fold(n) { mm =>
+                val i = mm.group(1).toInt
+                val base = n.stripSuffix(s"#tstack$i")
+                // the shift renders in seconds: "-2·1d" has no single
+                // interval literal, "-172800s" always does
+                val secs = i.toLong * unitMs / 1000
+                s"""timeShift(${subByI(i).displayName(base)},"-${secs}s")"""
+              }
+            })
+          case "applyByNode" =>
+            // applyByNode(<glob>, n, "template"[, "newName"]) — for each
+            // distinct node-prefix (tokens 0..n) of the matched series,
+            // evaluate the template with '%' replaced by the prefix; the
+            // per-prefix results union into one entry list. The prefix
+            // set is a driver-side distinct over the MATCHED NAMES (one
+            // tiny job, bounded by the panel's series count) and capped:
+            // each prefix is a full subtree evaluation
+            val nodeN = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"applyByNode needs a node index in '$t'"))
+            require(nodeN >= 0, s"node index must be >= 0 in '$t'")
+            val template = args.lift(2).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"applyByNode needs a template in '$t'"))
+            val newName = args.lift(3).map(stripQuotes)
+            val prefixes = recurse(arg0).df
+              .select(array_join(slice(split(col("metric_name"), "\\."),
+                1, nodeN + 1), ".").as("__pre"))
+              .distinct().limit(65).collect().map(_.getString(0))
+              .sorted.toSeq
+            require(prefixes.length <= 64,
+              s"applyByNode matches > 64 node prefixes in '$t' — " +
+                "narrow the glob")
+            require(prefixes.nonEmpty,
+              s"applyByNode matched no series in '$t'")
+            val subs = prefixes.zipWithIndex.map { case (pre, i) =>
+              val sub = recurse(template.replace("%", pre))
+              (i, pre, sub, sub.df.withColumn("metric_name",
+                concat(lit(s"#abn$i#"), col("metric_name"))))
+            }
+            val byI = subs.map(s => s._1 -> (s._2, s._3)).toMap
+            SeriesExpr(subs.map(_._4).reduce(_ unionByName _), None, { n =>
+              "^#abn(\\d+)#".r.findFirstMatchIn(n).fold(n) { mm =>
+                val i = mm.group(1).toInt
+                val (pre, sub) = byI(i)
+                val base = n.stripPrefix(s"#abn$i#")
+                newName.fold(sub.displayName(base))(_.replace("%", pre))
+              }
+            })
+          case "mapSeries" =>
+            // mapSeries(<expr>, n[, n2…]) — graphite's grouped list; the
+            // grouping only MATERIALIZES inside reduceSeries (below),
+            // so standalone rendering serves the series unchanged
+            val idxs = args.drop(1).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"mapSeries node indexes must be integers in '$t'")))
+            require(idxs.nonEmpty,
+              s"mapSeries needs at least one node index in '$t'")
+            recurse(arg0)
+          case "reduceSeries" =>
+            // reduceSeries(mapSeries(<glob>, m), "func", n, "k1", "k2") —
+            // pair series that agree on every name token EXCEPT node n
+            // (the practical content of the mapSeries grouping), match
+            // the two reduce keys at node n, and serve func(k1, k2) per
+            // instant; entries named with node n replaced by
+            // "reduce.<func>" (graphite-web's output shape). Supported
+            // reducers: asPercent, divideSeries, diffSeries — the
+            // two-argument reducers graphite ships
+            require(args.length == 5, "reduceSeries takes " +
+              s"(mapSeries, func, reduceNode, matcher1, matcher2) in '$t'")
+            val func = stripQuotes(args(1).trim)
+            require(Set("asPercent", "divideSeries", "diffSeries")
+              .contains(func),
+              s"reduceSeries func must be asPercent|divideSeries|" +
+                s"diffSeries in '$t', got '$func'")
+            val rn = args(2).trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"reduceSeries needs a reduce node index in '$t'"))
+            require(rn >= 0, s"reduce node must be >= 0 in '$t'")
+            val (m1, m2) = (stripQuotes(args(3).trim),
+              stripQuotes(args(4).trim))
+            val in = inner
+            // get() is 0-based and null on out-of-range — element_at
+            // would THROW under ANSI when Catalyst pushes this filter
+            // below the glob's rlike and evaluates it on shorter names
+            val tok = get(split(col("metric_name"), "\\."), lit(rn))
+            // the pairing key: the name with node rn replaced (also the
+            // output entry name); a flat HOF over panel-bounded rows
+            val keyed = in.df.withColumn("__key", array_join(
+              transform(split(col("metric_name"), "\\."),
+                (x, i) => when(i === rn, lit(s"reduce.$func")).otherwise(x)),
+              "."))
+            val a = keyed.filter(tok === m1)
+              .select(col("tenant_id"), col("__key"), col("ts_ms"),
+                col("value").as("__a"))
+            val b = keyed.filter(tok === m2)
+              .select(col("tenant_id"), col("__key"), col("ts_ms"),
+                col("value").as("__b"))
+            val v = func match {
+              case "asPercent" => when(col("__b") =!= 0.0,
+                col("__a") / col("__b") * 100)
+              case "divideSeries" => when(col("__b") =!= 0.0,
+                col("__a") / col("__b"))
+              case _ => col("__a") - col("__b")
+            }
+            SeriesExpr(a.join(b, Seq("tenant_id", "__key", "ts_ms"))
+                .withColumn("value", v)
+                .select(col("tenant_id"), col("__key").as("metric_name"),
+                  col("ts_ms"), col("value")),
+              None, identity)
+          case "stacked" | "secondYAxis" | "drawAsInfinite" | "lineWidth" |
+               "dashed" | "color" =>
+            // PRESENTATION tags — rendering is the dashboard's job on
+            // this JSON API, so the frame passes through untouched; the
+            // display name wraps exactly where graphite-web wraps it
+            // (stacked/secondYAxis/drawAsInfinite/dashed) and stays bare
+            // where graphite-web keeps it (lineWidth/color), so mixed
+            // dashboards never 400 on a cosmetic tag
+            val in = recurse(arg0)
+            val wrapName: String => String = fn match {
+              case "lineWidth" | "color" => in.displayName
+              case "stacked" if args.length > 1 => in.displayName
+              case "dashed" =>
+                val d = args.lift(1).flatMap(_.trim.toDoubleOption)
+                  .getOrElse(5.0)
+                n => s"dashed(${in.displayName(n)}, $d)"
+              case _ => n => s"$fn(${in.displayName(n)})"
+            }
+            SeriesExpr(in.df, None, wrapName, in.consolidate)
           case other => throw new IllegalArgumentException(
             s"unknown render function '$other' in target '$t'")
         }
@@ -2101,8 +2390,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       if (isGlob) name else graft.core.GlobPattern.escapeLiteral(name),
       from, to, points, resolution, Seq(statName))
     val frame = kind match {
-      case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now)
-      case k => MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now)
+      case "basic" => MetricsQueryApi.getRollupsStored(spark, storeDir, p, now,
+        dirtyDays = pendingBasic)
+      case k => MetricsQueryApi.getPreaggStored(spark, storeDir, p, k, now,
+        dirtyDays = pendingPreagg)
     }
     frame.select(col("tenant_id"), col("metric_name"),
         col("bucket_ms").cast("long").as("ts_ms"),

@@ -107,10 +107,11 @@ object IngestStream {
     * records (empty name, out-of-window ts) land in the shared errors
     * sink like their numeric siblings. */
   def processTypedBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
-      minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      rollup: Boolean = true): Seq[Long] = {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.isEmpty) return
+      if (cached.isEmpty) return Nil
       // probed BEFORE any of this batch's writes: a first batch on an
       // empty store makes the catalog complete-from-birth
       val virgin = !storeHasData(cached.sparkSession, storeDir)
@@ -125,9 +126,9 @@ object IngestStream {
       val numeric = cached.filter(!isStringKind)
         .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
           col("value_num").as("value"), col("ttl_seconds"), col("unit"))
-      processBatch(
+      val dirtyDays = processBatch(
         withValidity(numeric, minTs, maxTs), storeDir, batchId,
-        meterBatch = false, virginHint = Some(virgin))
+        meterBatch = false, virginHint = Some(virgin), rollup = rollup)
       val strings = withValidity(
         cached.filter(isStringKind)
           .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
@@ -137,7 +138,7 @@ object IngestStream {
       // one accounting aggregate for the string arm too (see processBatch)
       val sstats = strings.groupBy(col("valid")).count().collect()
         .map(r => (r.getBoolean(0), r.getLong(1))).toMap
-      if (sstats.isEmpty) return
+      if (sstats.isEmpty) return dirtyDays
       val nBadStrings = sstats.getOrElse(false, 0L)
       if (nBadStrings > 0) {
         Instrumentation.global.inc("ingest.rows.errors.string", nBadStrings)
@@ -147,7 +148,7 @@ object IngestStream {
       }
       val goodStrings = strings.filter(col("valid")).drop("valid")
       val nGoodStrings = sstats.getOrElse(true, 0L)
-      if (nGoodStrings == 0) return
+      if (nGoodStrings == 0) return dirtyDays
       Instrumentation.global.inc("ingest.rows.metrics_string", nGoodStrings)
       // catalog before data (see processBatch's crash-ordering note)
       writeCatalog(goodStrings, storeDir, batchId, src = "string",
@@ -155,6 +156,7 @@ object IngestStream {
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
+      dirtyDays
     } finally cached.unpersist()
   }
 
@@ -397,9 +399,18 @@ object IngestStream {
     * Idempotent under foreachBatch's at-least-once retries: the raw write
     * goes to a batch-id partition with overwrite, so a replayed batch
     * replaces rather than duplicates its own rows, and the re-roll (which
-    * always recomputes from the store) converges to the same state. */
+    * always recomputes from the store) converges to the same state.
+    *
+    * `rollup = false` DEFERS the dirty-day re-roll (the reference's
+    * ROLLUP_DELAY shape, CoreConfig.java:222: ingest writes raw fast,
+    * rollups run on a background cadence): only raw + catalog + errors
+    * are written. Returns the valid dirty-day list either way — a
+    * deferring caller owns running [[rollDirtyDaysNow]] for them later
+    * and serving those days via the raw-recompute repair meanwhile
+    * ([[graft.query.MetricsQueryApi.getRollupsStored]] `dirtyDays`). */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
-      meterBatch: Boolean = true, virginHint: Option[Boolean] = None): Unit = {
+      meterBatch: Boolean = true, virginHint: Option[Boolean] = None,
+      rollup: Boolean = true): Seq[Long] = {
     val spark = batch.sparkSession
     // probed BEFORE any write (see processTypedBatch): first-batch-on-
     // empty-store means the catalog covers the store from birth. The hint
@@ -420,7 +431,7 @@ object IngestStream {
         .collect()
         .map(r => (r.getBoolean(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
-      if (stats.isEmpty) return
+      if (stats.isEmpty) return Nil
       // meterBatch=false when processTypedBatch already counted this batch
       // (a string-only batch never reaches this arm's counter otherwise)
       if (meterBatch) Instrumentation.global.inc("ingest.batches")
@@ -439,7 +450,7 @@ object IngestStream {
       // an all-invalid batch writes nothing: an empty batch_id partition
       // would be dead weight (and an all-empty store breaks schema inference)
       val dayCounts = stats.collect { case (true, Some(day), n) => (day, n) }
-      if (dayCounts.isEmpty) return
+      if (dayCounts.isEmpty) return Nil
       val valid = cached.filter(col("valid")).drop("valid")
       // catalog FIRST: a crash between the two writes must leave a
       // stale-but-safe catalog superset, never a _complete-marked catalog
@@ -449,7 +460,8 @@ object IngestStream {
       writeRaw(valid, storeDir, batchId)
       Instrumentation.global.inc("ingest.rows.metrics_full",
         dayCounts.map(_._2).sum)
-      rollDirtyDays(spark, storeDir, dayCounts.map(_._1))
+      if (rollup) rollDirtyDays(spark, storeDir, dayCounts.map(_._1))
+      dayCounts.map(_._1).toSeq
     } finally cached.unpersist()
   }
 
@@ -460,6 +472,15 @@ object IngestStream {
     validPoints.withColumn("ts_day", dayOf(col("ts_ms")))
       .write.mode("overwrite").partitionBy("ts_day")
       .parquet(s"$storeDir/metrics_full/batch_id=$batchId")
+
+  /** Re-roll the 5m tier for `days` from the raw store — the background
+    * arm of the deferred-rollup mode ([[processBatch]] `rollup = false`):
+    * same recompute-from-source + snapshot-publish as the synchronous
+    * path, so draining a pending set converges to exactly the state the
+    * synchronous mode would have produced. */
+  def rollDirtyDaysNow(spark: SparkSession, storeDir: String,
+      days: Seq[Long]): Unit =
+    if (days.nonEmpty) rollDirtyDays(spark, storeDir, days.toArray)
 
   private def rollDirtyDays(spark: SparkSession, storeDir: String,
       dirtyDays: Array[Long]): Unit = {
@@ -504,6 +525,7 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
         processBatch(withValidity(batch, lo, hi), storeDir, id)
+        ()
       }
       .start()
 
@@ -747,7 +769,8 @@ object IngestStream {
     * the basic path's invalid sink. */
   def processAggregatedBatch(parsed: DataFrame, storeDir: String,
       batchId: Long = 0L, cascade: Boolean = true,
-      minTs: Long = 0L, maxTs: Long = Long.MaxValue): Unit = {
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      rollup: Boolean = true): Seq[Long] = {
     val spark = parsed.sparkSession
     // probed BEFORE any write (see processTypedBatch's catalog marker)
     val virgin = !storeHasData(spark, storeDir)
@@ -765,7 +788,7 @@ object IngestStream {
         .collect()
         .map(r => (r.getBoolean(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
-      if (stats.isEmpty) return
+      if (stats.isEmpty) return Nil
       Instrumentation.global.inc("ingest.batches.preagg")
       val nRejected = stats.collect { case (false, _, n) => n }.sum
       if (nRejected > 0) {
@@ -775,7 +798,7 @@ object IngestStream {
       }
       val cached = cached0.filter(inWindow)
       val dayCounts = stats.collect { case (true, Some(day), n) => (day, n) }
-      if (dayCounts.isEmpty) return
+      if (dayCounts.isEmpty) return Nil
       // catalog before data (see processBatch's crash-ordering note)
       writeCatalog(cached, storeDir, batchId, src = "preagg",
         familyCol = col("kind"), markComplete = virgin)
@@ -785,24 +808,37 @@ object IngestStream {
       Instrumentation.global.inc("ingest.rows.preagg_raw",
         dayCounts.map(_._2).sum)
       val dirtyDays = dayCounts.map(_._1).toSeq
-      val raw = spark.read.parquet(s"$storeDir/preagg_raw")
-        .filter(col("ts_day").isin(dirtyDays: _*))
-      // presence is judged on the dirty-day slice of the FULL store, not on
-      // this batch: a day whose sets arrived in an earlier flush must still
-      // re-roll its set tier when a later counters-only flush re-dirties it
-      val present = presentKinds(raw)
-      graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
-        .foreach { case (kind, df) =>
-          if (present(kind)) {
-            graft.core.SnapshotStore.publish(
-              df.withColumn("ts_day", dayOf(col("bucket_ms"))),
-              s"$storeDir/preagg_${kind}_5m")
-            Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
-              storeDir, kind, Granularity.MIN_5, dirtyDays))
-          }
-        }
-      if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(dirtyDays))
+      if (rollup)
+        rollPreaggDirtyDaysNow(spark, storeDir, dirtyDays, cascade)
+      dirtyDays
     } finally cached0.unpersist()
+  }
+
+  /** Re-roll the per-kind 5m preagg tiers (and optionally the coarser
+    * ladders) for `days` from the parsed-flush store — the preagg twin of
+    * [[rollDirtyDaysNow]], both the synchronous tail of
+    * [[processAggregatedBatch]] and the background arm of its deferred
+    * mode (`rollup = false`). */
+  def rollPreaggDirtyDaysNow(spark: SparkSession, storeDir: String,
+      days: Seq[Long], cascade: Boolean = true): Unit = {
+    if (days.isEmpty) return
+    val raw = spark.read.parquet(s"$storeDir/preagg_raw")
+      .filter(col("ts_day").isin(days: _*))
+    // presence is judged on the dirty-day slice of the FULL store, not on
+    // this batch: a day whose sets arrived in an earlier flush must still
+    // re-roll its set tier when a later counters-only flush re-dirties it
+    val present = presentKinds(raw)
+    graft.operators.Preaggregated.tier1FromParsed(raw, Granularity.MIN_5)
+      .foreach { case (kind, df) =>
+        if (present(kind)) {
+          graft.core.SnapshotStore.publish(
+            df.withColumn("ts_day", dayOf(col("bucket_ms"))),
+            s"$storeDir/preagg_${kind}_5m")
+          Instrumentation.global.emitRollup(Instrumentation.RollupEvent(
+            storeDir, kind, Granularity.MIN_5, days))
+        }
+      }
+    if (cascade) preaggCascadeFor(spark, storeDir, dirtyDays = Some(days))
   }
 
   /** Start the statsd aggregated-payload ingest stream over JSON lines —
@@ -827,6 +863,7 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
         processAggregatedBatch(batch, storeDir, id, cascade, lo, hi)
+        ()
       }
       .start()
 

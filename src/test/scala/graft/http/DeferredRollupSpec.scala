@@ -1,0 +1,154 @@
+package graft.http
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** The facade's deferred-rollup mode (`deferRollups = true`) — the
+  * reference's ROLLUP_DELAY deployment shape (CoreConfig.java:222 in
+  * rax-maas/blueflood: ingest writes raw, RollupService rolls later).
+  * The contract under test: POSTs return after the raw write; a stored
+  * read BETWEEN an ingest and its re-roll serves the pending days through
+  * the raw-recompute repair (never a stale or missing tier day); draining
+  * the pending set converges to exactly the synchronous mode's state. */
+class DeferredRollupSpec extends AnyFunSuite with SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+  private val now = 1704067200000L // 2024-01-01 00:00 UTC
+
+  private def startServer(delayMs: Long = Long.MaxValue / 4)
+      : (MetricsHttpServer, String, String) = {
+    val store = java.nio.file.Files.createTempDirectory("graft_defer").toString
+    val srv = new MetricsHttpServer(spark, store, nowMs = () => now,
+      maxAgeMs = 10L * 86400000L,
+      deferRollups = true, rollupDelayMs = delayMs)
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.boundPort}", store)
+  }
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build(), HttpResponse.BodyHandlers.ofString())
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def point(name: String, v: Double, ts: Long): String =
+    s"""{"metricName": "$name", "metricValue": $v, "collectionTime": $ts}"""
+
+  test("deferred ingest: POST writes raw only; a 5m stored read between " +
+    "ingest and re-roll repairs from raw; rollNow converges bit-for-bit") {
+    val (srv, base, store) = startServer()
+    try {
+      val t0 = now - 2L * 86400000L // day before yesterday, 00:00-aligned
+      val body = Seq(
+        point("app.lat", 10.0, t0),
+        point("app.lat", 20.0, t0 + 60000L),
+        point("app.lat", 30.0, t0 + 400000L), // second 5m bucket
+        point("app.lat", 40.0, t0 + 86400000L + 1000L) // next day
+      ).mkString("[", ",", "]")
+      assert(post(s"$base/v2.0/acme/ingest", body).statusCode() === 200)
+      // raw landed; the 5m tier did NOT (rollup deferred), and both days
+      // are pending
+      assert(spark.read.parquet(s"$store/metrics_full").count() === 4)
+      assert(graft.core.SnapshotStore.read(spark, s"$store/metrics_5m").isEmpty)
+      assert(srv.pendingRollupDays === 2)
+
+      // the read BETWEEN ingest and re-roll: must serve the exact rollups
+      // via the raw-recompute repair
+      val url = s"$base/v2.0/acme/views/app.lat?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=5m&select=average,numPoints"
+      val before = get(url)
+      assert(before.statusCode() === 200, before.body())
+      assert(before.body().contains(""""average": 15.0"""), before.body())
+      assert(before.body().contains(""""average": 30.0"""), before.body())
+      assert(before.body().contains(""""average": 40.0"""), before.body())
+
+      // drain: the tiers appear, pending clears, and the SAME read now
+      // serves from the stored tier with an identical response
+      srv.rollNow()
+      assert(srv.pendingRollupDays === 0)
+      assert(graft.core.SnapshotStore.read(spark, s"$store/metrics_5m")
+        .exists(_.count() === 3))
+      val after = get(url)
+      assert(after.statusCode() === 200, after.body())
+      assert(after.body() === before.body(),
+        "repair-served and tier-served responses must be identical")
+    } finally srv.stop()
+  }
+
+  test("STALE-covered-day repair: new deferred points on an ALREADY-rolled " +
+    "day serve immediately (the tier day is pending, so it recomputes " +
+    "from raw rather than serving the stale rollup)") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 2L * 86400000L
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"[${point("app.q", 10.0, t0)}]").statusCode() === 200)
+      srv.rollNow() // day is now rolled: tier covers it with avg=10, n=1
+      // second deferred ingest re-dirties the SAME day
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"[${point("app.q", 30.0, t0 + 60000L)}]").statusCode() === 200)
+      assert(srv.pendingRollupDays === 1)
+      val url = s"$base/v2.0/acme/views/app.q?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=5m&select=average,numPoints"
+      val pending = get(url)
+      assert(pending.statusCode() === 200, pending.body())
+      // the STALE tier would serve average=10/numPoints=1; the repair
+      // must serve the merged bucket
+      assert(pending.body().contains(""""average": 20.0"""), pending.body())
+      assert(pending.body().contains(""""num_points": 2"""), pending.body())
+      srv.rollNow()
+      assert(get(url).body() === pending.body(),
+        "post-drain tier read must equal the repair read")
+    } finally srv.stop()
+  }
+
+  test("deferred aggregated ingest: preagg views repair from preagg_raw " +
+    "while the kind tiers are pending, and converge after the drain") {
+    val (srv, base, store) = startServer()
+    try {
+      val t0 = now - 3600000L
+      val payload =
+        s"""{"tenantId": "acme", "timestamp": $t0, "flushInterval": 10000,
+           | "counters": [{"name": "hits", "value": 42.0, "rate": 4.2}]}"""
+          .stripMargin
+      assert(post(s"$base/v2.0/acme/ingest/aggregated", payload)
+        .statusCode() === 200)
+      assert(spark.read.parquet(s"$store/preagg_raw").count() === 1)
+      assert(graft.core.SnapshotStore
+        .read(spark, s"$store/preagg_counter_5m").isEmpty)
+      assert(srv.pendingRollupDays === 1)
+      val url = s"$base/v2.0/acme/views/hits?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=5m&select=sum"
+      val pending = get(url)
+      assert(pending.statusCode() === 200, pending.body())
+      assert(pending.body().contains(""""sum_v": 42.0"""), pending.body())
+      srv.rollNow()
+      assert(srv.pendingRollupDays === 0)
+      assert(graft.core.SnapshotStore
+        .read(spark, s"$store/preagg_counter_5m").exists(_.count() === 1))
+      assert(get(url).body() === pending.body())
+    } finally srv.stop()
+  }
+
+  test("background roller drains the pending set on its own cadence") {
+    val (srv, base, store) = startServer(delayMs = 300L)
+    try {
+      val t0 = now - 3600000L
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"[${point("app.bg", 5.0, t0)}]").statusCode() === 200)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (srv.pendingRollupDays > 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(srv.pendingRollupDays === 0, "roller never drained")
+      assert(graft.core.SnapshotStore.read(spark, s"$store/metrics_5m")
+        .exists(_.count() === 1))
+    } finally srv.stop()
+  }
+}
