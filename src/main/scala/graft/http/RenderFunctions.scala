@@ -110,6 +110,21 @@ private[http] object RenderFunctions {
     // Combine (wildcard collapse)
     F("sumSeriesWithWildcards", "Combine", "sum series whose names match after dropping the wildcard node positions", Seq(series, p("position", "node"))),
     F("averageSeriesWithWildcards", "Combine", "average series whose names match after dropping the wildcard node positions", Seq(series, p("position", "node"))),
+    // Transform (batch 3)
+    F("smartSummarize", "Transform", "summarize with buckets aligned to the request's from instead of the epoch snap", Seq(series, p("intervalString", "string"), opt("func", "string"))),
+    F("integralByInterval", "Transform", "running total reset at each interval boundary", Seq(series, p("intervalUnit", "string"))),
+    F("timeStack", "Transform", "one entry per shift i in [start, end]: the subtree evaluated i shift-units back, drawn at the requested instants", Seq(series, p("timeShiftUnit", "string"), opt("timeShiftStart", "integer"), opt("timeShiftEnd", "integer"))),
+    // Combine (structured)
+    F("applyByNode", "Combine", "evaluate the template per distinct node prefix ('%' substitutes the prefix); results union", Seq(series, p("nodeNum", "node"), p("templateFunction", "string"), opt("newName", "string"))),
+    F("mapSeries", "Combine", "graphite's grouped list; grouping materializes inside reduceSeries (standalone rendering passes through)", Seq(series, p("mapNodes", "node"))),
+    F("reduceSeries", "Combine", "pair series agreeing on every node but reduceNode, apply asPercent|divideSeries|diffSeries to the two matched keys", Seq(p("seriesLists", "seriesList"), p("reduceFunction", "string"), p("reduceNode", "node"), p("reduceMatchers", "string"))),
+    // Graph (presentation passthroughs — rendering is the dashboard's job)
+    F("stacked", "Graph", "presentation tag (stacked draw mode); data passes through", Seq(series, opt("stackName", "string"))),
+    F("secondYAxis", "Graph", "presentation tag (right-hand axis); data passes through", Seq(series)),
+    F("drawAsInfinite", "Graph", "presentation tag (vertical-line draw mode); data passes through", Seq(series)),
+    F("lineWidth", "Graph", "presentation tag (line width); data passes through", Seq(series, p("width", "float"))),
+    F("dashed", "Graph", "presentation tag (dashed line); data passes through", Seq(series, opt("dashLength", "integer"))),
+    F("color", "Graph", "presentation tag (series color); data passes through", Seq(series, p("theColor", "string"))),
     // Special
     F("constantLine", "Special", "reference line: the value drawn at from, midpoint, and until", Seq(p("value", "float"))),
     F("consolidateBy", "Special", "pick the final maxDataPoints consolidation statistic (average|sum|min|max|first|last)", Seq(series, p("consolidationFunc", "string"))),

@@ -1410,6 +1410,106 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render staples batch 3: smartSummarize from-alignment, " +
+    "integralByInterval reset, timeStack copies, applyByNode fan-out, " +
+    "mapSeries/reduceSeries pairing, presentation passthroughs") {
+    // timeStack ingests a day-old twin — widen the ingest age window
+    val store = java.nio.file.Files.createTempDirectory("graft_http3").toString
+    val srv = new MetricsHttpServer(spark, store, nowMs = () => now,
+      maxAgeMs = 10L * 86400000L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val t0 = now - (now % 600000L) - 20L * 600000L // 10-min aligned
+      def ingest(name: String, pts: Seq[(Long, Double)]): Unit = {
+        val recs = pts.map { case (ts, v) =>
+          s"""{"metricName": "$name", "metricValue": $v,
+             | "collectionTime": $ts, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def bodyAt(target: String, fromS: Long): String =
+        get(s"$base/render?target=" + enc(target) +
+          s"&from=$fromS&until=${now / 1000}&tenant=acme").body()
+      def body(target: String): String = bodyAt(target, t0 / 1000 - 10)
+
+      // smartSummarize aligns buckets to the REQUEST's from (not the
+      // epoch snap): from = t0 - 30 s, so the first 10-min bucket is
+      // [t0-30s, t0+570s) — both points land in it and the bucket stamps
+      // at from; plain summarize would stamp at the epoch snap t0
+      ingest("sm.x", Seq((t0, 1.0), (t0 + 60000L, 2.0)))
+      val fromS = t0 / 1000 - 30
+      val sm = bodyAt("""smartSummarize(sm.x,"10min","sum")""", fromS)
+      assert(sm.contains(s"[3.0, $fromS]"), sm)
+      val plain = bodyAt("""summarize(sm.x,"10min","sum")""", fromS)
+      assert(plain.contains(s"[3.0, ${t0 / 1000}]"), plain)
+
+      // integralByInterval: running total RESET at each 10-min boundary
+      ingest("ib.x", Seq((t0, 1.0), (t0 + 300000L, 2.0), (t0 + 600000L, 5.0)))
+      val ib = body("""integralByInterval(ib.x,"10min")""")
+      assert(ib.contains(s"[1.0, ${t0 / 1000}]") &&
+        ib.contains(s"[3.0, ${t0 / 1000 + 300}]") &&
+        ib.contains(s"[5.0, ${t0 / 1000 + 600}]"), ib)
+
+      // timeStack: copy i draws data from i days back at today's cursor
+      ingest("tk.x", Seq((t0, 7.0), (t0 - 86400000L, 3.0)))
+      val tk = bodyAt("""timeStack(tk.x,"1d",0,1)""", t0 / 1000 - 10)
+      assert(tk.contains(""""target": "timeShift(tk.x,\"-0s\")"""") ||
+        tk.contains(""""target": "timeShift(tk.x,"""), tk)
+      // the 1-day-back copy serves 3.0 AT t0's instant
+      assert(tk.contains(s"[3.0, ${t0 / 1000}]") &&
+        tk.contains(s"[7.0, ${t0 / 1000}]"), tk)
+
+      // applyByNode: one template evaluation per node-1 prefix
+      ingest("ab.s1.x", Seq((t0, 1.0)))
+      ingest("ab.s2.x", Seq((t0, 2.0)))
+      val ab = body("""applyByNode(ab.*.x,1,"sumSeries(%.x)")""")
+      assert(ab.contains(""""target": "sumSeries(ab.s1.x)"""") &&
+        ab.contains(""""target": "sumSeries(ab.s2.x)""""), ab)
+      assert(ab.contains(s"[1.0, ${t0 / 1000}]") &&
+        ab.contains(s"[2.0, ${t0 / 1000}]"), ab)
+      // newName argument renames per prefix
+      val abN = body("""applyByNode(ab.*.x,1,"sumSeries(%.x)","%.sum")""")
+      assert(abN.contains(""""target": "ab.s1.sum"""") &&
+        abN.contains(""""target": "ab.s2.sum""""), abN)
+
+      // mapSeries/reduceSeries: per-server used/total → asPercent, named
+      // with the reduce node replaced by reduce.asPercent
+      ingest("sv.s1.used", Seq((t0, 25.0)))
+      ingest("sv.s1.total", Seq((t0, 100.0)))
+      ingest("sv.s2.used", Seq((t0, 100.0)))
+      ingest("sv.s2.total", Seq((t0, 200.0)))
+      val rs = body(
+        """reduceSeries(mapSeries(sv.*.*,1),"asPercent",2,"used","total")""")
+      assert(rs.contains(""""target": "sv.s1.reduce.asPercent"""") &&
+        rs.contains(""""target": "sv.s2.reduce.asPercent""""), rs)
+      assert(rs.contains(s"[25.0, ${t0 / 1000}]") &&
+        rs.contains(s"[50.0, ${t0 / 1000}]"), rs)
+      // bare mapSeries renders the series unchanged
+      val ms = body("mapSeries(sv.s1.*,1)")
+      assert(ms.contains("sv.s1.used") && ms.contains("sv.s1.total"), ms)
+
+      // presentation passthroughs: data unchanged; names wrap where
+      // graphite-web wraps them and stay bare where it doesn't
+      val st = body("stacked(sm.x)")
+      assert(st.contains(""""target": "stacked(sm.x)"""") &&
+        st.contains(s"[1.0, ${t0 / 1000}]"), st)
+      val lw = body("lineWidth(sm.x,2)")
+      assert(lw.contains(""""target": "sm.x"""") &&
+        lw.contains(s"[2.0, ${t0 / 1000 + 60}]"), lw)
+      val di = body("drawAsInfinite(sm.x)")
+      assert(di.contains(""""target": "drawAsInfinite(sm.x)""""), di)
+      assert(body("secondYAxis(sm.x)")
+        .contains(""""target": "secondYAxis(sm.x)""""))
+      // nested under a real transform: the tag neither 400s nor breaks
+      // the composition
+      val nested = body("""scale(stacked(sm.x),10)""")
+      assert(nested.contains(s"[10.0, ${t0 / 1000}]"), nested)
+    } finally srv.stop()
+  }
+
   test("RACE: stored-tier views reads racing live ingest (dirty-day " +
     "re-roll + cascade every batch) never 5xx and never lose the day") {
     val (srv, base, _) = startServer()
