@@ -401,9 +401,10 @@ object SeriesQueries {
          |)
          |SELECT a.tenant_id, 'weightedAverage' AS metric_name,
          |       CAST(a.b AS BIGINT) AS bucket_ms,
+         |       CASE WHEN SUM(CAST(FLOOR(wv * 1E10) AS BIGINT)) <> 0 THEN
          |       CAST(SUM(CAST(FLOOR(av * wv * 1E10) AS BIGINT)) AS DOUBLE)
          |         / CAST(SUM(CAST(FLOOR(wv * 1E10) AS BIGINT)) AS DOUBLE)
-         |         AS value,
+         |       END AS value,
          |       COUNT(*) AS n_keys
          |FROM a JOIN w ON a.k = w.k AND a.b = w.b
          |GROUP BY 1, 3
@@ -431,10 +432,14 @@ object SeriesQueries {
       "q_series_hitcount",
       s"""WITH ${OracleViews.metricsCte},
          |n0 AS (
+         |  -- the null filter runs BEFORE the lead on both sides: a null
+         |  -- sample neither contributes hits nor terminates the previous
+         |  -- sample's interval (fix-both-sides convention; HitcountSpec
+         |  -- pins the null-bearing fixture)
          |  SELECT tenant_id, metric_name, ts_ms, value,
          |         LEAD(ts_ms) OVER (PARTITION BY tenant_id, metric_name
          |                           ORDER BY ts_ms, value) AS ld
-         |  FROM metrics
+         |  FROM metrics WHERE value IS NOT NULL
          |),
          |n AS (
          |  -- LEAST skips NULLs: gate on the lead so the LAST sample of a

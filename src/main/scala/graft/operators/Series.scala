@@ -356,7 +356,10 @@ object Series {
       .withColumn("__wl", floor(col("__w") * lit(1.0e10)).cast("long"))
       .groupBy(col("tenant_id"), col("bucket_ms"))
       .agg(
-        (sum(col("__pl")).cast("double") / sum(col("__wl")).cast("double"))
+        // graphite's safeDiv: a bucket whose weights sum to 0 has no
+        // defined average — serve null, never 0/0's NaN or x/0's Infinity
+        when(sum(col("__wl")) =!= 0,
+          sum(col("__pl")).cast("double") / sum(col("__wl")).cast("double"))
           .as("value"),
         count(lit(1)).as("n_keys"))
       .withColumn("metric_name", lit("weightedAverage"))

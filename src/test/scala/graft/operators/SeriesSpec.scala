@@ -778,6 +778,20 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(g === Map(0L -> 10.0, 7200000L -> 10.0))
     intercept[IllegalArgumentException](
       Series.hitcount(rows, bucketMs = 10L, maxGapMs = 3600000L))
+    // NULL-bearing fixture (ADVICE r10): a null sample between two real
+    // ones neither contributes hits nor TERMINATES the previous interval
+    // — the null filter runs before the lead on both engine and oracle
+    // (q_series_hitcount n0 CTE), so the 2.0-rate interval extends
+    // through the null's timestamp to the next real sample
+    val withNull = pts(Seq(
+        ("t", "n", 0L, 2.0), ("t", "n", 20000L, 9.0)))
+      .unionByName(pts(Seq(("t", "n", 5000L, 1.0)))
+        .withColumn("value", org.apache.spark.sql.functions.lit(null)
+          .cast("double")))
+    val nn = Series.hitcount(withNull, bucketMs = 10000L)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(nn === Map(0L -> 20.0, 10000L -> 20.0),
+      "a null sample must not end the running interval early")
   }
 
   test("weightedAverage: node-paired sum(a*w)/sum(w) in floor-1e10 long " +
@@ -794,6 +808,14 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(out(0).getAs[Double]("value") === 3.5)
     assert(out(0).getAs[Long]("n_keys") === 2L)
     assert(out(0).getAs[String]("metric_name") === "weightedAverage")
+
+    // zero weight sum (ADVICE r10): graphite's safeDiv serves None, not
+    // 0/0's NaN — the bucket's value must be NULL
+    val zw = Series.weightedAverage(avgs,
+        pts(Seq(("t", "w.h1.x", 0L, 0.0), ("t", "w.h2.x", 0L, 0.0))),
+        Seq(1), bucketMs = 1L).collect()
+    assert(zw.length === 1 && zw(0).isNullAt(zw(0).fieldIndex("value")),
+      "a zero-weight bucket must serve null, never NaN/Infinity")
 
     // stddev stat: sigma([0,10]) = 5, sigma([5,5]) = 0 — the spread
     // series wins the mostDeviant ranking
