@@ -226,6 +226,41 @@ object Stress {
         results += ((s"cascade_files_$tier", nFiles, 0.0))
       }
 
+      // ---- snapshot-resolution arm: a 1440m-tier shape at full
+      // retention (~1825 day dirs, one generation each). The planning
+      // cost under test is DRIVER METADATA (listings per day dir):
+      // full resolution pays O(retention-days), the range-pruned read
+      // (a 1-hour dashboard panel = 1 day) pays O(query-days), and the
+      // memoized read pays one getFileStatus. Resolution time only —
+      // read() lists eagerly; no job runs.
+      val nDays = math.max(50L, (1825 * scale).toLong)
+      val snapRoot = java.nio.file.Files
+        .createTempDirectory("graft_stress_snap").toString + "/metrics_1440m"
+      graft.core.SnapshotStore.publish(
+        spark.range(nDays).select(
+          lit("t").as("tenant_id"), lit("m").as("metric_name"),
+          (lit(day0) + col("id") * 86400000L).as("bucket_ms"),
+          lit(1L).as("num_points"),
+          (lit(day0) + col("id") * 86400000L).as("ts_day")),
+        snapRoot)
+      val (_, fullRes) = time("snap_resolve_full") {
+        graft.core.SnapshotStore.read(spark, snapRoot).isDefined
+      }
+      results += (("snap_resolve_full", nDays, fullRes))
+      val lastDay = day0 + (nDays - 1) * 86400000L
+      val (_, prunedRes) = time("snap_resolve_pruned") {
+        graft.core.SnapshotStore.read(spark, snapRoot,
+          days = Some(Seq(lastDay))).isDefined
+      }
+      results += (("snap_resolve_pruned", 1L, prunedRes))
+      // warm the memo, then time the cached hit
+      graft.core.SnapshotStore.read(spark, snapRoot, useCache = true)
+      val (_, cachedRes) = time("snap_resolve_cached") {
+        graft.core.SnapshotStore.read(spark, snapRoot,
+          days = Some(Seq(lastDay)), useCache = true).isDefined
+      }
+      results += (("snap_resolve_cached", 1L, cachedRes))
+
       results.toSeq
     }
   }
