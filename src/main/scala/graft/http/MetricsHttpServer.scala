@@ -274,6 +274,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * [[routeKind]]'s probe-then-put. */
   private val storeGeneration = new AtomicLong(0L)
 
+  /** Monotone fact cache for the ingest hot path: once this facade has
+    * PERSISTED a batch with valid rows, the store provably holds locator
+    * data, so later requests skip processTypedBatch's ~30-table virgin
+    * glob probe (a driver-metadata cost paid per synchronous POST).
+    * Never reset — "has data" cannot become false while serving (TTL
+    * drops whole aged days, never the day just written). Set only under
+    * [[writeLock]]. */
+  @volatile private var storeKnownNonVirgin = false
+
   server.setExecutor(pool)
   server.createContext("/v2.0", (ex: HttpExchange) => handle(ex))
   // v1.0 legacy surface (reference HttpMetricDataQueryServer.java:70-73) —
@@ -479,10 +488,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val now = nowMs()
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
-      // ONE collect answers emptiness, the per-record error array, and the
-      // total — request-bounded rows, and each saved job is synchronous
-      // request latency
-      val (errors, nTotal) = ingestErrorRows(parsed, lo, hi)
+      // ONE collect answers emptiness, the per-record error array, the
+      // total, AND the engine's whole per-batch accounting (numeric
+      // valid/day counts + string-arm split) — request-bounded rows, and
+      // each saved job is synchronous request latency
+      val (errors, nTotal, accounting) = ingestAccounting(parsed, lo, hi)
       if (nTotal == 0) {
         sendJson(ex, 400, errJson("Cannot parse content")); return
       }
@@ -493,8 +503,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       writeLock.synchronized {
         val dirty = IngestStream.processTypedBatch(parsed, storeDir,
           requestBatchId(tenant, "ingest", body), lo, hi,
-          rollup = !deferRollups)
+          rollup = !deferRollups,
+          virginHint = if (storeKnownNonVirgin) Some(false) else None,
+          accounting = Some(accounting))
         if (deferRollups) dirty.foreach(pendingBasicDays.add)
+        if (errors.length.toLong < nTotal) storeKnownNonVirgin = true
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
       }
@@ -506,10 +519,19 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   /** First failing constraint per invalid record — the reference's
     * bean-validation error array (`JSONMetric.java:24-41` constraints;
-    * per-record array shape `ErrorResponse.java`) — plus the batch total,
-    * from ONE pass. Bounded by the request body, never by the store. */
-  private def ingestErrorRows(parsed: DataFrame, lo: Long, hi: Long):
-      (Array[(String, String, String, String, Option[Long])], Long) = {
+    * per-record array shape `ErrorResponse.java`) — plus the batch total
+    * AND the engine's full per-batch accounting
+    * ([[IngestStream.TypedAccounting]]: numeric valid/day counts and the
+    * string-arm split, built from the SAME [[IngestStream.validExpr]]
+    * the engine applies), from ONE grouped pass. Group count is bounded
+    * by 2·2·2·(days in the window); only the ERROR rows reach the driver
+    * row-by-row (collect_list skips the null structs of valid rows), so
+    * an all-valid bulk POST never materializes a driver Row per point.
+    * This one job replaces what used to be THREE per request (global
+    * error agg + processBatch's stats agg + the string-arm agg). */
+  private def ingestAccounting(parsed: DataFrame, lo: Long, hi: Long):
+      (Array[(String, String, String, String, Option[Long])], Long,
+        IngestStream.TypedAccounting) = {
     val src = when(col("metric_name").isNull ||
         length(col("metric_name")) === 0, lit("metricName"))
       .when(col("value").isNull ||
@@ -519,29 +541,47 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         lit("collectionTime"))
       .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
         lit("ttlInSeconds"))
-    // collect_list skips nulls, so only the ERROR rows reach the driver —
-    // the total rides along in the same single job (an all-valid bulk POST
-    // must not materialize a driver Row per point)
-    val agg = parsed
+    val isStr = coalesce(col("is_string_typed") || col("is_bool"), lit(false))
+    val rows = parsed
+      .groupBy(isStr.as("__s"),
+        IngestStream.validExpr(col("value_num"), lo, hi).as("__vn"),
+        IngestStream.validExpr(col("value"), lo, hi).as("__vs"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("__d"))
       .agg(count(lit(1)).as("n"),
         collect_list(when(src.isNotNull, struct(
           col("tenant_id"), col("metric_name"), col("ts_ms"),
           src.as("__src")))).as("errs"))
-      .head()
-    val errors = agg.getSeq[org.apache.spark.sql.Row](1).map { r =>
-      val source = r.getString(3)
-      val msg = source match {
-        case "metricName" => "may not be empty"
-        case "metricValue" => "is not a valid number"
-        case "collectionTime" =>
-          s"out of bounds: must be within [$lo, $hi]"
-        case _ => "must be positive"
+      .collect()
+    var nTotal = 0L
+    val errBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Option[Long])]
+    val numMap = scala.collection.mutable.Map
+      .empty[(Boolean, Option[Long]), Long].withDefaultValue(0L)
+    val strMap = scala.collection.mutable.Map
+      .empty[Boolean, Long].withDefaultValue(0L)
+    rows.foreach { g =>
+      val n = g.getLong(4)
+      nTotal += n
+      val day = if (g.isNullAt(3)) None else Some(g.getLong(3))
+      if (g.getBoolean(0)) strMap(g.getBoolean(2)) += n
+      else numMap((g.getBoolean(1), day)) += n
+      g.getSeq[org.apache.spark.sql.Row](5).foreach { r =>
+        val source = r.getString(3)
+        val msg = source match {
+          case "metricName" => "may not be empty"
+          case "metricValue" => "is not a valid number"
+          case "collectionTime" =>
+            s"out of bounds: must be within [$lo, $hi]"
+          case _ => "must be positive"
+        }
+        errBuf += ((Option(r.getString(0)).getOrElse(""),
+          Option(r.getString(1)).getOrElse(""), source, msg,
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
       }
-      (Option(r.getString(0)).getOrElse(""),
-        Option(r.getString(1)).getOrElse(""), source, msg,
-        if (r.isNullAt(2)) None else Some(r.getLong(2)))
-    }.toArray
-    (errors, agg.getLong(0))
+    }
+    (errBuf.toArray, nTotal, IngestStream.TypedAccounting(
+      numMap.toArray.map { case ((v, d), n) => (v, d, n) },
+      strMap.toMap))
   }
 
   private def ingestAggregated(ex: HttpExchange, tenant: String,
@@ -566,27 +606,35 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
       val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
-      // one job for emptiness + rejects + total; only the rejects are
-      // collected (see ingestErrorRows)
-      val agg = parsed
+      // one GROUPED job for emptiness + rejects + total + the engine's
+      // (ok, day, count) accounting (the ingestAccounting fusion shape);
+      // only the rejects reach the driver row-by-row
+      val groups = parsed
+        .groupBy(inWindow.as("__ok"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("__d"))
         .agg(count(lit(1)).as("n"),
           collect_list(when(!inWindow, struct(
             col("tenant_id"), col("metric_name"), col("ts_ms")))).as("bad"))
-        .head()
-      val nTotal = agg.getLong(0)
+        .collect()
+      val nTotal = groups.map(_.getLong(2)).sum
       if (nTotal == 0) {
         sendJson(ex, 400, errJson("Cannot parse content")); return
       }
-      val bad = agg.getSeq[org.apache.spark.sql.Row](1)
+      val stats = groups.map(g => (g.getBoolean(0),
+        if (g.isNullAt(1)) None else Some(g.getLong(1)), g.getLong(2)))
+      val bad = groups.flatMap(_.getSeq[org.apache.spark.sql.Row](3))
         .map(r => (Option(r.getString(0)).getOrElse(""),
           Option(r.getString(1)).getOrElse(""), "timestamp",
           s"out of bounds: must be within [$lo, $hi]",
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toArray
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
       writeLock.synchronized {
         val dirty = IngestStream.processAggregatedBatch(parsed, storeDir,
           requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
-          rollup = !deferRollups)
+          rollup = !deferRollups,
+          virginHint = if (storeKnownNonVirgin) Some(false) else None,
+          statsHint = Some(stats))
         if (deferRollups) dirty.foreach(pendingPreaggDays.add)
+        if (bad.length.toLong < nTotal) storeKnownNonVirgin = true
         familyCache.clear()
         storeGeneration.incrementAndGet()
       }

@@ -40,17 +40,24 @@ object IngestStream {
   /** Ingest validation (reference: JSONMetric.java:28-39,
     * EpochRangeValidator; epoch window of ±3h around processing time by
     * default in the reference — here parameterized). */
+  /** The validity predicate over an explicit value column — shared by
+    * [[withValidity]] and the facade's fused accounting aggregate, so the
+    * engine's valid/errors split and a caller-computed stats hint can
+    * never disagree. */
+  private[graft] def validExpr(value: org.apache.spark.sql.Column,
+      minTs: Long, maxTs: Long): org.apache.spark.sql.Column =
+    // coalesce: a NULL field (e.g. missing ts_ms) must yield valid=false,
+    // not NULL — under three-valued logic a NULL flag would drop the
+    // record from BOTH the valid store and the errors sink
+    coalesce(
+      col("metric_name").isNotNull && length(col("metric_name")) > 0 &&
+        value.isNotNull &&
+        col("ts_ms").between(minTs, maxTs) &&
+        (col("ttl_seconds").isNull || col("ttl_seconds") > 0),
+      lit(false))
+
   def withValidity(points: DataFrame, minTs: Long, maxTs: Long): DataFrame =
-    points.withColumn("valid",
-      // coalesce: a NULL field (e.g. missing ts_ms) must yield valid=false,
-      // not NULL — under three-valued logic a NULL flag would drop the
-      // record from BOTH the valid store and the errors sink
-      coalesce(
-        col("metric_name").isNotNull && length(col("metric_name")) > 0 &&
-          col("value").isNotNull &&
-          col("ts_ms").between(minTs, maxTs) &&
-          (col("ttl_seconds").isNull || col("ttl_seconds") > 0),
-        lit(false)))
+    points.withColumn("valid", validExpr(col("value"), minTs, maxTs))
 
   /** Parse a stream/batch of JSON lines into typed points. */
   def parseJson(lines: DataFrame): DataFrame =
@@ -108,13 +115,20 @@ object IngestStream {
     * sink like their numeric siblings. */
   def processTypedBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
       minTs: Long = 0L, maxTs: Long = Long.MaxValue,
-      rollup: Boolean = true): Seq[Long] = {
+      rollup: Boolean = true,
+      virginHint: Option[Boolean] = None,
+      accounting: Option[TypedAccounting] = None): Seq[Long] = {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.isEmpty) return Nil
+      // a caller-supplied accounting (the facade's fused aggregate, which
+      // already materialized the cache) answers emptiness without a job
+      if (accounting.fold(cached.isEmpty)(a =>
+          a.numericStats.isEmpty && a.stringStats.isEmpty)) return Nil
       // probed BEFORE any of this batch's writes: a first batch on an
-      // empty store makes the catalog complete-from-birth
-      val virgin = !storeHasData(cached.sparkSession, storeDir)
+      // empty store makes the catalog complete-from-birth. The hint lets
+      // a caller that KNOWS the store state (the facade after its first
+      // persisted batch) skip the ~30-table glob probe per request.
+      val virgin = virginHint.getOrElse(!storeHasData(cached.sparkSession, storeDir))
       // metered here, not in the numeric arm: a string-only batch would
       // otherwise vanish from the batch counter (processBatch returns
       // before its meter on an empty numeric split)
@@ -128,7 +142,11 @@ object IngestStream {
           col("value_num").as("value"), col("ttl_seconds"), col("unit"))
       val dirtyDays = processBatch(
         withValidity(numeric, minTs, maxTs), storeDir, batchId,
-        meterBatch = false, virginHint = Some(virgin), rollup = rollup)
+        meterBatch = false, virginHint = Some(virgin), rollup = rollup,
+        statsHint = accounting.map(_.numericStats))
+      // a fused accounting also covers the string arm: an all-numeric
+      // batch skips the string accounting job entirely
+      if (accounting.exists(_.stringStats.values.sum == 0L)) return dirtyDays
       val strings = withValidity(
         cached.filter(isStringKind)
           .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
@@ -136,8 +154,9 @@ object IngestStream {
         minTs, maxTs)
         .withColumnRenamed("value", "value_str")
       // one accounting aggregate for the string arm too (see processBatch)
-      val sstats = strings.groupBy(col("valid")).count().collect()
-        .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+      val sstats = accounting.map(_.stringStats).getOrElse(
+        strings.groupBy(col("valid")).count().collect()
+          .map(r => (r.getBoolean(0), r.getLong(1))).toMap)
       if (sstats.isEmpty) return dirtyDays
       val nBadStrings = sstats.getOrElse(false, 0L)
       if (nBadStrings > 0) {
@@ -152,7 +171,8 @@ object IngestStream {
       Instrumentation.global.inc("ingest.rows.metrics_string", nGoodStrings)
       // catalog before data (see processBatch's crash-ordering note)
       writeCatalog(goodStrings, storeDir, batchId, src = "string",
-        familyCol = lit("string"), markComplete = virgin)
+        familyCol = lit("string"), markComplete = virgin,
+        rowCountHint = Some(nGoodStrings))
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
@@ -174,19 +194,65 @@ object IngestStream {
     * concurrently running typed/preagg streams' batch ids from colliding.
     * Like the reference's locator index, entries outlive retention-pruned
     * data (a name stays discoverable until the catalog is rebuilt). */
+  /** Process-wide seen-locator memo per store — the reference's
+    * MetadataCache shape (IncomingMetricMetadataAnalyzer checks its cache
+    * BEFORE writing metrics_metadata): a request-sized batch whose every
+    * (tenant, name, family, unit) was already committed to the catalog by
+    * this process skips the per-batch catalog write entirely; only NEW
+    * locators are written (the catalog is a union of batch dirs, readers
+    * dedup). Entries are recorded AFTER their write commits, so a crash
+    * can only under-record (extra writes, never a missing locator).
+    * Bounded: past [[CatalogMemoCap]] entries the memo stops admitting
+    * (all-new batches keep writing normally); batches larger than
+    * [[CatalogMemoBatchCap]] rows (bulk streaming, e.g. the 10⁶-locator
+    * stress shape) bypass the collect and take the plain write path. A
+    * catalog REBUILD drops what retention aged out — it must
+    * [[invalidateCatalogMemo]] so a re-ingested locator is re-written. */
+  private val catalogSeen = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[(String, String, String, String)]]()
+  private val CatalogMemoCap = 500000
+  private val CatalogMemoBatchCap = 100000L
+
+  private[graft] def invalidateCatalogMemo(storeDir: String): Unit = {
+    catalogSeen.remove(storeDir)
+    ()
+  }
+
   private def writeCatalog(rows: DataFrame, storeDir: String, batchId: Long,
       src: String, familyCol: org.apache.spark.sql.Column,
-      markComplete: Boolean = false): Unit = {
+      markComplete: Boolean = false,
+      rowCountHint: Option[Long] = None): Unit = {
+    val spark = rows.sparkSession
     val unitCol = if (rows.columns.contains("unit")) col("unit")
                   else lit(null).cast("string")
-    rows.select(col("tenant_id"), col("metric_name"),
+    val distinctLoc = rows.select(col("tenant_id"), col("metric_name"),
         familyCol.as("family"), unitCol.as("unit"))
       .groupBy("tenant_id", "metric_name", "family")
       .agg(max("unit").as("unit"))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
-    if (markComplete) markCatalogComplete(spark = rows.sparkSession, storeDir)
+    val memoPath = rowCountHint.exists(_ <= CatalogMemoBatchCap)
+    if (memoPath) {
+      val seen = catalogSeen.computeIfAbsent(storeDir,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+      // batch-bounded collect (the same aggregate the plain path writes)
+      val locs = distinctLoc.collect().map(r => (r.getString(0),
+        r.getString(1), r.getString(2), Option(r.getString(3)).orNull))
+      val fresh = locs.filterNot(seen.contains)
+      if (fresh.nonEmpty) {
+        import spark.implicits._
+        fresh.toSeq.toDF("tenant_id", "metric_name", "family", "unit")
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
+        // record ONLY after the commit; stop admitting past the cap
+        if (seen.size() < CatalogMemoCap) fresh.foreach(seen.add)
+      }
+    } else {
+      distinctLoc
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
+    }
+    if (markComplete) markCatalogComplete(spark, storeDir)
   }
 
   /** COVERAGE marker for the catalog: present only when every locator the
@@ -390,6 +456,10 @@ object IngestStream {
           b.getParent.getName != "src=rebuild")
         fs.delete(b.getParent, true)
     }
+    // the rebuild derives from LIVE data, so locators whose every row
+    // aged out just left the catalog — the seen-locator memo must forget
+    // them or a later re-ingest would skip re-writing a live locator
+    invalidateCatalogMemo(storeDir)
   }
 
   /** One micro-batch: append raw, then recompute 5m rollups for the days
@@ -410,7 +480,9 @@ object IngestStream {
     * ([[graft.query.MetricsQueryApi.getRollupsStored]] `dirtyDays`). */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
       meterBatch: Boolean = true, virginHint: Option[Boolean] = None,
-      rollup: Boolean = true): Seq[Long] = {
+      rollup: Boolean = true,
+      statsHint: Option[Array[(Boolean, Option[Long], Long)]] = None)
+      : Seq[Long] = {
     val spark = batch.sparkSession
     // probed BEFORE any write (see processTypedBatch): first-batch-on-
     // empty-store means the catalog covers the store from birth. The hint
@@ -426,11 +498,11 @@ object IngestStream {
       // count is the latency floor of a synchronous ingest request. An
       // invalid row can carry a null ts_ms — its day groups as null, read
       // via isNullAt.
-      val stats = cached
+      val stats = statsHint.getOrElse(cached
         .groupBy(col("valid"), dayOf(col("ts_ms")).as("ts_day")).count()
         .collect()
         .map(r => (r.getBoolean(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))))
       if (stats.isEmpty) return Nil
       // meterBatch=false when processTypedBatch already counted this batch
       // (a string-only batch never reaches this arm's counter otherwise)
@@ -456,7 +528,8 @@ object IngestStream {
       // stale-but-safe catalog superset, never a _complete-marked catalog
       // missing a live locator (readers dedup; routeKind would misroute)
       writeCatalog(valid, storeDir, batchId, src = "numeric",
-        familyCol = lit("basic"), markComplete = virgin)
+        familyCol = lit("basic"), markComplete = virgin,
+        rowCountHint = Some(dayCounts.map(_._2).sum))
       writeRaw(valid, storeDir, batchId)
       Instrumentation.global.inc("ingest.rows.metrics_full",
         dayCounts.map(_._2).sum)
@@ -464,6 +537,18 @@ object IngestStream {
       dayCounts.map(_._1).toSeq
     } finally cached.unpersist()
   }
+
+  /** Pre-computed per-batch accounting (the facade's fused aggregate):
+    * `numericStats` = (valid, day, count) rows over the NUMERIC arm —
+    * exactly what [[processBatch]]'s own aggregate would produce (valid
+    * per [[validExpr]] over `value_num`; day null for a null ts_ms) —
+    * and `stringStats` = valid→count over the string/bool arm. Supplying
+    * it removes two accounting jobs from every synchronous ingest
+    * request; correctness requires the producer to use [[validExpr]]
+    * with the SAME bounds it passes to [[processTypedBatch]]. */
+  final case class TypedAccounting(
+      numericStats: Array[(Boolean, Option[Long], Long)],
+      stringStats: Map[Boolean, Long])
 
   /** The raw-store write: day-partitioned parquet under an overwrite
     * batch-id partition (shared by processBatch and IngestBench so the
@@ -770,10 +855,13 @@ object IngestStream {
   def processAggregatedBatch(parsed: DataFrame, storeDir: String,
       batchId: Long = 0L, cascade: Boolean = true,
       minTs: Long = 0L, maxTs: Long = Long.MaxValue,
-      rollup: Boolean = true): Seq[Long] = {
+      rollup: Boolean = true,
+      virginHint: Option[Boolean] = None,
+      statsHint: Option[Array[(Boolean, Option[Long], Long)]] = None)
+      : Seq[Long] = {
     val spark = parsed.sparkSession
     // probed BEFORE any write (see processTypedBatch's catalog marker)
-    val virgin = !storeHasData(spark, storeDir)
+    val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
     val cached0 = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 3VL-safe: a null ts_ms must read as out-of-window, not NULL (which
@@ -783,11 +871,11 @@ object IngestStream {
       // processBatch (a null ts_ms groups under a null day in the
       // rejected arm).
       val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
-      val stats = cached0
+      val stats = statsHint.getOrElse(cached0
         .groupBy(inWindow.as("ok"), dayOf(col("ts_ms")).as("ts_day")).count()
         .collect()
         .map(r => (r.getBoolean(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))))
       if (stats.isEmpty) return Nil
       Instrumentation.global.inc("ingest.batches.preagg")
       val nRejected = stats.collect { case (false, _, n) => n }.sum
@@ -801,7 +889,8 @@ object IngestStream {
       if (dayCounts.isEmpty) return Nil
       // catalog before data (see processBatch's crash-ordering note)
       writeCatalog(cached, storeDir, batchId, src = "preagg",
-        familyCol = col("kind"), markComplete = virgin)
+        familyCol = col("kind"), markComplete = virgin,
+        rowCountHint = Some(dayCounts.map(_._2).sum))
       cached.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/preagg_raw/batch_id=$batchId")

@@ -52,11 +52,20 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
   test("compaction folds per-batch dirs src by src; reader view unchanged; " +
     "non-quiesced spares each src's newest dir") {
     val store = java.nio.file.Files.createTempDirectory("graft_cat1").toString
+    // distinct locators per batch: the seen-locator memo (the reference's
+    // MetadataCache shape) skips the catalog write for an all-repeat
+    // batch, so only NEW locators produce per-batch dirs
     ingestNumeric(store, 0L, "cpu.load", day0 + 1000L)
     ingestNumeric(store, 1L, "mem.used", day0 + 2000L)
-    ingestNumeric(store, 2L, "cpu.load", day0 + 3000L)
+    ingestNumeric(store, 2L, "disk.io", day0 + 3000L)
     ingestPreagg(store, 0L, "hits", day0 + 1000L)
-    ingestPreagg(store, 1L, "hits", day0 + 2000L)
+    ingestPreagg(store, 1L, "miss", day0 + 2000L)
+    // an all-repeat batch writes NO catalog dir (memo hit) — and still
+    // writes its data rows
+    ingestNumeric(store, 3L, "cpu.load", day0 + 4000L)
+    assert(batchDirs(store, "numeric") ===
+      Seq("batch_id=0", "batch_id=1", "batch_id=2"),
+      "a repeat-locator batch must not add a catalog dir")
     val before = catalogRows(store)
     // non-quiesced: numeric has 3 small dirs -> folds 2, spares batch_id=2
     val folded = IngestStream.compactCatalog(spark, store)
