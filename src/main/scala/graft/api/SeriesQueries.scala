@@ -1267,6 +1267,98 @@ object SeriesQueries {
     }
   }
 
+  /** From-anchored re-bucketing ([[Series.smartSummarize]], Graphite's
+    * smartSummarize): identical algebra to q_series_summarize with the
+    * bucket arithmetic anchored at a deliberately misaligned request
+    * `from` — both sides filter ts >= anchor and state the same integer
+    * bucket expression, exact-DECIMAL sums as DOUBLE. */
+  private val smartSummarizeQ = {
+    val bucketMs = 21600000L
+    val anchorMs = 1704067200999L // day0 + 999 ms: exercises the filter
+    QDef(
+      "q_series_smart_summarize",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name,
+         |       CAST($anchorMs + ((ts_ms - $anchorMs) // $bucketMs)
+         |         * $bucketMs AS BIGINT) AS bucket_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
+         |       COUNT(*) AS n_points
+         |FROM metrics WHERE ts_ms >= $anchorMs
+         |GROUP BY 1, 2, 3
+         |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) {
+      (s, dir) =>
+        Series.smartSummarize(Tables.metrics(s, dir), anchorMs, bucketMs, "sum")
+          .orderBy("tenant_id", "metric_name", "bucket_ms")
+    }
+  }
+
+  /** Interval-reset running total ([[Series.integralByInterval]],
+    * Graphite's integralByInterval): the q_series_integral window with an
+    * additional epoch-snapped-bucket partition key — same exact-DECIMAL
+    * accumulation, same (ts, value) total order, stated identically by
+    * both engines. */
+  private val integralByIntervalQ = {
+    val bucketMs = 86400000L // daily reset
+    QDef(
+      "q_series_integral_interval",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name, ts_ms,
+         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+         |         PARTITION BY tenant_id, metric_name,
+         |           ts_ms - ts_ms % $bucketMs
+         |         ORDER BY ts_ms, value
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE) AS value
+         |FROM metrics
+         |WHERE tenant_id = 'purchase'
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.integralByInterval(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+            bucketMs)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
+  /** mapSeries/reduceSeries pairing ([[Series.reduceSeriesPairs]]):
+    * hourly exact-ratio means per series, then purchase-vs-view series
+    * paired on everything but the tenant token (node 1) and served as
+    * asPercent — the join key is the name with node 1 replaced by
+    * `reduce.asPercent` (graphite-web's output naming), restated in
+    * DuckDB from the corpus' literal 3-token name shape. The percent is
+    * the identical scalar-double a/b·100 over identical inputs; zero
+    * denominators serve null (F6). */
+  private val reducePairsQ = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_reduce_pairs",
+      s"""WITH ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT metric_name,
+         |         string_split(metric_name, '.')[2] AS tok,
+         |         'app.reduce.asPercent.' || string_split(metric_name, '.')[3]
+         |           AS key,
+         |         (ts_ms // $bMs) * $bMs AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(*) AS value
+         |  FROM metrics GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT 'all' AS tenant_id, a.key AS metric_name,
+         |       CAST(a.ts_ms AS BIGINT) AS ts_ms,
+         |       CASE WHEN b.value <> 0 THEN a.value / b.value * 100 END
+         |         AS value
+         |FROM h a JOIN h b ON a.key = b.key AND a.ts_ms = b.ts_ms
+         |WHERE a.tok = 'purchase' AND b.tok = 'view'
+         |ORDER BY tenant_id, metric_name, ts_ms""".stripMargin) { (s, dir) =>
+      val hourly = Series.summarize(Tables.metrics(s, dir), bMs, "mean")
+        .withColumnRenamed("bucket_ms", "ts_ms")
+        .withColumn("tenant_id", lit("all"))
+        .drop("n_points")
+      Series.reduceSeriesPairs(hourly, 1, "purchase", "view", "asPercent")
+        .orderBy("tenant_id", "metric_name", "ts_ms")
+    }
+  }
+
   /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
     * timestamps collapse to exact-DECIMAL means first; prev/next restate
     * as two DuckDB ASOF joins (the q_asof_* pattern — the "next" side
@@ -1369,5 +1461,6 @@ object SeriesQueries {
     hitcountQ, groupNode, groupNodes,
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
-    m4, mad, madSharded, summarizeQ, resample, resampleHoldQ)
+    m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
+    reducePairsQ, resample, resampleHoldQ)
 }

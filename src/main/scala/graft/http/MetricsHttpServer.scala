@@ -2098,13 +2098,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val stat = args.lift(2).map(stripQuotes).getOrElse("sum")
             val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
             val in = inner
-            // shift to a from-anchored clock, reuse the epoch-snapping
-            // operator verbatim, shift back — bit-identical bucketing
             val shifted = graft.operators.Series
-              .summarize(in.df.withColumn("ts_ms", col("ts_ms") - fromMs)
-                .filter(col("ts_ms") >= 0), ivlMs, stat)
-              .withColumn("ts_ms", col("bucket_ms") + fromMs)
-              .drop("bucket_ms")
+              .smartSummarize(in.df, fromMs, ivlMs, stat)
+              .withColumnRenamed("bucket_ms", "ts_ms")
             SeriesExpr(shifted, None,
               n => s"""smartSummarize(${in.displayName(n)},"$ivl","$stat")""",
               in.consolidate)
@@ -2116,14 +2112,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             val ivl = ivlArg("reset")
             val ivlMs = parseIntervalMs(ivl)
             val in = inner
-            val wB = Window
-              .partitionBy(col("tenant_id"), col("metric_name"),
-                (col("ts_ms") - pmod(col("ts_ms"), lit(ivlMs))).as("__b"))
-              .orderBy(col("ts_ms"), col("value"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            SeriesExpr(in.df.withColumn("value",
-                sum(col("value").cast(DecimalType(28, 2))).over(wB)
-                  .cast("double")),
+            SeriesExpr(graft.operators.Series
+                .integralByInterval(in.df, ivlMs),
               None,
               n => s"""integralByInterval(${in.displayName(n)},"$ivl")""",
               in.consolidate)
@@ -2237,34 +2227,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             require(rn >= 0, s"reduce node must be >= 0 in '$t'")
             val (m1, m2) = (stripQuotes(args(3).trim),
               stripQuotes(args(4).trim))
-            val in = inner
-            // get() is 0-based and null on out-of-range — element_at
-            // would THROW under ANSI when Catalyst pushes this filter
-            // below the glob's rlike and evaluates it on shorter names
-            val tok = get(split(col("metric_name"), "\\."), lit(rn))
-            // the pairing key: the name with node rn replaced (also the
-            // output entry name); a flat HOF over panel-bounded rows
-            val keyed = in.df.withColumn("__key", array_join(
-              transform(split(col("metric_name"), "\\."),
-                (x, i) => when(i === rn, lit(s"reduce.$func")).otherwise(x)),
-              "."))
-            val a = keyed.filter(tok === m1)
-              .select(col("tenant_id"), col("__key"), col("ts_ms"),
-                col("value").as("__a"))
-            val b = keyed.filter(tok === m2)
-              .select(col("tenant_id"), col("__key"), col("ts_ms"),
-                col("value").as("__b"))
-            val v = func match {
-              case "asPercent" => when(col("__b") =!= 0.0,
-                col("__a") / col("__b") * 100)
-              case "divideSeries" => when(col("__b") =!= 0.0,
-                col("__a") / col("__b"))
-              case _ => col("__a") - col("__b")
-            }
-            SeriesExpr(a.join(b, Seq("tenant_id", "__key", "ts_ms"))
-                .withColumn("value", v)
-                .select(col("tenant_id"), col("__key").as("metric_name"),
-                  col("ts_ms"), col("value")),
+            SeriesExpr(graft.operators.Series
+                .reduceSeriesPairs(inner.df, rn, m1, m2, func),
               None, identity)
           case "stacked" | "secondYAxis" | "drawAsInfinite" | "lineWidth" |
                "dashed" | "color" =>
@@ -2285,6 +2249,200 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               case _ => n => s"$fn(${in.displayName(n)})"
             }
             SeriesExpr(in.df, None, wrapName, in.consolidate)
+          case "aggregate" =>
+            // aggregate(<expr>, "func") — graphite 1.1's general combiner
+            // (what Grafana's editor emits for sum/avg/... since 1.1);
+            // dispatches onto the same aggregateSeries machinery as the
+            // sumSeries family
+            val func = args.lift(1).map(stripQuotes).getOrElse(
+              throw new IllegalArgumentException(
+                s"aggregate needs a function name in '$t'"))
+            val stat = func match {
+              case "sum" | "total" => "sum"
+              case "avg" | "average" | "mean" => "mean"
+              case "max" => "max"
+              case "min" => "min"
+              case "count" => "count"
+              case "range" | "rangeOf" => "range"
+              case "stddev" => "stddev"
+              case other => throw new IllegalArgumentException(
+                s"aggregate func must be one of sum|avg|max|min|count|" +
+                  s"range|stddev in '$t', got '$other'")
+            }
+            SeriesExpr(graft.operators.Series
+                .aggregateSeries(inner.df, "*", stat, bucketMs = 1L)
+                .withColumnRenamed("bucket_ms", "ts_ms"),
+              Some(t), identity)
+          case "exponentialMovingAverage" =>
+            // exponentialMovingAverage(<expr>, n) — EMA with smoothing
+            // 2/(n+1) over the series' POINTS (graphite's integer form;
+            // its interval form assumes fixed-step storage, which this
+            // irregular store deliberately rejects — summarize/resample
+            // first). Runs the codegen EwmaScan the alert scorers use;
+            // seeded at the first sample.
+            val n = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                "exponentialMovingAverage needs an integer point count " +
+                  s"in '$t' (interval strings assume fixed-step storage " +
+                  "— summarize/keepLastValue first)"))
+            require(n >= 1, s"point count must be >= 1 in '$t', got $n")
+            val in = inner
+            SeriesExpr(graft.operators.Anomaly
+                .ewmaBands(in.df, alpha = 2.0 / (n + 1))
+                .select(ser :+ col("ewma").as("value"): _*),
+              None, n0 => s"exponentialMovingAverage(${in.displayName(n0)},$n)",
+              in.consolidate)
+          case "threshold" =>
+            // threshold(value[, "label"[, "color"]]) — a constantLine
+            // with a legend label (color is presentation, passed through)
+            val v = stripQuotes(arg0).toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"threshold needs a numeric value in '$t'"))
+            val name = args.lift(1).map(stripQuotes).filter(_.nonEmpty)
+              .getOrElse(stripQuotes(arg0))
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            import spark.implicits._
+            SeriesExpr(Seq(fromMs, (fromMs + untilMs) / 2, untilMs).distinct
+                .map(ts => (tenant, name, ts, v))
+                .toDF("tenant_id", "metric_name", "ts_ms", "value"),
+              Some(name), identity)
+          case "aggregateLine" =>
+            // aggregateLine(<expr>[, "func"]) — per-series horizontal
+            // line at the series' own stat, drawn at from/mid/until
+            // (graphite's three-point line); per-series stat table is one
+            // row per series, cross-joined with the 3 instants
+            val func = args.lift(1).map(stripQuotes).getOrElse("avg")
+            val stat = func match {
+              case "avg" | "average" | "mean" => "mean"
+              case "last" | "current" => "last"
+              case f => f
+            }
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            import spark.implicits._
+            val instants = Seq(fromMs, (fromMs + untilMs) / 2, untilMs)
+              .distinct.toDF("ts_ms")
+            val in = recurse(arg0)
+            val statTable = graft.operators.Series
+              .topSeries(in.df, Int.MaxValue, stat)
+              .select(col("tenant_id"), col("metric_name"),
+                col("stat_value").as("value"))
+            SeriesExpr(statTable.crossJoin(broadcast(instants))
+                .select("tenant_id", "metric_name", "ts_ms", "value"),
+              None,
+              n => s"""aggregateLine(${in.displayName(n)}, '$func')""")
+          case "identity" | "timeFunction" =>
+            // identity("name"[, step]) — epoch seconds drawn on a uniform
+            // grid (graphite's time ramp; step defaults 60 s), bounded by
+            // the panel grid cap like every grid generator here
+            val name = stripQuotes(arg0)
+            val stepS = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(60)
+            require(stepS >= 1, s"step must be >= 1 in '$t', got $stepS")
+            val fromMs = graft.core.DateTimeParser.parseMillis(from, now)
+            val untilMs = graft.core.DateTimeParser.parseMillis(until, now)
+            val n = (untilMs - fromMs) / (stepS * 1000L) + 1L
+            require(n <= graft.operators.Series.MaxGridPointsPerSeries,
+              s"identity grid too fine: $n points > " +
+                s"${graft.operators.Series.MaxGridPointsPerSeries} in '$t'")
+            SeriesExpr(spark.range(n).select(
+                lit(tenant).as("tenant_id"), lit(name).as("metric_name"),
+                (lit(fromMs) + col("id") * (stepS * 1000L)).as("ts_ms"),
+                ((lit(fromMs) + col("id") * (stepS * 1000L)) / 1000L)
+                  .cast("double").as("value")),
+              Some(name), identity)
+          case "delay" =>
+            // delay(<expr>, steps) — each series' values shifted by N
+            // points (negative = forward); vacated points render null.
+            // RAW inner: a wrapped stage's nulls shift along
+            val steps = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"delay needs an integer step count in '$t'"))
+            val in = recurse(arg0)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("metric_name"))
+              .orderBy(col("ts_ms"), col("value"))
+            SeriesExpr(in.df.withColumn("value", lag(col("value"), steps).over(w)),
+              None, n => s"delay(${in.displayName(n)},$steps)",
+              in.consolidate)
+          case "isNonNull" =>
+            // pointwise presence flag (1.0 where a datapoint exists)
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value",
+                when(col("value").isNotNull, lit(1.0)).otherwise(lit(0.0))),
+              None, n => s"isNonNull(${in.displayName(n)})", in.consolidate)
+          case "pow" | "squareRoot" =>
+            // pointwise power; graphite's safePow renders None where the
+            // real-valued result is undefined (negative base under a
+            // fractional exponent), which Spark's pow signals as NaN
+            val k = fn match {
+              case "squareRoot" => 0.5
+              case _ => args.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(
+                throw new IllegalArgumentException(
+                  s"pow needs a numeric exponent in '$t'"))
+            }
+            val in = recurse(arg0)
+            val p = pow(col("value"), lit(k))
+            SeriesExpr(in.df.withColumn("value", when(!isnan(p), p)),
+              None,
+              n => if (fn == "squareRoot") s"squareRoot(${in.displayName(n)})"
+                   else s"pow(${in.displayName(n)},$k)",
+              in.consolidate)
+          case "substr" =>
+            // substr(<expr>, start[, stop]) — display name sliced to the
+            // dot-node range [start, stop), stop 0 = end; negative
+            // indexes count from the end (graphite's python slicing)
+            val start = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(0)
+            val stop = args.lift(2).flatMap(_.trim.toIntOption).getOrElse(0)
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None, { n0 =>
+              // graphite slices the UNDERLYING node list of the fetched
+              // series; for composed names the display text slices
+              val parts = in.displayName(n0).split('.')
+              val s0 = if (start < 0) (parts.length + start) max 0 else start min parts.length
+              val s1 = if (stop == 0) parts.length
+                       else if (stop < 0) (parts.length + stop) max 0
+                       else stop min parts.length
+              if (s0 >= s1) "" else parts.slice(s0, s1).mkString(".")
+            }, in.consolidate)
+          case "verticalLine" =>
+            // verticalLine("ts"[, "label"]) — a single marker instant
+            // (the JSON API serves the point; drawing the vertical is the
+            // dashboard's job, the events() convention)
+            val tsArg = stripQuotes(arg0)
+            val tsMs = graft.core.DateTimeParser.parseMillis(tsArg, now)
+            val name = args.lift(1).map(stripQuotes).filter(_.nonEmpty)
+              .getOrElse(t)
+            import spark.implicits._
+            SeriesExpr(Seq((tenant, name, tsMs, 1.0))
+                .toDF("tenant_id", "metric_name", "ts_ms", "value"),
+              Some(name), identity)
+          case "interpolate" =>
+            // interpolate(<expr>) — null datapoints filled linearly
+            // between their nearest non-null neighbors WITHIN the series;
+            // leading/trailing nulls stay null (graphite's interpolate).
+            // Both lookups are incremental [unbounded, current] frames
+            // (the resampleImpl reversed-sort trick for the next side) —
+            // never a per-row forward re-aggregation
+            val in = recurse(arg0)
+            val fwd = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("metric_name"))
+              .orderBy(col("ts_ms"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val bwd = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tenant_id"), col("metric_name"))
+              .orderBy(col("ts_ms").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val pv = last(when(col("value").isNotNull, col("value")), true).over(fwd)
+            val pt = last(when(col("value").isNotNull, col("ts_ms")), true).over(fwd)
+            val nv = last(when(col("value").isNotNull, col("value")), true).over(bwd)
+            val nt = last(when(col("value").isNotNull, col("ts_ms")), true).over(bwd)
+            SeriesExpr(in.df.withColumn("value",
+                when(col("value").isNotNull, col("value"))
+                  .when(pv.isNotNull && nv.isNotNull && nt =!= pt,
+                    pv + (nv - pv) * (col("ts_ms") - pt) / (nt - pt))),
+              None, n => s"interpolate(${in.displayName(n)})",
+              in.consolidate)
           case other => throw new IllegalArgumentException(
             s"unknown render function '$other' in target '$t'")
         }

@@ -125,6 +125,20 @@ private[http] object RenderFunctions {
     F("lineWidth", "Graph", "presentation tag (line width); data passes through", Seq(series, p("width", "float"))),
     F("dashed", "Graph", "presentation tag (dashed line); data passes through", Seq(series, opt("dashLength", "integer"))),
     F("color", "Graph", "presentation tag (series color); data passes through", Seq(series, p("theColor", "string"))),
+    // Batch 4
+    F("aggregate", "Combine", "general per-instant combiner (sum|avg|max|min|count|range|stddev) — graphite 1.1's editor default", Seq(series, p("func", "string"))),
+    F("exponentialMovingAverage", "Calculate", "EMA with smoothing 2/(n+1) over each series' points (integer form; interval form needs fixed-step — summarize first)", Seq(series, p("windowSize", "integer"))),
+    F("aggregateLine", "Calculate", "per-series horizontal line at the series' own stat (avg|sum|max|min|last|stddev)", Seq(series, opt("func", "string"))),
+    F("delay", "Transform", "shift each series' values by N points (negative = forward); vacated points render null", Seq(series, p("steps", "integer"))),
+    F("isNonNull", "Transform", "1 where a datapoint exists, 0 where null", Seq(series)),
+    F("pow", "Transform", "pointwise x^n; undefined real results render null", Seq(series, p("factor", "float"))),
+    F("squareRoot", "Transform", "pointwise square root; negative values render null", Seq(series)),
+    F("interpolate", "Transform", "fill null datapoints linearly between nearest non-null neighbors; edges stay null", Seq(series)),
+    F("substr", "Alias", "display name sliced to the dot-node range [start, stop); python-style negative indexes", Seq(series, p("start", "node"), opt("stop", "node"))),
+    F("threshold", "Special", "constantLine with a legend label (color is presentation)", Seq(p("value", "float"), opt("label", "string"), opt("color", "string"))),
+    F("verticalLine", "Special", "a single marker instant (drawing the vertical is the dashboard's job)", Seq(p("ts", "string"), opt("label", "string"))),
+    F("identity", "Special", "epoch seconds on a uniform grid (default 60 s step)", Seq(p("name", "string"), opt("step", "integer"))),
+    F("timeFunction", "Special", "alias of identity", Seq(p("name", "string"), opt("step", "integer"))),
     // Special
     F("constantLine", "Special", "reference line: the value drawn at from, midpoint, and until", Seq(p("value", "float"))),
     F("consolidateBy", "Special", "pick the final maxDataPoints consolidation statistic (average|sum|min|max|first|last)", Seq(series, p("consolidationFunc", "string"))),

@@ -1146,6 +1146,82 @@ object Series {
       .agg(statCol.as("value"), count(lit(1)).as("n_points"))
   }
 
+  /** Graphite's `smartSummarize(seriesList, interval, func)`: [[summarize]]
+    * with buckets aligned to the REQUEST'S from (`anchorMs`) instead of
+    * the epoch snap — bucket k covers [anchor + k·ivl, anchor + (k+1)·ivl)
+    * and rows before the anchor are excluded (graphite-web re-fetches
+    * from the aligned boundary). Implemented as shift → [[summarize]] →
+    * unshift, so the bucket algebra is the summarize operator's verbatim
+    * (exact-DECIMAL sums; identical scale shape: one map-side-combining
+    * aggregation). */
+  def smartSummarize(points: DataFrame, anchorMs: Long, bucketMs: Long,
+      stat: String): DataFrame =
+    summarize(points.filter(col("ts_ms") >= anchorMs)
+        .withColumn("ts_ms", col("ts_ms") - anchorMs), bucketMs, stat)
+      .withColumn("bucket_ms", col("bucket_ms") + anchorMs)
+
+  /** Graphite's `integralByInterval(seriesList, intervalUnit)`: the
+    * running total of [[integral]] RESET at each epoch-snapped interval
+    * boundary (the "cumulative today" counter view). Same exact-DECIMAL
+    * accumulation, the window additionally partitioned by the bucket —
+    * still one incremental [unbounded-preceding, current] frame per
+    * series task (the movingWindowPrefix cost class, no re-aggregation).
+    * Ties on ts order by value so the running sum is total. */
+  def integralByInterval(points: DataFrame, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val w = Window
+      .partitionBy(col("tenant_id"), col("metric_name"),
+        col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs)))
+      .orderBy(col("ts_ms"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+      sum(col("value").cast(DecimalType(28, 2))).over(w).cast("double")
+        .as("value"))
+  }
+
+  /** Graphite's `reduceSeries` pairing (composed with `mapSeries`): pair
+    * series that agree on every dot-token EXCEPT `reduceNode`, match the
+    * two reduce keys (`m1`, `m2`) at that node, and serve
+    * `func(m1-series, m2-series)` per instant. Entries are named with
+    * node `reduceNode` replaced by `reduce.<func>` (graphite-web's output
+    * shape). Supported reducers — the two-argument ones graphite ships:
+    * `asPercent` (a/b·100), `divideSeries` (a/b), `diffSeries` (a−b);
+    * zero denominators serve null (the F6 safe-div rule).
+    *
+    * Scale shape: one flat token-replace projection (a scalar HOF, once
+    * per row) + one equi-join on (tenant, key, ts) — never a cross join;
+    * the key is as selective as the series name itself. */
+  def reduceSeriesPairs(points: DataFrame, reduceNode: Int,
+      m1: String, m2: String, func: String): DataFrame = {
+    require(reduceNode >= 0, s"reduceNode must be >= 0, got $reduceNode")
+    require(Set("asPercent", "divideSeries", "diffSeries").contains(func),
+      s"reduce func must be asPercent|divideSeries|diffSeries, got '$func'")
+    // get() is 0-based and null out-of-range (ANSI element_at would throw
+    // on shorter names when Catalyst pushes this below an upstream filter)
+    val tok = get(split(col("metric_name"), "\\."), lit(reduceNode))
+    val keyed = points.withColumn("__key", array_join(
+      transform(split(col("metric_name"), "\\."),
+        (x, i) => when(i === reduceNode, lit(s"reduce.$func")).otherwise(x)),
+      "."))
+    val a = keyed.filter(tok === m1)
+      .select(col("tenant_id"), col("__key"), col("ts_ms"),
+        col("value").as("__a"))
+    val b = keyed.filter(tok === m2)
+      .select(col("tenant_id"), col("__key"), col("ts_ms"),
+        col("value").as("__b"))
+    val v = func match {
+      case "asPercent" => when(col("__b") =!= 0.0,
+        col("__a") / col("__b") * 100)
+      case "divideSeries" => when(col("__b") =!= 0.0,
+        col("__a") / col("__b"))
+      case _ => col("__a") - col("__b")
+    }
+    a.join(b, Seq("tenant_id", "__key", "ts_ms"))
+      .withColumn("value", v)
+      .select(col("tenant_id"), col("__key").as("metric_name"),
+        col("ts_ms"), col("value"))
+  }
+
   /** [[madOutliers]] with TWO-PHASE SHARDED rank selection — the
     * hot-series scale path: where madOutliers sorts each series in a
     * single task (fine for the render-path/rollup-tier inputs it targets,

@@ -1510,6 +1510,84 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render staples batch 4: aggregate, exponentialMovingAverage, " +
+    "threshold/aggregateLine/identity/verticalLine lines, delay, " +
+    "isNonNull, pow/squareRoot, substr, interpolate") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 10L * 300000L
+      def ingest(name: String, pts: Seq[(Long, Double)]): Unit = {
+        val recs = pts.map { case (ts, v) =>
+          s"""{"metricName": "$name", "metricValue": $v,
+             | "collectionTime": $ts, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      val fromS = t0 / 1000 - 10
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def body(target: String): String =
+        get(s"$base/render?target=" + enc(target) +
+          s"&from=$fromS&until=${now / 1000}&tenant=acme").body()
+
+      ingest("b4.a", Seq((t0, 2.0), (t0 + 300000L, 4.0)))
+      ingest("b4.b", Seq((t0, 10.0), (t0 + 300000L, 20.0)))
+      // aggregate dispatches the general combiner: sum and range
+      val agSum = body("""aggregate(b4.*,"sum")""")
+      assert(agSum.contains(s"[12.0, ${t0 / 1000}]") &&
+        agSum.contains(s"[24.0, ${t0 / 1000 + 300}]"), agSum)
+      val agRange = body("""aggregate(b4.*,"range")""")
+      assert(agRange.contains(s"[8.0, ${t0 / 1000}]"), agRange)
+      // EMA alpha = 2/(n+1) = 0.5 for n=3: seeded 2.0, then 0.5*4+0.5*2=3
+      val ema = body("exponentialMovingAverage(b4.a,3)")
+      assert(ema.contains(s"[2.0, ${t0 / 1000}]") &&
+        ema.contains(s"[3.0, ${t0 / 1000 + 300}]"), ema)
+      // threshold draws a labeled constant line at from/mid/until
+      val th = body("""threshold(42.5,"slo")""")
+      assert(th.contains(""""target": "slo"""") &&
+        th.contains(s"[42.5, $fromS]"), th)
+      // aggregateLine: per-series mean drawn as a 3-point line
+      val al = body("""aggregateLine(b4.a,"avg")""")
+      assert(al.contains("aggregateLine(b4.a, 'avg')") &&
+        al.contains(s"[3.0, $fromS]"), al)
+      // identity: epoch seconds on the default 60 s grid (values render
+      // in E-notation at this magnitude — assert the grid instants)
+      val idf = body("""identity("ramp")""")
+      assert(idf.contains(""""target": "ramp"""") &&
+        idf.contains(s", $fromS]") && idf.contains(s", ${fromS + 60}]"), idf)
+      // verticalLine: one marker instant
+      val vl = body(s"""verticalLine("${t0 / 1000}","deploy")""")
+      assert(vl.contains(""""target": "deploy"""") &&
+        vl.contains(s"[1.0, ${t0 / 1000}]"), vl)
+      // delay by one point: first point vacates to null, second gets 2.0
+      val dl = body("delay(b4.a,1)")
+      assert(dl.contains(s"[null, ${t0 / 1000}]") &&
+        dl.contains(s"[2.0, ${t0 / 1000 + 300}]"), dl)
+      // isNonNull over a scrub: offending point reads 0
+      val inn = body("isNonNull(removeAboveValue(b4.a,3))")
+      assert(inn.contains(s"[1.0, ${t0 / 1000}]") &&
+        inn.contains(s"[0.0, ${t0 / 1000 + 300}]"), inn)
+      // pow and squareRoot; sqrt of a negative renders null
+      ingest("b4.n", Seq((t0, 9.0), (t0 + 300000L, -4.0)))
+      val pw = body("pow(b4.a,2)")
+      assert(pw.contains(s"[4.0, ${t0 / 1000}]") &&
+        pw.contains(s"[16.0, ${t0 / 1000 + 300}]"), pw)
+      val sq = body("squareRoot(b4.n)")
+      assert(sq.contains(s"[3.0, ${t0 / 1000}]") &&
+        sq.contains(s"[null, ${t0 / 1000 + 300}]"), sq)
+      // substr slices the display name's dot nodes
+      val sb = body("substr(b4.a,1)")
+      assert(sb.contains(""""target": "a""""), sb)
+      // interpolate fills an interior null linearly; edges stay null
+      ingest("b4.i", Seq((t0, 1.0), (t0 + 300000L, 100.0),
+        (t0 + 600000L, 3.0)))
+      val ip = body("interpolate(removeAboveValue(b4.i,50))")
+      assert(ip.contains(s"[2.0, ${t0 / 1000 + 300}]"), ip)
+      val ipEdge = body("interpolate(removeAboveValue(b4.a,3))")
+      assert(ipEdge.contains(s"[null, ${t0 / 1000 + 300}]"), ipEdge)
+    } finally srv.stop()
+  }
+
   test("RACE: stored-tier views reads racing live ingest (dirty-day " +
     "re-roll + cascade every batch) never 5xx and never lose the day") {
     val (srv, base, _) = startServer()
