@@ -137,6 +137,62 @@ class DeferredRollupSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("RACE: deferred ingests + the background roller racing stored " +
+    "reads never 5xx and never lose a point (repair <-> tier handoff)") {
+    // fast roller: every read races BOTH the raw-repair window and the
+    // re-roll's snapshot publish + pending-flag flip
+    val (srv, base, _) = startServer(delayMs = 200L)
+    try {
+      val t0 = now - (now % 300000L) - 20L * 300000L
+      def recs(extraTs: Long): String = ((0 until 10).map(i =>
+        (t0 + i * 300000L, 1.0)) :+ (extraTs, 1.0)).map { case (ts, v) =>
+        s"""{"metricName": "race.d", "metricValue": $v,
+           | "collectionTime": $ts}""".stripMargin
+      }.mkString("[", ",", "]")
+      assert(post(s"$base/v2.0/acme/ingest", recs(t0)).statusCode() === 200)
+      val url = s"$base/v2.0/acme/views/race.d?from=${t0 / 1000 - 10}" +
+        s"&to=${now / 1000}&resolution=5m&select=numPoints"
+      val baseline = get(url)
+      assert(baseline.statusCode() === 200, baseline.body())
+      val basePoints = "\"timestamp\"".r.findAllIn(baseline.body()).size
+      assert(basePoints >= 10, baseline.body())
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val readers = (0 until 2).map { _ =>
+        new Thread(() => {
+          while (!stop.get()) {
+            val r = get(url)
+            reads.incrementAndGet()
+            val pts = "\"timestamp\"".r.findAllIn(r.body()).size
+            if (r.statusCode() != 200)
+              bad.add(s"status ${r.statusCode()}: ${r.body().take(200)}")
+            else if (pts < basePoints)
+              bad.add(s"day shrank: $pts < $basePoints")
+          }
+        })
+      }
+      readers.foreach(_.start())
+      (1 to 5).foreach { i =>
+        assert(post(s"$base/v2.0/acme/ingest",
+          recs(t0 + 10L * 300000L + i * 1000L)).statusCode() === 200)
+        Thread.sleep(150) // let the roller interleave mid-stream
+      }
+      // drain and converge: the tier alone must serve every point
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (srv.pendingRollupDays > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      stop.set(true)
+      readers.foreach(_.join(60000))
+      assert(reads.get() >= 3, s"race never overlapped (reads=${reads.get()})")
+      assert(bad.isEmpty, s"${bad.size} bad reads: ${bad.peek()}")
+      assert(srv.pendingRollupDays === 0)
+      val fin = get(url)
+      assert("\"timestamp\"".r.findAllIn(fin.body()).size >= basePoints + 1,
+        fin.body())
+    } finally srv.stop()
+  }
+
   test("background roller drains the pending set on its own cadence") {
     val (srv, base, store) = startServer(delayMs = 300L)
     try {
