@@ -108,6 +108,14 @@ object SnapshotStore {
   private final case class Resolved(version: Long, atMillis: Long,
       rootMtime: Long, state: State)
   private val memo = new ConcurrentHashMap[String, Resolved]()
+  // the constructed full-winners DataFrame per (root, version, session):
+  // reusing the frame reuses its file index, so a cache hit pays ZERO
+  // listings at plan time (a fresh spark.read would re-list every leaf
+  // dir's files per query — the dominant planning cost on object
+  // stores). The frame is immutable for the generation's lifetime, which
+  // is exactly the snapshot guarantee.
+  private val dfMemo =
+    new ConcurrentHashMap[String, (Long, SparkSession, DataFrame)]()
 
   // per-root resolution tally (tests assert "one resolution per publish
   // generation" without racing the process-global Instrumentation keys)
@@ -140,6 +148,7 @@ object SnapshotStore {
     val k = rootKey(root)
     versions.computeIfAbsent(k, _ => new AtomicLong(0L)).incrementAndGet()
     memo.remove(k)
+    dfMemo.remove(k)
     ()
   }
 
@@ -353,10 +362,34 @@ object SnapshotStore {
       // cache the FULL resolution so every later range prunes from memory
       val e = Resolved(v, now, rootMtime, resolve(fs, rootPath, None))
       memo.put(k, e)
+      // the frame cache is only as fresh as the RESOLUTION it was built
+      // from: a rebuild (TTL expiry, out-of-band root-mtime change) must
+      // drop it even when the version counter never moved
+      dfMemo.remove(k)
       e
     }
     if (cached.isDefined)
       Instrumentation.global.inc("store.snapshot.cache_hits")
-    buildDf(spark, root, entry.state, daySet)
+    entry.state match {
+      case Winners(byDay) =>
+        // with the full winners set in hand, the range check is a map
+        // lookup; the FRAME is built once per (generation, session) over
+        // all winners — a cache hit reuses its file index (zero plan-time
+        // listings) and the caller's ts_day filter prunes partitions
+        val overlaps = daySet.fold(true)(ds => byDay.exists { case (d, _) =>
+          d.stripPrefix("ts_day=").toLongOption.forall(ds.contains) })
+        if (!overlaps) return None
+        val full = Option(dfMemo.get(k)) match {
+          case Some((ver, sess, df)) if ver == v && (sess eq spark) => df
+          case _ =>
+            val df = buildDf(spark, root, entry.state, None).get
+            dfMemo.put(k, (v, spark, df))
+            df
+        }
+        Some(daySet.fold(full)(ds =>
+          full.filter(org.apache.spark.sql.functions.col("ts_day")
+            .isin(ds.toSeq: _*))))
+      case other => buildDf(spark, root, other, daySet)
+    }
   }
 }
