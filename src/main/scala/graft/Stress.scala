@@ -226,6 +226,45 @@ object Stress {
         results += ((s"cascade_files_$tier", nFiles, 0.0))
       }
 
+      // ---- deferred-drain arm: the worst-case rollNow() — a facade that
+      // deferred for a whole retention-window backlog drains 30 pending
+      // days in one pass. IngestBench's post_p99_during_drain_ms proves
+      // POSTs don't stall behind this (the drain runs off the write
+      // lock); this arm records what the drain itself costs and the file
+      // shape it leaves (one generation, ≤ a handful of files per day).
+      val dstore = java.nio.file.Files
+        .createTempDirectory("graft_stress_drain").toString
+      val drainDays = (0 until 30).map(day0 + _ * 86400000L)
+      graft.streaming.IngestStream.writeRaw(
+        spark.range(nWide * 2).select(
+          lit("t").as("tenant_id"),
+          concat(lit("d_"), pmod(col("id"), lit(nWide / 30 max 1L)))
+            .as("metric_name"),
+          (lit(day0) + pmod(col("id"), lit(30L)) * 86400000L +
+            pmod(xxhash64(col("id"), lit(17)), lit(86400L)) * 1000L)
+            .as("ts_ms"),
+          (pmod(xxhash64(col("id"), lit(19)), lit(1000L)) / 10.0).as("value"),
+          lit(86400).as("ttl_seconds"), lit("ms").as("unit")),
+        dstore, batchId = 0L)
+      val (_, drainSecs) = time("deferred_drain_30d") {
+        graft.streaming.IngestStream.rollDirtyDaysNow(spark, dstore,
+          drainDays)
+      }
+      results += (("deferred_drain_30d", 30L, drainSecs))
+      locally {
+        val p = new org.apache.hadoop.fs.Path(s"$dstore/metrics_5m")
+        val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var c = 0L
+        if (dfs.exists(p)) {
+          val it = dfs.listFiles(p, true)
+          while (it.hasNext) {
+            if (it.next().getPath.getName.startsWith("part-")) c += 1
+          }
+        }
+        println(f"[stress] files drain metrics_5m $c")
+        results += (("deferred_drain_files_5m", c, 0.0))
+      }
+
       // ---- snapshot-resolution arm: a 1440m-tier shape at full
       // retention (~1825 day dirs, one generation each). The planning
       // cost under test is DRIVER METADATA (listings per day dir):

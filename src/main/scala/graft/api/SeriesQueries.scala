@@ -1258,7 +1258,7 @@ object SeriesQueries {
          |SELECT tenant_id, metric_name,
          |       (ts_ms // $bucketMs) * $bucketMs AS bucket_ms,
          |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
-         |       COUNT(*) AS n_points
+         |       COUNT(value) AS n_points
          |FROM metrics GROUP BY 1, 2, 3
          |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) {
       (s, dir) =>
@@ -1282,7 +1282,7 @@ object SeriesQueries {
          |       CAST($anchorMs + ((ts_ms - $anchorMs) // $bucketMs)
          |         * $bucketMs AS BIGINT) AS bucket_ms,
          |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value,
-         |       COUNT(*) AS n_points
+         |       COUNT(value) AS n_points
          |FROM metrics WHERE ts_ms >= $anchorMs
          |GROUP BY 1, 2, 3
          |ORDER BY tenant_id, metric_name, bucket_ms""".stripMargin) {
@@ -1306,7 +1306,7 @@ object SeriesQueries {
          |       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
          |         PARTITION BY tenant_id, metric_name,
          |           ts_ms - ts_ms % $bucketMs
-         |         ORDER BY ts_ms, value
+         |         ORDER BY ts_ms, value NULLS FIRST
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS DOUBLE) AS value
          |FROM metrics
@@ -1340,7 +1340,7 @@ object SeriesQueries {
          |           AS key,
          |         (ts_ms // $bMs) * $bMs AS ts_ms,
          |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
-         |           / COUNT(*) AS value
+         |           / COUNT(value) AS value
          |  FROM metrics GROUP BY 1, 2, 3, 4
          |)
          |SELECT 'all' AS tenant_id, a.key AS metric_name,
@@ -1374,7 +1374,7 @@ object SeriesQueries {
          |  SELECT tenant_id, metric_name, ts_ms,
          |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
          |           / COUNT(*) AS value
-         |  FROM metrics GROUP BY 1, 2, 3
+         |  FROM metrics WHERE value IS NOT NULL GROUP BY 1, 2, 3
          |),
          |ext AS (
          |  SELECT tenant_id, metric_name, min(ts_ms) AS t0, max(ts_ms) AS t1
@@ -1431,7 +1431,7 @@ object SeriesQueries {
          |  SELECT tenant_id, metric_name, ts_ms,
          |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
          |           / COUNT(*) AS value
-         |  FROM metrics GROUP BY 1, 2, 3
+         |  FROM metrics WHERE value IS NOT NULL GROUP BY 1, 2, 3
          |),
          |ext AS (
          |  SELECT tenant_id, metric_name, min(ts_ms) AS t0, max(ts_ms) AS t1

@@ -52,10 +52,13 @@ import java.util.concurrent.atomic.AtomicLong
   * (`useCache = true`): one full resolution is cached per publish
   * generation, keyed by an in-process version counter ([[invalidate]] —
   * bumped by every [[publish]] and by retention), double-checked against
-  * the root dir's mtime (catches out-of-band whole-day rewrites, one
-  * metadata RPC) and bounded by a staleness TTL
-  * (`SPARK_GRAFT_SNAPSHOT_TTL_MS`, default 30 s) against writers in OTHER
-  * processes.
+  * the `_version` fence file every publish rewrites (one metadata RPC —
+  * EXACT for publishes by OTHER processes, which become visible at the
+  * reader's next request rather than after a TTL; pre-fence tables fall
+  * back to the root dir's mtime) and bounded by a staleness TTL
+  * (`SPARK_GRAFT_SNAPSHOT_TTL_MS`, default 30 s) as the backstop for
+  * out-of-band mutations that bypass [[publish]] (retention day-drops in
+  * a foreign process).
   *
   * Guarantees (stated precisely; AtomicServeSpec races them):
   *  - a read NEVER sees a torn day: every day it serves is one complete
@@ -106,7 +109,7 @@ object SnapshotStore {
   // a cached resolution is valid only at the version it was taken at
   private val versions = new ConcurrentHashMap[String, AtomicLong]()
   private final case class Resolved(version: Long, atMillis: Long,
-      rootMtime: Long, state: State)
+      fence: (Long, Long), state: State)
   private val memo = new ConcurrentHashMap[String, Resolved]()
   // the constructed full-winners DataFrame per (root, version, session):
   // reusing the frame reuses its file index, so a cache hit pays ZERO
@@ -155,6 +158,42 @@ object SnapshotStore {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Cross-process publish fence: a tiny `_version` file at the table
+    * root, rewritten by every [[publish]]. The memo's staleness
+    * double-check stats THIS file in addition to the root directory's
+    * mtime — dir mtimes move only on direct-child creation/deletion (a
+    * publish into an EXISTING day creates no direct child) and are
+    * fake/zero on object stores, while a freshly PUT object carries a
+    * real timestamp everywhere. With the fence, a foreign process's
+    * publish is visible to a memoized reader at its NEXT request, not
+    * after the staleness TTL. (Sub-millisecond back-to-back foreign
+    * publishes can still coalesce under mtime granularity — a real
+    * publish stages a parquet write, so that window is theoretical; the
+    * TTL remains the backstop.) */
+  private def versionFile(root: Path) = new Path(root, "_version")
+
+  private def bumpVersionFile(fs: FileSystem, root: Path): Unit =
+    try {
+      val out = fs.create(versionFile(root), true)
+      out.write(java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch { case _: java.io.IOException => }
+
+  /** The memo fence for `root`: (root DIR mtime, `_version` file mtime).
+    * The dir mtime catches out-of-band direct-child mutations (a day dir
+    * deleted or created without [[publish]] — the PreaggStoredReadSpec
+    * shape); the `_version` mtime catches foreign-process publishes into
+    * EXISTING days, which move no dir mtime at all. Both must match for a
+    * memo hit. A pre-fence table (no `_version` yet) contributes 0 for
+    * the file component — the dir mtime alone, the r10 behavior. */
+  private def fenceOf(fs: FileSystem, root: Path): (Long, Long) = {
+    val vf = versionFile(root)
+    val vm = try fs.getFileStatus(vf).getModificationTime
+             catch { case _: java.io.FileNotFoundException => 0L }
+    (fs.getFileStatus(root).getModificationTime, vm)
+  }
+
   private def dayDirs(fs: FileSystem, root: Path) =
     if (!fs.exists(root)) Array.empty[Path]
     else fs.listStatus(root)
@@ -199,7 +238,19 @@ object SnapshotStore {
     * additionally deletes live days absent from `df` (static full-rebuild
     * semantics). Returns the committed day values. */
   def publish(df: DataFrame, root: String, replaceAll: Boolean = false,
-      readerGraceMs: Long = defaultReaderGraceMs): Seq[Long] = {
+      readerGraceMs: Long = defaultReaderGraceMs): Seq[Long] =
+    commitStaged(df.sparkSession, stageOnly(df, root), root, replaceAll,
+      readerGraceMs)
+
+  /** Phase 1 of [[publish]]: write `df` fully into a hidden staging dir
+    * under `root` and validate its day names — the EXPENSIVE part (the
+    * Spark job), with zero visibility to readers. Returns the staging
+    * path for [[commitStaged]]/[[abortStaged]]. Splitting the phases lets
+    * a caller overlap the staging job with other work and defer only the
+    * metadata-cheap commit renames behind its own durability ordering
+    * (the fused ingest path stages the re-rolled tier CONCURRENTLY with
+    * the raw write and commits it only after the raw batch is visible). */
+  def stageOnly(df: DataFrame, root: String): Path = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -211,12 +262,19 @@ object SnapshotStore {
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
     val staging =
       new Path(rootPath, s".staging-${java.util.UUID.randomUUID().toString}")
-    df.write.mode("overwrite").partitionBy("ts_day").parquet(staging.toString)
-    val staged = dayDirs(fs, staging)
+    // the staging dir is committed by ONE rename afterwards, so the
+    // file-committer's own crash guarantees are redundant here: v2
+    // (direct task commit) + no _SUCCESS marker skip a whole
+    // rename-per-partition pass — measured ~100 ms per publish locally,
+    // more on object stores
+    df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .partitionBy("ts_day").parquet(staging.toString)
     // validate EVERY staged day name BEFORE the first commit rename: a
     // null ts_day stages as ts_day=__HIVE_DEFAULT_PARTITION__ and must be
     // an input-validation failure, not a partial publish
-    val badDays = staged.map(_.getName)
+    val badDays = dayDirs(fs, staging).map(_.getName)
       .filter(_.stripPrefix("ts_day=").toLongOption.isEmpty)
     if (badDays.nonEmpty) {
       fs.delete(staging, true)
@@ -225,6 +283,25 @@ object SnapshotStore {
           s"${badDays.mkString(", ")} — ts_day must be a non-null day " +
           "epoch-ms; nothing was committed")
     }
+    staging
+  }
+
+  /** Drop an un-committed staging dir (phase-1 output whose commit was
+    * abandoned — e.g. the raw write it was ordered behind failed). */
+  def abortStaged(spark: SparkSession, staging: Path): Unit = {
+    val fs = fsOf(spark, staging)
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Phase 2 of [[publish]]: commit a [[stageOnly]] staging dir — one
+    * atomic rename per day plus reader-grace GC, all metadata-cheap. */
+  def commitStaged(spark: SparkSession, staging: Path, root: String,
+      replaceAll: Boolean = false,
+      readerGraceMs: Long = defaultReaderGraceMs): Seq[Long] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val staged = dayDirs(fs, staging)
     ensureGenLayout(fs, rootPath)
     val nowMs = System.currentTimeMillis()
     val committed = staged.map { sd =>
@@ -235,14 +312,23 @@ object SnapshotStore {
       val g = if (existing.isEmpty) 0L else existing.last._1 + 1L
       // COMMIT POINT for this day: one atomic directory rename — no live
       // file is deleted or replaced
-      require(fs.rename(sd, new Path(dayDir, s"gen=$g")),
+      val genDir = new Path(dayDir, s"gen=$g")
+      require(fs.rename(sd, genDir),
         s"snapshot commit rename failed for $dayDir gen=$g")
+      // stamp COMMIT time on the gen dir: rename preserves the staged
+      // dir's own mtime (set when its write FINISHED), so a publish with
+      // a long staging phase would otherwise date the supersede early and
+      // shorten the grace slow readers were promised. Best-effort — a
+      // filesystem without setTimes falls back to the staging-finish
+      // mtime, which only ever under-approximates the supersede time by
+      // this publish's own staging duration.
+      try fs.setTimes(genDir, nowMs, -1L)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException => }
       // reader-grace GC: generation k was superseded when k's SUCCESSOR
-      // committed (≈ the successor dir's mtime — staging writes finish
-      // just before the commit rename, and rename preserves the moved
-      // dir's own mtime); delete k only once that is at least the grace
-      // ago. The newest pre-existing generation was superseded just now
-      // by `g` and is always retained this pass.
+      // committed (the successor dir's commit-stamped mtime); delete k
+      // only once that is at least the grace ago. The newest pre-existing
+      // generation was superseded just now by `g` and is always retained
+      // this pass.
       for (i <- 0 until existing.length - 1) {
         val supersededAt =
           fs.getFileStatus(existing(i + 1)._2).getModificationTime
@@ -257,6 +343,7 @@ object SnapshotStore {
         .foreach(d => fs.delete(d, true))
     }
     fs.delete(staging, true)
+    bumpVersionFile(fs, rootPath)
     invalidate(root)
     Instrumentation.global.inc("store.snapshot.publishes")
     Instrumentation.global.inc("store.snapshot.days", committed.size.toLong)
@@ -353,14 +440,14 @@ object SnapshotStore {
     val k = rootKey(root)
     val v = version(root)
     val now = System.currentTimeMillis()
-    val rootMtime = fs.getFileStatus(rootPath).getModificationTime
+    val fence = fenceOf(fs, rootPath)
     val cached = Option(memo.get(k)).filter(e =>
       e.version == v && now - e.atMillis < cacheTtlMs &&
-        e.rootMtime == rootMtime)
+        e.fence == fence)
     val entry = cached.getOrElse {
       countResolution(k)
       // cache the FULL resolution so every later range prunes from memory
-      val e = Resolved(v, now, rootMtime, resolve(fs, rootPath, None))
+      val e = Resolved(v, now, fence, resolve(fs, rootPath, None))
       memo.put(k, e)
       // the frame cache is only as fresh as the RESOLUTION it was built
       // from: a rebuild (TTL expiry, out-of-band root-mtime change) must

@@ -1129,13 +1129,21 @@ object Series {
   def summarize(points: DataFrame, bucketMs: Long, stat: String): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     val dec = DecimalType(28, 2)
+    // null samples are ABSENT values (graphite's safe* aggregators skip
+    // None): every statistic — including the mean's denominator and
+    // n_points — counts only non-null values, so a null-bearing series
+    // summarizes exactly as graphite-web would draw it (NullSeriesSpec
+    // pins this; the oracles state COUNT(value) identically)
     val statCol = stat match {
       case "sum" => sum(col("value").cast(dec)).cast("double")
       case "avg" | "mean" =>
-        sum(col("value").cast(dec)).cast("double") / count(lit(1))
+        sum(col("value").cast(dec)).cast("double") / count(col("value"))
       case "max" => max(col("value"))
       case "min" => min(col("value"))
-      case "last" => max(struct(col("ts_ms"), col("value"))).getField("value")
+      case "last" => // last NON-NULL value (graphite safeLast): a trailing
+        // null sample must not blank the bucket
+        max(when(col("value").isNotNull, struct(col("ts_ms"), col("value"))))
+          .getField("value")
       case other => throw new IllegalArgumentException(
         s"summarize func must be one of sum|avg|max|min|last, got '$other'")
     }
@@ -1143,7 +1151,7 @@ object Series {
       .groupBy(col("tenant_id"), col("metric_name"),
         (col("ts_ms") - pmod(col("ts_ms"), lit(bucketMs))).cast("long")
           .as("bucket_ms"))
-      .agg(statCol.as("value"), count(lit(1)).as("n_points"))
+      .agg(statCol.as("value"), count(col("value")).as("n_points"))
   }
 
   /** Graphite's `smartSummarize(seriesList, interval, func)`: [[summarize]]
@@ -1369,7 +1377,13 @@ object Series {
     require(maxGridPointsPerSeries >= 1,
       s"maxGridPointsPerSeries must be >= 1, got $maxGridPointsPerSeries")
     val ser = Seq("tenant_id", "metric_name")
+    // null samples are absent (graphite skips None when interpolating):
+    // without this filter a null-valued sample would donate its TIMESTAMP
+    // as an interpolation endpoint while ignoreNulls skipped its VALUE —
+    // a mismatched (pt, pv) pair (NullSeriesSpec pins the fix; the
+    // oracles' pts CTEs state the same filter)
     val pts = points
+      .filter(col("value").isNotNull)
       .groupBy(ser.map(col) :+ col("ts_ms"): _*)
       .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double") /
         count(lit(1))).as("value"))

@@ -338,7 +338,12 @@ object MetricsQueryApi {
     // can never serve this query a missing or partial day. Resolution is
     // range-pruned (only rangeDays' dirs are listed — planning cost
     // scales with the query, not the tier's retention age) and memoized
-    // per publish generation for the facade's hot loop
+    // per publish generation. useCache is safe for MULTI-process
+    // deployments too (a separate ingest JVM feeding the same store):
+    // the memo's validity check stats the _version fence file every
+    // publish rewrites, so a foreign publish is visible at this reader's
+    // NEXT request — the 30 s TTL remains only as the backstop for
+    // writers that bypass SnapshotStore.publish entirely
     val (coveredDays, stored) =
       graft.core.SnapshotStore.read(spark, tierPath,
           days = Some(rangeDays.filterNot(dirtyDays)), useCache = true) match {

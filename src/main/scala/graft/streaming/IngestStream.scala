@@ -143,7 +143,9 @@ object IngestStream {
       val dirtyDays = processBatch(
         withValidity(numeric, minTs, maxTs), storeDir, batchId,
         meterBatch = false, virginHint = Some(virgin), rollup = rollup,
-        statsHint = accounting.map(_.numericStats))
+        statsHint = accounting.map(_.numericStats),
+        locatorsHint = accounting.flatMap(_.numericLocators)
+          .map(dedupLocators("basic", _)))
       // a fused accounting also covers the string arm: an all-numeric
       // batch skips the string accounting job entirely
       if (accounting.exists(_.stringStats.values.sum == 0L)) return dirtyDays
@@ -172,7 +174,9 @@ object IngestStream {
       // catalog before data (see processBatch's crash-ordering note)
       writeCatalog(goodStrings, storeDir, batchId, src = "string",
         familyCol = lit("string"), markComplete = virgin,
-        rowCountHint = Some(nGoodStrings))
+        rowCountHint = Some(nGoodStrings),
+        locatorsHint = accounting.flatMap(_.stringLocators)
+          .map(dedupLocators("string", _)))
       goodStrings.withColumn("ts_day", dayOf(col("ts_ms")))
         .write.mode("overwrite").partitionBy("ts_day")
         .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
@@ -221,8 +225,20 @@ object IngestStream {
   private def writeCatalog(rows: DataFrame, storeDir: String, batchId: Long,
       src: String, familyCol: org.apache.spark.sql.Column,
       markComplete: Boolean = false,
-      rowCountHint: Option[Long] = None): Unit = {
+      rowCountHint: Option[Long] = None,
+      locatorsHint: Option[Array[(String, String, String, String)]] = None)
+      : Unit = {
     val spark = rows.sparkSession
+    // a caller that already holds the batch's distinct locators (the
+    // facade's fused accounting / the observe-on-write path) skips the
+    // per-batch catalog aggregate entirely — zero Spark jobs unless fresh
+    // locators actually need writing
+    locatorsHint match {
+      case Some(locs) =>
+        writeCatalogLocators(spark, storeDir, batchId, src, locs, markComplete)
+        return
+      case None =>
+    }
     val unitCol = if (rows.columns.contains("unit")) col("unit")
                   else lit(null).cast("string")
     val distinctLoc = rows.select(col("tenant_id"), col("metric_name"),
@@ -231,21 +247,11 @@ object IngestStream {
       .agg(max("unit").as("unit"))
     val memoPath = rowCountHint.exists(_ <= CatalogMemoBatchCap)
     if (memoPath) {
-      val seen = catalogSeen.computeIfAbsent(storeDir,
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
       // batch-bounded collect (the same aggregate the plain path writes)
       val locs = distinctLoc.collect().map(r => (r.getString(0),
         r.getString(1), r.getString(2), Option(r.getString(3)).orNull))
-      val fresh = locs.filterNot(seen.contains)
-      if (fresh.nonEmpty) {
-        import spark.implicits._
-        fresh.toSeq.toDF("tenant_id", "metric_name", "family", "unit")
-          .coalesce(1)
-          .write.mode("overwrite")
-          .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
-        // record ONLY after the commit; stop admitting past the cap
-        if (seen.size() < CatalogMemoCap) fresh.foreach(seen.add)
-      }
+      writeCatalogLocators(spark, storeDir, batchId, src, locs,
+        markComplete = false)
     } else {
       distinctLoc
         .coalesce(1)
@@ -254,6 +260,42 @@ object IngestStream {
     }
     if (markComplete) markCatalogComplete(spark, storeDir)
   }
+
+  /** Memo-filtered catalog upsert from driver-held locator rows
+    * (tenant, name, family, unit) — the tail of [[writeCatalog]]'s memo
+    * path, callable directly when the batch's distinct locators were
+    * already collected by a fused aggregate. */
+  private def writeCatalogLocators(spark: SparkSession, storeDir: String,
+      batchId: Long, src: String,
+      locs: Array[(String, String, String, String)],
+      markComplete: Boolean): Unit = {
+    val seen = catalogSeen.computeIfAbsent(storeDir,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+    val fresh = locs.filterNot(seen.contains)
+    if (fresh.nonEmpty) {
+      import spark.implicits._
+      fresh.toSeq.toDF("tenant_id", "metric_name", "family", "unit")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$storeDir/metric_catalog/src=$src/batch_id=$batchId")
+      // record ONLY after the commit; stop admitting past the cap
+      if (seen.size() < CatalogMemoCap) fresh.foreach(seen.add)
+    }
+    if (markComplete) markCatalogComplete(spark, storeDir)
+  }
+
+  /** Replicates [[writeCatalog]]'s distinct-locator aggregate
+    * (groupBy(tenant, name, family).agg(max(unit))) over driver-held
+    * (tenant, name, unit) triples — catalog content is bit-identical to
+    * the relational path (units are ASCII, so String ordering matches
+    * Spark's binary UTF8 max). */
+  private def dedupLocators(family: String,
+      locs: Iterable[(String, String, String)])
+      : Array[(String, String, String, String)] =
+    locs.groupBy(l => (l._1, l._2)).map { case ((t, n), vs) =>
+      val units = vs.map(_._3).filter(_ != null)
+      (t, n, family, if (units.isEmpty) null else units.max)
+    }.toArray
 
   /** COVERAGE marker for the catalog: present only when every locator the
     * data tables hold is also cataloged — written when the catalog is born
@@ -286,9 +328,19 @@ object IngestStream {
 
   /** Whether any locator-bearing table already holds data — probed at
     * batch START (before this batch's writes) to decide if a first
-    * catalog write covers the whole store. */
+    * catalog write covers the whole store. Memoized process-wide once
+    * TRUE (the facade's storeKnownNonVirgin cache, generalized): "has
+    * data" is monotone while serving — retention drops aged days, never
+    * the day just written — so every steady batch after the first skips
+    * the ~30-table glob probe. */
+  private val storeNonVirgin =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def storeHasData(spark: SparkSession, storeDir: String): Boolean =
-    locatorTables.exists(t => hasParquetData(spark, s"$storeDir/$t"))
+    storeNonVirgin.contains(storeDir) || {
+      val r = locatorTables.exists(t => hasParquetData(spark, s"$storeDir/$t"))
+      if (r) storeNonVirgin.add(storeDir)
+      r
+    }
 
   /** The persisted locator catalog, deduplicated across batches: one row
     * per (tenant_id, metric_name, family) with the max ingested unit —
@@ -481,9 +533,14 @@ object IngestStream {
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L,
       meterBatch: Boolean = true, virginHint: Option[Boolean] = None,
       rollup: Boolean = true,
-      statsHint: Option[Array[(Boolean, Option[Long], Long)]] = None)
+      statsHint: Option[Array[(Boolean, Option[Long], Long)]] = None,
+      locatorsHint: Option[Array[(String, String, String, String)]] = None,
+      fuseObserve: Boolean = false)
       : Seq[Long] = {
     val spark = batch.sparkSession
+    if (fuseObserve && statsHint.isEmpty)
+      return processBatchFused(batch, storeDir, batchId, meterBatch,
+        virginHint, rollup)
     // probed BEFORE any write (see processTypedBatch): first-batch-on-
     // empty-store means the catalog covers the store from birth. The hint
     // saves re-globbing when processTypedBatch already probed this batch.
@@ -529,7 +586,8 @@ object IngestStream {
       // missing a live locator (readers dedup; routeKind would misroute)
       writeCatalog(valid, storeDir, batchId, src = "numeric",
         familyCol = lit("basic"), markComplete = virgin,
-        rowCountHint = Some(dayCounts.map(_._2).sum))
+        rowCountHint = Some(dayCounts.map(_._2).sum),
+        locatorsHint = locatorsHint)
       writeRaw(valid, storeDir, batchId)
       Instrumentation.global.inc("ingest.rows.metrics_full",
         dayCounts.map(_._2).sum)
@@ -545,10 +603,144 @@ object IngestStream {
     * and `stringStats` = valid→count over the string/bool arm. Supplying
     * it removes two accounting jobs from every synchronous ingest
     * request; correctness requires the producer to use [[validExpr]]
-    * with the SAME bounds it passes to [[processTypedBatch]]. */
+    * with the SAME bounds it passes to [[processTypedBatch]].
+    *
+    * `numericLocators`/`stringLocators`: the VALID rows' distinct
+    * (tenant, name, unit) triples per arm, when the producer's aggregate
+    * also collected them — supplying these removes the per-arm catalog
+    * collect job too (the catalog upsert becomes pure driver-side memo
+    * arithmetic plus, rarely, a tiny write of fresh locators). */
   final case class TypedAccounting(
       numericStats: Array[(Boolean, Option[Long], Long)],
-      stringStats: Map[Boolean, Long])
+      stringStats: Map[Boolean, Long],
+      numericLocators: Option[Array[(String, String, String)]] = None,
+      stringLocators: Option[Array[(String, String, String)]] = None)
+
+  /** Observe-fused batch processing — the whole per-batch accounting
+    * (valid/invalid counts, dirty-day set, distinct catalog locators)
+    * piggybacks as `Dataset.observe` metrics ON the raw write itself, so
+    * a clean request-sized micro-batch costs exactly TWO Spark jobs:
+    * the staged raw write and the dirty-day 5m re-roll. Per-batch job
+    * count is the latency floor on the steady-state path (~300 ms fixed
+    * per job on local[32], docs/SCALE.md) — the classic path pays 4
+    * (stats aggregate, catalog collect, raw write, re-roll).
+    *
+    * The catalog-before-data crash ordering is preserved by a staging
+    * rename: the raw batch lands fully in a hidden
+    * `metrics_full/.staging-<id>` dir (invisible to every reader — the
+    * dot prefix), the catalog upsert commits, and ONE atomic directory
+    * rename unhides the batch. A crash leaves either nothing visible or
+    * a catalog superset — never data without catalog. A crashed
+    * attempt's leaked staging dir is invisible and is reclaimed by the
+    * next retry of the same batch id (the facade's body-hashed ids and
+    * streaming's checkpoint ids both replay stably).
+    *
+    * Callers opt in per batch (`fuseObserve = true`) as a contract that
+    * the batch is REQUEST-SIZED: the observed locator set is collected
+    * through task-completion metrics, so a bulk backfill batch with
+    * millions of distinct locators should keep the classic path (whose
+    * memo bypass caps driver collects). */
+  private def processBatchFused(batch: DataFrame, storeDir: String,
+      batchId: Long, meterBatch: Boolean, virginHint: Option[Boolean],
+      rollup: Boolean): Seq[Long] = {
+    val spark = batch.sparkSession
+    val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AQE OFF for this batch's actions (restored in the finally, the
+    // BucketedStore.overwriteDays session-conf pattern): on request-sized
+    // data every AQE query-stage materialization is a full extra
+    // scheduling round (~100-300 ms measured), and the whole point of the
+    // fused path is the round count — the tier merge chain ran FIVE
+    // sequential rounds under AQE vs two without. Runtime re-planning has
+    // nothing to adapt on a few thousand rows.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // request-sized batch: a 32-way exchange is 32 scheduled tasks per
+    // stage for a few thousand rows — one reducer keeps every stage a
+    // single task and every staged write a single file
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val unitCol = if (cached.columns.contains("unit")) col("unit")
+                    else lit(null).cast("string")
+      val obs = org.apache.spark.sql.Observation(
+        s"ingest_${batchId}_${java.util.UUID.randomUUID()}")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$storeDir/metrics_full/.staging-$batchId")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetPath = new org.apache.hadoop.fs.Path(
+        s"$storeDir/metrics_full/batch_id=$batchId")
+      val isReplay = fs.exists(targetPath)
+      cached.observe(obs,
+          count(when(col("valid"), lit(1))).as("n_valid"),
+          count(when(!col("valid"), lit(1))).as("n_invalid"),
+          collect_set(when(col("valid"), dayOf(col("ts_ms")))).as("days"),
+          collect_set(when(col("valid"), struct(col("tenant_id"),
+            col("metric_name"), unitCol.as("unit")))).as("locs"))
+        .filter(col("valid")).drop("valid")
+        // request-sized contract: one output file per day beats 32 shards
+        // of ~100 rows each, for both the commit and every later read
+        .coalesce(1)
+        .withColumn("ts_day", dayOf(col("ts_ms")))
+        // rename-committed staging: committer v2 + no _SUCCESS (see
+        // SnapshotStore.stageOnly — same one-rename discipline)
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("ts_day").parquet(stage.toString)
+      val m = obs.get
+      val nValid = m("n_valid").asInstanceOf[Long]
+      val nInvalid = m("n_invalid").asInstanceOf[Long]
+      // discarding a dataless stage also removes a metrics_full dir the
+      // staging write itself created (classic-path parity: an empty or
+      // all-invalid batch leaves NO trace in the data table)
+      def discardStage(): Unit = {
+        fs.delete(stage, true)
+        val parent = stage.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+        ()
+      }
+      if (nValid == 0 && nInvalid == 0) { discardStage(); return Nil }
+      if (meterBatch) Instrumentation.global.inc("ingest.batches")
+      if (nInvalid > 0) {
+        Instrumentation.global.inc("ingest.rows.errors", nInvalid)
+        cached.filter(!col("valid")).drop("valid")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
+      }
+      // an all-invalid batch writes no data (same contract as the classic
+      // path: an empty batch_id partition would be dead weight)
+      if (nValid == 0) { discardStage(); return Nil }
+      val days = m("days").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Long]).toSeq
+      val locs = m("locs").asInstanceOf[scala.collection.Seq[Any]]
+        .map { a =>
+          val r = a.asInstanceOf[org.apache.spark.sql.Row]
+          (r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))
+        }
+      // catalog BEFORE the data becomes visible (staging is hidden)
+      writeCatalogLocators(spark, storeDir, batchId, "numeric",
+        dedupLocators("basic", locs), markComplete = virgin)
+      // COMMIT POINT: one atomic rename unhides the batch (a retried
+      // batch id reclaims its previous dir first — replace-not-duplicate)
+      if (isReplay) fs.delete(targetPath, true)
+      require(fs.rename(stage, targetPath),
+        s"raw batch commit rename failed for $targetPath")
+      Instrumentation.global.inc("ingest.rows.metrics_full", nValid)
+      // dirty-day recompute AFTER the raw batch is visible (replay-safe
+      // by construction, and the scoped AQE-off/one-reducer confs above
+      // keep it a single two-stage job)
+      if (rollup) rollDirtyDays(spark, storeDir, days.toArray)
+      days
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      cached.unpersist()
+      ()
+    }
+  }
 
   /** The raw-store write: day-partitioned parquet under an overwrite
     * batch-id partition (shared by processBatch and IngestBench so the
@@ -602,14 +794,20 @@ object IngestStream {
   def start(lines: DataFrame, storeDir: String, checkpointDir: String,
       minTs: Long = 0L, maxTs: Long = Long.MaxValue,
       maxAgeMs: Option[Long] = None, maxFutureMs: Option[Long] = None,
-      nowMs: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      fuseObserve: Boolean = false): StreamingQuery =
     parseJson(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (lo, hi) = batchBounds(minTs, maxTs, maxAgeMs, maxFutureMs, nowMs())
-        processBatch(withValidity(batch, lo, hi), storeDir, id)
+        // fuseObserve (steady-state deployments whose micro-batches are
+        // request-sized): per-batch accounting+catalog ride the raw write
+        // — 2 jobs/batch instead of 4 (see processBatchFused); bulk
+        // backfill streams should keep the classic path
+        processBatch(withValidity(batch, lo, hi), storeDir, id,
+          fuseObserve = fuseObserve)
         ()
       }
       .start()

@@ -271,4 +271,34 @@ class AtomicServeSpec extends AnyFunSuite with SparkSuite {
       .select("value").distinct().as[Double].collect().toSeq === Seq(3.0))
     assert(resolutions === r0 + 2)
   }
+
+  test("cross-process fence: a FOREIGN publish (separate memo key, same " +
+    "physical table — two facades on one store) is visible to a memoized " +
+    "reader at its NEXT request, not after the staleness TTL") {
+    // a symlinked second path gives the same physical directory a
+    // different SnapshotStore root key: its version counter and memo are
+    // independent, exactly a publish from another JVM — the reader's
+    // in-process invalidation never fires, only the _version fence can
+    // surface the change
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_fence")
+    val real = base.resolve("t")
+    java.nio.file.Files.createDirectory(real)
+    val link = base.resolve("t_foreign")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val root = real.toString
+    SnapshotStore.publish(gen(3, 1.0), root)
+    def resolutions: Long = SnapshotStore.resolutionsOf(root)
+    assert(SnapshotStore.read(spark, root, useCache = true).get.count() === 3)
+    val r0 = resolutions
+    assert(SnapshotStore.read(spark, root, useCache = true).get
+      .select("value").distinct().as[Double].collect().toSeq === Seq(1.0))
+    assert(resolutions === r0, "second read must be memoized")
+    // the foreign publish rewrites the shared _version file (new mtime);
+    // this process's version counter for `root` never moves
+    SnapshotStore.publish(gen(3, 9.0), link.toString)
+    assert(SnapshotStore.read(spark, root, useCache = true).get
+      .select("value").distinct().as[Double].collect().toSeq === Seq(9.0),
+      "the fence must surface the foreign publish within ONE request")
+    assert(resolutions === r0 + 1)
+  }
 }
