@@ -168,54 +168,121 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * through its processor chain the same way; reads stay concurrent. */
   private val writeLock = new Object
 
-  /** Deferred-rollup pending sets (`deferRollups = true` — the
+  /** Deferred-rollup pending maps (`deferRollups = true` — the
     * reference's ROLLUP_DELAY shape, CoreConfig.java:222: its perf number
     * measures the raw Cassandra write with rollups deferred to
     * RollupService): ingest POSTs write raw + catalog + errors only and
-    * record their dirty days here; [[rollNow]] (driven by the background
-    * roller every `rollupDelayMs`, or directly by tests/ops) drains them
-    * under [[writeLock]]. Serving stays EXACT meanwhile: every stored
-    * read passes the pending snapshot as `dirtyDays`, which forces those
-    * days through the raw-recompute repair path instead of the stale
-    * tier. Mutated only under [[writeLock]]; read without it (a racing
-    * read that still sees a just-rolled day pending merely recomputes it
-    * from raw — correct, never stale). */
+    * record their dirty days here, day → a monotone ingest sequence
+    * stamp; [[rollNow]] (driven by the background roller every
+    * `rollupDelayMs`, or directly by tests/ops) drains them. Serving
+    * stays EXACT meanwhile: every stored read passes the pending snapshot
+    * as `dirtyDays`, which forces those days through the raw-recompute
+    * repair path instead of the stale tier.
+    *
+    * The seq stamp is what lets the drain run OUTSIDE [[writeLock]]
+    * (POSTs never write tiers in deferred mode, so the roller is the sole
+    * tier writer and nothing justifies stalling ingest for a multi-second
+    * multi-day re-roll): a POST that re-dirties a day mid-roll bumps its
+    * stamp, the roller's clear is a compare-and-remove on the stamp it
+    * snapshotted, and the re-dirtied day simply stays pending for the
+    * next drain — a racing read either sees the day pending (raw
+    * recompute) or the freshly published tier, never the stale one.
+    *
+    * DURABILITY: the in-memory maps mirror persisted
+    * [[graft.core.DirtyDayLog]] markers (the reference's
+    * metrics_delayed_locator shape) — the marker is written BEFORE the
+    * POST's raw write and removed only after the day's re-rolled tier
+    * generation is published, so a hard crash between a deferred POST's
+    * 200 and the next drain cannot lose the dirty fact; construction
+    * reconciles survivors (deferred mode re-pends them, synchronous mode
+    * drains them immediately). */
   private val pendingBasicDays =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
   private val pendingPreaggDays =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  private val dirtySeq = new AtomicLong(0L)
 
   private def pendingBasic: Set[Long] =
     if (deferRollups) {
       import scala.jdk.CollectionConverters._
-      pendingBasicDays.asScala.toSet
+      pendingBasicDays.keySet().asScala.toSet
     } else Set.empty
   private def pendingPreagg: Set[Long] =
     if (deferRollups) {
       import scala.jdk.CollectionConverters._
-      pendingPreaggDays.asScala.toSet
+      pendingPreaggDays.keySet().asScala.toSet
     } else Set.empty
 
-  /** Drain the pending dirty-day sets: re-roll the 5m basic tier and the
-    * preagg tier-1+cascade for every pending day, then clear them. Runs
-    * under [[writeLock]] (serialized with ingest writes), so no ingest
-    * can add a day between the re-roll and the clear; the pending flag
-    * flips only AFTER the snapshot publish, so a racing read either sees
-    * the day pending (raw recompute) or the freshly published tier —
-    * never the stale one. No-op outside deferred mode. */
-  def rollNow(): Unit = if (deferRollups) writeLock.synchronized {
+  // startup reconciliation of persisted dirty-day markers (a prior
+  // facade's hard crash between a deferred POST's 200 and its drain):
+  // deferred mode re-pends them (the roller drains, serving repairs from
+  // raw meanwhile); synchronous mode rolls them right here, before the
+  // listener opens — either way no stale tier is ever served
+  locally {
+    val persisted = graft.core.DirtyDayLog.list(spark, storeDir)
+    val basic = persisted.getOrElse("basic", Set.empty)
+    val preagg = persisted.getOrElse("preagg", Set.empty)
+    if (deferRollups) {
+      basic.foreach(d => pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
+      preagg.foreach(d => pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
+      if (basic.nonEmpty || preagg.nonEmpty)
+        graft.core.Instrumentation.global
+          .inc("ingest.deferred_rollup.reconciled_days",
+            (basic.size + preagg.size).toLong)
+    } else {
+      if (basic.nonEmpty) {
+        IngestStream.rollDirtyDaysNow(spark, storeDir, basic.toSeq)
+        graft.core.DirtyDayLog.unmark(spark, storeDir, "basic", basic)
+      }
+      if (preagg.nonEmpty) {
+        IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg.toSeq)
+        graft.core.DirtyDayLog.unmark(spark, storeDir, "preagg", preagg)
+      }
+    }
+  }
+
+  /** Serializes drains (the background roller, [[stop]]'s final drain,
+    * and direct test/ops calls): SnapshotStore is single-writer per
+    * table, and two concurrent re-rolls of the same day would race its
+    * generation numbering. Deliberately NOT [[writeLock]] — see the
+    * pending-map scaladoc. */
+  private val rollLock = new Object
+
+  /** Drain the pending dirty days: re-roll the 5m basic tier and the
+    * preagg tier-1+cascade for every pending day, then clear exactly the
+    * entries whose stamp the drain snapshotted (a day re-dirtied mid-roll
+    * keeps its newer stamp AND its durable marker, and re-rolls next
+    * drain). The re-roll itself runs OUTSIDE [[writeLock]], so ingest
+    * POSTs are never blocked behind a multi-day drain; only the
+    * clear+unmark step takes the lock (driver-side map/FS metadata ops).
+    * The pending flag flips only AFTER the snapshot publish, so a racing
+    * read either sees the day pending (raw recompute) or the freshly
+    * published tier — never the stale one. A failed re-roll clears
+    * nothing: the days stay pending and the next tick retries. No-op
+    * outside deferred mode. */
+  def rollNow(): Unit = if (deferRollups) rollLock.synchronized {
     import scala.jdk.CollectionConverters._
     val basic = pendingBasicDays.asScala.toSeq
     if (basic.nonEmpty) {
-      IngestStream.rollDirtyDaysNow(spark, storeDir, basic)
-      basic.foreach(pendingBasicDays.remove)
+      IngestStream.rollDirtyDaysNow(spark, storeDir, basic.map(_._1))
+      writeLock.synchronized {
+        val cleared = basic.filter { case (d, s) =>
+          pendingBasicDays.remove(d, s) }
+        graft.core.DirtyDayLog.unmark(spark, storeDir, "basic",
+          cleared.map(_._1))
+      }
       graft.core.Instrumentation.global
         .inc("ingest.deferred_rollup.basic_days", basic.size.toLong)
     }
     val preagg = pendingPreaggDays.asScala.toSeq
     if (preagg.nonEmpty) {
-      IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg)
-      preagg.foreach(pendingPreaggDays.remove)
+      IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg.map(_._1))
+      writeLock.synchronized {
+        val cleared = preagg.filter { case (d, s) =>
+          pendingPreaggDays.remove(d, s) }
+        graft.core.DirtyDayLog.unmark(spark, storeDir, "preagg",
+          cleared.map(_._1))
+      }
       graft.core.Instrumentation.global
         .inc("ingest.deferred_rollup.preagg_days", preagg.size.toLong)
     }
@@ -500,13 +567,34 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // sink must hold the rejects the response reports (the documented
       // response==audit-trail contract), and processTypedBatch writes no
       // data rows for an all-invalid batch
+      // deferred mode: the days this batch will dirty are already known
+      // from the fused accounting — their durable markers land BEFORE the
+      // raw write (DirtyDayLog contract: a crash anywhere after the
+      // marker keeps the dirty fact; before it, no 200 was ever sent)
+      val willDirty =
+        if (!deferRollups) Seq.empty[Long]
+        else accounting.numericStats
+          .collect { case (true, Some(d), n) if n > 0 => d }.distinct.toSeq
       writeLock.synchronized {
-        val dirty = IngestStream.processTypedBatch(parsed, storeDir,
-          requestBatchId(tenant, "ingest", body), lo, hi,
-          rollup = !deferRollups,
-          virginHint = if (storeKnownNonVirgin) Some(false) else None,
-          accounting = Some(accounting))
-        if (deferRollups) dirty.foreach(pendingBasicDays.add)
+        if (deferRollups && willDirty.nonEmpty)
+          graft.core.DirtyDayLog.mark(spark, storeDir, "basic",
+            willDirty.filterNot(pendingBasicDays.containsKey))
+        val dirty =
+          try IngestStream.processTypedBatch(parsed, storeDir,
+            requestBatchId(tenant, "ingest", body), lo, hi,
+            rollup = !deferRollups,
+            virginHint = if (storeKnownNonVirgin) Some(false) else None,
+            accounting = Some(accounting))
+          catch { case e: Throwable =>
+            // a failed batch may still have committed raw data for some
+            // days — pend the candidates (markers already durable), so
+            // serving repairs from raw and the next drain converges
+            if (deferRollups) willDirty.foreach(d =>
+              pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
+            throw e
+          }
+        if (deferRollups)
+          dirty.foreach(d => pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
         if (errors.length.toLong < nTotal) storeKnownNonVirgin = true
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
@@ -550,7 +638,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       .agg(count(lit(1)).as("n"),
         collect_list(when(src.isNotNull, struct(
           col("tenant_id"), col("metric_name"), col("ts_ms"),
-          src.as("__src")))).as("errs"))
+          src.as("__src")))).as("errs"),
+        // the group's distinct locators: the group keys carry each arm's
+        // exact validity flag, so the driver keeps only valid groups' sets
+        // — this is what lets processTypedBatch skip BOTH per-arm catalog
+        // collect jobs (the catalog upsert becomes memo arithmetic)
+        collect_set(struct(col("tenant_id"), col("metric_name"),
+          col("unit"))).as("locs"))
       .collect()
     var nTotal = 0L
     val errBuf = scala.collection.mutable.ArrayBuffer
@@ -559,12 +653,24 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       .empty[(Boolean, Option[Long]), Long].withDefaultValue(0L)
     val strMap = scala.collection.mutable.Map
       .empty[Boolean, Long].withDefaultValue(0L)
+    val numLocs = scala.collection.mutable.Set.empty[(String, String, String)]
+    val strLocs = scala.collection.mutable.Set.empty[(String, String, String)]
     rows.foreach { g =>
       val n = g.getLong(4)
       nTotal += n
       val day = if (g.isNullAt(3)) None else Some(g.getLong(3))
       if (g.getBoolean(0)) strMap(g.getBoolean(2)) += n
       else numMap((g.getBoolean(1), day)) += n
+      val locTarget =
+        if (!g.getBoolean(0) && g.getBoolean(1)) Some(numLocs)
+        else if (g.getBoolean(0) && g.getBoolean(2)) Some(strLocs)
+        else None
+      locTarget.foreach { buf =>
+        g.getSeq[org.apache.spark.sql.Row](6).foreach { r =>
+          buf += ((r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2)))
+        }
+      }
       g.getSeq[org.apache.spark.sql.Row](5).foreach { r =>
         val source = r.getString(3)
         val msg = source match {
@@ -581,7 +687,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     }
     (errBuf.toArray, nTotal, IngestStream.TypedAccounting(
       numMap.toArray.map { case ((v, d), n) => (v, d, n) },
-      strMap.toMap))
+      strMap.toMap,
+      numericLocators = Some(numLocs.toArray),
+      stringLocators = Some(strLocs.toArray)))
   }
 
   private def ingestAggregated(ex: HttpExchange, tenant: String,
@@ -627,13 +735,28 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           Option(r.getString(1)).getOrElse(""), "timestamp",
           s"out of bounds: must be within [$lo, $hi]",
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      // durable markers BEFORE the raw write (see the typed-ingest twin)
+      val willDirty =
+        if (!deferRollups) Seq.empty[Long]
+        else stats.collect { case (true, Some(d), n) if n > 0 => d }
+          .distinct.toSeq
       writeLock.synchronized {
-        val dirty = IngestStream.processAggregatedBatch(parsed, storeDir,
-          requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
-          rollup = !deferRollups,
-          virginHint = if (storeKnownNonVirgin) Some(false) else None,
-          statsHint = Some(stats))
-        if (deferRollups) dirty.foreach(pendingPreaggDays.add)
+        if (deferRollups && willDirty.nonEmpty)
+          graft.core.DirtyDayLog.mark(spark, storeDir, "preagg",
+            willDirty.filterNot(pendingPreaggDays.containsKey))
+        val dirty =
+          try IngestStream.processAggregatedBatch(parsed, storeDir,
+            requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
+            rollup = !deferRollups,
+            virginHint = if (storeKnownNonVirgin) Some(false) else None,
+            statsHint = Some(stats))
+          catch { case e: Throwable =>
+            if (deferRollups) willDirty.foreach(d =>
+              pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
+            throw e
+          }
+        if (deferRollups)
+          dirty.foreach(d => pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
         if (bad.length.toLong < nTotal) storeKnownNonVirgin = true
         familyCache.clear()
         storeGeneration.incrementAndGet()
