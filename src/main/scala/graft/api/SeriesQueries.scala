@@ -1359,6 +1359,99 @@ object SeriesQueries {
     }
   }
 
+  /** Per-series min-max feature scaling ([[Series.minMaxNormalize]],
+    * Graphite's minMax): one unordered per-series window (min+max share
+    * the WindowExec) and the identical (v−min)/(max−min) IEEE scalar on
+    * both sides; zero-range series serve null (F6). */
+  private val minMaxQ = QDef(
+    "q_series_minmax",
+    s"""WITH ${OracleViews.metricsCte}
+       |SELECT tenant_id, metric_name, ts_ms,
+       |       CASE WHEN mx - mn <> 0 THEN (value - mn) / (mx - mn) END
+       |         AS value
+       |FROM (
+       |  SELECT tenant_id, metric_name, ts_ms, value,
+       |         MIN(value) OVER w AS mn, MAX(value) OVER w AS mx
+       |  FROM metrics
+       |  WINDOW w AS (PARTITION BY tenant_id, metric_name))
+       |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+    (s, dir) =>
+      Series.minMaxNormalize(Tables.metrics(s, dir))
+        .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+  }
+
+  /** Trailing ROWS-window stddev ([[Series.stdevRows]], Graphite's
+    * stdev(series, points)): the engine's two-unbounded-prefix form is
+    * claimed ≡ the plain ROWS frame — exact DECIMAL sums make the prefix
+    * difference equal the frame sum bit-for-bit, and the variance/sqrt
+    * tail is the q_series_moving_window derived-double recipe (0-clamped,
+    * IEEE-exact sqrt) with COUNT(value) denominators (null samples skip —
+    * graphite's safe stddev). */
+  private val stdevRowsQ = {
+    val nPts = 20
+    val winSumSql = "CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)"
+    val varSql = s"""(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE)
+       |            - $winSumSql * $winSumSql / COUNT(value) OVER w)
+       |            / COUNT(value) OVER w""".stripMargin
+    QDef(
+      "q_series_stdev_rows",
+      s"""WITH ${OracleViews.metricsCte}
+         |SELECT tenant_id, metric_name, ts_ms,
+         |       CASE WHEN COUNT(value) OVER w > 0 THEN
+         |         CASE WHEN $varSql > 0
+         |              THEN SQRT($varSql) ELSE 0.0 END END AS value
+         |FROM metrics
+         |WHERE tenant_id = 'purchase'
+         |WINDOW w AS (PARTITION BY tenant_id, metric_name
+         |             ORDER BY ts_ms, value NULLS FIRST
+         |             ROWS BETWEEN ${nPts - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.stdevRows(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+            nPts)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
+  /** Positional list pairing ([[Series.divideSeriesLists]], Graphite's
+    * divideSeriesLists): hourly exact-sum dividends divided by their own
+    * series' hourly sample counts — the pairing is rank-by-name on both
+    * sides (identical ASCII name ordering in both engines), the division
+    * the identical scalar double, zero denominators null (F6), output
+    * named divideSeries(a,b). */
+  private val divideListsQ = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_divide_lists",
+      s"""WITH ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST((ts_ms // $bMs) * $bMs AS BIGINT) AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s,
+         |         CAST(COUNT(value) AS DOUBLE) AS c
+         |  FROM metrics WHERE tenant_id = 'purchase' GROUP BY 1, 2, 3
+         |)
+         |SELECT tenant_id,
+         |       'divideSeries(' || metric_name || ',' || metric_name || ')'
+         |         AS metric_name,
+         |       ts_ms, CASE WHEN c <> 0 THEN s / c END AS value
+         |FROM h
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        val hourly = Series.summarize(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+          bMs, "sum")
+        val dividends = hourly.select(col("tenant_id"), col("metric_name"),
+          col("bucket_ms").as("ts_ms"), col("value"))
+        val divisors = hourly.select(col("tenant_id"), col("metric_name"),
+          col("bucket_ms").as("ts_ms"),
+          col("n_points").cast("double").as("value"))
+        Series.divideSeriesLists(dividends, divisors)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
     * timestamps collapse to exact-DECIMAL means first; prev/next restate
     * as two DuckDB ASOF joins (the q_asof_* pattern — the "next" side
@@ -1462,5 +1555,5 @@ object SeriesQueries {
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
-    reducePairsQ, resample, resampleHoldQ)
+    reducePairsQ, resample, resampleHoldQ, minMaxQ, stdevRowsQ, divideListsQ)
 }

@@ -2134,6 +2134,37 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(in.df.withColumn("value",
                 when(col("value") =!= 0.0, lit(1.0) / col("value"))),
               None, n => s"invert(${in.displayName(n)})", in.consolidate)
+          case "minMax" =>
+            // per-series [0,1] feature scaling; zero-range series render
+            // null (F6 safe-div) — Series.minMaxNormalize
+            val in = recurse(arg0)
+            SeriesExpr(graft.operators.Series.minMaxNormalize(in.df),
+              None, n => s"minMax(${in.displayName(n)})", in.consolidate)
+          case "stdev" =>
+            // stdev(<expr>, points) — trailing stddev over the last N
+            // samples (Series.stdevRows: one incremental prefix-pair
+            // WindowExec, never a re-aggregating ROWS frame)
+            val nPts = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"stdev needs a points count in '$t'"))
+            require(nPts > 0, s"stdev points must be positive in '$t'")
+            val in = recurse(arg0)
+            SeriesExpr(graft.operators.Series.stdevRows(in.df, nPts),
+              None, n => s"stdev(${in.displayName(n)},$nPts)",
+              in.consolidate)
+          case "divideSeriesLists" =>
+            // positional pairing of two series lists (both sorted by
+            // name); unequal lengths raise IN-PLAN → a 400 here — the
+            // graphite contract (Series.divideSeriesLists)
+            val divArg = args.lift(1).map(_.trim).getOrElse(
+              throw new IllegalArgumentException(
+                s"divideSeriesLists needs a divisor seriesList in '$t'"))
+            val a = recurse(arg0)
+            val b = recurse(divArg)
+            SeriesExpr(graft.operators.Series.divideSeriesLists(
+                a.df.select("tenant_id", "metric_name", "ts_ms", "value"),
+                b.df.select("tenant_id", "metric_name", "ts_ms", "value")),
+              None, identity)
           case "timeSlice" =>
             // timeSlice(<expr>, "start"[, "end"]) — values outside the
             // window render null datapoints (Graphite keeps the grid)

@@ -57,6 +57,9 @@ private[http] object RenderFunctions {
     F("offsetToZero", "Transform", "subtract each series' own minimum", Seq(series)),
     F("logarithm", "Transform", "log base b pointwise (default 10); non-positive values render null", Seq(series, opt("base", "float"))),
     F("invert", "Transform", "pointwise 1/x; zero renders null", Seq(series)),
+    F("minMax", "Transform", "per-series min-max scaling onto [0,1]; zero-range series render null", Seq(series)),
+    F("stdev", "Calculate", "trailing population stddev over the last N samples per series", Seq(series, p("points", "integer"))),
+    F("divideSeriesLists", "Combine", "pair two equal-length series lists positionally (sorted by name) and divide; unequal lengths error", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeriesList", "seriesList"))),
     F("timeSlice", "Transform", "values outside [start, end] render null datapoints", Seq(series, p("startSliceAt", "string"), opt("endSliceAt", "string"))),
     F("linearRegression", "Transform", "per-series least-squares fit drawn at the input instants", Seq(series)),
     F("keepLastValue", "Transform", "forward-fill onto a uniform grid", Seq(series, p("interval", "string"))),

@@ -1371,6 +1371,117 @@ object Series {
       maxGridPointsPerSeries: Int = MaxGridPointsPerSeries): DataFrame =
     resampleImpl(points, stepMs, maxGridPointsPerSeries, hold = true)
 
+  /** Graphite's `minMax(seriesList)`: per-series feature scaling onto
+    * [0, 1] — (v − min) / (max − min) over the series' own served range.
+    * A zero-range series (every sample equal) serves null (the F6
+    * safe-div rule; graphite's implementation yields 0-division there
+    * too). Null samples pass through as null; min/max skip them.
+    *
+    * Scale shape: ONE unordered per-series window (min+max in the same
+    * WindowExec, no sort — the offsetToZero shape) + a scalar
+    * projection; the division is the identical IEEE expression either
+    * engine states, so the row hashes exactly (q_series_minmax). */
+  def minMaxNormalize(points: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"), col("metric_name"))
+    val mn = min(col("value")).over(w)
+    val mx = max(col("value")).over(w)
+    // withColumn (not a reshaping select): render pipelines thread extra
+    // columns through pointwise transforms
+    points.withColumn("value",
+      when(mx - mn =!= 0.0, (col("value") - mn) / (mx - mn)))
+  }
+
+  /** Graphite's `stdev(seriesList, points)`: trailing population stddev
+    * over the last `nPoints` SAMPLES (a ROWS window, where
+    * [[movingWindowPrefix]]'s family is time-RANGE) — graphite's draws it
+    * alongside the raw series for band-style dashboards.
+    *
+    * Same prefix discipline as movingWindowPrefix: two unbounded-
+    * preceding ROWS frames per statistic ([unbounded, current] minus
+    * [unbounded, −nPoints]) sharing one sort, so the whole thing is ONE
+    * incremental WindowExec — a direct `rowsBetween(−(n−1), 0)` frame
+    * re-aggregates its population per row. Exact DECIMAL(28,2) value
+    * sums and DECIMAL(38,8) squared sums (corpus values are 2-decimal,
+    * so squares are 4-decimal-exact); the variance/sqrt tail is the
+    * identical scalar-double recipe both engines state (sqrt is
+    * IEEE-exact, unlike the libm transcendentals), 0-clamped against
+    * expanded-form cancellation. Null samples are skipped (graphite's
+    * safe stddev): they occupy a frame slot but contribute to no sum and
+    * no count; a window with no values serves null. */
+  def stdevRows(points: DataFrame, nPoints: Int): DataFrame = {
+    require(nPoints > 0, s"nPoints must be positive, got $nPoints")
+    val ser = Seq("tenant_id", "metric_name")
+    val dec = DecimalType(28, 2)
+    val sqDec = DecimalType(38, 8)
+    val order = Window.partitionBy(ser.map(col): _*)
+      .orderBy(col("ts_ms"), col("value"))
+    val upto = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = order.rowsBetween(Window.unboundedPreceding, -nPoints.toLong)
+    val sqCol = (col("value") * col("value")).cast(sqDec)
+    val n = col("__cvct") - col("__bvct")
+    val sumD = (coalesce(col("__csum"), lit(0).cast(dec)) -
+      coalesce(col("__bsum"), lit(0).cast(dec))).cast("double")
+    val sqD = (coalesce(col("__csq"), lit(0).cast(sqDec)) -
+      coalesce(col("__bsq"), lit(0).cast(sqDec))).cast("double")
+    val variance = (sqD - sumD * sumD / n) / n
+    points
+      .select(col("*"),
+        sum(col("value").cast(dec)).over(upto).as("__csum"),
+        sum(sqCol).over(upto).as("__csq"),
+        count(col("value")).over(upto).as("__cvct"),
+        sum(col("value").cast(dec)).over(below).as("__bsum"),
+        sum(sqCol).over(below).as("__bsq"),
+        count(col("value")).over(below).as("__bvct"))
+      .withColumn("value",
+        when(n > 0,
+          when(variance > 0.0, sqrt(variance)).otherwise(lit(0.0))))
+      .drop("__csum", "__csq", "__cvct", "__bsum", "__bsq", "__bvct")
+  }
+
+  /** Graphite's `divideSeriesLists(dividendSeriesList, divisorSeriesList)`:
+    * pair the two lists POSITIONALLY (both sorted by series name — the
+    * graphite contract) and serve dividend/divisor per instant, named
+    * `divideSeries(a,b)`. Graphite raises when the lists' lengths differ;
+    * here the guard is IN-PLAN (raise_error on an unmatched rank — a 400
+    * through the render facade, never a silent drop). Zero denominators
+    * serve null (F6); instants present on only one side are dropped (the
+    * reduceSeriesPairs inner-join convention).
+    *
+    * Scale shape: the rank tables are per-side DISTINCT NAMES (tiny —
+    * broadcast back onto the points), and the pairing is one equi-join on
+    * (tenant, rank, ts) — never a cross join. */
+  def divideSeriesLists(dividends: DataFrame, divisors: DataFrame)
+      : DataFrame = {
+    def ranked(df: DataFrame): (DataFrame, DataFrame) = {
+      val names = df.select(col("tenant_id"), col("metric_name")).distinct()
+        .withColumn("__rank", row_number().over(
+          Window.partitionBy(col("tenant_id")).orderBy(col("metric_name"))))
+      (names, df.join(broadcast(names), Seq("tenant_id", "metric_name")))
+    }
+    val (an, a) = ranked(dividends)
+    val (bn, b) = ranked(divisors)
+    // length guard: every rank must exist on BOTH sides
+    val paired = an.withColumnRenamed("metric_name", "__m1")
+      .join(bn.withColumnRenamed("metric_name", "__m2"),
+        Seq("tenant_id", "__rank"), "full_outer")
+      .select(col("tenant_id"), col("__rank"),
+        when(col("__m1").isNotNull && col("__m2").isNotNull, col("__m1"))
+          .otherwise(raise_error(lit(
+            "divideSeriesLists: dividend and divisor lists differ in " +
+              "length"))).as("__m1"),
+        col("__m2"))
+    a.select(col("tenant_id"), col("__rank"), col("ts_ms"),
+        col("value").as("__a"))
+      .join(b.select(col("tenant_id"), col("__rank"), col("ts_ms"),
+        col("value").as("__b")), Seq("tenant_id", "__rank", "ts_ms"))
+      .join(broadcast(paired), Seq("tenant_id", "__rank"))
+      .select(col("tenant_id"),
+        concat(lit("divideSeries("), col("__m1"), lit(","), col("__m2"),
+          lit(")")).as("metric_name"),
+        col("ts_ms"),
+        when(col("__b") =!= 0.0, col("__a") / col("__b")).as("value"))
+  }
+
   private def resampleImpl(points: DataFrame, stepMs: Long,
       maxGridPointsPerSeries: Int, hold: Boolean): DataFrame = {
     require(stepMs > 0, s"stepMs must be positive, got $stepMs")

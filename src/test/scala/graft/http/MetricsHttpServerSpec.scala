@@ -517,6 +517,49 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render batch 5: minMax scaling, stdev(points), and " +
+    "divideSeriesLists positional pairing (unequal lengths 400)") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 10L * 300000L
+      def ing(m: String, vs: Seq[Double]): Unit = {
+        val recs = vs.zipWithIndex.map { case (v, i) =>
+          s"""{"metricName": "$m", "metricValue": $v,
+             | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      ing("app.a", Seq(10.0, 20.0, 30.0))
+      ing("app.b", Seq(2.0, 4.0, 5.0))
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+
+      val mm = get(s"$base/render?target=minMax(app.a)&$range")
+      assert(mm.statusCode() === 200, mm.body())
+      assert(mm.body().contains(""""target": "minMax(app.a)""""), mm.body())
+      assert(mm.body().contains("[0.0, ") && mm.body().contains("[0.5, ") &&
+        mm.body().contains("[1.0, "), mm.body())
+
+      val sd = get(s"$base/render?target=stdev(app.a,2)&$range")
+      assert(sd.statusCode() === 200, sd.body())
+      assert(sd.body().contains(""""target": "stdev(app.a,2)""""), sd.body())
+      // trailing-2 windows: {10}→0, {10,20}→5, {20,30}→5
+      assert(sd.body().contains("[5.0, "), sd.body())
+
+      val dl = get(s"$base/render?target=divideSeriesLists(app.a,app.b)&$range")
+      assert(dl.statusCode() === 200, dl.body())
+      assert(dl.body().contains(""""target": "divideSeries(app.a,app.b)""""),
+        dl.body())
+      assert(dl.body().contains("[5.0, ") && dl.body().contains("[6.0, "),
+        dl.body())
+
+      // unequal list lengths: the in-plan raise surfaces as a 400
+      val bad = get(s"$base/render?target=divideSeriesLists(app.*,app.a)&$range")
+      assert(bad.statusCode() === 400, bad.body())
+      assert(bad.body().contains("differ in length"), bad.body())
+    } finally srv.stop()
+  }
+
   test("Graphite /render wire shape: raw globs, lttb/m4 decimation, " +
     "series aggregation; O2 cap and validation enforced") {
     val (srv, base, _) = startServer()
