@@ -120,7 +120,7 @@ private[http] object RenderFunctions {
     // Combine (structured)
     F("applyByNode", "Combine", "evaluate the template per distinct node prefix ('%' substitutes the prefix); results union", Seq(series, p("nodeNum", "node"), p("templateFunction", "string"), opt("newName", "string"))),
     F("mapSeries", "Combine", "graphite's grouped list; grouping materializes inside reduceSeries (standalone rendering passes through)", Seq(series, p("mapNodes", "node"))),
-    F("reduceSeries", "Combine", "pair series agreeing on every node but reduceNode, apply asPercent|divideSeries|diffSeries to the two matched keys", Seq(p("seriesLists", "seriesList"), p("reduceFunction", "string"), p("reduceNode", "node"), p("reduceMatchers", "string"))),
+    F("reduceSeries", "Combine", "pair series agreeing on every node but reduceNode, apply asPercent|divideSeries|diffSeries to the two matched keys; instants present on only one side are dropped (compose over summarize/keepLastValue to align sparse series — graphite-web would emit None there)", Seq(p("seriesLists", "seriesList"), p("reduceFunction", "string"), p("reduceNode", "node"), p("reduceMatchers", "string"))),
     // Graph (presentation passthroughs — rendering is the dashboard's job)
     F("stacked", "Graph", "presentation tag (stacked draw mode); data passes through", Seq(series, opt("stackName", "string"))),
     F("secondYAxis", "Graph", "presentation tag (right-hand axis); data passes through", Seq(series)),
