@@ -555,124 +555,36 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val now = nowMs()
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
-      // ONE collect answers emptiness, the per-record error array, the
-      // total, AND the engine's whole per-batch accounting (numeric
-      // valid/day counts + string-arm split) — request-bounded rows, and
-      // each saved job is synchronous request latency
-      val (errors, nTotal, accounting) = ingestAccounting(parsed, lo, hi)
-      if (nTotal == 0) {
-        sendJson(ex, 400, errJson("Cannot parse content")); return
-      }
-      // the batch processes even when EVERY record is invalid: the errors
-      // sink must hold the rejects the response reports (the documented
-      // response==audit-trail contract), and processTypedBatch writes no
-      // data rows for an all-invalid batch
-      // deferred mode: the days this batch will dirty are already known
-      // from the fused accounting — their durable markers land BEFORE the
-      // raw write (DirtyDayLog contract: a crash anywhere after the
-      // marker keeps the dirty fact; before it, no 200 was ever sent)
-      val willDirty =
-        if (!deferRollups) Seq.empty[Long]
-        else accounting.numericStats
-          .collect { case (true, Some(d), n) if n > 0 => d }.distinct.toSeq
+      // ONE Spark job per clean numeric POST: the whole accounting
+      // (total, error array, per-arm splits, dirty days, catalog
+      // locators) rides the staged raw write as observed metrics
+      // (processTypedBatchFused); the durable dirty-day markers land via
+      // the onDirtyDays callback BEFORE the batch becomes visible, and
+      // always before the 200
+      var res: IngestStream.FusedIngestResult = null
       writeLock.synchronized {
-        if (deferRollups && willDirty.nonEmpty)
-          graft.core.DirtyDayLog.mark(spark, storeDir, "basic",
-            willDirty.filterNot(pendingBasicDays.containsKey))
-        val dirty =
-          try IngestStream.processTypedBatch(parsed, storeDir,
-            requestBatchId(tenant, "ingest", body), lo, hi,
-            rollup = !deferRollups,
-            virginHint = if (storeKnownNonVirgin) Some(false) else None,
-            accounting = Some(accounting))
-          catch { case e: Throwable =>
-            // a failed batch may still have committed raw data for some
-            // days — pend the candidates (markers already durable), so
-            // serving repairs from raw and the next drain converges
-            if (deferRollups) willDirty.foreach(d =>
-              pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
-            throw e
-          }
+        // a failed batch needs no compensation here: inside the fused
+        // path the durable marker write is ordered BEFORE the data
+        // commit, so a crash/throw leaves at worst a marker that
+        // over-approximates — the next drain/restart reconciles
+        res = IngestStream.processTypedBatchFused(parsed, storeDir,
+          requestBatchId(tenant, "ingest", body), lo, hi,
+          rollup = !deferRollups,
+          virginHint = if (storeKnownNonVirgin) Some(false) else None,
+          onDirtyDays = days => if (deferRollups && days.nonEmpty)
+            graft.core.DirtyDayLog.mark(spark, storeDir, "basic",
+              days.filterNot(pendingBasicDays.containsKey)))
         if (deferRollups)
-          dirty.foreach(d => pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
-        if (errors.length.toLong < nTotal) storeKnownNonVirgin = true
+          res.dirtyDays.foreach(d =>
+            pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
+        if (res.errors.length.toLong < res.nTotal) storeKnownNonVirgin = true
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
       }
-      if (errors.length.toLong == nTotal) sendJson(ex, 400, errorsJson(errors))
-      else if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
-      else sendJson(ex, 200, """{}""")
-    } finally parsed.unpersist()
-  }
-
-  /** First failing constraint per invalid record — the reference's
-    * bean-validation error array (`JSONMetric.java:24-41` constraints;
-    * per-record array shape `ErrorResponse.java`) — plus the batch total
-    * AND the engine's full per-batch accounting
-    * ([[IngestStream.TypedAccounting]]: numeric valid/day counts and the
-    * string-arm split, built from the SAME [[IngestStream.validExpr]]
-    * the engine applies), from ONE grouped pass. Group count is bounded
-    * by 2·2·2·(days in the window); only the ERROR rows reach the driver
-    * row-by-row (collect_list skips the null structs of valid rows), so
-    * an all-valid bulk POST never materializes a driver Row per point.
-    * This one job replaces what used to be THREE per request (global
-    * error agg + processBatch's stats agg + the string-arm agg). */
-  private def ingestAccounting(parsed: DataFrame, lo: Long, hi: Long):
-      (Array[(String, String, String, String, Option[Long])], Long,
-        IngestStream.TypedAccounting) = {
-    val src = when(col("metric_name").isNull ||
-        length(col("metric_name")) === 0, lit("metricName"))
-      .when(col("value").isNull ||
-        (!col("is_string_typed") && !col("is_bool") &&
-          col("value_num").isNull), lit("metricValue"))
-      .when(col("ts_ms").isNull || !col("ts_ms").between(lo, hi),
-        lit("collectionTime"))
-      .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
-        lit("ttlInSeconds"))
-    val isStr = coalesce(col("is_string_typed") || col("is_bool"), lit(false))
-    val rows = parsed
-      .groupBy(isStr.as("__s"),
-        IngestStream.validExpr(col("value_num"), lo, hi).as("__vn"),
-        IngestStream.validExpr(col("value"), lo, hi).as("__vs"),
-        (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("__d"))
-      .agg(count(lit(1)).as("n"),
-        collect_list(when(src.isNotNull, struct(
-          col("tenant_id"), col("metric_name"), col("ts_ms"),
-          src.as("__src")))).as("errs"),
-        // the group's distinct locators: the group keys carry each arm's
-        // exact validity flag, so the driver keeps only valid groups' sets
-        // — this is what lets processTypedBatch skip BOTH per-arm catalog
-        // collect jobs (the catalog upsert becomes memo arithmetic)
-        collect_set(struct(col("tenant_id"), col("metric_name"),
-          col("unit"))).as("locs"))
-      .collect()
-    var nTotal = 0L
-    val errBuf = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, String, Option[Long])]
-    val numMap = scala.collection.mutable.Map
-      .empty[(Boolean, Option[Long]), Long].withDefaultValue(0L)
-    val strMap = scala.collection.mutable.Map
-      .empty[Boolean, Long].withDefaultValue(0L)
-    val numLocs = scala.collection.mutable.Set.empty[(String, String, String)]
-    val strLocs = scala.collection.mutable.Set.empty[(String, String, String)]
-    rows.foreach { g =>
-      val n = g.getLong(4)
-      nTotal += n
-      val day = if (g.isNullAt(3)) None else Some(g.getLong(3))
-      if (g.getBoolean(0)) strMap(g.getBoolean(2)) += n
-      else numMap((g.getBoolean(1), day)) += n
-      val locTarget =
-        if (!g.getBoolean(0) && g.getBoolean(1)) Some(numLocs)
-        else if (g.getBoolean(0) && g.getBoolean(2)) Some(strLocs)
-        else None
-      locTarget.foreach { buf =>
-        g.getSeq[org.apache.spark.sql.Row](6).foreach { r =>
-          buf += ((r.getString(0), r.getString(1),
-            if (r.isNullAt(2)) null else r.getString(2)))
-        }
+      if (res.nTotal == 0) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
       }
-      g.getSeq[org.apache.spark.sql.Row](5).foreach { r =>
-        val source = r.getString(3)
+      val errors = res.errors.map { case (t0, n0, source, ts) =>
         val msg = source match {
           case "metricName" => "may not be empty"
           case "metricValue" => "is not a valid number"
@@ -680,16 +592,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             s"out of bounds: must be within [$lo, $hi]"
           case _ => "must be positive"
         }
-        errBuf += ((Option(r.getString(0)).getOrElse(""),
-          Option(r.getString(1)).getOrElse(""), source, msg,
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        (t0, n0, source, msg, ts)
       }
-    }
-    (errBuf.toArray, nTotal, IngestStream.TypedAccounting(
-      numMap.toArray.map { case ((v, d), n) => (v, d, n) },
-      strMap.toMap,
-      numericLocators = Some(numLocs.toArray),
-      stringLocators = Some(strLocs.toArray)))
+      if (errors.length.toLong == res.nTotal)
+        sendJson(ex, 400, errorsJson(errors))
+      else if (errors.nonEmpty) sendJson(ex, 207, errorsJson(errors))
+      else sendJson(ex, 200, """{}""")
+    } finally parsed.unpersist()
   }
 
   private def ingestAggregated(ex: HttpExchange, tenant: String,
@@ -715,8 +624,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         Some(maxAgeMs), Some(maxFutureMs), now)
       val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
       // one GROUPED job for emptiness + rejects + total + the engine's
-      // (ok, day, count) accounting (the ingestAccounting fusion shape);
-      // only the rejects reach the driver row-by-row
+      // (ok, day, count) accounting (the typed route's fused-accounting
+      // shape); only the rejects reach the driver row-by-row
       val groups = parsed
         .groupBy(inWindow.as("__ok"),
           (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("__d"))

@@ -186,6 +186,181 @@ object IngestStream {
 
   private def dayOf(c: org.apache.spark.sql.Column) = c - pmod(c, lit(86400000L))
 
+  /** Everything a synchronous ingest request needs back from
+    * [[processTypedBatchFused]]: the dirty days, the per-record error
+    * rows (tenant, name, failing source field, ts — the reference's
+    * bean-validation array, ErrorResponse.java), and the batch total. */
+  final case class FusedIngestResult(
+      dirtyDays: Seq[Long],
+      errors: Array[(String, String, String, Option[Long])],
+      nTotal: Long)
+
+  /** ONE-JOB typed ingest — the request-sized HTTP POST path taken to its
+    * floor: the WHOLE per-request accounting (batch total, per-arm
+    * valid/invalid splits, dirty-day set, catalog locator sets, AND the
+    * per-record error rows) rides the staged numeric raw write as
+    * `Dataset.observe` metrics, so a clean numeric POST costs exactly one
+    * Spark action in deferred mode (plus the dirty-day re-roll in
+    * synchronous mode). Additional actions run only when their data
+    * exists: an errors-sink write per arm with rejects, the
+    * `metrics_string` writes when the POST carries string/bool values, a
+    * tiny catalog write when the memo sees new locators.
+    *
+    * Ordering (the crash contract, strictly stronger than the classic
+    * path's): staged write (hidden) → `onDirtyDays` callback (the
+    * facade's durable marker write) → catalog commit → ONE atomic rename
+    * unhides the batch → re-roll. A crash anywhere leaves either nothing
+    * visible, or markers/catalog that over-approximate — never visible
+    * data without its marker or catalog.
+    *
+    * The error rows here and the errors sinks are derived from the SAME
+    * validity predicates, so the response and the audit trail cannot
+    * disagree (the documented facade contract). */
+  def processTypedBatchFused(batch: DataFrame, storeDir: String,
+      batchId: Long, minTs: Long, maxTs: Long,
+      rollup: Boolean = true,
+      virginHint: Option[Boolean] = None,
+      onDirtyDays: Seq[Long] => Unit = _ => ()): FusedIngestResult = {
+    val spark = batch.sparkSession
+    val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val isStr = coalesce(col("is_string_typed") || col("is_bool"), lit(false))
+      val vn = validExpr(col("value_num"), minTs, maxTs)
+      val vs = validExpr(col("value"), minTs, maxTs)
+      // first failing constraint per record — the reference's
+      // bean-validation order (JSONMetric.java:24-41)
+      val src = when(col("metric_name").isNull ||
+          length(col("metric_name")) === 0, lit("metricName"))
+        .when(col("value").isNull ||
+          (!isStr && col("value_num").isNull), lit("metricValue"))
+        .when(col("ts_ms").isNull || !col("ts_ms").between(minTs, maxTs),
+          lit("collectionTime"))
+        .when(col("ttl_seconds").isNotNull && col("ttl_seconds") <= 0,
+          lit("ttlInSeconds"))
+      val unitCol = if (cached.columns.contains("unit")) col("unit")
+                    else lit(null).cast("string")
+      val obs = org.apache.spark.sql.Observation(
+        s"typed_${batchId}_${java.util.UUID.randomUUID()}")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$storeDir/metrics_full/.staging-$batchId")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetPath = new org.apache.hadoop.fs.Path(
+        s"$storeDir/metrics_full/batch_id=$batchId")
+      val isReplay = fs.exists(targetPath)
+      cached.observe(obs,
+          count(lit(1)).as("n_total"),
+          count(when(!isStr && vn, lit(1))).as("n_valid_num"),
+          count(when(!isStr && !vn, lit(1))).as("n_invalid_num"),
+          count(when(isStr && vs, lit(1))).as("n_valid_str"),
+          count(when(isStr && !vs, lit(1))).as("n_invalid_str"),
+          collect_set(when(!isStr && vn, dayOf(col("ts_ms")))).as("days"),
+          collect_set(when(!isStr && vn, struct(col("tenant_id"),
+            col("metric_name"), unitCol.as("unit")))).as("num_locs"),
+          collect_set(when(isStr && vs, struct(col("tenant_id"),
+            col("metric_name"), unitCol.as("unit")))).as("str_locs"),
+          collect_list(when(src.isNotNull, struct(col("tenant_id"),
+            col("metric_name"), src.as("src"), col("ts_ms")))).as("errs"))
+        .filter(!isStr && vn)
+        .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+          col("value_num").as("value"), col("ttl_seconds"), col("unit"))
+        .coalesce(1)
+        .withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("ts_day").parquet(stage.toString)
+      val m = obs.get
+      def n(k: String) = m(k).asInstanceOf[Long]
+      def locsOf(k: String) = m(k).asInstanceOf[scala.collection.Seq[Any]]
+        .map { a =>
+          val r = a.asInstanceOf[org.apache.spark.sql.Row]
+          (r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))
+        }
+      val nTotal = n("n_total")
+      def discardStage(): Unit = {
+        fs.delete(stage, true)
+        val parent = stage.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+        ()
+      }
+      if (nTotal == 0) { discardStage(); return FusedIngestResult(Nil, Array.empty, 0L) }
+      Instrumentation.global.inc("ingest.batches")
+      val errors = m("errs").asInstanceOf[scala.collection.Seq[Any]].map { a =>
+        val r = a.asInstanceOf[org.apache.spark.sql.Row]
+        (Option(r.getString(0)).getOrElse(""),
+          Option(r.getString(1)).getOrElse(""), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toArray
+      // errors sinks per arm, written only when rejects exist (empty
+      // parquet dirs would break the sinks' schema inference)
+      if (n("n_invalid_num") > 0) {
+        Instrumentation.global.inc("ingest.rows.errors", n("n_invalid_num"))
+        cached.filter(!isStr && !vn)
+          .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+            col("value_num").as("value"), col("ttl_seconds"), col("unit"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/metrics_errors/batch_id=$batchId")
+      }
+      if (n("n_invalid_str") > 0) {
+        Instrumentation.global.inc("ingest.rows.errors.string",
+          n("n_invalid_str"))
+        cached.filter(isStr && !vs)
+          .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+            col("value").as("value_str"), col("ttl_seconds"), col("unit"),
+            col("is_bool"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/metrics_string_errors/batch_id=$batchId")
+      }
+      // string arm (rare on metric POSTs): catalog-before-data, same as
+      // the classic path
+      if (n("n_valid_str") > 0) {
+        Instrumentation.global.inc("ingest.rows.metrics_string",
+          n("n_valid_str"))
+        writeCatalogLocators(spark, storeDir, batchId, "string",
+          dedupLocators("string", locsOf("str_locs")), markComplete = virgin)
+        cached.filter(isStr && vs)
+          .select(col("tenant_id"), col("metric_name"), col("ts_ms"),
+            col("value").as("value_str"), col("ttl_seconds"), col("unit"),
+            col("is_bool"))
+          .coalesce(1)
+          .withColumn("ts_day", dayOf(col("ts_ms")))
+          .write.mode("overwrite").partitionBy("ts_day")
+          .parquet(s"$storeDir/metrics_string/batch_id=$batchId")
+      }
+      val days = m("days").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Long]).toSeq
+      if (n("n_valid_num") == 0) {
+        discardStage()
+        return FusedIngestResult(Nil, errors, nTotal)
+      }
+      // durable dirty-day markers BEFORE anything becomes visible
+      onDirtyDays(days)
+      // catalog BEFORE the data unhides (markComplete only when the
+      // string arm didn't already mark)
+      writeCatalogLocators(spark, storeDir, batchId, "numeric",
+        dedupLocators("basic", locsOf("num_locs")),
+        markComplete = virgin)
+      if (isReplay) fs.delete(targetPath, true)
+      require(fs.rename(stage, targetPath),
+        s"raw batch commit rename failed for $targetPath")
+      Instrumentation.global.inc("ingest.rows.metrics_full", n("n_valid_num"))
+      if (rollup) rollDirtyDays(spark, storeDir, days.toArray)
+      FusedIngestResult(days, errors, nTotal)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      cached.unpersist()
+      ()
+    }
+  }
+
   /** Maintain the persisted locator catalog — the reference's
     * `metrics_metadata` CF + ES discovery index, written by the ingest
     * path's metadata analyzer (IncomingMetricMetadataAnalyzer.java:36-121)
