@@ -622,55 +622,33 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       val now = nowMs()
       val (lo, hi) = IngestStream.batchBounds(0L, Long.MaxValue,
         Some(maxAgeMs), Some(maxFutureMs), now)
-      val inWindow = coalesce(col("ts_ms").between(lo, hi), lit(false))
-      // one GROUPED job for emptiness + rejects + total + the engine's
-      // (ok, day, count) accounting (the typed route's fused-accounting
-      // shape); only the rejects reach the driver row-by-row
-      val groups = parsed
-        .groupBy(inWindow.as("__ok"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("__d"))
-        .agg(count(lit(1)).as("n"),
-          collect_list(when(!inWindow, struct(
-            col("tenant_id"), col("metric_name"), col("ts_ms")))).as("bad"))
-        .collect()
-      val nTotal = groups.map(_.getLong(2)).sum
-      if (nTotal == 0) {
-        sendJson(ex, 400, errJson("Cannot parse content")); return
-      }
-      val stats = groups.map(g => (g.getBoolean(0),
-        if (g.isNullAt(1)) None else Some(g.getLong(1)), g.getLong(2)))
-      val bad = groups.flatMap(_.getSeq[org.apache.spark.sql.Row](3))
-        .map(r => (Option(r.getString(0)).getOrElse(""),
-          Option(r.getString(1)).getOrElse(""), "timestamp",
-          s"out of bounds: must be within [$lo, $hi]",
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      // durable markers BEFORE the raw write (see the typed-ingest twin)
-      val willDirty =
-        if (!deferRollups) Seq.empty[Long]
-        else stats.collect { case (true, Some(d), n) if n > 0 => d }
-          .distinct.toSeq
+      // ONE Spark job per clean statsd POST — the typed route's fused
+      // discipline (processAggregatedBatchFused): accounting + rejects +
+      // dirty days + per-kind catalog locators ride the staged
+      // preagg_raw write; durable markers land before visibility
+      var res: IngestStream.FusedPreaggResult = null
       writeLock.synchronized {
-        if (deferRollups && willDirty.nonEmpty)
-          graft.core.DirtyDayLog.mark(spark, storeDir, "preagg",
-            willDirty.filterNot(pendingPreaggDays.containsKey))
-        val dirty =
-          try IngestStream.processAggregatedBatch(parsed, storeDir,
-            requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
-            rollup = !deferRollups,
-            virginHint = if (storeKnownNonVirgin) Some(false) else None,
-            statsHint = Some(stats))
-          catch { case e: Throwable =>
-            if (deferRollups) willDirty.foreach(d =>
-              pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
-            throw e
-          }
+        res = IngestStream.processAggregatedBatchFused(parsed, storeDir,
+          requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
+          rollup = !deferRollups,
+          virginHint = if (storeKnownNonVirgin) Some(false) else None,
+          onDirtyDays = days => if (deferRollups && days.nonEmpty)
+            graft.core.DirtyDayLog.mark(spark, storeDir, "preagg",
+              days.filterNot(pendingPreaggDays.containsKey)))
         if (deferRollups)
-          dirty.foreach(d => pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
-        if (bad.length.toLong < nTotal) storeKnownNonVirgin = true
+          res.dirtyDays.foreach(d =>
+            pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
+        if (res.rejects.length.toLong < res.nTotal) storeKnownNonVirgin = true
         familyCache.clear()
         storeGeneration.incrementAndGet()
       }
-      if (bad.length.toLong == nTotal) sendJson(ex, 400, errorsJson(bad))
+      if (res.nTotal == 0) {
+        sendJson(ex, 400, errJson("Cannot parse content")); return
+      }
+      val bad = res.rejects.map { case (t0, n0, ts) =>
+        (t0, n0, "timestamp", s"out of bounds: must be within [$lo, $hi]", ts)
+      }
+      if (bad.length.toLong == res.nTotal) sendJson(ex, 400, errorsJson(bad))
       else if (bad.nonEmpty) sendJson(ex, 207, errorsJson(bad))
       else sendJson(ex, 200, """{}""")
     } finally parsed.unpersist()
@@ -701,7 +679,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val validated = IngestStream.withEventValidity(parsed, lo, hi)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (validated.isEmpty || !validated.filter(!col("valid")).isEmpty) {
+      // ONE aggregate answers emptiness + validity (was two jobs:
+      // isEmpty + a filtered isEmpty) — per-request job count again
+      val counts = validated.agg(count(lit(1)),
+        count(when(!col("valid"), lit(1)))).collect()(0)
+      if (counts.getLong(0) == 0 || counts.getLong(1) > 0) {
         sendJson(ex, 400, errJson("invalid event")); return
       }
       writeLock.synchronized {

@@ -1281,6 +1281,118 @@ object IngestStream {
     * [[rollDirtyDaysNow]], both the synchronous tail of
     * [[processAggregatedBatch]] and the background arm of its deferred
     * mode (`rollup = false`). */
+  /** [[FusedIngestResult]]'s preagg twin: dirty days, the rejected
+    * records (tenant, name, ts — the aggregated route's only constraint
+    * is the collection-time window), and the batch total. */
+  final case class FusedPreaggResult(
+      dirtyDays: Seq[Long],
+      rejects: Array[(String, String, Option[Long])],
+      nTotal: Long)
+
+  /** ONE-JOB aggregated (statsd) ingest — [[processTypedBatchFused]]'s
+    * discipline on the preagg route: the accounting (total, reject rows,
+    * dirty days, per-kind catalog locators) rides the staged `preagg_raw`
+    * write as observed metrics; the rejects sink runs only when rejects
+    * exist; the durable dirty-day marker lands between the hidden staged
+    * write and the commit rename; tiers roll after the rename
+    * (synchronous mode) or on the caller's drain (deferred). */
+  def processAggregatedBatchFused(parsed: DataFrame, storeDir: String,
+      batchId: Long, cascade: Boolean = true,
+      minTs: Long = 0L, maxTs: Long = Long.MaxValue,
+      rollup: Boolean = true,
+      virginHint: Option[Boolean] = None,
+      onDirtyDays: Seq[Long] => Unit = _ => ()): FusedPreaggResult = {
+    val spark = parsed.sparkSession
+    val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
+    val cached = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      // 3VL-safe: a null ts_ms reads as out-of-window, never NULL
+      val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
+      val obs = org.apache.spark.sql.Observation(
+        s"preagg_${batchId}_${java.util.UUID.randomUUID()}")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$storeDir/preagg_raw/.staging-$batchId")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetPath = new org.apache.hadoop.fs.Path(
+        s"$storeDir/preagg_raw/batch_id=$batchId")
+      val isReplay = fs.exists(targetPath)
+      cached.observe(obs,
+          count(lit(1)).as("n_total"),
+          count(when(inWindow, lit(1))).as("n_ok"),
+          collect_set(when(inWindow, dayOf(col("ts_ms")))).as("days"),
+          collect_set(when(inWindow, struct(col("tenant_id"),
+            col("metric_name"), col("kind")))).as("locs"),
+          collect_list(when(!inWindow, struct(col("tenant_id"),
+            col("metric_name"), col("ts_ms")))).as("rejects"))
+        .filter(inWindow)
+        .coalesce(1)
+        .withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("ts_day").parquet(stage.toString)
+      val m = obs.get
+      val nTotal = m("n_total").asInstanceOf[Long]
+      val nOk = m("n_ok").asInstanceOf[Long]
+      def discardStage(): Unit = {
+        fs.delete(stage, true)
+        val parent = stage.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+        ()
+      }
+      if (nTotal == 0) {
+        discardStage(); return FusedPreaggResult(Nil, Array.empty, 0L)
+      }
+      Instrumentation.global.inc("ingest.batches.preagg")
+      val rejects = m("rejects").asInstanceOf[scala.collection.Seq[Any]]
+        .map { a =>
+          val r = a.asInstanceOf[org.apache.spark.sql.Row]
+          (Option(r.getString(0)).getOrElse(""),
+            Option(r.getString(1)).getOrElse(""),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }.toArray
+      if (rejects.nonEmpty) {
+        Instrumentation.global.inc("ingest.rows.errors.preagg",
+          rejects.length.toLong)
+        cached.filter(!inWindow).write.mode("overwrite")
+          .parquet(s"$storeDir/preagg_errors/batch_id=$batchId")
+      }
+      if (nOk == 0) {
+        discardStage(); return FusedPreaggResult(Nil, rejects, nTotal)
+      }
+      val days = m("days").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Long]).toSeq
+      onDirtyDays(days)
+      // catalog BEFORE the data unhides; per-row kind IS the family, and
+      // the aggregated wire shape carries no unit (the classic path's
+      // max(unit) over all-null is null — identical content)
+      val locs = m("locs").asInstanceOf[scala.collection.Seq[Any]]
+        .map { a =>
+          val r = a.asInstanceOf[org.apache.spark.sql.Row]
+          (r.getString(0), r.getString(1), r.getString(2),
+            null: String)
+        }.distinct.toArray
+      writeCatalogLocators(spark, storeDir, batchId, "preagg", locs,
+        markComplete = virgin)
+      if (isReplay) fs.delete(targetPath, true)
+      require(fs.rename(stage, targetPath),
+        s"preagg batch commit rename failed for $targetPath")
+      Instrumentation.global.inc("ingest.rows.preagg_raw", nOk)
+      if (rollup) rollPreaggDirtyDaysNow(spark, storeDir, days, cascade)
+      FusedPreaggResult(days, rejects, nTotal)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      cached.unpersist()
+      ()
+    }
+  }
+
   def rollPreaggDirtyDaysNow(spark: SparkSession, storeDir: String,
       days: Seq[Long], cascade: Boolean = true): Unit = {
     if (days.isEmpty) return

@@ -69,4 +69,50 @@ class SteadyJobCountSpec extends AnyFunSuite with SparkSuite {
     assert(fused.size <= classic.size,
       s"fused (${fused.size}) ran more jobs than classic (${classic.size})")
   }
+
+  test("a repeat clean deferred HTTP POST costs exactly ONE Spark job " +
+    "(the staged raw write carrying the whole accounting)") {
+    val store = Files.createTempDirectory("graft_sjc_http").toString
+    val now = 1704067200000L
+    val srv = new graft.http.MetricsHttpServer(spark, store,
+      nowMs = () => now, maxAgeMs = 10L * 86400000L,
+      deferRollups = true, rollupDelayMs = Long.MaxValue / 4)
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${srv.boundPort}/v2.0/t/ingest"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def body(v: Double, ts: Long) =
+        s"""[{"metricName": "app.one", "metricValue": $v,
+           |  "collectionTime": $ts}]""".stripMargin
+      // first POST pays the virgin catalog write + warms plans/memos
+      assert(post(body(1.0, now - 3600000L)).statusCode() === 200)
+      val jobs = jobSites {
+        assert(post(body(2.0, now - 3000000L)).statusCode() === 200)
+      }
+      assert(jobs.size === 1,
+        s"deferred POST ran ${jobs.size} jobs: ${jobs.mkString(" | ")}")
+      // the aggregated (statsd) route holds the same one-job floor
+      def postAgg(ts: Long) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${srv.boundPort}/v2.0/t/ingest/aggregated"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"tenantId": "t", "timestamp": $ts, "flushInterval": 10000,
+               | "counters": [{"name": "agg.c", "value": 1.0,
+               |   "rate": 0.1}]}""".stripMargin))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(postAgg(now - 3600000L).statusCode() === 200)
+      val aggJobs = jobSites {
+        assert(postAgg(now - 3000000L).statusCode() === 200)
+      }
+      assert(aggJobs.size === 1,
+        s"deferred statsd POST ran ${aggJobs.size} jobs: " +
+          aggJobs.mkString(" | "))
+    } finally srv.stop()
+  }
 }
