@@ -86,6 +86,12 @@ object Maintain {
     val droppedErr =
       Retention.enforceErrorSinks(spark, storeDir, errorSinkNowMillis)
 
+    // crashed fused-ingest attempts leak hidden .staging-* dirs a same-id
+    // retry would reclaim; sweep the ones no retry ever came for (wall
+    // clock, same reasoning as the error-sink sweep)
+    rawTables.foreach(t =>
+      Retention.sweepStaleStaging(spark, storeDir, t, errorSinkNowMillis))
+
     val compactedRaw = rawTables.flatMap { t =>
       Retention.compactRaw(spark, storeDir, t,
         assumeQuiesced = assumeQuiesced).map(t -> _)

@@ -201,6 +201,31 @@ object Retention {
     * offline window to fold it too). Returns the new batch id, or None
     * when fewer than `minBatchDirs` foldable dirs remain (non-numeric
     * strays are left untouched). */
+  /** Delete crashed ingest attempts' hidden `.staging-*` dirs under a
+    * batch-dir table once older than `graceMs` (default 24 h by dir
+    * mtime against wall time). The fused ingest paths commit a staged
+    * write by one rename ([[graft.streaming.IngestStream
+    * .processTypedBatchFused]]) and a retried batch id reclaims its own
+    * leak; this sweeps the leaks whose request never retried. Invisible
+    * to every reader (dot prefix), so the sweep is always safe — the
+    * grace only protects a LIVE writer's in-flight staging. Returns the
+    * number of dirs removed. */
+  def sweepStaleStaging(spark: SparkSession, storeDir: String,
+      table: String, nowMillis: Long = System.currentTimeMillis(),
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    val root = new Path(s"$storeDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val stale = Option(fs.globStatus(new Path(root, ".staging-*")))
+      .getOrElse(Array.empty)
+      .filter(_.getModificationTime < nowMillis - graceMs)
+    stale.foreach(s => fs.delete(s.getPath, true))
+    if (stale.nonEmpty)
+      graft.core.Instrumentation.global
+        .inc("maintain.stale_staging_swept", stale.length.toLong)
+    stale.length
+  }
+
   def compactRaw(spark: SparkSession, storeDir: String, table: String,
       maxRecordsPerFile: Long = 5000000L, minBatchDirs: Int = 2,
       assumeQuiesced: Boolean = false): Option[Long] = {

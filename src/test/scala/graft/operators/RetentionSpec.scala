@@ -188,4 +188,26 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     // idempotent on an empty store
     assert(Retention.enforceErrorSinks(spark, store).isEmpty)
   }
+
+  test("stale fused-ingest staging leaks are swept; a live writer's " +
+    "fresh staging survives the grace") {
+    val store = Files.createTempDirectory("graft_retention_stg").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    for ((name, ageMs) <- Seq(".staging-7" -> 2L * 86400000L,
+        ".staging-9" -> 0L)) {
+      val d = new org.apache.hadoop.fs.Path(s"$store/metrics_full/$name")
+      fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d, "part-junk"), true).close()
+      fs.setTimes(d, now - ageMs, -1)
+    }
+    assert(Retention.sweepStaleStaging(spark, store, "metrics_full",
+      now) === 1)
+    assert(!Files.exists(Paths.get(s"$store/metrics_full/.staging-7")))
+    assert(Files.exists(Paths.get(s"$store/metrics_full/.staging-9")),
+      "in-grace staging must survive (a live writer may be filling it)")
+    // absent table: clean no-op
+    assert(Retention.sweepStaleStaging(spark, store, "preagg_raw", now) === 0)
+  }
 }
