@@ -679,21 +679,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val validated = IngestStream.withEventValidity(parsed, lo, hi)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE aggregate answers emptiness + validity (was two jobs:
-      // isEmpty + a filtered isEmpty) — per-request job count again
-      val counts = validated.agg(count(lit(1)),
-        count(when(!col("valid"), lit(1)))).collect()(0)
-      if (counts.getLong(0) == 0 || counts.getLong(1) > 0) {
-        sendJson(ex, 400, errJson("invalid event")); return
-      }
+      // ONE Spark job (the other routes' fused discipline): the validity
+      // counts ride the staged events write; any invalid event discards
+      // the hidden staging — the all-or-nothing 400 contract unchanged
+      var counts: (Long, Long) = null
       writeLock.synchronized {
         // events are NOT value-idempotent like metric overwrites: the
         // reference's ES-auto-id scheme stores two intentionally repeated
         // identical POSTs as two annotations, so the batch id takes a
         // process-local nonce — hashing on body alone would collapse them
-        IngestStream.processEventsBatch(validated, storeDir,
+        counts = IngestStream.processEventsBatchFused(validated, storeDir,
           requestBatchId(tenant, "events",
             s"$body|$lifetimeToken|${eventNonce.incrementAndGet()}"))
+      }
+      if (counts._1 == 0 || counts._2 > 0) {
+        sendJson(ex, 400, errJson("invalid event")); return
       }
       sendJson(ex, 200, """{}""")
     } finally validated.unpersist()

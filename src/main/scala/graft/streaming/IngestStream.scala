@@ -1044,6 +1044,62 @@ object IngestStream {
     * Events are immutable annotations with no rollup ladder, so ingest is
     * append-only — no re-roll step, which is what makes this path trivial
     * by design next to the metrics one. */
+  /** ONE-JOB events ingest for the facade's all-or-nothing contract
+    * (HttpEventsIngestionHandler rejects the whole POST on any invalid
+    * event): the validity counts ride the staged events write as
+    * observed metrics; any invalid row (or an empty parse) discards the
+    * hidden staging and nothing becomes visible — exactly the classic
+    * pre-check-then-write behavior, minus its two extra jobs. Returns
+    * (total, invalid) for the response decision. */
+  def processEventsBatchFused(batch: DataFrame, storeDir: String,
+      batchId: Long): (Long, Long) = {
+    val spark = batch.sparkSession
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val obs = org.apache.spark.sql.Observation(
+        s"events_${batchId}_${java.util.UUID.randomUUID()}")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$storeDir/events/.staging-$batchId")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetPath = new org.apache.hadoop.fs.Path(
+        s"$storeDir/events/batch_id=$batchId")
+      cached.observe(obs,
+          count(lit(1)).as("n_total"),
+          count(when(!col("valid"), lit(1))).as("n_invalid"))
+        .filter(col("valid")).drop("valid")
+        .coalesce(1)
+        .withColumn("ts_day", dayOf(col("ts_ms")))
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("ts_day").parquet(stage.toString)
+      val m = obs.get
+      val nTotal = m("n_total").asInstanceOf[Long]
+      val nInvalid = m("n_invalid").asInstanceOf[Long]
+      if (nTotal == 0 || nInvalid > 0) {
+        fs.delete(stage, true)
+        val parent = stage.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+        return (nTotal, nInvalid)
+      }
+      if (fs.exists(targetPath)) fs.delete(targetPath, true)
+      require(fs.rename(stage, targetPath),
+        s"events batch commit rename failed for $targetPath")
+      Instrumentation.global.inc("ingest.rows.events", nTotal)
+      (nTotal, 0L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      cached.unpersist()
+      ()
+    }
+  }
+
   def processEventsBatch(batch: DataFrame, storeDir: String, batchId: Long = 0L): Unit = {
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

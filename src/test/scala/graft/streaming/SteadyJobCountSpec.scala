@@ -113,6 +113,20 @@ class SteadyJobCountSpec extends AnyFunSuite with SparkSuite {
       assert(aggJobs.size === 1,
         s"deferred statsd POST ran ${aggJobs.size} jobs: " +
           aggJobs.mkString(" | "))
+      // the events route too: EVERY facade ingest route is one job
+      def postEvent(ts: Long) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${srv.boundPort}/v2.0/t/events"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"what": "deploy", "when": $ts, "data": "v1"}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(postEvent(now - 3600000L).statusCode() === 200)
+      val evJobs = jobSites {
+        assert(postEvent(now - 3000000L).statusCode() === 200)
+      }
+      assert(evJobs.size === 1,
+        s"events POST ran ${evJobs.size} jobs: ${evJobs.mkString(" | ")}")
     } finally srv.stop()
   }
 }
