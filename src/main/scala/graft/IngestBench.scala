@@ -87,8 +87,10 @@ object IngestBench {
     }
     val t1b = System.nanoTime()
     // fuseObserve: the request-sized micro-batch contract — accounting +
-    // catalog locators ride the raw write as observed metrics, and the
-    // incremental 5m tier merge stages concurrently with it
+    // catalog locators ride the raw write as observed metrics; the 5m
+    // tier re-roll runs as its own second action (the measured 2-action
+    // steady-state floor, docs/SCALE.md — concurrent tier staging was
+    // measured slower and dropped)
     graft.streaming.IngestStream.processBatch(daySlice, steadyStore,
       batchId = 1L, fuseObserve = true)
     val steadySecs = (System.nanoTime() - t1b) / 1e9

@@ -1359,6 +1359,55 @@ object SeriesQueries {
     }
   }
 
+  /** Full-outer instant alignment for cross-series arithmetic
+    * ([[Series.reduceSeriesPairs]] `alignOuter = true` — graphite-web's
+    * None-parity, the render facade's default): the view side is thinned
+    * to even hours, so every odd-hour purchase instant has NO divisor —
+    * the outer join serves it with a NULL value instead of dropping it
+    * (the inner-join convention q_series_reduce_pairs pins). Oracle = the
+    * same hourly CTE FULL-JOINed in DuckDB; division is the identical
+    * scalar double, zero/missing denominators null (F6). */
+  private val reducePairsOuterQ = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_reduce_outer",
+      s"""WITH ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT metric_name,
+         |         string_split(metric_name, '.')[2] AS tok,
+         |         'app.reduce.divideSeries.' || string_split(metric_name, '.')[3]
+         |           AS key,
+         |         (ts_ms // $bMs) * $bMs AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |           / COUNT(value) AS value
+         |  FROM metrics GROUP BY 1, 2, 3, 4
+         |),
+         |a AS (SELECT * FROM h WHERE tok = 'purchase'),
+         |b AS (SELECT * FROM h WHERE tok = 'view'
+         |      AND (ts_ms // $bMs) % 2 = 0)
+         |SELECT 'all' AS tenant_id,
+         |       COALESCE(a.key, b.key) AS metric_name,
+         |       CAST(COALESCE(a.ts_ms, b.ts_ms) AS BIGINT) AS ts_ms,
+         |       CASE WHEN b.value <> 0 THEN a.value / b.value END AS value
+         |FROM a FULL JOIN b ON a.key = b.key AND a.ts_ms = b.ts_ms
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        val hourly = Series.summarize(Tables.metrics(s, dir), bMs, "mean")
+          .withColumnRenamed("bucket_ms", "ts_ms")
+          .withColumn("tenant_id", lit("all"))
+          .drop("n_points")
+        // thin the VIEW side to even hours — one-sided instants on both
+        // sides (odd-hour purchases have no divisor; a view-only instant
+        // would have no dividend)
+        val sparse = hourly.filter(
+          get(split(col("metric_name"), "\\."), lit(1)) =!= "view" ||
+            expr(s"(ts_ms div ${bMs}L) % 2 = 0"))
+        Series.reduceSeriesPairs(sparse, 1, "purchase", "view",
+            "divideSeries", alignOuter = true)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Per-series min-max feature scaling ([[Series.minMaxNormalize]],
     * Graphite's minMax): one unordered per-series window (min+max share
     * the WindowExec) and the identical (v−min)/(max−min) IEEE scalar on
@@ -1555,5 +1604,6 @@ object SeriesQueries {
     anomalyEvents, timeshift, integral, quantile, ewma, ewmaSeg,
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
-    reducePairsQ, resample, resampleHoldQ, minMaxQ, stdevRowsQ, divideListsQ)
+    reducePairsQ, reducePairsOuterQ, resample, resampleHoldQ, minMaxQ,
+    stdevRowsQ, divideListsQ)
 }

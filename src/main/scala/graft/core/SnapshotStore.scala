@@ -245,11 +245,13 @@ object SnapshotStore {
   /** Phase 1 of [[publish]]: write `df` fully into a hidden staging dir
     * under `root` and validate its day names — the EXPENSIVE part (the
     * Spark job), with zero visibility to readers. Returns the staging
-    * path for [[commitStaged]]/[[abortStaged]]. Splitting the phases lets
-    * a caller overlap the staging job with other work and defer only the
-    * metadata-cheap commit renames behind its own durability ordering
-    * (the fused ingest path stages the re-rolled tier CONCURRENTLY with
-    * the raw write and commits it only after the raw batch is visible). */
+    * path for [[commitStaged]]/[[abortStaged]]. The split is [[publish]]'s
+    * own internal two-phase structure, exposed so tests can exercise crash
+    * points between the phases; no production caller overlaps staging with
+    * other work — a fused-ingest design that staged the re-rolled tier
+    * concurrently with the raw write was MEASURED SLOWER (extra AQE
+    * scheduling rounds, unpruned store read) and dropped (docs/SCALE.md,
+    * r12 failed levers). */
   def stageOnly(df: DataFrame, root: String): Path = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -301,6 +303,11 @@ object SnapshotStore {
       readerGraceMs: Long = defaultReaderGraceMs): Seq[Long] = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    // multi-writer fencing: if the table's parent store carries a
+    // _writer_lock, this process must hold the live lease whose token
+    // matches the file — a superseded writer fails HERE, before any
+    // rename, never silently interleaving generations (WriterLease doc)
+    WriterLease.verifyForTable(spark, rootPath)
     val staged = dayDirs(fs, staging)
     ensureGenLayout(fs, rootPath)
     val nowMs = System.currentTimeMillis()
@@ -358,9 +365,17 @@ object SnapshotStore {
     val all = dayDirs(fs, rootPath)
     if (all.isEmpty) {
       // not day-partitioned (or empty): one ordinary discovery read,
-      // guarded against parquet-less husks
+      // guarded against parquet-less husks. Hadoop globs MATCH dot-dirs
+      // while Spark's discovery ignores them, so a file under a hidden
+      // component (a `.staging-*` leaked by a crashed or lease-rejected
+      // publish) must not flip an otherwise-empty table to Plain — the
+      // read would fail schema inference on zero visible files
+      val rootStr = rootPath.toString
       val anyFile = Seq("*.parquet", "*/*.parquet", "*/*/*.parquet").exists(g =>
-        Option(fs.globStatus(new Path(rootPath, g))).exists(_.nonEmpty))
+        Option(fs.globStatus(new Path(rootPath, g))).exists(_.exists { st =>
+          !st.getPath.toString.stripPrefix(rootStr).split("/").exists(c =>
+            c.startsWith(".") || c.startsWith("_"))
+        }))
       return if (anyFile) Plain else Absent
     }
     val selected = days match {

@@ -196,6 +196,62 @@ object SeriesExprUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** Trailing lower-median scan over one series' time-sorted points — the
+    * kernel of [[graft.operators.Series.movingMedianRows]] (Graphite's
+    * movingMedian): out(i) = the rank-((c+1) div 2) element of the
+    * NON-NULL values among positions [max(0, i−n+1) .. i] (c = their
+    * count; the madOutliers lower-median rule, so the answer is a HELD
+    * value both engines can agree on), null when c = 0. A rank statistic
+    * has no prefix/incremental window form (the r9 window cost model), so
+    * the scan maintains a SORTED sliding buffer — binary search +
+    * arraycopy per step, O(points·window) worst case, bounded by the
+    * caller's render-sized contract. Ordering via java.lang.Double.compare
+    * = Spark's double ordering (NaN largest, −0.0 < 0.0). Unlike
+    * [[ewmaScan]], null VALUES are legal: graphite's safe median skips
+    * None samples, which still occupy a window slot. */
+  def movingMedianScan(arr: ArrayData, n: Int, nFields: Int,
+      valueIdx: Int): ArrayData = {
+    val p = arr.numElements()
+    val out = new Array[Any](p)
+    val win = new Array[Double](math.min(n, math.max(p, 1)))
+    val ringV = new Array[Double](n)
+    val ringNull = new Array[Boolean](n)
+    var size = 0
+    // first index in win[0..size) whose value compares >= v
+    def insertionPoint(v: Double): Int = {
+      var lo = 0
+      var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.lang.Double.compare(win(mid), v) < 0) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+    var i = 0
+    while (i < p) {
+      if (i >= n && !ringNull(i % n)) { // evict the slot sliding out
+        val idx = insertionPoint(ringV(i % n))
+        System.arraycopy(win, idx + 1, win, idx, size - idx - 1)
+        size -= 1
+      }
+      val isNull = arr.isNullAt(i) ||
+        arr.getStruct(i, nFields).isNullAt(valueIdx)
+      ringNull(i % n) = isNull
+      if (!isNull) {
+        val v = arr.getStruct(i, nFields).getDouble(valueIdx)
+        ringV(i % n) = v
+        val idx = insertionPoint(v)
+        System.arraycopy(win, idx, win, idx + 1, size - idx)
+        win(idx) = v
+        size += 1
+      }
+      out(i) = if (size == 0) null else Double.box(win((size - 1) >> 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Sequential EWMA state scan over one series' collected points, as a single
@@ -396,5 +452,65 @@ case class LttbScan(child: Expression, buckets: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LttbScan =
+    copy(child = newChild)
+}
+
+/** Trailing lower-median scan ([[SeriesExprUtil.movingMedianScan]]) —
+  * [[EwmaScan]]'s rank-statistic sibling, the kernel of
+  * [[graft.operators.Series.movingMedianRows]] (Graphite's movingMedian).
+  * Exists because a rank statistic has no prefix/incremental window form:
+  * Spark re-aggregates a trailing ROWS frame per row (the r9 window cost
+  * model), and a sorted-buffer scan over the already-collected ArrayData
+  * is both cheaper (O(points·window) with tiny constants) and exactly the
+  * selection rule the oracle restates.
+  *
+  * Input: ARRAY<STRUCT<..., value: DOUBLE>> sorted by the caller
+  * (sort_array on a (ts, value) struct — null values sort first within a
+  * tie, matching the oracle's `value NULLS FIRST`). Null VALUES are legal
+  * (a window slot with no population contribution). Output: equal-length
+  * ARRAY<DOUBLE>, element null where the trailing window holds no values
+  * — positionally zip-able with the input. */
+case class MovingMedianScan(child: Expression, nPoints: Int)
+    extends UnaryExpression {
+  require(nPoints > 0, s"nPoints must be positive, got $nPoints")
+
+  private lazy val (nFields: Int, valueIdx: Int) = child.dataType match {
+    case ArrayType(st: StructType, _) =>
+      (st.size, st.fieldIndex("value"))
+    case _ => (0, 0)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("value") &&
+          st(st.fieldIndex("value")).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"moving_median_scan needs ARRAY<STRUCT<..., value: DOUBLE>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SeriesExprUtil.movingMedianScan(v.asInstanceOf[ArrayData], nPoints,
+      nFields, valueIdx)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.SeriesExprUtil.movingMedianScan(
+         |    $c, $nPoints, $nFields, $valueIdx);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MovingMedianScan =
     copy(child = newChild)
 }

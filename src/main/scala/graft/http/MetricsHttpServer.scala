@@ -114,6 +114,14 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   // JVM's first HttpServer.create loads the one-shot ServerConfig
   require(MetricsHttpServer.headerPhaseTimeoutInstalled)
 
+  /** The store's writer lease, acquired FIRST (before the port binds):
+    * a second facade on the same store refuses loudly at boot, and every
+    * SnapshotStore commit this process makes is fenced by the lease token
+    * ([[graft.core.WriterLease]] — the reference's shard-ownership story,
+    * ZKShardLockManager.java, reduced to the single-writer store
+    * contract). Heartbeat runs on the reaper executor at TTL/3. */
+  private val writerLease = graft.core.WriterLease.acquire(spark, storeDir)
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newFixedThreadPool(8)
 
@@ -145,6 +153,21 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     }
   }, 250L, 250L, java.util.concurrent.TimeUnit.MILLISECONDS)
 
+  // writer-lease heartbeat at TTL/3: a missed renewal (hung JVM, clock
+  // stall) lets another writer take over; this writer's next renewal —
+  // and every SnapshotStore commit — then fails LOUDLY (fenced), never
+  // silently racing generations
+  reaper.scheduleWithFixedDelay(() => {
+    try graft.core.WriterLease.renew(spark, writerLease)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        graft.core.Instrumentation.global.inc("http.writer_lease_fenced")
+        System.err.println(s"[graft-http] writer-lease renewal failed " +
+          s"(this writer is fenced): ${e.getMessage}")
+    }
+  }, writerLease.ttlMs / 3, writerLease.ttlMs / 3,
+    java.util.concurrent.TimeUnit.MILLISECONDS)
+
   /** Batch id derived from the REQUEST (tenant + route + body hash), not a
     * counter: the store's replace-not-duplicate idempotence
     * ([[IngestStream.processBatch]] scaladoc) holds only when a replay
@@ -168,6 +191,28 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * through its processor chain the same way; reads stay concurrent. */
   private val writeLock = new Object
 
+  /** Dedicated request-sized ingest session (same SparkContext, own
+    * SQLConf, AQE off + 1 shuffle partition pinned for life —
+    * [[IngestStream.newIngestSession]]): every ingest body parses and
+    * every fused write plans HERE, so concurrent reads and the deferred
+    * drain — which use the shared `spark` — always plan with the session
+    * defaults. Before this, the fused paths set/restored the confs on the
+    * shared session, silently collapsing any read planned during an
+    * in-flight POST to one reducer with no AQE. */
+  private val ingestSpark = IngestStream.newIngestSession(spark)
+
+  /** Test seam: invoked INSIDE [[writeLock]] while an ingest POST is in
+    * flight, before its fused write — IsolatedIngestSessionSpec plans a
+    * concurrent-read-shaped query on the shared session here and asserts
+    * it sees the session defaults (AQE on, default shuffle partitions). */
+  private[graft] var midIngestProbe: () => Unit = () => ()
+
+  /** Test seam: fired inside the fused paths' `onDirtyDays` callback
+    * AFTER the durable marker and the in-memory pend, i.e. strictly
+    * BEFORE the batch's commit rename — DeferredRollupSpec asserts the
+    * pend-before-visibility ordering through it. */
+  private[graft] var onDirtyDaysHook: Seq[Long] => Unit = _ => ()
+
   /** Deferred-rollup pending maps (`deferRollups = true` — the
     * reference's ROLLUP_DELAY shape, CoreConfig.java:222: its perf number
     * measures the raw Cassandra write with rollups deferred to
@@ -175,9 +220,11 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * record their dirty days here, day → a monotone ingest sequence
     * stamp; [[rollNow]] (driven by the background roller every
     * `rollupDelayMs`, or directly by tests/ops) drains them. Serving
-    * stays EXACT meanwhile: every stored read passes the pending snapshot
-    * as `dirtyDays`, which forces those days through the raw-recompute
-    * repair path instead of the stale tier.
+    * stays EXACT for every ACKNOWLEDGED ingest meanwhile: the pend lands
+    * (with its durable marker) BEFORE the batch's commit rename makes
+    * data visible, so every stored read's pending snapshot (`dirtyDays`)
+    * covers all acknowledged points, forcing their days through the
+    * raw-recompute repair path instead of the stale tier.
     *
     * The seq stamp is what lets the drain run OUTSIDE [[writeLock]]
     * (POSTs never write tiers in deferred mode, so the roller is the sole
@@ -230,14 +277,29 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           .inc("ingest.deferred_rollup.reconciled_days",
             (basic.size + preagg.size).toLong)
     } else {
-      if (basic.nonEmpty) {
-        IngestStream.rollDirtyDaysNow(spark, storeDir, basic.toSeq)
-        graft.core.DirtyDayLog.unmark(spark, storeDir, "basic", basic)
-      }
-      if (preagg.nonEmpty) {
-        IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg.toSeq)
-        graft.core.DirtyDayLog.unmark(spark, storeDir, "preagg", preagg)
-      }
+      // a marker is durably written BEFORE its batch's commit rename, so
+      // a crash before the store's first-ever visible batch leaves a
+      // marker whose raw table holds only a hidden .staging dir — the
+      // drain's read would throw and fail CONSTRUCTION. A failed drain
+      // leaves its markers pending (retried at the next boot / covered
+      // by any later ingest of the same day) instead of refusing to boot.
+      def drainOrKeep(kind: String, days: Set[Long])
+          (roll: Seq[Long] => Unit): Unit =
+        if (days.nonEmpty) try {
+          graft.core.WriterLease.withLease(writerLease) { roll(days.toSeq) }
+          graft.core.DirtyDayLog.unmark(spark, storeDir, kind, days)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            graft.core.Instrumentation.global
+              .inc("ingest.deferred_rollup.reconcile_kept_pending",
+                days.size.toLong)
+            System.err.println(s"[graft-http] boot reconciliation: $kind " +
+              s"marker drain failed (kept pending): ${e.getMessage}")
+        }
+      drainOrKeep("basic", basic)(
+        IngestStream.rollDirtyDaysNow(spark, storeDir, _))
+      drainOrKeep("preagg", preagg)(
+        IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, _))
     }
   }
 
@@ -261,8 +323,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     * nothing: the days stay pending and the next tick retries. No-op
     * outside deferred mode. */
   def rollNow(): Unit = if (deferRollups) rollLock.synchronized {
+   graft.core.WriterLease.withLease(writerLease) {
     import scala.jdk.CollectionConverters._
-    val basic = pendingBasicDays.asScala.toSeq
+    // SNAPSHOT under writeLock (a driver-side map copy — microseconds):
+    // a POST pends its days INSIDE the lock before its commit rename, so
+    // a snapshot taken under the same lock can never observe a pend whose
+    // data is still hidden — without this, the drain could roll from the
+    // pre-rename store, then clear a seq-matching pend whose points it
+    // never saw, leaving visible data with a stale tier and no dirty flag
+    val basic = writeLock.synchronized { pendingBasicDays.asScala.toSeq }
     if (basic.nonEmpty) {
       IngestStream.rollDirtyDaysNow(spark, storeDir, basic.map(_._1))
       writeLock.synchronized {
@@ -274,7 +343,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       graft.core.Instrumentation.global
         .inc("ingest.deferred_rollup.basic_days", basic.size.toLong)
     }
-    val preagg = pendingPreaggDays.asScala.toSeq
+    val preagg = writeLock.synchronized { pendingPreaggDays.asScala.toSeq }
     if (preagg.nonEmpty) {
       IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg.map(_._1))
       writeLock.synchronized {
@@ -286,6 +355,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       graft.core.Instrumentation.global
         .inc("ingest.deferred_rollup.preagg_days", preagg.size.toLong)
     }
+   }
   }
 
   /** How many days are awaiting their background re-roll (tests/ops). */
@@ -388,6 +458,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[http] final deferred re-roll failed: $e") }
     }
+    // release AFTER the final drain (whose commits ride this lease);
+    // a fenced-out zombie's release is a no-op on the file
+    graft.core.WriterLease.release(spark, writerLease)
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -527,7 +600,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     val body = readBody(ex)
     val lines =
       try {
-        import spark.implicits._
+        // parsed on the DEDICATED ingest session: the whole fused write
+        // (and the sync-mode re-roll) plans on pinned request-sized confs
+        // without ever touching the readers' session
+        import ingestSpark.implicits._
         val recs = Seq(body).toDF("body")
           .select(explode(from_json(col("body"),
             org.apache.spark.sql.types.DataType.fromDDL(
@@ -563,6 +639,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // always before the 200
       var res: IngestStream.FusedIngestResult = null
       writeLock.synchronized {
+       graft.core.WriterLease.withLease(writerLease) {
+        midIngestProbe()
         // a failed batch needs no compensation here: inside the fused
         // path the durable marker write is ordered BEFORE the data
         // commit, so a crash/throw leaves at worst a marker that
@@ -571,15 +649,23 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
           requestBatchId(tenant, "ingest", body), lo, hi,
           rollup = !deferRollups,
           virginHint = if (storeKnownNonVirgin) Some(false) else None,
-          onDirtyDays = days => if (deferRollups && days.nonEmpty)
+          onDirtyDays = days => if (deferRollups && days.nonEmpty) {
+            // durable marker AND in-memory pend both land BEFORE the
+            // commit rename makes data visible: serving is exact for
+            // ACKNOWLEDGED ingests, and even the unacknowledged tail of
+            // this POST is never visible-but-unpended (rollNow's snapshot
+            // takes writeLock, so it cannot observe the pend without
+            // also observing the renamed data)
             graft.core.DirtyDayLog.mark(spark, storeDir, "basic",
-              days.filterNot(pendingBasicDays.containsKey)))
-        if (deferRollups)
-          res.dirtyDays.foreach(d =>
-            pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
+              days.filterNot(pendingBasicDays.containsKey))
+            days.foreach(d =>
+              pendingBasicDays.put(d, dirtySeq.incrementAndGet()))
+            onDirtyDaysHook(days)
+          })
         if (res.errors.length.toLong < res.nTotal) storeKnownNonVirgin = true
         familyCache.clear() // new data may give a locator its first family
         storeGeneration.incrementAndGet()
+       }
       }
       if (res.nTotal == 0) {
         sendJson(ex, 400, errJson("Cannot parse content")); return
@@ -604,7 +690,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
   private def ingestAggregated(ex: HttpExchange, tenant: String,
       multi: Boolean): Unit = {
     val body = readBody(ex)
-    import spark.implicits._
+    import ingestSpark.implicits._
     // single payload or an array of payloads — one line each for the
     // engine's statsd parser
     val lines0 = if (multi) parseJsonObjects(body) else Some(Seq(body))
@@ -628,19 +714,25 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // preagg_raw write; durable markers land before visibility
       var res: IngestStream.FusedPreaggResult = null
       writeLock.synchronized {
+       graft.core.WriterLease.withLease(writerLease) {
+        midIngestProbe()
         res = IngestStream.processAggregatedBatchFused(parsed, storeDir,
           requestBatchId(tenant, "aggregated", body), cascade = true, lo, hi,
           rollup = !deferRollups,
           virginHint = if (storeKnownNonVirgin) Some(false) else None,
-          onDirtyDays = days => if (deferRollups && days.nonEmpty)
+          onDirtyDays = days => if (deferRollups && days.nonEmpty) {
+            // marker + pend BEFORE the commit rename (see the typed
+            // route's callback for the rollNow-snapshot ordering argument)
             graft.core.DirtyDayLog.mark(spark, storeDir, "preagg",
-              days.filterNot(pendingPreaggDays.containsKey)))
-        if (deferRollups)
-          res.dirtyDays.foreach(d =>
-            pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
+              days.filterNot(pendingPreaggDays.containsKey))
+            days.foreach(d =>
+              pendingPreaggDays.put(d, dirtySeq.incrementAndGet()))
+            onDirtyDaysHook(days)
+          })
         if (res.rejects.length.toLong < res.nTotal) storeKnownNonVirgin = true
         familyCache.clear()
         storeGeneration.incrementAndGet()
+       }
       }
       if (res.nTotal == 0) {
         sendJson(ex, 400, errJson("Cannot parse content")); return
@@ -656,7 +748,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
 
   private def ingestEvent(ex: HttpExchange, tenant: String): Unit = {
     val body = readBody(ex)
-    import spark.implicits._
+    import ingestSpark.implicits._
     // reference event fields (Event.java): what/when/data/tags → the
     // engine's event store columns
     val lines = Seq(body).toDF("body")
@@ -684,6 +776,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
       // the hidden staging — the all-or-nothing 400 contract unchanged
       var counts: (Long, Long) = null
       writeLock.synchronized {
+       graft.core.WriterLease.withLease(writerLease) {
+        midIngestProbe()
         // events are NOT value-idempotent like metric overwrites: the
         // reference's ES-auto-id scheme stores two intentionally repeated
         // identical POSTs as two annotations, so the batch id takes a
@@ -691,6 +785,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
         counts = IngestStream.processEventsBatchFused(validated, storeDir,
           requestBatchId(tenant, "events",
             s"$body|$lifetimeToken|${eventNonce.incrementAndGet()}"))
+       }
       }
       if (counts._1 == 0 || counts._2 > 0) {
         sendJson(ex, 400, errJson("invalid event")); return
@@ -2052,9 +2147,13 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 s"divideSeriesLists needs a divisor seriesList in '$t'"))
             val a = recurse(arg0)
             val b = recurse(divArg)
+            // alignOuter: graphite-web None-parity — an instant present
+            // on only one side renders a null datapoint, never a silently
+            // thinned series (F6 null result either way)
             SeriesExpr(graft.operators.Series.divideSeriesLists(
                 a.df.select("tenant_id", "metric_name", "ts_ms", "value"),
-                b.df.select("tenant_id", "metric_name", "ts_ms", "value")),
+                b.df.select("tenant_id", "metric_name", "ts_ms", "value"),
+                alignOuter = true),
               None, identity)
           case "timeSlice" =>
             // timeSlice(<expr>, "start"[, "end"]) — values outside the
@@ -2272,8 +2371,10 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             require(rn >= 0, s"reduce node must be >= 0 in '$t'")
             val (m1, m2) = (stripQuotes(args(3).trim),
               stripQuotes(args(4).trim))
+            // alignOuter: graphite-web None-parity for one-sided instants
             SeriesExpr(graft.operators.Series
-                .reduceSeriesPairs(inner.df, rn, m1, m2, func),
+                .reduceSeriesPairs(inner.df, rn, m1, m2, func,
+                  alignOuter = true),
               None, identity)
           case "stacked" | "secondYAxis" | "drawAsInfinite" | "lineWidth" |
                "dashed" | "color" =>

@@ -59,7 +59,7 @@ private[http] object RenderFunctions {
     F("invert", "Transform", "pointwise 1/x; zero renders null", Seq(series)),
     F("minMax", "Transform", "per-series min-max scaling onto [0,1]; zero-range series render null", Seq(series)),
     F("stdev", "Calculate", "trailing population stddev over the last N samples per series", Seq(series, p("points", "integer"))),
-    F("divideSeriesLists", "Combine", "pair two equal-length series lists positionally (sorted by name) and divide; unequal lengths error", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeriesList", "seriesList"))),
+    F("divideSeriesLists", "Combine", "pair two equal-length series lists positionally (sorted by name) and divide; unequal lengths error; one-sided instants serve null (graphite-web None-parity)", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeriesList", "seriesList"))),
     F("timeSlice", "Transform", "values outside [start, end] render null datapoints", Seq(series, p("startSliceAt", "string"), opt("endSliceAt", "string"))),
     F("linearRegression", "Transform", "per-series least-squares fit drawn at the input instants", Seq(series)),
     F("keepLastValue", "Transform", "forward-fill onto a uniform grid", Seq(series, p("interval", "string"))),
@@ -120,7 +120,7 @@ private[http] object RenderFunctions {
     // Combine (structured)
     F("applyByNode", "Combine", "evaluate the template per distinct node prefix ('%' substitutes the prefix); results union", Seq(series, p("nodeNum", "node"), p("templateFunction", "string"), opt("newName", "string"))),
     F("mapSeries", "Combine", "graphite's grouped list; grouping materializes inside reduceSeries (standalone rendering passes through)", Seq(series, p("mapNodes", "node"))),
-    F("reduceSeries", "Combine", "pair series agreeing on every node but reduceNode, apply asPercent|divideSeries|diffSeries to the two matched keys; instants present on only one side are dropped (compose over summarize/keepLastValue to align sparse series — graphite-web would emit None there)", Seq(p("seriesLists", "seriesList"), p("reduceFunction", "string"), p("reduceNode", "node"), p("reduceMatchers", "string"))),
+    F("reduceSeries", "Combine", "pair series agreeing on every node but reduceNode, apply asPercent|divideSeries|diffSeries to the two matched keys; instants present on only one side serve a null datapoint (graphite-web None-parity)", Seq(p("seriesLists", "seriesList"), p("reduceFunction", "string"), p("reduceNode", "node"), p("reduceMatchers", "string"))),
     // Graph (presentation passthroughs — rendering is the dashboard's job)
     F("stacked", "Graph", "presentation tag (stacked draw mode); data passes through", Seq(series, opt("stackName", "string"))),
     F("secondYAxis", "Graph", "presentation tag (right-hand axis); data passes through", Seq(series)),

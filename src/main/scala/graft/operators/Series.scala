@@ -1196,11 +1196,20 @@ object Series {
     * `asPercent` (a/b·100), `divideSeries` (a/b), `diffSeries` (a−b);
     * zero denominators serve null (the F6 safe-div rule).
     *
+    * Instant alignment: the default INNER join drops instants present on
+    * only one side; `alignOuter = true` keeps them with a NULL value —
+    * graphite-web's None-parity (it emits a point with None when either
+    * operand is missing), so sparse series keep their time axis through a
+    * division instead of silently thinning. Same value expressions either
+    * way: a null operand nulls the result under three-valued logic.
+    *
     * Scale shape: one flat token-replace projection (a scalar HOF, once
     * per row) + one equi-join on (tenant, key, ts) — never a cross join;
-    * the key is as selective as the series name itself. */
+    * the key is as selective as the series name itself (a full-outer
+    * hash join costs the same shuffle as the inner). */
   def reduceSeriesPairs(points: DataFrame, reduceNode: Int,
-      m1: String, m2: String, func: String): DataFrame = {
+      m1: String, m2: String, func: String,
+      alignOuter: Boolean = false): DataFrame = {
     require(reduceNode >= 0, s"reduceNode must be >= 0, got $reduceNode")
     require(Set("asPercent", "divideSeries", "diffSeries").contains(func),
       s"reduce func must be asPercent|divideSeries|diffSeries, got '$func'")
@@ -1224,7 +1233,8 @@ object Series {
         col("__a") / col("__b"))
       case _ => col("__a") - col("__b")
     }
-    a.join(b, Seq("tenant_id", "__key", "ts_ms"))
+    a.join(b, Seq("tenant_id", "__key", "ts_ms"),
+        if (alignOuter) "full_outer" else "inner")
       .withColumn("value", v)
       .select(col("tenant_id"), col("__key").as("metric_name"),
         col("ts_ms"), col("value"))
@@ -1438,20 +1448,65 @@ object Series {
       .drop("__csum", "__csq", "__cvct", "__bsum", "__bsq", "__bvct")
   }
 
+  /** Graphite's `movingMedian(seriesList, windowSize)` over the last
+    * `nPoints` SAMPLES — the rank-statistic member of the moving family.
+    * movingAverage/Sum/Min/Max are prefix-expressible (two unbounded
+    * frames, [[movingWindowPrefix]]); an exact median is NOT: Spark
+    * re-aggregates a trailing ROWS frame per row (the r9 window cost
+    * model), so this runs under the render-sized BOUNDED contract (the
+    * [[lttbExact]] shape): one per-series collect (≤ `maxPointsPerSeries`,
+    * in-plan raise_error past it), one sequential codegen'd sorted-buffer
+    * scan ([[graft.functions.MovingMedianScan]], O(points·window)), one
+    * explode — zero extra shuffle. Lower-median rule (rank (c+1) div 2)
+    * so the served value is a HELD sample both engines select identically
+    * (the madOutliers discipline); null samples occupy a window slot but
+    * join no population (graphite's safe median); an all-null window
+    * serves null. */
+  def movingMedianRows(points: DataFrame, nPoints: Int,
+      maxPointsPerSeries: Int = 1 << 20): DataFrame = {
+    require(nPoints > 0, s"nPoints must be positive, got $nPoints")
+    require(maxPointsPerSeries >= 1,
+      s"maxPointsPerSeries must be >= 1, got $maxPointsPerSeries")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scan = ColumnBridge.column(graft.functions.MovingMedianScan(
+      ColumnBridge.expression(col("__pts")), nPoints))
+    points
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+        .as("__pts0"))
+      .withColumn("__pts",
+        when(size(col("__pts0")) <= maxPointsPerSeries, col("__pts0"))
+          .otherwise(raise_error(concat(
+            lit("movingMedian: series "), col("tenant_id"), lit("."),
+            col("metric_name"),
+            lit(s" exceeds maxPointsPerSeries=$maxPointsPerSeries — " +
+              "movingMedian is render-sized; aggregate a coarser tier " +
+              "first")))))
+      .drop("__pts0")
+      .withColumn("__med", scan)
+      .select(col("tenant_id"), col("metric_name"),
+        explode(arrays_zip(col("__pts"), col("__med"))).as("__z"))
+      .select(col("tenant_id"), col("metric_name"),
+        col("__z.__pts.ts_ms").as("ts_ms"),
+        col("__z.__med").as("value"))
+  }
+
   /** Graphite's `divideSeriesLists(dividendSeriesList, divisorSeriesList)`:
     * pair the two lists POSITIONALLY (both sorted by series name — the
     * graphite contract) and serve dividend/divisor per instant, named
     * `divideSeries(a,b)`. Graphite raises when the lists' lengths differ;
     * here the guard is IN-PLAN (raise_error on an unmatched rank — a 400
     * through the render facade, never a silent drop). Zero denominators
-    * serve null (F6); instants present on only one side are dropped (the
-    * reduceSeriesPairs inner-join convention).
+    * serve null (F6); instants present on only one side are dropped by
+    * default (the reduceSeriesPairs inner-join convention) or kept with a
+    * NULL value under `alignOuter = true` (graphite-web's None-parity for
+    * sparse series).
     *
     * Scale shape: the rank tables are per-side DISTINCT NAMES (tiny —
     * broadcast back onto the points), and the pairing is one equi-join on
     * (tenant, rank, ts) — never a cross join. */
-  def divideSeriesLists(dividends: DataFrame, divisors: DataFrame)
-      : DataFrame = {
+  def divideSeriesLists(dividends: DataFrame, divisors: DataFrame,
+      alignOuter: Boolean = false): DataFrame = {
     def ranked(df: DataFrame): (DataFrame, DataFrame) = {
       val names = df.select(col("tenant_id"), col("metric_name")).distinct()
         .withColumn("__rank", row_number().over(
@@ -1473,7 +1528,8 @@ object Series {
     a.select(col("tenant_id"), col("__rank"), col("ts_ms"),
         col("value").as("__a"))
       .join(b.select(col("tenant_id"), col("__rank"), col("ts_ms"),
-        col("value").as("__b")), Seq("tenant_id", "__rank", "ts_ms"))
+        col("value").as("__b")), Seq("tenant_id", "__rank", "ts_ms"),
+        if (alignOuter) "full_outer" else "inner")
       .join(broadcast(paired), Seq("tenant_id", "__rank"))
       .select(col("tenant_id"),
         concat(lit("divideSeries("), col("__m1"), lit(","), col("__m2"),

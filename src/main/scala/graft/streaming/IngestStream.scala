@@ -29,6 +29,42 @@ import org.apache.spark.sql.types._
   */
 object IngestStream {
 
+  /** Marker conf naming a session as a DEDICATED request-sized ingest
+    * session: its planning confs are pinned for life, so the fused paths
+    * never mutate it (and never mutate anything shared). */
+  private val IngestSessionMarker = "spark.graft.ingest.session"
+
+  /** A dedicated session for REQUEST-SIZED fused ingest writes — same
+    * SparkContext/catalog as `parent`, its OWN SQLConf, with the
+    * request-sized planning confs pinned for life: AQE off (each query-
+    * stage materialization is a full extra scheduling round, ~100-300 ms
+    * on request-scale data) and ONE shuffle partition. The facade binds
+    * one of these at construction and parses every ingest body into it,
+    * so concurrent readers and the deferred drain — which share the
+    * PARENT session — always plan with the session defaults (the r12
+    * set/restore dance made read plans a function of ingest duty cycle).
+    *
+    * `newSession()` starts from builder-time options only, dropping
+    * post-hoc `conf.set` values, so the parent's MODIFIABLE runtime confs
+    * (parquet reader flags, session timezone) are copied over first;
+    * static confs throw on set and are skipped. */
+  def newIngestSession(parent: SparkSession): SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    s.conf.set(IngestSessionMarker, "true")
+    s
+  }
+
+  /** Whether `spark` is a [[newIngestSession]] product (pinned for life —
+    * the fused paths skip their set/restore fallback on it). */
+  private def isPinnedIngestSession(spark: SparkSession): Boolean =
+    spark.conf.get(IngestSessionMarker, "false") == "true"
+
   val inputSchema: StructType = StructType(Seq(
     StructField("tenant_id", StringType),
     StructField("metric_name", StringType),
@@ -224,10 +260,20 @@ object IngestStream {
     val spark = batch.sparkSession
     val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // request-sized planning confs: the facade routes through a dedicated
+    // pinned session (newIngestSession) so nothing reader-shared is ever
+    // mutated; the set/restore fallback remains ONLY for callers whose
+    // batch is bound to a session they own end-to-end (streaming
+    // foreachBatch micro-batch frames)
+    val pinned = isPinnedIngestSession(spark)
+    val aqeBefore =
+      if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore =
+      if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    if (!pinned) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    }
     try {
       val isStr = coalesce(col("is_string_typed") || col("is_bool"), lit(false))
       val vn = validExpr(col("value_num"), minTs, maxTs)
@@ -342,11 +388,11 @@ object IngestStream {
       }
       // durable dirty-day markers BEFORE anything becomes visible
       onDirtyDays(days)
-      // catalog BEFORE the data unhides (markComplete only when the
-      // string arm didn't already mark)
+      // catalog BEFORE the data unhides; the string arm (when present)
+      // already wrote the coverage marker for a virgin store
       writeCatalogLocators(spark, storeDir, batchId, "numeric",
         dedupLocators("basic", locsOf("num_locs")),
-        markComplete = virgin)
+        markComplete = virgin && n("n_valid_str") == 0)
       if (isReplay) fs.delete(targetPath, true)
       require(fs.rename(stage, targetPath),
         s"raw batch commit rename failed for $targetPath")
@@ -354,8 +400,10 @@ object IngestStream {
       if (rollup) rollDirtyDays(spark, storeDir, days.toArray)
       FusedIngestResult(days, errors, nTotal)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      if (!pinned) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      }
       cached.unpersist()
       ()
     }
@@ -396,6 +444,37 @@ object IngestStream {
     catalogSeen.remove(storeDir)
     ()
   }
+
+  /** Cross-process catalog-memo fence — the snapshot `_version` discipline
+    * applied to the catalog root: [[rebuildCatalog]] rewrites
+    * `metric_catalog/_version`; [[writeCatalogLocators]] stats it before
+    * trusting [[catalogSeen]], so a rebuild from a separate ops JVM
+    * invalidates THIS process's memo at its next ingest rather than at
+    * restart. Fence mtime the memo was built against, per store root;
+    * 0 = no fence file yet (pre-fence store — in-process
+    * [[invalidateCatalogMemo]] still covers the common case). */
+  private val catalogSeenFence =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def catalogFencePath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(s"$storeDir/metric_catalog/_version")
+
+  private def catalogFenceMtime(spark: SparkSession, storeDir: String): Long = {
+    val p = catalogFencePath(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  private def bumpCatalogFence(spark: SparkSession, storeDir: String): Unit =
+    try {
+      val p = catalogFencePath(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write(java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch { case _: java.io.IOException => }
 
   private def writeCatalog(rows: DataFrame, storeDir: String, batchId: Long,
       src: String, familyCol: org.apache.spark.sql.Column,
@@ -444,6 +523,15 @@ object IngestStream {
       batchId: Long, src: String,
       locs: Array[(String, String, String, String)],
       markComplete: Boolean): Unit = {
+    // cross-process fence check BEFORE trusting the memo (one metadata
+    // stat per batch — the SnapshotStore `_version` discipline): a
+    // rebuildCatalog in a SEPARATE ops JVM may have dropped aged-out
+    // locators this memo still believes written; trusting it would skip
+    // the catalog row of a re-ingested locator until facade restart
+    val fence = catalogFenceMtime(spark, storeDir)
+    val prevFence = catalogSeenFence.put(storeDir, fence)
+    if (prevFence != null && prevFence.longValue() != fence)
+      catalogSeen.remove(storeDir)
     val seen = catalogSeen.computeIfAbsent(storeDir,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
     val fresh = locs.filterNot(seen.contains)
@@ -462,14 +550,30 @@ object IngestStream {
   /** Replicates [[writeCatalog]]'s distinct-locator aggregate
     * (groupBy(tenant, name, family).agg(max(unit))) over driver-held
     * (tenant, name, unit) triples — catalog content is bit-identical to
-    * the relational path (units are ASCII, so String ordering matches
-    * Spark's binary UTF8 max). */
+    * the relational path for ANY unit string: Spark's string max orders
+    * by unsigned UTF-8 bytes (code-point order), while Java's String
+    * ordering compares UTF-16 code units (surrogates sort BELOW
+    * U+E000..U+FFFF), so the winner is picked by explicit UTF-8 byte
+    * comparison, never String.max. */
+  private def utf8Max(a: String, b: String): String = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return if (c > 0) a else b
+      i += 1
+    }
+    if (x.length >= y.length) a else b
+  }
+
   private def dedupLocators(family: String,
       locs: Iterable[(String, String, String)])
       : Array[(String, String, String, String)] =
     locs.groupBy(l => (l._1, l._2)).map { case ((t, n), vs) =>
       val units = vs.map(_._3).filter(_ != null)
-      (t, n, family, if (units.isEmpty) null else units.max)
+      (t, n, family, if (units.isEmpty) null else units.reduce(utf8Max))
     }.toArray
 
   /** COVERAGE marker for the catalog: present only when every locator the
@@ -685,8 +789,11 @@ object IngestStream {
     }
     // the rebuild derives from LIVE data, so locators whose every row
     // aged out just left the catalog — the seen-locator memo must forget
-    // them or a later re-ingest would skip re-writing a live locator
+    // them or a later re-ingest would skip re-writing a live locator.
+    // In-process: direct invalidation; OTHER processes' memos: the fence
+    // file bump below, statted by their next writeCatalogLocators
     invalidateCatalogMemo(storeDir)
+    bumpCatalogFence(spark, storeDir)
   }
 
   /** One micro-batch: append raw, then recompute 5m rollups for the days
@@ -828,13 +935,19 @@ object IngestStream {
     // fused path is the round count — the tier merge chain ran FIVE
     // sequential rounds under AQE vs two without. Runtime re-planning has
     // nothing to adapt on a few thousand rows.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // request-sized batch: a 32-way exchange is 32 scheduled tasks per
-    // stage for a few thousand rows — one reducer keeps every stage a
-    // single task and every staged write a single file
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // (a 32-way exchange is 32 scheduled tasks per stage for a few
+    // thousand rows — one reducer keeps every stage a single task and
+    // every staged write a single file; pinned-session guard as in
+    // processTypedBatchFused)
+    val pinned = isPinnedIngestSession(spark)
+    val aqeBefore =
+      if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore =
+      if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    if (!pinned) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    }
     try {
       val unitCol = if (cached.columns.contains("unit")) col("unit")
                     else lit(null).cast("string")
@@ -910,8 +1023,10 @@ object IngestStream {
       if (rollup) rollDirtyDays(spark, storeDir, days.toArray)
       days
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      if (!pinned) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      }
       cached.unpersist()
       ()
     }
@@ -1055,10 +1170,20 @@ object IngestStream {
       batchId: Long): (Long, Long) = {
     val spark = batch.sparkSession
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // request-sized planning confs: the facade routes through a dedicated
+    // pinned session (newIngestSession) so nothing reader-shared is ever
+    // mutated; the set/restore fallback remains ONLY for callers whose
+    // batch is bound to a session they own end-to-end (streaming
+    // foreachBatch micro-batch frames)
+    val pinned = isPinnedIngestSession(spark)
+    val aqeBefore =
+      if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore =
+      if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    if (!pinned) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    }
     try {
       val obs = org.apache.spark.sql.Observation(
         s"events_${batchId}_${java.util.UUID.randomUUID()}")
@@ -1093,8 +1218,10 @@ object IngestStream {
       Instrumentation.global.inc("ingest.rows.events", nTotal)
       (nTotal, 0L)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      if (!pinned) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      }
       cached.unpersist()
       ()
     }
@@ -1361,10 +1488,20 @@ object IngestStream {
     val spark = parsed.sparkSession
     val virgin = virginHint.getOrElse(!storeHasData(spark, storeDir))
     val cached = parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // request-sized planning confs: the facade routes through a dedicated
+    // pinned session (newIngestSession) so nothing reader-shared is ever
+    // mutated; the set/restore fallback remains ONLY for callers whose
+    // batch is bound to a session they own end-to-end (streaming
+    // foreachBatch micro-batch frames)
+    val pinned = isPinnedIngestSession(spark)
+    val aqeBefore =
+      if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore =
+      if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    if (!pinned) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    }
     try {
       // 3VL-safe: a null ts_ms reads as out-of-window, never NULL
       val inWindow = coalesce(col("ts_ms").between(minTs, maxTs), lit(false))
@@ -1442,8 +1579,10 @@ object IngestStream {
       if (rollup) rollPreaggDirtyDaysNow(spark, storeDir, days, cascade)
       FusedPreaggResult(days, rejects, nTotal)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      if (!pinned) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+      }
       cached.unpersist()
       ()
     }

@@ -41,6 +41,33 @@ class DeferredRollupSpec extends AnyFunSuite with SparkSuite {
   private def point(name: String, v: Double, ts: Long): String =
     s"""{"metricName": "$name", "metricValue": $v, "collectionTime": $ts}"""
 
+  test("PEND-BEFORE-VISIBILITY: the in-memory pend and the durable marker " +
+    "both land BEFORE the batch's commit rename — serving is exact for " +
+    "acknowledged ingests with no visible-but-unpended window") {
+    val (srv, base, store) = startServer()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = new java.util.concurrent.atomic.AtomicReference[String](null)
+    srv.onDirtyDaysHook = _ => {
+      // AT CALLBACK TIME (strictly before the commit rename): the pend is
+      // in, the durable marker is on disk, and NO raw batch dir is
+      // visible yet — only the hidden .staging dir
+      val visible = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$store/metrics_full/batch_id=*"))).getOrElse(Array.empty)
+      val markers = graft.core.DirtyDayLog.list(spark, store)
+        .getOrElse("basic", Set.empty)
+      seen.set(s"pending=${srv.pendingRollupDays} " +
+        s"visibleBatchDirs=${visible.length} markers=${markers.size}")
+    }
+    try {
+      val t0 = now - 2L * 86400000L
+      assert(post(s"$base/v2.0/acme/ingest",
+        s"[${point("app.pend", 1.0, t0)}]").statusCode() === 200)
+      assert(seen.get() === "pending=1 visibleBatchDirs=0 markers=1",
+        s"callback-time state was '${seen.get()}'")
+    } finally { srv.onDirtyDaysHook = _ => (); srv.stop() }
+  }
+
   test("deferred ingest: POST writes raw only; a 5m stored read between " +
     "ingest and re-roll repairs from raw; rollNow converges bit-for-bit") {
     val (srv, base, store) = startServer()

@@ -557,6 +557,17 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       val bad = get(s"$base/render?target=divideSeriesLists(app.*,app.a)&$range")
       assert(bad.statusCode() === 400, bad.body())
       assert(bad.body().contains("differ in length"), bad.body())
+
+      // graphite None-parity: a dividend instant with NO divisor instant
+      // renders a NULL datapoint, not a silently thinned series
+      ing("sp.num", Seq(10.0, 20.0, 30.0))
+      ing("sp.den", Seq(2.0, 4.0)) // third instant missing
+      val sp = get(s"$base/render?target=divideSeriesLists(sp.num,sp.den)&$range")
+      assert(sp.statusCode() === 200, sp.body())
+      assert(sp.body().contains("[5.0, ") && sp.body().contains("[5.0, "),
+        sp.body())
+      assert(sp.body().contains(s"[null, ${(t0 + 2 * 300000L) / 1000}]"),
+        s"one-sided instant must render null: ${sp.body()}")
     } finally srv.stop()
   }
 

@@ -125,4 +125,28 @@ class NullSeriesSpec extends AnyFunSuite with SparkSuite {
     assert(out === Map(0L -> Some(50.0), 1000L -> None, 2000L -> None,
       3000L -> None))
   }
+
+  test("alignOuter (graphite None-parity): instants present on only ONE " +
+    "side serve a null datapoint instead of vanishing — reduceSeriesPairs " +
+    "and divideSeriesLists; default inner still drops them") {
+    val sparse = pts(
+      ("app.purchase.x", 0L, Some(50.0)), ("app.view.x", 0L, Some(100.0)),
+      ("app.purchase.x", 1000L, Some(40.0)), // no view instant at 1000
+      ("app.view.x", 2000L, Some(10.0))) // no purchase instant at 2000
+    val outer = Series.reduceSeriesPairs(sparse, 1, "purchase", "view",
+        "divideSeries", alignOuter = true)
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(outer === Map(0L -> Some(0.5), 1000L -> None, 2000L -> None))
+    val inner = Series.reduceSeriesPairs(sparse, 1, "purchase", "view",
+      "divideSeries").collect().map(_.getLong(2)).toSet
+    assert(inner === Set(0L), "default inner must keep dropping")
+
+    val dividends = pts(("a.x", 0L, Some(10.0)), ("a.x", 1000L, Some(20.0)))
+    val divisors = pts(("b.x", 0L, Some(2.0)), ("b.x", 2000L, Some(4.0)))
+    val dl = Series.divideSeriesLists(dividends, divisors, alignOuter = true)
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(dl === Map(0L -> Some(5.0), 1000L -> None, 2000L -> None))
+  }
 }

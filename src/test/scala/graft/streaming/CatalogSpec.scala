@@ -49,6 +49,41 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
     fs.globStatus(new Path(s"$store/metric_catalog/src=$src", "batch_id=*"))
       .map(_.getPath.getName).toSeq.sorted
 
+  test("cross-process memo fence: a foreign rebuild that bumped " +
+    "metric_catalog/_version invalidates THIS process's seen-locator " +
+    "memo — a re-ingested dropped locator re-writes its catalog row " +
+    "without restart") {
+    val store = java.nio.file.Files.createTempDirectory("graft_catf").toString
+    ingestNumeric(store, 0L, "cpu.load", day0 + 1000L)
+    assert(catalogRows(store).exists(_._1 == "cpu.load"))
+    // memo control: an all-repeat batch with an UNCHANGED fence writes no
+    // catalog dir (proves the memo is active and the fence stat alone
+    // doesn't defeat it)
+    ingestNumeric(store, 1L, "cpu.load", day0 + 2000L)
+    assert(batchDirs(store, "numeric") === Seq("batch_id=0"))
+    // simulate a FOREIGN ops JVM's rebuild-after-retention: its memo and
+    // invalidateCatalogMemo are its own — what this process observes is
+    // the retired catalog dirs and the bumped fence file. Drop the
+    // locator's rows (as a rebuild deriving from aged-out data would) and
+    // rewrite _version with a strictly newer mtime.
+    fs.delete(new Path(s"$store/metric_catalog/src=numeric"), true)
+    val fence = new Path(s"$store/metric_catalog/_version")
+    val out = fs.create(fence, true)
+    out.write("foreign-rebuild".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(fence, System.currentTimeMillis() + 10000L, -1L)
+    // with every row dir retired the catalog serves nothing (None) —
+    // either way cpu.load is gone
+    assert(IngestStream.metricCatalog(spark, store).forall(df =>
+      !df.collect().exists(_.getString(1) == "cpu.load")))
+    // re-ingest of the dropped locator: the fence mtime changed, so the
+    // memo must NOT be trusted — the catalog row comes back
+    ingestNumeric(store, 2L, "cpu.load", day0 + 3000L)
+    assert(catalogRows(store).exists(_._1 == "cpu.load"),
+      "re-ingested locator must re-write its catalog row after a foreign " +
+        "rebuild bumped the fence")
+  }
+
   test("compaction folds per-batch dirs src by src; reader view unchanged; " +
     "non-quiesced spares each src's newest dir") {
     val store = java.nio.file.Files.createTempDirectory("graft_cat1").toString
