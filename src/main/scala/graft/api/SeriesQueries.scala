@@ -1463,6 +1463,44 @@ object SeriesQueries {
     }
   }
 
+  /** Trailing exact median ([[Series.movingMedianRows]], Graphite's
+    * movingMedian(series, points)): a rank statistic has no prefix form,
+    * so the engine runs the render-sized bounded collect + sorted-buffer
+    * scan; the oracle restates the WINDOW verbatim — `list(value)` over
+    * the identical ROWS frame, null-filtered, sorted, LOWER median
+    * selected by rank (c+1) div 2. A ranked element is a value both
+    * engines already hold (the madOutliers parity rule), so no rounding
+    * or interpolation can diverge. Frame membership ties on
+    * (ts, value NULLS FIRST) — Spark's struct sort order spelled out for
+    * DuckDB. */
+  private val movingMedianQ = {
+    val nPts = 20
+    QDef(
+      "q_series_moving_median",
+      s"""WITH ${OracleViews.metricsCte},
+         |w AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         list(value) OVER (PARTITION BY tenant_id, metric_name
+         |                           ORDER BY ts_ms, value NULLS FIRST
+         |                           ROWS BETWEEN ${nPts - 1} PRECEDING
+         |                             AND CURRENT ROW) AS lv
+         |  FROM metrics WHERE tenant_id = 'view'
+         |)
+         |SELECT tenant_id, metric_name, ts_ms,
+         |       CASE WHEN len(nn) > 0 THEN nn[(len(nn) + 1) // 2] END
+         |         AS value
+         |FROM (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         list_sort(list_filter(lv, x -> x IS NOT NULL)) AS nn
+         |  FROM w)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.movingMedianRows(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "view"), nPts)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Positional list pairing ([[Series.divideSeriesLists]], Graphite's
     * divideSeriesLists): hourly exact-sum dividends divided by their own
     * series' hourly sample counts — the pairing is rank-by-name on both
@@ -1605,5 +1643,5 @@ object SeriesQueries {
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
     reducePairsQ, reducePairsOuterQ, resample, resampleHoldQ, minMaxQ,
-    stdevRowsQ, divideListsQ)
+    stdevRowsQ, movingMedianQ, divideListsQ)
 }

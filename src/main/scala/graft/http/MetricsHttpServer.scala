@@ -2138,6 +2138,20 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             SeriesExpr(graft.operators.Series.stdevRows(in.df, nPts),
               None, n => s"stdev(${in.displayName(n)},$nPts)",
               in.consolidate)
+          case "movingMedian" =>
+            // movingMedian(<expr>, points) — trailing EXACT median over
+            // the last N samples (Series.movingMedianRows: a rank
+            // statistic has no prefix form, so it runs the render-sized
+            // bounded collect + one codegen'd sorted-buffer scan, never
+            // a per-row re-aggregated ROWS frame)
+            val nPts = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"movingMedian needs a points count in '$t'"))
+            require(nPts > 0, s"movingMedian points must be positive in '$t'")
+            val in = recurse(arg0)
+            SeriesExpr(graft.operators.Series.movingMedianRows(in.df, nPts),
+              None, n => s"movingMedian(${in.displayName(n)},$nPts)",
+              in.consolidate)
           case "divideSeriesLists" =>
             // positional pairing of two series lists (both sorted by
             // name); unequal lengths raise IN-PLAN → a 400 here — the

@@ -546,6 +546,16 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
       // trailing-2 windows: {10}→0, {10,20}→5, {20,30}→5
       assert(sd.body().contains("[5.0, "), sd.body())
 
+      // movingMedian: trailing-2 lower medians over {10},{10,20},{20,30}
+      val mmed = get(s"$base/render?target=movingMedian(app.a,2)&$range")
+      assert(mmed.statusCode() === 200, mmed.body())
+      assert(mmed.body().contains(""""target": "movingMedian(app.a,2)""""),
+        mmed.body())
+      assert(mmed.body().contains(s"[10.0, ${t0 / 1000}]") &&
+        mmed.body().contains(s"[10.0, ${(t0 + 300000L) / 1000}]") &&
+        mmed.body().contains(s"[20.0, ${(t0 + 600000L) / 1000}]"),
+        mmed.body())
+
       val dl = get(s"$base/render?target=divideSeriesLists(app.a,app.b)&$range")
       assert(dl.statusCode() === 200, dl.body())
       assert(dl.body().contains(""""target": "divideSeries(app.a,app.b)""""),

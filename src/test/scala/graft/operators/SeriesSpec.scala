@@ -914,4 +914,41 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     assert(got(0L) === null)
     assert(got(1000L) === 2.0) // popstd of {2,6}
   }
+
+  test("movingMedianRows: trailing lower median — odd windows select the " +
+    "middle, even the lower-middle; nulls occupy slots but join no " +
+    "population; an all-null window serves null; the bounded contract " +
+    "raises in-plan") {
+    import spark.implicits._
+    val in = Seq[(String, String, Long, java.lang.Double)](
+      ("t", "m", 0L, 5.0),     // {5} -> 5
+      ("t", "m", 1000L, 1.0),  // {5,1} even -> lower of (1,5) = 1
+      ("t", "m", 2000L, 9.0),  // {5,1,9} odd -> 5
+      ("t", "m", 3000L, null), // {1,9,null}: pop {1,9} even -> 1
+      ("t", "m", 4000L, 2.0),  // {9,null,2}: pop {2,9} -> 2
+      ("t", "n", 0L, null),    // all-null window -> null
+      ("t", "n", 1000L, null))
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val out = Series.movingMedianRows(in, 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("m", 0L)) === Some(5.0))
+    assert(out(("m", 1000L)) === Some(1.0))
+    assert(out(("m", 2000L)) === Some(5.0))
+    assert(out(("m", 3000L)) === Some(1.0))
+    assert(out(("m", 4000L)) === Some(2.0))
+    assert(out(("n", 0L)) === None)
+    assert(out(("n", 1000L)) === None)
+    // window wider than the series: every prefix median
+    val wide = Series.movingMedianRows(
+        in.filter(col("metric_name") === "m"), 100)
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(wide(4000L) === Some(2.0)) // pop {5,1,9,2} even -> lower mid 2
+    // render-sized bounded contract: the in-plan guard raises
+    val e = intercept[Exception] {
+      Series.movingMedianRows(in, 3, maxPointsPerSeries = 2).collect()
+    }
+    assert(e.getMessage.contains("maxPointsPerSeries"), e.getMessage)
+  }
 }
