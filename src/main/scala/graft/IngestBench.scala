@@ -188,7 +188,69 @@ object IngestBench {
       "deferred HTTP arm must persist every point it was timed on")
     require(graft.core.SnapshotStore.read(spark, s"$deferStore/metrics_5m")
       .exists(!_.isEmpty), "deferred arm must have rolled after drain")
-    println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"with_reroll_steady":${steadyN / steadySecs}%.0f,"http_full_pipeline":${n / httpSecs}%.0f,"http_deferred":${n / httpDeferSecs}%.0f,"points":$n,"steady_points":$steadyN,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f,"steady_secs":$steadySecs%.2f,"http_secs":$httpSecs%.2f,"http_defer_secs":$httpDeferSecs%.2f,"drain_secs":$drainSecs%.2f,"post_p99_during_drain_ms":$drainP99Ms%.1f,"post_max_during_drain_ms":$drainMaxMs%.1f}""")
+    // STATSD (aggregated) fused arm — the r12 one-job-per-POST fusion
+    // landed on this route after INGEST_MEDIANS_r12 was taken, so it gets
+    // its own measured arm: the same corpus points POSTed as gauge
+    // payloads (12.5k points per request) to a deferred facade on a
+    // fresh store; each clean POST is one Spark job
+    // (processAggregatedBatchFused).
+    val gaugeChunks = rows.grouped(12500).map { chunk =>
+      val ts = chunk.head.getLong(2)
+      chunk.map(r =>
+        s"""{"name":"${r.getString(1)}","latest":${r.getDouble(3)}}""")
+        .mkString(s"""{"tenantId":"bench","timestamp":$ts,"gauges":[""",
+          ",", "]}")
+    }.toSeq
+    val statsdStore = tmp()
+    val ssrv = new graft.http.MetricsHttpServer(spark, statsdStore,
+      maxAgeMs = Long.MaxValue / 4, nowMs = () => maxTs + 60000L,
+      deferRollups = true, rollupDelayMs = Long.MaxValue / 4)
+    ssrv.start()
+    val statsdSecs =
+      try {
+        val t3 = System.nanoTime()
+        for (body <- gaugeChunks) {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${ssrv.boundPort}/v2.0/bench/ingest/aggregated"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"statsd POST failed: ${resp.statusCode()} ${resp.body().take(200)}")
+        }
+        (System.nanoTime() - t3) / 1e9
+      } finally ssrv.stop()
+    require(spark.read.parquet(s"$statsdStore/preagg_raw").count() == n,
+      "statsd arm must persist every point it was timed on")
+    // EVENTS fused arm (one event per POST — the route's wire shape):
+    // per-request fixed cost IS the measurement, one Spark job each
+    val eventsStore = tmp()
+    val esrv = new graft.http.MetricsHttpServer(spark, eventsStore,
+      maxAgeMs = Long.MaxValue / 4, nowMs = () => maxTs + 60000L)
+    esrv.start()
+    val nEvents = 100
+    val eventsSecs =
+      try {
+        val t4 = System.nanoTime()
+        for (i <- 0 until nEvents) {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${esrv.boundPort}/v2.0/bench/events"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"what":"deploy-$i","when":${maxTs - i * 1000L},""" +
+                  s""""data":"build $i","tags":"bench"}"""))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"event POST failed: ${resp.statusCode()} ${resp.body().take(200)}")
+        }
+        (System.nanoTime() - t4) / 1e9
+      } finally esrv.stop()
+    require(spark.read.parquet(s"$eventsStore/events")
+      .count() == nEvents.toLong,
+      "events arm must persist every event it was timed on")
+    println(f"""{"metric":"ingest_points_per_sec","value":${n / ingestSecs}%.0f,"with_reroll":${n / fullSecs}%.0f,"with_reroll_steady":${steadyN / steadySecs}%.0f,"http_full_pipeline":${n / httpSecs}%.0f,"http_deferred":${n / httpDeferSecs}%.0f,"points":$n,"steady_points":$steadyN,"ingest_secs":$ingestSecs%.2f,"full_secs":$fullSecs%.2f,"steady_secs":$steadySecs%.2f,"http_secs":$httpSecs%.2f,"http_defer_secs":$httpDeferSecs%.2f,"drain_secs":$drainSecs%.2f,"post_p99_during_drain_ms":$drainP99Ms%.1f,"post_max_during_drain_ms":$drainMaxMs%.1f,"http_statsd_deferred":${n / statsdSecs}%.0f,"statsd_secs":$statsdSecs%.2f,"http_events_per_sec":${nEvents / eventsSecs}%.1f,"events_secs":$eventsSecs%.2f}""")
     spark.stop()
   }
 }

@@ -297,9 +297,9 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               s"marker drain failed (kept pending): ${e.getMessage}")
         }
       drainOrKeep("basic", basic)(
-        IngestStream.rollDirtyDaysNow(spark, storeDir, _))
+        IngestStream.rollDirtyDaysNow(ingestSpark, storeDir, _))
       drainOrKeep("preagg", preagg)(
-        IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, _))
+        IngestStream.rollPreaggDirtyDaysNow(ingestSpark, storeDir, _))
     }
   }
 
@@ -333,7 +333,15 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     // never saw, leaving visible data with a stale tier and no dirty flag
     val basic = writeLock.synchronized { pendingBasicDays.asScala.toSeq }
     if (basic.nonEmpty) {
-      IngestStream.rollDirtyDaysNow(spark, storeDir, basic.map(_._1))
+      // the drain re-rolls on the PINNED ingest session too — a facade
+      // drain is a day-pruned, request-scale recompute by this class's
+      // deployment contract (bulk re-rolls belong to the streaming
+      // path), and AQE's per-query-stage scheduling rounds plus 32-way
+      // exchanges measurably stall concurrent POST probes (r13: drain
+      // 4.1 s / POST p99 0.94 s on session defaults vs 1.4 s / 0.33 s
+      // pinned). Reads keep the default session — only writes are
+      // request-sized.
+      IngestStream.rollDirtyDaysNow(ingestSpark, storeDir, basic.map(_._1))
       writeLock.synchronized {
         val cleared = basic.filter { case (d, s) =>
           pendingBasicDays.remove(d, s) }
@@ -345,7 +353,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
     }
     val preagg = writeLock.synchronized { pendingPreaggDays.asScala.toSeq }
     if (preagg.nonEmpty) {
-      IngestStream.rollPreaggDirtyDaysNow(spark, storeDir, preagg.map(_._1))
+      IngestStream.rollPreaggDirtyDaysNow(ingestSpark, storeDir,
+        preagg.map(_._1))
       writeLock.synchronized {
         val cleared = preagg.filter { case (d, s) =>
           pendingPreaggDays.remove(d, s) }

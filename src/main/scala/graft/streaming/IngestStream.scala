@@ -56,6 +56,12 @@ object IngestStream {
     }
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "1")
+    // partition discovery past 32 paths launches a whole Spark JOB per
+    // read — the r13 steady-arm timeline showed it as a third hidden
+    // action (one scheduling round + ~40 ms) on every dirty-day re-roll's
+    // raw-store read. Request-scale stores list faster on the driver.
+    s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      "4096")
     s.conf.set(IngestSessionMarker, "true")
     s
   }
@@ -270,9 +276,13 @@ object IngestStream {
       if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufBefore =
       if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    val discBefore = if (pinned) null else spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
     if (!pinned) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     }
     try {
       val isStr = coalesce(col("is_string_typed") || col("is_bool"), lit(false))
@@ -403,6 +413,8 @@ object IngestStream {
       if (!pinned) {
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+        spark.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold", discBefore)
       }
       cached.unpersist()
       ()
@@ -944,9 +956,13 @@ object IngestStream {
       if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufBefore =
       if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    val discBefore = if (pinned) null else spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
     if (!pinned) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     }
     try {
       val unitCol = if (cached.columns.contains("unit")) col("unit")
@@ -1026,6 +1042,8 @@ object IngestStream {
       if (!pinned) {
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+        spark.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold", discBefore)
       }
       cached.unpersist()
       ()
@@ -1049,9 +1067,27 @@ object IngestStream {
       days: Seq[Long]): Unit =
     if (days.nonEmpty) rollDirtyDays(spark, storeDir, days.toArray)
 
+  /** `metrics_full`'s on-disk schema, stated explicitly where the re-roll
+    * hot path reads it: an unschema'd parquet read runs a whole Spark JOB
+    * just to sample footers — the r13 steady-arm timeline's third action
+    * (one scheduling round per re-roll) — and this store's layout is
+    * fixed by [[writeRaw]]/[[processTypedBatchFused]] (the two path
+    * levels `batch_id`/`ts_day` included; parquet files missing `unit`
+    * read as null, which the re-roll never touches). */
+  private val rawStoreSchema = StructType(Seq(
+    StructField("tenant_id", StringType),
+    StructField("metric_name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("value", DoubleType),
+    StructField("ttl_seconds", IntegerType),
+    StructField("unit", StringType),
+    StructField("batch_id", LongType),
+    StructField("ts_day", LongType)))
+
   private def rollDirtyDays(spark: SparkSession, storeDir: String,
       dirtyDays: Array[Long]): Unit = {
-    val full = spark.read.parquet(s"$storeDir/metrics_full")
+    val full = spark.read.schema(rawStoreSchema)
+      .parquet(s"$storeDir/metrics_full")
       .filter(col("ts_day").isin(dirtyDays.toSeq: _*))
     val rolled = graft.operators.Rollups.basicFromRaw(
         full.select("tenant_id", "metric_name", "ts_ms", "value"), Granularity.MIN_5)
@@ -1180,9 +1216,13 @@ object IngestStream {
       if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufBefore =
       if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    val discBefore = if (pinned) null else spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
     if (!pinned) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     }
     try {
       val obs = org.apache.spark.sql.Observation(
@@ -1221,6 +1261,8 @@ object IngestStream {
       if (!pinned) {
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+        spark.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold", discBefore)
       }
       cached.unpersist()
       ()
@@ -1498,9 +1540,13 @@ object IngestStream {
       if (pinned) null else spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufBefore =
       if (pinned) null else spark.conf.get("spark.sql.shuffle.partitions")
+    val discBefore = if (pinned) null else spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
     if (!pinned) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     }
     try {
       // 3VL-safe: a null ts_ms reads as out-of-window, never NULL
@@ -1582,16 +1628,42 @@ object IngestStream {
       if (!pinned) {
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+        spark.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold", discBefore)
       }
       cached.unpersist()
       ()
     }
   }
 
+  /** `preagg_raw`'s on-disk schema, explicit for the same reason as
+    * [[rawStoreSchema]]: the drain's read must not pay a footer-sampling
+    * job per re-roll. Fixed by [[graft.operators.Preaggregated]]'s parsed
+    * shape. */
+  private val preaggRawSchema = StructType(Seq(
+    StructField("tenant_id", StringType),
+    StructField("metric_name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("kind", StringType),
+    StructField("counter", StructType(Seq(
+      StructField("count", DoubleType), StructField("rate", DoubleType),
+      StructField("sample_count", LongType)))),
+    StructField("gauge", StructType(Seq(
+      StructField("latest_ts", LongType), StructField("latest", DoubleType)))),
+    StructField("timer", StructType(Seq(
+      StructField("count", LongType), StructField("sum", DoubleType),
+      StructField("min", DoubleType), StructField("max", DoubleType),
+      StructField("rate", DoubleType),
+      StructField("percentiles", MapType(StringType, DoubleType))))),
+    StructField("set", ArrayType(IntegerType)),
+    StructField("batch_id", LongType),
+    StructField("ts_day", LongType)))
+
   def rollPreaggDirtyDaysNow(spark: SparkSession, storeDir: String,
       days: Seq[Long], cascade: Boolean = true): Unit = {
     if (days.isEmpty) return
-    val raw = spark.read.parquet(s"$storeDir/preagg_raw")
+    val raw = spark.read.schema(preaggRawSchema)
+      .parquet(s"$storeDir/preagg_raw")
       .filter(col("ts_day").isin(days: _*))
     // presence is judged on the dirty-day slice of the FULL store, not on
     // this batch: a day whose sets arrived in an earlier flush must still
