@@ -1501,6 +1501,41 @@ object SeriesQueries {
     }
   }
 
+  /** Trailing TIME-window exact median ([[Series.movingMedianTime]],
+    * Graphite's movingMedian(series, "1hour") form): the frame is a SQL
+    * RANGE window — every sample with ts in [ts − w, ts], PEERS included
+    * — which DuckDB restates verbatim (`RANGE BETWEEN w PRECEDING AND
+    * CURRENT ROW` over the BIGINT ts). Same lower-median held-value rule
+    * as q_series_moving_median. */
+  private val movingMedianTimeQ = {
+    val wMs = 3600000L
+    QDef(
+      "q_series_moving_median_time",
+      s"""WITH ${OracleViews.metricsCte},
+         |w AS (
+         |  SELECT tenant_id, metric_name, ts_ms, value,
+         |         list(value) OVER (PARTITION BY tenant_id, metric_name
+         |                           ORDER BY ts_ms
+         |                           RANGE BETWEEN $wMs PRECEDING
+         |                             AND CURRENT ROW) AS lv
+         |  FROM metrics WHERE tenant_id = 'purchase'
+         |)
+         |SELECT tenant_id, metric_name, ts_ms,
+         |       CASE WHEN len(nn) > 0 THEN nn[(len(nn) + 1) // 2] END
+         |         AS value
+         |FROM (
+         |  SELECT tenant_id, metric_name, ts_ms,
+         |         list_sort(list_filter(lv, x -> x IS NOT NULL)) AS nn
+         |  FROM w)
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        Series.movingMedianTime(
+            Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+            wMs)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Positional list pairing ([[Series.divideSeriesLists]], Graphite's
     * divideSeriesLists): hourly exact-sum dividends divided by their own
     * series' hourly sample counts — the pairing is rank-by-name on both
@@ -1643,5 +1678,5 @@ object SeriesQueries {
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
     reducePairsQ, reducePairsOuterQ, resample, resampleHoldQ, minMaxQ,
-    stdevRowsQ, movingMedianQ, divideListsQ)
+    stdevRowsQ, movingMedianQ, movingMedianTimeQ, divideListsQ)
 }

@@ -252,6 +252,67 @@ object SeriesExprUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** [[movingMedianScan]]'s TIME-window (RANGE-frame) form: frame of
+    * element i = every element whose ts lies in [ts_i − w, ts_i], PEERS
+    * INCLUDED (rows sharing ts_i are in each other's frames regardless
+    * of sort position — SQL RANGE semantics, restated verbatim by the
+    * oracle). Two pointers walk the time-sorted input; same sorted
+    * buffer + lower-median rule. Null timestamps must be filtered by
+    * the caller. */
+  def movingMedianTimeScan(arr: ArrayData, windowMs: Long, nFields: Int,
+      tsIdx: Int, valueIdx: Int): ArrayData = {
+    val p = arr.numElements()
+    val out = new Array[Any](p)
+    val win = new Array[Double](math.max(p, 1))
+    var size = 0
+    def insertionPoint(v: Double): Int = {
+      var lo = 0
+      var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.lang.Double.compare(win(mid), v) < 0) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+    def tsOf(i: Int): Long = arr.getStruct(i, nFields).getLong(tsIdx)
+    def valOf(i: Int): java.lang.Double = {
+      val e = arr.getStruct(i, nFields)
+      if (arr.isNullAt(i) || e.isNullAt(valueIdx)) null
+      else java.lang.Double.valueOf(e.getDouble(valueIdx))
+    }
+    var lo = 0 // first element still in frame
+    var hi = 0 // first element not yet admitted
+    var i = 0
+    while (i < p) {
+      val t = tsOf(i)
+      // admit every element with ts == t (peers ahead of i included)
+      while (hi < p && tsOf(hi) <= t) {
+        val v = valOf(hi)
+        if (v != null) {
+          val idx = insertionPoint(v.doubleValue())
+          System.arraycopy(win, idx, win, idx + 1, size - idx)
+          win(idx) = v.doubleValue()
+          size += 1
+        }
+        hi += 1
+      }
+      // evict everything older than the frame's lower bound
+      while (tsOf(lo) < t - windowMs) {
+        val v = valOf(lo)
+        if (v != null) {
+          val idx = insertionPoint(v.doubleValue())
+          System.arraycopy(win, idx + 1, win, idx, size - idx - 1)
+          size -= 1
+        }
+        lo += 1
+      }
+      out(i) = if (size == 0) null else Double.box(win((size - 1) >> 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Sequential EWMA state scan over one series' collected points, as a single
@@ -512,5 +573,67 @@ case class MovingMedianScan(child: Expression, nPoints: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): MovingMedianScan =
+    copy(child = newChild)
+}
+
+/** Trailing TIME-window lower-median scan — [[MovingMedianScan]]'s
+  * RANGE-frame sibling (Graphite's movingMedian(series, "5min") form).
+  * Frame of element i = every element j with ts_j ∈ [ts_i − windowMs,
+  * ts_i], PEERS INCLUDED: rows sharing ts_i belong to each other's
+  * frames regardless of sort position — exactly SQL RANGE-frame
+  * semantics, so the oracle restates the window verbatim. Two pointers
+  * advance the frame over the time-sorted input; the sorted value
+  * buffer is the [[SeriesExprUtil.movingMedianScan]] discipline. Null
+  * values occupy no population; the caller filters null timestamps
+  * (meaningless in a time frame).
+  *
+  * Input: ARRAY<STRUCT<..., ts_ms: LONG, value: DOUBLE>> sorted by the
+  * caller. Output: equal-length ARRAY<DOUBLE>. */
+case class MovingMedianTimeScan(child: Expression, windowMs: Long)
+    extends UnaryExpression {
+  require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+
+  private lazy val (nFields: Int, tsIdx: Int, valueIdx: Int) =
+    child.dataType match {
+      case ArrayType(st: StructType, _) =>
+        (st.size, st.fieldIndex("ts_ms"), st.fieldIndex("value"))
+      case _ => (0, 0, 0)
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("ts_ms") &&
+          st(st.fieldIndex("ts_ms")).dataType == LongType &&
+          st.fieldNames.contains("value") &&
+          st(st.fieldIndex("value")).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "moving_median_time_scan needs ARRAY<STRUCT<..., ts_ms: LONG, " +
+        s"value: DOUBLE>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SeriesExprUtil.movingMedianTimeScan(v.asInstanceOf[ArrayData], windowMs,
+      nFields, tsIdx, valueIdx)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.SeriesExprUtil.movingMedianTimeScan(
+         |    $c, ${windowMs}L, $nFields, $tsIdx, $valueIdx);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MovingMedianTimeScan =
     copy(child = newChild)
 }

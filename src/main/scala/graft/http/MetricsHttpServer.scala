@@ -2148,19 +2148,32 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               None, n => s"stdev(${in.displayName(n)},$nPts)",
               in.consolidate)
           case "movingMedian" =>
-            // movingMedian(<expr>, points) — trailing EXACT median over
-            // the last N samples (Series.movingMedianRows: a rank
-            // statistic has no prefix form, so it runs the render-sized
-            // bounded collect + one codegen'd sorted-buffer scan, never
-            // a per-row re-aggregated ROWS frame)
-            val nPts = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(
+            // movingMedian(<expr>, points | "interval") — trailing EXACT
+            // median over the last N samples (ROWS) or the last interval
+            // (RANGE, graphite's usual form). A rank statistic has no
+            // prefix form, so both run the render-sized bounded collect
+            // + one codegen'd sorted-buffer scan, never a per-row
+            // re-aggregated frame (Series.movingMedianRows/Time)
+            val winArg = args.lift(1).map(_.trim).getOrElse(
               throw new IllegalArgumentException(
-                s"movingMedian needs a points count in '$t'"))
-            require(nPts > 0, s"movingMedian points must be positive in '$t'")
+                s"movingMedian needs a window in '$t'"))
             val in = recurse(arg0)
-            SeriesExpr(graft.operators.Series.movingMedianRows(in.df, nPts),
-              None, n => s"movingMedian(${in.displayName(n)},$nPts)",
-              in.consolidate)
+            winArg.toIntOption match {
+              case Some(nPts) =>
+                require(nPts > 0,
+                  s"movingMedian points must be positive in '$t'")
+                SeriesExpr(
+                  graft.operators.Series.movingMedianRows(in.df, nPts),
+                  None, n => s"movingMedian(${in.displayName(n)},$nPts)",
+                  in.consolidate)
+              case None =>
+                val ivl = stripQuotes(winArg)
+                val windowMs = parseIntervalMs(ivl)
+                SeriesExpr(
+                  graft.operators.Series.movingMedianTime(in.df, windowMs),
+                  None, n => s"""movingMedian(${in.displayName(n)},"$ivl")""",
+                  in.consolidate)
+            }
           case "divideSeriesLists" =>
             // positional pairing of two series lists (both sorted by
             // name); unequal lengths raise IN-PLAN → a 400 here — the

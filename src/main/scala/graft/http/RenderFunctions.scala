@@ -72,7 +72,7 @@ private[http] object RenderFunctions {
     F("movingSum", "Calculate", "trailing time-window sum", Seq(series, p("windowSize", "string"))),
     F("movingMax", "Calculate", "trailing time-window max", Seq(series, p("windowSize", "string"))),
     F("movingMin", "Calculate", "trailing time-window min", Seq(series, p("windowSize", "string"))),
-    F("movingMedian", "Calculate", "trailing exact median over the last N samples (lower-median rank selection; render-sized bounded)", Seq(series, p("windowSize", "int"))),
+    F("movingMedian", "Calculate", "trailing exact median over the last N samples (int) or time interval (string) — lower-median rank selection; render-sized bounded", Seq(series, p("windowSize", "string"))),
     F("movingWindow", "Calculate", "trailing time-window statistic (average|sum|max|min|stddev)", Seq(series, p("windowSize", "string"), opt("func", "string"))),
     F("holtWintersForecast", "Calculate", "triple-exponential forecast", Seq(series, opt("season", "integer"))),
     F("holtWintersConfidenceBands", "Calculate", "forecast ± k·deviation bands (two entries per series)", Seq(series, opt("season", "integer"))),

@@ -1491,6 +1491,43 @@ object Series {
         col("__z.__med").as("value"))
   }
 
+  /** [[movingMedianRows]]'s TIME-window form — Graphite's
+    * `movingMedian(series, "5min")`: frame of a point = every sample
+    * whose ts lies in [ts − windowMs, ts], PEERS INCLUDED (SQL RANGE
+    * semantics, so the oracle restates the frame verbatim as a DuckDB
+    * RANGE window). Same bounded contract and lower-median rule; null
+    * TIMESTAMPS are filtered (meaningless in a time frame), null values
+    * occupy no population. */
+  def movingMedianTime(points: DataFrame, windowMs: Long,
+      maxPointsPerSeries: Int = 1 << 20): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(maxPointsPerSeries >= 1,
+      s"maxPointsPerSeries must be >= 1, got $maxPointsPerSeries")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scan = ColumnBridge.column(graft.functions.MovingMedianTimeScan(
+      ColumnBridge.expression(col("__pts")), windowMs))
+    points
+      .filter(col("ts_ms").isNotNull)
+      .groupBy(col("tenant_id"), col("metric_name"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+        .as("__pts0"))
+      .withColumn("__pts",
+        when(size(col("__pts0")) <= maxPointsPerSeries, col("__pts0"))
+          .otherwise(raise_error(concat(
+            lit("movingMedian: series "), col("tenant_id"), lit("."),
+            col("metric_name"),
+            lit(s" exceeds maxPointsPerSeries=$maxPointsPerSeries — " +
+              "movingMedian is render-sized; aggregate a coarser tier " +
+              "first")))))
+      .drop("__pts0")
+      .withColumn("__med", scan)
+      .select(col("tenant_id"), col("metric_name"),
+        explode(arrays_zip(col("__pts"), col("__med"))).as("__z"))
+      .select(col("tenant_id"), col("metric_name"),
+        col("__z.__pts.ts_ms").as("ts_ms"),
+        col("__z.__med").as("value"))
+  }
+
   /** Graphite's `divideSeriesLists(dividendSeriesList, divisorSeriesList)`:
     * pair the two lists POSITIONALLY (both sorted by series name — the
     * graphite contract) and serve dividend/divisor per instant, named

@@ -555,6 +555,15 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
         mmed.body().contains(s"[10.0, ${(t0 + 300000L) / 1000}]") &&
         mmed.body().contains(s"[20.0, ${(t0 + 600000L) / 1000}]"),
         mmed.body())
+      // the interval form: a 5m RANGE frame holds at most 2 samples of
+      // the 300s-spaced series — {10},{10,20},{20,30} -> 10,10,20
+      val mmt = get(
+        s"$base/render?target=movingMedian(app.a,%225min%22)&$range")
+      assert(mmt.statusCode() === 200, mmt.body())
+      assert(mmt.body().contains(""""target": "movingMedian(app.a,\"5min\")""""),
+        mmt.body())
+      assert(mmt.body().contains(s"[20.0, ${(t0 + 600000L) / 1000}]"),
+        mmt.body())
 
       val dl = get(s"$base/render?target=divideSeriesLists(app.a,app.b)&$range")
       assert(dl.statusCode() === 200, dl.body())

@@ -951,4 +951,23 @@ class SeriesSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("maxPointsPerSeries"), e.getMessage)
   }
+
+  test("movingMedianTime: RANGE-frame semantics — peers at the same ts " +
+    "share each other's frames, the lower bound is inclusive, evicted " +
+    "samples leave the population") {
+    import spark.implicits._
+    val in = Seq[(String, String, Long, java.lang.Double)](
+      ("t", "m", 0L, 10.0),
+      ("t", "m", 1000L, 2.0),  // peer A at 1000
+      ("t", "m", 1000L, 8.0),  // peer B at 1000 — in A's frame too
+      ("t", "m", 2000L, 4.0),  // frame [0,2000]: {10,2,8,4} -> lower mid 4
+      ("t", "m", 3500L, 6.0))  // w=2000: [1500,3500] -> {4,6} -> 4
+      .toDF("tenant_id", "metric_name", "ts_ms", "value")
+    val out = Series.movingMedianTime(in, 2000L)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq.sorted
+    // ts 0: {10}=10; ts 1000 (both peers): frame [-2000,1000] = {10,2,8}
+    // -> 8? sorted {2,8,10} lower-mid(3)= idx1 = 8... rank (3+1)/2=2 -> 8
+    assert(out === Seq((0L, 10.0), (1000L, 8.0), (1000L, 8.0),
+      (2000L, 4.0), (3500L, 4.0)))
+  }
 }
