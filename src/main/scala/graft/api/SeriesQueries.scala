@@ -1574,6 +1574,54 @@ object SeriesQueries {
     }
   }
 
+  /** Outer-aligned positional list division ([[Series.divideSeriesLists]]
+    * `alignOuter = true` — the render facade's default, graphite-web
+    * None-parity): the divisor list is thinned to even hours, so odd-hour
+    * dividend instants keep their time axis with a NULL value instead of
+    * vanishing (q_series_divide_lists pins the inner default). Both lists
+    * carry the same names, so the rank pairing is the identity and the
+    * oracle is a plain per-name FULL JOIN on the instant. */
+  private val divideListsOuterQ = {
+    val bMs = 3600000L
+    QDef(
+      "q_series_divide_outer",
+      s"""WITH ${OracleViews.metricsCte},
+         |h AS (
+         |  SELECT tenant_id, metric_name,
+         |         CAST((ts_ms // $bMs) * $bMs AS BIGINT) AS ts_ms,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s,
+         |         CAST(COUNT(value) AS DOUBLE) AS c
+         |  FROM metrics WHERE tenant_id = 'purchase' GROUP BY 1, 2, 3
+         |),
+         |a AS (SELECT tenant_id, metric_name, ts_ms, s FROM h),
+         |b AS (SELECT tenant_id, metric_name, ts_ms, c FROM h
+         |      WHERE (ts_ms // $bMs) % 2 = 0)
+         |SELECT COALESCE(a.tenant_id, b.tenant_id) AS tenant_id,
+         |       'divideSeries(' || COALESCE(a.metric_name, b.metric_name)
+         |         || ',' || COALESCE(a.metric_name, b.metric_name) || ')'
+         |         AS metric_name,
+         |       COALESCE(a.ts_ms, b.ts_ms) AS ts_ms,
+         |       CASE WHEN b.c <> 0 THEN a.s / b.c END AS value
+         |FROM a FULL JOIN b
+         |  ON a.tenant_id = b.tenant_id AND a.metric_name = b.metric_name
+         |  AND a.ts_ms = b.ts_ms
+         |ORDER BY tenant_id, metric_name, ts_ms, value""".stripMargin) {
+      (s, dir) =>
+        val hourly = Series.summarize(
+          Tables.metrics(s, dir).filter(col("tenant_id") === "purchase"),
+          bMs, "sum")
+        val dividends = hourly.select(col("tenant_id"), col("metric_name"),
+          col("bucket_ms").as("ts_ms"), col("value"))
+        val divisors = hourly
+          .filter(expr(s"(bucket_ms div ${bMs}L) % 2 = 0"))
+          .select(col("tenant_id"), col("metric_name"),
+            col("bucket_ms").as("ts_ms"),
+            col("n_points").cast("double").as("value"))
+        Series.divideSeriesLists(dividends, divisors, alignOuter = true)
+          .orderBy("tenant_id", "metric_name", "ts_ms", "value")
+    }
+  }
+
   /** Linear grid resampling ([[Series.resampleLinear]]): duplicate
     * timestamps collapse to exact-DECIMAL means first; prev/next restate
     * as two DuckDB ASOF joins (the q_asof_* pattern — the "next" side
@@ -1678,5 +1726,6 @@ object SeriesQueries {
     holtWinters, trend, clamp, asofBaseline, asofWithin, lttb, lttbExact,
     m4, mad, madSharded, summarizeQ, smartSummarizeQ, integralByIntervalQ,
     reducePairsQ, reducePairsOuterQ, resample, resampleHoldQ, minMaxQ,
-    stdevRowsQ, movingMedianQ, movingMedianTimeQ, divideListsQ)
+    stdevRowsQ, movingMedianQ, movingMedianTimeQ, divideListsQ,
+    divideListsOuterQ)
 }
