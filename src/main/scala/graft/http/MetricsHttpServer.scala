@@ -1550,7 +1550,7 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
             }
           case "highestMax" | "highestAverage" | "lowestAverage" |
                "lowestMax" | "highestCurrent" | "lowestCurrent" |
-               "mostDeviant" =>
+               "highestMin" | "lowestMin" | "mostDeviant" =>
             // series SELECTION (Graphite's highest*/lowest* family): rank
             // whole series by a per-series stat, keep k, serve those
             // series' points unchanged (names pass through). The ≤k
@@ -1566,6 +1566,8 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
               case "lowestAverage" => ("mean", true)
               case "highestCurrent" => ("last", false)
               case "lowestCurrent" => ("last", true)
+              case "highestMin" => ("min", false)
+              case "lowestMin" => ("min", true)
               // Graphite's mostDeviant: the k series with the highest
               // population sigma over the range
               case "mostDeviant" => ("stddev", false)
@@ -2065,6 +2067,58 @@ final class MetricsHttpServer(spark: SparkSession, storeDir: String,
                 .map(ts => (tenant, name, ts, v))
                 .toDF("tenant_id", "metric_name", "ts_ms", "value"),
               Some(name), identity)
+          case "group" =>
+            // group(a, b, ...) — graphite's plain list combiner: the
+            // union of every argument's series, points untouched. Each
+            // argument's DISPLAY NAMES (a nested scale/alias renames its
+            // series) are baked into the frame before the union via a
+            // panel-bounded broadcast rename table — one frame cannot
+            // carry per-argument nameOf functions
+            require(args.nonEmpty && args.head.trim.nonEmpty,
+              s"group needs at least one seriesList in '$t'")
+            import spark.implicits._
+            val frames = args.map { a =>
+              val in = recurse(a.trim)
+              val tbl = in.df.select("tenant_id", "metric_name").distinct()
+                .collect()
+                .map(r => (r.getString(0), r.getString(1),
+                  in.displayName(r.getString(1)))).toSeq
+                .toDF("tenant_id", "metric_name", "__gname")
+              in.df.select("tenant_id", "metric_name", "ts_ms", "value")
+                .join(broadcast(tbl), Seq("tenant_id", "metric_name"))
+                .select(col("tenant_id"),
+                  col("__gname").as("metric_name"), col("ts_ms"),
+                  col("value"))
+            }
+            SeriesExpr(frames.reduce(_ unionByName _), None, identity)
+          case "fallbackSeries" =>
+            // fallbackSeries(series, fallback) — serve the fallback when
+            // the primary matches NO series (graphite's dashboard
+            // placeholder; the emptiness probe runs on the panel-bounded
+            // frame the render path collects anyway)
+            val fbArg = args.lift(1).map(_.trim).getOrElse(
+              throw new IllegalArgumentException(
+                s"fallbackSeries needs a fallback seriesList in '$t'"))
+            val a = recurse(arg0)
+            if (a.df.isEmpty) recurse(fbArg) else a
+          case "round" =>
+            // round(series, precision=0) — pointwise rounding. HALF_UP
+            // (Spark's round), where graphite-web inherits python's
+            // half-even — documented in /functions; exact ties at the
+            // precision digit are the only divergence
+            val p = args.lift(1).map(a => a.trim.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"round precision must be an integer in '$t'"))).getOrElse(0)
+            val in = recurse(arg0)
+            SeriesExpr(in.df.withColumn("value", round(col("value"), p)),
+              in.singleName, n => s"round(${in.displayName(n)})",
+              in.consolidate)
+          case "cumulative" =>
+            // graphite's cumulative(series) ≡ consolidateBy(series,"sum")
+            val in = recurse(arg0)
+            SeriesExpr(in.df, None,
+              n => s"""consolidateBy(${in.displayName(n)},"sum")""",
+              Some("sum"))
           case "consolidateBy" =>
             // consolidateBy(<expr>, "func") — tag the series with the
             // statistic the FINAL maxDataPoints consolidation uses

@@ -33,6 +33,8 @@ private[http] object RenderFunctions {
     F("rangeOfSeries", "Combine", "per-instant max minus min across matched series", Seq(series)),
     F("stddevSeries", "Combine", "per-instant population stddev across matched series", Seq(series)),
     F("percentileOfSeries", "Combine", "per-instant percentile across matched series", Seq(series, p("n", "float"))),
+    F("group", "Combine", "plain union of every argument's series (names/points untouched)", Seq(p("seriesLists", "seriesList"))),
+    F("fallbackSeries", "Special", "serve the fallback list when the primary matches no series", Seq(series, p("fallback", "seriesList"))),
     F("groupByNode", "Combine", "aggregate series sharing name node n; entries named by the token", Seq(series, p("nodeNum", "node"), opt("callback", "string"))),
     F("groupByNodes", "Combine", "aggregate series sharing the dot-joined node selection", Seq(series, p("callback", "string"), p("nodes", "node"))),
     F("asPercent", "Combine", "per-instant share of the matched series' total, or of an explicit total expression", Seq(series, opt("total", "seriesList"))),
@@ -57,6 +59,8 @@ private[http] object RenderFunctions {
     F("offsetToZero", "Transform", "subtract each series' own minimum", Seq(series)),
     F("logarithm", "Transform", "log base b pointwise (default 10); non-positive values render null", Seq(series, opt("base", "float"))),
     F("invert", "Transform", "pointwise 1/x; zero renders null", Seq(series)),
+    F("round", "Transform", "pointwise rounding to a precision (HALF_UP, vs graphite-web's half-even — divergence only on exact ties at the precision digit)", Seq(series, opt("precision", "integer"))),
+    F("cumulative", "Special", "alias of consolidateBy(series, \"sum\")", Seq(series)),
     F("minMax", "Transform", "per-series min-max scaling onto [0,1]; zero-range series render null", Seq(series)),
     F("stdev", "Calculate", "trailing population stddev over the last N samples per series", Seq(series, p("points", "integer"))),
     F("divideSeriesLists", "Combine", "pair two equal-length series lists positionally (sorted by name) and divide; unequal lengths error; one-sided instants serve null (graphite-web None-parity)", Seq(p("dividendSeriesList", "seriesList"), p("divisorSeriesList", "seriesList"))),
@@ -80,6 +84,8 @@ private[http] object RenderFunctions {
     F("lttb", "Calculate", "largest-triangle-three-buckets decimation", Seq(series, opt("buckets", "integer"))),
     F("m4", "Calculate", "M4 min/max/first/last decimation", Seq(series, opt("buckets", "integer"))),
     // Filter Series
+    F("highestMin", "Filter Series", "keep the k series with the highest per-series min", Seq(series, p("n", "integer"))),
+    F("lowestMin", "Filter Series", "keep the k series with the lowest per-series min", Seq(series, p("n", "integer"))),
     F("highestMax", "Filter Series", "keep the k series with the highest max", Seq(series, p("n", "integer"))),
     F("highestAverage", "Filter Series", "keep the k series with the highest mean", Seq(series, p("n", "integer"))),
     F("highestCurrent", "Filter Series", "keep the k series with the highest last sample", Seq(series, p("n", "integer"))),

@@ -517,6 +517,67 @@ class MetricsHttpServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("render batch 6: group union, fallbackSeries, round, cumulative " +
+    "alias, highestMin/lowestMin selection") {
+    val (srv, base, _) = startServer()
+    try {
+      val t0 = now - 10L * 300000L
+      def ing(m: String, vs: Seq[Double]): Unit = {
+        val recs = vs.zipWithIndex.map { case (v, i) =>
+          s"""{"metricName": "$m", "metricValue": $v,
+             | "collectionTime": ${t0 + i * 300000L}, "ttlInSeconds": 172800,
+             | "unit": "ms"}""".stripMargin
+        }.mkString("[", ",", "]")
+        assert(post(s"$base/v2.0/acme/ingest", recs).statusCode() === 200)
+      }
+      ing("g.a", Seq(1.44, 2.66))
+      ing("g.b", Seq(10.0, 20.0))
+      val range = s"from=${t0 / 1000 - 10}&until=${now / 1000}&tenant=acme"
+
+      // group: plain union, names pass through (nested args parse)
+      val gr = get(s"$base/render?target=group(g.a,scale(g.b,2))&$range")
+      assert(gr.statusCode() === 200, gr.body())
+      assert(gr.body().contains(""""target": "g.a"""") &&
+        gr.body().contains(""""target": "scale(g.b,2)"""") &&
+        gr.body().contains("[1.44, ") && gr.body().contains("[40.0, "),
+        gr.body())
+
+      // fallbackSeries: primary wins when it matches; fallback serves
+      // when it does not
+      val fb1 = get(s"$base/render?target=fallbackSeries(g.a,g.b)&$range")
+      assert(fb1.body().contains(""""target": "g.a"""") &&
+        !fb1.body().contains(""""target": "g.b""""), fb1.body())
+      val fb2 = get(s"$base/render?target=fallbackSeries(zzz.*,g.b)&$range")
+      assert(fb2.body().contains(""""target": "g.b"""") &&
+        fb2.body().contains("[10.0, "), fb2.body())
+
+      // round: pointwise HALF_UP at integer precision (1.44→1, 2.66→3)
+      val rd = get(s"$base/render?target=round(g.a)&$range")
+      assert(rd.body().contains(""""target": "round(g.a)"""") &&
+        rd.body().contains("[1.0, ") && rd.body().contains("[3.0, "),
+        rd.body())
+      val rd1 = get(s"$base/render?target=round(g.a,1)&$range")
+      assert(rd1.body().contains("[1.4, ") && rd1.body().contains("[2.7, "),
+        rd1.body())
+
+      // cumulative ≡ consolidateBy(series,"sum"): name tags the alias,
+      // data unchanged at native resolution
+      val cu = get(s"$base/render?target=cumulative(g.a)&$range")
+      assert(cu.body().contains(
+        """"target": "consolidateBy(g.a,\"sum\")""""), cu.body())
+      assert(cu.body().contains("[1.44, "), cu.body())
+
+      // highestMin/lowestMin: per-series min ranking (g.b min 10 > g.a
+      // min 1.44)
+      val hm = get(s"$base/render?target=highestMin(g.*,1)&$range")
+      assert(hm.body().contains(""""target": "g.b"""") &&
+        !hm.body().contains(""""target": "g.a""""), hm.body())
+      val lm = get(s"$base/render?target=lowestMin(g.*,1)&$range")
+      assert(lm.body().contains(""""target": "g.a"""") &&
+        !lm.body().contains(""""target": "g.b""""), lm.body())
+    } finally srv.stop()
+  }
+
   test("render batch 5: minMax scaling, stdev(points), and " +
     "divideSeriesLists positional pairing (unequal lengths 400)") {
     val (srv, base, _) = startServer()
