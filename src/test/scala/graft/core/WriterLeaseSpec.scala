@@ -54,6 +54,36 @@ class WriterLeaseSpec extends AnyFunSuite with SparkSuite {
     WriterLease.release(spark, lease2)
   }
 
+  test("renewal extends the expiry stamp; an un-renewed lease expires and " +
+    "hands over; renewal after takeover fails") {
+    val store = java.nio.file.Files.createTempDirectory("graft_wl4").toString
+    val T = 1704067200000L
+    val lease = WriterLease.acquire(spark, store, ttlMs = 1000L,
+      nowMs = () => T)
+    def expiresAt: Long = {
+      val in = fs.open(WriterLease.lockPath(store))
+      val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                finally in.close()
+      txt.split("\n")(2).trim.toLong
+    }
+    assert(expiresAt == T + 1000L)
+    WriterLease.renew(spark, lease, nowMs = () => T + 500L)
+    assert(expiresAt == T + 1500L)
+    // a foreign writer CANNOT take over while the renewed stamp is live
+    // (re-owner the file as a stranger so the same-owner takeover rule
+    // does not apply; token and stamp stay ours)
+    forgeLock(store, lease.token, "9@h", T + 1500L)
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, store, nowMs = () => T + 1400L)
+    }
+    assert(e.getMessage.contains("held by"), e.getMessage)
+    // …but once the stamp passes un-renewed, takeover succeeds and the
+    // old handle can no longer renew
+    val lease2 = WriterLease.acquire(spark, store, nowMs = () => T + 1600L)
+    intercept[IllegalStateException] { WriterLease.renew(spark, lease) }
+    WriterLease.release(spark, lease2)
+  }
+
   test("a forged/stale token is rejected at the COMMIT point: a writer " +
     "superseded after acquiring cannot publish") {
     val store = java.nio.file.Files.createTempDirectory("graft_wl2").toString
