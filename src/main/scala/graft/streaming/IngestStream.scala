@@ -1326,8 +1326,19 @@ object IngestStream {
   private[graft] def hasParquetData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pStr = p.toString
+    // Hadoop globs MATCH dot-dirs while Spark's discovery ignores them: a
+    // file under a hidden component (a crashed POST's leaked `.staging-*`)
+    // must not make an otherwise-empty table read as "has data" — the
+    // guarded read would fail schema inference on zero visible files, and
+    // the virgin probe would skip the catalog coverage marker (the
+    // SnapshotStore.resolve husk-guard rule, applied here too)
     fs.exists(p) && Seq("*.parquet", "*/*.parquet", "*/*/*.parquet").exists(g =>
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, g))).exists(_.nonEmpty))
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, g)))
+        .exists(_.exists { st =>
+          !st.getPath.toString.stripPrefix(pStr).split("/").exists(c =>
+            c.startsWith(".") || c.startsWith("_"))
+        }))
   }
 
   /** Kinds actually present in a parsed statsd frame — real statsd traffic

@@ -49,6 +49,22 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
     fs.globStatus(new Path(s"$store/metric_catalog/src=$src", "batch_id=*"))
       .map(_.getPath.getName).toSeq.sorted
 
+  test("hasParquetData ignores files under hidden/meta components: a " +
+    "crashed POST's leaked .staging dir neither makes the store " +
+    "non-virgin nor flips a guarded read onto zero visible files") {
+    val store = java.nio.file.Files.createTempDirectory("graft_hpd").toString
+    val staged = new Path(
+      s"$store/metrics_full/.staging-42/ts_day=$day0")
+    fs.mkdirs(staged)
+    fs.create(new Path(staged, "part-0.parquet"), true).close()
+    assert(!IngestStream.hasParquetData(spark, s"$store/metrics_full"),
+      "staging-only table must read as absent")
+    // the same file made visible by the commit rename flips it
+    assert(fs.rename(new Path(s"$store/metrics_full/.staging-42"),
+      new Path(s"$store/metrics_full/batch_id=42")))
+    assert(IngestStream.hasParquetData(spark, s"$store/metrics_full"))
+  }
+
   test("cross-process memo fence: a foreign rebuild that bumped " +
     "metric_catalog/_version invalidates THIS process's seen-locator " +
     "memo — a re-ingested dropped locator re-writes its catalog row " +
