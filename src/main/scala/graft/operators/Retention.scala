@@ -87,8 +87,17 @@ object Retention {
         if (!fs.exists(root)) None
         else {
           val parts =
-            fs.globStatus(new Path(root, "ts_day=*")) ++
-              fs.globStatus(new Path(root, "*/ts_day=*"))
+            (fs.globStatus(new Path(root, "ts_day=*")) ++
+              fs.globStatus(new Path(root, "*/ts_day=*")))
+              // Hadoop's `*` matches dot-dirs: without this filter the
+              // sweep would delete an expired day INSIDE a publish's live
+              // `.staging-*` dir — racing the writer the staging
+              // discipline isolates. Leaked staging is swept whole by
+              // sweepStaleStaging after its grace, never day-by-day here.
+              .filter { st =>
+                val par = st.getPath.getParent.getName
+                !(par.startsWith(".") || par.startsWith("_"))
+              }
           val dropped = parts.toSeq.flatMap { st =>
             // parse first, skip what doesn't parse: a stray ts_day=tmp dir
             // must not throw mid-sweep with earlier deletions applied

@@ -63,6 +63,23 @@ class RetentionSpec extends AnyFunSuite with SparkSuite {
     assert(Retention.enforce(spark, store, now) === Map.empty)
   }
 
+  test("the TTL sweep never reaches inside a hidden staging dir: an " +
+    "expired day being STAGED by a live publish survives until its " +
+    "commit rename") {
+    val store = buildStore()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live publish staging a LATE slice of a long-expired day
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$store/metrics_full/.staging-live/ts_day=${day(0)}")
+    fs.mkdirs(staged)
+    fs.create(new org.apache.hadoop.fs.Path(staged, "part-0.parquet"),
+      true).close()
+    Retention.enforce(spark, store, now)
+    assert(fs.exists(staged),
+      "expired day inside a live .staging dir must survive the sweep")
+  }
+
   test("fully-expired tables prune away cleanly; preagg_raw ages with the 5m tier") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_retention_prune").toString
