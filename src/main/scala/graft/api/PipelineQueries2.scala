@@ -499,7 +499,9 @@ object PipelineQueries2 {
       val docs = Tables.load(s, dir, "documents")
       val drops = Dedup.minhashNearDups(docs, threshold = 0.8)
         .select(col("doc_id_2").as("doc_id")).distinct()
-      docs
+      // r13 opt: the quality/langId/BPE-count regex pass over a one-row-
+      // group scan is single-task without the spread (see Tables.spreadCpu)
+      Tables.spreadCpu(docs)
         .filter(Sampling.splitAssign(col("doc_id"),
           Seq("train" -> "cc", "val" -> "e6"), "test") === "train")
         .withColumn("quality_score", TF.qualityScore(col("text")))

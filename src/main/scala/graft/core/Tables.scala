@@ -23,6 +23,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive map-phase parallelism guard for CPU-heavy pipelines
+    * (r13 opt, guide §2.5 "input skew" / §6 input split size): a parquet
+    * scan cannot split below the row-group, so a small-file table (one
+    * row group) scans as ONE task — and every expensive projection fused
+    * above it (regex normalization, shingle explode, 128 min-hash partial
+    * aggregates, media decode) runs single-threaded while the rest of the
+    * cluster idles. When the input's scan parallelism is below the
+    * session's `defaultParallelism`, redistribute the (narrow, pre-explode)
+    * rows round-robin first; the exchange moves only the tiny base table
+    * and AQE stage reuse then shares ONE materialized spread across every
+    * plan branch that re-derives it. At production scale the input has
+    * more splits than cores, the condition is false, and this is the
+    * identity — no hard-coded local[32] assumption anywhere.
+    * (`repartition(n)` is retry-deterministic: sortBeforeRepartition is on
+    * by default and the parquet scan order is stable.) */
+  def spreadCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Epoch-aligned bucket start in millis for a granularity — integer math
     * only, so Spark and the DuckDB oracle agree bit-for-bit
     * (reference snapMillis: Granularity.java:130-133). FULL passes the

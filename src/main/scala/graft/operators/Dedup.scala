@@ -396,11 +396,22 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.8,
-      maxShingleDf: Option[Long] = None): DataFrame =
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    // spread ONCE at entry (r13 opt, Tables.spreadCpu): a single-row-group
+    // corpus scans as one task, serializing the shingle+128-min-hash map
+    // phase AND the verify side's collect_set pass on one core. The shared
+    // round-robin exchange is materialized once (AQE stage reuse) and both
+    // the signature branch and the verify semi-join stream from it.
+    // (r13 note — checkpointing the band-key table instead was measured
+    // +14-24% on q_dedup_decisions at 32 AND 8 cores: AQE already reuses
+    // the sig exchange across the self-join sides, so the barrier bought
+    // nothing and cost two job rounds. Don't retry.)
+    val d = graft.core.Tables.spreadCpu(docs)
     verifyJaccard(
-      minhashCandidates(minhashSignatures(docs, k, numHashes, maxShingleDf),
+      minhashCandidates(minhashSignatures(d, k, numHashes, maxShingleDf),
         numHashes, bands),
-      docs, k, threshold)
+      d, k, threshold)
+  }
 
   /** The persisted-signature dedup path: candidates come from a stored
     * signature table (written once by [[writeMinhashSignatures]]); only
@@ -443,7 +454,9 @@ object Dedup {
     // the new batch's signatures feed three join scans (self-join twice,
     // new×old once); materialize the tiny band-key table once instead of
     // re-running the 128-minhash shingle pass per scan
-    val nb = bandKeyRows(minhashSignatures(newDocs, k, numHashes, None),
+    val nb = bandKeyRows(
+      minhashSignatures(graft.core.Tables.spreadCpu(newDocs), k, numHashes,
+        None),
       numHashes, bands).localCheckpoint()
     val ob = bandKeyRows(oldSig, numHashes, bands)
     val newNew = bandSelfJoin(nb)
@@ -458,7 +471,8 @@ object Dedup {
     // (it returns a materialized checkpoint), so nb's blocks can be
     // released here — the per-micro-batch leak discipline again.
     val verified =
-      verifyJaccard(newNew.union(newOld).distinct(), allDocs, k, threshold)
+      verifyJaccard(newNew.union(newOld).distinct(),
+        graft.core.Tables.spreadCpu(allDocs), k, threshold)
     unpersistLocalCheckpoint(nb)
     verified
   }
@@ -548,7 +562,13 @@ object Dedup {
       maxDf: Long = 50L): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(minWords >= k, s"minWords must be >= k=$k, got $minWords")
-    val g = posShingleRows(docs, k)
+    // spread at entry (r13 opt, Tables.spreadCpu): the positional-gram
+    // explode above a one-row-group scan otherwise runs single-task; the
+    // one round-robin exchange is shared by every gram branch via AQE
+    // stage reuse. (Checkpointing the df≤maxDf key set instead measured
+    // +9-16% at both core counts — the barrier again; AQE already reuses
+    // the census exchange across the self-join sides. Don't retry.)
+    val g = posShingleRows(graft.core.Tables.spreadCpu(docs), k)
     val dfs = g.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
     // NOT checkpointed: `rare` is a corpus-scale positional-gram stream

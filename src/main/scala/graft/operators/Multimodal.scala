@@ -197,7 +197,8 @@ object Multimodal extends Serializable {
     val mime =
       if (media.columns.contains("meta")) col("meta.mime")
       else lit(null).cast("string")
-    media.select(col("media_id"), col("payload"), mime.as("mime"))
+    graft.core.Tables.spreadCpu(
+        media.select(col("media_id"), col("payload"), mime.as("mime")))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, m) =>
         decodeAny(id, if (bytes == null) Array.emptyByteArray else bytes, m)
@@ -253,7 +254,8 @@ object Multimodal extends Serializable {
       ResizedMedia(id, tw, th, bytes.take(math.min(maxDim, bytes.length)))
     }
 
-    media.select(col("media_id"), col("payload"), mime.as("mime"))
+    graft.core.Tables.spreadCpu(
+        media.select(col("media_id"), col("payload"), mime.as("mime")))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, m) =>
         val b = if (bytes == null) Array.emptyByteArray else bytes
@@ -399,7 +401,8 @@ object Multimodal extends Serializable {
     val mime =
       if (media.columns.contains("meta")) col("meta.mime")
       else lit(null).cast("string")
-    media.select(col("media_id"), col("payload"), mime.as("mime"))
+    graft.core.Tables.spreadCpu(
+        media.select(col("media_id"), col("payload"), mime.as("mime")))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, m) =>
         val b = if (bytes == null) Array.emptyByteArray else bytes
@@ -531,7 +534,8 @@ object Multimodal extends Serializable {
     val mime =
       if (media.columns.contains("meta")) col("meta.mime")
       else lit(null).cast("string")
-    media.select(col("media_id"), col("payload"), mime.as("mime"))
+    graft.core.Tables.spreadCpu(
+        media.select(col("media_id"), col("payload"), mime.as("mime")))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, m) =>
         val b = if (bytes == null) Array.emptyByteArray else bytes
@@ -561,7 +565,8 @@ object Multimodal extends Serializable {
   def vectorsAsWavMedia(df: DataFrame, id: String, vec: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"), col(vec).cast("array<float>"))
+    graft.core.Tables.spreadCpu(
+        df.select(col(id).cast("long"), col(vec).cast("array<float>")))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (mid, v0) =>
         val v = if (v0 == null) Array.emptyFloatArray else v0
@@ -617,7 +622,8 @@ object Multimodal extends Serializable {
     require(side >= 2, s"side must be >= 2, got $side")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"), col(vec).cast("array<float>"))
+    graft.core.Tables.spreadCpu(
+        df.select(col(id).cast("long"), col(vec).cast("array<float>")))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (mid, v0) =>
         val v = if (v0 == null) Array.emptyFloatArray else v0
