@@ -37,10 +37,66 @@ object Tables {
     * more splits than cores, the condition is false, and this is the
     * identity — no hard-coded local[32] assumption anywhere.
     * (`repartition(n)` is retry-deterministic: sortBeforeRepartition is on
-    * by default and the parquet scan order is stable.) */
+    * by default and the parquet scan order is stable.)
+    *
+    * Probe cost (r14, ADVICE item): the original probe was
+    * `df.rdd.getNumPartitions`, but with AQE on `Dataset.rdd` FINALIZES the
+    * adaptive plan — every exchange stage in the input's lineage runs as a
+    * throwaway job before the real query. Composed pipelines (a render
+    * function whose own spreadCpu already inserted the round-robin exchange,
+    * fed to a decode operator that spreads again) paid a redundant
+    * scan+shuffle-write per probe. Now: (1) a shuffling
+    * Repartition/RepartitionByExpression already in the plan means a caller
+    * (or an inner spreadCpu) chose the distribution — short-circuit to the
+    * identity, zero probes (a non-shuffle `coalesce` does NOT short-circuit:
+    * it narrows parallelism, exactly what spreading must undo); (2) for
+    * exchange-free scan-rooted plans — every call site's shape — the
+    * partition count is read off the UNEXECUTED physical plan's file scans,
+    * which costs a plan, not a job; (3) only plans with exchanges or
+    * non-file leaves fall back to the `.rdd` probe. Streaming inputs (where
+    * `.rdd` throws) return unchanged. */
   def spreadCpu(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val callerDistributed = df.queryExecution.analyzed.exists {
+      case r: Repartition => r.shuffle
+      case _: RepartitionByExpression => true
+      case _ => false
+    }
+    if (callerDistributed) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (staticPartitionCount(df).getOrElse(df.rdd.getNumPartitions) < target)
+      df.repartition(target)
+    else df
+  }
+
+  /** Partition count of an exchange-free, file-scan-rooted physical plan,
+    * without executing anything: every node in such a plan is 1:1
+    * partition-preserving (or a Union, which concatenates), so the count is
+    * the sum of the leaves' scan splits. None when the plan contains any
+    * node NOT known partition-preserving (exchanges, limits, coalesce,
+    * in-memory or local leaves) — callers then fall back to a real probe. */
+  private def staticPartitionCount(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution._
+    val plan = df.queryExecution.sparkPlan
+    var preserved = true
+    plan.foreach {
+      case _: FileSourceScanExec | _: ProjectExec | _: FilterExec |
+          _: GenerateExec | _: UnionExec | _: SerializeFromObjectExec |
+          _: DeserializeToObjectExec | _: MapPartitionsExec |
+          _: MapElementsExec | _: ColumnarToRowExec | _: InputAdapter |
+          _: WholeStageCodegenExec => ()
+      case _ => preserved = false
+    }
+    if (!preserved) None
+    else {
+      val leaves = plan.collectLeaves()
+      if (leaves.isEmpty || !leaves.forall(_.isInstanceOf[FileSourceScanExec]))
+        None
+      else Some(leaves.map {
+        case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      }.sum)
+    }
   }
 
   /** Epoch-aligned bucket start in millis for a granularity — integer math

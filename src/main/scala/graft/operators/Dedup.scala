@@ -742,8 +742,23 @@ object Dedup {
       col("doc_id_2").cast("long").as("dst"))
       .persist()
     try {
-      if (maxLocalEdges > 0 && fwd.count() <= maxLocalEdges) {
-        val edges = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // ONE bounded action decides the path AND fetches the edges (r14 opt,
+      // guide §5 driver round-trips): `limit(bound+1).collect()` replaces the
+      // former `count()` + `collect()` pair — the count's separate
+      // aggregation rounds over the whole pair pipeline are gone, and the
+      // overflow case (row bound+1 exists) falls through to the distributed
+      // loop having shipped at most bound+1 rows to the driver. A bound at
+      // or above Int.MaxValue cannot express the +1 probe as a limit, so it
+      // keeps the two-action form (never hit with the 1M default).
+      val localEdges: Option[Array[org.apache.spark.sql.Row]] =
+        if (maxLocalEdges <= 0) None
+        else if (maxLocalEdges + 1 <= Int.MaxValue) {
+          val probe = fwd.limit((maxLocalEdges + 1).toInt).collect()
+          if (probe.length <= maxLocalEdges) Some(probe) else None
+        } else if (fwd.count() <= maxLocalEdges) Some(fwd.collect())
+        else None
+      localEdges match { case Some(rows) =>
+        val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
@@ -764,12 +779,13 @@ object Dedup {
         import spark.implicits._
         val labels = parent.keys.toSeq.map(k => (k, find(k)))
           .toDF("doc_id", "label")
-        return nodes.select(col("doc_id").cast("long").as("doc_id"))
+        nodes.select(col("doc_id").cast("long").as("doc_id"))
           .join(broadcast(labels), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      case None =>
+        connectedComponentsLoop(fwd, nodes, maxIters, shortcutAfter)
       }
-      connectedComponentsLoop(fwd, nodes, maxIters, shortcutAfter)
     } finally fwd.unpersist(blocking = false)
   }
 

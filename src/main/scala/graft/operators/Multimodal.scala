@@ -561,7 +561,9 @@ object Multimodal extends Serializable {
     * fingerprint's 64 time–frequency energy cells and vector similarity
     * becomes fingerprint similarity. Peak-normalized; the audio-dedup
     * path runs end-to-end from plain parquet through the REAL javax.sound
-    * codec. Partition-local, no shuffle. */
+    * codec. The render itself is partition-local; the [[graft.core.Tables.spreadCpu]]
+    * entry guard may add ONE round-robin exchange on a single-row-group
+    * input (identity at production scan parallelism). */
   def vectorsAsWavMedia(df: DataFrame, id: String, vec: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -615,8 +617,10 @@ object Multimodal extends Serializable {
     * table into image payloads whose visual similarity mirrors the
     * vectors', so the image-dedup path can be driven end-to-end (render →
     * ImageIO decode → DCT pHash → banded pair join) from plain parquet.
-    * Partition-local, no shuffle. Vectors shorter than side² are
-    * zero-padded; null/empty vectors render black. */
+    * The render itself is partition-local; the [[graft.core.Tables.spreadCpu]]
+    * entry guard may add ONE round-robin exchange on a single-row-group
+    * input (identity at production scan parallelism). Vectors shorter than
+    * side² are zero-padded; null/empty vectors render black. */
   def vectorsAsPngMedia(df: DataFrame, id: String, vec: String,
       side: Int): DataFrame = {
     require(side >= 2, s"side must be >= 2, got $side")

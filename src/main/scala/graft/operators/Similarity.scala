@@ -519,7 +519,14 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val centroids = loadIvfCentroids(spark, path)
-    val queryCells = queryProbes(queries, centroids, nProbe)
+    // materialize-once (r14 opt, the materialize-once-for-expensive-lineage
+    // discipline): the probe table is consumed TWICE — the distinct-cell
+    // collect below and the top-k join — and each consumer would otherwise
+    // re-run the whole query pipeline (scan + nCells×dim centroid dots +
+    // explode) as separate actions AQE cannot share. It is query-sized
+    // (|queries|·nProbe rows), never corpus-scale, so the checkpoint is the
+    // NARROW/TINY intermediate the discipline allows.
+    val queryCells = queryProbes(queries, centroids, nProbe).localCheckpoint()
     // distinct probed cells ⊆ {0..nCells-1}: O(nCells) driver rows
     val probed = queryCells.select("cell").distinct().collect()
       .map(_.getInt(0))

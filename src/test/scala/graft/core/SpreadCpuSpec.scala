@@ -32,6 +32,22 @@ class SpreadCpuSpec extends AnyFunSuite with SparkSuite {
     assert(out eq wide)
   }
 
+  test("caller-distributed input (explicit shuffle repartition) is honored") {
+    import spark.implicits._
+    val dp = spark.sparkContext.defaultParallelism
+    assert(dp > 2, "suite parallelism too low to exercise the short-circuit")
+    // r14: a shuffling Repartition already in the plan means the caller (or
+    // an inner spreadCpu in a composed pipeline) chose the distribution —
+    // spreadCpu must not second-guess it, and must not probe it (the .rdd
+    // probe on an AQE plan materializes the lineage as throwaway jobs)
+    val rp = (1 to 100).toDF("x").repartition(2)
+    assert(Tables.spreadCpu(rp) eq rp)
+    // … while a non-shuffle coalesce still spreads: narrowing parallelism
+    // is exactly the condition spreadCpu exists to undo
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(Tables.spreadCpu(narrow).rdd.getNumPartitions === dp)
+  }
+
   test("operator results are invariant under the spread (minhash pairs)") {
     import spark.implicits._
     // near-dup fixture: 0/1 share a long overlap, 2 is unrelated

@@ -383,6 +383,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("connectedComponents: bounded probe overflow falls through to the loop") {
+    import spark.implicits._
+    // r14: the fast path decides AND fetches with ONE limit(bound+1)
+    // collect. Pin the boundary: bound = edge count takes the fast path,
+    // bound = edge count − 1 overflows the probe and must fall through to
+    // the distributed loop with an identical labeling.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_id_1", "doc_id_2")
+    val nodes = (0L until 6L).toDF("doc_id")
+    val viaFast = Dedup.connectedComponents(chain, nodes, maxLocalEdges = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(chain, nodes, maxLocalEdges = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast === viaLoop)
+    assert(viaFast === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 5L))
+  }
+
   test("connectedComponents: transitive chains collapse; no pairs ⇒ singletons") {
     import spark.implicits._
     val nodes = (0L until 6L).toDF("doc_id")
