@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Opt-in extra JVM flags for the forked run JVM (e.g. -Xlog:gc* for the
+  // bench stall-window diagnosis). Unset → no change to any run.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

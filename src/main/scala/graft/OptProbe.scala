@@ -67,19 +67,32 @@ object OptProbe {
     val verbose = sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
+      // absolute start time so external logs (e.g. -Xlog:gc* via
+      // SPARK_GRAFT_JAVA_OPTS) can be correlated per query
+      println(s"-- start_ms=${System.currentTimeMillis} --")
       jobs.set(0); stages.set(0); taskTimeMs.set(0L); maxTaskMs.set(0L)
       val t0 = System.nanoTime()
-      val df = synthetic.get(n).map(_())
-        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
-      // execute the df's OWN physical plan (not a derived count() plan) so
-      // AdaptiveSparkPlan finalizes and the print shows runtime stage reuse
-      val rows = df.queryExecution.executedPlan.execute().count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain before reading counters
-      println(f"-- wall: $dt%.3f s rows=$rows jobs=${jobs.get} " +
-        f"stages=${stages.get} taskTime=${taskTimeMs.get / 1000.0}%.2f s " +
-        f"maxTask=${maxTaskMs.get / 1000.0}%.2f s --")
-      if (verbose) println(df.queryExecution.executedPlan.toString)
+      // full-sweep resilience: OptProbe evaluates EVERY column (unlike the
+      // bench's count(), which prunes), so a data-dependent in-plan guard
+      // (e.g. divideSeriesLists' length raise at an SF where a series has
+      // no even-hour divisor buckets) must not kill the remaining sweep
+      try {
+        val df = synthetic.get(n).map(_())
+          .getOrElse(SparkEntry.queries(n)(spark, sfDir))
+        // execute the df's OWN physical plan (not a derived count() plan) so
+        // AdaptiveSparkPlan finalizes and the print shows runtime stage reuse
+        val rows = df.queryExecution.executedPlan.execute().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the listener bus drain before reading counters
+        println(f"-- wall: $dt%.3f s rows=$rows jobs=${jobs.get} " +
+          f"stages=${stages.get} taskTime=${taskTimeMs.get / 1000.0}%.2f s " +
+          f"maxTask=${maxTaskMs.get / 1000.0}%.2f s --")
+        if (verbose) println(df.queryExecution.executedPlan.toString)
+      } catch {
+        case e: Throwable =>
+          println(s"-- FAILED: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString} --")
+      }
     }
     spark.stop()
   }

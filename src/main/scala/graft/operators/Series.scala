@@ -75,10 +75,17 @@ object Series {
     * scalar double — NULL when either side has zero variance. Self-pairs
     * are excluded.
     *
-    * Scale shape: one corpus shuffle for the bucket aggregation; the
-    * target bucket table is |targets|×|buckets| rows — broadcast, so the
-    * per-series pass never shuffles on bucket; the final per-series
-    * aggregation combines map-side. Never an all-pairs series join. */
+    * Scale shape: ONE corpus scan and ONE corpus shuffle — the bucket
+    * aggregation `b` — which the target branch then REUSES: the target
+    * bucket table is `b` broadcast-semi-joined to the target names (its
+    * groups for a target metric are exactly the groups the former
+    * points-side pre-join aggregated, and the exact-DECIMAL sum is
+    * orderless, so the means are bit-identical by construction), and AQE
+    * reuses b's exchange for both consumers instead of running a second
+    * scan+aggregation over the raw points. The target bucket table is
+    * |targets|×|buckets| rows — broadcast, so the per-series pass never
+    * shuffles on bucket; the final per-series aggregation combines
+    * map-side. Never an all-pairs series join. */
   def correlatedSeries(points: DataFrame, targets: DataFrame, bucketMs: Long,
       minBuckets: Int = 5): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
@@ -91,15 +98,14 @@ object Series {
       .agg((sum(col("value").cast(DecimalType(28, 2))).cast("double") /
         count(lit(1))).as(out))
     val b = bucketMean(points, Seq("tenant_id", "metric_name"), "bx")
-    // join targets BEFORE the bucket agg: at scale the target branch is a
-    // broadcast-filtered scan + negligible agg, not a second corpus shuffle.
     // The target series is PER TENANT and the correlation join is
     // tenant-scoped (P4): pooling raw points across tenants that share a
     // target name would leak every tenant's data into every correlation.
-    val t = bucketMean(
-      points.join(broadcast(targets.select(col("metric_name").as("tgt_name"))),
-        col("metric_name") === col("tgt_name")),
-      Seq("tenant_id", "tgt_name"), "ty")
+    val t = b
+      .join(broadcast(targets.select(col("metric_name").as("tgt_name"))),
+        col("metric_name") === col("tgt_name"))
+      .select(col("tenant_id"), col("tgt_name"), col("bucket_ms"),
+        col("bx").as("ty"))
     val agg = b.join(broadcast(t), Seq("bucket_ms", "tenant_id"))
       .filter(col("metric_name") =!= col("tgt_name"))
       .groupBy(col("tgt_name"), col("tenant_id"), col("metric_name"))
@@ -1078,40 +1084,39 @@ object Series {
     * sides. All-constant series have MAD 0 and flag nothing (adev > 0
     * is impossible when every deviation is 0).
     *
-    * Scale shape: two rank windows partitioned by series (series
-    * parallelize; the second window reuses the first's hash exchange).
-    * The one-row-per-series median joins are deliberately UNHINTED: the
-    * median table scales with SERIES COUNT (millions at 100 TB — a forced
-    * broadcast would pin it whole on the driver), while its join key is
-    * the windows' own partitioning, so the sort-merge path costs no new
-    * exchange; when the series count is actually small, AQE broadcasts it
-    * at runtime anyway. */
+    * Scale shape: ONE hash exchange on the series key feeding two rank
+    * sorts (value-order, then adev-order), with each selected rank
+    * BROADCAST BACK by an unordered full-partition window aggregate —
+    * `max(when(rn = k, value)) over (partition by series)` — instead of a
+    * join: exactly one row per series carries a non-null candidate, so
+    * the max IS the ranked element, and an unbounded unordered frame
+    * aggregates once per partition (never per row). The former
+    * join+localCheckpoint form re-executed the corpus rank window once
+    * per checkpoint action and once for the output join (three runs of
+    * the scan+exchange+sort pipeline per query, 12 scheduling rounds
+    * measured at sf0.1); this form runs it once, needs no med/mad side
+    * tables at all, and keeps the same per-series parallelism at any
+    * series count. */
   def madOutliers(points: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ser = Seq("tenant_id", "metric_name")
-    val wv = Window.partitionBy(ser.map(col): _*)
-      .orderBy(col("value"), col("ts_ms"))
-    val wc = Window.partitionBy(ser.map(col): _*)
+    val wSer = Window.partitionBy(ser.map(col): _*)
+    val wv = wSer.orderBy(col("value"), col("ts_ms"))
+    val atMedianRank = (c: Column) =>
+      max(when(col("rn") === expr("(n + 1L) div 2L"), c)).over(wSer)
     val ranked = points
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value")): _*)
       .withColumn("rn", row_number().over(wv))
-      .withColumn("n", count(lit(1)).over(wc))
-    // materialize-once (CLAUDE.md): med and mad are NARROW one-row-per-
-    // series frames whose lineage is a corpus-scale rank window — without
-    // the checkpoint each downstream join re-runs that window (med feeds
-    // dev which feeds BOTH the mad derivation and the output join)
-    val med = ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
-      .select(ser.map(col) :+ col("value").as("med"): _*)
-      .localCheckpoint()
-    val dev = ranked.join(med, ser)
+      .withColumn("n", count(lit(1)).over(wSer))
+    val dev = ranked
+      .withColumn("med", atMedianRank(col("value")))
       .withColumn("adev", abs(col("value") - col("med")))
-    val wd = Window.partitionBy(ser.map(col): _*)
-      .orderBy(col("adev"), col("ts_ms"))
-    val mad = dev.withColumn("rd", row_number().over(wd))
-      .filter(col("rd") === expr("(n + 1L) div 2L"))
-      .select(ser.map(col) :+ col("adev").as("mad"): _*)
-      .localCheckpoint()
-    dev.join(mad, ser)
+    val wd = wSer.orderBy(col("adev"), col("ts_ms"))
+    dev
+      // REPLACES the value-rank rn: atMedianRank resolves "rn" lazily, so
+      // the mad selection below ranks by adev, not by the consumed value rank
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("mad", atMedianRank(col("adev")))
       .withColumn("is_outlier", col("mad") > 0.0 && col("adev") > col("mad") * k)
       .select(ser.map(col) ++ Seq(col("ts_ms"), col("value"), col("med"),
         col("mad"), col("adev"), col("is_outlier")): _*)
